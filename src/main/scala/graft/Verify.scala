@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ICU case mapping makes lower()/upper() ~30x slower (measured:
+      // 25s -> 0.7s on the sf0.1 wordcount) and the ICU <clinit> alone
+      // burns ~30s of CPU on first use. JVM case mapping is identical
+      // on ASCII and matches the oracle.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

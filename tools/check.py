@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's t2 correctness gate.
+
+Runs DuckDB over the same parquet tables as `graft.Verify`'s output and
+compares each query's Spark result (outDir/<name>/*.parquet) against its
+oracle SQL (outDir/oracle_sql.json): column names (sorted), dtypes
+(loosely), row count, and cell values.
+
+Usage: tools/check.py [sfDir] [outDir]
+"""
+import duckdb, glob, json, math, os, sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(set(oracle) | {os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)})
+    fails = 0
+    for name in names:
+        spark_glob = f"{outdir}/{name}/*.parquet"
+        if not glob.glob(spark_glob):
+            print(f"MISSING-SPARK {name}")
+            fails += 1
+            continue
+        sq = con.sql(f"SELECT * FROM read_parquet('{spark_glob}')")
+        scols, srows = sq.columns, sq.fetchall()
+        if name not in oracle:
+            print(f"ROWS-ONLY     {name}: {len(srows)} rows")
+            continue
+        try:
+            oq = con.sql(oracle[name])
+            ocols, orows = oq.columns, oq.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERR    {name}: {e}")
+            fails += 1
+            continue
+        ok = True
+        if sorted(scols) != sorted(ocols):
+            print(f"COLS-MISMATCH {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
+            ok = False
+        if len(srows) != len(orows):
+            print(f"ROWS-MISMATCH {name}: spark={len(srows)} oracle={len(orows)}")
+            ok = False
+        if ok:
+            si = [scols.index(c) for c in sorted(scols)]
+            oi = [ocols.index(c) for c in sorted(ocols)]
+            for rn, (a, b) in enumerate(zip(srows, orows)):
+                av = tuple(norm(a[i]) for i in si)
+                bv = tuple(norm(b[i]) for i in oi)
+                if av != bv:
+                    print(f"VAL-MISMATCH  {name} row {rn}:\n  spark ={av}\n  oracle={bv}")
+                    ok = False
+                    break
+        if ok:
+            print(f"OK            {name}: {len(srows)} rows")
+        else:
+            fails += 1
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
