@@ -8,9 +8,9 @@ object SparkEntry {
     TextOps.wordcount(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TextOps.queries
+    TextOps.queries ++ RelOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TextOps.oracle
+    TextOps.oracle ++ RelOps.oracle
 }

@@ -1,0 +1,369 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational coverage over the star-schema testdata (SURVEY.md §2.3 —
+  * the north-star extension of the reference's MapReduce surface to a
+  * full relational engine; the reference itself has no joins, windows,
+  * sorts, or set ops).
+  *
+  * Scale design notes (local[32] here, 1000-executor / 100 TB target):
+  *   - Dimension tables (`region`, `nation`) get an explicit
+  *     `broadcast()` hint: they are bounded (25/5 rows at any SF), so
+  *     the fact-side join never shuffles.
+  *   - Fact⋈fact joins (orders⋈lineitem, customer⋈orders) are left to
+  *     Catalyst/AQE: both sides shuffle on the join key, and AQE picks
+  *     SMJ/SHJ + handles skew at runtime.
+  *   - Every aggregate is declarative `groupBy().agg()` so Catalyst
+  *     plans partial (map-side) + final hash aggregation; nothing here
+  *     ships raw rows to a single node.
+  *   - Float aggregates are rounded on BOTH the Spark and oracle side:
+  *     double addition order differs between engines, so unrounded
+  *     sums diverge in the last ulps.
+  *   - Every query ends in a total order (unique sort key) so the
+  *     driver's row-by-row hash compare is deterministic.
+  */
+object RelOps {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1-flavored pricing summary: scan → filter (pushed to
+    * parquet) → partial/final hash agg → tiny sort. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-flavored: 3-way fact join, group, top-10 by revenue.
+    * customer⋈orders shuffles on custkey, ⋈lineitem on orderkey; the
+    * final top-k is TakeOrderedAndProject (no global sort shuffle). */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(revenue), 2).as("rev"))
+      .orderBy(desc("rev"), col("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-flavored: broadcast dims (region→nation), shuffle facts;
+    * revenue per nation for one region. */
+  def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = broadcast(
+      Tables.nation(s, d).join(
+        broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey")))
+    Tables.customer(s, d)
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 2).as("rev"))
+      .orderBy(desc("rev"), col("n_name"))
+  }
+
+  /** Left-semi join: customers that have at least one order. Streams
+    * the fact side; the semi join needs only the key column of orders
+    * (column pruning pushes that into the scan). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no orders. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Aggregate variety: count, exact distinct (expands to a two-phase
+    * aggregate on (priority, custkey) — scales; no driver-side set),
+    * sum/avg/min/max. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct("o_custkey").as("n_customers"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+
+  /** ROLLUP over (status, priority). Super-aggregate rows are labeled
+    * via grouping() instead of NULL so Spark/DuckDB null-ordering
+    * differences can't affect the sort. */
+  def rollupOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        // grouping() is only legal inside the rollup's agg list
+        when(grouping(col("o_orderstatus")) === 1, lit("(all)"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, lit("(all)"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .select("status", "priority", "n", "sum_price")
+      .orderBy("status", "priority")
+
+  /** CUBE over (returnflag, linestatus) on lineitem. */
+  def cubeLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        when(grouping(col("l_returnflag")) === 1, lit("(all)"))
+          .otherwise(col("l_returnflag")).as("flag"),
+        when(grouping(col("l_linestatus")) === 1, lit("(all)"))
+          .otherwise(col("l_linestatus")).as("status"),
+        count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select("flag", "status", "n", "sum_qty")
+      .orderBy("flag", "status")
+
+  /** Window functions: per-customer recency rank, lag, running sum.
+    * Partition key = custkey (the shuffle), order unique via orderkey
+    * tie-break; frame is explicit ROWS so RANGE-vs-ROWS defaults can't
+    * differ between engines. Keeps the 3 most recent orders/customer. */
+  def windowOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(sum("o_totalprice").over(run), 2).as("run_sum"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition heaps + a k-row driver merge, no global sort. */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** Set operations on the nation-key sets of customers vs suppliers,
+    * tagged and unioned into one deterministic relation. */
+  def setOpsNations(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(sup).withColumn("op", lit("intersect"))
+      .unionByName(c.except(sup).withColumn("op", lit("except")))
+      .unionByName(c.union(sup).distinct().withColumn("op", lit("union")))
+      .select("op", "nk")
+      .orderBy("op", "nk")
+  }
+
+  /** Scalar string/math function coverage on part. */
+  def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        floor(col("p_retailprice")).as("price_floor"),
+        round(col("p_retailprice"), 1).as("price_round"),
+        pmod(col("p_size"), lit(7)).as("size_mod7"),
+        (col("p_size") * 2 + 1).as("size_x2p1"))
+      .orderBy("p_partkey")
+
+  /** Date/time function coverage on orders. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("day"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
+  /** Events: JSON prop extraction + 10-minute tumbling-window agg —
+    * the batch form of the streaming pipeline (StreamOps runs the same
+    * aggregation with readStream + watermark). */
+  def eventsWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 3).as("sum_value"),
+        sum("k").as("sum_k"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("sum_k"))
+      .orderBy("window_start", "event_type")
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB cardinality
+    * path. Not exactly reproducible in DuckDB, so registered without
+    * an oracle (rows-only); exactness is covered by aggStats. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_top_orders"      -> q3TopOrders _,
+    "q5_nation_revenue"  -> q5NationRevenue _,
+    "join_semi"          -> joinSemi _,
+    "join_anti"          -> joinAnti _,
+    "agg_stats"          -> aggStats _,
+    "rollup_orders"      -> rollupOrders _,
+    "cube_lineitem"      -> cubeLineitem _,
+    "window_orders"      -> windowOrders _,
+    "topk_orders"        -> topkOrders _,
+    "setops_nations"     -> setOpsNations _,
+    "scalar_funcs"       -> scalarFuncs _,
+    "date_funcs"         -> dateFuncs _,
+    "events_window"      -> eventsWindow _,
+    "approx_distinct"    -> approxDistinct _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_stats" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rollup_orders" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "cube_lineitem" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS flag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS status,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "window_orders" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "setops_nations" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT 'intersect' AS op, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT 'except' AS op, nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT 'union' AS op, nk FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+        |ORDER BY op, nk""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lname,
+        |  upper(p_brand) AS ubrand,
+        |  substring(p_type, 1, 5) AS type5,
+        |  length(p_name) AS name_len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  round(p_retailprice, 1) AS price_round,
+        |  p_size % 7 AS size_mod7,
+        |  p_size * 2 + 1 AS size_x2p1
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS day,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "events_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n,
+        |  round(sum(value), 3) AS sum_value,
+        |  sum(json_extract_string(props, '$.k')::INT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+  )
+}
