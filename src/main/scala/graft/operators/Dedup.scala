@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family over `documents`: exact (hash-group), exact
+  * n-gram Jaccard (the verification-scale ground truth), MinHash+LSH
+  * (the 100 TB near-dup path), and SimHash.
+  *
+  * Scale stance:
+  *   - Exact dedup groups on a 32-byte SHA-256 of the canonical text,
+  *     never on the full text — the shuffle key is fixed-width.
+  *   - MinHash/LSH is the linear-time candidate generator: signatures
+  *     are 64 mins computed in one aggregation over exploded shingles
+  *     (partial min per map partition — tiny shuffle), candidates come
+  *     from band-bucket equality (a shuffle on (band, hash), not a
+  *     cross join), and only candidates get verified. Oversized
+  *     buckets are capped — the standard guard against a degenerate
+  *     band flooding the pair stage.
+  *   - The exact-Jaccard query exists to *oracle-check* the semantics
+  *     at sf0.01; its shingle self-join is quadratic in bucket size
+  *     and is not the scale path.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles of the lowercased letter-token stream, as
+    * one distinct row per (doc_id, shingle). */
+  def shingles(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val toks = split(lower(col("text")), "[^\\p{L}]+")
+    Tables.documents(s, d)
+      .withColumn("toks", filter(toks, t => length(t) > 0))
+      .withColumn("idx",
+        // sequence(1, 0) would be DESCENDING in Spark — guard short docs
+        when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))
+          .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), explode(col("idx")).as("i"), col("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: canonical-hash group → keep min doc_id. Output one
+    * row per distinct content with its survivor and multiplicity. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256)
+          .as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ).
+    * Ground truth for the MinHash path; oracle-checked. */
+  def neardupJaccard(s: SparkSession, d: String,
+                     minJ: Double = 0.5): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val NumHashes = 64
+  val Bands     = 16 // 16 bands x 4 rows: catches J >= ~0.5 reliably
+
+  /** MinHash signatures: one row per doc, signature = array of 64
+    * per-seed minima over the doc's shingle set. Computed as a single
+    * groupBy(doc) with 64 min() aggregates — partial aggregation makes
+    * the shuffle one row per doc per partition. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    shingles(s, d)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
+    * Bands of the signature are hashed to buckets; docs sharing any
+    * band bucket become candidates; candidates are scored by fraction
+    * of agreeing signature positions. Oversized buckets (> maxBucket)
+    * are dropped — a degenerate band (e.g. all-identical docs) would
+    * otherwise emit O(bucket²) pairs.
+    *
+    * Approximate by construction → registered rows-only; the spec
+    * cross-checks recall against neardupJaccard. */
+  def minhashLsh(s: SparkSession, d: String,
+                 minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val rows = NumHashes / Bands
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("est_jaccard",
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
+      .filter(col("est_jaccard") >= minEst)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document: per-token 64-bit hash, weighted bit
+    * votes (weight = term frequency), sign → bit. One explode + one
+    * groupBy(doc) with 64 sum() aggregates, then bit assembly. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = TextOps.tokenize(Tables.documents(s, d))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("word")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"v$b")
+    }
+    tok.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= maxHam, blocked by
+    * 16-bit band equality (any pair within distance 3 must agree on
+    * at least one of 4 bands — pigeonhole), verified with bit_count.
+    * Rows-only (xxhash64 is Spark-specific). */
+  def simhashPairs(s: SparkSession, d: String,
+                   maxHam: Int = 3): DataFrame = {
+    val sh = simhash(s, d)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHam)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"     -> dedupExact _,
+    "neardup_jaccard" -> ((s: SparkSession, d: String) => neardupJaccard(s, d)),
+    "minhash_lsh"     -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+        |ORDER BY keep_id""".stripMargin,
+    "neardup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

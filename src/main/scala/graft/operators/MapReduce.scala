@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's *extensibility* surface re-expressed on Spark: a
+  * name-keyed registry of (mapper, reducer) pairs over a corpus
+  * (reference `Worker/Worker.py:68-78` `functionMap`, dispatched by
+  * `run_mapred`, `Master/Master.py:61-94`).
+  *
+  * Mapper `(text, docname) → pairs` is the reference's UDTF contract
+  * (`Worker/Worker.py:10-26`) → a typed `flatMap`. Reducer semantics
+  * come in two strengths:
+  *
+  *   - [[reduceByKey]] — associative+commutative combine. Runs as
+  *     `groupByKey(...).reduceGroups(...)`, which Spark executes with
+  *     map-side partial aggregation: only one combined value per key
+  *     per partition crosses the shuffle. This is the 100 TB path, and
+  *     an upgrade over the reference, which ships every (word, 1) pair
+  *     through RPC+JSON (`Master/Master.py:130-163` has no combiner).
+  *   - [[groupReduce]] — the reference's literal black-box contract:
+  *     reducer sees all values of a key (`Worker/Worker.py:94-97`).
+  *     Runs as `mapGroups`; documented skew hazard: a hot key's values
+  *     are materialized per-group, so prefer reduceByKey whenever the
+  *     function is a fold.
+  *
+  * The concrete jobs (wordcount_mr / inverted_index_mr) reproduce the
+  * reference's two applications through this generic surface and are
+  * oracle-checked against the same SQL as the native TextOps forms —
+  * proving surface equivalence.
+  */
+object MapReduce {
+
+  /** Corpus rows: (docname, text) — the reference's chunk
+    * `{filename: text}` (`Master/Master.py:203-206`). */
+  def corpus(s: SparkSession, dir: String): Dataset[(String, String)] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+  }
+
+  /** Reference tokenizer (`Worker/Worker.py:11-12`): lowercase, keep
+    * maximal runs of Unicode letters. Scala-side twin of
+    * TextOps.tokens for use inside typed mappers. */
+  def tokenizeText(text: String): Seq[String] =
+    text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+
+  /** Associative-combine MapReduce: the scalable reducer contract. */
+  def reduceByKey[V](s: SparkSession,
+                     input: Dataset[(String, String)],
+                     mapper: (String, String) => IterableOnce[(String, V)],
+                     reducer: (V, V) => V)
+                    (implicit ev: org.apache.spark.sql.Encoder[(String, V)])
+      : Dataset[(String, V)] = {
+    import s.implicits._
+    input.flatMap { case (doc, text) => mapper(text, doc) }(ev)
+      .groupByKey(_._1)
+      .reduceGroups((a: (String, V), b: (String, V)) =>
+        (a._1, reducer(a._2, b._2)))
+      .map(_._2)(ev)
+  }
+
+  /** Black-box grouped reducer: the reference's literal contract.
+    * All values for a key are presented to the reducer as one
+    * iterator (single pass, not materialized unless the reducer
+    * does). */
+  def groupReduce[O](s: SparkSession,
+                     input: Dataset[(String, String)],
+                     mapper: (String, String) => IterableOnce[(String, String)],
+                     reducer: (String, Iterator[String]) => IterableOnce[O])
+                    (implicit oe: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    import s.implicits._
+    input.flatMap { case (doc, text) => mapper(text, doc) }
+      .groupByKey(_._1)
+      .flatMapGroups((k: String, it: Iterator[(String, String)]) =>
+        reducer(k, it.map(_._2)))(oe)
+  }
+
+  /** WordCount through the generic surface (reference
+    * `Worker/Worker.py:20-26` + `:45-49`): mapper emits (word, 1),
+    * reducer sums. */
+  def wordcountMr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    reduceByKey[Long](s, corpus(s, dir),
+      (text, _) => tokenizeText(text).map(_ -> 1L),
+      _ + _)
+      .toDF("word", "cnt")
+      .orderBy("word")
+  }
+
+  /** InvertedIndex through the generic surface (reference
+    * `Worker/Worker.py:10-16` + `:30-41`): mapper emits (word, doc),
+    * reducer counts per doc; flat (word, doc_id, cnt) output. */
+  def invertedIndexMr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    groupReduce[(String, String, Long)](s, corpus(s, dir),
+      (text, doc) => tokenizeText(text).map(_ -> doc),
+      (word, docs) => {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        docs.foreach(d => counts.update(d, counts.getOrElse(d, 0L) + 1L))
+        counts.iterator.map { case (d, c) => (word, d, c) }.toSeq
+      })
+      .toDF("word", "doc_id", "cnt")
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .orderBy("word", "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount_mr"      -> wordcountMr _,
+    "inverted_index_mr" -> invertedIndexMr _,
+  )
+
+  /** Same oracles as the native TextOps forms — the point is that the
+    * generic surface reproduces them exactly. */
+  val oracle: Map[String, String] = Map(
+    "wordcount_mr"      -> TextOps.oracle("wordcount"),
+    "inverted_index_mr" -> TextOps.oracle("inverted_index"),
+  )
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over `embeddings` (64-dim float vectors).
+  *
+  * Two paths, per SURVEY.md §2.4:
+  *   - Brute-force cosine top-k: exact, one linear pass per query
+  *     vector. The query set is broadcast, so the fact side streams —
+  *     scales to any corpus size as long as the query set is bounded.
+  *   - Random-hyperplane LSH buckets: the ANN scale path — candidates
+  *     come from a shuffle on (plane-signature) equality instead of a
+  *     cross join. Approximate → rows-only; the spec measures recall
+  *     against the brute-force truth.
+  *
+  * Vectors are cast to double before arithmetic so Spark and DuckDB
+  * compute on the same type; cosine is rounded to 6 places on both
+  * sides (last-ulp division/ sqrt differences).
+  */
+object Similarity {
+
+  /** dot(a, b) over array columns via zip_with + aggregate — stays in
+    * codegen, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+
+  val NumQueries = 5
+  val TopK       = 5
+
+  /** Exact top-k neighbors for a bounded query set (vec_id <
+    * NumQueries): broadcast queries × streamed corpus → cosine →
+    * per-query top-k via window. The corpus side is a single narrow
+    * pass; the only shuffle is the final per-query rank (k rows per
+    * query survive the partial TakeOrdered). */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Exact near-dup pairs by cosine >= minCos (a < b). Quadratic by
+    * nature — this is the oracle-checkable ground-truth query, bounded
+    * to a fixed id window (MaxExactIds) so its cost is constant
+    * regardless of corpus size; the unbounded scale path is the LSH
+    * family. Norms are precomputed once per vector (not per pair). */
+  val MaxExactIds = 2000
+  def neardupEmbedding(s: SparkSession, d: String,
+                       minCos: Double = 0.35): DataFrame = {
+    val e = emb(s, d)
+      .filter(col("vec_id") < MaxExactIds)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  val NumPlanes = 12
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dimension i): a hash mapped to [-0.5, 0.5). Public
+    * random-projection LSH (Charikar); hashing replaces an RNG so the
+    * planes are reproducible with no driver state. */
+  private def planeComponent(p: Column, i: Column): Column =
+    (pmod(xxhash64(lit("plane"), p, i), lit(1000000L)).cast("double") /
+      1000000.0) - 0.5
+
+  /** Signature: NumPlanes sign bits of plane·v packed into an int. */
+  def lshSignature(v: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(NumPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), lit(63)),
+            (x, i) => x * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1)).otherwise(lit(0))
+      }),
+      lit(0), (acc, x) => acc * 2 + x)
+
+  /** ANN via LSH buckets: vectors sharing a signature are candidates;
+    * exact cosine ranks within bucket. Rows-only (approximate);
+    * recall vs brute force is asserted in the spec. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).withColumn("sig", lshSignature(col("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("sig").as("qsig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    e.join(broadcast(q), col("sig") === col("qsig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Per-label centroid + the member furthest from its centroid — an
+    * embedding-quality / outlier-mining aggregate (array avg via
+    * element-wise sums). */
+  def labelCentroidOutlier(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val byDim = e.select(col("label"), col("vec_id"),
+      posexplode(col("v")).as(Seq("dim", "x")))
+    val cent = byDim.groupBy("label", "dim").agg(avg("x").as("c"))
+    val joined = byDim
+      .join(cent, Seq("label", "dim"))
+      .groupBy("label", "vec_id")
+      .agg(
+        sum(col("x") * col("c")).as("dotc"),
+        sum(col("x") * col("x")).as("nx"),
+        sum(col("c") * col("c")).as("nc"))
+      .withColumn("cos_c",
+        round(col("dotc") / sqrt(col("nx") * col("nc")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("cos_c"), col("vec_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("vec_id").as("outlier_id"), col("cos_c"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_bruteforce"    -> knnBruteForce _,
+    "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
+    "ann_lsh"           -> annLsh _,
+    "label_outliers"    -> labelCentroidOutlier _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "knn_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(e.v, q.qv) /
+         |      sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)),
+         |      6) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+    "neardup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings WHERE vec_id < $MaxExactIds)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "label_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |bydim AS (
+        |  SELECT label, vec_id, i - 1 AS dim, v[i] AS x
+        |  FROM e, unnest(range(1, 65)) AS r(i)),
+        |cent AS (SELECT label, dim, avg(x) AS c FROM bydim GROUP BY 1, 2),
+        |joined AS (
+        |  SELECT b.label, b.vec_id,
+        |    sum(b.x * c.c) AS dotc, sum(b.x * b.x) AS nx, sum(c.c * c.c) AS nc
+        |  FROM bydim b JOIN cent c ON b.label = c.label AND b.dim = c.dim
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT label, vec_id, round(dotc / sqrt(nx * nc), 6) AS cos_c,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY round(dotc / sqrt(nx * nc), 6), vec_id) AS rn
+        |  FROM joined)
+        |SELECT label, vec_id AS outlier_id, cos_c FROM scored
+        |WHERE rn = 1 ORDER BY label""".stripMargin,
+  )
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data text-analysis operators over `documents`: language
+  * identification, quality scoring, token counting, fingerprinting,
+  * and TF-IDF. All are single-pass, codegen-friendly column
+  * expressions (no UDFs) so they stay inside whole-stage codegen and
+  * scale linearly with corpus bytes; the only shuffles are the final
+  * aggregates/joins, keyed on (doc_id) or (word).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language function-word lexicons (public knowledge).
+    * Real language ID would use character n-gram profiles; the
+    * operator's *shape* — explode, broadcast lexicon join, per-doc
+    * argmax — is identical, and deterministic here so the oracle can
+    * replicate it. */
+  val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "and", "en" -> "of", "en" -> "to",
+    "en" -> "in", "en" -> "is", "en" -> "on", "en" -> "for", "en" -> "with",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "y",
+    "es" -> "un", "es" -> "por", "es" -> "con", "es" -> "los", "es" -> "se",
+    "fr" -> "le", "fr" -> "les", "fr" -> "des", "fr" -> "et", "fr" -> "du",
+    "fr" -> "est", "fr" -> "une", "fr" -> "dans", "fr" -> "pour", "fr" -> "au",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "von",
+    "de" -> "zu", "de" -> "mit", "de" -> "den", "de" -> "ein", "de" -> "ist")
+
+  private def lexiconDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    lexicon.toDF("lex_lang", "lex_word")
+  }
+
+  /** Language ID: tokenize → broadcast-join the lexicon → per-doc
+    * argmax(score) with deterministic tie-break. Docs with no lexicon
+    * hit → 'unknown'. The lexicon join is a broadcast hash join (the
+    * lexicon is bounded), so the plan is scan → generate → BHJ →
+    * partial/final agg → one shuffle on doc_id. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scores = TextOps.tokenize(docs)
+      .join(broadcast(lexiconDf(s)), col("word") === col("lex_word"))
+      .groupBy("doc_id", "lex_lang")
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), col("lex_lang"))
+    val best = scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("b_doc"), col("lex_lang"), col("score"))
+    docs.select("doc_id")
+      .join(best, col("doc_id") === col("b_doc"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lex_lang"), lit("unknown")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val enStop = lexicon.filter(_._1 == "en").map(_._2)
+
+  /** Quality scoring: length, token counts, type-token ratio,
+    * stopword ratio, alpha-char ratio — the classic cheap corpus
+    * filters. Pure column math; one narrow pass. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "[^\\p{L}\\p{N}]+")
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_types"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 6).as("ttr"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-zA-Z]", ""))).cast("double") /
+          length(col("text")), 6).as("alpha_ratio"),
+        round(size(filter(col("toks"),
+          t => t.isin(enStop: _*))).cast("double") /
+          size(col("toks")), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace, a BPE-ish regex
+    * (letter runs | digit runs | single other), and the chars/4
+    * budget rule — the estimators a pipeline uses to cost a corpus. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("budget_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: SHA-256 over whitespace-canonicalized
+    * lowercase text — the exact-dedup key at scale (fixed 32-byte
+    * shuffle key instead of full text). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256)
+          .as("fp"))
+      .orderBy("doc_id")
+
+  /** TF-IDF: composes the reference's two applications — term
+    * frequencies (WordCount per doc) joined with document frequencies
+    * (InvertedIndex cardinalities) — exactly the composition SURVEY.md
+    * §2.4 calls out. N arrives via a broadcast 1-row cross join, not a
+    * driver collect. Top term per doc keeps output bounded. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = TextOps.tokenize(docs)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), col("word"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "word", "tf", "df", "tfidf", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
+  private def lexValues: String =
+    lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  private def enStopList: String = enStop.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id"      -> langId _,
+    "text_quality" -> textQuality _,
+    "token_counts" -> tokenCounts _,
+    "fingerprint"  -> fingerprint _,
+    "tfidf"        -> tfidf _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "lang_id" ->
+      s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
+         |tok AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |scores AS (
+         |  SELECT doc_id, lex_lang, count(*) AS score
+         |  FROM tok JOIN lex ON word = lex_word
+         |  GROUP BY doc_id, lex_lang),
+         |best AS (
+         |  SELECT doc_id, lex_lang, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lex_lang) AS rn
+         |  FROM scores)
+         |SELECT d.doc_id,
+         |  coalesce(b.lex_lang, 'unknown') AS lang_pred,
+         |  coalesce(b.score, 0) AS score
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |  ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(trim(lower(text)),
+         |      '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_types,
+         |  round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
+         |  round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+         |    / length(text), 6) AS alpha_ratio,
+         |  round(len(list_filter(toks, x -> x IN ($enStopList)))::DOUBLE
+         |    / len(toks), 6) AS stopword_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS bpe_ish_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS budget_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w AS word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, word) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word, tf, df, tfidf, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Structured Streaming surface over the `events` table (SURVEY.md
+  * §2.3 — the reference has no streaming; this is the north-star
+  * extension, built on readStream → transform → writeStream).
+  *
+  * The batch-equivalent forms (RelOps.eventsWindow, sessionize here)
+  * are the oracle-checked contracts; the streaming variants run the
+  * SAME aggregation logic over `readStream` with a watermark, and the
+  * spec asserts stream-vs-batch equality on the testdata (processing
+  * a static parquet dir as a stream).
+  *
+  * Scale: event-time tumbling windows + watermark bound state size;
+  * sessionization uses window-lag over (user_id) partitions in batch
+  * and the same gap rule via session_window in streaming.
+  */
+object StreamOps {
+
+  /** The events schema as stored (ts arrives as INT64 nanos; the
+    * loader converts). Needed explicitly for readStream. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet data. The file stream
+    * source requires a DIRECTORY; production data is a directory of
+    * part files, but the testdata ships a single file, so stage a
+    * symlink dir next to /tmp when needed. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = java.nio.file.Paths.get(dir, "events.parquet")
+    val src =
+      if (java.nio.file.Files.isDirectory(raw)) raw.toString
+      else {
+        val staged = java.nio.file.Paths.get(
+          "/tmp/graft_stream", raw.toString.replaceAll("[^a-zA-Z0-9]", "_"))
+        java.nio.file.Files.createDirectories(staged)
+        val link = staged.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, raw)
+        staged.toString
+      }
+    s.readStream
+      .schema(rawSchema)
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming twin of RelOps.eventsWindow: tumbling 10-minute
+    * event-time windows with a 30-minute watermark. Returns the
+    * streaming DataFrame; callers attach a sink (the spec uses
+    * foreachBatch → memory). */
+  def windowedCounts(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 3).as("sum_value"),
+        sum("k").as("sum_k"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("sum_k"))
+
+  /** Batch sessionization: per-user sessions split at >30-minute
+    * gaps (classic lag + cumulative-sum-of-breaks), aggregated to one
+    * row per session. Oracle-checkable; the window shuffle is keyed on
+    * user_id. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      // integer micros, not float seconds: exact on both engines
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("brk").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        round(sum("value"), 3).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Streaming sessionization via session_window (gap-based session
+    * merging with watermark-bounded state) — the built-in replacement
+    * for hand-rolled mapGroupsWithState for gap sessions. */
+  def sessionizeStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 3).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> sessionize _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 3) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force knn: self excluded, k rows per query, cos in [-1,1]") {
+    val rows = Similarity.knnBruteForce(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.TopK)
+      assert(rs.forall(_.getLong(2) != q), "self must be excluded")
+      assert(rs.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+      // ranks are 1..k with non-increasing cosine
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to Similarity.TopK))
+      val cs = sorted.map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse, "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("ann lsh returns a subset of plausible neighbors with decent top-1") {
+    // With random-hyperplane buckets the exact top-1 may fall in a
+    // different bucket; assert structure, not exact recall: every ANN
+    // neighbor's cosine must be <= the exact top-1 for that query.
+    val exact = Similarity.knnBruteForce(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getDouble(3)).max }
+    val ann = Similarity.annLsh(spark, sfDir).collect()
+    ann.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getDouble(3) <= exact(q) + 1e-9,
+        "ANN cannot beat the exact top-1")
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.operators.RelOps
+import org.apache.spark.sql.DataFrame
+
+/** Structured Streaming vs batch equivalence on the static testdata
+  * (reading the events parquet as a file stream, complete/append
+  * semantics collapse once the source is exhausted). */
+class StreamingSpec extends SparkSpec {
+
+  private def runStreamToBatch(streamDf: DataFrame, mode: String): DataFrame = {
+    val id = s"stream_sink_${System.identityHashCode(streamDf)}"
+    val q = streamDf.writeStream
+      .format("memory")
+      .queryName(id)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(id)
+  }
+
+  test("streaming windowed counts equal the batch eventsWindow") {
+    val batch = RelOps.eventsWindow(spark, sfDir).collect().toSeq
+    val stream = runStreamToBatch(
+      StreamOps.windowedCounts(spark, sfDir), "complete")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("streaming session_window agrees with batch sessionize on counts") {
+    import org.apache.spark.sql.functions._
+    val batch = StreamOps.sessionize(spark, sfDir)
+      .select("user_id", "n_events")
+      .groupBy("user_id").agg(sum("n_events").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stream = runStreamToBatch(
+      StreamOps.sessionizeStream(spark, sfDir), "complete")
+      .groupBy("user_id").agg(sum("n_events").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stream == batch)
+  }
+}

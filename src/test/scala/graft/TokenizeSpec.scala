@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{MapReduce, TextOps}
+
+/** Tokenization parity with the reference semantics: Python
+  * str.isalpha() keeps any Unicode letter; every non-letter splits;
+  * result lowercased (reference Worker/Worker.py:10-26). */
+class TokenizeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def tok(text: String): Seq[String] = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .as[String].collect().toSeq
+  }
+
+  test("ascii words, punctuation, digits split") {
+    assert(tok("Hello, world! 123 foo_bar") == Seq("hello", "world", "foo", "bar"))
+  }
+
+  test("unicode letters are kept (Portuguese fixture semantics)") {
+    assert(tok("São João é aqui") == Seq("são", "joão", "é", "aqui"))
+  }
+
+  test("empty and all-separator strings yield nothing") {
+    assert(tok("") == Seq())
+    assert(tok("123 !!! __") == Seq())
+  }
+
+  test("column tokenizer agrees with the Scala mapper twin") {
+    val texts = Seq("Hello, World!", "a-b-c 1d2e3", "Águas de Março", "")
+    texts.foreach { t =>
+      assert(tok(t) == MapReduce.tokenizeText(t), s"mismatch on '$t'")
+    }
+  }
+
+  test("wordcount total equals token count (mass conservation)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val total = TextOps.wordcount(spark, sfDir)
+      .agg(sum("cnt")).as[Long].head()
+    val tokens = TextOps.tokenize(docs).count()
+    assert(total == tokens)
+  }
+
+  test("inverted index row sums equal wordcount per word") {
+    import spark.implicits._
+    val fromIi = TextOps.invertedIndex(spark, sfDir)
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+    val wc = TextOps.wordcount(spark, sfDir)
+    assert(fromIi.except(wc.select("word", "cnt")).count() == 0)
+    assert(wc.select("word", "cnt").except(fromIi).count() == 0)
+  }
+
+  test("generic MapReduce surface reproduces the native operators") {
+    val a = MapReduce.wordcountMr(spark, sfDir).collect().toSeq
+    val b = TextOps.wordcount(spark, sfDir).collect().toSeq
+    assert(a.map(r => (r.getString(0), r.getLong(1))) ==
+      b.map(r => (r.getString(0), r.getLong(1))))
+  }
+}
