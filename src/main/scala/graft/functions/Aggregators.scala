@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Typed UDAF surface (SURVEY.md §2.3: the reference's black-box
+  * reducer contract as a Spark `Aggregator`). Aggregators run with
+  * partial (map-side) aggregation — the buffer merges associatively —
+  * so they hold the 100 TB contract that `groupReduce`'s
+  * all-values-iterator cannot.
+  */
+object Aggregators {
+
+  /** MinHash signature as a single-pass Aggregator: buffer = the
+    * per-seed minima; merge = element-wise min. Equivalent to the
+    * 64×min() expression form (Dedup.minhashSignatures) but
+    * demonstrates the custom-UDAF path; hashes are scala.util.hashing
+    * MurmurHash3 (the expression form uses xxhash64 — both are valid
+    * MinHash families, each self-consistent).
+    */
+  class MinHashAgg(numHashes: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+
+    private def h(seed: Int, shingle: String): Long =
+      (scala.util.hashing.MurmurHash3.stringHash(shingle, seed).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(shingle, seed ^ 0x5bd1e995)
+          .toLong & 0xFFFFFFFFL)
+
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+      var i = 0
+      while (i < numHashes) {
+        val v = h(i, shingle)
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Numerically stable streaming mean+variance (Welford/Chan
+    * parallel merge) — the canonical "can't do this with a black-box
+    * iterator at scale" aggregate. */
+  case class MomentsBuf(n: Long, mean: Double, m2: Double)
+
+  class WelfordAgg extends Aggregator[Double, MomentsBuf, (Double, Double)] {
+    override def zero: MomentsBuf = MomentsBuf(0L, 0.0, 0.0)
+    override def reduce(b: MomentsBuf, x: Double): MomentsBuf = {
+      val n = b.n + 1
+      val d = x - b.mean
+      val mean = b.mean + d / n
+      MomentsBuf(n, mean, b.m2 + d * (x - mean))
+    }
+    override def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf = {
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val d = b.mean - a.mean
+        MomentsBuf(n, a.mean + d * b.n / n,
+          a.m2 + b.m2 + d * d * a.n * b.n / n)
+      }
+    }
+    override def finish(r: MomentsBuf): (Double, Double) =
+      (r.mean, if (r.n > 1) r.m2 / (r.n - 1) else 0.0)
+    override def bufferEncoder: Encoder[MomentsBuf] = Encoders.product
+    override def outputEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  }
+}

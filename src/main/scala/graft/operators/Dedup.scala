@@ -51,13 +51,13 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
-      .orderBy("keep_id")
+      .transform(Present.sorted(_, col("keep_id")))
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ).
     * Ground truth for the MinHash path; oracle-checked. */
   def neardupJaccard(s: SparkSession, d: String,
                      minJ: Double = 0.5): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = shingles(s, d).persist() // reused: sizes, both join sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -73,7 +73,7 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .transform(Present.sorted(_, col("doc_a"), col("doc_b")))
   }
 
   val NumHashes = 64
@@ -112,6 +112,7 @@ object Dedup {
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .persist() // both sides of the bucket self-join
     val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -128,7 +129,7 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
       .filter(col("est_jaccard") >= minEst)
       .select("doc_a", "doc_b", "est_jaccard")
-      .orderBy("doc_a", "doc_b")
+      .transform(Present.sorted(_, col("doc_a"), col("doc_b")))
   }
 
   /** 64-bit SimHash per document: per-token 64-bit hash, weighted bit
@@ -163,6 +164,7 @@ object Dedup {
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .persist() // both sides of the bucket self-join
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -174,7 +176,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHam)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+      .transform(Present.sorted(_, col("doc_a"), col("doc_b")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -104,7 +104,7 @@ object MapReduce {
       })
       .toDF("word", "doc_id", "cnt")
       .withColumn("doc_id", col("doc_id").cast("long"))
-      .orderBy("word", "doc_id")
+      .transform(Present.sorted(_, col("word"), col("doc_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -73,7 +73,8 @@ object Multimodal {
   }
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    extractFeatures(mediaTable(s, d)).toDF().orderBy("doc_id")
+    Present.sorted(extractFeatures(mediaTable(s, d)).toDF(),
+      org.apache.spark.sql.functions.col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> multimodalFeatures _,

@@ -76,7 +76,7 @@ object RelOps {
           col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(revenue), 2).as("rev"))
-      .orderBy(desc("rev"), col("n_name"))
+      .transform(Present.sorted(_, desc("rev"), col("n_name")))
   }
 
   /** Left-semi join: customers that have at least one order. Streams
@@ -87,7 +87,7 @@ object RelOps {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
         "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .transform(Present.sorted(_, col("c_custkey")))
 
   /** Left-anti join: customers with no orders. */
   def joinAnti(s: SparkSession, d: String): DataFrame =
@@ -95,7 +95,7 @@ object RelOps {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
         "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .transform(Present.sorted(_, col("c_custkey")))
 
   /** Aggregate variety: count, exact distinct (expands to a two-phase
     * aggregate on (priority, custkey) — scales; no driver-side set),
@@ -156,7 +156,7 @@ object RelOps {
         round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
         round(sum("o_totalprice").over(run), 2).as("run_sum"))
       .filter(col("rn") <= 3)
-      .orderBy("o_custkey", "rn")
+      .transform(Present.sorted(_, col("o_custkey"), col("rn")))
   }
 
   /** Top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
@@ -176,7 +176,7 @@ object RelOps {
       .unionByName(c.except(sup).withColumn("op", lit("except")))
       .unionByName(c.union(sup).distinct().withColumn("op", lit("union")))
       .select("op", "nk")
-      .orderBy("op", "nk")
+      .transform(Present.sorted(_, col("op"), col("nk")))
   }
 
   /** Scalar string/math function coverage on part. */
@@ -222,7 +222,7 @@ object RelOps {
         sum("k").as("sum_k"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("sum_k"))
-      .orderBy("window_start", "event_type")
+      .transform(Present.sorted(_, col("window_start"), col("event_type")))
 
   /** Approximate distinct (HyperLogLog++) — the 100 TB cardinality
     * path. Not exactly reproducible in DuckDB, so registered without

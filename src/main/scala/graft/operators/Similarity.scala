@@ -49,13 +49,16 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    // native codegen'd cosine (same fold order as the declarative
+    // form — oracle-identical, ~fused-loop fast; see CosineSim)
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
-      .orderBy("q_id", "rn")
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
   /** Exact near-dup pairs by cosine >= minCos (a < b). Quadratic by
@@ -68,15 +71,18 @@ object Similarity {
                        minCos: Double = 0.35): DataFrame = {
     val e = emb(s, d)
       .filter(col("vec_id") < MaxExactIds)
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("nrm").as("nb")), col("id_a") < col("id_b"))
+      .persist() // read once, joined twice
+    e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")),
+        col("id_a") < col("id_b"))
+      // fused-loop native dot (same fold order as the declarative
+      // form; see CosineSim scaladoc) — the pair loop is the hot path
       .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        round(graft.functions.GraftFunctions.cosineNative(s,
+          col("va"), col("vb")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
+      .transform(Present.sorted(_, col("id_a"), col("id_b")))
   }
 
   val NumPlanes = 12
@@ -113,11 +119,12 @@ object Similarity {
       .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
     e.join(broadcast(q), col("sig") === col("qsig"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
-      .orderBy("q_id", "rn")
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
   /** Per-label centroid + the member furthest from its centroid — an
@@ -127,6 +134,7 @@ object Similarity {
     val e = emb(s, d)
     val byDim = e.select(col("label"), col("vec_id"),
       posexplode(col("v")).as(Seq("dim", "x")))
+      .persist() // feeds both the centroid agg and the member join
     val cent = byDim.groupBy("label", "dim").agg(avg("x").as("c"))
     val joined = byDim
       .join(cent, Seq("label", "dim"))
@@ -142,7 +150,7 @@ object Similarity {
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("label"), col("vec_id").as("outlier_id"), col("cos_c"))
-      .orderBy("label")
+      .transform(Present.sorted(_, col("label")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -170,13 +178,14 @@ object Similarity {
          |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
     "neardup_embedding" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings WHERE vec_id < $MaxExactIds)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |  round(list_dot_product(a.v, b.v) / sqrt(
+         |    list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+         |WHERE round(list_dot_product(a.v, b.v) / sqrt(
+         |    list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "label_outliers" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

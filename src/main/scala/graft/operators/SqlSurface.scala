@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SQL-surface operators that round out the relational inventory:
+  * GROUPING SETS, PIVOT, UNPIVOT, scalar subqueries, and ordered
+  * string aggregation. These run through `spark.sql` over temp views —
+  * exercising the engine's SQL front door as well as the DataFrame
+  * API (both lower to the same Catalyst plans).
+  */
+object SqlSurface {
+
+  private def withView(s: SparkSession, d: String, t: String): Unit =
+    Tables.t(s, d, t).createOrReplaceTempView(t)
+
+  /** GROUPING SETS — finer than rollup/cube: exactly the listed
+    * combinations, labeled via GROUPING(). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "orders")
+    s.sql(
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** PIVOT: per-returnflag row, one count column per linestatus. */
+  def pivotLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o"))
+      .orderBy("l_returnflag")
+
+  /** UNPIVOT (melt): customer balance metrics to long form. */
+  def unpivotCustomer(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey_d"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey_d")),
+        "metric", "val")
+      .orderBy("c_custkey", "metric")
+
+  /** Scalar + correlated subqueries through the SQL front door:
+    * orders above the global average with their customer's order
+    * count. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS price,
+        |  (SELECT count(*) FROM orders i
+        |   WHERE i.o_custkey = o.o_custkey) AS cust_orders
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Ordered string aggregation: per-nation sorted list of supplier
+    * names (deterministic via sort_array). */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .groupBy("s_nationkey")
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",")
+        .as("suppliers"))
+      .orderBy("s_nationkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets"    -> groupingSets _,
+    "pivot_lineitem"   -> pivotLineitem _,
+    "unpivot_customer" -> unpivotCustomer _,
+    "scalar_subquery"  -> scalarSubquery _,
+    "string_agg"       -> stringAgg _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "pivot_lineitem" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "unpivot_customer" ->
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'c_nationkey_d', c_nationkey::DOUBLE FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS price,
+        |  (SELECT count(*) FROM orders i
+        |   WHERE i.o_custkey = o.o_custkey) AS cust_orders
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "string_agg" ->
+      """SELECT s_nationkey,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+  )
+}

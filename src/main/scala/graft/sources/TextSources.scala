@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's three input sources (SURVEY.md §2.1 S1–S3) as
+  * DataFrame builders, all yielding the canonical corpus schema
+  * `(file: string, text: string)` — the Spark form of the reference's
+  * chunk `{filename: text}` (`Master/Master.py:203-206`).
+  *
+  * Scale notes: S1 keeps whole-file granularity (the reference's unit
+  * of map parallelism) via wholetext; for 100 TB corpora of small
+  * files the same schema comes from `spark.read.text` without
+  * wholetext, where Spark packs files into `maxPartitionBytes`-sized
+  * splits. S2's word-granularity splitting is subsumed by line
+  * splits: the reference only requires that no word be broken
+  * (`Master/Master.py:225-238`), which line boundaries guarantee.
+  */
+object TextSources {
+
+  /** S1 — directory scan, one row per file, basename as file id
+    * (reference `Master/Master.py:195-214`). */
+  def directory(s: SparkSession, dir: String): DataFrame =
+    s.read.format("text").option("wholetext", "true").load(dir)
+      .select(
+        element_at(split(input_file_name(), "/"), -1).as("file"),
+        col("value").as("text"))
+
+  /** S2 — single file at line granularity + repartition(n) ≙ the
+    * reference's n_mappers chunking (`Master/Master.py:216-254`). */
+  def file(s: SparkSession, path: String, nChunks: Int = 4): DataFrame =
+    s.read.text(path)
+      .repartition(nChunks)
+      .select(
+        element_at(split(input_file_name(), "/"), -1).as("file"),
+        col("value").as("text"))
+
+  /** S3 — inline string source (reference `Master/Master.py:222-224`:
+    * filename becomes the literal "InputString"). */
+  def inline(s: SparkSession, data: String): DataFrame = {
+    import s.implicits._
+    Seq(data).toDF("text").select(lit("InputString").as("file"), col("text"))
+  }
+
+  /** Dispatch mirroring the reference's dir/file/string branch
+    * (`Master/Master.py:195-224`). */
+  def resolve(s: SparkSession, input: String): DataFrame = {
+    val p = java.nio.file.Paths.get(input)
+    if (java.nio.file.Files.isDirectory(p)) directory(s, input)
+    else if (java.nio.file.Files.isRegularFile(p)) file(s, input)
+    else inline(s, input)
+  }
+
+  /** S6 — JSON sink + collect-back, the reference's
+    * combineAndStoreReducerOutput (`Master/Master.py:97-108`): one
+    * JSON file per partition ≙ one dict per reducer. */
+  def writeJson(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").json(out)
+}

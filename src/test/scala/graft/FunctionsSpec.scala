@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{Aggregators, GraftFunctions}
+import graft.operators.{SaltedAgg, Similarity}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("native cosine matches the declarative zip_with form exactly") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(50)
+    val pairs = e.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("v").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val decl = pairs.select(col("ia"), col("ib"),
+      Similarity.cosine(col("va"), col("vb")).as("c"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val nat = pairs.select(col("ia"), col("ib"),
+      GraftFunctions.cosineNative(spark, col("va"), col("vb")).as("c"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(decl.keySet == nat.keySet)
+    decl.foreach { case (k, v) =>
+      assert(v == nat(k), s"bit mismatch at $k") // same fold order → bit-equal
+    }
+  }
+
+  test("native cosine via SQL after extension-style registration") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    val z = spark.sql(
+      "SELECT graft_cosine(array(0.0d, 0.0d), array(1.0d, 0.0d)) c").head()
+    assert(z.isNullAt(0), "zero-norm input must yield NULL")
+  }
+
+  test("MinHash Aggregator agrees with itself across partitionings") {
+    import spark.implicits._
+    val agg = udaf(new Aggregators.MinHashAgg(16))
+    val sh = graft.operators.Dedup.shingles(spark, sfDir)
+    def sigs(parts: Int) = sh.repartition(parts)
+      .groupBy("doc_id").agg(agg(col("shingle")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // merge must be order/partitioning insensitive
+    assert(sigs(1) == sigs(7))
+  }
+
+  test("Welford aggregator matches built-in avg and var_samp") {
+    import spark.implicits._
+    val agg = udaf(new Aggregators.WelfordAgg)
+    val got = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity"))
+      .agg(agg(col("l_quantity")).as("mv"))
+      .select(col("mv._1").as("mean"), col("mv._2").as("variance"))
+      .head()
+    val exp = Tables.lineitem(spark, sfDir)
+      .agg(avg("l_quantity"), var_samp("l_quantity")).head()
+    assert(math.abs(got.getDouble(0) - exp.getDouble(0)) < 1e-9)
+    assert(math.abs(got.getDouble(1) - exp.getDouble(1)) < 1e-9)
+  }
+
+  test("salted sum equals direct groupBy sum") {
+    import spark.implicits._
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      .as[(String, Double)].collect().toMap
+    val salted = SaltedAgg.sumSalted(Tables.lineitem(spark, sfDir),
+      Seq("l_returnflag"), "l_quantity")
+      .as[(String, Double)].collect().toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, v) =>
+      assert(math.abs(v - salted(k)) < 1e-6, s"mismatch at $k")
+    }
+  }
+
+  test("salted count-distinct equals countDistinct") {
+    import spark.implicits._
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = SaltedAgg.countDistinctSalted(Tables.orders(spark, sfDir),
+      Seq("o_orderpriority"), "o_custkey")
+      .as[(String, Long)].collect().toMap
+    assert(direct == salted)
+  }
+}

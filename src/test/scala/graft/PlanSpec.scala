@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{RelOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions — the 100 TB contract (SURVEY.md §4):
+  * filters and projections must reach the scan, dimension joins must
+  * broadcast, aggregates must have a partial (map-side) phase, top-k
+  * must not globally sort. These are the properties that make the
+  * same plan viable at 1000 executors, asserted so a regression is a
+  * test failure, not a slow cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = executed(RelOps.q1PricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1: scan reads only the columns the query needs") {
+    val p = executed(RelOps.q1PricingSummary(spark, sfDir))
+    // ReadSchema must not include unused columns like l_orderkey
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey"), read)
+    assert(read.contains("l_quantity"), read)
+  }
+
+  test("q5: dimension joins are broadcast, not shuffled") {
+    val p = executed(RelOps.q5NationRevenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("wordcount: aggregation has a partial (map-side) phase") {
+    val p = executed(TextOps.wordcount(spark, sfDir))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("topk: orderBy+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = executed(RelOps.topkOrders(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    assert(executed(RelOps.joinSemi(spark, sfDir)).contains("LeftSemi"))
+    assert(executed(RelOps.joinAnti(spark, sfDir)).contains("LeftAnti"))
+  }
+
+  test("tokenize stays inside whole-stage codegen") {
+    // AQE only materializes codegen stages at execution time — run
+    // the query, then read the finalized adaptive plan
+    val df = TextOps.wordcount(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the finalized plan
+    assert(p.contains("*(1) ") || p.contains("WholeStageCodegen"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("HashAggregate")), p)
+  }
+
+  test("events scan prunes to the queried columns") {
+    val p = executed(RelOps.eventsWindow(spark, sfDir))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("event_id"), read)
+  }
+}

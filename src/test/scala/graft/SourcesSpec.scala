@@ -1,0 +1,99 @@
+package graft
+
+import graft.sources.TextSources
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Reference-fixture E2E (SURVEY.md §5.2): run WordCount on the
+  * reference's own test.txt and InvertedIndex on its TestInverted
+  * corpus (read-only fixtures), cross-checked against an independent
+  * in-test Scala count. */
+class SourcesSpec extends SparkSpec {
+
+  private val refData = "/root/reference/Master/Data"
+
+  private def scalaTokens(text: String): Seq[String] =
+    text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+
+  test("S1 directory scan: one row per file, provenance kept") {
+    val df = TextSources.directory(spark, s"$refData/TestInverted")
+    val files = df.select("file").collect().map(_.getString(0)).sorted
+    assert(files.toSeq == Seq("1.txt", "2.txt", "3.txt", "4.txt"))
+  }
+
+  test("wordcount on reference test.txt matches independent count") {
+    import spark.implicits._
+    val df = TextSources.file(spark, s"$refData/test.txt")
+      .withColumnRenamed("file", "doc_id")
+    val sparkCounts = TextOps.tokenize(df, idCol = "doc_id")
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refData/test.txt")), "UTF-8")
+    val expected = scalaTokens(raw).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sparkCounts == expected)
+  }
+
+  test("inverted index on reference TestInverted (Portuguese unicode fixture)") {
+    import spark.implicits._
+    val df = TextSources.directory(spark, s"$refData/TestInverted")
+      .withColumnRenamed("file", "doc_id")
+    val sparkIdx = TextOps.tokenize(df, idCol = "doc_id")
+      .groupBy("word", "doc_id").count()
+      .as[(String, String, Long)].collect()
+      .map { case (w, f, c) => (w, f) -> c }.toMap
+    // independent recount per file
+    val dir = java.nio.file.Paths.get(s"$refData/TestInverted")
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+    java.nio.file.Files.list(dir).forEach { p =>
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      scalaTokens(txt).foreach { w =>
+        val k = (w, p.getFileName.toString)
+        expected(k) = expected.getOrElse(k, 0L) + 1L
+      }
+    }
+    assert(sparkIdx.size == expected.size)
+    assert(sparkIdx == expected)
+    // the Portuguese fixture must contribute accented tokens
+    assert(sparkIdx.keys.exists { case (w, f) =>
+      f == "3.txt" && w.exists(c => "áàâãéêíóôõúç".contains(c)) })
+  }
+
+  test("S3 inline string source") {
+    val df = TextSources.inline(spark, "Hello hello world")
+    val wc = TextOps.tokenize(df.withColumnRenamed("file", "doc_id"))
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc == Map("hello" -> 2L, "world" -> 1L))
+  }
+
+  test("resolve dispatches dir/file/string like the reference") {
+    assert(TextSources.resolve(spark, s"$refData/TestInverted").count() == 4)
+    assert(TextSources.resolve(spark, s"$refData/test.txt").count() > 1)
+    assert(TextSources.resolve(spark, "just an inline data string").count() == 1)
+  }
+
+  test("S6 JSON sink roundtrip") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val wc = TextOps.wordcount(spark, sfDir)
+    TextSources.writeJson(wc, out)
+    val back = spark.read.json(out)
+    assert(back.count() == wc.count())
+    val a = back.select("word", "cnt").as[(String, Long)].collect().toSet
+    val b = wc.select("word", "cnt").as[(String, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("CSV source/sink roundtrip preserves lineitem aggregates") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    val a = back.agg(sum("l_quantity")).head().getDouble(0)
+    val b = li.agg(sum("l_quantity")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+}
