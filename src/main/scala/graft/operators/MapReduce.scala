@@ -107,6 +107,47 @@ object MapReduce {
       .transform(Present.sorted(_, col("word"), col("doc_id")))
   }
 
+  /** The reference's name-dispatch surface (`Worker/Worker.py:68-78`
+    * `functionMap` + `run_mapred(jobId, inputPath, mapFn, reduceFn,
+    * out)` at `Master/Master.py:61-94`): mappers and reducers are
+    * looked up by STRING NAME, the input path may be a directory, a
+    * file, or an inline string (S1–S3), and the result is the final
+    * relation (≙ the reference's merged reducer output). */
+  val mappers: Map[String, (String, String) => Seq[(String, String)]] = Map(
+    "WordCountMapper" ->
+      ((text, _) => tokenizeText(text).map(_ -> "1")),
+    "InvertedIndexMapper" ->
+      ((text, doc) => tokenizeText(text).map(_ -> doc)),
+  )
+
+  val reducers: Map[String, (String, Iterator[String]) => Seq[(String, String, Long)]] = Map(
+    // {word: count} (Worker/Worker.py:45-49) as (word, "", count)
+    "WordCountReducer" ->
+      ((word, vs) => Seq((word, "", vs.size.toLong))),
+    // {word: {file: count}} (Worker/Worker.py:30-41) as (word, file, count)
+    "InvertedIndexReducer" ->
+      ((word, docs) => {
+        val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        docs.foreach(d => counts.update(d, counts.getOrElse(d, 0L) + 1L))
+        counts.iterator.map { case (d, c) => (word, d, c) }.toSeq
+      }),
+  )
+
+  /** `run_mapred` equivalent: resolve the input like the reference's
+    * dir/file/string branch, dispatch mapper+reducer by name, return
+    * the flat result relation (word, doc, value). A user of the
+    * reference calls this exactly as they called the XML-RPC entry. */
+  def runMapRed(s: SparkSession, inputPath: String,
+                mapFnName: String, reduceFnName: String): DataFrame = {
+    import s.implicits._
+    val input = graft.sources.TextSources.resolve(s, inputPath)
+      .select(col("file"), col("text")).as[(String, String)]
+    groupReduce[(String, String, Long)](s, input,
+      mappers(mapFnName), reducers(reduceFnName))
+      .toDF("word", "doc", "value")
+      .transform(Present.sorted(_, col("word"), col("doc")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount_mr"      -> wordcountMr _,
     "inverted_index_mr" -> invertedIndexMr _,
