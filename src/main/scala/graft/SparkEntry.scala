@@ -10,13 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextOps.queries ++ RelOps.queries ++ MapReduce.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ SqlSurface.queries ++
+      Multimodal.queries ++ SqlSurface.queries ++ FuncOps.queries ++
       graft.streaming.StreamOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TextOps.oracle ++ RelOps.oracle ++ MapReduce.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ SqlSurface.oracle ++
+      Multimodal.oracle ++ SqlSurface.oracle ++ FuncOps.oracle ++
       graft.streaming.StreamOps.oracle
 }

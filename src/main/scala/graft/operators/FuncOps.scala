@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Remaining scalar/aggregate function-family coverage: exact
+  * percentiles, null-handling functions, array functions (build,
+  * sort, transform, fold), and the ALL variants of set operations.
+  */
+object FuncOps {
+
+  /** Exact percentiles per group. Spark's percentile() is an exact
+    * (sort-based) aggregate; the approx path for 100 TB is
+    * percentile_approx (t-digest), registered rows-only below. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** percentile_approx — the sketch the 100 TB path uses (bounded
+    * memory, mergeable). Not bit-reproducible in DuckDB → rows-only;
+    * PercentileSpec asserts it brackets the exact values. */
+  def percentilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
+      .orderBy("l_returnflag")
+
+  /** Null-handling functions. The testdata has no NULLs, so nulls are
+    * MANUFACTURED via nullif — which is itself part of the surface. */
+  def nullFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)"))
+          .as("seg_coalesced"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("bal_pos"),
+        isnull(nullif(col("c_mktsegment"), lit("BUILDING"))).as("is_building"))
+      .orderBy("c_custkey")
+
+  /** Array functions over a per-order collected array: deterministic
+    * build (sort_array over collect_list), index, slice, fold
+    * (aggregate), and element-wise transform. Per-order groups are
+    * bounded (≤7 lineitems) so collect_list is safe here; unbounded
+    * groups would use the agg forms instead. */
+  def arrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        size(col("qs")).as("n"),
+        element_at(col("qs"), 1).as("q_min"),
+        element_at(col("qs"), -1).as("q_max"),
+        round(aggregate(col("qs"), lit(0.0), (acc, x) => acc + x), 2)
+          .as("q_sum"),
+        round(aggregate(transform(col("qs"), x => x * 2.0), lit(0.0),
+          (acc, x) => acc + x), 2).as("q2_sum"),
+        exists(col("qs"), _ > 49.0).as("has_big"))
+      .orderBy("l_orderkey")
+
+  /** INTERSECT ALL / EXCEPT ALL — multiset semantics (the reference's
+    * merge is a multiset concat, so the ALL variants matter). */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+    c.intersectAll(sup).groupBy("nk").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(
+        c.exceptAll(sup).groupBy("nk").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+      .select("op", "nk", "n")
+      .orderBy("op", "nk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "percentiles"        -> percentiles _,
+    "percentiles_approx" -> percentilesApprox _,
+    "null_funcs"         -> nullFuncs _,
+    "array_ops"          -> arrayOps _,
+    "setops_all"         -> setOpsAll _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "null_funcs" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_coalesced,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos,
+        |  nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "array_ops" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(l_quantity)) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  len(qs) AS n,
+        |  qs[1] AS q_min,
+        |  qs[-1] AS q_max,
+        |  round(list_sum(qs), 2) AS q_sum,
+        |  round(list_sum(list_transform(qs, x -> x * 2.0)), 2) AS q2_sum,
+        |  len(list_filter(qs, x -> x > 49.0)) > 0 AS has_big
+        |FROM a ORDER BY l_orderkey""".stripMargin,
+    "setops_all" ->
+      """WITH c AS (SELECT c_nationkey AS nk FROM customer),
+        |     s AS (SELECT s_nationkey AS nk FROM supplier)
+        |SELECT 'intersect_all' AS op, nk, count(*) AS n FROM
+        |  (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s) GROUP BY nk
+        |UNION ALL
+        |SELECT 'except_all', nk, count(*) FROM
+        |  (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s) GROUP BY nk
+        |ORDER BY op, nk""".stripMargin,
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing — the 100 TB fact⋈fact answer (SCALE.md): co-partition
+  * both tables on the join key at WRITE time so the join plans with
+  * no Exchange on either side. Testdata is read-only, so this spec
+  * writes bucketed copies and asserts the plan property. */
+class BucketSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle") {
+    val db = "graft_bucket_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // force the join to consider shuffle/bucket mechanics: at test
+    // scale everything fits a broadcast, which would bypass buckets
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, sfDir)
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      Tables.orders(spark, sfDir)
+        .withColumnRenamed("o_orderkey", "l_orderkey") // same key name
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.orders_b")
+
+      val joined = spark.table(s"$db.lineitem_b")
+        .join(spark.table(s"$db.orders_b"), "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("q"))
+      joined.collect()
+      // AQE's toString prints Final + Initial plans; assert on Final only
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // neither join side may shuffle: the only exchange allowed is
+      // the final aggregation's
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"expected bucketed join without shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+
+      // and the result matches the unbucketed join
+      val expect = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expect.keySet)
+      got.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-6) }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}
