@@ -57,7 +57,10 @@ object Dedup {
     * Ground truth for the MinHash path; oracle-checked. */
   def neardupJaccard(s: SparkSession, d: String,
                      minJ: Double = 0.5): DataFrame = {
-    val sh = shingles(s, d).persist() // reused: sizes, both join sides
+    // no persist: both join sides shuffle on `shingle` with identical
+    // subplans, so ReuseExchange serves them from one shuffle write —
+    // unlike a cache, that works no matter how big the shingle set is
+    val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -112,7 +115,8 @@ object Dedup {
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .persist() // both sides of the bucket self-join
+    // self-join sides shuffle on (band, bucket) identically →
+    // ReuseExchange shares the shuffle; no executor-memory cache
     val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -149,7 +153,8 @@ object Dedup {
         (0 until 64).map(b =>
           when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
-      .orderBy("doc_id")
+    // no orderBy here: simhashPairs consumes this on BOTH join sides,
+    // and an internal sort would cost a range exchange per side
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHam, blocked by
@@ -164,7 +169,7 @@ object Dedup {
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .persist() // both sides of the bucket self-join
+    // (band, bucket) self-join → ReuseExchange, as in minhashLsh
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&

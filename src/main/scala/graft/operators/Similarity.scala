@@ -71,7 +71,8 @@ object Similarity {
                        minCos: Double = 0.35): DataFrame = {
     val e = emb(s, d)
       .filter(col("vec_id") < MaxExactIds)
-      .persist() // read once, joined twice
+      // no persist: the pair join broadcasts one side; re-scanning the
+      // filtered parquet for the other is cheaper than pinning memory
     e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")),
         col("id_a") < col("id_b"))
@@ -134,7 +135,8 @@ object Similarity {
     val e = emb(s, d)
     val byDim = e.select(col("label"), col("vec_id"),
       posexplode(col("v")).as(Seq("dim", "x")))
-      .persist() // feeds both the centroid agg and the member join
+    // both consumers shuffle on (label, dim) → ReuseExchange shares
+    // the one shuffle write; no cache needed
     val cent = byDim.groupBy("label", "dim").agg(avg("x").as("c"))
     val joined = byDim
       .join(cent, Seq("label", "dim"))

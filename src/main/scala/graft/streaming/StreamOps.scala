@@ -107,6 +107,33 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Custom streaming state (SURVEY.md §2.3 UDF/UDAF surface → the
+    * streaming analogue of the reference's black-box reducer): a
+    * per-user running (count, sum) maintained in GroupState via
+    * flatMapGroupsWithState. session_window/window cover the common
+    * cases; this is the escape hatch for state machines the built-ins
+    * can't express. State is one tuple per user — bounded by keys, not
+    * by events, so it holds at 100 TB of input. */
+  def runningUserTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    eventsStream(s, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) => {
+          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          state.update((n, sum))
+          Iterator((uid, n, sum))
+        })
+      .toDF("user_id", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
   )

@@ -66,7 +66,7 @@ class DedupSpec extends SparkSpec {
     assert(sh.nonEmpty)
     // determinism: running twice gives identical hashes
     val sh2 = Dedup.simhash(spark, sfDir).collect()
-    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
-      sh2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      sh2.map(r => (r.getLong(0), r.getLong(1))).toMap)
   }
 }

@@ -71,4 +71,24 @@ class PlanSpec extends SparkSpec {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("event_id"), read)
   }
+
+  test("simhash self-join reuses one shuffle when not broadcastable") {
+    // At 100 TB the banded signature table is too big to broadcast;
+    // the join must then compute the signature pipeline ONCE and
+    // serve both sides from the same shuffle (ReuseExchange), not
+    // re-run the 64-agg per side. Simulate by disabling broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Dedup.simhashPairs(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+      // the tokenizing document scan must appear exactly once
+      assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }

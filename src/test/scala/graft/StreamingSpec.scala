@@ -29,6 +29,20 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("flatMapGroupsWithState running totals equal batch groupBy") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // update mode emits one row per user per batch; AvailableNow over a
+    // static dir is a single batch, so the emitted rows ARE the finals
+    val stream = runStreamToBatch(
+      StreamOps.runningUserTotals(spark, sfDir), "update")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(stream == batch)
+  }
+
   test("streaming session_window agrees with batch sessionize on counts") {
     import org.apache.spark.sql.functions._
     val batch = StreamOps.sessionize(spark, sfDir)
