@@ -80,12 +80,37 @@ object FuncOps {
       .orderBy("op", "nk")
   }
 
+  /** Data profiling — the per-column stats pass every ingest pipeline
+    * runs before training: one aggregate-only scan (no shuffle beyond
+    * the single final row), unpivoted to (column, metric rows).
+    * Distinct counts use exact count_distinct here (oracle-checkable);
+    * the 100 TB path swaps in approx_count_distinct per column. */
+  def profileLineitem(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val one = li.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("l_orderkey")).as("orderkey_distinct"),
+      sum(col("l_quantity").isNull.cast("long")).as("quantity_nulls"),
+      round(min("l_quantity"), 2).as("quantity_min"),
+      round(max("l_quantity"), 2).as("quantity_max"),
+      round(avg("l_quantity"), 4).as("quantity_avg"),
+      round(stddev_samp("l_quantity"), 4).as("quantity_std"),
+      round(min("l_extendedprice"), 2).as("price_min"),
+      round(max("l_extendedprice"), 2).as("price_max"),
+      round(avg("l_extendedprice"), 4).as("price_avg"),
+      count_distinct(col("l_returnflag")).as("returnflag_distinct"))
+    one.unpivot(Array.empty, one.columns.map(col),
+        "metric", "value")
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "percentiles"        -> percentiles _,
     "percentiles_approx" -> percentilesApprox _,
     "null_funcs"         -> nullFuncs _,
     "array_ops"          -> arrayOps _,
     "setops_all"         -> setOpsAll _,
+    "profile_lineitem"   -> profileLineitem _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -115,6 +140,33 @@ object FuncOps {
         |  round(list_sum(list_transform(qs, x -> x * 2.0)), 2) AS q2_sum,
         |  len(list_filter(qs, x -> x > 49.0)) > 0 AS has_big
         |FROM a ORDER BY l_orderkey""".stripMargin,
+    "profile_lineitem" ->
+      """WITH s AS (SELECT
+        |  count(*)::DOUBLE AS n_rows,
+        |  count(DISTINCT l_orderkey)::DOUBLE AS orderkey_distinct,
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS quantity_nulls,
+        |  round(min(l_quantity), 2) AS quantity_min,
+        |  round(max(l_quantity), 2) AS quantity_max,
+        |  round(avg(l_quantity), 4) AS quantity_avg,
+        |  round(stddev_samp(l_quantity), 4) AS quantity_std,
+        |  round(min(l_extendedprice), 2) AS price_min,
+        |  round(max(l_extendedprice), 2) AS price_max,
+        |  round(avg(l_extendedprice), 4) AS price_avg,
+        |  count(DISTINCT l_returnflag)::DOUBLE AS returnflag_distinct
+        |FROM lineitem)
+        |SELECT 'n_rows' AS metric, n_rows AS value FROM s
+        |UNION ALL SELECT 'orderkey_distinct', orderkey_distinct FROM s
+        |UNION ALL SELECT 'quantity_nulls', quantity_nulls FROM s
+        |UNION ALL SELECT 'quantity_min', quantity_min FROM s
+        |UNION ALL SELECT 'quantity_max', quantity_max FROM s
+        |UNION ALL SELECT 'quantity_avg', quantity_avg FROM s
+        |UNION ALL SELECT 'quantity_std', quantity_std FROM s
+        |UNION ALL SELECT 'price_min', price_min FROM s
+        |UNION ALL SELECT 'price_max', price_max FROM s
+        |UNION ALL SELECT 'price_avg', price_avg FROM s
+        |UNION ALL SELECT 'returnflag_distinct', returnflag_distinct FROM s
+        |ORDER BY metric""".stripMargin,
     "setops_all" ->
       """WITH c AS (SELECT c_nationkey AS nk FROM customer),
         |     s AS (SELECT s_nationkey AS nk FROM supplier)

@@ -79,6 +79,29 @@ object RelOps {
       .transform(Present.sorted(_, desc("rev"), col("n_name")))
   }
 
+  /** TPC-H Q9-shaped product-type profit: lineitem ⋈ part (filtered,
+    * broadcast) ⋈ supplier ⋈ nation (broadcast), profit by nation ×
+    * order-year. Exercises a 4-way join with two broadcast dims and a
+    * fact⋈fact shuffle on orderkey. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val promoParts = broadcast(
+      Tables.part(s, d).filter(col("p_type").isin("PROMO", "ECONOMY"))
+        .select("p_partkey"))
+    val supNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profit), 2).as("profit"))
+      .transform(Present.sorted(_, col("nation"), desc("o_year")))
+  }
+
   /** Left-semi join: customers that have at least one order. Streams
     * the fact side; the semi join needs only the key column of orders
     * (column pruning pushes that into the scan). */
@@ -237,6 +260,7 @@ object RelOps {
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders"      -> q3TopOrders _,
     "q5_nation_revenue"  -> q5NationRevenue _,
+    "q9_product_profit"  -> q9ProductProfit _,
     "join_semi"          -> joinSemi _,
     "join_anti"          -> joinAnti _,
     "agg_stats"          -> aggStats _,
@@ -283,6 +307,17 @@ object RelOps {
         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type IN ('PROMO', 'ECONOMY')
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

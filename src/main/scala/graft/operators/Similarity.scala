@@ -128,6 +128,73 @@ object Similarity {
       .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
+  val IvfClusters = 16
+  val IvfProbes   = 4
+
+  /** Dim-wise mean of a vector column as an array — one posexplode +
+    * groupBy(key, dim) + reassembly. Distributed: no vector ever
+    * leaves its partition un-aggregated. */
+  private def dimMeans(df: DataFrame, key: String): DataFrame =
+    df.select(col(key), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(key, "dim").agg(avg("x").as("m"))
+      .groupBy(key)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("cv"))
+
+  /** IVF index: coarse centroids = K deterministically-sampled seed
+    * vectors refined by one distributed Lloyd iteration (assign →
+    * dim-wise mean). Returns (vec_id, v, cid) — the "inverted file"
+    * is just this relation clustered on cid. */
+  def ivfIndex(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    // deterministic pseudo-random K-row sample; orderBy+limit plans as
+    // TakeOrdered (distributed partial top-K), not a global sort
+    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(IvfClusters)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .withColumn("cos", cosine(col("v"), col("cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+        .select("vec_id", "v", "cid")
+    // one Lloyd step: refined centroid = mean of its assigned vectors
+    val refined = dimMeans(assign(seeds), "cid")
+    assign(refined)
+  }
+
+  /** ANN via IVF: each query probes its IvfProbes nearest centroids
+    * and ranks exact cosine only within those clusters — the corpus
+    * side is touched only where the index points, which is the whole
+    * point of IVF at 100 TB (a full scan per query is off the table;
+    * candidate fetch is a join on cid). Approximate → rows-only; the
+    * spec measures recall vs brute force. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val idx = ivfIndex(s, d)
+    val cent = dimMeans(idx.select(col("cid"), col("v")), "cid")
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("ccos"), col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbes)
+      .select("q_id", "qv", "cid")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    idx.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
   /** Per-label centroid + the member furthest from its centroid — an
     * embedding-quality / outlier-mining aggregate (array avg via
     * element-wise sums). */
@@ -159,6 +226,7 @@ object Similarity {
     "knn_bruteforce"    -> knnBruteForce _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
+    "ann_ivf"           -> annIvf _,
     "label_outliers"    -> labelCentroidOutlier _,
   )
 

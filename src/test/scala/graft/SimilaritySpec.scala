@@ -35,6 +35,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann ivf: probes bound the search and recall vs brute force is sane") {
+    val exact = Similarity.knnBruteForce(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.keySet == exact.keySet, "every query must return rows")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.TopK)
+      assert(rs.forall(_.getLong(2) != q), "self must be excluded")
+      // ANN cosine can never beat the exact top-1
+      val exactTop = Similarity.knnBruteForce(spark, sfDir).collect()
+        .filter(_.getLong(0) == q).map(_.getDouble(3)).max
+      assert(rs.forall(_.getDouble(3) <= exactTop + 1e-9))
+    }
+    // aggregate recall across queries: with nprobe/K = 1/4 of clusters
+    // probed, expect a good share of true neighbors found
+    val hits = byQ.map { case (q, rs) =>
+      rs.map(_.getLong(2)).count(exact(q)) }.sum
+    val total = exact.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.3,
+      s"IVF recall too low: $hits/$total")
+  }
+
+  test("ivf index assigns every vector to exactly one cluster") {
+    val idx = Similarity.ivfIndex(spark, sfDir)
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(idx.count() == n)
+    assert(idx.select("vec_id").distinct().count() == n)
+    val k = idx.select("cid").distinct().count()
+    assert(k > 1 && k <= Similarity.IvfClusters, s"clusters=$k")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
