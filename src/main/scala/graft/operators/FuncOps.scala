@@ -104,6 +104,23 @@ object FuncOps {
       .orderBy("metric")
   }
 
+  /** Schema-full JSON parsing (SURVEY.md §1.4: `from_json` — vs the
+    * path-extraction `get_json_object` used by events_window): props
+    * parsed to a typed MAP, entries exploded, stats per (type, key).
+    * At scale this is one narrow codegen'd pass + one bounded agg. */
+  def jsonMapFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    Tables.events(s, d)
+      .withColumn("m",
+        from_json(col("props"), MapType(StringType, IntegerType)))
+      .select(col("event_type"), explode(col("m")).as(Seq("key", "val")))
+      .groupBy("event_type", "key")
+      .agg(count(lit(1)).as("n"),
+        min("val").as("k_min"), max("val").as("k_max"),
+        round(avg("val"), 4).as("k_avg"))
+      .orderBy("event_type", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "percentiles"        -> percentiles _,
     "percentiles_approx" -> percentilesApprox _,
@@ -111,6 +128,7 @@ object FuncOps {
     "array_ops"          -> arrayOps _,
     "setops_all"         -> setOpsAll _,
     "profile_lineitem"   -> profileLineitem _,
+    "json_map_funcs"     -> jsonMapFuncs _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,6 +185,19 @@ object FuncOps {
         |UNION ALL SELECT 'price_avg', price_avg FROM s
         |UNION ALL SELECT 'returnflag_distinct', returnflag_distinct FROM s
         |ORDER BY metric""".stripMargin,
+    "json_map_funcs" ->
+      """WITH kv AS (
+        |  SELECT event_type, props,
+        |    unnest(json_keys(props)) AS key
+        |  FROM events)
+        |SELECT event_type, key,
+        |  count(*) AS n,
+        |  min(json_extract(props, '$.' || key)::INT) AS k_min,
+        |  max(json_extract(props, '$.' || key)::INT) AS k_max,
+        |  round(avg(json_extract(props, '$.' || key)::INT), 4) AS k_avg
+        |FROM kv
+        |GROUP BY event_type, key
+        |ORDER BY event_type, key""".stripMargin,
     "setops_all" ->
       """WITH c AS (SELECT c_nationkey AS nk FROM customer),
         |     s AS (SELECT s_nationkey AS nk FROM supplier)
