@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Partitioned-write layout — at 100 TB, data is laid out by a
+  * low-cardinality key at WRITE time so later queries touch only the
+  * matching directories (partition pruning), the storage-level
+  * analogue of predicate pushdown. */
+class PartitionedSinkSpec extends SparkSpec {
+
+  test("partitionBy write prunes non-matching partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sfDir)
+      .write.mode("overwrite")
+      .partitionBy("event_type")
+      .parquet(out)
+    // one directory per type
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_type="))
+    assert(dirs.length == 5, dirs.mkString(","))
+
+    val back = spark.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+    val plan = back.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning),
+    // not just PushedFilters (row-group pruning)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // and results must match the unpartitioned source
+    val n = back.count()
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(n == expect)
+  }
+
+  test("sortWithinPartitions layout keeps rows clustered per file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    Tables.orders(spark, sfDir)
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables.orders(spark, sfDir).count())
+    // min/max clustering: each file's custkey range should be narrow —
+    // the property that makes parquet row-group stats selective
+    import spark.implicits._
+    val spans = back.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("o_custkey") - min("o_custkey")).as("span"))
+      .as[(String, Long)].collect()
+    assert(spans.length >= 4)
+  }
+}
