@@ -155,7 +155,8 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     def assign(cent: DataFrame): DataFrame =
       e.crossJoin(broadcast(cent))
-        .withColumn("cos", cosine(col("v"), col("cv")))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineNative(s, col("v"), col("cv")))
         .groupBy("vec_id")
         .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
           first(col("v")).as("v"))
@@ -179,7 +180,8 @@ object Similarity {
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("ccos"), col("cid"))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("ccos",
+        graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= IvfProbes)
       .select("q_id", "qv", "cid")
