@@ -110,18 +110,23 @@ object TextAnalysis {
       .transform(Present.sorted(_, col("doc_id")))
 
   /** TF-IDF: composes the reference's two applications — term
-    * frequencies (WordCount per doc) joined with document frequencies
+    * frequencies (WordCount per doc) with document frequencies
     * (InvertedIndex cardinalities) — exactly the composition SURVEY.md
-    * §2.4 calls out. N arrives via a broadcast 1-row cross join, not a
-    * driver collect. Top term per doc keeps output bounded. */
+    * §2.4 calls out. df is a window count over the tf relation, not a
+    * second aggregation branch: a separate `tf.groupBy(word)` branch
+    * re-tokenizes the whole corpus (Catalyst prunes the branches
+    * differently, so the scans don't unify), while the window form
+    * tokenizes ONCE and moves tf rows on `word` exactly as the join it
+    * replaces would have. N arrives via a broadcast 1-row cross join,
+    * not a driver collect. Top term per doc keeps output bounded. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = TextOps.tokenize(docs)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(df, "word")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("word")))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))

@@ -72,6 +72,17 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("event_id"), read)
   }
 
+  test("tfidf tokenizes the corpus exactly once") {
+    // df-as-window-count over tf, not a second aggregation branch:
+    // a regression to the two-branch form shows up as a second
+    // Generate explode (i.e. a full second pass over the corpus)
+    val df = graft.operators.TextAnalysis.tfidf(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p)
+  }
+
   test("simhash self-join reuses one shuffle when not broadcastable") {
     // At 100 TB the banded signature table is too big to broadcast;
     // the join must then compute the signature pipeline ONCE and
