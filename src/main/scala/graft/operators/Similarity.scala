@@ -142,11 +142,15 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("m")))),
         e => e.getField("m")).as("cv"))
 
-  /** IVF index: coarse centroids = K deterministically-sampled seed
+  /** IVF build: coarse centroids = K deterministically-sampled seed
     * vectors refined by one distributed Lloyd iteration (assign →
-    * dim-wise mean). Returns (vec_id, v, cid) — the "inverted file"
-    * is just this relation clustered on cid. */
-  def ivfIndex(s: SparkSession, d: String): DataFrame = {
+    * dim-wise mean). Returns (assignments, centroids): assignments =
+    * (vec_id, v, cid) — the "inverted file" is just this relation
+    * clustered on cid — and centroids = (cid, cv), a B-sized (K-row)
+    * artifact persisted so the probe stage and the assignment pass
+    * share one computation (bounded, so safe to cache at any scale;
+    * in production both outputs are written to storage once). */
+  def ivfBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = emb(s, d)
     // deterministic pseudo-random K-row sample; orderBy+limit plans as
     // TakeOrdered (distributed partial top-K), not a global sort
@@ -162,9 +166,11 @@ object Similarity {
           first(col("v")).as("v"))
         .select("vec_id", "v", "cid")
     // one Lloyd step: refined centroid = mean of its assigned vectors
-    val refined = dimMeans(assign(seeds), "cid")
-    assign(refined)
+    val refined = dimMeans(assign(seeds), "cid").persist()
+    (assign(refined), refined)
   }
+
+  def ivfIndex(s: SparkSession, d: String): DataFrame = ivfBuild(s, d)._1
 
   /** ANN via IVF: each query probes its IvfProbes nearest centroids
     * and ranks exact cosine only within those clusters — the corpus
@@ -173,8 +179,7 @@ object Similarity {
     * candidate fetch is a join on cid). Approximate → rows-only; the
     * spec measures recall vs brute force. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
-    val idx = ivfIndex(s, d)
-    val cent = dimMeans(idx.select(col("cid"), col("v")), "cid")
+    val (idx, cent) = ivfBuild(s, d)
     val q = emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = org.apache.spark.sql.expressions.Window
