@@ -76,8 +76,51 @@ object Multimodal {
     Present.sorted(extractFeatures(mediaTable(s, d)).toDF(),
       org.apache.spark.sql.functions.col("doc_id"))
 
+  val BoxSize = 224
+
+  /** Resize plan: fit each visual payload into a BoxSize square
+    * preserving aspect ratio (the letterbox arithmetic every image
+    * pipeline runs before a vision model). The pixel work happens in
+    * the stubbed codec; the *plan* — target dims + scale factor per
+    * row, audio passed through untouched — is real, columnar, and
+    * oracle-checked. Integer math only, so both engines agree. */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    val f = extractFeatures(mediaTable(s, d)).toDF()
+    // scale = BoxSize / max(w, h), applied in integer arithmetic:
+    // out_dim = dim * BoxSize div max(w, h)
+    val mx = greatest(col("width"), col("height"))
+    f.select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        // integer division: products are small ints, exact in double,
+        // and the cast truncates — same floor as the oracle's `//`
+        when(col("media_type") === "audio", lit(null))
+          .otherwise((col("width") * BoxSize / mx).cast("int"))
+          .as("out_w"),
+        when(col("media_type") === "audio", lit(null))
+          .otherwise((col("height") * BoxSize / mx).cast("int"))
+          .as("out_h"))
+      .transform(Present.sorted(_, col("doc_id")))
+  }
+
+  val MaxFrames = 8
+
+  /** Frame sampling: pick ≤ MaxFrames evenly-spaced frame indices per
+    * video (stride = ceil(n/MaxFrames)) — one output row per sampled
+    * frame via a generated sequence, the shape a frame-extraction
+    * stage consumes. Narrow (explode only), no shuffle until the
+    * presentation sort. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    val f = extractFeatures(mediaTable(s, d)).toDF()
+    val stride = ceil(col("n_frames").cast("double") / MaxFrames).cast("int")
+    f.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, stride)).as("frame_no"))
+      .transform(Present.sorted(_, col("doc_id"), col("frame_no")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> multimodalFeatures _,
+    "multimodal_resize"   -> multimodalResize _,
+    "multimodal_frames"   -> multimodalFrames _,
   )
 
   /** The oracle replicates the fake-decode arithmetic from the text
@@ -101,5 +144,30 @@ object Multimodal {
         |    ELSE n_bytes % 240 + 1 END AS n_frames,
         |  first_byte
         |FROM m ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
+        |    length(text) AS n
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, media_type,
+        |    CASE media_type WHEN 'audio' THEN 0 ELSE n % 640 + 16 END AS width,
+        |    CASE media_type WHEN 'audio' THEN 0 ELSE n % 480 + 16 END AS height
+        |  FROM m)
+        |SELECT doc_id, media_type, width, height,
+        |  CASE WHEN media_type = 'audio' THEN NULL
+        |    ELSE ((width * 224) // greatest(width, height))::INT END AS out_w,
+        |  CASE WHEN media_type = 'audio' THEN NULL
+        |    ELSE ((height * 224) // greatest(width, height))::INT END AS out_h
+        |FROM dims ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, length(text) % 240 + 1 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, n_frames, f.frame_no
+        |FROM v, unnest(range(0, n_frames,
+        |  cast(ceil(n_frames / 8.0) AS INT))) AS f(frame_no)
+        |ORDER BY doc_id, frame_no""".stripMargin,
   )
 }
