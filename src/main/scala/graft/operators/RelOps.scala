@@ -102,6 +102,23 @@ object RelOps {
       .transform(Present.sorted(_, col("nation"), desc("o_year")))
   }
 
+  /** TPC-H Q18-shaped large-volume orders: aggregate lineitem per
+    * order, HAVING-filter to the big ones (the filter runs on the
+    * aggregate BEFORE the joins, so only qualifying keys join), then
+    * enrich with customer/order dims. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 300) // HAVING
+    big
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .transform(Present.sorted(_, desc("total_qty"), col("o_orderkey")))
+  }
+
   /** Left-semi join: customers that have at least one order. Streams
     * the fact side; the semi join needs only the key column of orders
     * (column pruning pushes that into the scan). */
@@ -261,6 +278,7 @@ object RelOps {
     "q3_top_orders"      -> q3TopOrders _,
     "q5_nation_revenue"  -> q5NationRevenue _,
     "q9_product_profit"  -> q9ProductProfit _,
+    "q18_large_orders"   -> q18LargeOrders _,
     "join_semi"          -> joinSemi _,
     "join_anti"          -> joinAnti _,
     "agg_stats"          -> aggStats _,
@@ -318,6 +336,16 @@ object RelOps {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2
         |ORDER BY nation, o_year DESC""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

@@ -134,6 +134,47 @@ object StreamOps {
       .withColumn("sum_value", round(col("sum_value"), 3))
   }
 
+  /** Spark 4 `transformWithState` processor: per-user running max +
+    * count held in typed `ValueState` cells (RocksDB-backed state
+    * store). The successor API to flatMapGroupsWithState — state cells
+    * are named/typed/TTL-capable instead of one opaque tuple. One
+    * bounded cell pair per key. */
+  class UserMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Double, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var mx: ValueState[Double] = _
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[(Long, Double, Long)] = {
+      var curMax = if (mx.exists()) mx.get() else Double.NegativeInfinity
+      var curN = if (n.exists()) n.get() else 0L
+      rows.foreach { case (_, v) => curMax = math.max(curMax, v); curN += 1 }
+      mx.update(curMax); n.update(curN)
+      Iterator((key, curMax, curN))
+    }
+  }
+
+  /** Streaming per-user running max via transformWithState; requires
+    * the RocksDB state store (set in the caller's session conf). */
+  def userMaxStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    eventsStream(s, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserMaxProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "max_value", "n_events")
+      .withColumn("max_value", round(col("max_value"), 3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
   )

@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("transformWithState running max equals batch groupBy max") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(round(max("value"), 3).as("mx"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+      val stream = runStreamToBatch(
+        StreamOps.userMaxStream(spark, sfDir), "update")
+        .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+      assert(stream == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session_window agrees with batch sessionize on counts") {
     import org.apache.spark.sql.functions._
     val batch = StreamOps.sessionize(spark, sfDir)
