@@ -63,6 +63,26 @@ object SqlSurface {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** EXISTS / NOT EXISTS / IN correlated subqueries — Catalyst
+    * decorrelates these to semi/anti joins (RewritePredicateSubquery),
+    * so the SQL front door gets the same scalable plan as the
+    * DataFrame join_semi/join_anti forms. */
+  def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "customer"); withView(s, d, "orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+        |  c_nationkey IN (SELECT o_custkey % 25 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey) AS quirk_in
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Ordered string aggregation: per-nation sorted list of supplier
     * names (deterministic via sort_array). */
   def stringAgg(s: SparkSession, d: String): DataFrame =
@@ -78,6 +98,7 @@ object SqlSurface {
     "unpivot_customer" -> unpivotCustomer _,
     "scalar_subquery"  -> scalarSubquery _,
     "string_agg"       -> stringAgg _,
+    "exists_subquery"  -> existsSubquery _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -112,5 +133,17 @@ object SqlSurface {
       """SELECT s_nationkey,
         |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+        |  c_nationkey IN (SELECT o_custkey % 25 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey) AS quirk_in
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }
