@@ -24,9 +24,9 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word 3-gram shingles of the lowercased letter-token stream, as
-    * one distinct row per (doc_id, shingle). */
-  def shingles(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+  /** Word 3-gram shingles of the lowercased letter-token stream, one
+    * row per occurrence (NOT yet deduplicated). */
+  def shinglesRaw(s: SparkSession, d: String, n: Int = 3): DataFrame = {
     val toks = split(lower(col("text")), "[^\\p{L}]+")
     Tables.documents(s, d)
       .withColumn("toks", filter(toks, t => length(t) > 0))
@@ -38,8 +38,11 @@ object Dedup {
       .select(col("doc_id"), explode(col("idx")).as("i"), col("toks"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("shingle"))
-      .distinct()
   }
+
+  /** One distinct row per (doc_id, shingle). */
+  def shingles(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    shinglesRaw(s, d, n).distinct()
 
   /** Exact dedup: canonical-hash group → keep min doc_id. Output one
     * row per distinct content with its survivor and multiplicity. */
@@ -54,13 +57,22 @@ object Dedup {
       .transform(Present.sorted(_, col("keep_id")))
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ).
-    * Ground truth for the MinHash path; oracle-checked. */
+    * Ground truth for the MinHash path; oracle-checked.
+    *
+    * Shingles are hashed to 64 bits BEFORE the distinct/self-join, so
+    * every shuffled row is fixed-width (doc_id, int64) instead of a
+    * ~25-byte string — ~3× narrower shuffle and integer sort keys.
+    * Collisions under-count by P ≈ k²/2⁶⁴ per doc pair (k = shingles
+    * per doc; ~10⁻¹² at 10⁵ shingles) — far below the minJ threshold's
+    * sensitivity; the DuckDB oracle (string-exact) still hash-matches. */
   def neardupJaccard(s: SparkSession, d: String,
                      minJ: Double = 0.5): DataFrame = {
-    // no persist: both join sides shuffle on `shingle` with identical
+    // no persist: both join sides shuffle on `h` with identical
     // subplans, so ReuseExchange serves them from one shuffle write —
     // unlike a cache, that works no matter how big the shingle set is
-    val sh = shingles(s, d)
+    val sh = shinglesRaw(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
