@@ -32,6 +32,29 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(n == expect)
   }
 
+  test("ORC sink/source roundtrip preserves data") {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      src.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("SQL BROADCAST hint is honored in the plan") {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_h")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_h")
+    val df = spark.sql(
+      """SELECT /*+ BROADCAST(nation_h) */ n_name, count(*) AS n
+        |FROM customer_h JOIN nation_h ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sortWithinPartitions layout keeps rows clustered per file") {
     val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString
     Tables.orders(spark, sfDir)
