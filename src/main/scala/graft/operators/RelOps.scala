@@ -426,7 +426,7 @@ object RelOps {
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
         |  event_type, count(*) AS n,
         |  round(sum(value), 3) AS sum_value,
-        |  sum(json_extract_string(props, '$.k')::INT) AS sum_k
+        |  CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
   )
 }

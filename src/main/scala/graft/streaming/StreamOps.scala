@@ -191,9 +191,9 @@ object StreamOps {
         |    THEN 1 ELSE 0 END AS brk
         |  FROM g),
         |sess AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM b)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,

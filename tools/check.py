@@ -56,6 +56,25 @@ def main():
             fails += 1
             continue
         ok = True
+        # dtype-class check: a value-aware hash distinguishes e.g.
+        # DuckDB HUGEINT/DECIMAL from Spark BIGINT even when the values
+        # are numerically equal (this exact class cost us events_window
+        # and sessionize in round 1). Int widths hash the same; decimal
+        # vs int/float, and timestamp unit, do not.
+        def tclass(t):
+            t = str(t).lower()
+            if t.startswith("decimal") or t == "hugeint":
+                return "decimal"
+            if t in ("tinyint", "smallint", "integer", "bigint",
+                     "utinyint", "usmallint", "uinteger", "ubigint"):
+                return "int"
+            return t
+        stypes = dict(zip(sq.columns, [tclass(t) for t in sq.types]))
+        otypes = dict(zip(oq.columns, [tclass(t) for t in oq.types]))
+        for c in stypes:
+            if c in otypes and stypes[c] != otypes[c]:
+                print(f"DTYPE-MISMATCH {name}: col {c} spark={stypes[c]} oracle={otypes[c]}")
+                ok = False
         if sorted(scols) != sorted(ocols):
             print(f"COLS-MISMATCH {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
             ok = False
