@@ -18,23 +18,32 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(1).collect()
     // noop sink forces full computation of every output column —
     // count() alone would let Catalyst prune the projections away.
-    // Steady-state timing: each query runs twice and reports the min,
-    // so one-time codegen/JIT/page-cache costs (measured up to ~40 s
-    // landing on an arbitrary query) don't masquerade as query cost.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
+    //
+    // Timing = min over PASSES of the whole suite (not back-to-back
+    // repeats of one query): one-time codegen/JIT costs land in pass 1,
+    // and a transient external load burst on a shared host inflates a
+    // query in at most one pass — its min recovers from a clean pass
+    // minutes later, where back-to-back repeats would both be hit
+    // (observed: a co-tenant burst turned ~1 s queries into ~90 s in
+    // BOTH adjacent runs in round 1's driver bench).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to passes).foreach { p =>
+      val t0 = System.nanoTime()
+      names.foreach { case (name, fn) =>
+        val q0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - q0) / 1e9
+        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      System.err.println(f"[bench] pass $p/$passes: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val qs = names.map { case (k, _) => s"\"" + k + "\":" + best(k) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = best.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
