@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline operators over `documents` that a corpus
+  * build at 100 TB needs beyond per-doc scoring: deterministic
+  * train/valid/test splitting, per-source weighted sampling (corpus
+  * mixing), n-gram statistics, PII-style text cleaning, and near-dup
+  * cluster assignment (connected components over the near-dup pair
+  * graph).
+  *
+  * Determinism stance: splits and samples hash the DOCUMENT KEY, not
+  * an RNG — assignment is reproducible across runs, engines, and
+  * cluster sizes, and a re-run of an incremental ingest assigns old
+  * docs to the same split. The hash is md5-based so the DuckDB oracle
+  * can compute the identical assignment (Spark's murmur/xxhash64 are
+  * engine-specific).
+  *
+  * Scale notes per operator are on each method; nothing here shuffles
+  * more than once except the clustering loop, whose per-iteration
+  * shuffle is on the (bounded) near-dup pair graph, not the corpus.
+  */
+object PipelineOps {
+
+  /** Deterministic bucket in [0, mod): top 60 bits of md5(salt ++ key)
+    * via base-16 → base-10 conversion. Identical in DuckDB as
+    * ('0x' || substring(md5(salt || key::VARCHAR), 1, 15))::BIGINT %
+    * mod. Codegen'd expressions only — no UDF. */
+  def hashBucket(key: Column, mod: Int, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("bigint") % mod
+
+  private def bucketSql(keyExpr: String, mod: Int, salt: String): String =
+    s"('0x' || substring(md5('$salt' || $keyExpr), 1, 15))::BIGINT % $mod"
+
+  /** Train/valid/test assignment, 80/10/10 by hash bucket. One narrow
+    * pass over doc ids — the text column is pruned from the scan. At
+    * scale this runs as a projection fused into whatever pipeline
+    * consumes the split, not a separate job. */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame = {
+    val b = hashBucket(col("doc_id"), 100, "split")
+    Tables.documents(s, d)
+      .select(col("doc_id"), b.as("bucket"),
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+          .as("split"))
+      .transform(Present.sorted(_, col("doc_id")))
+  }
+
+  /** Per-source keep thresholds out of 1000 — corpus-mixing weights
+    * (e.g. upweight curated sources, downsample crawl). Unlisted
+    * sources default to 100 (10%). */
+  val mixWeights: Seq[(String, Int)] =
+    Seq(("src0", 1000), ("src1", 500), ("src2", 250))
+  val mixDefault = 100
+
+  /** Weighted corpus mix: keep a doc iff its hash bucket clears its
+    * source's threshold. The weights table is B-sized and broadcast;
+    * the corpus side is one streamed pass (no shuffle at all — the
+    * filter is applied map-side). */
+  def sampleBySource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = broadcast(mixWeights.toDF("w_source", "keep_per_mille"))
+    Tables.documents(s, d)
+      .join(w, col("source") === col("w_source"), "left")
+      .withColumn("thresh", coalesce(col("keep_per_mille"), lit(mixDefault)))
+      .filter(hashBucket(col("doc_id"), 1000, "mix") < col("thresh"))
+      .select(col("doc_id"), col("source"), col("thresh"))
+      .transform(Present.sorted(_, col("doc_id")))
+  }
+
+  /** Corpus bigram counts (n-gram statistics for contamination checks
+    * and LM eval decontamination): reuses the shingle generator —
+    * scan → explode (narrow) → one shuffle on the bigram for the
+    * count. The cnt >= 10 filter bounds output to frequent n-grams. */
+  def ngramCounts(s: SparkSession, d: String): DataFrame =
+    Dedup.shinglesRaw(s, d, 2)
+      .groupBy(col("shingle").as("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+      .transform(Present.sorted(_, col("bigram")))
+
+  /** PII-style text cleaning: digit runs → `<num>`, whitespace
+    * collapsed, trimmed. Pure codegen'd regexp_replace chain (patterns
+    * are RE2-safe so the oracle's regex engine agrees); one narrow
+    * pass, no shuffle. */
+  def textClean(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(trim(col("text")), "[0-9]+", "<num>"),
+          "\\s+", " ").as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")))
+      .transform(Present.sorted(_, col("doc_id")))
+
+  /** Near-dup cluster assignment: connected components over the
+    * exact-Jaccard pair graph (doc, cluster_id = min doc_id reachable)
+    * — the step that turns pairwise near-dup hits into "keep one doc
+    * per cluster".
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * graph-diameter rounds (near-dup components are shallow — dup
+    * clusters, not social graphs). Each round is one shuffle over the
+    * EDGE set, which is near-dup-rate-bounded, not corpus-sized. The
+    * edge relation is persisted once; superseded label sets are
+    * unpersisted as the loop advances. At 100 TB you would checkpoint
+    * labels every few rounds to truncate lineage; iteration count is
+    * capped defensively either way. */
+  def dedupClusters(s: SparkSession, d: String,
+                    maxIter: Int = 20): DataFrame = {
+    val pairs = Dedup.neardupJaccard(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // smallest neighbor label per node, via the reversed edges
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("lbl").as("nlbl"))
+      val next = labels
+        .join(prop, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("chg"))
+        .persist()
+      changed = next.filter(col("chg")).count()
+      labels.unpersist(false)
+      labels = next.select("id", "lbl")
+      iter += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .transform(Present.sorted(_, col("doc_id")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_test_split" -> trainTestSplit _,
+    "sample_by_source" -> sampleBySource _,
+    "ngram_counts"     -> ngramCounts _,
+    "text_clean"       -> textClean _,
+    "dedup_clusters"   -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+  )
+
+  private def mixValues: String =
+    mixWeights.map { case (src, t) => s"('$src', $t)" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "train_test_split" ->
+      s"""SELECT doc_id,
+         |  ${bucketSql("doc_id::VARCHAR", 100, "split")} AS bucket,
+         |  CASE WHEN ${bucketSql("doc_id::VARCHAR", 100, "split")} < 80 THEN 'train'
+         |       WHEN ${bucketSql("doc_id::VARCHAR", 100, "split")} < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_by_source" ->
+      s"""WITH w(w_source, keep_per_mille) AS (VALUES $mixValues)
+         |SELECT doc_id, source,
+         |  coalesce(keep_per_mille, $mixDefault) AS thresh
+         |FROM documents LEFT JOIN w ON source = w_source
+         |WHERE ${bucketSql("doc_id::VARCHAR", 1000, "mix")}
+         |  < coalesce(keep_per_mille, $mixDefault)
+         |ORDER BY doc_id""".stripMargin,
+    "ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+        |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i))
+        |SELECT bigram, count(*) AS cnt FROM sh
+        |GROUP BY bigram HAVING count(*) >= 10
+        |ORDER BY bigram""".stripMargin,
+    "text_clean" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(trim(text), '[0-9]+', '<num>', 'g'),
+        |    '\s+', ' ', 'g') AS clean,
+        |  length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '<num>', 'g'),
+        |    '\s+', ' ', 'g')) AS n_chars_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${Dedup.oracle("neardup_jaccard").linesIterator.map("  " + _).mkString("\n")}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PipelineOps}
+
+/** Training-data pipeline operators: split determinism and coverage,
+  * weighted sampling honors its thresholds, n-gram/cleaning invariants,
+  * and cluster assignment consistency with the pair graph. */
+class PipelineSpec extends SparkSpec {
+
+  test("train/test split is deterministic, total, and roughly 80/10/10") {
+    val a = PipelineOps.trainTestSplit(spark, sfDir).collect()
+    val b = PipelineOps.trainTestSplit(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "split assignment changed between runs")
+    val n = a.length.toDouble
+    assert(n > 0)
+    val frac = a.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    assert(frac.keySet == Set("train", "valid", "test"))
+    // hash buckets are uniform; at 100 docs-with-salt tolerance is wide
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac)
+    a.foreach { r =>
+      val bucket = r.getLong(1)
+      assert(bucket >= 0 && bucket < 100)
+      val expect =
+        if (bucket < 80) "train" else if (bucket < 90) "valid" else "test"
+      assert(r.getString(2) == expect)
+    }
+  }
+
+  test("sample_by_source keeps within per-source thresholds") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = PipelineOps.sampleBySource(spark, sfDir).collect()
+    val keptBySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val thresh = PipelineOps.mixWeights.toMap
+    keptBySrc.foreach { case (src, k) =>
+      assert(k <= total(src))
+      // a 1000-per-mille source keeps everything
+      if (thresh.getOrElse(src, PipelineOps.mixDefault) == 1000)
+        assert(k == total(src), s"$src should be kept in full")
+    }
+    // every kept row re-clears its threshold when recomputed
+    val recheck = PipelineOps.sampleBySource(spark, sfDir)
+      .withColumn("b", PipelineOps.hashBucket(col("doc_id"), 1000, "mix"))
+      .filter(col("b") >= col("thresh"))
+    assert(recheck.count() == 0)
+  }
+
+  test("ngram_counts emits frequent two-token bigrams only") {
+    val rows = PipelineOps.ngramCounts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getString(0).split(" ")
+      assert(parts.length == 2 && parts.forall(_.nonEmpty), r.getString(0))
+      assert(r.getLong(1) >= 10)
+    }
+  }
+
+  test("text_clean leaves no digits, no whitespace runs, no edge space") {
+    val bad = PipelineOps.textClean(spark, sfDir)
+      .filter(col("clean").rlike("[0-9]|\\s{2,}|^\\s|\\s$"))
+    assert(bad.count() == 0)
+    // n_chars_clean is the length of the emitted text
+    val mis = PipelineOps.textClean(spark, sfDir)
+      .filter(length(col("clean")) =!= col("n_chars_clean"))
+    assert(mis.count() == 0)
+  }
+
+  test("dedup_clusters puts every near-dup pair in one cluster, keyed by min member") {
+    val labels = PipelineOps.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.neardupJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "testdata should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member id of its component
+    labels.foreach { case (id, c) => assert(c <= id) }
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keySet.min == c, s"cluster $c not keyed by min member")
+    }
+  }
+}
