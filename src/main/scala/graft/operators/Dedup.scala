@@ -56,6 +56,36 @@ object Dedup {
       .select("keep_id", "n_copies")
       .transform(Present.sorted(_, col("keep_id")))
 
+  /** Default document-frequency cap for the exact-Jaccard path: a
+    * shingle appearing in more than this many documents is a
+    * stop-shingle ("of the and") and is dropped BEFORE the self-join.
+    * Without the cap the join is O(Σ df²) — one shingle shared by 10⁶
+    * docs at 100 TB emits 10¹² pairs from a single key. With it, each
+    * shingle contributes at most maxShingleDf² pairs, so the join is
+    * linear in the number of distinct shingles. True near-dups lose
+    * only corpus-common shingles from both numerator and denominator
+    * (Jaccard is computed on the capped shingle universe, identically
+    * in the DuckDB oracle), which barely moves scores for real dup
+    * pairs. In production size this as a small multiple of the
+    * expected duplicate-cluster size. */
+  val MaxShingleDf = 100
+
+  /** Distinct (doc_id, shingle-hash) pairs with the document-frequency
+    * cap applied. The df count partitions on `shingle` — the same key
+    * the downstream self-join uses, so the join adds no exchange on
+    * top of the window, and ReuseExchange serves both join sides from
+    * the one shuffle write. */
+  def cappedShingles(s: SparkSession, d: String,
+                     maxDf: Int = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shinglesRaw(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ).
     * Ground truth for the MinHash path; oracle-checked.
     *
@@ -64,15 +94,16 @@ object Dedup {
     * ~25-byte string — ~3× narrower shuffle and integer sort keys.
     * Collisions under-count by P ≈ k²/2⁶⁴ per doc pair (k = shingles
     * per doc; ~10⁻¹² at 10⁵ shingles) — far below the minJ threshold's
-    * sensitivity; the DuckDB oracle (string-exact) still hash-matches. */
+    * sensitivity; the DuckDB oracle (string-exact) still hash-matches.
+    * Hot shingles are df-capped (see MaxShingleDf) so no single join
+    * key can go quadratic. */
   def neardupJaccard(s: SparkSession, d: String,
-                     minJ: Double = 0.5): DataFrame = {
-    // no persist: both join sides shuffle on `h` with identical
+                     minJ: Double = 0.5,
+                     maxDf: Int = MaxShingleDf): DataFrame = {
+    // no persist: both join sides shuffle on `shingle` with identical
     // subplans, so ReuseExchange serves them from one shuffle write —
     // unlike a cache, that works no matter how big the shingle set is
-    val sh = shinglesRaw(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
+    val sh = cappedShingles(s, d, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -121,22 +152,31 @@ object Dedup {
                  minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(s, d)
     val rows = NumHashes / Bands
+    // band rows carry only (doc_id, band, bucket) — the 512-byte
+    // signature array never enters the (band, bucket) shuffle
     val banded = sig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     // self-join sides shuffle on (band, bucket) identically →
-    // ReuseExchange shares the shuffle; no executor-memory cache
-    val pairs = banded.as("x")
+    // ReuseExchange shares the shuffle; no executor-memory cache.
+    // The candidate distinct runs on the bare 16-byte id pair; the two
+    // 64-element signatures are re-attached AFTER the dedup (sig is
+    // one row per doc, already hash-partitioned on doc_id by its
+    // groupBy, and its subplan is shared via ReuseExchange) — a ~64×
+    // narrower distinct shuffle than carrying both arrays through it.
+    val pairIds = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val pairs = pairIds
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
     pairs
       .withColumn("est_jaccard",
         round(aggregate(
@@ -210,15 +250,18 @@ object Dedup {
         |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
         |ORDER BY keep_id""".stripMargin,
     "neardup_jaccard" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
         |      x -> x <> '') AS t
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(t[i:i+2], ' ') AS shingle
         |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
