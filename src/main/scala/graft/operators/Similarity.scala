@@ -86,7 +86,8 @@ object Similarity {
       .transform(Present.sorted(_, col("id_a"), col("id_b")))
   }
 
-  val NumPlanes = 12
+  val LshBands = 10 // OR-construction width
+  val LshRows  = 4  // planes per band (AND within a band)
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension i): a hash mapped to [-0.5, 0.5). Public
@@ -96,30 +97,51 @@ object Similarity {
     (pmod(xxhash64(lit("plane"), p, i), lit(1000000L)).cast("double") /
       1000000.0) - 0.5
 
-  /** Signature: NumPlanes sign bits of plane·v packed into an int. */
-  def lshSignature(v: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(NumPlanes - 1)), p => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), lit(63)),
-            (x, i) => x * planeComponent(p, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1)).otherwise(lit(0))
-      }),
-      lit(0), (acc, x) => acc * 2 + x)
+  /** Per-band LSH signatures: array of LshBands ints; band b packs the
+    * sign bits of its LshRows hyperplane projections. Banding is the
+    * standard OR-construction: a single all-planes signature is an AND
+    * over every plane — for a neighbor at angle θ the match chance is
+    * (1-θ/π)^planes, which collapses for the ~70° neighbors real
+    * embedding corpora contain (measured round 2: 12 AND-planes found
+    * 2/25 true neighbors). With b bands of r planes the candidate
+    * chance is 1-(1-(1-θ/π)^r)^b: at cos 0.3 (θ≈72.5°) and 10×4 that
+    * is ~0.66 per neighbor, while a random pair (θ≈90°) lands at
+    * 1-(1-1/16)^10 ≈ 0.48 of queries' buckets — selectivity improves,
+    * not degrades, on corpora whose neighbors are tighter than this
+    * near-random test set. */
+  def lshBandSignatures(v: Column): Column =
+    transform(sequence(lit(0), lit(LshBands - 1)), b =>
+      aggregate(
+        transform(sequence(lit(0), lit(LshRows - 1)), r => {
+          val proj = aggregate(
+            zip_with(v, sequence(lit(0), lit(63)),
+              (x, i) => x * planeComponent(b * LshRows + r, i)),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0, lit(1)).otherwise(lit(0))
+        }),
+        lit(0), (acc, x) => acc * 2 + x))
 
-  /** ANN via LSH buckets: vectors sharing a signature are candidates;
-    * exact cosine ranks within bucket. Rows-only (approximate);
-    * recall vs brute force is asserted in the spec. */
+  /** ANN via banded LSH: a corpus vector is a candidate for a query if
+    * they share ANY band bucket; candidates are deduped on bare id
+    * pairs (vectors re-attached after — same narrow-distinct pattern
+    * as minhash_lsh), then exact cosine ranks top-k. The corpus side
+    * streams: signatures are computed map-side, the only wide op is
+    * the per-query rank. Rows-only (approximate); recall vs brute
+    * force is asserted in the spec. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).withColumn("sig", lshSignature(col("v")))
+    val e = emb(s, d)
+    val banded = e.select(col("vec_id"),
+      posexplode(lshBandSignatures(col("v"))).as(Seq("band", "bsig")))
+    val qBanded = banded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("band"), col("bsig"))
+    val cand = banded.join(broadcast(qBanded), Seq("band", "bsig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("sig").as("qsig"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
-    e.join(broadcast(q), col("sig") === col("qsig"))
-      .filter(col("vec_id") =!= col("q_id"))
+    cand.join(e, "vec_id").join(broadcast(q), "q_id")
       .withColumn("cos", round(
         graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
       .withColumn("rn", row_number().over(w))
@@ -128,8 +150,9 @@ object Similarity {
       .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
-  val IvfClusters = 16
-  val IvfProbes   = 4
+  val IvfClusters   = 16
+  val IvfProbes     = 8
+  val IvfLloydIters = 2
 
   /** Dim-wise mean of a vector column as an array — one posexplode +
     * groupBy(key, dim) + reassembly. Distributed: no vector ever
@@ -143,13 +166,16 @@ object Similarity {
         e => e.getField("m")).as("cv"))
 
   /** IVF build: coarse centroids = K deterministically-sampled seed
-    * vectors refined by one distributed Lloyd iteration (assign →
-    * dim-wise mean). Returns (assignments, centroids): assignments =
-    * (vec_id, v, cid) — the "inverted file" is just this relation
-    * clustered on cid — and centroids = (cid, cv), a B-sized (K-row)
-    * artifact persisted so the probe stage and the assignment pass
-    * share one computation (bounded, so safe to cache at any scale;
-    * in production both outputs are written to storage once). */
+    * vectors refined by IvfLloydIters distributed Lloyd iterations
+    * (assign → dim-wise mean). Returns (assignments, centroids):
+    * assignments = (vec_id, v, cid) — the "inverted file" is just this
+    * relation clustered on cid — and centroids = (cid, cv), a B-sized
+    * (K-row) artifact persisted so the probe stage and the assignment
+    * pass share one computation (bounded, so safe to cache at any
+    * scale; in production both outputs are written to storage once).
+    * Each Lloyd step is one broadcast-join pass over the corpus plus a
+    * (cid, dim)-keyed aggregation — no step ever shuffles vectors by
+    * anything wider than the K·64 centroid table. */
   def ivfBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = emb(s, d)
     // deterministic pseudo-random K-row sample; orderBy+limit plans as
@@ -165,9 +191,18 @@ object Similarity {
         .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
           first(col("v")).as("v"))
         .select("vec_id", "v", "cid")
-    // one Lloyd step: refined centroid = mean of its assigned vectors
-    val refined = dimMeans(assign(seeds), "cid").persist()
-    (assign(refined), refined)
+    // Lloyd steps: refined centroid = mean of its assigned vectors.
+    // Each intermediate centroid table is persisted (K rows) so the
+    // next assign pass doesn't recompute the whole chain, and
+    // unpersisted once superseded.
+    var cent = dimMeans(assign(seeds), "cid").persist()
+    for (_ <- 1 until IvfLloydIters) {
+      val next = dimMeans(assign(cent), "cid").persist()
+      next.count() // materialize before dropping the parent
+      cent.unpersist(false)
+      cent = next
+    }
+    (assign(cent), cent)
   }
 
   def ivfIndex(s: SparkSession, d: String): DataFrame = ivfBuild(s, d)._1

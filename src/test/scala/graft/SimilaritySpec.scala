@@ -35,6 +35,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann lsh recall vs brute force >= 0.6 at sf0.01") {
+    // Deterministic, not flaky: the hyperplanes are hash-derived, so
+    // recall is a fixed function of the data (measured 0.88 at sf0.01,
+    // 0.68 at sf0.001 with 10 bands x 4 planes). The banded
+    // OR-construction is what makes this pass — the round-2 single
+    // 12-plane AND signature measured 0.08 here.
+    val d = "/root/testdata/sf0.01"
+    val exact = Similarity.knnBruteForce(spark, d).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ann = Similarity.annLsh(spark, d).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val hits = exact.map { case (q, s) =>
+      s.intersect(ann.getOrElse(q, Set.empty)).size }.sum
+    val total = exact.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.6,
+      s"LSH recall too low: $hits/$total")
+  }
+
   test("ann ivf: probes bound the search and recall vs brute force is sane") {
     val exact = Similarity.knnBruteForce(spark, sfDir).collect()
       .groupBy(_.getLong(0))
@@ -50,12 +70,15 @@ class SimilaritySpec extends SparkSpec {
         .filter(_.getLong(0) == q).map(_.getDouble(3)).max
       assert(rs.forall(_.getDouble(3) <= exactTop + 1e-9))
     }
-    // aggregate recall across queries: with nprobe/K = 1/4 of clusters
-    // probed, expect a good share of true neighbors found
+    // aggregate recall across queries: with 2 Lloyd iterations and
+    // nprobe/K = 1/2 (this corpus is near-random — cos(top-1) ≈ 0.4 —
+    // so true neighbors spread across clusters; tighter corpora probe
+    // fewer). Deterministic: seeds and assignment are hash-derived.
+    // Measured 0.80 at sf0.001, 0.72 at sf0.01.
     val hits = byQ.map { case (q, rs) =>
       rs.map(_.getLong(2)).count(exact(q)) }.sum
     val total = exact.values.map(_.size).sum
-    assert(hits.toDouble / total >= 0.3,
+    assert(hits.toDouble / total >= 0.7,
       s"IVF recall too low: $hits/$total")
   }
 
