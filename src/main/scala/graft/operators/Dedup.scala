@@ -54,7 +54,7 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
-      .transform(Present.sorted(_, col("keep_id")))
+      .transform(Present.sortedUnbounded(_, col("keep_id")))
 
   /** Default document-frequency cap for the exact-Jaccard path: a
     * shingle appearing in more than this many documents is a
@@ -119,7 +119,7 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
-      .transform(Present.sorted(_, col("doc_a"), col("doc_b")))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   val NumHashes = 64
@@ -185,7 +185,7 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
       .filter(col("est_jaccard") >= minEst)
       .select("doc_a", "doc_b", "est_jaccard")
-      .transform(Present.sorted(_, col("doc_a"), col("doc_b")))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   /** 64-bit SimHash per document: per-token 64-bit hash, weighted bit
@@ -233,7 +233,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHam)
       .select("doc_a", "doc_b", "hamming")
-      .transform(Present.sorted(_, col("doc_a"), col("doc_b")))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

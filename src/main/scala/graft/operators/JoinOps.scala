@@ -36,7 +36,7 @@ object JoinOps {
       .select(col("c_custkey"),
         coalesce(col("n"), lit(0L)).as("n_urgent"),
         col("n").isNull.as("no_urgent"))
-      .transform(Present.sorted(_, col("c_custkey")))
+      .transform(Present.sortedUnbounded(_, col("c_custkey")))
   }
 
   /** FULL OUTER: order counts (custkey ∈ [100, 300)) vs event counts
@@ -55,7 +55,7 @@ object JoinOps {
       .select(col("k"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
-      .transform(Present.sorted(_, col("k")))
+      .transform(Present.sortedUnbounded(_, col("k")))
   }
 
   /** Static quantity tiers for the range join — in production this is
@@ -106,7 +106,7 @@ object JoinOps {
       .select(col("event_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("click_ts"),
         (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
-      .transform(Present.sorted(_, col("event_id")))
+      .transform(Present.sortedUnbounded(_, col("event_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -104,7 +104,7 @@ object MapReduce {
       })
       .toDF("word", "doc_id", "cnt")
       .withColumn("doc_id", col("doc_id").cast("long"))
-      .transform(Present.sorted(_, col("word"), col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("word"), col("doc_id")))
   }
 
   /** The reference's name-dispatch surface (`Worker/Worker.py:68-78`
@@ -145,7 +145,7 @@ object MapReduce {
     groupReduce[(String, String, Long)](s, input,
       mappers(mapFnName), reducers(reduceFnName))
       .toDF("word", "doc", "value")
-      .transform(Present.sorted(_, col("word"), col("doc")))
+      .transform(Present.sortedUnbounded(_, col("word"), col("doc")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -73,7 +73,7 @@ object Multimodal {
   }
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    Present.sorted(extractFeatures(mediaTable(s, d)).toDF(),
+    Present.sortedUnbounded(extractFeatures(mediaTable(s, d)).toDF(),
       org.apache.spark.sql.functions.col("doc_id"))
 
   val BoxSize = 224
@@ -98,7 +98,7 @@ object Multimodal {
         when(col("media_type") === "audio", lit(null))
           .otherwise((col("height") * BoxSize / mx).cast("int"))
           .as("out_h"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
   val MaxFrames = 8
@@ -114,7 +114,7 @@ object Multimodal {
     f.filter(col("media_type") === "video")
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, stride)).as("frame_no"))
-      .transform(Present.sorted(_, col("doc_id"), col("frame_no")))
+      .transform(Present.sortedUnbounded(_, col("doc_id"), col("frame_no")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

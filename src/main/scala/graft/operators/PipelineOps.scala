@@ -45,7 +45,7 @@ object PipelineOps {
       .select(col("doc_id"), b.as("bucket"),
         when(b < 80, "train").when(b < 90, "valid").otherwise("test")
           .as("split"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
   /** Per-source keep thresholds out of 1000 — corpus-mixing weights
@@ -67,7 +67,7 @@ object PipelineOps {
       .withColumn("thresh", coalesce(col("keep_per_mille"), lit(mixDefault)))
       .filter(hashBucket(col("doc_id"), 1000, "mix") < col("thresh"))
       .select(col("doc_id"), col("source"), col("thresh"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
   /** Corpus bigram counts (n-gram statistics for contamination checks
@@ -79,20 +79,22 @@ object PipelineOps {
       .groupBy(col("shingle").as("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 10)
-      .transform(Present.sorted(_, col("bigram")))
+      .transform(Present.sortedUnbounded(_, col("bigram")))
 
   /** PII-style text cleaning: digit runs → `<num>`, whitespace
     * collapsed, trimmed. Pure codegen'd regexp_replace chain (patterns
     * are RE2-safe so the oracle's regex engine agrees); one narrow
-    * pass, no shuffle. */
+    * pass, no shuffle. The \s+ collapse runs BEFORE trim: trim() strips
+    * only ASCII spaces, so trimming first would leave a leading or
+    * trailing space behind an edge tab/newline. */
   def textClean(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(trim(col("text")), "[0-9]+", "<num>"),
-          "\\s+", " ").as("clean"))
+        trim(regexp_replace(
+          regexp_replace(col("text"), "[0-9]+", "<num>"),
+          "\\s+", " ")).as("clean"))
       .withColumn("n_chars_clean", length(col("clean")))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
 
   /** Near-dup cluster assignment: connected components over the
     * exact-Jaccard pair graph (doc, cluster_id = min doc_id reachable)
@@ -109,9 +111,19 @@ object PipelineOps {
     * labels every few rounds to truncate lineage; iteration count is
     * capped defensively either way. */
   def dedupClusters(s: SparkSession, d: String,
-                    maxIter: Int = 20): DataFrame = {
-    val pairs = Dedup.neardupJaccard(s, d).select("doc_a", "doc_b")
-    val edges = pairs
+                    maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      Dedup.neardupJaccard(s, d).select("doc_a", "doc_b"), maxIter)
+
+  /** Min-label propagation over an undirected pair graph. Converges in
+    * graph-diameter rounds; each round is one shuffle over the EDGE
+    * set. The edge relation is persisted for the loop and released at
+    * the end; superseded label sets are unpersisted as the loop
+    * advances. Throws on hitting maxIter un-converged — a silently
+    * partial labeling would make the downstream "keep one doc per
+    * cluster" step over-retain duplicates. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.toDF("doc_a", "doc_b")
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -136,10 +148,62 @@ object PipelineOps {
       labels = next.select("id", "lbl")
       iter += 1
     }
+    edges.unpersist(false)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations")
+    // the final labels cache is released with the session; callers that
+    // materialize the result may unpersist via labels' lineage
     labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
+
+  /** Exact Jaccard verification restricted to LSH candidate pairs —
+    * the 100 TB near-dup pipeline's verify stage. Where
+    * `Dedup.neardupJaccard` self-joins the full shingle relation
+    * (quadratic in bucket size, affordable only as an oracle at small
+    * SF), this touches shingles ONLY for docs that LSH proposed:
+    * candidates ⋈ shingles on doc_a, then ⋈ shingles on
+    * (doc_b, shingle) counts the intersection. Every shuffle is keyed
+    * by candidate doc ids or (doc, shingle) — corpus-sized work only in
+    * the one shingle scan that LSH already does.
+    *
+    * minEst is set BELOW minJ (banding noise: a 64-hash estimate of a
+    * J=0.5 pair can read low) so verification, not the estimate,
+    * decides — at the cost of verifying some sub-threshold pairs. */
+  def neardupJaccardLsh(s: SparkSession, d: String,
+                        minJ: Double = 0.5,
+                        minEst: Double = 0.35): DataFrame = {
+    val cand = Dedup.minhashLsh(s, d, minEst).select("doc_a", "doc_b")
+    val sh = Dedup.cappedShingles(s, d) // same universe as the exact path
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** The scale-path dedup composition a 100 TB corpus actually runs:
+    * MinHash+LSH candidates → exact-Jaccard verification on candidates
+    * only → min-label propagation. Identical output contract to
+    * `dedupClusters` up to LSH recall (verified pairs are a subset of
+    * the exact pair set, so every LSH cluster sits inside one exact
+    * cluster — asserted in PipelineSpec). Rows-only in the driver gate
+    * (MinHash signatures are engine-specific). */
+  def dedupClustersLsh(s: SparkSession, d: String,
+                       maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      neardupJaccardLsh(s, d).select("doc_a", "doc_b"), maxIter)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_test_split" -> trainTestSplit _,
@@ -147,6 +211,7 @@ object PipelineOps {
     "ngram_counts"     -> ngramCounts _,
     "text_clean"       -> textClean _,
     "dedup_clusters"   -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "dedup_clusters_lsh" -> ((s: SparkSession, d: String) => dedupClustersLsh(s, d)),
   )
 
   private def mixValues: String =
@@ -182,10 +247,10 @@ object PipelineOps {
         |ORDER BY bigram""".stripMargin,
     "text_clean" ->
       """SELECT doc_id,
-        |  regexp_replace(regexp_replace(trim(text), '[0-9]+', '<num>', 'g'),
-        |    '\s+', ' ', 'g') AS clean,
-        |  length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '<num>', 'g'),
-        |    '\s+', ' ', 'g')) AS n_chars_clean
+        |  trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean,
+        |  length(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+        |    '\s+', ' ', 'g'))) AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (

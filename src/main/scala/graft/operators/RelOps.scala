@@ -116,7 +116,7 @@ object RelOps {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("total_qty"))
-      .transform(Present.sorted(_, desc("total_qty"), col("o_orderkey")))
+      .transform(Present.sortedUnbounded(_, desc("total_qty"), col("o_orderkey")))
   }
 
   /** Left-semi join: customers that have at least one order. Streams
@@ -127,7 +127,7 @@ object RelOps {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
         "left_semi")
       .select("c_custkey", "c_name")
-      .transform(Present.sorted(_, col("c_custkey")))
+      .transform(Present.sortedUnbounded(_, col("c_custkey")))
 
   /** Left-anti join: customers with no orders. */
   def joinAnti(s: SparkSession, d: String): DataFrame =
@@ -135,7 +135,7 @@ object RelOps {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
         "left_anti")
       .select("c_custkey", "c_name")
-      .transform(Present.sorted(_, col("c_custkey")))
+      .transform(Present.sortedUnbounded(_, col("c_custkey")))
 
   /** Aggregate variety: count, exact distinct (expands to a two-phase
     * aggregate on (priority, custkey) — scales; no driver-side set),
@@ -196,7 +196,7 @@ object RelOps {
         round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
         round(sum("o_totalprice").over(run), 2).as("run_sum"))
       .filter(col("rn") <= 3)
-      .transform(Present.sorted(_, col("o_custkey"), col("rn")))
+      .transform(Present.sortedUnbounded(_, col("o_custkey"), col("rn")))
   }
 
   /** Top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
@@ -262,7 +262,7 @@ object RelOps {
         sum("k").as("sum_k"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("sum_k"))
-      .transform(Present.sorted(_, col("window_start"), col("event_type")))
+      .transform(Present.sortedUnbounded(_, col("window_start"), col("event_type")))
 
   /** Approximate distinct (HyperLogLog++) — the 100 TB cardinality
     * path. Not exactly reproducible in DuckDB, so registered without

@@ -57,7 +57,7 @@ object TextAnalysis {
         col("doc_id"),
         coalesce(col("lex_lang"), lit("unknown")).as("lang_pred"),
         coalesce(col("score"), lit(0L)).as("score"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
   private val enStop = lexicon.filter(_._1 == "en").map(_._2)
@@ -82,7 +82,7 @@ object TextAnalysis {
         round(size(filter(col("toks"),
           t => t.isin(enStop: _*))).cast("double") /
           size(col("toks")), 6).as("stopword_ratio"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
   /** Token counting three ways: whitespace, a BPE-ish regex
@@ -96,7 +96,7 @@ object TextAnalysis {
         size(regexp_extract_all(lower(col("text")),
           lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("budget_tokens"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
 
   /** Document fingerprint: SHA-256 over whitespace-canonicalized
     * lowercase text — the exact-dedup key at scale (fixed 32-byte
@@ -107,7 +107,7 @@ object TextAnalysis {
         col("doc_id"),
         sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256)
           .as("fp"))
-      .transform(Present.sorted(_, col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
 
   /** TF-IDF: composes the reference's two applications — term
     * frequencies (WordCount per doc) with document frequencies
@@ -136,7 +136,7 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("doc_id", "word", "tf", "df", "tfidf", "rn")
-      .transform(Present.sorted(_, col("doc_id"), col("rn")))
+      .transform(Present.sortedUnbounded(_, col("doc_id"), col("rn")))
   }
 
   private def lexValues: String =

@@ -47,7 +47,7 @@ object TextOps {
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     tokenize(Tables.documents(spark, dir))
       .groupBy("word", "doc_id").agg(count(lit(1)).as("cnt"))
-      .transform(Present.sorted(_, col("word"), col("doc_id")))
+      .transform(Present.sortedUnbounded(_, col("word"), col("doc_id")))
 
   /** Nested presentation variant of the inverted index (not
     * oracle-hashable: map ordering is nondeterministic). */

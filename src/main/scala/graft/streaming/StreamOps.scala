@@ -91,7 +91,7 @@ object StreamOps {
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         round(sum("value"), 3).as("sum_value"))
-      .transform(graft.operators.Present.sorted(_, col("user_id"), col("session_id")))
+      .transform(graft.operators.Present.sortedUnbounded(_, col("user_id"), col("session_id")))
   }
 
   /** Streaming sessionization via session_window (gap-based session

@@ -82,4 +82,36 @@ class PipelineSpec extends SparkSpec {
       assert(members.keySet.min == c, s"cluster $c not keyed by min member")
     }
   }
+
+  test("dedup_clusters_lsh verified pairs are exact pairs; clusters nest in exact clusters") {
+    // The scale path (LSH candidates -> exact verify -> label prop)
+    // must agree with ground truth on everything LSH recalls:
+    // 1. every verified pair is in the exact pair set (verification is
+    //    exact Jaccard on the same capped-shingle universe);
+    // 2. every LSH cluster sits inside one exact cluster (its edge set
+    //    is a subset, so components can only split, never merge).
+    val exactPairs = Dedup.neardupJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = PipelineOps.neardupJaccardLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.nonEmpty, "LSH path should verify some pairs")
+    assert(lshPairs.subsetOf(exactPairs),
+      s"verified pairs not in exact set: ${lshPairs -- exactPairs}")
+    // recall of the J >= 0.7 pairs must be total (16x4 banding w.h.p.)
+    val strong = Dedup.neardupJaccard(spark, sfDir, minJ = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((strong -- lshPairs).isEmpty,
+      s"scale path missed high-jaccard pairs: ${strong -- lshPairs}")
+    val exactLbl = PipelineOps.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lshLbl = PipelineOps.dedupClustersLsh(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // co-membership in an LSH cluster implies co-membership in the
+    // exact clustering (one exact label per LSH cluster)
+    lshLbl.groupBy(_._2).foreach { case (c, members) =>
+      val exacts = members.keySet.map(exactLbl)
+      assert(exacts.size == 1,
+        s"LSH cluster $c spans exact clusters $exacts")
+    }
+  }
 }

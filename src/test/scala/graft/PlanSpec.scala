@@ -83,6 +83,36 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p)
   }
 
+  test("unbounded-output queries keep a parallel final sort (no single-task funnel)") {
+    // O(input)-row outputs must present via a range-partitioned
+    // orderBy, not repartition(1): at 100x data a single-task final
+    // sort is the job's bottleneck. Bounded outputs (top-k, fixed key
+    // domains) keep the 1-partition form deliberately — orderBy's
+    // RangePartitioner would sample-execute their heavy upstreams
+    // twice for k rows.
+    val unbounded: Seq[DataFrame] = Seq(
+      RelOps.windowOrders(spark, sfDir),
+      RelOps.eventsWindow(spark, sfDir),
+      RelOps.joinSemi(spark, sfDir),
+      graft.operators.TextAnalysis.tfidf(spark, sfDir),
+      graft.operators.PipelineOps.textClean(spark, sfDir),
+      graft.operators.Dedup.dedupExact(spark, sfDir),
+      graft.streaming.StreamOps.sessionize(spark, sfDir))
+    // repartition(1) prints as "Exchange SinglePartition,
+    // REPARTITION_BY_NUM"; a scalar aggregate's legitimate
+    // SinglePartition exchange carries ENSURE_REQUIREMENTS instead
+    unbounded.foreach { df =>
+      val p = executed(df)
+      assert(!p.contains("SinglePartition, REPARTITION_BY_NUM"),
+        s"single-partition presentation funnel in:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"expected parallel range sort in:\n$p")
+    }
+    // bounded form stays single-partition by design
+    val b = executed(RelOps.q5NationRevenue(spark, sfDir))
+    assert(b.contains("SinglePartition, REPARTITION_BY_NUM"), b)
+  }
+
   test("simhash self-join reuses one shuffle when not broadcastable") {
     // At 100 TB the banded signature table is too big to broadcast;
     // the join must then compute the signature pipeline ONCE and

@@ -69,11 +69,14 @@ def main():
                      "utinyint", "usmallint", "uinteger", "ubigint"):
                 return "int"
             return t
-        stypes = dict(zip(sq.columns, [tclass(t) for t in sq.types]))
-        otypes = dict(zip(oq.columns, [tclass(t) for t in oq.types]))
-        for c in stypes:
-            if c in otypes and stypes[c] != otypes[c]:
-                print(f"DTYPE-MISMATCH {name}: col {c} spark={stypes[c]} oracle={otypes[c]}")
+        # compare positionally over name-sorted columns (not via a
+        # name->type dict, which would silently collapse duplicate
+        # column names and skip one-sided columns)
+        stypes = sorted(zip(sq.columns, [tclass(t) for t in sq.types]))
+        otypes = sorted(zip(oq.columns, [tclass(t) for t in oq.types]))
+        for (sc, st), (oc, ot) in zip(stypes, otypes):
+            if sc == oc and st != ot:
+                print(f"DTYPE-MISMATCH {name}: col {sc} spark={st} oracle={ot}")
                 ok = False
         if sorted(scols) != sorted(ocols):
             print(f"COLS-MISMATCH {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
