@@ -70,6 +70,33 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("sum_k"))
 
+  /** `windowedCounts` run TO COMPLETION as a real streaming query and
+    * landed as a batch-readable table — the driver-gated proof that
+    * the streaming engine computes the same answer DuckDB does, not
+    * just the same answer batch Spark does. foreachBatch in complete
+    * mode overwrites a parquet sink each micro-batch (the production
+    * shape: stream → foreachBatch → table), Trigger.AvailableNow
+    * drains the source and terminates, and the final table is the
+    * full windowed aggregate. Registered under the SAME oracle SQL as
+    * `events_window`: on a static source the watermark never drops
+    * anything, so stream ≡ batch ≡ oracle, hash-checked. */
+  def eventsWindowStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_events_window_stream").toString
+    val q = windowedCounts(s, dir).writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(sink)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink)
+      .transform(graft.operators.Present.sortedUnbounded(
+        _, col("window_start"), col("event_type")))
+  }
+
   /** Batch sessionization: per-user sessions split at >30-minute
     * gaps (classic lag + cumulative-sum-of-breaks), aggregated to one
     * row per session. Oracle-checkable; the window shuffle is keyed on
@@ -176,10 +203,14 @@ object StreamOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize" -> sessionize _,
+    "sessionize"          -> sessionize _,
+    "events_window_stream" -> eventsWindowStream _,
   )
 
   val oracle: Map[String, String] = Map(
+    // same contract as the batch twin — the streaming engine must
+    // reproduce RelOps.eventsWindow's DuckDB-checked result exactly
+    "events_window_stream" -> graft.operators.RelOps.oracle("events_window"),
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,

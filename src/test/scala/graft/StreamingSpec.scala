@@ -29,6 +29,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("events_window_stream (foreachBatch-landed table) equals the batch twin") {
+    // the driver-gated registration: foreachBatch -> parquet -> read
+    // back must reproduce eventsWindow row-for-row, so it can share
+    // the batch query's DuckDB oracle
+    val batch = RelOps.eventsWindow(spark, sfDir).collect().toSeq
+    val landed = StreamOps.eventsWindowStream(spark, sfDir).collect().toSeq
+    assert(landed == batch)
+  }
+
   test("flatMapGroupsWithState running totals equal batch groupBy") {
     import org.apache.spark.sql.functions._
     val batch = Tables.events(spark, sfDir)
