@@ -12,26 +12,26 @@ import org.apache.spark.sql.{Encoder, Encoders}
 object Aggregators {
 
   /** MinHash signature as a single-pass Aggregator: buffer = the
-    * per-seed minima; merge = element-wise min. Equivalent to the
-    * 64×min() expression form (Dedup.minhashSignatures) but
-    * demonstrates the custom-UDAF path; hashes are scala.util.hashing
-    * MurmurHash3 (the expression form uses xxhash64 — both are valid
-    * MinHash families, each self-consistent).
+    * per-seed minima; merge = element-wise min. Hash-identical to the
+    * 64×min() expression form (Dedup.minhashSignatures): seed i's hash
+    * is exactly `xxhash64(lit(i), shingle)` — XxHash64 folds child
+    * hashes left-to-right from seed 42, so hashInt(i, 42) feeds
+    * hashUTF8String — which lets the registered LSH path run through
+    * this UDAF and produce the same signatures as the expression form
+    * (equivalence asserted in FunctionsSpec).
     */
   class MinHashAgg(numHashes: Int)
       extends Aggregator[String, Array[Long], Array[Long]] {
-
-    private def h(seed: Int, shingle: String): Long =
-      (scala.util.hashing.MurmurHash3.stringHash(shingle, seed).toLong << 32) |
-        (scala.util.hashing.MurmurHash3.stringHash(shingle, seed ^ 0x5bd1e995)
-          .toLong & 0xFFFFFFFFL)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
 
     override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
     override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+      val u = UTF8String.fromString(shingle) // one conversion, 64 hashes
       var i = 0
       while (i < numHashes) {
-        val v = h(i, shingle)
+        val v = XXH64.hashUTF8String(u, XXH64.hashInt(i, 42L))
         if (v < buf(i)) buf(i) = v
         i += 1
       }

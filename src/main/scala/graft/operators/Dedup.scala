@@ -125,10 +125,10 @@ object Dedup {
   val NumHashes = 64
   val Bands     = 16 // 16 bands x 4 rows: catches J >= ~0.5 reliably
 
-  /** MinHash signatures: one row per doc, signature = array of 64
-    * per-seed minima over the doc's shingle set. Computed as a single
-    * groupBy(doc) with 64 min() aggregates — partial aggregation makes
-    * the shuffle one row per doc per partition. */
+  /** MinHash signatures, expression form: one row per doc, signature =
+    * array of 64 per-seed minima over the doc's shingle set. Computed
+    * as a single groupBy(doc) with 64 min() aggregates — partial
+    * aggregation makes the shuffle one row per doc per partition. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
@@ -137,6 +137,22 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash signatures, UDAF form — the registered LSH path runs
+    * through this, exercising the custom-Aggregator surface
+    * end-to-end. Hash-identical to `minhashSignatures` (the Aggregator
+    * replicates xxhash64's fold; FunctionsSpec asserts signature
+    * equality), and the partial/merge contract holds: the buffer is
+    * the 64 minima, merged element-wise map-side before the per-doc
+    * shuffle — same one-row-per-doc-per-partition bound as the
+    * expression form. */
+  def minhashSignaturesAgg(s: SparkSession, d: String): DataFrame = {
+    val mh = udaf(new graft.functions.Aggregators.MinHashAgg(NumHashes),
+      org.apache.spark.sql.Encoders.STRING)
+    shingles(s, d)
+      .groupBy("doc_id")
+      .agg(mh(col("shingle")).as("sig"))
   }
 
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
@@ -150,16 +166,25 @@ object Dedup {
     * cross-checks recall against neardupJaccard. */
   def minhashLsh(s: SparkSession, d: String,
                  minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignatures(s, d)
+    val sig = minhashSignaturesAgg(s, d)
     val rows = NumHashes / Bands
     // band rows carry only (doc_id, band, bucket) — the 512-byte
     // signature array never enters the (band, bucket) shuffle
-    val banded = sig.select(
+    val banded0 = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    // bucket-size cap as a broadcast ANTI-join against the (tiny) set
+    // of oversized buckets: the hot-bucket list aggregates with
+    // map-side partial counts and broadcasts, so the banded relation
+    // is filtered in place with no extra wide shuffle (measured faster
+    // than a count-over-window cap, which funnels every row through a
+    // (band, bucket) exchange before the join)
+    val hot = banded0.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("band", "bucket")
+    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     // self-join sides shuffle on (band, bucket) identically →
     // ReuseExchange shares the shuffle; no executor-memory cache.
     // The candidate distinct runs on the bare 16-byte id pair; the two

@@ -48,6 +48,17 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(1) == sigs(7))
   }
 
+  test("MinHash Aggregator form is hash-identical to the expression form") {
+    import spark.implicits._
+    // the registered LSH path runs through the UDAF; it must produce
+    // the same signatures as the 64xmin(xxhash64) expression form
+    val expr = graft.operators.Dedup.minhashSignatures(spark, sfDir)
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = graft.operators.Dedup.minhashSignaturesAgg(spark, sfDir)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(expr.nonEmpty && expr == agg)
+  }
+
   test("Welford aggregator matches built-in avg and var_samp") {
     import spark.implicits._
     val agg = udaf(new Aggregators.WelfordAgg)
