@@ -205,6 +205,61 @@ object PipelineOps {
     connectedComponents(
       neardupJaccardLsh(s, d).select("doc_a", "doc_b"), maxIter)
 
+  /** Eval-set decontamination: flag training docs sharing any 3-gram
+    * shingle with a held-out eval set (here: every 97th doc by id —
+    * a stand-in for a benchmark suite). The eval shingle set is
+    * B-sized (eval suites are thousands of docs, not billions) and
+    * BROADCAST, so the corpus side is one streamed semi-join pass plus
+    * a per-doc count — no corpus-wide shuffle on the shingle. Emits
+    * per-doc overlap counts, not just a flag, so thresholding is a
+    * downstream choice. */
+  val EvalEvery = 97
+  def decontamNgrams(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(s, d)
+    val evalSh = sh.filter(col("doc_id") % EvalEvery === 0)
+      .select(col("shingle")).distinct()
+    val train = sh.filter(col("doc_id") % EvalEvery =!= 0)
+    train
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 3)
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
+  /** Dedup materialization: one row per near-dup cluster with the
+    * surviving doc and member count — the step that actually shrinks
+    * the corpus. Composes the clustering (edge-bounded) with one
+    * B-per-cluster aggregation; docs in no cluster are implicitly
+    * their own survivors and are left untouched (no corpus-wide
+    * anti-join needed here — the cluster table is the small side). */
+  def keepOnePerCluster(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .groupBy("cluster_id")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .select("cluster_id", "keep_id", "n_members")
+      .transform(Present.sortedUnbounded(_, col("cluster_id")))
+
+  /** Stratified sampling: exactly k docs per source, chosen by
+    * deterministic md5-hash rank (no RNG — reproducible across runs
+    * and engines, like the split/mix ops). One shuffle on source for
+    * the rank window; at 100 TB per-stratum rank over a corpus-sized
+    * stratum is the window's partition — for huge strata switch to a
+    * two-pass threshold-on-hash (sample the hash distribution, filter
+    * map-side) instead of a full rank. */
+  val StratumK = 20
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(concat(lit("strat"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratumK)
+      .select("source", "rk", "doc_id")
+      .transform(Present.sortedUnbounded(_, col("source"), col("rk")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_test_split" -> trainTestSplit _,
     "sample_by_source" -> sampleBySource _,
@@ -212,6 +267,9 @@ object PipelineOps {
     "text_clean"       -> textClean _,
     "dedup_clusters"   -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "dedup_clusters_lsh" -> ((s: SparkSession, d: String) => dedupClustersLsh(s, d)),
+    "decontam_ngrams"  -> decontamNgrams _,
+    "keep_one_per_cluster" -> keepOnePerCluster _,
+    "stratified_sample" -> stratifiedSample _,
   )
 
   private def mixValues: String =
@@ -252,20 +310,53 @@ object PipelineOps {
         |  length(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
         |    '\s+', ' ', 'g'))) AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |${Dedup.oracle("neardup_jaccard").linesIterator.map("  " + _).mkString("\n")}
-         |),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    "keep_one_per_cluster" ->
+      s"""WITH clusters AS (
+         |$dedupClustersSql
+         |)
+         |SELECT cluster_id, min(doc_id) AS keep_id,
+         |  count(*) AS n_members
+         |FROM clusters GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "decontam_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(t[i:i+2], ' ') AS shingle
+         |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)),
+         |eval AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalEvery = 0)
+         |SELECT doc_id, count(*) AS n_shared,
+         |  count(*) >= 3 AS contaminated
+         |FROM sh JOIN eval USING (shingle)
+         |WHERE doc_id % $EvalEvery <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      s"""SELECT source, rk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('strat' || doc_id::VARCHAR), doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $StratumK ORDER BY source, rk""".stripMargin,
   )
+
+  private lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${Dedup.oracle("neardup_jaccard").linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 }

@@ -83,6 +83,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontam_ngrams excludes eval docs and thresholds at 3 shared shingles") {
+    val rows = PipelineOps.decontamNgrams(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % PipelineOps.EvalEvery != 0,
+        "eval docs must not appear as training rows")
+      assert(r.getBoolean(2) == (r.getLong(1) >= 3))
+    }
+  }
+
+  test("keep_one_per_cluster keeps the min member; sizes sum to clustered docs") {
+    val labels = PipelineOps.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val keep = PipelineOps.keepOnePerCluster(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(keep.map(_._3).sum == labels.length)
+    keep.foreach { case (cid, kid, n) =>
+      assert(kid == cid, "survivor is the min member = cluster id")
+      assert(n >= 2, "clusters come from pairs, so size >= 2")
+    }
+  }
+
+  test("stratified_sample takes exactly min(k, stratum size) per source, deterministically") {
+    val bySource = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = PipelineOps.stratifiedSample(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    assert(got.keySet == bySource.keySet)
+    got.foreach { case (src, rows) =>
+      assert(rows.length == math.min(PipelineOps.StratumK, bySource(src)))
+    }
+    val again = PipelineOps.stratifiedSample(spark, sfDir).collect()
+    assert(got.values.flatten.map(_.toString).toSet ==
+      again.map(_.toString).toSet, "hash-ranked sample must be stable")
+  }
+
   test("dedup_clusters_lsh verified pairs are exact pairs; clusters nest in exact clusters") {
     // The scale path (LSH candidates -> exact verify -> label prop)
     // must agree with ground truth on everything LSH recalls:
