@@ -134,6 +134,31 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** `sessionizeStream` run to completion and landed as a batch table
+    * — the driver-gated proof of STATEFUL session merging (not just
+    * tumbling windows) against DuckDB. Same harness as
+    * `eventsWindowStream`: complete mode + AvailableNow + foreachBatch
+    * overwriting a parquet sink. The oracle replicates session_window
+    * semantics exactly: a new session starts when the gap is >= the
+    * 30-minute timeout (half-open merge interval), and session_end =
+    * last event + timeout. */
+  def sessionizeStreamGated(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_sessionize_stream").toString
+    val q = sessionizeStream(s, dir).writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(sink)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink)
+      .transform(graft.operators.Present.sortedUnbounded(
+        _, col("user_id"), col("session_start")))
+  }
+
   /** Custom streaming state (SURVEY.md §2.3 UDF/UDAF surface → the
     * streaming analogue of the reference's black-box reducer): a
     * per-user running (count, sum) maintained in GroupState via
@@ -203,14 +228,37 @@ object StreamOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize"          -> sessionize _,
+    "sessionize"           -> sessionize _,
     "events_window_stream" -> eventsWindowStream _,
+    "sessionize_stream"    -> sessionizeStreamGated _,
   )
 
   val oracle: Map[String, String] = Map(
     // same contract as the batch twin — the streaming engine must
     // reproduce RelOps.eventsWindow's DuckDB-checked result exactly
     "events_window_stream" -> graft.operators.RelOps.oracle("events_window"),
+    // session_window semantics: new session at gap >= timeout (the
+    // merge interval is half-open), session_end = last event + timeout
+    "sessionize_stream" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 3) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
