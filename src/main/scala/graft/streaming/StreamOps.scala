@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -70,21 +70,19 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("sum_k"))
 
-  /** `windowedCounts` run TO COMPLETION as a real streaming query and
-    * landed as a batch-readable table — the driver-gated proof that
-    * the streaming engine computes the same answer DuckDB does, not
-    * just the same answer batch Spark does. foreachBatch in complete
-    * mode overwrites a parquet sink each micro-batch (the production
-    * shape: stream → foreachBatch → table), Trigger.AvailableNow
-    * drains the source and terminates, and the final table is the
-    * full windowed aggregate. Registered under the SAME oracle SQL as
-    * `events_window`: on a static source the watermark never drops
-    * anything, so stream ≡ batch ≡ oracle, hash-checked. */
-  def eventsWindowStream(s: SparkSession, dir: String): DataFrame = {
+  /** Run a streaming aggregation TO COMPLETION and land it as a
+    * batch-readable table: foreachBatch in complete mode overwrites a
+    * parquet sink each micro-batch (the production shape: stream →
+    * foreachBatch → table), Trigger.AvailableNow drains the source and
+    * terminates, and the final table is the full aggregate. On a
+    * static source the watermark never drops anything, so
+    * stream ≡ batch ≡ oracle. */
+  private def runToTable(s: SparkSession, stream: DataFrame,
+                         tag: String, sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val sink = java.nio.file.Files
-      .createTempDirectory("graft_events_window_stream").toString
-    val q = windowedCounts(s, dir).writeStream
+      .createTempDirectory(s"graft_$tag").toString
+    val q = stream.writeStream
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -93,9 +91,16 @@ object StreamOps {
       .start()
     q.awaitTermination()
     s.read.parquet(sink)
-      .transform(graft.operators.Present.sortedUnbounded(
-        _, col("window_start"), col("event_type")))
+      .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
   }
+
+  /** `windowedCounts` driver-gated: the proof that the streaming
+    * engine computes the same answer DuckDB does, not just the same
+    * answer batch Spark does. Registered under the SAME oracle SQL as
+    * `events_window`. */
+  def eventsWindowStream(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, windowedCounts(s, dir), "events_window_stream",
+      col("window_start"), col("event_type"))
 
   /** Batch sessionization: per-user sessions split at >30-minute
     * gaps (classic lag + cumulative-sum-of-breaks), aggregated to one
@@ -134,30 +139,14 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
-  /** `sessionizeStream` run to completion and landed as a batch table
-    * — the driver-gated proof of STATEFUL session merging (not just
-    * tumbling windows) against DuckDB. Same harness as
-    * `eventsWindowStream`: complete mode + AvailableNow + foreachBatch
-    * overwriting a parquet sink. The oracle replicates session_window
-    * semantics exactly: a new session starts when the gap is >= the
-    * 30-minute timeout (half-open merge interval), and session_end =
-    * last event + timeout. */
-  def sessionizeStreamGated(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val sink = java.nio.file.Files
-      .createTempDirectory("graft_sessionize_stream").toString
-    val q = sessionizeStream(s, dir).writeStream
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(sink)
-      }
-      .start()
-    q.awaitTermination()
-    s.read.parquet(sink)
-      .transform(graft.operators.Present.sortedUnbounded(
-        _, col("user_id"), col("session_start")))
-  }
+  /** `sessionizeStream` driver-gated — the proof of STATEFUL session
+    * merging (not just tumbling windows) against DuckDB. The oracle
+    * replicates session_window semantics exactly: a new session starts
+    * when the gap is >= the 30-minute timeout (half-open merge
+    * interval), and session_end = last event + timeout. */
+  def sessionizeStreamGated(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, sessionizeStream(s, dir), "sessionize_stream",
+      col("user_id"), col("session_start"))
 
   /** Custom streaming state (SURVEY.md §2.3 UDF/UDAF surface → the
     * streaming analogue of the reference's black-box reducer): a

@@ -113,6 +113,23 @@ class PlanSpec extends SparkSpec {
     assert(b.contains("SinglePartition, REPARTITION_BY_NUM"), b)
   }
 
+  test("decontam_ngrams probes the eval set via a broadcast semi-join") {
+    // the eval shingle set is B-sized; the corpus side must stream
+    // through a BroadcastHashJoin LeftSemi, never shuffle on shingle
+    val df = graft.operators.PipelineOps.decontamNgrams(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("stratified_sample ranks with a single hash shuffle on source") {
+    val df = graft.operators.PipelineOps.stratifiedSample(spark, sfDir)
+    val p = executed(df)
+    assert(p.linesIterator.count(
+      _.contains("Exchange hashpartitioning(source")) == 1, p)
+  }
+
   test("simhash self-join reuses one shuffle when not broadcastable") {
     // At 100 TB the banded signature table is too big to broadcast;
     // the join must then compute the signature pipeline ONCE and
