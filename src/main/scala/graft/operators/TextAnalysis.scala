@@ -109,6 +109,49 @@ object TextAnalysis {
           .as("fp"))
       .transform(Present.sortedUnbounded(_, col("doc_id")))
 
+  val WinnowK = 8 // char k-gram width
+  val WinnowW = 4 // winnowing window (grams per window)
+
+  /** Rolling-hash document fingerprints by winnowing (Schleimer/
+    * Wilkerson/Aiken 2003): hash every char k-gram, then keep the
+    * minimum hash of each sliding window of w consecutive grams —
+    * any substring match of length ≥ k+w-1 between two documents is
+    * guaranteed to share a fingerprint, at ~2/(w+1) selection density.
+    * This is the position-robust complement to the whole-doc SHA
+    * `fingerprint` (which an edit anywhere breaks).
+    *
+    * The gram hash is the md5-hex-prefix recipe (see
+    * PipelineOps.hashBucket) so DuckDB computes identical values —
+    * a true rolling recurrence (Rabin-Karp) computes the SAME k-gram
+    * hash family incrementally; what matters for the operator's
+    * output contract is the winnowing SELECTION, which is exact here.
+    * Shape: explode to one row per gram position (narrow), min over a
+    * w-row window keyed on doc (1 shuffle on doc_id), distinct. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFingerprintsOf(Tables.documents(s, d))
+
+  /** Core winnowing over any (doc_id, text) relation — split out so
+    * specs can assert the substring-match guarantee on crafted docs. */
+  def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
+    val k = WinnowK; val w = WinnowW
+    val grams = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("n_grams", length(col("t")) - (k - 1))
+      .withColumn("pos", explode(when(col("n_grams") >= w,
+        sequence(lit(1), col("n_grams")))
+        .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("pos"), col("n_grams"),
+        conv(substring(md5(col("t").substr(col("pos"), lit(k))), 1, 15),
+          16, 10).cast("bigint").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min("h").over(win))
+      .filter(col("pos") <= col("n_grams") - (w - 1)) // full windows only
+      .select("doc_id", "fp").distinct()
+      .transform(Present.sortedUnbounded(_, col("doc_id"), col("fp")))
+  }
+
   /** TF-IDF: composes the reference's two applications — term
     * frequencies (WordCount per doc) with document frequencies
     * (InvertedIndex cardinalities) — exactly the composition SURVEY.md
@@ -149,6 +192,7 @@ object TextAnalysis {
     "text_quality" -> textQuality _,
     "token_counts" -> tokenCounts _,
     "fingerprint"  -> fingerprint _,
+    "winnow_fingerprints" -> winnowFingerprints _,
     "tfidf"        -> tfidf _,
   )
 
@@ -200,6 +244,21 @@ object TextAnalysis {
       """SELECT doc_id,
         |  sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "winnow_fingerprints" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS pos, length(t) - ${WinnowK - 1} AS n_grams,
+         |    ('0x' || substring(md5(substring(t, i, $WinnowK)), 1, 15))::BIGINT AS h
+         |  FROM d, unnest(range(1, greatest(length(t) - ${WinnowK - 2}, 1))) AS r(i)
+         |  WHERE length(t) - ${WinnowK - 1} >= $WinnowW),
+         |wm AS (
+         |  SELECT doc_id, pos, n_grams,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+         |  FROM g)
+         |SELECT DISTINCT doc_id, fp FROM wm
+         |WHERE pos <= n_grams - ${WinnowW - 1}
+         |ORDER BY doc_id, fp""".stripMargin,
     "tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, w AS word FROM (

@@ -44,4 +44,42 @@ class InvariantSpec extends SparkSpec {
     val orphans = tfidf.select("word", "doc_id").except(idx)
     assert(orphans.count() == 0)
   }
+
+  test("winnowing: density bound holds and shared substrings share fingerprints") {
+    import graft.operators.TextAnalysis.{WinnowK, WinnowW}
+    val fps = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc.nonEmpty)
+    // density: each selected fp covers at most w windows, so a doc
+    // with g full windows keeps at least ceil(g / w) distinct... not
+    // distinct — selections can repeat values; assert the weaker,
+    // always-true bounds: at least 1 fp, at most g fps per doc
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(lower(col("text"))).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, s) =>
+      val grams = lens(id) - (WinnowK - 1)
+      val windows = grams - (WinnowW - 1)
+      assert(s.nonEmpty && s.size <= windows,
+        s"doc $id: ${s.size} fps vs $windows windows")
+    }
+    // the winnowing guarantee on crafted docs: any shared substring of
+    // length >= k + w - 1 must yield at least one shared fingerprint,
+    // wherever it sits in the surrounding text
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val crafted = Seq(
+      (1L, s"AAAA BBBB $shared CCCC DDDD"),
+      (2L, s"zzzz qqqq wwww eeee rrrr $shared"),
+      (3L, "completely unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val cfps = graft.operators.TextAnalysis.winnowFingerprintsOf(crafted)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((cfps(1L) & cfps(2L)).nonEmpty,
+      "docs sharing a long substring must share a fingerprint")
+    assert((cfps(1L) & cfps(3L)).isEmpty,
+      "unrelated docs should not collide at this scale")
+  }
 }
