@@ -99,7 +99,16 @@ object Dedup {
     * key can go quadratic. */
   def neardupJaccard(s: SparkSession, d: String,
                      minJ: Double = 0.5,
-                     maxDf: Int = MaxShingleDf): DataFrame = {
+                     maxDf: Int = MaxShingleDf): DataFrame =
+    neardupJaccardRaw(s, d, minJ, maxDf)
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+
+  /** Unsorted form for internal composition (clustering consumes the
+    * pair set under unions and aggregates, where a presentation sort
+    * only costs a range-sampling pass). */
+  def neardupJaccardRaw(s: SparkSession, d: String,
+                        minJ: Double = 0.5,
+                        maxDf: Int = MaxShingleDf): DataFrame = {
     // no persist: both join sides shuffle on `shingle` with identical
     // subplans, so ReuseExchange serves them from one shuffle write —
     // unlike a cache, that works no matter how big the shingle set is
@@ -119,7 +128,6 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
-      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   val NumHashes = 64
@@ -165,7 +173,14 @@ object Dedup {
     * Approximate by construction → registered rows-only; the spec
     * cross-checks recall against neardupJaccard. */
   def minhashLsh(s: SparkSession, d: String,
-                 minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                 minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    minhashLshRaw(s, d, minEst, maxBucket)
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+
+  /** Unsorted form for internal composition (the LSH-verified
+    * clustering consumes candidates under joins and aggregates). */
+  def minhashLshRaw(s: SparkSession, d: String,
+                    minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignaturesAgg(s, d)
     val rows = NumHashes / Bands
     // band rows carry only (doc_id, band, bucket) — the 512-byte
@@ -210,7 +225,6 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
       .filter(col("est_jaccard") >= minEst)
       .select("doc_a", "doc_b", "est_jaccard")
-      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   /** 64-bit SimHash per document: per-token 64-bit hash, weighted bit

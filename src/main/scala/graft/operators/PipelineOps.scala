@@ -113,7 +113,7 @@ object PipelineOps {
   def dedupClusters(s: SparkSession, d: String,
                     maxIter: Int = 20): DataFrame =
     connectedComponents(
-      Dedup.neardupJaccard(s, d).select("doc_a", "doc_b"), maxIter)
+      Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b"), maxIter)
 
   /** Min-label propagation over an undirected pair graph. Converges in
     * graph-diameter rounds; each round is one shuffle over the EDGE
@@ -173,8 +173,16 @@ object PipelineOps {
     * decides — at the cost of verifying some sub-threshold pairs. */
   def neardupJaccardLsh(s: SparkSession, d: String,
                         minJ: Double = 0.5,
-                        minEst: Double = 0.35): DataFrame = {
-    val cand = Dedup.minhashLsh(s, d, minEst).select("doc_a", "doc_b")
+                        minEst: Double = 0.35): DataFrame =
+    neardupJaccardLshRaw(s, d, minJ, minEst)
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+
+  /** Unsorted form for internal composition (see
+    * Dedup.neardupJaccardRaw). */
+  def neardupJaccardLshRaw(s: SparkSession, d: String,
+                           minJ: Double = 0.5,
+                           minEst: Double = 0.35): DataFrame = {
+    val cand = Dedup.minhashLshRaw(s, d, minEst).select("doc_a", "doc_b")
     val sh = Dedup.cappedShingles(s, d) // same universe as the exact path
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -190,7 +198,6 @@ object PipelineOps {
           (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
-      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   /** The scale-path dedup composition a 100 TB corpus actually runs:
@@ -203,7 +210,7 @@ object PipelineOps {
   def dedupClustersLsh(s: SparkSession, d: String,
                        maxIter: Int = 20): DataFrame =
     connectedComponents(
-      neardupJaccardLsh(s, d).select("doc_a", "doc_b"), maxIter)
+      neardupJaccardLshRaw(s, d).select("doc_a", "doc_b"), maxIter)
 
   /** Eval-set decontamination: flag training docs sharing any 3-gram
     * shingle with a held-out eval set (here: every 97th doc by id —
