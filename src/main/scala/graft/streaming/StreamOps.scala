@@ -102,6 +102,87 @@ object StreamOps {
     runToTable(s, windowedCounts(s, dir), "events_window_stream",
       col("window_start"), col("event_type"))
 
+  /** Append-mode twin of runToTable for streams whose sinks emit rows
+    * incrementally (joins, dedup) rather than replacing an aggregate:
+    * each micro-batch appends to the parquet sink (batch 0 resets it),
+    * AvailableNow drains the source, and the union of batches is the
+    * result. */
+  private def runToTableAppend(s: SparkSession, stream: DataFrame,
+                               tag: String, sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"graft_$tag").toString
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode(if (id == 0) "overwrite" else "append").parquet(sink)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink)
+      .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
+  }
+
+  /** Stream-stream inner join: click→purchase attribution within a
+    * 60-minute window, the canonical funnel query. Both sides carry
+    * watermarks and the join condition carries the time range, so each
+    * side's buffered state is bounded to watermark + window — the shape
+    * that holds on an unbounded feed. On the drained static source the
+    * result equals the batch/DuckDB self-join exactly. */
+  def clickPurchaseJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 60 minutes"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** `clickPurchaseJoin` driver-gated against the DuckDB self-join. */
+  def clickPurchaseJoinGated(s: SparkSession, dir: String): DataFrame =
+    runToTableAppend(s, clickPurchaseJoin(s, dir), "stream_join",
+      col("click_id"), col("purchase_id"))
+
+  /** Streaming exact dedup: first-seen (user_id, event_type) pairs via
+    * streaming dropDuplicates. Exact-distinct semantics with one state
+    * entry per DISTINCT key — bounded by key cardinality, so it holds
+    * on an unbounded feed when the key domain is bounded (here: users ×
+    * event types). For unbounded key domains (e.g. content hashes) use
+    * `dedupStreamWithinWatermark`, which evicts state at the watermark
+    * and is exercised in StreamingSpec (its drop-or-emit decision for
+    * duplicates farther apart than the delay is event-time-dependent,
+    * so it gets spec bounds, not a hash oracle). */
+  def dedupStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** `dedupStream` driver-gated: equals DISTINCT on the drained
+    * source. */
+  def dedupStreamGated(s: SparkSession, dir: String): DataFrame =
+    runToTableAppend(s, dedupStream(s, dir), "dedup_stream",
+      col("user_id"), col("event_type"))
+
+  /** Watermark-evicting dedup — the 100 TB shape for unbounded key
+    * domains: state holds only keys newer than the watermark minus the
+    * delay; duplicates arriving within the delay are dropped. */
+  def dedupStreamWithinWatermark(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Batch sessionization: per-user sessions split at >30-minute
     * gaps (classic lag + cumulative-sum-of-breaks), aggregated to one
     * row per session. Oracle-checkable; the window shuffle is keyed on
@@ -220,12 +301,24 @@ object StreamOps {
     "sessionize"           -> sessionize _,
     "events_window_stream" -> eventsWindowStream _,
     "sessionize_stream"    -> sessionizeStreamGated _,
+    "stream_stream_join"   -> clickPurchaseJoinGated _,
+    "dedup_stream"         -> dedupStreamGated _,
   )
 
   val oracle: Map[String, String] = Map(
     // same contract as the batch twin — the streaming engine must
     // reproduce RelOps.eventsWindow's DuckDB-checked result exactly
     "events_window_stream" -> graft.operators.RelOps.oracle("events_window"),
+    "stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     // session_window semantics: new session at gap >= timeout (the
     // merge interval is half-open), session_end = last event + timeout
     "sessionize_stream" ->

@@ -74,6 +74,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join equals the batch time-range self-join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("interval 60 minutes"))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = StreamOps.clickPurchaseJoinGated(spark, sfDir)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("streaming dropDuplicates equals batch distinct; watermark variant covers the key set") {
+    import org.apache.spark.sql.functions._
+    val distinctKeys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exact = StreamOps.dedupStreamGated(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(exact.toSet == distinctKeys && exact.length == distinctKeys.size)
+    // within-watermark dedup: key SET identical; duplicates farther
+    // apart than the delay may re-emit, so row count is bounded by
+    // [distinct, total] rather than exact
+    val total = Tables.events(spark, sfDir).count()
+    val wm = runStreamToBatch(
+      StreamOps.dedupStreamWithinWatermark(spark, sfDir), "append")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(wm.toSet == distinctKeys)
+    assert(wm.length >= distinctKeys.size && wm.length <= total)
+  }
+
   test("streaming session_window agrees with batch sessionize on counts") {
     import org.apache.spark.sql.functions._
     val batch = StreamOps.sessionize(spark, sfDir)
