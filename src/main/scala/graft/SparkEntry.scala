@@ -11,7 +11,7 @@ object SparkEntry {
     TextOps.queries ++ RelOps.queries ++ MapReduce.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ SqlSurface.queries ++ FuncOps.queries ++
-      JoinOps.queries ++ PipelineOps.queries ++
+      JoinOps.queries ++ PipelineOps.queries ++ ChangeOps.queries ++
       graft.streaming.StreamOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -19,6 +19,6 @@ object SparkEntry {
     TextOps.oracle ++ RelOps.oracle ++ MapReduce.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ SqlSurface.oracle ++ FuncOps.oracle ++
-      JoinOps.oracle ++ PipelineOps.oracle ++
+      JoinOps.oracle ++ PipelineOps.oracle ++ ChangeOps.oracle ++
       graft.streaming.StreamOps.oracle
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Change-data-capture shapes over the `events` log — the operations a
+  * warehouse ingesting a 100 TB append-only feed runs to serve "current
+  * state" and "state history" queries (north-star surface; the
+  * reference's log-shaped inputs stop at wordcount — its per-record
+  * map pass is `Worker/Worker.py:10-26`).
+  *
+  * Both operators treat (user_id, event_type) as the logical entity key
+  * and (ts, event_id) as the total version order — event_id breaks ts
+  * ties, so results are deterministic on both engines.
+  */
+object ChangeOps {
+
+  /** Change-log compaction: the LATEST record per key. Implemented as
+    * `max_by` over the total ordering key rather than a row_number
+    * window: the aggregate applies partially map-side (each input
+    * partition emits at most one row per key into the shuffle), where a
+    * window must shuffle EVERY version of every key and sort whole
+    * partitions. At 100 TB of mostly-superseded versions the partial
+    * aggregate is the difference between shuffling the corpus and
+    * shuffling roughly the key domain. */
+  def latestEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts").as("last_ts"),
+        col("last.value").as("last_value"))
+      .transform(Present.sortedUnbounded(_, col("user_id"), col("event_type")))
+
+  /** SCD2-style validity intervals: each version holds from its own ts
+    * until the next version's ts (NULL valid_to = current version).
+    * One window pass keyed on the entity — the shuffle is on
+    * (user_id, event_type) and each partition sorts only its own
+    * versions; there is no self-join (the naive interval construction)
+    * and no global sort. */
+  def scd2Events(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("value"))
+      .transform(Present.sortedUnbounded(_,
+        col("user_id"), col("event_type"), col("valid_from"), col("event_id")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "latest_events" -> latestEvents _,
+    "scd2_events"   -> scd2Events _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "latest_events" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  ts AS last_ts, value AS last_value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events) t
+        |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "scd2_events" ->
+      """SELECT user_id, event_type, event_id, ts AS valid_from,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  lead(ts, 1) OVER w IS NULL AS is_current, value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+  )
+}

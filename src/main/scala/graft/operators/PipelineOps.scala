@@ -267,6 +267,63 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("source"), col("rk")))
   }
 
+  /** Fixed-size character chunking with overlap — context packing for
+    * training/embedding: each doc yields windows of ChunkChars chars
+    * every ChunkStride chars (ChunkChars - ChunkStride = overlap, so a
+    * sentence cut by one boundary appears whole in the next chunk).
+    * Pure generate + substring: the explode is narrow (no shuffle), and
+    * chunk count scales with corpus bytes, never with doc count² —
+    * exactly the shape that holds on 100 TB of raw text. Token-based
+    * chunking is this same plan over the tokenizer's output. */
+  val ChunkChars  = 200
+  val ChunkStride = 150
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)),
+          lit(ChunkStride))).as(Seq("chunk_idx", "off")))
+      .select(col("doc_id"), col("chunk_idx"),
+        substr(col("text"), col("off") + 1, lit(ChunkChars)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .transform(Present.sortedUnbounded(_, col("doc_id"), col("chunk_idx")))
+
+  /** PII redaction: emails → `<email>`, international-format phone
+    * numbers → `<phone>`, then any surviving long digit run (account /
+    * customer numbers) → `<id>`. Order matters — the email rule runs
+    * before the digit rules so `a.123@x.com` doesn't lose its local
+    * part to `<id>` first, and the phone rule anchors on `+` so
+    * account numbers fall through to the `<id>` rule instead of
+    * masquerading as phones.
+    *
+    * The corpus tables ship digit-free document text, so the redactor
+    * is exercised on a contact line derived deterministically from
+    * `customer` (name / synthesized-from-key mailbox / phone) — the
+    * DuckDB oracle derives the identical line, making every rule's
+    * BEHAVIOR (not just its no-op) hash-checked. Patterns are RE2-safe
+    * (no backrefs/lookaround) so both engines agree; one narrow
+    * map-side pass, no shuffle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9()\\-\\s]{5,}[0-9]"
+  val IdRe    = "[0-9]{6,}"
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<email>"),
+        PhoneRe, "<phone>"),
+      IdRe, "<id>")
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("contact", concat(
+        col("c_name"), lit(" <"),
+        lower(col("c_mktsegment")), lit("."),
+        col("c_custkey").cast("string"),
+        lit("@example.com> tel +1-555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+      .select(col("c_custkey"), col("contact"),
+        redactPii(col("contact")).as("redacted"))
+      .transform(Present.sortedUnbounded(_, col("c_custkey")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_test_split" -> trainTestSplit _,
     "sample_by_source" -> sampleBySource _,
@@ -277,6 +334,8 @@ object PipelineOps {
     "decontam_ngrams"  -> decontamNgrams _,
     "keep_one_per_cluster" -> keepOnePerCluster _,
     "stratified_sample" -> stratifiedSample _,
+    "doc_chunks"       -> docChunks _,
+    "pii_redact"       -> piiRedact _,
   )
 
   private def mixValues: String =
@@ -349,6 +408,26 @@ object PipelineOps {
          |      ORDER BY md5('strat' || doc_id::VARCHAR), doc_id) AS rk
          |  FROM documents) t
          |WHERE rk <= $StratumK ORDER BY source, rk""".stripMargin,
+    "doc_chunks" ->
+      s"""SELECT doc_id, (o // $ChunkStride)::INTEGER AS chunk_idx,
+         |  substring(text, o + 1, $ChunkChars) AS chunk,
+         |  length(substring(text, o + 1, $ChunkChars)) AS chunk_len
+         |FROM documents,
+         |  unnest(range(0, greatest(length(text), 1), $ChunkStride)) AS r(o)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pii_redact" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |    c_name || ' <' || lower(c_mktsegment) || '.' ||
+         |    c_custkey::VARCHAR || '@example.com> tel +1-555-' ||
+         |    lpad((c_custkey % 10000)::VARCHAR, 4, '0') AS contact
+         |  FROM customer)
+         |SELECT c_custkey, contact,
+         |  regexp_replace(regexp_replace(regexp_replace(contact,
+         |    '$EmailRe', '<email>', 'g'),
+         |    '$PhoneRe', '<phone>', 'g'),
+         |    '$IdRe', '<id>', 'g') AS redacted
+         |FROM c ORDER BY c_custkey""".stripMargin,
   )
 
   private lazy val dedupClustersSql: String =

@@ -174,6 +174,27 @@ object StreamOps {
     runToTableAppend(s, dedupStream(s, dir), "dedup_stream",
       col("user_id"), col("event_type"))
 
+  /** Stream-static enrichment: the streaming fact side joins a
+    * broadcast dimension snapshot inside each micro-batch — the
+    * STATELESS streaming join (no watermark, no state store at all;
+    * the static side is re-resolvable per batch, so dimension updates
+    * between batches are picked up). This is the everyday shape —
+    * attach reference attributes to an event feed — and at 100 TB/day
+    * it costs exactly one broadcast per executor per batch. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    eventsStream(s, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("event_type"), col("value"))
+  }
+
+  /** `streamEnrich` driver-gated against the DuckDB batch join. */
+  def streamEnrichGated(s: SparkSession, dir: String): DataFrame =
+    runToTableAppend(s, streamEnrich(s, dir), "stream_enrich",
+      col("event_id"))
+
   /** Watermark-evicting dedup — the 100 TB shape for unbounded key
     * domains: state holds only keys newer than the watermark minus the
     * delay; duplicates arriving within the delay are dropped. */
@@ -303,6 +324,7 @@ object StreamOps {
     "sessionize_stream"    -> sessionizeStreamGated _,
     "stream_stream_join"   -> clickPurchaseJoinGated _,
     "dedup_stream"         -> dedupStreamGated _,
+    "stream_enrich"        -> streamEnrichGated _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,6 +341,11 @@ object StreamOps {
     "dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |  e.event_type, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     // session_window semantics: new session at gap >= timeout (the
     // merge interval is half-open), session_end = last event + timeout
     "sessionize_stream" ->

@@ -151,4 +151,58 @@ class PipelineSpec extends SparkSpec {
         s"LSH cluster $c spans exact clusters $exacts")
     }
   }
+
+  test("doc_chunks cover every document exactly with the declared overlap") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = PipelineOps.docChunks(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == docs.keySet, "every doc must chunk")
+    chunks.foreach { case (id, rows) =>
+      val text = docs(id)
+      val sortedRows = rows.sortBy(_.getInt(1))
+      // indices are dense from 0; each chunk is the exact substring at
+      // its stride offset; concatenating the non-overlap prefixes plus
+      // the last chunk reconstructs the document
+      sortedRows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i)
+        val off = i * PipelineOps.ChunkStride
+        val expect = text.substring(off,
+          math.min(off + PipelineOps.ChunkChars, text.length))
+        assert(r.getString(2) == expect, s"doc $id chunk $i")
+        assert(r.getInt(3) == expect.length)
+      }
+      val rebuilt = sortedRows.init
+        .map(_.getString(2).take(PipelineOps.ChunkStride)).mkString +
+        sortedRows.last.getString(2)
+      assert(rebuilt == text, s"doc $id does not reassemble")
+    }
+  }
+
+  test("pii_redact masks emails, phones, and id runs; leaves no long digit span") {
+    val rows = PipelineOps.piiRedact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getString(2)
+      assert(red.contains("<email>"), red)
+      assert(red.contains("<phone>"), red)
+      assert(red.contains("<id>"), red) // the c_name account number
+      assert(!"[0-9]{6,}".r.findFirstIn(red).isDefined, red)
+      assert(!red.contains("@example.com"), red)
+    }
+    // rule isolation on crafted strings
+    import spark.implicits._
+    val crafted = Seq(
+      "mail a.b+c.123@sub.host.org now",
+      "call +44 (0)20-7946 0958 today",
+      "acct 123456789 ok",
+      "short 12345 stays").toDF("s")
+      .select(PipelineOps.redactPii(col("s")).as("r"))
+      .as[String].collect()
+    assert(crafted(0) == "mail <email> now")
+    assert(crafted(1) == "call <phone> today")
+    assert(crafted(2) == "acct <id> ok")
+    assert(crafted(3) == "short 12345 stays")
+  }
 }

@@ -91,6 +91,32 @@ class SimilaritySpec extends SparkSpec {
     assert(k > 1 && k <= Similarity.IvfClusters, s"clusters=$k")
   }
 
+  test("embed_quantize emits unit-scale int8-range codes that reconstruct the vector") {
+    import org.apache.spark.sql.functions._
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val rows = Similarity.embedQuantize(spark, sfDir).collect()
+    assert(rows.length == n)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0))
+      val norm = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.length == v.length)
+      assert(q.forall(c => c >= -127 && c <= 127), s"code out of int8 range: $q")
+      assert(math.abs(norm - math.sqrt(v.map(x => x * x).sum)) < 1e-6)
+      // dequantized unit vector is within quantization error of the
+      // true unit vector: each code is off by at most 0.5/127
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x / norm - c / 127.0) <= 0.5 / 127 + 1e-9,
+          s"vec ${r.getLong(0)}: $x/$norm vs $c")
+      }
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

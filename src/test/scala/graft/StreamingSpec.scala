@@ -114,6 +114,22 @@ class StreamingSpec extends SparkSpec {
     assert(wm.length >= distinctKeys.size && wm.length <= total)
   }
 
+  test("stream-static enrichment equals the batch join and is stateless") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("event_type"), col("value"))
+      .orderBy("event_id").collect().toSeq
+    val stream = StreamOps.streamEnrichGated(spark, sfDir).collect().toSeq
+    assert(stream == batch && batch.nonEmpty)
+    // stateless: the plan has no stateful operator (no state store)
+    val sq = StreamOps.streamEnrich(spark, sfDir)
+    assert(!sq.queryExecution.analyzed.toString.toLowerCase
+      .contains("statestore"))
+  }
+
   test("streaming session_window agrees with batch sessionize on counts") {
     import org.apache.spark.sql.functions._
     val batch = StreamOps.sessionize(spark, sfDir)
