@@ -27,11 +27,21 @@ object Bench {
     // (observed: a co-tenant burst turned ~1 s queries into ~90 s in
     // BOTH adjacent runs in round 1's driver bench).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // SPARK_GRAFT_ONLY=q1,q2 — standalone re-measurement of specific
+    // queries (the honest steady-state number on a loaded shared host
+    // is the min over passes of a single query, not of the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to passes).foreach { p =>
       val t0 = System.nanoTime()
       names.foreach { case (name, fn) =>
+        // per-query isolation: no query may serve from (or pay the
+        // memory pressure of) a cache a previous query left behind —
+        // caches built INSIDE a query are timed against it, and
+        // stragglers are swept here so every entry starts cold.
+        spark.catalog.clearCache()
         val q0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -51,6 +51,46 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** MinHash signature over PRE-HASHED shingles via the classic
+    * universal family h_i(g) = (a_i·g + b_i) mod p (Carter–Wegman),
+    * p = 2³¹−1. Unlike [[MinHashAgg]] (whose xxhash64 family is
+    * Spark-specific), every operation here — the md5-prefix base hash
+    * computed upstream and this integer arithmetic — is replicable
+    * verbatim in any SQL engine, which is what lets the registered
+    * LSH/dedup queries carry a real DuckDB oracle instead of a
+    * rows-only check. Same partial/merge contract: buffer = per-seed
+    * minima, merged element-wise map-side. Hash-identical to the
+    * 64×min() expression form (asserted in FunctionsSpec). */
+  class MinHashArithAgg(a: Array[Long], b: Array[Long], p: Long)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val n = a.length
+
+    override def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], gh: Long): Array[Long] = {
+      val g = gh % p
+      var i = 0
+      while (i < n) {
+        val v = (a(i) * g + b(i)) % p
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < n) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Numerically stable streaming mean+variance (Welford/Chan
     * parallel merge) — the canonical "can't do this with a black-box
     * iterator at scale" aggregate. */

@@ -70,16 +70,31 @@ object Dedup {
     * expected duplicate-cluster size. */
   val MaxShingleDf = 100
 
+  /** 60-bit engine-neutral hash: top 15 hex digits of md5, base-16 →
+    * base-10 (same recipe as PipelineOps.hashBucket — DuckDB computes
+    * the identical value as `('0x' || substring(md5(x), 1, 15))::BIGINT`).
+    * Codegen'd expressions only, no UDF. Used as the shingle key so the
+    * exact-Jaccard, MinHash, and verify stages all share ONE hashed
+    * shingle relation AND the whole dedup family stays
+    * oracle-replicable; xxhash64 would be ~2× cheaper per hash but is
+    * Spark-only, which is exactly what kept minhash_lsh rows-only in
+    * rounds 2–3. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
   /** Distinct (doc_id, shingle-hash) pairs with the document-frequency
     * cap applied. The df count partitions on `shingle` — the same key
     * the downstream self-join uses, so the join adds no exchange on
     * top of the window, and ReuseExchange serves both join sides from
-    * the one shuffle write. */
+    * the one shuffle write. Hashes are 60-bit md5 prefixes (see
+    * [[md5Hash60]]); collisions under-count Jaccard by ~k²/2⁶⁰ per doc
+    * pair — immaterial at the 0.5 threshold, and the string-exact
+    * DuckDB oracle still hash-matches. */
   def cappedShingles(s: SparkSession, d: String,
                      maxDf: Int = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     shinglesRaw(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .select(col("doc_id"), md5Hash60(col("shingle")).as("shingle"))
       .distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= maxDf)
@@ -89,11 +104,11 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ).
     * Ground truth for the MinHash path; oracle-checked.
     *
-    * Shingles are hashed to 64 bits BEFORE the distinct/self-join, so
+    * Shingles are hashed to 60 bits BEFORE the distinct/self-join, so
     * every shuffled row is fixed-width (doc_id, int64) instead of a
     * ~25-byte string — ~3× narrower shuffle and integer sort keys.
-    * Collisions under-count by P ≈ k²/2⁶⁴ per doc pair (k = shingles
-    * per doc; ~10⁻¹² at 10⁵ shingles) — far below the minJ threshold's
+    * Collisions under-count by P ≈ k²/2⁶⁰ per doc pair (k = shingles
+    * per doc; ~10⁻¹¹ at 10⁵ shingles) — far below the minJ threshold's
     * sensitivity; the DuckDB oracle (string-exact) still hash-matches.
     * Hot shingles are df-capped (see MaxShingleDf) so no single join
     * key can go quadratic. */
@@ -133,10 +148,27 @@ object Dedup {
   val NumHashes = 64
   val Bands     = 16 // 16 bands x 4 rows: catches J >= ~0.5 reliably
 
-  /** MinHash signatures, expression form: one row per doc, signature =
-    * array of 64 per-seed minima over the doc's shingle set. Computed
-    * as a single groupBy(doc) with 64 min() aggregates — partial
-    * aggregation makes the shuffle one row per doc per partition. */
+  /** Carter–Wegman universal-hash family for the md5-seeded MinHash:
+    * h_i(g) = (a_i·g + b_i) mod p over g = md5Hash60(shingle) mod p,
+    * p = 2³¹−1 (Mersenne prime). Products stay under 2⁶² so the same
+    * literal arithmetic runs overflow-free as BIGINT in both Spark and
+    * DuckDB — the property that makes the whole LSH family
+    * oracle-checkable. Constants are fixed (Knuth multiplier / fixed
+    * odd constants), not RNG-drawn: signatures are reproducible across
+    * runs, engines, and cluster sizes. */
+  val MinHashP = 2147483647L // 2^31 - 1
+  val mhA: IndexedSeq[Long] =
+    (1 to NumHashes).map(i => (2654435761L * i) % MinHashP)
+  val mhB: IndexedSeq[Long] =
+    (1 to NumHashes).map(i => (1779033703L * i + 1013904242L) % MinHashP)
+
+  /** MinHash signatures, expression form (xxhash64 family): one row
+    * per doc, signature = array of 64 per-seed minima over the doc's
+    * shingle set. Computed as a single groupBy(doc) with 64 min()
+    * aggregates — partial aggregation makes the shuffle one row per
+    * doc per partition. Spark-specific hashes → spec-checked, not
+    * oracle-checked; the registered queries run the md5 family
+    * ([[minhashSignaturesMd5From]]), same plan shape. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
@@ -147,13 +179,12 @@ object Dedup {
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash signatures, UDAF form — the registered LSH path runs
-    * through this, exercising the custom-Aggregator surface
-    * end-to-end. Hash-identical to `minhashSignatures` (the Aggregator
-    * replicates xxhash64's fold; FunctionsSpec asserts signature
-    * equality), and the partial/merge contract holds: the buffer is
-    * the 64 minima, merged element-wise map-side before the per-doc
-    * shuffle — same one-row-per-doc-per-partition bound as the
+  /** MinHash signatures, UDAF form (xxhash64 family) — exercises the
+    * custom-Aggregator surface. Hash-identical to `minhashSignatures`
+    * (the Aggregator replicates xxhash64's fold; FunctionsSpec asserts
+    * signature equality), and the partial/merge contract holds: the
+    * buffer is the 64 minima, merged element-wise map-side before the
+    * per-doc shuffle — same one-row-per-doc-per-partition bound as the
     * expression form. */
   def minhashSignaturesAgg(s: SparkSession, d: String): DataFrame = {
     val mh = udaf(new graft.functions.Aggregators.MinHashAgg(NumHashes),
@@ -163,6 +194,35 @@ object Dedup {
       .agg(mh(col("shingle")).as("sig"))
   }
 
+  /** MinHash signatures over a pre-hashed capped-shingle relation,
+    * md5-seeded arithmetic family, UDAF form — the registered LSH path
+    * runs through this (custom Aggregator under the driver gate, with
+    * a REAL DuckDB oracle: the base hash and the (a·g+b) mod p family
+    * are engine-neutral). One md5 per shingle occurrence (already paid
+    * by cappedShingles) + 64 integer mults per distinct shingle —
+    * cheaper than the 64 string hashes per shingle the xxhash64 family
+    * pays. */
+  def minhashSignaturesMd5From(sh: DataFrame): DataFrame = {
+    val mh = udaf(new graft.functions.Aggregators.MinHashArithAgg(
+      mhA.toArray, mhB.toArray, MinHashP),
+      org.apache.spark.sql.Encoders.scalaLong)
+    sh.groupBy("doc_id").agg(mh(col("shingle")).as("sig"))
+  }
+
+  /** Expression-form twin of [[minhashSignaturesMd5From]] (64 min()
+    * aggregates over the same arithmetic) — exists so FunctionsSpec
+    * can assert the UDAF is hash-identical to declarative Catalyst
+    * evaluation of the same family. */
+  def minhashSignaturesMd5Expr(sh: DataFrame): DataFrame = {
+    val g = col("shingle") % MinHashP
+    val mins = (0 until NumHashes).map(i =>
+      min((lit(mhA(i)) * g + lit(mhB(i))) % MinHashP).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
     * Bands of the signature are hashed to buckets; docs sharing any
     * band bucket become candidates; candidates are scored by fraction
@@ -170,25 +230,41 @@ object Dedup {
     * are dropped — a degenerate band (e.g. all-identical docs) would
     * otherwise emit O(bucket²) pairs.
     *
-    * Approximate by construction → registered rows-only; the spec
-    * cross-checks recall against neardupJaccard. */
+    * md5-seeded arithmetic hashes over the CAPPED shingle universe
+    * (same universe as the exact-Jaccard ground truth and the verify
+    * stage) → every value is engine-neutral, so this is HASH-GATED
+    * against a full DuckDB re-implementation, not rows-only; the spec
+    * additionally cross-checks recall against neardupJaccard. */
   def minhashLsh(s: SparkSession, d: String,
                  minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
-    minhashLshRaw(s, d, minEst, maxBucket)
+    minhashLshFrom(cappedShingles(s, d), minEst, maxBucket)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
 
   /** Unsorted form for internal composition (the LSH-verified
     * clustering consumes candidates under joins and aggregates). */
   def minhashLshRaw(s: SparkSession, d: String,
-                    minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignaturesAgg(s, d)
+                    minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    minhashLshFrom(cappedShingles(s, d), minEst, maxBucket)
+
+  /** LSH core over a pre-hashed (and possibly caller-persisted)
+    * capped-shingle relation — dedupClustersLsh persists ONE shingle
+    * relation and feeds it to both this candidate generator and the
+    * exact-Jaccard verify stage, so the corpus scan/explode/distinct
+    * runs once per composition. */
+  def minhashLshFrom(sh: DataFrame,
+                     minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignaturesMd5From(sh)
     val rows = NumHashes / Bands
     // band rows carry only (doc_id, band, bucket) — the 512-byte
-    // signature array never enters the (band, bucket) shuffle
+    // signature array never enters the (band, bucket) shuffle. The
+    // band bucket is md5 over the comma-joined band slice — the same
+    // value DuckDB computes from string_agg(h, ',' ORDER BY i).
     val banded0 = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+        b => md5Hash60(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            _.cast("string")))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     // bucket-size cap as a broadcast ANTI-join against the (tiny) set
@@ -282,7 +358,67 @@ object Dedup {
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
   )
 
+  /** DuckDB CTE chain (no leading WITH) replicating the md5 LSH
+    * pipeline VERBATIM — capped string shingles `sh`, base hashes,
+    * the 64-row seeds table, signature rows, banded buckets
+    * (hot-capped), distinct candidate id pairs `cand`, and per-pair
+    * signature agreement `est(doc_a, doc_b, est_jaccard)`. Shared by
+    * the minhash_lsh and dedup_clusters_lsh oracles; every constant is
+    * interpolated from the same Scala values the Spark plan uses, so
+    * the two engines cannot drift. */
+  def lshOracleCtes(maxBucket: Int = 1000): String = {
+    val rows = NumHashes / Bands
+    val seeds = (0 until NumHashes)
+      .map(i => s"($i, ${mhA(i)}, ${mhB(i)})").mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[i:i+2], ' ') AS shingle
+       |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)),
+       |sh AS (
+       |  SELECT doc_id, shingle FROM sh0
+       |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+       |gh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % $MinHashP AS g
+       |  FROM sh),
+       |seeds(i, a, b) AS (VALUES $seeds),
+       |sigrows AS (
+       |  SELECT doc_id, i, min((a * g + b) % $MinHashP) AS h
+       |  FROM gh CROSS JOIN seeds GROUP BY doc_id, i),
+       |banded AS (
+       |  SELECT doc_id, i // $rows AS band,
+       |    ('0x' || substring(md5(string_agg(h::VARCHAR, ',' ORDER BY i)),
+       |      1, 15))::BIGINT AS bucket
+       |  FROM sigrows GROUP BY doc_id, i // $rows),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE
+       |      / $NumHashes, 6) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigrows sa ON sa.doc_id = c.doc_a
+       |  JOIN sigrows sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "minhash_lsh" ->
+      s"""WITH ${lshOracleCtes()}
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents

@@ -148,9 +148,42 @@ object MapReduce {
       .transform(Present.sortedUnbounded(_, col("word"), col("doc")))
   }
 
+  /** Stage `documents` as a one-file-per-doc text directory (once per
+    * sf dir, marker-guarded) so the reference's S1 directory-scan
+    * dispatch (`Master/Master.py:195-214`) can be exercised under the
+    * driver gate on corpus data. The `_STAGED` marker is
+    * underscore-prefixed, which Spark's file source treats as hidden.
+    * Driver-side staging is test scaffolding, not the operator — the
+    * operator's input at scale IS a directory of files. */
+  def stageDocsAsTextDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val staged = Paths.get("/tmp/graft_mrdir",
+      dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val marker = staged.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(staged)
+      Tables.documents(s, dir).select("doc_id", "text").collect().foreach {
+        r => Files.writeString(
+          staged.resolve(s"doc_${r.getLong(0)}.txt"), r.getString(1))
+      }
+      Files.writeString(marker, "")
+    }
+    staged.toString
+  }
+
+  /** S1 dispatch under the driver gate: resolve a text DIRECTORY
+    * through `TextSources.resolve`, run the name-dispatched WordCount
+    * job, compare against the same DuckDB oracle as the native form —
+    * gating the dir/file/inline resolve surface itself, not just the
+    * MapReduce semantics behind it. */
+  def runMapRedDir(s: SparkSession, dir: String): DataFrame =
+    runMapRed(s, stageDocsAsTextDir(s, dir),
+      "WordCountMapper", "WordCountReducer")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount_mr"      -> wordcountMr _,
     "inverted_index_mr" -> invertedIndexMr _,
+    "run_mapred_dir"    -> runMapRedDir _,
   )
 
   /** Same oracles as the native TextOps forms — the point is that the
@@ -158,5 +191,12 @@ object MapReduce {
   val oracle: Map[String, String] = Map(
     "wordcount_mr"      -> TextOps.oracle("wordcount"),
     "inverted_index_mr" -> TextOps.oracle("inverted_index"),
+    // wordcount over the staged per-doc text files ≡ wordcount over
+    // the documents table; the reducer's flat shape carries doc = ''
+    "run_mapred_dir" ->
+      """SELECT word, '' AS doc, count(*) AS value FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
+        |  FROM documents) t WHERE word <> ''
+        |GROUP BY word ORDER BY word, doc""".stripMargin,
   )
 }

@@ -117,45 +117,77 @@ object PipelineOps {
 
   /** Min-label propagation over an undirected pair graph. Converges in
     * graph-diameter rounds; each round is one shuffle over the EDGE
-    * set. The edge relation is persisted for the loop and released at
-    * the end; superseded label sets are unpersisted as the loop
-    * advances. Throws on hitting maxIter un-converged — a silently
-    * partial labeling would make the downstream "keep one doc per
-    * cluster" step over-retain duplicates. */
+    * set. Throws on hitting maxIter un-converged — a silently partial
+    * labeling would make the downstream "keep one doc per cluster"
+    * step over-retain duplicates.
+    *
+    * Driver-loop hygiene (every blocking round-trip serializes the job
+    * at any scale):
+    *   - edges is MATERIALIZED (count) before label seeding, so the
+    *     whole upstream candidate pipeline (LSH → verify) executes once
+    *     and every propagation round reads the cache, not the DAG;
+    *   - convergence is checked every TWO propagation rounds — one
+    *     blocking count per two shuffles (an extra no-op round costs an
+    *     edge-set shuffle; a count costs full scheduler latency);
+    *   - the final labels land in a checkpoint parquet (one row per
+    *     clustered doc — near-dup-rate-bounded, the relation a real
+    *     pipeline persists anyway) and the result is served from that
+    *     file, so NO cached partitions outlive the call (asserted by
+    *     InvariantSpec). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.toDF("doc_a", "doc_b")
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist()
+    edges.count() // materialize BEFORE seeding — see scaladoc
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // smallest neighbor label per node, via the reversed edges
-      val prop = edges.join(labels, col("dst") === col("id"))
+    // one propagation round: each node adopts the smallest label among
+    // itself and its neighbors (via the reversed edges)
+    def step(lbl: DataFrame): DataFrame = {
+      val prop = edges.join(lbl, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-      val next = labels
-        .join(prop, col("id") === col("src"), "left")
+      lbl.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl") < col("lbl")).as("chg"))
-        .persist()
+    }
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // two lazily-chained rounds, ONE blocking count; converged iff
+      // the second round changed nothing (round 2 of a settled graph
+      // is a no-op, so checking only its flag is sound)
+      val next = step(step(labels).select("id", "lbl")).persist()
       changed = next.filter(col("chg")).count()
       labels.unpersist(false)
-      labels = next.select("id", "lbl")
-      iter += 1
+      labels = next
+      iter += 2
     }
-    edges.unpersist(false)
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter iterations")
-    // the final labels cache is released with the session; callers that
-    // materialize the result may unpersist via labels' lineage
+    val out = freshCcDir()
     labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .write.mode("overwrite").parquet(out)
+    labels.unpersist(false)
+    edges.unpersist(false)
+    spark.read.parquet(out)
       .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
+  private val ccEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-invocation labels checkpoint path under one fixed root — a
+    * rotating slot per call so concurrent-in-session results can't
+    * clobber each other while repeated runs don't accumulate dirs. */
+  private def freshCcDir(): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_cc",
+      s"labels_${ccEpoch.getAndIncrement() % 8}")
+    p.toString
   }
 
   /** Exact Jaccard verification restricted to LSH candidate pairs —
@@ -181,9 +213,17 @@ object PipelineOps {
     * Dedup.neardupJaccardRaw). */
   def neardupJaccardLshRaw(s: SparkSession, d: String,
                            minJ: Double = 0.5,
-                           minEst: Double = 0.35): DataFrame = {
-    val cand = Dedup.minhashLshRaw(s, d, minEst).select("doc_a", "doc_b")
-    val sh = Dedup.cappedShingles(s, d) // same universe as the exact path
+                           minEst: Double = 0.35): DataFrame =
+    neardupJaccardLshFrom(Dedup.cappedShingles(s, d), minJ, minEst)
+
+  /** Core over a caller-supplied (possibly persisted) capped-shingle
+    * relation: the SAME `sh` feeds the LSH candidate generator and the
+    * exact-Jaccard verify joins, so a composition that persists it
+    * pays the corpus scan/explode/distinct once. */
+  def neardupJaccardLshFrom(sh: DataFrame,
+                            minJ: Double = 0.5,
+                            minEst: Double = 0.35): DataFrame = {
+    val cand = Dedup.minhashLshFrom(sh, minEst).select("doc_a", "doc_b")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -205,12 +245,23 @@ object PipelineOps {
     * only → min-label propagation. Identical output contract to
     * `dedupClusters` up to LSH recall (verified pairs are a subset of
     * the exact pair set, so every LSH cluster sits inside one exact
-    * cluster — asserted in PipelineSpec). Rows-only in the driver gate
-    * (MinHash signatures are engine-specific). */
+    * cluster — asserted in PipelineSpec). Hash-gated end-to-end: the
+    * md5-seeded MinHash family is engine-neutral, so the DuckDB oracle
+    * replays candidates → verify → reachability verbatim.
+    *
+    * The capped-shingle relation is PERSISTED for the composition —
+    * it feeds the signature aggregation, the banded self-join, the
+    * verify intersections, and the size counts; connectedComponents
+    * materializes the edge set (one count) while the cache is live,
+    * then the result is served from the labels checkpoint, so the
+    * unpersist here never triggers a recompute. */
   def dedupClustersLsh(s: SparkSession, d: String,
-                       maxIter: Int = 20): DataFrame =
-    connectedComponents(
-      neardupJaccardLshRaw(s, d).select("doc_a", "doc_b"), maxIter)
+                       maxIter: Int = 20): DataFrame = {
+    val sh = Dedup.cappedShingles(s, d).persist()
+    try connectedComponents(
+      neardupJaccardLshFrom(sh).select("doc_a", "doc_b"), maxIter)
+    finally sh.unpersist(false)
+  }
 
   /** Eval-set decontamination: flag training docs sharing any 3-gram
     * shingle with a held-out eval set (here: every 97th doc by id —
@@ -377,6 +428,7 @@ object PipelineOps {
         |    '\s+', ' ', 'g'))) AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_lsh" -> dedupClustersLshSql,
     "keep_one_per_cluster" ->
       s"""WITH clusters AS (
          |$dedupClustersSql
@@ -429,6 +481,36 @@ object PipelineOps {
          |    '$IdRe', '<id>', 'g') AS redacted
          |FROM c ORDER BY c_custkey""".stripMargin,
   )
+
+  /** dedup_clusters_lsh oracle: replay the ENTIRE scale path in DuckDB
+    * — md5-MinHash candidates (est >= 0.35, Dedup.lshOracleCtes) →
+    * exact-Jaccard verify on candidates only (>= 0.5, same capped
+    * universe) → recursive min-label reachability. */
+  private lazy val dedupClustersLshSql: String =
+    s"""WITH RECURSIVE ${Dedup.lshOracleCtes()},
+       |vsizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |vinter AS (
+       |  SELECT e.doc_a, e.doc_b, count(*) AS i
+       |  FROM (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.35) e
+       |  JOIN sh a ON a.doc_id = e.doc_a
+       |  JOIN sh b ON b.doc_id = e.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM vinter
+       |  JOIN vsizes sa ON sa.doc_id = doc_a
+       |  JOIN vsizes sb ON sb.doc_id = doc_b
+       |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   private lazy val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (

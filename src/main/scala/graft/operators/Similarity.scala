@@ -202,7 +202,14 @@ object Similarity {
       cent.unpersist(false)
       cent = next
     }
-    (assign(cent), cent)
+    // land the K-row centroid artifact as a LocalRelation: the probe
+    // and assignment stages broadcast it with no extra job, and no
+    // cached partitions outlive the call (asserted by InvariantSpec).
+    // In production this is the index artifact written to storage.
+    val rows = java.util.Arrays.asList(cent.collect(): _*)
+    val local = s.createDataFrame(rows, cent.schema)
+    cent.unpersist(false)
+    (assign(local), local)
   }
 
   def ivfIndex(s: SparkSession, d: String): DataFrame = ivfBuild(s, d)._1
@@ -280,13 +287,24 @@ object Similarity {
           x => round(x * 127 / col("nrm"), 0).cast("int")).as("qvec"))
       .transform(Present.sortedUnbounded(_, col("vec_id")))
 
+  /** Gate form of [[embedQuantize]]: the codes serialized as a CSV
+    * string. The driver's pandas compare sorts/factorizes cell values
+    * and cannot hash an array<int> cell, so the hash-gated row carries
+    * `array_join(qvec, ',')`; library users call [[embedQuantize]] for
+    * the typed array form (same math, same plan). */
+  def embedQuantizeGated(s: SparkSession, d: String): DataFrame =
+    embedQuantize(s, d)
+      .select(col("vec_id"), col("norm"),
+        array_join(transform(col("qvec"), _.cast("string")), ",")
+          .as("qvec_csv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce"    -> knnBruteForce _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
     "label_outliers"    -> labelCentroidOutlier _,
-    "embed_quantize"    -> embedQuantize _,
+    "embed_quantize"    -> embedQuantizeGated _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -341,7 +359,8 @@ object Similarity {
         |      embedding::DOUBLE[])) AS nrm
         |  FROM embeddings)
         |SELECT vec_id, round(nrm, 6) AS norm,
-        |  list_transform(v, x -> round(x * 127 / nrm)::INTEGER) AS qvec
+        |  array_to_string(list_transform(v,
+        |    x -> round(x * 127 / nrm)::INTEGER), ',') AS qvec_csv
         |FROM e ORDER BY vec_id""".stripMargin,
   )
 }

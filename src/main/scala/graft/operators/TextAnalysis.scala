@@ -131,24 +131,29 @@ object TextAnalysis {
     winnowFingerprintsOf(Tables.documents(s, d))
 
   /** Core winnowing over any (doc_id, text) relation — split out so
-    * specs can assert the substring-match guarantee on crafted docs. */
+    * specs can assert the substring-match guarantee on crafted docs.
+    *
+    * Winnowing is per-document, so the whole selection runs MAP-SIDE
+    * inside one projection: hash every k-gram into an array (one md5
+    * per gram), take each w-window's min via slice+array_min, dedup
+    * within the doc with array_distinct, explode. No shuffle anywhere
+    * except the presentation sort — the round-3 form exploded to one
+    * row per gram and paid a corpus-sized window sort on doc_id, which
+    * was the suite's per-byte-heaviest scan stage. Output contract
+    * (and the DuckDB oracle) unchanged. */
   def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
     val k = WinnowK; val w = WinnowW
-    val grams = docs
+    docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .withColumn("n_grams", length(col("t")) - (k - 1))
-      .withColumn("pos", explode(when(col("n_grams") >= w,
-        sequence(lit(1), col("n_grams")))
-        .otherwise(array().cast("array<int>"))))
-      .select(col("doc_id"), col("pos"), col("n_grams"),
-        conv(substring(md5(col("t").substr(col("pos"), lit(k))), 1, 15),
-          16, 10).cast("bigint").as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min("h").over(win))
-      .filter(col("pos") <= col("n_grams") - (w - 1)) // full windows only
-      .select("doc_id", "fp").distinct()
+      .filter(col("n_grams") >= w) // docs too short for one full window
+      .withColumn("hs", transform(sequence(lit(1), col("n_grams")),
+        p => conv(substring(md5(col("t").substr(p, lit(k))), 1, 15),
+          16, 10).cast("bigint")))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), col("n_grams") - w),
+            j => array_min(slice(col("hs"), j + 1, lit(w)))))).as("fp"))
       .transform(Present.sortedUnbounded(_, col("doc_id"), col("fp")))
   }
 

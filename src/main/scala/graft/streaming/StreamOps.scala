@@ -70,6 +70,33 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("sum_k"))
 
+  /** Deterministic per-tag scratch dir, wiped on every use — repeated
+    * gate/bench runs reuse ONE sink + ONE checkpoint path per query
+    * instead of accumulating createTempDirectory droppings in /tmp. */
+  private def freshDir(tag: String, kind: String): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_stream_out", kind, tag)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Local-run state sizing: every stateful op instantiates one state
+    * store per shuffle partition per micro-batch, so the session-wide
+    * 32 partitions mean 32 RocksDB instances of fixed overhead for a
+    * 33-row result. The gated runners drop to 4 for the duration of
+    * the drain — a LOCAL cost knob only; on a real cluster the state
+    * op wants one partition per core like any other shuffle. */
+  private def withLowShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run a streaming aggregation TO COMPLETION and land it as a
     * batch-readable table: foreachBatch in complete mode overwrites a
     * parquet sink each micro-batch (the production shape: stream →
@@ -77,19 +104,22 @@ object StreamOps {
     * terminates, and the final table is the full aggregate. On a
     * static source the watermark never drops anything, so
     * stream ≡ batch ≡ oracle. */
-  private def runToTable(s: SparkSession, stream: DataFrame,
+  private def runToTable(s: SparkSession, stream: => DataFrame,
                          tag: String, sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val sink = java.nio.file.Files
-      .createTempDirectory(s"graft_$tag").toString
-    val q = stream.writeStream
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(sink)
-      }
-      .start()
-    q.awaitTermination()
+    val sink = freshDir(tag, "sink")
+    val ckpt = freshDir(tag, "ckpt")
+    withLowShufflePartitions(s) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sink)
       .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
   }
@@ -107,19 +137,22 @@ object StreamOps {
     * each micro-batch appends to the parquet sink (batch 0 resets it),
     * AvailableNow drains the source, and the union of batches is the
     * result. */
-  private def runToTableAppend(s: SparkSession, stream: DataFrame,
+  private def runToTableAppend(s: SparkSession, stream: => DataFrame,
                                tag: String, sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val sink = java.nio.file.Files
-      .createTempDirectory(s"graft_$tag").toString
-    val q = stream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode(if (id == 0) "overwrite" else "append").parquet(sink)
-      }
-      .start()
-    q.awaitTermination()
+    val sink = freshDir(tag, "sink")
+    val ckpt = freshDir(tag, "ckpt")
+    withLowShufflePartitions(s) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode(if (id == 0) "overwrite" else "append").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sink)
       .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
   }
@@ -149,7 +182,14 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
-  /** `clickPurchaseJoin` driver-gated against the DuckDB self-join. */
+  /** `clickPurchaseJoin` driver-gated against the DuckDB self-join.
+    *
+    * Gate assumption: the staged source is a SINGLE parquet file, so
+    * AvailableNow drains it in one micro-batch and the 1-hour
+    * watermark can never evict state between batches — stream ≡ the
+    * batch self-join exactly. If the source were a multi-file dir with
+    * ts-disordered files, the equality would need a watermark delay
+    * larger than the data's max disorder. */
   def clickPurchaseJoinGated(s: SparkSession, dir: String): DataFrame =
     runToTableAppend(s, clickPurchaseJoin(s, dir), "stream_join",
       col("click_id"), col("purchase_id"))

@@ -59,6 +59,23 @@ class FunctionsSpec extends SparkSpec {
     assert(expr.nonEmpty && expr == agg)
   }
 
+  test("md5-family MinHash UDAF is hash-identical to its expression form") {
+    import spark.implicits._
+    // the oracle-gated LSH path runs through MinHashArithAgg; it must
+    // produce the same signatures as declarative Catalyst evaluation
+    // of the same (a*g+b) mod p family over the same capped shingles
+    val sh = graft.operators.Dedup.cappedShingles(spark, sfDir)
+    val expr = graft.operators.Dedup.minhashSignaturesMd5Expr(sh)
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = graft.operators.Dedup.minhashSignaturesMd5From(sh)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(expr.nonEmpty && expr == agg)
+    // merge is order/partitioning insensitive
+    val agg7 = graft.operators.Dedup.minhashSignaturesMd5From(
+      sh.repartition(7)).as[(Long, Seq[Long])].collect().toMap
+    assert(agg == agg7)
+  }
+
   test("Welford aggregator matches built-in avg and var_samp") {
     import spark.implicits._
     val agg = udaf(new Aggregators.WelfordAgg)

@@ -45,6 +45,19 @@ class InvariantSpec extends SparkSpec {
     assert(orphans.count() == 0)
   }
 
+  test("iterative operators release every cache they create") {
+    // connectedComponents (both compositions) and ivfBuild persist
+    // intermediates for their driver loops; a Verify/Bench pass calls
+    // them repeatedly, so any cache that outlives the call accumulates
+    // executor memory pressure across the suite (round-3 VERDICT #5)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.operators.PipelineOps.dedupClusters(spark, sfDir).collect()
+    graft.operators.PipelineOps.dedupClustersLsh(spark, sfDir).collect()
+    graft.operators.Similarity.annIvf(spark, sfDir).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cached RDDs left behind: $leaked")
+  }
+
   test("winnowing: density bound holds and shared substrings share fingerprints") {
     import graft.operators.TextAnalysis.{WinnowK, WinnowW}
     val fps = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)

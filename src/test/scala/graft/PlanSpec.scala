@@ -130,6 +130,58 @@ class PlanSpec extends SparkSpec {
       _.contains("Exchange hashpartitioning(source")) == 1, p)
   }
 
+  test("wordcount_salted runs the two-stage salted aggregate") {
+    // stage 1 exchanges on (word, __salt) — the skew-spreading partial
+    // — and stage 2 exchanges on word alone for the final combine
+    val df = graft.operators.SaltedAgg.wordcountSalted(spark, sfDir)
+    val p = executed(df)
+    assert(p.contains("hashpartitioning(word"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(word") && l.contains("__salt")), p)
+  }
+
+  test("dedup_clusters_lsh executes the corpus-scanning LSH DAG exactly once") {
+    // The composition persists the capped-shingle relation and
+    // materializes the edge set before the label loop; every
+    // subsequent blocking action (convergence counts, the labels
+    // checkpoint write) must read the caches, never re-run the
+    // scan→shingle→LSH→verify pipeline. Proof by metric: the
+    // documents FileSourceScan lives inside the persisted relation's
+    // cachedPlan, and its numOutputRows accumulates across
+    // (re)executions — one pipeline execution ⇒ exactly nDocs rows.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: QueryStageExec => findScan(q.plan)
+      case f: FileSourceScanExec => Some(f)
+      case other => other.children.flatMap(findScan).headOption
+    }
+    def findCached(p: SparkPlan): Option[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => findCached(a.executedPlan)
+      case q: QueryStageExec => findCached(q.plan)
+      case i: InMemoryTableScanExec => Some(i.relation.cachedPlan)
+      case other => other.children.flatMap(findCached).headOption
+    }
+    val sh = graft.operators.Dedup.cappedShingles(spark, sfDir).persist()
+    try {
+      // same composition as dedupClustersLsh, sharing this sh
+      graft.operators.PipelineOps.connectedComponents(
+        graft.operators.PipelineOps.neardupJaccardLshFrom(sh)
+          .select("doc_a", "doc_b")).collect()
+      val cached = findCached(sh.queryExecution.executedPlan)
+      assert(cached.nonEmpty, "persisted shingle relation not cached")
+      val scan = findScan(cached.get)
+      assert(scan.nonEmpty, s"no file scan under cached plan:\n${cached.get}")
+      val rowsOut = scan.get.metrics("numOutputRows").value
+      val nDocs = Tables.documents(spark, sfDir).count()
+      assert(rowsOut == nDocs,
+        s"documents scan emitted $rowsOut rows for $nDocs docs — " +
+          "the LSH pipeline executed more than once")
+    } finally sh.unpersist(false)
+  }
+
   test("simhash self-join reuses one shuffle when not broadcastable") {
     // At 100 TB the banded signature table is too big to broadcast;
     // the join must then compute the signature pipeline ONCE and
