@@ -303,21 +303,38 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash per document: per-token 64-bit hash, weighted bit
+  val SimHashBits  = 60 // md5Hash60 width — every bit is oracle-replicable
+  val SimHashBands = 4  // 15-bit bands; pigeonhole covers hamming <= 3
+
+  /** 60-bit SimHash per document: per-token md5Hash60, weighted bit
     * votes (weight = term frequency), sign → bit. One explode + one
-    * groupBy(doc) with 64 sum() aggregates, then bit assembly. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = TextOps.tokenize(Tables.documents(s, d))
+    * groupBy(doc) with 60 sum() aggregates, then bit assembly. All
+    * arithmetic is engine-neutral (integer sums and shifts over the
+    * md5-derived hash), so the pair query carries a full DuckDB
+    * oracle. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashFromHash(Tables.documents(s, d), md5Hash60(col("word")), SimHashBits)
+
+  /** xxhash64 64-bit variant — ~2× cheaper per token (no hex string
+    * materialization) and the production default when oracle
+    * replicability doesn't matter; spec-checked for determinism. */
+  def simhash64(s: SparkSession, d: String): DataFrame =
+    simhashFromHash(Tables.documents(s, d), xxhash64(col("word")), 64)
+
+  /** Core over any (doc_id, text) frame — also the spec's hook for
+    * feeding synthetic duplicate corpora. */
+  def simhashFromHash(docs: DataFrame, hash: Column, bits: Int): DataFrame = {
+    val tok = TextOps.tokenize(docs)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("word")))
-    val votes = (0 until 64).map { b =>
+      .withColumn("h", hash)
+    val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
         .otherwise(-col("w"))).as(s"v$b")
     }
     tok.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
     // no orderBy here: simhashPairs consumes this on BOTH join sides,
@@ -325,15 +342,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHam, blocked by
-    * 16-bit band equality (any pair within distance 3 must agree on
+    * 15-bit band equality (any pair within distance 3 must agree on
     * at least one of 4 bands — pigeonhole), verified with bit_count.
-    * Rows-only (xxhash64 is Spark-specific). */
+    * HASH-GATED: the md5-based bit votes replay verbatim in DuckDB. */
   def simhashPairs(s: SparkSession, d: String,
                    maxHam: Int = 3): DataFrame = {
+    val bandBits = SimHashBits / SimHashBands
+    val mask = (1L << bandBits) - 1
     val sh = simhash(s, d)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until SimHashBands).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     // (band, bucket) self-join → ReuseExchange, as in minhashLsh
@@ -414,6 +433,41 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS w FROM tok GROUP BY 1, 2),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(word), 1, 15))::BIGINT AS h, w
+         |  FROM tf),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+         |  FROM hashed, unnest(range(0, $SimHashBits)) AS r(b)
+         |  GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+         |      AS simhash
+         |  FROM votes GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, b AS band,
+         |    (simhash >> (b * ${SimHashBits / SimHashBands}))
+         |      & ${(1L << (SimHashBits / SimHashBands)) - 1} AS bucket
+         |  FROM sh, unnest(range(0, $SimHashBands)) AS r(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.simhash AS ha, y.simhash AS hb
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "minhash_lsh" ->
       s"""WITH ${lshOracleCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM est

@@ -68,5 +68,24 @@ class DedupSpec extends SparkSpec {
     val sh2 = Dedup.simhash(spark, sfDir).collect()
     assert(sh.map(r => (r.getLong(0), r.getLong(1))).toMap ==
       sh2.map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // md5 family stays within its 60-bit width
+    assert(sh.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
+    // docs with IDENTICAL text must share a simhash under BOTH hash
+    // families, and a disjoint-vocabulary doc must differ; near-dup
+    // collisions may legitimately differ per family
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "umber violet wisteria xanthic yarrow zaffre"))
+      .toDF("doc_id", "text")
+    for ((hash, bits) <- Seq(
+        (Dedup.md5Hash60(col("word")), Dedup.SimHashBits),
+        (xxhash64(col("word")), 64))) {
+      val m = Dedup.simhashFromHash(docs, hash, bits).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(m(1L) == m(2L), "identical docs must share a simhash")
+      assert(m(1L) != m(3L), "disjoint docs should differ")
+    }
   }
 }

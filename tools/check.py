@@ -69,14 +69,19 @@ def main():
                      "utinyint", "usmallint", "uinteger", "ubigint"):
                 return "int"
             return t
-        # compare positionally over name-sorted columns (not via a
-        # name->type dict, which would silently collapse duplicate
-        # column names and skip one-sided columns)
-        stypes = sorted(zip(sq.columns, [tclass(t) for t in sq.types]))
-        otypes = sorted(zip(oq.columns, [tclass(t) for t in oq.types]))
-        for (sc, st), (oc, ot) in zip(stypes, otypes):
-            if sc == oc and st != ot:
-                print(f"DTYPE-MISMATCH {name}: col {sc} spark={st} oracle={ot}")
+        # compare per-name type MULTISETS: duplicate column names keep
+        # every occurrence (sorted within the name), and a name present
+        # on only one side never silently skips the type check — it
+        # falls through to COLS-MISMATCH below.
+        def typemap(cols, types):
+            m = {}
+            for c, t in zip(cols, [tclass(t) for t in types]):
+                m.setdefault(c, []).append(t)
+            return {c: sorted(ts) for c, ts in m.items()}
+        stypes, otypes = typemap(sq.columns, sq.types), typemap(oq.columns, oq.types)
+        for c in sorted(set(stypes) & set(otypes)):
+            if stypes[c] != otypes[c]:
+                print(f"DTYPE-MISMATCH {name}: col {c} spark={stypes[c]} oracle={otypes[c]}")
                 ok = False
         if sorted(scols) != sorted(ocols):
             print(f"COLS-MISMATCH {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
