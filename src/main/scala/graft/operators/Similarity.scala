@@ -92,10 +92,15 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension i): a hash mapped to [-0.5, 0.5). Public
     * random-projection LSH (Charikar); hashing replaces an RNG so the
-    * planes are reproducible with no driver state. */
+    * planes are reproducible with no driver state. The hash is the
+    * md5-prefix trick (Dedup.md5Hash60) so DuckDB derives the IDENTICAL
+    * plane matrix — what lets ann_lsh carry a full hash oracle. The
+    * mapped value is an integer/10⁶ in both engines, and the projection
+    * folds left-to-right on both sides, so even the SIGN of a
+    * near-zero projection agrees bit-for-bit. */
   private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(lit("plane"), p, i), lit(1000000L)).cast("double") /
-      1000000.0) - 0.5
+    ((Dedup.md5Hash60(concat_ws(",", lit("plane"), p, i)) % 1000000L)
+      .cast("double") / 1000000.0) - 0.5
 
   /** Per-band LSH signatures: array of LshBands ints; band b packs the
     * sign bits of its LshRows hyperplane projections. Banding is the
@@ -126,8 +131,10 @@ object Similarity {
     * pairs (vectors re-attached after — same narrow-distinct pattern
     * as minhash_lsh), then exact cosine ranks top-k. The corpus side
     * streams: signatures are computed map-side, the only wide op is
-    * the per-query rank. Rows-only (approximate); recall vs brute
-    * force is asserted in the spec. */
+    * the per-query rank. HASH-GATED: md5-derived planes replay in
+    * DuckDB, so the oracle recomputes signatures → candidates → exact
+    * rank verbatim; the spec additionally asserts recall vs brute
+    * force. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val banded = e.select(col("vec_id"),
@@ -156,10 +163,21 @@ object Similarity {
 
   /** Dim-wise mean of a vector column as an array — one posexplode +
     * groupBy(key, dim) + reassembly. Distributed: no vector ever
-    * leaves its partition un-aggregated. */
+    * leaves its partition un-aggregated.
+    *
+    * The mean is computed in FIXED POINT: each component is quantized
+    * to 10⁻⁷ (round(x·10⁷) as int64) and the sum runs over integers,
+    * so it is ORDER-INDEPENDENT — a float sum's value depends on
+    * partition merge order, which would make centroids differ between
+    * runs, engines, and cluster sizes (and is what keeps a float-avg
+    * Lloyd iteration un-oracle-able). The quantization error (≤5·10⁻⁸
+    * per component) is orders below any clustering decision
+    * boundary. */
   private def dimMeans(df: DataFrame, key: String): DataFrame =
     df.select(col(key), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(key, "dim").agg(avg("x").as("m"))
+      .groupBy(key, "dim")
+      .agg((sum(round(col("x") * 1e7, 0).cast("long")).cast("double") /
+        (count(lit(1)).cast("double") * 1e7)).as("m"))
       .groupBy(key)
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("m")))),
@@ -178,15 +196,22 @@ object Similarity {
     * anything wider than the K·64 centroid table. */
   def ivfBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = emb(s, d)
-    // deterministic pseudo-random K-row sample; orderBy+limit plans as
+    // deterministic pseudo-random K-row sample by md5 rank (engine-
+    // neutral, like every split/sample op); orderBy+limit plans as
     // TakeOrdered (distributed partial top-K), not a global sort
-    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val seeds = e.orderBy(Dedup.md5Hash60(col("vec_id").cast("string")),
+        col("vec_id"))
       .limit(IvfClusters)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // assignment compares cosines ROUNDED to 9 places with a cid
+    // tie-break: bit-identical across engines by construction (same
+    // fold order), and the rounding makes any residual last-ulp
+    // divergence irrelevant to the argmax
     def assign(cent: DataFrame): DataFrame =
       e.crossJoin(broadcast(cent))
-        .withColumn("cos",
-          graft.functions.GraftFunctions.cosineNative(s, col("v"), col("cv")))
+        .withColumn("cos", round(
+          graft.functions.GraftFunctions.cosineNative(s, col("v"), col("cv")),
+          9))
         .groupBy("vec_id")
         .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
           first(col("v")).as("v"))
@@ -218,8 +243,11 @@ object Similarity {
     * and ranks exact cosine only within those clusters — the corpus
     * side is touched only where the index points, which is the whole
     * point of IVF at 100 TB (a full scan per query is off the table;
-    * candidate fetch is a join on cid). Approximate → rows-only; the
-    * spec measures recall vs brute force. */
+    * candidate fetch is a join on cid). HASH-GATED: md5 seed ranks +
+    * fixed-point Lloyd means make the whole index build
+    * engine-deterministic, so the DuckDB oracle replays seeds → two
+    * Lloyd rounds → probe → in-cell rank verbatim; the spec
+    * additionally measures recall vs brute force. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val (idx, cent) = ivfBuild(s, d)
     val q = emb(s, d).filter(col("vec_id") < NumQueries)
@@ -227,8 +255,9 @@ object Similarity {
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("ccos"), col("cid"))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")))
+      .withColumn("ccos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")),
+        9))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= IvfProbes)
       .select("q_id", "qv", "cid")
@@ -307,7 +336,64 @@ object Similarity {
     "embed_quantize"    -> embedQuantizeGated _,
   )
 
+  /** Cosine in DuckDB list arithmetic, rounded like the Spark side. */
+  private def cosSql(a: String, b: String, places: Int): String =
+    s"""round(list_dot_product($a, $b) / sqrt(
+       |      list_dot_product($a, $a) * list_dot_product($b, $b)), $places)""".stripMargin
+
+  /** One Lloyd assignment as a CTE: every vector adopts its
+    * nearest-centroid cid (round-9 cosine, cid tie-break) — the SQL
+    * twin of ivfBuild's assign(). */
+  private def assignSql(out: String, cents: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv", 9)} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $cents c)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Fixed-point dim-wise centroid means — the SQL twin of dimMeans. */
+  private def meansSql(out: String, from: String): String =
+    s"""$out AS (
+       |  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+       |    SELECT cid, i - 1 AS dim,
+       |      sum(round(v[i] * 10000000)::BIGINT)::DOUBLE
+       |        / (count(*)::DOUBLE * 10000000.0) AS m
+       |    FROM $from, unnest(range(1, 65)) AS r(i)
+       |    GROUP BY cid, i)
+       |  GROUP BY cid)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+         |    vec_id
+         |  LIMIT $IvfClusters),
+         |${assignSql("a0", "seeds")},
+         |${meansSql("c1", "a0")},
+         |${assignSql("a1", "c1")},
+         |${meansSql("c2", "a1")},
+         |${assignSql("idx", "c2")},
+         |probes AS (
+         |  SELECT q_id, qv, cid FROM (
+         |    SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.cv", 9)} DESC, c.cid) AS pr
+         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < $NumQueries)
+         |  WHERE pr <= $IvfProbes),
+         |scored AS (
+         |  SELECT p.q_id, x.vec_id, ${cosSql("x.v", "p.qv", 6)} AS cos
+         |  FROM idx x JOIN probes p ON x.cid = p.cid
+         |  WHERE x.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
     "knn_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
@@ -352,6 +438,40 @@ object Similarity {
         |  FROM joined)
         |SELECT label, vec_id AS outlier_id, cos_c FROM scored
         |WHERE rn = 1 ORDER BY label""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planes AS (
+         |  SELECT p, list_transform(range(0, 64), i ->
+         |    ((('0x' || substring(md5('plane,' || p::VARCHAR || ',' ||
+         |        i::VARCHAR), 1, 15))::BIGINT % 1000000)::DOUBLE
+         |      / 1000000.0) - 0.5) AS pc
+         |  FROM unnest(range(0, ${LshBands * LshRows})) AS t(p)),
+         |bits AS (
+         |  SELECT vec_id, p // $LshRows AS band, p % $LshRows AS r,
+         |    CASE WHEN list_dot_product(v, pc) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes),
+         |bsig AS (
+         |  SELECT vec_id, band,
+         |    sum(bit << (${LshRows - 1} - r))::BIGINT AS bsig
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, a.vec_id
+         |  FROM bsig a JOIN bsig q ON a.band = q.band AND a.bsig = q.bsig
+         |  WHERE q.vec_id < $NumQueries AND a.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(list_dot_product(a.v, q.v) / sqrt(
+         |      list_dot_product(a.v, a.v) * list_dot_product(q.v, q.v)),
+         |      6) AS cos
+         |  FROM cand c
+         |  JOIN e a ON a.vec_id = c.vec_id
+         |  JOIN e q ON q.vec_id = c.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
