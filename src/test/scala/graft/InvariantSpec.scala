@@ -61,7 +61,7 @@ class InvariantSpec extends SparkSpec {
   test("winnowing: density bound holds and shared substrings share fingerprints") {
     import graft.operators.TextAnalysis.{WinnowK, WinnowW}
     val fps = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
     val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byDoc.nonEmpty)
     // density: each selected fp covers at most w windows, so a doc
@@ -88,7 +88,7 @@ class InvariantSpec extends SparkSpec {
       (3L, "completely unrelated content with no overlap at all here"))
       .toDF("doc_id", "text")
     val cfps = graft.operators.TextAnalysis.winnowFingerprintsOf(crafted)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((cfps(1L) & cfps(2L)).nonEmpty,
       "docs sharing a long substring must share a fingerprint")
