@@ -12,7 +12,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ SqlSurface.queries ++ FuncOps.queries ++
       JoinOps.queries ++ PipelineOps.queries ++ ChangeOps.queries ++
-      SaltedAgg.queries ++ graft.streaming.StreamOps.queries
+      SaltedAgg.queries ++ graft.streaming.StreamOps.queries ++
+      graft.sources.StorageOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ SqlSurface.oracle ++ FuncOps.oracle ++
       JoinOps.oracle ++ PipelineOps.oracle ++ ChangeOps.oracle ++
-      SaltedAgg.oracle ++ graft.streaming.StreamOps.oracle
+      SaltedAgg.oracle ++ graft.streaming.StreamOps.oracle ++
+      graft.sources.StorageOps.oracle
 }

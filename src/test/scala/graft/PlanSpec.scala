@@ -201,4 +201,36 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("bucketed join is exchange-free even when broadcast is off") {
+    // The point of the bucketed layout: a fact-to-fact join on the
+    // bucket key must not re-shuffle EITHER side — at 100 TB that
+    // shuffle is the query's dominant cost. Broadcast is disabled so
+    // the small test tables can't cheat via BHJ.
+    graft.sources.StorageOps.bucketedJoin(spark, sfDir).collect() // stage
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.sources.StorageOps.bucketedJoinRead(spark)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      val joinPart = p.split("SortMergeJoin").last
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join re-shuffled a side:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("partitioned layout prunes to the queried partition at the scan") {
+    val df = graft.sources.StorageOps.partitionedScan(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("src1"),
+      s"source=src1 did not reach PartitionFilters:\n$p")
+  }
 }
