@@ -235,6 +235,48 @@ object StreamOps {
     runToTableAppend(s, streamEnrich(s, dir), "stream_enrich",
       col("event_id"))
 
+  /** Update-mode twin of runToTable for custom-state streams (fMGWS /
+    * transformWithState emit one row per touched key per micro-batch):
+    * each batch's rows land in the sink; on the drained single-batch
+    * static source the final table is one row per key — the complete
+    * state, equal to the batch aggregate. */
+  private def runToTableUpdate(s: SparkSession, stream: => DataFrame,
+                               tag: String, sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = freshDir(tag, "sink")
+    val ckpt = freshDir(tag, "ckpt")
+    withLowShufflePartitions(s) {
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode(if (id == 0) "overwrite" else "append").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sink)
+      .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
+  }
+
+  /** [[runningUserTotals]] driver-gated: the flatMapGroupsWithState
+    * black-box state machine must agree with DuckDB's GROUP BY on the
+    * drained source — the custom-state analogue of the reference's
+    * opaque reducer, under the same hash oracle as everything else. */
+  def runningUserTotalsGated(s: SparkSession, dir: String): DataFrame =
+    runToTableUpdate(s, runningUserTotals(s, dir), "running_totals",
+      col("user_id"))
+
+  /** [[userMaxStream]] driver-gated (transformWithState + RocksDB
+    * ValueState cells vs the batch max). */
+  def userMaxStreamGated(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runToTableUpdate(s, userMaxStream(s, dir), "user_max_stream",
+      col("user_id"))
+  }
+
   /** Watermark-evicting dedup — the 100 TB shape for unbounded key
     * domains: state holds only keys newer than the watermark minus the
     * delay; duplicates arriving within the delay are dropped. */
@@ -365,6 +407,8 @@ object StreamOps {
     "stream_stream_join"   -> clickPurchaseJoinGated _,
     "dedup_stream"         -> dedupStreamGated _,
     "stream_enrich"        -> streamEnrichGated _,
+    "running_totals_stream" -> runningUserTotalsGated _,
+    "user_max_stream"      -> userMaxStreamGated _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +430,14 @@ object StreamOps {
         |  e.event_type, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    "running_totals_stream" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "user_max_stream" ->
+      """SELECT user_id, round(max(value), 3) AS max_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // session_window semantics: new session at gap >= timeout (the
     // merge interval is half-open), session_end = last event + timeout
     "sessionize_stream" ->
