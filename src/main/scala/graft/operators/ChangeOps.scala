@@ -54,9 +54,45 @@ object ChangeOps {
         col("user_id"), col("event_type"), col("valid_from"), col("event_id")))
   }
 
+  /** Time-series resampling with gap fill: per-user hourly grid from
+    * first to last observed hour, observed hours aggregate, missing
+    * hours carry the last observation forward (the feature-pipeline
+    * "align ragged event times to a regular grid" step).
+    *
+    * Shape at scale: the hourly aggregate is one shuffle on
+    * (user, hour) with map-side partials; the grid is a narrow
+    * per-user sequence explode (rows ∝ key span, not input volume);
+    * the fill is one window pass keyed on user. No self-join, no
+    * as-of join against the grid — `last(ignoreNulls)` over the
+    * left-joined grid does the carry-forward in a single sorted
+    * partition pass. First grid hour per user always has an
+    * observation (the grid starts AT the first event's hour), so the
+    * fill never emits null. */
+  def resampleEvents(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum("value"), 3).as("v"))
+    val grid = hourly
+      .groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hour")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"),
+        col("v").isNull.as("is_gap"))
+      .transform(Present.sortedUnbounded(_, col("user_id"), col("hour")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "latest_events" -> latestEvents _,
     "scd2_events"   -> scd2Events _,
+    "resample_events" -> resampleEvents _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,5 +111,27 @@ object ChangeOps {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
         |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+    "resample_events" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    round(sum(value), 3) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.hour, h.v
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, hour,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  v IS NULL AS is_gap
+        |FROM j ORDER BY user_id, hour""".stripMargin,
   )
 }

@@ -12,7 +12,8 @@ import graft.Tables
   *     scales to any corpus size as long as the query set is bounded.
   *   - Random-hyperplane LSH buckets: the ANN scale path — candidates
   *     come from a shuffle on (plane-signature) equality instead of a
-  *     cross join. Approximate → rows-only; the spec measures recall
+  *     cross join. Approximate but hash-gated (md5-derived planes
+  *     replay in DuckDB); the spec additionally measures recall
   *     against the brute-force truth.
   *
   * Vectors are cast to double before arithmetic so Spark and DuckDB
@@ -98,9 +99,26 @@ object Similarity {
     * mapped value is an integer/10⁶ in both engines, and the projection
     * folds left-to-right on both sides, so even the SIGN of a
     * near-zero projection agrees bit-for-bit. */
-  private def planeComponent(p: Column, i: Column): Column =
+  private[graft] def planeComponent(p: Column, i: Column): Column =
     ((Dedup.md5Hash60(concat_ws(",", lit("plane"), p, i)) % 1000000L)
       .cast("double") / 1000000.0) - 0.5
+
+  /** The same plane matrix as a driver-side constant: the planes are
+    * data-independent, so hashing them per (vector, plane, dim) at
+    * runtime (2 560 md5s per corpus vector) would be pure waste — the
+    * signature expression embeds the B-sized (40×64 doubles) matrix
+    * as a literal instead, and runtime cost drops to the projection
+    * arithmetic itself. FunctionsSpec asserts this constant is
+    * bit-identical to [[planeComponent]]'s expression evaluation, so
+    * the DuckDB oracle (which re-derives the matrix from md5 in SQL)
+    * cannot drift from it. */
+  private[graft] lazy val planeMatrix: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(LshBands * LshRows, 64) { (p, i) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane,$p,$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0 - 0.5
+    }
 
   /** Per-band LSH signatures: array of LshBands ints; band b packs the
     * sign bits of its LshRows hyperplane projections. Banding is the
@@ -114,17 +132,17 @@ object Similarity {
     * 1-(1-1/16)^10 ≈ 0.48 of queries' buckets — selectivity improves,
     * not degrades, on corpora whose neighbors are tighter than this
     * near-random test set. */
-  def lshBandSignatures(v: Column): Column =
-    transform(sequence(lit(0), lit(LshBands - 1)), b =>
-      aggregate(
-        transform(sequence(lit(0), lit(LshRows - 1)), r => {
-          val proj = aggregate(
-            zip_with(v, sequence(lit(0), lit(63)),
-              (x, i) => x * planeComponent(b * LshRows + r, i)),
-            lit(0.0), (acc, x) => acc + x)
-          when(proj > 0, lit(1)).otherwise(lit(0))
-        }),
-        lit(0), (acc, x) => acc * 2 + x))
+  def lshBandSignatures(v: Column): Column = {
+    def bit(p: Int): Column = {
+      val proj = aggregate(
+        zip_with(v, typedlit(planeMatrix(p)), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1)).otherwise(lit(0))
+    }
+    array((0 until LshBands).map(b =>
+      (0 until LshRows).map(r => bit(b * LshRows + r))
+        .foldLeft(lit(0))((acc, x) => acc * 2 + x)): _*)
+  }
 
   /** ANN via banded LSH: a corpus vector is a candidate for a query if
     * they share ANY band bucket; candidates are deduped on bare id

@@ -114,4 +114,23 @@ class FunctionsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(direct == salted)
   }
+
+  test("driver-side LSH plane matrix is bit-identical to the md5 expression") {
+    // ann_lsh embeds the plane matrix as a literal (40x64 doubles,
+    // computed driver-side); the DuckDB oracle re-derives it from md5
+    // in SQL. This pins the two constructions to the expression form
+    // so neither can drift.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = for (p <- 0 until 40; i <- Seq(0, 1, 31, 63)) yield (p, i)
+    val fromExpr = pairs.toDF("p", "i")
+      .select(col("p"), col("i"),
+        graft.operators.Similarity.planeComponent(col("p"), col("i")).as("c"))
+      .as[(Int, Int, Double)].collect()
+      .map { case (p, i, c) => (p, i) -> c }.toMap
+    pairs.foreach { case (p, i) =>
+      assert(fromExpr((p, i)) == graft.operators.Similarity.planeMatrix(p)(i),
+        s"plane ($p,$i) drifted")
+    }
+  }
 }
