@@ -33,7 +33,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
     (1 to passes).foreach { p =>
       val t0 = System.nanoTime()
       names.foreach { case (name, fn) =>
@@ -47,14 +48,23 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         val dt = (System.nanoTime() - q0) / 1e9
-        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+        times(name) = dt :: times(name)
       }
       System.err.println(f"[bench] pass $p/$passes: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    val best = times.view.mapValues(_.min).toMap
     val qs = names.map { case (k, _) => s"\"" + k + "\":" + best(k) }
       .mkString("{", ",", "}")
+    // spread = max/min across passes, steady-state passes only (pass 1
+    // pays plan codegen) — >2x flags a co-tenant-noisy measurement the
+    // min cannot necessarily recover from
+    val spreads = names.map { case (k, _) =>
+      val steady = times(k).dropRight(1) // times are prepended; last = pass 1
+      val sp = if (steady.size >= 2) steady.max / steady.min else 1.0
+      s"\"" + k + f"\":${sp}%.2f"
+    }.mkString("{", ",", "}")
     val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

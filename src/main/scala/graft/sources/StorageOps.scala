@@ -126,10 +126,28 @@ object StorageOps {
       .transform(Present.sortedUnbounded(_, col("k")))
   }
 
+  /** ORC round trip — the second columnar format (Spark-native ORC
+    * reader/writer): lineitem columns land as ORC, the aggregate runs
+    * over the read-back, and the hash gate compares against DuckDB on
+    * the source parquet — proving schema + values survive the format
+    * exactly. Same push-down/pruning machinery as parquet
+    * (vectorized reader, predicate pushdown). */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("orc_lineitem", d)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .transform(Present.sorted(_, col("l_returnflag")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"    -> bucketedJoin _,
     "partitioned_scan" -> partitionedScan _,
     "merge_upsert"     -> mergeUpsert _,
+    "orc_roundtrip"    -> orcRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -146,6 +164,11 @@ object StorageOps {
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents WHERE source = 'src1'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
