@@ -92,7 +92,48 @@ object SqlSurface {
         .as("suppliers"))
       .orderBy("s_nationkey")
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE) — hierarchy flattening,
+    * the bill-of-materials / org-rollup shape: every customer walks a
+    * synthetic parent chain (parent(k) = k div 2, a binary hierarchy
+    * rooted at 1) and reports its depth and the sum of keys along the
+    * path. Acyclic by construction, which matches the engine's
+    * recursion contract: Spark 4 supports UNION ALL recursion only
+    * (no fixpoint-dedup UNION yet), so cyclic reachability stays on
+    * the DataFrame loop (`dedup_clusters`); each recursion step is a
+    * join against the previous step's materialized result. */
+  def recursiveHierarchy(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "customer")
+    s.sql(
+      """WITH RECURSIVE walk(start, cur, d) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT start, cur DIV 2, d + 1 FROM walk WHERE cur > 1)
+        |SELECT start AS c_custkey, max(d) AS depth,
+        |  sum(cur) AS path_sum
+        |FROM walk GROUP BY start ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery with per-row LIMIT — top-2 orders
+    * per urgent-segment customer, the "top-k per group without a
+    * window" SQL form (Catalyst plans the lateral as a join). */
+  def lateralTopOrders(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "customer"); withView(s, d, "orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey,
+        |  round(t.o_totalprice, 2) AS price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "recursive_hierarchy" -> recursiveHierarchy _,
+    "lateral_top_orders" -> lateralTopOrders _,
     "grouping_sets"    -> groupingSets _,
     "pivot_lineitem"   -> pivotLineitem _,
     "unpivot_customer" -> unpivotCustomer _,
@@ -102,6 +143,25 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "recursive_hierarchy" ->
+      """WITH RECURSIVE walk(start, cur, d) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT start, cur // 2, d + 1 FROM walk WHERE cur > 1)
+        |SELECT start AS c_custkey, max(d) AS depth,
+        |  sum(cur)::BIGINT AS path_sum
+        |FROM walk GROUP BY start ORDER BY c_custkey""".stripMargin,
+    "lateral_top_orders" ->
+      """SELECT c.c_custkey, t.o_orderkey,
+        |  round(t.o_totalprice, 2) AS price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
     "grouping_sets" ->
       """SELECT
         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
