@@ -398,7 +398,62 @@ object PipelineOps {
         redactPii(col("contact")).as("redacted"))
       .transform(Present.sortedUnbounded(_, col("c_custkey")))
 
+  /** End-to-end corpus build — the composition this library exists
+    * for, as one operator: language-ID → quality gate → exact-dedup
+    * survivorship → deterministic split assignment. Every stage is
+    * the already-gated operator's logic; the composition itself is
+    * hash-gated so stage INTERACTIONS (filter order, join keys,
+    * survivor semantics) are verified too, not just the parts.
+    *
+    * Shape at scale: one tokenize pass feeds the lang scores; quality
+    * is narrow column math on the same scan; dedup survivorship is
+    * one shuffle on the 32-byte fingerprint; split is a map-side
+    * hash. Nothing here is quadratic and the only corpus-wide
+    * shuffles are the lang argmax (doc_id) and the fingerprint
+    * group. */
+  val BuildMinTokens = 30
+  val BuildMinAlpha  = 0.5
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // lang argmax (langId's core, without its presentation join)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), col("lex_lang"))
+    val lang = {
+      import s.implicits._
+      TextOps.tokenize(docs)
+        .join(broadcast(TextAnalysis.lexicon.toDF("lex_lang", "lex_word")),
+          col("word") === col("lex_word"))
+        .groupBy("doc_id", "lex_lang").agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("lex_lang") === "en")
+        .select(col("doc_id"), col("lex_lang").as("lang"))
+    }
+    val toks = split(trim(lower(col("text"))), "[^\\p{L}\\p{N}]+")
+    val quality = docs
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-zA-Z]", ""))).cast("double") /
+          length(col("text")), 6).as("alpha_ratio"),
+        sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256)
+          .as("fp"))
+      .filter(col("n_tokens") >= BuildMinTokens &&
+        col("alpha_ratio") >= BuildMinAlpha)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    quality
+      .join(lang, "doc_id")
+      .withColumn("keep_id", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(hashBucket(col("doc_id"), 100, "split") < 80, "train")
+          .when(hashBucket(col("doc_id"), 100, "split") < 90, "valid")
+          .otherwise("test").as("split"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_build"     -> corpusBuild _,
     "train_test_split" -> trainTestSplit _,
     "sample_by_source" -> sampleBySource _,
     "ngram_counts"     -> ngramCounts _,
@@ -415,7 +470,46 @@ object PipelineOps {
   private def mixValues: String =
     mixWeights.map { case (src, t) => s"('$src', $t)" }.mkString(", ")
 
+  private def lexValues: String =
+    TextAnalysis.lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "corpus_build" ->
+      s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
+         |tok AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |scores AS (
+         |  SELECT doc_id, lex_lang, count(*) AS score
+         |  FROM tok JOIN lex ON word = lex_word GROUP BY 1, 2),
+         |lang AS (
+         |  SELECT doc_id, lex_lang AS lang FROM (
+         |    SELECT doc_id, lex_lang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lex_lang) AS rn
+         |    FROM scores)
+         |  WHERE rn = 1 AND lex_lang = 'en'),
+         |q AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(trim(lower(text)),
+         |      '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS n_tokens,
+         |    round((length(text) - length(regexp_replace(text,
+         |      '[a-zA-Z]', '', 'g')))::DOUBLE / length(text), 6) AS alpha_ratio,
+         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |filt AS (
+         |  SELECT q.doc_id, lang, n_tokens, fp
+         |  FROM q JOIN lang ON q.doc_id = lang.doc_id
+         |  WHERE n_tokens >= $BuildMinTokens AND alpha_ratio >= $BuildMinAlpha),
+         |surv AS (
+         |  SELECT * FROM filt
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp))
+         |SELECT doc_id, lang, n_tokens,
+         |  CASE WHEN ${bucketSql("doc_id::VARCHAR", 100, "split")} < 80 THEN 'train'
+         |       WHEN ${bucketSql("doc_id::VARCHAR", 100, "split")} < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM surv ORDER BY doc_id""".stripMargin,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  ${bucketSql("doc_id::VARCHAR", 100, "split")} AS bucket,
