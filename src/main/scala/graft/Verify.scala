@@ -47,6 +47,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of every query this run REGISTERED to dump (post
+    // SPARK_GRAFT_ONLY filter): a rows-only query that throws would
+    // otherwise vanish silently — no oracle entry, no output dir,
+    // nothing left to flag it by
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq
+        .filter(n => only.forall(_.contains(n)))
+        .sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -35,7 +35,13 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    names = sorted(set(oracle) | {os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)})
+    names = set(oracle) | {os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)}
+    # the registered-query manifest catches a rows-only query that
+    # failed to produce output (it has no oracle entry to flag it)
+    manifest = f"{outdir}/queries.json"
+    if os.path.exists(manifest):
+        names |= set(json.load(open(manifest)))
+    names = sorted(names)
     fails = 0
     for name in names:
         spark_glob = f"{outdir}/{name}/*.parquet"
