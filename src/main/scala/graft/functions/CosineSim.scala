@@ -114,11 +114,15 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`).
   *
-  * Only `injectFunction` is used — per SURVEY.md §4.2, everything
-  * else the engine needs is expressible with built-in Catalyst
-  * operators, so no custom Rule/Strategy/LogicalPlan is on the
-  * critical path (deliberate: each would carry a maintenance +
-  * correctness burden with no measured win).
+  * Injects (a) the `graft_cosine` SQL function and (b) the
+  * [[graft.plans.FuseCosine]] optimizer rule, which rewrites the
+  * portable declarative cosine (aggregate∘zip_with) into the fused
+  * native expression with no source change — the Rule[LogicalPlan]
+  * rung of SURVEY.md §4.2's extension ladder. Nothing else is
+  * injected: no custom Strategy/LogicalPlan is on the critical path
+  * (deliberate — each would carry a maintenance + correctness burden
+  * with no measured win; the built-in operators express everything
+  * else the engine needs).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -126,5 +130,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.cosineIdent,
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions path: a session built with GraftExtensions
+  * must (1) resolve graft_cosine from SQL text, and (2) rewrite the
+  * portable declarative cosine into the fused native expression via
+  * the injected FuseCosine optimizer rule — with results bit-identical
+  * to an un-extended session running the declarative form. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  private def newSession(extended: Boolean): SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"graft-ext-$extended")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+    (if (extended) b.withExtensions(new graft.functions.GraftExtensions) else b)
+      .getOrCreate()
+  }
+
+  private def declarativeCosineQuery(s: SparkSession) = {
+    val e = Tables.embeddings(s, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.operators.Similarity.cosine(col("v"), col("qv")).as("cos"))
+      .orderBy("q_id", "vec_id")
+  }
+
+  test("injected rule fuses declarative cosine into the native expression") {
+    // fresh extended session; stop the shared one so getOrCreate
+    // doesn't hand back a session without the extension
+    SparkSession.getActiveSession.foreach(_.stop())
+    val ext = newSession(extended = true)
+    try {
+      val df = declarativeCosineQuery(ext)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_cosine"),
+        s"FuseCosine did not rewrite the declarative form:\n$optimized")
+      val fused = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+      // SQL front door resolves the injected function too
+      Tables.embeddings(ext, sfDir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .createOrReplaceTempView("ext_emb")
+      val viaSql = ext.sql(
+        """SELECT a.vec_id, graft_cosine(a.v, a.v) AS c
+          |FROM ext_emb a WHERE a.vec_id < 3 ORDER BY a.vec_id""".stripMargin)
+        .collect()
+      assert(viaSql.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+
+      ext.stop()
+      // un-extended session: declarative form, no rewrite
+      val plain = newSession(extended = false)
+      try {
+        val df2 = declarativeCosineQuery(plain)
+        assert(!df2.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+        val unfused = df2.collect().map(r =>
+          (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        assert(fused.keySet == unfused.keySet)
+        fused.foreach { case (k, v) =>
+          assert(v == unfused(k), s"fused/unfused diverge at $k: $v vs ${unfused(k)}")
+        }
+      } finally plain.stop()
+    } finally if (!ext.sparkContext.isStopped) ext.stop()
+  }
+}
