@@ -89,10 +89,34 @@ object ChangeOps {
       .transform(Present.sortedUnbounded(_, col("user_id"), col("hour")))
   }
 
+  /** Cohort retention: users grouped by first-seen week; for each
+    * cohort, how many distinct users were active N weeks later. The
+    * canonical product-analytics rollup: two aggregates and one join,
+    * all keyed on user/week — no self-join over the event log (the
+    * naive formulation), so cost is two shuffles on user plus one on
+    * the B-sized (cohort, offset) pair. Weeks are date_trunc ISO
+    * Mondays on both engines. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).cast("date").as("cohort_week"))
+    val active = ev
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    active.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("weeks_since"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .transform(Present.sorted(_, col("cohort_week"), col("weeks_since")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "latest_events" -> latestEvents _,
     "scd2_events"   -> scd2Events _,
     "resample_events" -> resampleEvents _,
+    "cohort_retention" -> cohortRetention _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,5 +157,18 @@ object ChangeOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  v IS NULL AS is_gap
         |FROM j ORDER BY user_id, hour""".stripMargin,
+    "cohort_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events)
+        |SELECT f.cohort_week,
+        |  (datediff('day', f.cohort_week, a.week) // 7)::INTEGER
+        |    AS weeks_since,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
   )
 }

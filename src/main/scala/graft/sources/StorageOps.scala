@@ -143,11 +143,44 @@ object StorageOps {
       .transform(Present.sorted(_, col("l_returnflag")))
   }
 
+  val CompactTarget = 4
+
+  /** Small-file compaction — the table-maintenance op every streaming
+    * or incremental ingest needs: a directory of many tiny part files
+    * (here: documents exploded to 64 parts, the "one file per
+    * micro-batch per partition" pathology) is rewritten to a few
+    * scan-sized files. `coalesce` (not repartition) does it with NO
+    * shuffle — partitions merge map-side. The gate aggregates the
+    * compacted layout against DuckDB on the source table, proving
+    * compaction loses nothing; the spec asserts the file counts. */
+  def compactFiles(s: SparkSession, d: String): DataFrame = {
+    val small = stageDir("small_files", d)
+    val compacted = stageDir("compacted", d)
+    Tables.documents(s, d)
+      .repartition(64).write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .coalesce(CompactTarget).write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .transform(Present.sorted(_, col("source")))
+  }
+
+  /** Part-file count of a staged dir (spec hook). */
+  def partFileCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).fold(0)(
+      _.count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+
+  def smallDir(d: String): String = stageDir("small_files", d)
+  def compactedDir(d: String): String = stageDir("compacted", d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"    -> bucketedJoin _,
     "partitioned_scan" -> partitionedScan _,
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
+    "compact_files"    -> compactFiles _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +197,10 @@ object StorageOps {
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents WHERE source = 'src1'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "compact_files" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(length(text))::BIGINT AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

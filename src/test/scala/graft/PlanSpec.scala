@@ -224,6 +224,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("compaction reduces part files without a shuffle") {
+    graft.sources.StorageOps.compactFiles(spark, sfDir).collect()
+    val before = graft.sources.StorageOps.partFileCount(
+      graft.sources.StorageOps.smallDir(sfDir))
+    val after = graft.sources.StorageOps.partFileCount(
+      graft.sources.StorageOps.compactedDir(sfDir))
+    assert(before == 64, s"staging produced $before files")
+    assert(after <= graft.sources.StorageOps.CompactTarget,
+      s"compaction left $after files")
+    // coalesce must not plan an exchange between the scans and write
+    val df = spark.read
+      .parquet(graft.sources.StorageOps.smallDir(sfDir))
+      .coalesce(graft.sources.StorageOps.CompactTarget)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("partitioned layout prunes to the queried partition at the scan") {
     val df = graft.sources.StorageOps.partitionedScan(spark, sfDir)
     df.collect()
