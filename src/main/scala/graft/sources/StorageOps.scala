@@ -175,12 +175,46 @@ object StorageOps {
   def smallDir(d: String): String = stageDir("small_files", d)
   def compactedDir(d: String): String = stageDir("compacted", d)
 
+  /** CSV round trip (header + explicit read schema — the
+    * interchange-format path; quoting handles embedded commas).
+    * Orders has no embedded newlines, so the single-line reader
+    * applies; corpora with newlines go through JSONL instead. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("csv_orders", d)
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(src.schema).option("header", "true").csv(dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .transform(Present.sorted(_, col("o_orderpriority")))
+  }
+
+  /** JSON-lines round trip — the raw-corpus interchange format (JSON
+    * string escaping survives embedded newlines/quotes in document
+    * text, where single-line CSV would not). */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("jsonl_documents", d)
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    src.write.mode("overwrite").json(dir)
+    s.read.schema(src.schema).json(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        min(sha2(col("text"), 256)).as("min_sha"))
+      .transform(Present.sorted(_, col("source")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"    -> bucketedJoin _,
     "partitioned_scan" -> partitionedScan _,
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
     "compact_files"    -> compactFiles _,
+    "csv_roundtrip"    -> csvRoundtrip _,
+    "jsonl_roundtrip"  -> jsonlRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -197,6 +231,16 @@ object StorageOps {
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents WHERE source = 'src1'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(length(text))::BIGINT AS total_chars,
+        |  min(sha256(text)) AS min_sha
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "compact_files" ->
       """SELECT source, count(*) AS n_docs,
         |  sum(length(text))::BIGINT AS total_chars
