@@ -286,6 +286,59 @@ object PipelineOps {
     connectedComponents(
       neardupJaccardLshRaw(s, d).select("doc_a", "doc_b"), maxIter)
 
+  val PageRankIters = 3
+
+  /** PageRank over the near-dup pair graph — the canonical
+    * "beyond-one-MapReduce-pass" workload (the reference is a
+    * MapReduce framework; PageRank is its textbook iterative app).
+    * Each iteration is one join of the edge set against the previous
+    * ranks plus one aggregate on dst — edge-bounded like the
+    * label-propagation loop, with the edge relation persisted once.
+    *
+    * All arithmetic is INTEGER, in parts-per-billion: r₀ = 10⁹ div N,
+    * contribution = r div deg summed exactly, r' = (0.15·10⁹ div N)
+    * + (85·Σ) div 100. Float PageRank sums in partition order and
+    * can't hash-gate; the ppb form is engine-exact (DuckDB replays it
+    * verbatim) and loses nothing anyone ranks by. Fixed iteration
+    * count, no dangling mass (undirected graph → every node has
+    * in-edges). N arrives via a broadcast 1-row cross join, not a
+    * driver collect. */
+  def pagerankDocs(s: SparkSession, d: String,
+                   iters: Int = PageRankIters): DataFrame = {
+    val pairs = Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b")
+      .persist()
+    try {
+      pairs.count() // one execution of the candidate pipeline
+      val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nT = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(nT))
+        .select(col("src").as("id"), col("deg"), col("n"),
+          expr("CAST(1000000000 AS BIGINT) div n").as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(ranks.select(col("id"), expr("r div deg").as("c")),
+            col("src") === col("id"))
+          .groupBy("dst").agg(sum("c").as("contrib"))
+        ranks = ranks.drop("r")
+          .join(contrib, col("id") === col("dst"))
+          .select(col("id"), col("deg"), col("n"),
+            expr("(150000000 div n) + (85 * contrib) div 100").as("r"))
+      }
+      // land the ranks before releasing the pair cache (the caller's
+      // action runs after this method returns — serving from the DAG
+      // would recompute the candidate pipeline per edge reference)
+      val out = java.nio.file.Paths.get("/tmp/graft_cc",
+        s"pagerank_${ccEpoch.getAndIncrement() % 8}").toString
+      ranks.select(col("id").as("doc_id"), col("r").as("rank_ppb"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .transform(Present.sortedUnbounded(_, col("doc_id")))
+    } finally pairs.unpersist(false)
+  }
+
   /** Eval-set decontamination: flag training docs sharing any 3-gram
     * shingle with a held-out eval set (here: every 97th doc by id —
     * a stand-in for a benchmark suite). The eval shingle set is
@@ -465,6 +518,7 @@ object PipelineOps {
     "stratified_sample" -> stratifiedSample _,
     "doc_chunks"       -> docChunks _,
     "pii_redact"       -> piiRedact _,
+    "pagerank_docs"    -> ((s: SparkSession, d: String) => pagerankDocs(s, d)),
   )
 
   private def mixValues: String =
@@ -545,6 +599,7 @@ object PipelineOps {
         |    '\s+', ' ', 'g'))) AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
+    "pagerank_docs" -> pagerankSql,
     "dedup_clusters_lsh" -> dedupClustersLshSql,
     "keep_one_per_cluster" ->
       s"""WITH clusters AS (
@@ -628,6 +683,36 @@ object PipelineOps {
        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** pagerank_docs oracle: the near-dup pair query as a CTE, then the
+    * unrolled integer-ppb iterations — every div is DuckDB `//`,
+    * matching Spark's `div` exactly. */
+  private lazy val pagerankSql: String = {
+    val iterCtes = (1 to PageRankIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, sum(r.r // r.deg) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.id GROUP BY 1),
+         |r$i AS (
+         |  SELECT p.id, p.deg,
+         |    ((150000000 // nt.n) + (85 * c$i.contrib) // 100)::BIGINT AS r
+         |  FROM r${i - 1} p JOIN c$i ON p.id = c$i.dst CROSS JOIN nt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |${Dedup.oracle("neardup_jaccard").linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nt AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT src AS id, deg, (1000000000 // nt.n)::BIGINT AS r
+       |  FROM deg CROSS JOIN nt),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS rank_ppb FROM r$PageRankIters
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (

@@ -277,6 +277,88 @@ object StreamOps {
       col("user_id"))
   }
 
+  /** Streaming MERGE (CDC upsert sink): each micro-batch's latest
+    * record per key is merged into a parquet snapshot via the
+    * full-outer coalesce pattern (StorageOps.mergeUpsert's shape,
+    * applied incrementally inside foreachBatch) — the pipeline that
+    * maintains a "current state" table under an unbounded change
+    * feed. After AvailableNow drains the source, the snapshot must
+    * equal the batch change-log compaction exactly, so it shares
+    * latest_events' DuckDB oracle. At scale the snapshot would be
+    * bucketed on the key so each merge shuffles only the batch. */
+  def streamUpsertGated(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val snap = freshDir("stream_upsert", "sink")
+    val ckpt = freshDir("stream_upsert", "ckpt")
+    withLowShufflePartitions(s) {
+      val q = eventsStream(s, dir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // batch-local compaction first: one row per key
+          val changes = batch
+            .groupBy("user_id", "event_type")
+            .agg(max_by(
+              struct(col("event_id"), col("ts"), col("value")),
+              struct(col("ts"), col("event_id"))).as("last"))
+            .select(col("user_id").as("ck_user"),
+              col("event_type").as("ck_type"),
+              col("last.event_id").as("c_event_id"),
+              col("last.ts").as("c_ts"), col("last.value").as("c_value"))
+          val merged =
+            if (id == 0) changes.select(
+              col("ck_user").as("user_id"), col("ck_type").as("event_type"),
+              col("c_event_id").as("last_event_id"),
+              col("c_ts").as("last_ts"), col("c_value").as("last_value"))
+            else {
+              val cur = batch.sparkSession.read.parquet(snap)
+              cur.join(changes,
+                  col("user_id") === col("ck_user") &&
+                    col("event_type") === col("ck_type"), "full_outer")
+                .select(
+                  coalesce(col("user_id"), col("ck_user")).as("user_id"),
+                  coalesce(col("event_type"), col("ck_type")).as("event_type"),
+                  // change wins when BOTH sides exist and the change is
+                  // newer (or the key is new)
+                  when(col("c_ts").isNull ||
+                      (col("last_ts").isNotNull &&
+                        struct(col("last_ts"), col("last_event_id")) >=
+                          struct(col("c_ts"), col("c_event_id"))),
+                    struct(col("last_event_id"), col("last_ts"), col("last_value")))
+                    .otherwise(
+                      struct(col("c_event_id").as("last_event_id"),
+                        col("c_ts").as("last_ts"),
+                        col("c_value").as("last_value"))).as("r"))
+                .select(col("user_id"), col("event_type"),
+                  col("r.last_event_id").as("last_event_id"),
+                  col("r.last_ts").as("last_ts"),
+                  col("r.last_value").as("last_value"))
+            }
+          // land atomically-enough for the local drain: write to a
+          // temp dir then swap (merged reads `snap`, so no overwrite
+          // of the input mid-plan)
+          val tmp = snap + "_next"
+          merged.write.mode("overwrite").parquet(tmp)
+          val fs = new java.io.File(snap)
+          if (fs.exists()) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(fs.toPath).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.delete)
+          }
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(snap))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(snap)
+      .transform(graft.operators.Present.sortedUnbounded(_,
+        col("user_id"), col("event_type")))
+  }
+
   /** Watermark-evicting dedup — the 100 TB shape for unbounded key
     * domains: state holds only keys newer than the watermark minus the
     * delay; duplicates arriving within the delay are dropped. */
@@ -409,6 +491,7 @@ object StreamOps {
     "stream_enrich"        -> streamEnrichGated _,
     "running_totals_stream" -> runningUserTotalsGated _,
     "user_max_stream"      -> userMaxStreamGated _,
+    "stream_upsert"        -> streamUpsertGated _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -438,6 +521,8 @@ object StreamOps {
       """SELECT user_id, round(max(value), 3) AS max_value,
         |  count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical contract to the batch change-log compaction
+    "stream_upsert" -> graft.operators.ChangeOps.oracle("latest_events"),
     // session_window semantics: new session at gap >= timeout (the
     // merge interval is half-open), session_end = last event + timeout
     "sessionize_stream" ->
