@@ -307,8 +307,14 @@ object PipelineOps {
                    iters: Int = PageRankIters): DataFrame = {
     val pairs = Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b")
       .persist()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
     try {
-      pairs.count() // one execution of the candidate pipeline
+      val nPairs = pairs.count() // one execution of the candidate pipeline
+      // size the iteration shuffles from the measured edge count,
+      // exactly as connectedComponents does for its loop
+      s.conf.set(key,
+        math.max(1L, math.min(prev.toLong, nPairs / 25000 + 1)).toString)
       val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
@@ -336,7 +342,10 @@ object PipelineOps {
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .transform(Present.sortedUnbounded(_, col("doc_id")))
-    } finally pairs.unpersist(false)
+    } finally {
+      s.conf.set(key, prev)
+      pairs.unpersist(false)
+    }
   }
 
   /** Eval-set decontamination: flag training docs sharing any 3-gram
