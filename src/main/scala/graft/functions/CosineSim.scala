@@ -22,8 +22,17 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * left-to-right fold, so results are bit-identical and the DuckDB
   * oracles are unaffected.
   *
-  * Zero-norm inputs yield NULL (cosine undefined), as does any NULL
-  * input (BinaryExpression null-intolerance).
+  * Null semantics mirror the declarative form exactly, so the
+  * [[graft.plans.FuseCosine]] rewrite is result-identical on EVERY
+  * input, not just the well-formed ones: NULL input → NULL
+  * (BinaryExpression null-intolerance ≙ zip_with's null propagation);
+  * unequal lengths → NULL (zip_with pads the shorter side with nulls,
+  * null products poison the fold); any null element → NULL (same
+  * poisoning); zero-norm → NULL (divide-by-zero is NULL in the
+  * declarative plan). The per-element null check is only emitted when
+  * the static schema says elements can be null, so the
+  * containsNull=false hot path codegen is the same three-accumulator
+  * loop as before.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,12 +51,22 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  /** Whether either input's schema admits null elements — gates the
+    * per-element null check in both eval paths. */
+  private def elemsMayBeNull: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val checkNulls = elemsMayBeNull
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
@@ -61,15 +80,24 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val nullElem = ctx.freshName("nullElem")
+      val elemGuard =
+        if (elemsMayBeNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullElem = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = $a.getDouble($i);
-         |  double y = $b.getDouble($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |boolean $nullElem = $b.numElements() != $n;
+         |if (!$nullElem) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
+         |    double x = $a.getDouble($i);
+         |    double y = $b.getDouble($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
          |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |if ($nullElem || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);

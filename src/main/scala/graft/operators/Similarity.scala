@@ -27,8 +27,13 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** try_divide, not `/`: under Spark 4's default ANSI mode a plain
+    * divide THROWS on a zero-norm vector; try_divide yields NULL
+    * (cosine undefined), which is also what the fused native
+    * [[graft.functions.CosineSim]] returns — keeping the FuseCosine
+    * rewrite result-identical on every input. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    try_divide(dot(a, b), sqrt(dot(a, a) * dot(b, b)))
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)

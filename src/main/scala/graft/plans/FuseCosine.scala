@@ -56,8 +56,13 @@ object FuseCosine extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Divide(Dot(a, b), Sqrt(Multiply(Dot(a2, a3), Dot(b2, b3), _)), _)
-          if a2.semanticEquals(a) && a3.semanticEquals(a) &&
+      // evalMode guard: CosineSim yields NULL on a zero norm, which
+      // matches LEGACY and TRY division semantics. An ANSI-mode divide
+      // would THROW there instead, so rewriting it would silently
+      // swallow the user's error — leave it untouched.
+      case Divide(Dot(a, b), Sqrt(Multiply(Dot(a2, a3), Dot(b2, b3), _)), mode)
+          if mode != EvalMode.ANSI &&
+            a2.semanticEquals(a) && a3.semanticEquals(a) &&
             b2.semanticEquals(b) && b3.semanticEquals(b) =>
         CosineSim(a, b)
     }

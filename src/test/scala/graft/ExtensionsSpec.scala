@@ -76,4 +76,62 @@ class ExtensionsSpec extends AnyFunSuite {
       } finally plain.stop()
     } finally if (!ext.sparkContext.isStopped) ext.stop()
   }
+
+  /** Pathological inputs where the fused expression could diverge from
+    * the declarative form if it cut corners: unequal lengths (zip_with
+    * pads with nulls → fold poisons to NULL), null elements (same),
+    * zero norms (divide-by-zero → NULL). The rewrite must be
+    * result-identical on all of them, not just on well-formed 64-dim
+    * embeddings. */
+  test("fused cosine matches declarative NULL semantics on ragged/null/zero inputs") {
+    SparkSession.getActiveSession.foreach(_.stop())
+
+    // The fixture is a LocalRelation, which ConvertToLocalRelation
+    // would constant-fold at optimization time — before the injected
+    // rule runs. Exclude it so both forms execute at runtime through
+    // codegen, which is the path that matters.
+    def noLocalFold(s: SparkSession): SparkSession = {
+      s.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      s
+    }
+
+    def pathologicalQuery(s: SparkSession) = {
+      import s.implicits._
+      val rows = Seq(
+        (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0)),         // ragged
+        (2L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),   // null element left
+        (3L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, null)),   // null element right
+        (4L, Seq[java.lang.Double](0.0, 0.0, 0.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),    // zero norm
+        (5L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](3.0, 2.0, 1.0))     // well-formed control
+      ).toDF("id", "a", "b")
+      rows.select(col("id"),
+        graft.operators.Similarity.cosine(col("a"), col("b")).as("cos"))
+        .orderBy("id")
+    }
+
+    def results(s: SparkSession): Seq[(Long, Option[Double])] =
+      pathologicalQuery(s).collect().toSeq.map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+
+    val ext = noLocalFold(newSession(extended = true))
+    val fused =
+      try {
+        val df = pathologicalQuery(ext)
+        assert(df.queryExecution.optimizedPlan.toString.contains("graft_cosine"),
+          "rewrite did not fire on the pathological fixture — test would be vacuous")
+        results(ext)
+      } finally ext.stop()
+
+    val plain = noLocalFold(newSession(extended = false))
+    val declarative =
+      try results(plain)
+      finally plain.stop()
+
+    assert(fused == declarative,
+      s"fused vs declarative diverge:\n  fused:       $fused\n  declarative: $declarative")
+    // and the expected shape: 1–4 NULL, 5 defined
+    assert(declarative.take(4).forall(_._2.isEmpty))
+    assert(declarative.last._2.isDefined)
+  }
 }
