@@ -23,12 +23,25 @@ object FuncOps {
       .orderBy("l_returnflag")
 
   /** percentile_approx — the sketch the 100 TB path uses (bounded
-    * memory, mergeable). Not bit-reproducible in DuckDB → rows-only;
-    * PercentileSpec asserts it brackets the exact values. */
+    * memory, mergeable). The sketch value is engine-specific, so the
+    * gate is a BRACKET: emit the exact p50 (the oracle recomputes it
+    * via quantile_cont) plus a boolean asserting the approx landed
+    * between the exact 0.49 and 0.51 quantiles — accuracy 10000
+    * guarantees rank error ≤ n/10000, far inside that ±0.01-rank
+    * window. Oracle emits literal TRUE, so the hash gate fails iff
+    * the sketch leaves the window. Exact percentile companions are
+    * gate harness only; at 100 TB the sketch IS the product. */
   def percentilesApprox(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50e"),
+        percentile(col("l_quantity"), lit(0.49)).as("plo"),
+        percentile(col("l_quantity"), lit(0.51)).as("phi"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"))
+      .select(col("l_returnflag"),
+        round(col("p50e"), 4).as("p50_exact"),
+        (col("p50a") >= col("plo") && col("p50a") <= col("phi")).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** Null-handling functions. The testdata has no NULLs, so nulls are
@@ -132,6 +145,11 @@ object FuncOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "percentiles_approx" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

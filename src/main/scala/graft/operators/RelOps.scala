@@ -265,12 +265,23 @@ object RelOps {
       .transform(Present.sortedUnbounded(_, col("window_start"), col("event_type")))
 
   /** Approximate distinct (HyperLogLog++) — the 100 TB cardinality
-    * path. Not exactly reproducible in DuckDB, so registered without
-    * an oracle (rows-only); exactness is covered by aggStats. */
+    * path. The sketch value itself is engine-specific, so the gate is
+    * a BRACKET: emit the exact cardinality (the oracle recomputes it)
+    * plus a boolean asserting the sketch landed within its error
+    * envelope (3× the default 5% rsd, floored for tiny groups). The
+    * DuckDB oracle emits literal TRUE — the hash gate therefore fails
+    * iff the sketch leaves its bound. The exact count_distinct
+    * companion is gate harness only; at 100 TB the sketch column IS
+    * the product (bounded memory, mergeable across executors). */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .agg(
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct("user_id").as("hll"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("hll") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.15), lit(16.0))).as("approx_ok"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,6 +305,10 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
