@@ -15,6 +15,12 @@ run / fork := true
 // LoggedOutput wraps every line in "[info] ", which breaks consumers
 // that parse Bench's single JSON stdout line.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time: ..." trailer either: consumers scrape the
+// LAST bytes of stdout for that JSON line, and the trailer both eats
+// scrape-window budget and sits between the line and EOF.
+Global / showSuccess := false
+// (consumed by sbt's logger, not by other settings — lint can't see that)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
