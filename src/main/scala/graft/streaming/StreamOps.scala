@@ -36,7 +36,6 @@ object StreamOps {
     * part files, but the testdata ships a single file, so stage a
     * symlink dir next to /tmp when needed. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = java.nio.file.Paths.get(dir, "events.parquet")
     val src =
       if (java.nio.file.Files.isDirectory(raw)) raw.toString
@@ -49,9 +48,19 @@ object StreamOps {
           java.nio.file.Files.createSymbolicLink(link, raw)
         staged.toString
       }
-    s.readStream
-      .schema(rawSchema)
-      .parquet(src)
+    eventsStreamFromDir(s, src)
+  }
+
+  /** The raw-schema events file stream over an explicit directory.
+    * `maxFilesPerTrigger` lets the spec force MULTIPLE micro-batches
+    * out of a static directory (one file each) to exercise the
+    * cross-batch paths the one-shot drain never hits. */
+  private[graft] def eventsStreamFromDir(s: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = s.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -236,12 +245,17 @@ object StreamOps {
       col("event_id"))
 
   /** Update-mode twin of runToTable for custom-state streams (fMGWS /
-    * transformWithState emit one row per touched key per micro-batch):
-    * each batch's rows land in the sink; on the drained single-batch
-    * static source the final table is one row per key — the complete
-    * state, equal to the batch aggregate. */
-  private def runToTableUpdate(s: SparkSession, stream: => DataFrame,
-                               tag: String, sortCols: Column*): DataFrame = {
+    * transformWithState emit ONE row per touched key per micro-batch —
+    * that contract is what makes the sink compactable). Each batch's
+    * rows land in the sink tagged with the batch id; the read side
+    * keeps, per key, only the row from the LAST batch that touched it
+    * — the complete state. Correct for any number of micro-batches,
+    * not just a one-shot AvailableNow drain (a multi-file source, or
+    * maxFilesPerTrigger, yields several batches whose raw union would
+    * hold duplicate keys). `keyCols` are both the state key and the
+    * presentation sort. */
+  private[graft] def runToTableUpdate(s: SparkSession, stream: => DataFrame,
+                                      tag: String, keyCols: Column*): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val sink = freshDir(tag, "sink")
     val ckpt = freshDir(tag, "ckpt")
@@ -251,13 +265,18 @@ object StreamOps {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.write.mode(if (id == 0) "overwrite" else "append").parquet(sink)
+          batch.withColumn("__batch", lit(id))
+            .write.mode(if (id == 0) "overwrite" else "append").parquet(sink)
         }
         .start()
       q.awaitTermination()
     }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("__batch").desc)
     s.read.parquet(sink)
-      .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__batch")
+      .transform(graft.operators.Present.sortedUnbounded(_, keyCols: _*))
   }
 
   /** [[runningUserTotals]] driver-gated: the flatMapGroupsWithState
@@ -269,12 +288,20 @@ object StreamOps {
       col("user_id"))
 
   /** [[userMaxStream]] driver-gated (transformWithState + RocksDB
-    * ValueState cells vs the batch max). */
+    * ValueState cells vs the batch max). The provider conf is scoped
+    * to THIS drain: restored in finally so later stateful queries on
+    * the shared session don't silently inherit RocksDB. */
   def userMaxStreamGated(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    runToTableUpdate(s, userMaxStream(s, dir), "user_max_stream",
+    try runToTableUpdate(s, userMaxStream(s, dir), "user_max_stream",
       col("user_id"))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Streaming MERGE (CDC upsert sink): each micro-batch's latest
@@ -287,76 +314,99 @@ object StreamOps {
     * latest_events' DuckDB oracle. At scale the snapshot would be
     * bucketed on the key so each merge shuffles only the batch. */
   def streamUpsertGated(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val snap = freshDir("stream_upsert", "sink")
     val ckpt = freshDir("stream_upsert", "ckpt")
+    runUpsert(s, eventsStream(s, dir), snap, ckpt)
+    s.read.parquet(snap)
+      .transform(graft.operators.Present.sortedUnbounded(_,
+        col("user_id"), col("event_type")))
+  }
+
+  /** Drain `source` through the CDC-merge sink into `snap`. Separate
+    * from [[streamUpsertGated]] so a caller (StreamingSpec's
+    * crash-recovery case) can stop and later RESUME the same
+    * snapshot+checkpoint pair against a source that grew in between —
+    * the file-source offsets in `ckpt` make the second drain process
+    * only the unseen files. */
+  private[graft] def runUpsert(s: SparkSession, source: DataFrame,
+                               snap: String, ckpt: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
     withLowShufflePartitions(s) {
-      val q = eventsStream(s, dir)
+      val q = source
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          // batch-local compaction first: one row per key
-          val changes = batch
-            .groupBy("user_id", "event_type")
-            .agg(max_by(
-              struct(col("event_id"), col("ts"), col("value")),
-              struct(col("ts"), col("event_id"))).as("last"))
-            .select(col("user_id").as("ck_user"),
-              col("event_type").as("ck_type"),
-              col("last.event_id").as("c_event_id"),
-              col("last.ts").as("c_ts"), col("last.value").as("c_value"))
-          val merged =
-            if (id == 0) changes.select(
-              col("ck_user").as("user_id"), col("ck_type").as("event_type"),
-              col("c_event_id").as("last_event_id"),
-              col("c_ts").as("last_ts"), col("c_value").as("last_value"))
-            else {
-              val cur = batch.sparkSession.read.parquet(snap)
-              cur.join(changes,
-                  col("user_id") === col("ck_user") &&
-                    col("event_type") === col("ck_type"), "full_outer")
-                .select(
-                  coalesce(col("user_id"), col("ck_user")).as("user_id"),
-                  coalesce(col("event_type"), col("ck_type")).as("event_type"),
-                  // change wins when BOTH sides exist and the change is
-                  // newer (or the key is new)
-                  when(col("c_ts").isNull ||
-                      (col("last_ts").isNotNull &&
-                        struct(col("last_ts"), col("last_event_id")) >=
-                          struct(col("c_ts"), col("c_event_id"))),
-                    struct(col("last_event_id"), col("last_ts"), col("last_value")))
-                    .otherwise(
-                      struct(col("c_event_id").as("last_event_id"),
-                        col("c_ts").as("last_ts"),
-                        col("c_value").as("last_value"))).as("r"))
-                .select(col("user_id"), col("event_type"),
-                  col("r.last_event_id").as("last_event_id"),
-                  col("r.last_ts").as("last_ts"),
-                  col("r.last_value").as("last_value"))
-            }
-          // land atomically-enough for the local drain: write to a
-          // temp dir then swap (merged reads `snap`, so no overwrite
-          // of the input mid-plan)
-          val tmp = snap + "_next"
-          merged.write.mode("overwrite").parquet(tmp)
-          val fs = new java.io.File(snap)
-          if (fs.exists()) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(fs.toPath).iterator().asScala.toSeq
-              .reverse.foreach(java.nio.file.Files.delete)
-          }
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-            java.nio.file.Paths.get(snap))
-          ()
-        }
+        .foreachBatch(upsertBatch(snap) _)
         .start()
       q.awaitTermination()
     }
-    s.read.parquet(snap)
-      .transform(graft.operators.Present.sortedUnbounded(_,
-        col("user_id"), col("event_type")))
+  }
+
+  /** One micro-batch of the CDC merge. Idempotent: the newer-wins
+    * comparison is `>=` on (ts, event_id), so a batch replayed after
+    * a crash between snapshot swap and checkpoint commit merges to
+    * the same snapshot. The bootstrap condition is "no snapshot
+    * written yet", NOT batch id 0 — after a restart the replayed
+    * first batch must MERGE into the snapshot it already wrote. */
+  private[graft] def upsertBatch(snap: String)(batch: DataFrame, id: Long): Unit = {
+    // batch-local compaction first: one row per key
+    val changes = batch
+      .groupBy("user_id", "event_type")
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id").as("ck_user"),
+        col("event_type").as("ck_type"),
+        col("last.event_id").as("c_event_id"),
+        col("last.ts").as("c_ts"), col("last.value").as("c_value"))
+    val snapHasData = {
+      val f = new java.io.File(snap)
+      f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
+    }
+    val merged =
+      if (!snapHasData) changes.select(
+        col("ck_user").as("user_id"), col("ck_type").as("event_type"),
+        col("c_event_id").as("last_event_id"),
+        col("c_ts").as("last_ts"), col("c_value").as("last_value"))
+      else {
+        val cur = batch.sparkSession.read.parquet(snap)
+        cur.join(changes,
+            col("user_id") === col("ck_user") &&
+              col("event_type") === col("ck_type"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("ck_user")).as("user_id"),
+            coalesce(col("event_type"), col("ck_type")).as("event_type"),
+            // change wins when BOTH sides exist and the change is
+            // newer (or the key is new)
+            when(col("c_ts").isNull ||
+                (col("last_ts").isNotNull &&
+                  struct(col("last_ts"), col("last_event_id")) >=
+                    struct(col("c_ts"), col("c_event_id"))),
+              struct(col("last_event_id"), col("last_ts"), col("last_value")))
+              .otherwise(
+                struct(col("c_event_id").as("last_event_id"),
+                  col("c_ts").as("last_ts"),
+                  col("c_value").as("last_value"))).as("r"))
+          .select(col("user_id"), col("event_type"),
+            col("r.last_event_id").as("last_event_id"),
+            col("r.last_ts").as("last_ts"),
+            col("r.last_value").as("last_value"))
+      }
+    // land atomically-enough for the local drain: write to a
+    // temp dir then swap (merged reads `snap`, so no overwrite
+    // of the input mid-plan)
+    val tmp = snap + "_next"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(snap)
+    if (fs.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fs.toPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(snap))
+    ()
   }
 
   /** Watermark-evicting dedup — the 100 TB shape for unbounded key
@@ -421,10 +471,16 @@ object StreamOps {
     * cases; this is the escape hatch for state machines the built-ins
     * can't express. State is one tuple per user — bounded by keys, not
     * by events, so it holds at 100 TB of input. */
-  def runningUserTotals(s: SparkSession, dir: String): DataFrame = {
+  def runningUserTotals(s: SparkSession, dir: String): DataFrame =
+    runningTotalsOf(s, eventsStream(s, dir))
+
+  /** The fMGWS state machine over any events-shaped stream — split
+    * from [[runningUserTotals]] so the spec can feed a multi-batch
+    * source (maxFilesPerTrigger) through the same logic. */
+  private[graft] def runningTotalsOf(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    eventsStream(s, dir)
+    events
       .select(col("user_id"), col("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)

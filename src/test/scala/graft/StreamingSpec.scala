@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.StreamOps
 import graft.operators.RelOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Structured Streaming vs batch equivalence on the static testdata
   * (reading the events parquet as a file stream, complete/append
@@ -128,6 +128,97 @@ class StreamingSpec extends SparkSpec {
     val sq = StreamOps.streamEnrich(spark, sfDir)
     assert(!sq.queryExecution.analyzed.toString.toLowerCase
       .contains("statestore"))
+  }
+
+  /** Splits the raw events rows into `parts` parquet files under a
+    * fresh dir, returning (dir, raw batch DF). Files arrive via
+    * repartition on a hash bucket so every split is deterministic. */
+  private def stageEventsSplit(tag: String): (java.nio.file.Path, DataFrame) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(StreamOps.rawSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
+    (dir, raw)
+  }
+
+  private def writeSlice(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_slice_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator()
+    val files = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) files += p }
+    assert(files.size == 1)
+    java.nio.file.Files.move(files.head, dir.resolve(s"$name.parquet"))
+  }
+
+  test("CDC upsert sink recovers from checkpoint across stop/restart") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("upsert")
+    // phase A: ~half the change feed, two files; phase B: the rest
+    val bucket = pmod(col("event_id"), lit(4))
+    writeSlice(raw.filter(bucket === 0), srcDir, "a0")
+    writeSlice(raw.filter(bucket === 1), srcDir, "a1")
+
+    val snap = java.nio.file.Files.createTempDirectory("graft_upsert_snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+
+    def drain(): Unit = StreamOps.runUpsert(spark,
+      StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1)),
+      snap, ckpt)
+
+    def expected(filter: Column): Seq[(Long, String, Long)] =
+      Tables.events(spark, sfDir).filter(filter)
+        .groupBy("user_id", "event_type")
+        .agg(max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_event_id"))
+        .orderBy("user_id", "event_type")
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    def snapshot(): Seq[(Long, String, Long)] =
+      spark.read.parquet(snap)
+        .orderBy("user_id", "event_type")
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+          r.getAs[Long]("last_event_id")))
+
+    // first run: two files -> two micro-batches (maxFilesPerTrigger=1),
+    // so the merge path (snapshot exists) is exercised BEFORE restart
+    drain()
+    assert(snapshot() == expected(pmod(col("event_id"), lit(4)) < 2),
+      "phase-A snapshot diverges from batch compaction of phase-A events")
+
+    // "crash": the query object is gone. New files arrive.
+    writeSlice(raw.filter(bucket === 2), srcDir, "b0")
+    writeSlice(raw.filter(bucket === 3), srcDir, "b1")
+
+    // restart from the SAME checkpoint: file-source offsets must skip
+    // phase A; the merges must land on the existing snapshot
+    drain()
+    assert(snapshot() == expected(lit(true)),
+      "post-restart snapshot diverges from batch compaction of ALL events")
+  }
+
+  test("update-mode landed table compacts duplicate keys across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("updcompact")
+    val bucket = pmod(col("event_id"), lit(3))
+    writeSlice(raw.filter(bucket === 0), srcDir, "f0")
+    writeSlice(raw.filter(bucket === 1), srcDir, "f1")
+    writeSlice(raw.filter(bucket === 2), srcDir, "f2")
+
+    // 3 micro-batches; most user_ids are touched in several of them,
+    // so the raw sink holds duplicate keys and only last-batch-wins
+    // compaction yields the true final state
+    val landed = StreamOps.runToTableUpdate(spark,
+      StreamOps.runningTotalsOf(spark,
+        StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1))),
+      "updcompact_test", col("user_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(landed == batch)
   }
 
   test("streaming session_window agrees with batch sessionize on counts") {
