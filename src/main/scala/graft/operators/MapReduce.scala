@@ -180,10 +180,55 @@ object MapReduce {
     runMapRed(s, stageDocsAsTextDir(s, dir),
       "WordCountMapper", "WordCountReducer")
 
+  /** Stage `documents` as ONE text file (one doc per line, doc_id
+    * order) — the reference's S2 single-file input
+    * (`Master/Master.py:216-254`), whose only chunking contract is
+    * that no word is broken; line boundaries guarantee that. Same
+    * marker-guarded driver-side scaffolding rationale as
+    * [[stageDocsAsTextDir]]. */
+  def stageDocsAsSingleFile(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val staged = Paths.get("/tmp/graft_mrfile",
+      dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val out = staged.resolve("docs.txt")
+    val marker = staged.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(staged)
+      val sb = new StringBuilder
+      Tables.documents(s, dir).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .foreach(r => sb.append(r.getString(1)).append('\n'))
+      Files.writeString(out, sb.toString)
+      Files.writeString(marker, "")
+    }
+    out.toString
+  }
+
+  /** S2 dispatch under the driver gate: a single FILE path resolves
+    * through the line-granularity + repartition(nChunks) branch; the
+    * word counts must equal the directory form's (same corpus text,
+    * tokenizer splits on the newlines anyway). */
+  def runMapRedFile(s: SparkSession, dir: String): DataFrame =
+    runMapRed(s, stageDocsAsSingleFile(s, dir),
+      "WordCountMapper", "WordCountReducer")
+
+  /** S3 dispatch under the driver gate: the input IS the corpus text
+    * (reference `Master/Master.py:222-224` — a non-path string is
+    * inline data). Bounded to doc_id < 50 because an inline string is
+    * definitionally driver-resident — the oracle filters identically. */
+  def runMapRedInline(s: SparkSession, dir: String): DataFrame = {
+    val text = Tables.documents(s, dir)
+      .filter(col("doc_id") < 50).orderBy("doc_id")
+      .select("text").collect().map(_.getString(0)).mkString("\n")
+    runMapRed(s, text, "WordCountMapper", "WordCountReducer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount_mr"      -> wordcountMr _,
     "inverted_index_mr" -> invertedIndexMr _,
     "run_mapred_dir"    -> runMapRedDir _,
+    "run_mapred_file"   -> runMapRedFile _,
+    "run_mapred_inline" -> runMapRedInline _,
   )
 
   /** Same oracles as the native TextOps forms — the point is that the
@@ -197,6 +242,19 @@ object MapReduce {
       """SELECT word, '' AS doc, count(*) AS value FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
         |  FROM documents) t WHERE word <> ''
+        |GROUP BY word ORDER BY word, doc""".stripMargin,
+    // S2: same corpus through the single-file line-chunked branch —
+    // identical counts (newlines are tokenizer separators)
+    "run_mapred_file" ->
+      """SELECT word, '' AS doc, count(*) AS value FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
+        |  FROM documents) t WHERE word <> ''
+        |GROUP BY word ORDER BY word, doc""".stripMargin,
+    // S3: the bounded inline slice (doc_id < 50), filtered identically
+    "run_mapred_inline" ->
+      """SELECT word, '' AS doc, count(*) AS value FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
+        |  FROM documents WHERE doc_id < 50) t WHERE word <> ''
         |GROUP BY word ORDER BY word, doc""".stripMargin,
   )
 }

@@ -43,13 +43,15 @@ object TextSources {
   }
 
   /** Dispatch mirroring the reference's dir/file/string branch
-    * (`Master/Master.py:195-224`). */
-  def resolve(s: SparkSession, input: String): DataFrame = {
-    val p = java.nio.file.Paths.get(input)
-    if (java.nio.file.Files.isDirectory(p)) directory(s, input)
-    else if (java.nio.file.Files.isRegularFile(p)) file(s, input)
-    else inline(s, input)
-  }
+    * (`Master/Master.py:195-224`). A string that isn't even a LEGAL
+    * path (too long, odd characters) is by definition inline data,
+    * so path-probe failures fall through to S3 rather than throwing. */
+  def resolve(s: SparkSession, input: String): DataFrame =
+    scala.util.Try(java.nio.file.Paths.get(input)).toOption match {
+      case Some(p) if java.nio.file.Files.isDirectory(p)   => directory(s, input)
+      case Some(p) if java.nio.file.Files.isRegularFile(p) => file(s, input)
+      case _                                               => inline(s, input)
+    }
 
   /** S6 — JSON sink + collect-back, the reference's
     * combineAndStoreReducerOutput (`Master/Master.py:97-108`): one
