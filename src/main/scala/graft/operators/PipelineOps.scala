@@ -490,7 +490,7 @@ object PipelineOps {
         .filter(col("rn") === 1 && col("lex_lang") === "en")
         .select(col("doc_id"), col("lex_lang").as("lang"))
     }
-    val toks = split(trim(lower(col("text"))), "[^\\p{L}\\p{N}]+")
+    val toks = TextAnalysis.cleanTokens(col("text"))
     val quality = docs
       .withColumn("toks", toks)
       .select(col("doc_id"),

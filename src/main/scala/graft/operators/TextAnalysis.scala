@@ -34,6 +34,15 @@ object TextAnalysis {
     lexicon.toDF("lex_lang", "lex_word")
   }
 
+  /** Lowercased letter/digit tokens of a text column, with the EMPTY
+    * edge tokens REMOVED: split() on a doc that starts or ends with
+    * punctuation yields "" at the edges (trim only strips whitespace),
+    * and counting those diverges from every oracle's
+    * `list_filter(x <> '')`. The `+` quantifier makes interior empties
+    * impossible, so array_remove exactly mirrors the filter. */
+  private[graft] def cleanTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_remove(split(trim(lower(text)), "[^\\p{L}\\p{N}]+"), "")
+
   /** Language ID: tokenize → broadcast-join the lexicon → per-doc
     * argmax(score) with deterministic tie-break. Docs with no lexicon
     * hit → 'unknown'. The lexicon join is a broadcast hash join (the
@@ -66,7 +75,7 @@ object TextAnalysis {
     * stopword ratio, alpha-char ratio — the classic cheap corpus
     * filters. Pure column math; one narrow pass. */
   def textQuality(s: SparkSession, d: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "[^\\p{L}\\p{N}]+")
+    val toks = cleanTokens(col("text"))
     Tables.documents(s, d)
       .withColumn("toks", toks)
       .select(

@@ -29,6 +29,30 @@ class TokenizeSpec extends SparkSpec {
     assert(tok("123 !!! __") == Seq())
   }
 
+  test("cleanTokens drops empty edge tokens on punctuation-edged docs") {
+    import spark.implicits._
+    // "!hello, world." raw-splits to ["", "hello", "world", ""] —
+    // the count the oracles compute via list_filter(x <> '') is 2
+    val fixtures = Seq(
+      (1L, "!hello, world."),   // punct both edges
+      (2L, "...leading"),       // punct head only
+      (3L, "trailing..."),      // punct tail only
+      (4L, "clean middle"),     // no edges
+      (5L, "¿Águas? ¡de! 42")   // unicode punct + digits
+    ).toDF("doc_id", "text")
+    val got = fixtures
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.cleanTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        array_contains(col("toks"), "").as("has_empty"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((2, false)))
+    assert(got(2L) == ((1, false)))
+    assert(got(3L) == ((1, false)))
+    assert(got(4L) == ((2, false)))
+    assert(got(5L) == ((3, false)))
+  }
+
   test("column tokenizer agrees with the Scala mapper twin") {
     val texts = Seq("Hello, World!", "a-b-c 1d2e3", "Águas de Março", "")
     texts.foreach { t =>
