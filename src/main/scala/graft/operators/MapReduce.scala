@@ -157,7 +157,7 @@ object MapReduce {
     * operator's input at scale IS a directory of files. */
   def stageDocsAsTextDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
-    val staged = Paths.get("/tmp/graft_mrdir",
+    val staged = graft.Scratch.path("graft_mrdir",
       dir.replaceAll("[^A-Za-z0-9]", "_"))
     val marker = staged.resolve("_STAGED")
     if (!Files.exists(marker)) {
@@ -188,7 +188,7 @@ object MapReduce {
     * [[stageDocsAsTextDir]]. */
   def stageDocsAsSingleFile(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
-    val staged = Paths.get("/tmp/graft_mrfile",
+    val staged = graft.Scratch.path("graft_mrfile",
       dir.replaceAll("[^A-Za-z0-9]", "_"))
     val out = staged.resolve("docs.txt")
     val marker = staged.resolve("_STAGED")

@@ -207,7 +207,7 @@ object PipelineOps {
     * rotating slot per call so concurrent-in-session results can't
     * clobber each other while repeated runs don't accumulate dirs. */
   private def freshCcDir(): String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_cc",
+    val p = graft.Scratch.path("graft_cc",
       s"labels_${ccEpoch.getAndIncrement() % 8}")
     p.toString
   }
@@ -336,7 +336,7 @@ object PipelineOps {
       // land the ranks before releasing the pair cache (the caller's
       // action runs after this method returns — serving from the DAG
       // would recompute the candidate pipeline per edge reference)
-      val out = java.nio.file.Paths.get("/tmp/graft_cc",
+      val out = graft.Scratch.path("graft_cc",
         s"pagerank_${ccEpoch.getAndIncrement() % 8}").toString
       ranks.select(col("id").as("doc_id"), col("r").as("rank_ppb"))
         .write.mode("overwrite").parquet(out)

@@ -21,7 +21,7 @@ object StorageOps {
   /** Deterministic per-dataset staging dir under one fixed root —
     * reruns overwrite instead of accumulating. */
   private def stageDir(tag: String, d: String): String =
-    java.nio.file.Paths.get("/tmp/graft_storage", tag,
+    graft.Scratch.path("graft_storage", tag,
       d.replaceAll("[^a-zA-Z0-9]", "_")).toString
 
   val Buckets = 8

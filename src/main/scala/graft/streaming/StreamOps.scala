@@ -41,7 +41,8 @@ object StreamOps {
       if (java.nio.file.Files.isDirectory(raw)) raw.toString
       else {
         val staged = java.nio.file.Paths.get(
-          "/tmp/graft_stream", raw.toString.replaceAll("[^a-zA-Z0-9]", "_"))
+          graft.Scratch.root, "graft_stream",
+          raw.toString.replaceAll("[^a-zA-Z0-9]", "_"))
         java.nio.file.Files.createDirectories(staged)
         val link = staged.resolve("events.parquet")
         if (!java.nio.file.Files.exists(link))
@@ -83,7 +84,7 @@ object StreamOps {
     * gate/bench runs reuse ONE sink + ONE checkpoint path per query
     * instead of accumulating createTempDirectory droppings in /tmp. */
   private def freshDir(tag: String, kind: String): String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_stream_out", kind, tag)
+    val p = graft.Scratch.path("graft_stream_out", kind, tag)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
