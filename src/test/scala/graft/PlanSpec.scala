@@ -241,6 +241,19 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("skew_join_aqe: the adaptive skew split fires on the hot key") {
+    graft.operators.SaltedAgg.skewJoinAqe(spark, sfDir).collect()
+    val plan = graft.operators.SaltedAgg.lastSkewJoinPlan
+    assert(plan.nonEmpty, "no adaptive plan recorded")
+    // OptimizeSkewedJoin marks the rescued join and its shuffle reads
+    assert(plan.toLowerCase.contains("skew"),
+      s"no skew handling in the final adaptive plan:\n$plan")
+    // and the demo didn't degenerate into a broadcast join (which
+    // would hide the skew instead of splitting it)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join under AQE:\n$plan")
+  }
+
   test("partitioned layout prunes to the queried partition at the scan") {
     val df = graft.sources.StorageOps.partitionedScan(spark, sfDir)
     df.collect()
