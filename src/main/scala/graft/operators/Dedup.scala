@@ -206,7 +206,18 @@ object Dedup {
     val mh = udaf(new graft.functions.Aggregators.MinHashArithAgg(
       mhA.toArray, mhB.toArray, MinHashP),
       org.apache.spark.sql.Encoders.scalaLong)
-    sh.groupBy("doc_id").agg(mh(col("shingle")).as("sig"))
+    // Repartition by doc BEFORE the aggregation: the capped-shingle
+    // relation arrives partitioned by SHINGLE (the df-cap window), so
+    // without this, partial aggregation emits one 512-byte 64-minima
+    // buffer per (doc × input partition) — measured 671 MB vs 62 MB of
+    // actual shingle rows at a 10× corpus (118× the 1× bytes; the
+    // doc×partition cross term grows with BOTH corpus and cluster
+    // size, the definition of a scale-killer). Co-locating each doc
+    // first costs one narrow (doc_id, int64) shuffle, after which
+    // partial ≡ final (one buffer per doc) and the agg needs no
+    // further exchange — linear in docs forever. */
+    sh.repartition(col("doc_id"))
+      .groupBy("doc_id").agg(mh(col("shingle")).as("sig"))
   }
 
   /** Expression-form twin of [[minhashSignaturesMd5From]] (64 min()
