@@ -83,6 +83,20 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p)
   }
 
+  test("minhash signatures aggregate over doc-co-located input (no buffer amplification)") {
+    // The capped-shingle relation arrives partitioned by SHINGLE (the
+    // df-cap window), so aggregating it directly makes the partial
+    // stage emit one 512-byte 64-minima buffer per doc PER input
+    // partition — measured 65x the linear shuffle bytes at a 10x
+    // corpus (SCALE.md round-6 rehearsal). The fix is an explicit
+    // doc_id repartition below the aggregate; this pins it.
+    val sig = graft.operators.Dedup.minhashSignaturesMd5From(
+      graft.operators.Dedup.cappedShingles(spark, sfDir))
+    val p = sig.queryExecution.optimizedPlan.toString
+    assert(p.contains("RepartitionByExpression [doc_id"),
+      s"minhash agg input is no longer co-located by doc:\n$p")
+  }
+
   test("unbounded-output queries keep a parallel final sort (no single-task funnel)") {
     // O(input)-row outputs must present via a range-partitioned
     // orderBy, not repartition(1): at 100x data a single-task final
