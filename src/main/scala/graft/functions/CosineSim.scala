@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * appears" case: the declarative `zip_with`+`aggregate` form
   * (Similarity.cosine) allocates an intermediate array per pair and
   * evaluates a lambda per element; at millions of candidate pairs the
-  * fused loop wins (see CosineBenchSpec). Arithmetic is the same
+  * fused loop wins (ExtensionsSpec asserts the rewrite fires and is
+  * result-identical). Arithmetic is the same
   * left-to-right fold, so results are bit-identical and the DuckDB
   * oracles are unaffected.
   *

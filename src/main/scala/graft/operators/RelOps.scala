@@ -91,14 +91,21 @@ object RelOps {
       .join(broadcast(Tables.nation(s, d)),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "n_name")
-    val profit = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // Per-row profit has exactly 4 decimal places (2dp price × 2dp
+    // discount), so summing it as a ×10⁴ fixed-point long is EXACT and
+    // order-independent — a double sum rounded to 2dp can straddle a
+    // half-cent boundary differently per engine/shuffle order (seen at
+    // sf0.001: 1372920.005 → .00 vs .01). Same arithmetic in the
+    // oracle.
+    val profitFp = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 10000).cast("long")
     Tables.lineitem(s, d)
       .join(promoParts, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(profit), 2).as("profit"))
+      .agg(round(sum(profitFp) / 10000.0, 2).as("profit"))
       .transform(Present.sorted(_, col("nation"), desc("o_year")))
   }
 
@@ -343,7 +350,8 @@ object RelOps {
     "q9_product_profit" ->
       """SELECT n_name AS nation,
         |  year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) / 10000.0, 2) AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type IN ('PROMO', 'ECONOMY')
         |JOIN orders ON l_orderkey = o_orderkey
