@@ -94,6 +94,35 @@ object TextAnalysis {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** Repetition-based quality signals (the Gopher-rule family):
+    * duplicate-line fraction and most-frequent-bigram fraction —
+    * the filters that catch boilerplate/spam docs that length and
+    * alpha-ratio miss. Lines dedup per doc with array ops (narrow);
+    * the bigram mode reuses the 2-shingle generator: one shuffle on
+    * (doc, bigram) with map-side partial counts, one per-doc rollup,
+    * one doc-keyed join — all keys doc-bounded, no corpus-wide hot
+    * key possible. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val lines = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+    val lineStats = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      when(size(lines) > 0,
+        round(lit(1) - size(array_distinct(lines)).cast("double") / size(lines), 6))
+        .otherwise(0.0).as("dup_line_ratio"))
+    val bgStats = Dedup.shinglesRaw(s, d, 2)
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_c"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_ratio"))
+    lineStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"), col("dup_line_ratio"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** Token counting three ways: whitespace, a BPE-ish regex
     * (letter runs | digit runs | single other), and the chars/4
     * budget rule — the estimators a pipeline uses to cost a corpus. */
@@ -216,6 +245,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"      -> langId _,
     "text_quality" -> textQuality _,
+    "repetition_stats" -> repetitionStats _,
     "token_counts" -> tokenCounts _,
     "fingerprint"  -> fingerprint _,
     "winnow_fingerprints" -> winnowFingerprints _,
@@ -223,6 +253,34 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "repetition_stats" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+        |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)),
+        |bg AS (
+        |  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id, bigram),
+        |bgs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_ratio
+        |  FROM bg GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  len(ls) AS n_lines,
+        |  CASE WHEN len(ls) = 0 THEN 0.0
+        |    ELSE round(1 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+        |  END AS dup_line_ratio,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio
+        |FROM lines l LEFT JOIN bgs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
          |tok AS (

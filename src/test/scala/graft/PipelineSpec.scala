@@ -205,4 +205,30 @@ class PipelineSpec extends SparkSpec {
     assert(crafted(2) == "acct <id> ok")
     assert(crafted(3) == "short 12345 stays")
   }
+
+  test("repetition_stats flags boilerplate and clears clean prose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stage a crafted documents table: a spam doc (one line repeated,
+    // one bigram dominating) and a clean doc (all lines and bigrams
+    // distinct)
+    val dir = java.nio.file.Files.createTempDirectory("graft_repfix")
+    Seq(
+      (1L, "buy now\nbuy now\nbuy now\nbuy now"),
+      (2L, "the quick brown fox\njumps over lazy dogs"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val got = graft.operators.TextAnalysis.repetitionStats(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // spam: 4 lines, 1 distinct -> dup 0.75; bigrams all "buy now" -> ratio 1.0
+    assert(got(1L) == ((4, 0.75, 7L, 0.571429)),
+      s"spam doc stats off: ${got(1L)}")
+    // clean: 2 distinct lines -> dup 0; 7 bigrams all distinct -> 1/7
+    assert(got(2L)._1 == 2 && got(2L)._2 == 0.0)
+    assert(got(2L)._4 == 0.142857)
+    // empty doc: zero lines/bigrams, ratios 0
+    assert(got(3L) == ((0, 0.0, 0L, 0.0)))
+  }
 }
