@@ -206,6 +206,36 @@ object RelOps {
       .transform(Present.sortedUnbounded(_, col("o_custkey"), col("rn")))
   }
 
+  /** The rest of the window-function surface: sliding ROWS frames,
+    * distribution ranks (ntile / percent_rank / cume_dist), and
+    * first/last_value with an explicit full frame (last_value under
+    * the default frame is the CURRENT row — a classic cross-engine
+    * trap, avoided by spelling the frame out). All orderings carry an
+    * o_orderkey tie-break so every rank is total; running/sliding
+    * float sums follow frame order in both engines, so rounding is
+    * deterministic. One shuffle on custkey serves all seven windows
+    * (two sort orders within the same partitioning). */
+  def windowFrames(s: SparkSession, d: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val sliding = byDate.rowsBetween(-2, Window.currentRow)
+    val running = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full    = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum("o_totalprice").over(running), 2).as("run_total"),
+        round(avg("o_totalprice").over(sliding), 4).as("avg3"),
+        ntile(4).over(byPrice).as("price_quartile"),
+        round(percent_rank().over(byPrice), 6).as("pr"),
+        round(cume_dist().over(byPrice), 6).as("cd"),
+        first_value(col("o_orderkey")).over(byDate).as("first_ok"),
+        last_value(col("o_orderkey")).over(full).as("last_ok"))
+      .transform(Present.sortedUnbounded(_, col("o_orderkey")))
+  }
+
   /** Top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
     * per-partition heaps + a k-row driver merge, no global sort. */
   def topkOrders(s: SparkSession, d: String): DataFrame =
@@ -303,6 +333,7 @@ object RelOps {
     "rollup_orders"      -> rollupOrders _,
     "cube_lineitem"      -> cubeLineitem _,
     "window_orders"      -> windowOrders _,
+    "window_frames"      -> windowFrames _,
     "topk_orders"        -> topkOrders _,
     "setops_nations"     -> setOpsNations _,
     "scalar_funcs"       -> scalarFuncs _,
@@ -411,6 +442,22 @@ object RelOps {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (d ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), 2) AS run_total,
+        |  round(avg(o_totalprice) OVER (d ROWS BETWEEN 2 PRECEDING
+        |    AND CURRENT ROW), 4) AS avg3,
+        |  ntile(4) OVER p AS price_quartile,
+        |  round(percent_rank() OVER p, 6) AS pr,
+        |  round(cume_dist() OVER p, 6) AS cd,
+        |  first_value(o_orderkey) OVER d AS first_ok,
+        |  last_value(o_orderkey) OVER (d ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS last_ok
+        |FROM orders
+        |WINDOW d AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       p AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

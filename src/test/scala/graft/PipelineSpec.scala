@@ -206,6 +206,34 @@ class PipelineSpec extends SparkSpec {
     assert(crafted(3) == "short 12345 stays")
   }
 
+  test("hashBucket: total, in-range, deterministic, salt-decorrelated, pinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids = (-1000L until 1000L).toDF("id")
+    def run(salt: String): Map[Long, Long] = ids
+      .select(col("id"), PipelineOps.hashBucket(col("id"), 100, salt).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run("split")
+    assert(a.size == 2000 && a.values.forall(b => b >= 0 && b < 100))
+    assert(a == run("split"), "same salt must reproduce identically")
+    // different salts give independent assignments (cross-use of one
+    // bucket set for splits AND sampling would couple the decisions)
+    val diff = a.count { case (k, v) => run("mix").getOrElse(k, -1L) != v }
+    assert(diff > 1800, s"salts barely decorrelate: $diff/2000 differ")
+    // no bucket starves or hogs (2000 keys over 100 buckets, e~20)
+    val counts = a.values.groupBy(identity).map(_._2.size)
+    assert(counts.min >= 5 && counts.max <= 45, counts.toSeq.sorted.mkString(","))
+    // pinned against the reference md5 arithmetic: these exact values
+    // are what the DuckDB oracle computes — a silent change in the
+    // hash (cast formatting, substring bounds) breaks every
+    // split/sample/mix gate at once, so catch it here first
+    val pinned = ids.select(col("id"),
+      PipelineOps.hashBucket(col("id"), 100, "pin").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, -5L).map(pinned) == Seq(41L, 93L, 25L),
+      s"pinned md5 buckets moved: ${Seq(0L, 1L, -5L).map(pinned)}")
+  }
+
   test("repetition_stats flags boilerplate and clears clean prose") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
