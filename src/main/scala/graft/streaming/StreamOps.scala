@@ -204,6 +204,59 @@ object StreamOps {
     runToTableAppend(s, clickPurchaseJoin(s, dir), "stream_join",
       col("click_id"), col("purchase_id"))
 
+  /** LEFT OUTER stream-stream join — the funnel query that also
+    * reports clicks with NO purchase. The outer NULL row for a click
+    * is emittable only once the watermark proves no purchase can
+    * still arrive (watermark > click_ts + join window); Spark holds
+    * the row in state until then and a no-data micro-batch flushes it
+    * after the drain. */
+  def clickPurchaseLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 60 minutes"),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** `clickPurchaseLeftJoin` driver-gated. Outer results are only
+    * FINAL for clicks the terminal watermark has cleared. With TWO
+    * watermarked inputs the global watermark is the MIN over sides of
+    * (that side's max event time − delay) — verified empirically: the
+    * unfiltered stream withheld exactly the unmatched clicks between
+    * the min-side and max-side horizons. A click's no-match verdict is
+    * decidable once the watermark passes click_ts + 60 min, so both
+    * the landed table and the DuckDB oracle restrict to
+    * click_ts < min(max click_ts, max purchase_ts) − 1 h − 60 min
+    * (strict, dodging the eviction boundary), where stream ≡ batch
+    * LEFT JOIN exactly. */
+  def clickPurchaseLeftGated(s: SparkSession, dir: String): DataFrame = {
+    val landed = runToTableAppend(s, clickPurchaseLeftJoin(s, dir),
+      "stream_left_join", col("click_id"), col("purchase_id"))
+    val ev = Tables.events(s, dir)
+    val horizon = broadcast(
+      ev.filter(col("event_type") === "click").agg(max("ts").as("mc"))
+        .crossJoin(ev.filter(col("event_type") === "purchase")
+          .agg(max("ts").as("mp")))
+        .select((least(col("mc"), col("mp")) -
+          expr("interval 120 minutes")).as("h")))
+    landed.crossJoin(horizon)
+      .filter(col("click_ts") < col("h")).drop("h")
+      .transform(graft.operators.Present.sortedUnbounded(_,
+        col("click_id"), col("purchase_id")))
+  }
+
   /** Streaming exact dedup: first-seen (user_id, event_type) pairs via
     * streaming dropDuplicates. Exact-distinct semantics with one state
     * entry per DISTINCT key — bounded by key cardinality, so it holds
@@ -544,6 +597,7 @@ object StreamOps {
     "events_window_stream" -> eventsWindowStream _,
     "sessionize_stream"    -> sessionizeStreamGated _,
     "stream_stream_join"   -> clickPurchaseJoinGated _,
+    "stream_left_join"     -> clickPurchaseLeftGated _,
     "dedup_stream"         -> dedupStreamGated _,
     "stream_enrich"        -> streamEnrichGated _,
     "running_totals_stream" -> runningUserTotalsGated _,
@@ -561,6 +615,18 @@ object StreamOps {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "stream_left_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+        |  AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |WHERE a.event_type = 'click'
+        |  AND a.ts < least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 120 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
     "dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events
