@@ -303,6 +303,34 @@ object PipelineOps {
     * count, no dangling mass (undirected graph → every node has
     * in-edges). N arrives via a broadcast 1-row cross join, not a
     * driver collect. */
+  /** Triangle enumeration over the near-dup pair graph — the classic
+    * graph-analytics join chain (a<b<c canonical ordering falls out
+    * of the pair set's doc_a < doc_b invariant, so each triangle
+    * appears exactly once with no dedup step). The PAIR set is the
+    * only relation touched: persisted once, materialized before the
+    * three self-references (Spark has no cross-branch CSE), two
+    * edge-bounded shuffles total. Landed to scratch parquet so no
+    * cached partitions outlive the call — the same hygiene as
+    * pagerank/connectedComponents. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b").persist()
+    try {
+      e.count() // materialize the cache before the 3 branch reads
+      val ab = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val bc = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+      val ac = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      val tri = ab
+        .join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val out = graft.Scratch.path("graft_cc",
+        s"triangles_${ccEpoch.getAndIncrement() % 8}").toString
+      tri.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .transform(Present.sortedUnbounded(_, col("a"), col("b"), col("c")))
+    } finally e.unpersist(false)
+  }
+
   def pagerankDocs(s: SparkSession, d: String,
                    iters: Int = PageRankIters): DataFrame = {
     val pairs = Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b")
@@ -528,6 +556,7 @@ object PipelineOps {
     "doc_chunks"       -> docChunks _,
     "pii_redact"       -> piiRedact _,
     "pagerank_docs"    -> ((s: SparkSession, d: String) => pagerankDocs(s, d)),
+    "triangle_count"   -> triangleCount _,
   )
 
   private def mixValues: String =
@@ -608,6 +637,16 @@ object PipelineOps {
         |    '\s+', ' ', 'g'))) AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
+    "triangle_count" ->
+      s"""WITH pairs AS (
+         |${Dedup.oracle("neardup_jaccard").linesIterator.map("  " + _).mkString("\n")}
+         |),
+         |e AS (SELECT doc_a, doc_b FROM pairs)
+         |SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |FROM e ab
+         |JOIN e bc ON bc.doc_a = ab.doc_b
+         |JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+         |ORDER BY a, b, c""".stripMargin,
     "pagerank_docs" -> pagerankSql,
     "dedup_clusters_lsh" -> dedupClustersLshSql,
     "keep_one_per_cluster" ->
