@@ -67,16 +67,20 @@ object Bench {
       val sp = if (steady.size >= 2) steady.max / steady.min else 1.0
       s"\"" + k + f"\":${sp}%.2f"
     }.mkString("{", ",", "}")
-    def mainLine(prec: Int) =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qmap(prec)},"sf":"$sfDir"}"""
+    def mainLine(prec: Int, sf: String) =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qmap(prec)},"sf":"$sf"}"""
     // The consumer scrapes only the LAST ~2000 chars of stdout and
     // json-parses line by line, so the line must fit that window
     // ENTIRELY or every head-truncated entry is lost (round-5 bench
-    // lost 7 queries this way). Degrade per-query precision until the
-    // full 94+-entry map fits; full 3-decimal detail + spread + raw
-    // pass times always go to the sidecar file below.
-    val stdoutLine = Seq(3, 2, 1, 0).map(mainLine).find(_.length <= 1960)
-      .getOrElse(mainLine(0))
+    // lost 7 queries this way). Degrade per-query precision, then the
+    // sf path to its basename, until the full 100+-entry map fits;
+    // full 3-decimal detail + spread + raw pass times always go to
+    // the sidecar file below.
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val stdoutLine = (Seq(3, 2, 1, 0).map(mainLine(_, sfDir)) ++
+        Seq(1, 0).map(mainLine(_, sfShort)))
+      .find(_.length <= 1960)
+      .getOrElse(mainLine(0, sfShort))
     val passTimes = names.map { case (k, _) =>
       "\"" + k + "\":[" + times(k).reverse.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
