@@ -83,6 +83,21 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p)
   }
 
+  test("window_frames: one custkey shuffle serves all seven windows") {
+    // two sort orders (by date, by price) share one hashpartitioning
+    // exchange — a second exchange would mean Spark re-shuffled per
+    // window clause; only the final presentation range-sort may add
+    // its own
+    val df = graft.operators.RelOps.windowFrames(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val custkeyExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(o_custkey"))
+    assert(custkeyExchanges == 1,
+      s"expected 1 custkey exchange, got $custkeyExchanges:\n$p")
+  }
+
   test("minhash signatures aggregate over doc-co-located input (no buffer amplification)") {
     // The capped-shingle relation arrives partitioned by SHINGLE (the
     // df-cap window), so aggregating it directly makes the partial
