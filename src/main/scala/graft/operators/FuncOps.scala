@@ -44,6 +44,29 @@ object FuncOps {
         (col("p50a") >= col("plo") && col("p50a") <= col("phi")).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** The try_* error-handling family — topical under Spark 4's
+    * default ANSI mode, where plain arithmetic THROWS on division by
+    * zero, numeric overflow, and malformed casts. try_divide /
+    * try_add / try_cast degrade the poisoned ROW to NULL instead of
+    * killing the job — the behavior a 100 TB pipeline wants when one
+    * bad record must not fail a day of compute. Each column mixes
+    * success and failure rows deterministically; the oracle spells
+    * the same three-valued results with CASE / TRY_CAST. */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        // custkey ≡ 0 (mod 7) → divide by zero → NULL
+        round(try_divide(col("c_acctbal"), col("c_custkey") % 7), 4).as("div7"),
+        // even keys carry a numeric string (survives), odd keys a
+        // non-numeric name (malformed → NULL); the value round-trips
+        // through VARCHAR so engine float-formatting can't leak in
+        when(col("c_custkey") % 2 === 0, col("c_acctbal").cast("string"))
+          .otherwise(col("c_name")).try_cast("double").as("cast_back"),
+        // custkey > 1000 overflows long → NULL, ≤ 1000 survives
+        try_add(lit(Long.MaxValue - 1000), col("c_custkey")).as("near_max"))
+      .orderBy("c_custkey")
+
   /** Null-handling functions. The testdata has no NULLs, so nulls are
     * MANUFACTURED via nullif — which is itself part of the surface. */
   def nullFuncs(s: SparkSession, d: String): DataFrame =
@@ -138,6 +161,7 @@ object FuncOps {
     "percentiles"        -> percentiles _,
     "percentiles_approx" -> percentilesApprox _,
     "null_funcs"         -> nullFuncs _,
+    "try_funcs"          -> tryFuncs _,
     "array_ops"          -> arrayOps _,
     "setops_all"         -> setOpsAll _,
     "profile_lineitem"   -> profileLineitem _,
@@ -156,6 +180,16 @@ object FuncOps {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "try_funcs" ->
+      """SELECT c_custkey,
+        |  round(CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |    ELSE c_acctbal / (c_custkey % 7) END, 4) AS div7,
+        |  TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal::VARCHAR
+        |    ELSE c_name END AS DOUBLE) AS cast_back,
+        |  CASE WHEN c_custkey <= 1000
+        |    THEN 9223372036854775807 - 1000 + c_custkey ELSE NULL
+        |  END AS near_max
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "null_funcs" ->
       """SELECT c_custkey,
         |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,

@@ -83,6 +83,22 @@ object SqlSurface {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** NOT IN with a NULLABLE probe column — the null-aware anti join,
+    * a DISTINCT physical operator from the plain LeftAnti that NOT
+    * EXISTS plans to (join_anti): three-valued logic makes a NULL
+    * probe never satisfy NOT IN, and Spark handles that with
+    * isNullAwareAntiJoin=true on a broadcast build (asserted in
+    * JoinOpsSpec). Every-10th custkey is nulled so the null path
+    * actually executes; DuckDB shares the ANSI semantics verbatim. */
+  def joinAntiNullAware(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "orders"); withView(s, d, "customer")
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END
+        |  NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Ordered string aggregation: per-nation sorted list of supplier
     * names (deterministic via sort_array). */
   def stringAgg(s: SparkSession, d: String): DataFrame =
@@ -140,6 +156,7 @@ object SqlSurface {
     "scalar_subquery"  -> scalarSubquery _,
     "string_agg"       -> stringAgg _,
     "exists_subquery"  -> existsSubquery _,
+    "join_anti_null"   -> joinAntiNullAware _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -193,6 +210,11 @@ object SqlSurface {
       """SELECT s_nationkey,
         |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "join_anti_null" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END
+        |  NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "exists_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |  EXISTS (SELECT 1 FROM orders o

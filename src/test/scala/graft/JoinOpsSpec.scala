@@ -57,4 +57,17 @@ class JoinOpsSpec extends SparkSpec {
     assert(got(5L) == None)
     assert(got(7L) == Some(ts(4)), "click at the same instant must match")
   }
+
+  test("NOT IN with nullable probe plans as a null-aware anti join") {
+    val df = graft.operators.SqlSurface.joinAntiNullAware(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true —
+    // the trailing flag is isNullAwareAntiJoin; a plain LeftAnti here
+    // would return WRONG rows for the nulled probes
+    val naaj = p.linesIterator.exists(l =>
+      l.contains("LeftAnti, BuildRight, true"))
+    assert(naaj, s"null-aware anti join not planned:\n$p")
+  }
 }
