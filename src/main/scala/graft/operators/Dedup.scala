@@ -314,6 +314,27 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Fuzzy verification of LSH candidates by edit distance on the
+    * document HEAD — the cheap cross-check a dedup pipeline runs when
+    * shingle overlap alone is too coarse (e.g. boilerplate-heavy
+    * corpora where distinct docs share most shingles). Candidates
+    * come from the banded MinHash (never a cross join); the text join
+    * re-attaches only an 80-char prefix per side, so the shuffled
+    * rows stay fixed-width. levenshtein is codegen'd in Spark and
+    * native in DuckDB with identical character semantics on BMP text,
+    * so the distances hash-match exactly. */
+  def fuzzyPairs(s: SparkSession, d: String, headLen: Int = 80): DataFrame = {
+    val heads = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, headLen).as("head"))
+    minhashLshRaw(s, d)
+      .select("doc_a", "doc_b")
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), "doc_a")
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b")).as("head_dist"))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
   val SimHashBits  = 60 // md5Hash60 width — every bit is oracle-replicable
   val SimHashBands = 4  // 15-bit bands; pigeonhole covers hamming <= 3
 
@@ -386,6 +407,7 @@ object Dedup {
     "neardup_jaccard" -> ((s: SparkSession, d: String) => neardupJaccard(s, d)),
     "minhash_lsh"     -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "fuzzy_pairs"     -> ((s: SparkSession, d: String) => fuzzyPairs(s, d)),
   )
 
   /** DuckDB CTE chain (no leading WITH) replicating the md5 LSH
@@ -483,6 +505,16 @@ object Dedup {
       s"""WITH ${lshOracleCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "fuzzy_pairs" ->
+      s"""WITH ${lshOracleCtes()},
+         |lsh AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |heads AS (SELECT doc_id, substring(text, 1, 80) AS head FROM documents)
+         |SELECT l.doc_a, l.doc_b,
+         |  levenshtein(ha.head, hb.head) AS head_dist
+         |FROM lsh l
+         |JOIN heads ha ON ha.doc_id = l.doc_a
+         |JOIN heads hb ON hb.doc_id = l.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
