@@ -67,20 +67,37 @@ object Bench {
       val sp = if (steady.size >= 2) steady.max / steady.min else 1.0
       s"\"" + k + f"\":${sp}%.2f"
     }.mkString("{", ",", "}")
-    def mainLine(prec: Int, sf: String) =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qmap(prec)},"sf":"$sf"}"""
+    def mainLine(prec: Int, sf: String, unit: Boolean) = {
+      val unitPart = if (unit) ""","unit":"sec"""" else ""
+      f"""{"metric":"total","value":$total%.2f$unitPart,"queries":${qmap(prec)},"sf":"$sf"}"""
+    }
     // The consumer scrapes only the LAST ~2000 chars of stdout and
     // json-parses line by line, so the line must fit that window
     // ENTIRELY or every head-truncated entry is lost (round-5 bench
-    // lost 7 queries this way). Degrade per-query precision, then the
-    // sf path to its basename, until the full 100+-entry map fits;
-    // full 3-decimal detail + spread + raw pass times always go to
-    // the sidecar file below.
+    // lost 7 queries this way). Degradation ladder until it fits:
+    // per-query precision 3→0 decimals, sf path → basename, drop the
+    // "unit" field, and as a last resort keep only the entries that
+    // fit plus an explicit "omitted" count — a SHORT parseable map
+    // beats a complete unparseable one. Full 3-decimal detail, spread,
+    // and raw pass times always go to the sidecar file below.
+    val Budget = 1995 // window 2000 minus the trailing newline, minus slack
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val stdoutLine = (Seq(3, 2, 1, 0).map(mainLine(_, sfDir)) ++
-        Seq(1, 0).map(mainLine(_, sfShort)))
-      .find(_.length <= 1960)
-      .getOrElse(mainLine(0, sfShort))
+    val ladder =
+      Seq(3, 2, 1, 0).map(mainLine(_, sfDir, unit = true)) ++
+        Seq(1, 0).map(mainLine(_, sfShort, unit = true)) :+
+        mainLine(0, sfShort, unit = false)
+    val stdoutLine = ladder.find(_.length <= Budget).getOrElse {
+      // bounded-entries last resort: fill the budget, count the rest
+      val entries = names.map { case (k, _) =>
+        "\"" + k + "\":" + Math.round(best(k)) }
+      val fixed = f"""{"metric":"total","value":$total%.2f,"queries":{},"omitted":000,"sf":"$sfShort"}""".length
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = fixed
+      entries.foreach { e =>
+        if (used + e.length + 1 <= Budget) { keep += e; used += e.length + 1 }
+      }
+      f"""{"metric":"total","value":$total%.2f,"queries":${keep.mkString("{", ",", "}")},"omitted":${entries.size - keep.size},"sf":"$sfShort"}"""
+    }
     val passTimes = names.map { case (k, _) =>
       "\"" + k + "\":[" + times(k).reverse.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
