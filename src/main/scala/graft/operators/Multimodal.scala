@@ -1,74 +1,170 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
-  * metadata, processed by a batched per-partition "decoder".
+  * metadata, decoded by REAL public codecs inside a partition-batched
+  * iterator.
   *
-  * The real thing would carry image/audio/video bytes and decode with
-  * native libs inside `mapPartitions` (or Python's `mapInPandas`);
-  * those libs aren't in this container, so the DECODE step is a
-  * clearly-marked deterministic fake ([[fakeDecode]]), while
-  * everything Spark-level is real and tested: the binary column,
-  * the media StructType schema, the partition-batched iterator
-  * (decoder state initialized once per partition, not per row — the
-  * pattern that matters at scale), and the feature schema coming back.
+  *   - image  → PNG, encoded and decoded with `javax.imageio`
+  *              (DEFLATE-compressed: header-peeking cannot fake the
+  *              pixel reads, the decode is genuine).
+  *   - audio  → WAV (RIFF/PCM 16-bit mono), decoded with
+  *              `javax.sound.sampled.AudioSystem` — frame count and
+  *              format come from the parsed container.
+  *   - video  → a minimal length-prefixed container (magic `GFTV` +
+  *              big-endian frame count + a BMP key frame); the frame
+  *              itself is decoded with `javax.imageio`. Real video
+  *              codecs aren't in the JDK; the container parse + key
+  *              frame decode exercise the same plumbing.
   *
-  * Payloads are synthesized from `documents.text` (UTF-8 bytes) so the
-  * whole path is deterministic and the oracle can replicate the
-  * arithmetic from `n_chars`/text.
+  * Payload bytes are synthesized deterministically from
+  * (`doc_id`, `n_chars`), so a DuckDB oracle can replicate every
+  * *decoded* feature (dims, frame counts, probe pixels) from the
+  * documents table by pure arithmetic — while the Spark side only
+  * gets those values by actually decoding the binary column.
+  *
+  * The 100 TB layout: payload stays a single binary column, metadata
+  * is columnar, and the decoder session is constructed once per
+  * partition (`mapPartitions`), not per row.
   */
 object Multimodal {
 
-  /** A media row: opaque payload + typed metadata, the 100 TB layout
-    * (payload stays a single column; metadata is columnar). */
+  /** A media row: opaque payload + typed metadata. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features. */
-  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+  /** Features recovered by decoding the payload. `px00`/`px_corner`
+    * are gray probe pixels (−1 for audio). */
+  case class MediaFeatures(doc_id: Long, media_type: String,
                            width: Int, height: Int, n_frames: Int,
-                           first_byte: Int)
+                           px00: Int, px_corner: Int)
 
-  /** Synthesize the media table: text bytes as payload, media type
-    * round-robin by doc_id. */
+  /** Deterministic synthesis parameters — the contract the oracle
+    * replicates. Kept tiny so a 100 TB corpus of real media swaps in
+    * without touching the decode path. */
+  object Codec {
+    def imageW(n: Long): Int = (n % 64).toInt + 16
+    def imageH(n: Long): Int = (n % 48).toInt + 16
+    def gray(docId: Long): Int = (docId % 256).toInt
+    def cornerGray(docId: Long): Int = (gray(docId) + 7) % 256
+    def audioSamples(n: Long): Int = (n % 1000).toInt + 1
+    def videoFrames(n: Long): Int = (n % 240).toInt + 1
+
+    private def makeImage(docId: Long, n: Long): BufferedImage = {
+      val (w, h) = (imageW(n), imageH(n))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val g = gray(docId)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val cg = cornerGray(docId)
+      img.setRGB(w - 1, h - 1, (cg << 16) | (cg << 8) | cg)
+      img
+    }
+
+    private def write(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
+    def encodePng(docId: Long, n: Long): Array[Byte] =
+      write(makeImage(docId, n), "png")
+
+    /** RIFF/WAVE, PCM 16-bit mono 8 kHz, sample i = (docId + i) % 32768. */
+    def encodeWav(docId: Long, n: Long): Array[Byte] = {
+      val samples = audioSamples(n)
+      val dataLen = samples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)                  // PCM, mono
+        .putInt(8000).putInt(8000 * 2)            // rate, byte rate
+        .putShort(2).putShort(16)                 // block align, bits
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples) { buf.putShort(((docId + i) % 32768).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** `GFTV` + int32(BE) frame count + BMP key frame. */
+    def encodeVideo(docId: Long, n: Long): Array[Byte] = {
+      val frame = write(makeImage(docId, n), "bmp")
+      java.nio.ByteBuffer.allocate(8 + frame.length)
+        .put("GFTV".getBytes("US-ASCII"))
+        .putInt(videoFrames(n))
+        .put(frame)
+        .array()
+    }
+
+    /** The genuine decode: parses the container, reads the pixels. */
+    def decode(r: MediaRow): MediaFeatures = r.media_type match {
+      case "image" =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload doc_id=${r.doc_id}")
+        probe(r, img, nFrames = 1)
+      case "audio" =>
+        val in = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.payload))
+        try MediaFeatures(r.doc_id, r.media_type, 0, 0,
+          in.getFrameLength.toInt, -1, -1)
+        finally in.close()
+      case _ =>
+        val bb = java.nio.ByteBuffer.wrap(r.payload)
+        val magic = new Array[Byte](4); bb.get(magic)
+        require(new String(magic, "US-ASCII") == "GFTV",
+          s"bad video magic doc_id=${r.doc_id}")
+        val frames = bb.getInt
+        val img = ImageIO.read(new ByteArrayInputStream(
+          r.payload, 8, r.payload.length - 8))
+        require(img != null, s"undecodable key frame doc_id=${r.doc_id}")
+        probe(r, img, nFrames = frames)
+    }
+
+    private def probe(r: MediaRow, img: BufferedImage,
+                      nFrames: Int): MediaFeatures =
+      MediaFeatures(r.doc_id, r.media_type, img.getWidth, img.getHeight,
+        nFrames, img.getRGB(0, 0) & 0xFF,
+        img.getRGB(img.getWidth - 1, img.getHeight - 1) & 0xFF)
+  }
+
+  /** Synthesize the media table: real encoded payloads, media type
+    * round-robin by doc_id. Encoding runs distributed (mapPartitions)
+    * — the driver never holds the corpus. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false) // no temp-file cache inside executors
+        rows.map { case (id, n) =>
+          (id % 3) match {
+            case 0 => MediaRow(id, "image", Codec.encodePng(id, n))
+            case 1 => MediaRow(id, "audio", Codec.encodeWav(id, n))
+            case _ => MediaRow(id, "video", Codec.encodeVideo(id, n))
+          }
+        }
+      }
   }
 
-  /** STUB DECODER — deterministic fake standing in for an image/audio
-    * codec. A real deployment replaces the body with e.g. a JNI/
-    * javacv decode; the signature (bytes → features) and the
-    * per-partition batching around it are the real contract. */
-  def fakeDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val n = payload.length
-    mediaType match {
-      case "image" => (n % 640 + 16, n % 480 + 16, 1)
-      case "audio" => (0, 0, n % 1000 + 1)
-      case _       => (n % 640 + 16, n % 480 + 16, n % 240 + 1)
-    }
-  }
-
-  /** Feature extraction over partition-batched rows. The decoder
-    * "session" (a real codec would be expensive to construct) is
-    * created once per partition — the mapPartitions pattern that
-    * amortizes setup at scale. */
+  /** Feature extraction over partition-batched rows. Decoder setup
+    * (ImageIO cache mode; a real codec's native session) happens once
+    * per partition — the pattern that amortizes at scale. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init happens HERE (once), not per row
-      rows.map { r =>
-        val (w, h, f) = fakeDecode(r.media_type, r.payload)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, f,
-          if (r.payload.isEmpty) -1 else r.payload(0) & 0xFF)
-      }
+      ImageIO.setUseCache(false)
+      rows.map(Codec.decode)
     }
   }
 
@@ -79,15 +175,10 @@ object Multimodal {
   val BoxSize = 224
 
   /** Resize plan: fit each visual payload into a BoxSize square
-    * preserving aspect ratio (the letterbox arithmetic every image
-    * pipeline runs before a vision model). The pixel work happens in
-    * the stubbed codec; the *plan* — target dims + scale factor per
-    * row, audio passed through untouched — is real, columnar, and
-    * oracle-checked. Integer math only, so both engines agree. */
+    * preserving aspect ratio. Dims come from the REAL decode; the
+    * letterbox arithmetic is integer-exact in both engines. */
   def multimodalResize(s: SparkSession, d: String): DataFrame = {
     val f = extractFeatures(mediaTable(s, d)).toDF()
-    // scale = BoxSize / max(w, h), applied in integer arithmetic:
-    // out_dim = dim * BoxSize div max(w, h)
     val mx = greatest(col("width"), col("height"))
     f.select(col("doc_id"), col("media_type"), col("width"), col("height"),
         // integer division: products are small ints, exact in double,
@@ -104,10 +195,9 @@ object Multimodal {
   val MaxFrames = 8
 
   /** Frame sampling: pick ≤ MaxFrames evenly-spaced frame indices per
-    * video (stride = ceil(n/MaxFrames)) — one output row per sampled
-    * frame via a generated sequence, the shape a frame-extraction
-    * stage consumes. Narrow (explode only), no shuffle until the
-    * presentation sort. */
+    * video (stride = ceil(n/MaxFrames)); the frame count comes from
+    * the decoded container header. Narrow (explode only), no shuffle
+    * until the presentation sort. */
   def multimodalFrames(s: SparkSession, d: String): DataFrame = {
     val f = extractFeatures(mediaTable(s, d)).toDF()
     val stride = ceil(col("n_frames").cast("double") / MaxFrames).cast("int")
@@ -123,37 +213,39 @@ object Multimodal {
     "multimodal_frames"   -> multimodalFrames _,
   )
 
-  /** The oracle replicates the fake-decode arithmetic from the text
-    * column (ASCII corpus → n_bytes = n_chars, first byte = ascii of
-    * first char). */
+  /** The oracle replicates the synthesis arithmetic from
+    * (`doc_id`, `n_chars`); Spark only recovers these values by
+    * decoding the PNG/WAV/GFTV payloads. */
   val oracle: Map[String, String] = Map(
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id,
         |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
-        |    length(text) AS n_bytes,
-        |    ascii(substring(text, 1, 1)) AS first_byte
+        |    n_chars AS n
         |  FROM documents)
-        |SELECT doc_id, media_type, n_bytes,
-        |  CASE media_type WHEN 'image' THEN n_bytes % 640 + 16
-        |    WHEN 'audio' THEN 0 ELSE n_bytes % 640 + 16 END AS width,
-        |  CASE media_type WHEN 'image' THEN n_bytes % 480 + 16
-        |    WHEN 'audio' THEN 0 ELSE n_bytes % 480 + 16 END AS height,
+        |SELECT doc_id, media_type,
+        |  CASE WHEN media_type = 'audio' THEN 0
+        |    ELSE (n % 64 + 16)::INT END AS width,
+        |  CASE WHEN media_type = 'audio' THEN 0
+        |    ELSE (n % 48 + 16)::INT END AS height,
         |  CASE media_type WHEN 'image' THEN 1
-        |    WHEN 'audio' THEN n_bytes % 1000 + 1
-        |    ELSE n_bytes % 240 + 1 END AS n_frames,
-        |  first_byte
+        |    WHEN 'audio' THEN (n % 1000 + 1)::INT
+        |    ELSE (n % 240 + 1)::INT END AS n_frames,
+        |  CASE WHEN media_type = 'audio' THEN -1
+        |    ELSE (doc_id % 256)::INT END AS px00,
+        |  CASE WHEN media_type = 'audio' THEN -1
+        |    ELSE ((doc_id % 256 + 7) % 256)::INT END AS px_corner
         |FROM m ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
         |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
-        |    length(text) AS n
+        |    n_chars AS n
         |  FROM documents),
         |dims AS (
         |  SELECT doc_id, media_type,
-        |    CASE media_type WHEN 'audio' THEN 0 ELSE n % 640 + 16 END AS width,
-        |    CASE media_type WHEN 'audio' THEN 0 ELSE n % 480 + 16 END AS height
+        |    CASE media_type WHEN 'audio' THEN 0 ELSE (n % 64 + 16)::INT END AS width,
+        |    CASE media_type WHEN 'audio' THEN 0 ELSE (n % 48 + 16)::INT END AS height
         |  FROM m)
         |SELECT doc_id, media_type, width, height,
         |  CASE WHEN media_type = 'audio' THEN NULL
@@ -163,7 +255,7 @@ object Multimodal {
         |FROM dims ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (
-        |  SELECT doc_id, length(text) % 240 + 1 AS n_frames
+        |  SELECT doc_id, (n_chars % 240 + 1)::INT AS n_frames
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT doc_id, n_frames, f.frame_no
         |FROM v, unnest(range(0, n_frames,

@@ -51,12 +51,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("payload bytes round-trip the text (UTF-8)") {
+  test("PNG decode recovers known pixels from a fixture image") {
+    import Multimodal.{Codec, MediaRow}
+    val png = Codec.encodePng(docId = 6L, n = 100L)
+    // genuine PNG container, not raw bytes
+    assert((png(0) & 0xFF) == 0x89 && new String(png, 1, 3, "US-ASCII") == "PNG")
+    val f = Codec.decode(MediaRow(6L, "image", png))
+    assert(f.width == 100 % 64 + 16 && f.height == 100 % 48 + 16)
+    assert(f.n_frames == 1)
+    assert(f.px00 == 6)          // gray fill = doc_id % 256
+    assert(f.px_corner == 13)    // corner marker = (gray + 7) % 256
+  }
+
+  test("WAV decode recovers the frame count from the parsed container") {
+    import Multimodal.{Codec, MediaRow}
+    val wav = Codec.encodeWav(docId = 1L, n = 250L)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    val f = Codec.decode(MediaRow(1L, "audio", wav))
+    assert(f.n_frames == 250 % 1000 + 1)
+    assert(f.width == 0 && f.height == 0 && f.px00 == -1)
+  }
+
+  test("video container parse + key-frame decode") {
+    import Multimodal.{Codec, MediaRow}
+    val vid = Codec.encodeVideo(docId = 2L, n = 300L)
+    assert(new String(vid, 0, 4, "US-ASCII") == "GFTV")
+    val f = Codec.decode(MediaRow(2L, "video", vid))
+    assert(f.n_frames == 300 % 240 + 1)
+    assert(f.width == 300 % 64 + 16 && f.height == 300 % 48 + 16)
+    assert(f.px00 == 2 && f.px_corner == 9)
+  }
+
+  test("distributed decode matches the synthesis contract end-to-end") {
     import spark.implicits._
-    val row = Multimodal.mediaTable(spark, sfDir)
-      .filter($"doc_id" === 0L).head()
-    val text = Tables.documents(spark, sfDir)
-      .filter($"doc_id" === 0L).select("text").as[String].head()
-    assert(new String(row.payload, "UTF-8") == text)
+    val f = Multimodal.multimodalFeatures(spark, sfDir)
+      .filter($"media_type" === "image").limit(5).collect()
+    f.foreach { r =>
+      assert(r.getInt(5) == (r.getLong(0) % 256).toInt, r) // px00 = doc_id % 256
+    }
   }
 }
