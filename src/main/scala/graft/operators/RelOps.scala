@@ -191,17 +191,19 @@ object RelOps {
   /** Window functions: per-customer recency rank, lag, running sum.
     * Partition key = custkey (the shuffle), order unique via orderkey
     * tie-break; frame is explicit ROWS so RANGE-vs-ROWS defaults can't
-    * differ between engines. Keeps the 3 most recent orders/customer. */
+    * differ between engines. Keeps the 3 most recent orders/customer.
+    * The running sum is ×100 fixed-point (see [[windowFrames]]). */
   def windowOrders(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(desc("o_orderdate"), col("o_orderkey"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = round(col("o_totalprice") * 100).cast("long")
     Tables.orders(s, d)
       .select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(w).as("rn"),
         round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
-        round(sum("o_totalprice").over(run), 2).as("run_sum"))
+        round(sum(cents).over(run) / 100.0, 2).as("run_sum"))
       .filter(col("rn") <= 3)
       .transform(Present.sortedUnbounded(_, col("o_custkey"), col("rn")))
   }
@@ -211,10 +213,14 @@ object RelOps {
     * first/last_value with an explicit full frame (last_value under
     * the default frame is the CURRENT row — a classic cross-engine
     * trap, avoided by spelling the frame out). All orderings carry an
-    * o_orderkey tie-break so every rank is total; running/sliding
-    * float sums follow frame order in both engines, so rounding is
-    * deterministic. One shuffle on custkey serves all seven windows
-    * (two sort orders within the same partitioning). */
+    * o_orderkey tie-break so every rank is total. The windowed sums
+    * run over ×100 fixed-point cents (o_totalprice has 2dp, so the
+    * long sum is EXACT and association-free) — DuckDB evaluates
+    * windowed aggregates via segment trees, not a left-to-right fold,
+    * so a double running sum could associate differently and straddle
+    * a rounding boundary (the q9 failure class). One shuffle on
+    * custkey serves all seven windows (two sort orders within the
+    * same partitioning). */
   def windowFrames(s: SparkSession, d: String): DataFrame = {
     val byDate = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -223,11 +229,13 @@ object RelOps {
     val sliding = byDate.rowsBetween(-2, Window.currentRow)
     val running = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val full    = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cents = round(col("o_totalprice") * 100).cast("long")
     Tables.orders(s, d)
       .select(
         col("o_orderkey"), col("o_custkey"),
-        round(sum("o_totalprice").over(running), 2).as("run_total"),
-        round(avg("o_totalprice").over(sliding), 4).as("avg3"),
+        round(sum(cents).over(running) / 100.0, 2).as("run_total"),
+        round(sum(cents).over(sliding) /
+          (count(lit(1)).over(sliding) * 100.0), 4).as("avg3"),
         ntile(4).over(byPrice).as("price_quartile"),
         round(percent_rank().over(byPrice), 6).as("pr"),
         round(cume_dist().over(byPrice), 6).as("cd"),
@@ -436,18 +444,23 @@ object RelOps {
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER w AS rn,
         |    round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderdate DESC, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / 100.0, 2) AS run_sum
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "window_frames" ->
       """SELECT o_orderkey, o_custkey,
-        |  round(sum(o_totalprice) OVER (d ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND CURRENT ROW), 2) AS run_total,
-        |  round(avg(o_totalprice) OVER (d ROWS BETWEEN 2 PRECEDING
-        |    AND CURRENT ROW), 4) AS avg3,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / 100.0, 2) AS run_total,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    / (count(*) OVER (d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |       * 100.0), 4) AS avg3,
         |  ntile(4) OVER p AS price_quartile,
         |  round(percent_rank() OVER p, 6) AS pr,
         |  round(cume_dist() OVER p, 6) AS cd,

@@ -400,7 +400,10 @@ object StreamOps {
   /** One micro-batch of the CDC merge. Idempotent: the newer-wins
     * comparison is `>=` on (ts, event_id), so a batch replayed after
     * a crash between snapshot swap and checkpoint commit merges to
-    * the same snapshot. The bootstrap condition is "no snapshot
+    * the same snapshot, and a crash INSIDE the swap is recovered from
+    * the `_prev` rename at the top of the next batch (the old
+    * snapshot is renamed aside, never deleted before its replacement
+    * lands). The bootstrap condition is "no snapshot
     * written yet", NOT batch id 0 — after a restart the replayed
     * first batch must MERGE into the snapshot it already wrote. */
   private[graft] def upsertBatch(snap: String)(batch: DataFrame, id: Long): Unit = {
@@ -414,6 +417,19 @@ object StreamOps {
         col("event_type").as("ck_type"),
         col("last.event_id").as("c_event_id"),
         col("last.ts").as("c_ts"), col("last.value").as("c_value"))
+    // Recover from a crash inside a previous swap: if the snapshot
+    // was renamed aside but its replacement never landed, restore it
+    // BEFORE the bootstrap check (otherwise the replayed batch would
+    // bootstrap fresh and silently drop all prior keys). A `_prev`
+    // next to a live snapshot is debris from a crash after the move.
+    locally {
+      val sp = java.nio.file.Paths.get(snap)
+      val pp = java.nio.file.Paths.get(snap + "_prev")
+      if (java.nio.file.Files.exists(pp)) {
+        if (java.nio.file.Files.exists(sp)) deleteRecursively(pp)
+        else java.nio.file.Files.move(pp, sp)
+      }
+    }
     val snapHasData = {
       val f = new java.io.File(snap)
       f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
@@ -447,20 +463,31 @@ object StreamOps {
             col("r.last_ts").as("last_ts"),
             col("r.last_value").as("last_value"))
       }
-    // land atomically-enough for the local drain: write to a
-    // temp dir then swap (merged reads `snap`, so no overwrite
-    // of the input mid-plan)
+    // land atomically-enough for the local drain: write to a temp
+    // dir, rename the live snapshot ASIDE (not delete — a crash
+    // between rename and move is recoverable at the top of the next
+    // batch), move the temp in, then drop the old copy. `merged`
+    // reads `snap`, so no overwrite of the input mid-plan.
     val tmp = snap + "_next"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(snap)
-    if (fs.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(fs.toPath).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.delete)
+    val sp = java.nio.file.Paths.get(snap)
+    val pp = java.nio.file.Paths.get(snap + "_prev")
+    if (java.nio.file.Files.exists(sp)) java.nio.file.Files.move(sp, pp)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), sp)
+    catch {
+      case e: Throwable =>
+        if (java.nio.file.Files.exists(pp) && !java.nio.file.Files.exists(sp))
+          java.nio.file.Files.move(pp, sp) // restore on failed swap
+        throw e
     }
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(snap))
+    if (java.nio.file.Files.exists(pp)) deleteRecursively(pp)
     ()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .reverse.foreach(java.nio.file.Files.delete)
   }
 
   /** Watermark-evicting dedup — the 100 TB shape for unbounded key
