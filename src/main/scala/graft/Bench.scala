@@ -2,6 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // f"" interpolators use the JVM default locale; under a
+    // comma-decimal locale every number below would render "1,08"
+    // and the JSON line becomes unparseable. Pin ROOT process-wide.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -87,14 +91,20 @@ object Bench {
         Seq(1, 0).map(mainLine(_, sfShort, unit = true)) :+
         mainLine(0, sfShort, unit = false)
     val stdoutLine = ladder.find(_.length <= Budget).getOrElse {
-      // bounded-entries last resort: fill the budget, count the rest
+      // bounded-entries last resort: fill the budget, count the rest.
+      // The fixed-part estimate reserves as many digits as the WORST
+      // CASE omitted count (= entries.size) can need, and the first
+      // kept entry carries no comma — exact accounting, no reliance
+      // on slack.
       val entries = names.map { case (k, _) =>
         "\"" + k + "\":" + Math.round(best(k)) }
-      val fixed = f"""{"metric":"total","value":$total%.2f,"queries":{},"omitted":000,"sf":"$sfShort"}""".length
+      val omittedPad = "0" * entries.size.toString.length
+      val fixed = f"""{"metric":"total","value":$total%.2f,"queries":{},"omitted":$omittedPad,"sf":"$sfShort"}""".length
       val keep = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = fixed
       entries.foreach { e =>
-        if (used + e.length + 1 <= Budget) { keep += e; used += e.length + 1 }
+        val sep = if (keep.isEmpty) 0 else 1
+        if (used + e.length + sep <= Budget) { keep += e; used += e.length + sep }
       }
       f"""{"metric":"total","value":$total%.2f,"queries":${keep.mkString("{", ",", "}")},"omitted":${entries.size - keep.size},"sf":"$sfShort"}"""
     }
