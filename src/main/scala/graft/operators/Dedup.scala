@@ -320,9 +320,16 @@ object Dedup {
     * corpora where distinct docs share most shingles). Candidates
     * come from the banded MinHash (never a cross join); the text join
     * re-attaches only an 80-char prefix per side, so the shuffled
-    * rows stay fixed-width. levenshtein is codegen'd in Spark and
-    * native in DuckDB with identical character semantics on BMP text,
-    * so the distances hash-match exactly. */
+    * rows stay fixed-width.
+    *
+    * ORACLE VALIDITY — ASCII ONLY: Spark's levenshtein counts CODE
+    * POINTS while DuckDB's counts BYTES, so the engines diverge on
+    * ANY non-ASCII text, astral or not (measured: "café"→"cafe" is 1
+    * in Spark, 2 in DuckDB; "a😀b"→"ab" is 1 vs 4). The two agree
+    * exactly on ASCII, where byte = code point. The gate corpus is
+    * pure ASCII and DedupSpec enforces that precondition; a non-ASCII
+    * corpus keeps Spark's (correct, code-point) semantics but cannot
+    * be DuckDB-hash-gated. */
   def fuzzyPairs(s: SparkSession, d: String, headLen: Int = 80): DataFrame = {
     val heads = Tables.documents(s, d)
       .select(col("doc_id"), substring(col("text"), 1, headLen).as("head"))
@@ -352,6 +359,39 @@ object Dedup {
     * replicability doesn't matter; spec-checked for determinism. */
   def simhash64(s: SparkSession, d: String): DataFrame =
     simhashFromHash(Tables.documents(s, d), xxhash64(col("word")), 64)
+
+  /** Gate row for the xxhash64 production variant. xxhash64 itself
+    * has no DuckDB twin, so the gate checks ALGORITHMIC INVARIANTS
+    * that must hold for every document and that DuckDB can price from
+    * the documents table alone:
+    *
+    *   - case_ok:    the tokenizer lowercases, so
+    *                 simhash64(upper(text)) == simhash64(text);
+    *   - punct_ok:   non-letter characters never token, so appending
+    *                 punctuation/digits leaves the signature fixed;
+    *   - shuffle_ok: bit votes are INTEGER sums (commutative), so the
+    *                 signature is partition-layout independent.
+    *
+    * Each counter must equal n_docs exactly — the oracle emits
+    * count(*) four times. Any nondeterminism, order-sensitivity, or
+    * tokenizer drift in the production path breaks the hash match. */
+  def simhash64Invariants(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def sig(in: DataFrame, as: String): DataFrame =
+      simhashFromHash(in, xxhash64(col("word")), 64)
+        .withColumnRenamed("simhash", as)
+    val base = sig(docs, "h0")
+    val cased = sig(docs.withColumn("text", upper(col("text"))), "h1")
+    val punct = sig(docs.withColumn("text",
+      concat(col("text"), lit(" ... 42!?"))), "h2")
+    val shuf = sig(docs.repartition(7), "h3")
+    base.join(cased, "doc_id").join(punct, "doc_id").join(shuf, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("h1") === col("h0"), 1).otherwise(0)).as("case_ok"),
+        sum(when(col("h2") === col("h0"), 1).otherwise(0)).as("punct_ok"),
+        sum(when(col("h3") === col("h0"), 1).otherwise(0)).as("shuffle_ok"))
+  }
 
   /** Core over any (doc_id, text) frame — also the spec's hook for
     * feeding synthetic duplicate corpora. */
@@ -407,6 +447,7 @@ object Dedup {
     "neardup_jaccard" -> ((s: SparkSession, d: String) => neardupJaccard(s, d)),
     "minhash_lsh"     -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "simhash64_invariants" -> simhash64Invariants _,
     "fuzzy_pairs"     -> ((s: SparkSession, d: String) => fuzzyPairs(s, d)),
   )
 
@@ -506,6 +547,13 @@ object Dedup {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // xxhash64 has no DuckDB twin; the gate checks per-doc invariants
+    // (case/punctuation/partition independence) that each must hold
+    // for EVERY document — see simhash64Invariants.
+    "simhash64_invariants" ->
+      """SELECT count(*) AS n_docs, count(*) AS case_ok,
+        |  count(*) AS punct_ok, count(*) AS shuffle_ok
+        |FROM documents""".stripMargin,
     "fuzzy_pairs" ->
       s"""WITH ${lshOracleCtes()},
          |lsh AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),

@@ -88,4 +88,33 @@ class DedupSpec extends SparkSpec {
       assert(m(1L) != m(3L), "disjoint docs should differ")
     }
   }
+
+  test("fuzzy_pairs oracle precondition: the gate corpus is pure ASCII") {
+    import org.apache.spark.sql.functions._
+    // Spark levenshtein counts code points, DuckDB counts BYTES; the
+    // engines agree only where byte = code point. This assertion is
+    // what makes the fuzzy_pairs hash gate valid — if the synthetic
+    // corpus ever grows non-ASCII text, this fails before the gate
+    // silently diverges.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii == 0, "corpus contains non-ASCII docs; " +
+      "fuzzy_pairs cannot be DuckDB-hash-gated on them")
+  }
+
+  test("levenshtein is code-point based, astral text included") {
+    // Pins Spark's semantics on non-BMP input (emoji = one edit, not
+    // four byte edits). DuckDB measured values for the same pairs are
+    // 4 / 8 / 2 (bytes) — recorded here so a future engine upgrade
+    // that changes either side is caught by this spec or the gate.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq(("a😀b", "ab"),              // emoji insert
+                ("😀😀", ""),      // astral-only doc
+                ("café", "cafe"))                 // BMP accent
+      .toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(d == Seq(1, 2, 1))
+  }
 }
