@@ -331,6 +331,44 @@ object PipelineOps {
     } finally e.unpersist(false)
   }
 
+  /** localCheckpoint cadence for iterative rank loops: lineage (and
+    * thus analysis/optimization cost per round) is bounded by this
+    * interval instead of growing with the iteration count. */
+  val PageRankCheckpointEvery = 8
+
+  /** The PageRank iteration core over an undirected edge list
+    * (`src`, `dst`), integer ppb arithmetic throughout. Every
+    * `checkpointEvery` rounds the rank relation is localCheckpoint'd
+    * (eager): the unrolled join-agg lineage is cut, so plan depth —
+    * and at 100 TB, driver plan-construction time plus the risk of a
+    * stack-overflowing optimizer pass — stays constant in `iters`.
+    * The rank relation is per-node (small); the checkpoint
+    * materialization is one bounded job per interval. At cluster
+    * scale a reliable `checkpoint()` to the checkpoint dir would
+    * replace localCheckpoint (executor loss survivable); the cadence
+    * logic is the same. */
+  def pagerankRanks(edges: DataFrame, iters: Int,
+                    checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nT = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nT))
+      .select(col("src").as("id"), col("deg"), col("n"),
+        expr("CAST(1000000000 AS BIGINT) div n").as("r"))
+    for (i <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("id"), expr("r div deg").as("c")),
+          col("src") === col("id"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      ranks = ranks.drop("r")
+        .join(contrib, col("id") === col("dst"))
+        .select(col("id"), col("deg"), col("n"),
+          expr("(150000000 div n) + (85 * contrib) div 100").as("r"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   def pagerankDocs(s: SparkSession, d: String,
                    iters: Int = PageRankIters): DataFrame = {
     val pairs = Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b")
@@ -346,21 +384,7 @@ object PipelineOps {
       val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val nT = deg.agg(count(lit(1)).as("n"))
-      var ranks = deg.crossJoin(broadcast(nT))
-        .select(col("src").as("id"), col("deg"), col("n"),
-          expr("CAST(1000000000 AS BIGINT) div n").as("r"))
-      for (_ <- 1 to iters) {
-        val contrib = edges
-          .join(ranks.select(col("id"), expr("r div deg").as("c")),
-            col("src") === col("id"))
-          .groupBy("dst").agg(sum("c").as("contrib"))
-        ranks = ranks.drop("r")
-          .join(contrib, col("id") === col("dst"))
-          .select(col("id"), col("deg"), col("n"),
-            expr("(150000000 div n) + (85 * contrib) div 100").as("r"))
-      }
+      val ranks = pagerankRanks(edges, iters)
       // land the ranks before releasing the pair cache (the caller's
       // action runs after this method returns — serving from the DAG
       // would recompute the candidate pipeline per edge reference)

@@ -259,4 +259,25 @@ class PipelineSpec extends SparkSpec {
     // empty doc: zero lines/bigrams, ratios 0
     assert(got(3L) == ((0, 0.0, 0L, 0.0)))
   }
+
+  test("pagerank at 50 iterations keeps a checkpoint-bounded plan") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    // undirected triangle: symmetric edge list, every node degree 2
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+                    (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r50 = PipelineOps.pagerankRanks(edges, iters = 50)
+    // lineage is cut every PageRankCheckpointEvery rounds, so the
+    // plan holds at most (iters % every) unrolled iterations — a
+    // 50-iteration run must NOT analyze 50 join+agg rounds
+    val nodes = r50.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes < 60, s"plan grew with iteration count: $nodes nodes")
+    // symmetric graph: ranks converge to the uniform fixpoint; the
+    // integer arithmetic keeps all three within div truncation of it
+    val ranks = r50.select($"id", $"r").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L))
+    ranks.values.foreach(v =>
+      assert(math.abs(v - 1000000000L / 3) <= 3, s"rank off uniform: $v"))
+  }
 }
