@@ -99,6 +99,73 @@ object SqlSurface {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  private val Q21Nations = Seq("NATION_1", "NATION_3", "NATION_7")
+
+  /** TPC-H Q21-shaped "waiting suppliers" — the correlated-heavy
+    * planner trap: one EXISTS and one NOT EXISTS, both correlated to
+    * the outer lineitem on l_orderkey with a non-equal l_suppkey
+    * predicate, over lineitem self-joins. (This schema carries no
+    * receipt/commit dates, so "late line" is adapted to
+    * l_returnflag = 'R': the query finds the ONLY supplier with
+    * returned lines on a multi-supplier finalized order.) Catalyst's
+    * RewritePredicateSubquery must decorrelate both subqueries into a
+    * LeftSemi and a LeftAnti on the l_orderkey equi-key — never a
+    * cartesian/nested-loop — with supplier and nation broadcast;
+    * PlanSpec asserts exactly that. [[q21WaitingFast]] is the
+    * hand-decorrelated single-pass scale form. */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "supplier"); withView(s, d, "lineitem")
+    withView(s, d, "orders"); withView(s, d, "nation")
+    s.sql(
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM supplier, lineitem l1, orders, nation
+         |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |              WHERE l3.l_orderkey = l1.l_orderkey
+         |                AND l3.l_suppkey <> l1.l_suppkey
+         |                AND l3.l_returnflag = 'R')
+         |  AND s_nationkey = n_nationkey
+         |  AND n_name IN (${Q21Nations.map("'" + _ + "'").mkString(",")})
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  }
+
+  /** Q21 hand-decorrelated for scale: the EXISTS/NOT EXISTS pair is
+    * equivalent to two per-order facts — "has a second supplier"
+    * (distinct suppliers ≥ 2) and "exactly one supplier with returned
+    * lines" — both computable by window aggregates over ONE
+    * l_orderkey partition of lineitem. The window's hash partitioning
+    * is then REUSED by the orders join (same key, no re-shuffle), so
+    * the whole query runs in 3 exchanges: lineitem window, orders
+    * join side, final s_name aggregate — versus the decorrelated SQL
+    * form's three separate lineitem shuffles. The presentation is
+    * TakeOrdered (no exchange). PlanSpec pins the 3-exchange plan. */
+  def q21WaitingFast(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_ret_supp", size(collect_set(
+        when(col("l_returnflag") === "R", col("l_suppkey"))).over(w)))
+      .filter(col("l_returnflag") === "R" &&
+        col("n_supp") >= 2 && col("n_ret_supp") === 1)
+    val sup = Tables.supplier(s, d)
+      .join(Tables.nation(s, d).filter(col("n_name").isin(Q21Nations: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    li.join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name")).limit(100)
+  }
+
   /** Ordered string aggregation: per-nation sorted list of supplier
     * names (deterministic via sort_array). */
   def stringAgg(s: SparkSession, d: String): DataFrame =
@@ -157,7 +224,28 @@ object SqlSurface {
     "string_agg"       -> stringAgg _,
     "exists_subquery"  -> existsSubquery _,
     "join_anti_null"   -> joinAntiNullAware _,
+    "q21_waiting"      -> q21Waiting _,
+    "q21_waiting_fast" -> q21WaitingFast _,
   )
+
+  /** Shared DuckDB oracle for both q21 forms — the EXISTS shape is
+    * the specification; the fast form must match it row for row. */
+  private val q21OracleSql: String =
+    s"""SELECT s_name, count(*) AS numwait
+       |FROM supplier, lineitem l1, orders, nation
+       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |              WHERE l3.l_orderkey = l1.l_orderkey
+       |                AND l3.l_suppkey <> l1.l_suppkey
+       |                AND l3.l_returnflag = 'R')
+       |  AND s_nationkey = n_nationkey
+       |  AND n_name IN (${Q21Nations.map("'" + _ + "'").mkString(",")})
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "recursive_hierarchy" ->
@@ -227,5 +315,7 @@ object SqlSurface {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+    "q21_waiting"      -> q21OracleSql,
+    "q21_waiting_fast" -> q21OracleSql,
   )
 }

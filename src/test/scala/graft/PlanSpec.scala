@@ -83,6 +83,43 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p)
   }
 
+  test("q21: both EXISTS subqueries decorrelate to semi/anti joins") {
+    val df = graft.operators.SqlSurface.q21Waiting(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    // RewritePredicateSubquery must plan equi-joins, never a
+    // nested-loop over the lineitem self-reference
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // limit+sort plans as top-k (AQE may elide it from the tiny final
+    // plan, so check the planned form), never a global range sort
+    assert(full.contains("TakeOrderedAndProject"), full)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q21_fast: the single-pass rewrite holds at ≤3 shuffles") {
+    val df = graft.operators.SqlSurface.q21WaitingFast(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    // lineitem window + orders join side + s_name aggregate; at this
+    // SF AQE broadcasts the orders side, so ≤3 covers both regimes.
+    // The window's l_orderkey partitioning must be REUSED by the
+    // orders join — a 4th shuffle means that reuse regressed.
+    assert(shuffles <= 3, s"$shuffles shuffles:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey")) == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(full.contains("TakeOrderedAndProject"), full)
+  }
+
   test("window_frames: one custkey shuffle serves all seven windows") {
     // two sort orders (by date, by price) share one hashpartitioning
     // exchange — a second exchange would mean Spark re-shuffled per
