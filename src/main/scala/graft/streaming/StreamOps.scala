@@ -210,13 +210,21 @@ object StreamOps {
     * still arrive (watermark > click_ts + join window); Spark holds
     * the row in state until then and a no-data micro-batch flushes it
     * after the drain. */
-  def clickPurchaseLeftJoin(s: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(s, dir)
+  def clickPurchaseLeftJoin(s: SparkSession, dir: String): DataFrame =
+    clickPurchaseLeftOf(eventsStream(s, dir), eventsStream(s, dir))
+
+  /** The left-outer stream-stream join over two events-shaped streams
+    * (normally both over the same source) — split out so
+    * StreamingSpec can feed multi-batch staged sources through the
+    * same logic for the stop/restart case. */
+  private[graft] def clickPurchaseLeftOf(clickSrc: DataFrame,
+                                         purchaseSrc: DataFrame): DataFrame = {
+    val clicks = clickSrc
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventsStream(s, dir)
+    val purchases = purchaseSrc
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"), col("ts").as("purchase_ts"))
@@ -527,7 +535,13 @@ object StreamOps {
     * merging with watermark-bounded state) — the built-in replacement
     * for hand-rolled mapGroupsWithState for gap sessions. */
   def sessionizeStream(s: SparkSession, dir: String): DataFrame =
-    eventsStream(s, dir)
+    sessionizeStreamOf(eventsStream(s, dir))
+
+  /** The session_window transform over any events-shaped stream —
+    * split out so StreamingSpec can feed a multi-batch staged source
+    * through the same logic for the stop/restart case. */
+  private[graft] def sessionizeStreamOf(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
@@ -606,10 +620,15 @@ object StreamOps {
 
   /** Streaming per-user running max via transformWithState; requires
     * the RocksDB state store (set in the caller's session conf). */
-  def userMaxStream(s: SparkSession, dir: String): DataFrame = {
+  def userMaxStream(s: SparkSession, dir: String): DataFrame =
+    userMaxOf(s, eventsStream(s, dir))
+
+  /** The transformWithState machine over any events-shaped stream —
+    * split out for StreamingSpec's stop/restart case. */
+  private[graft] def userMaxOf(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    eventsStream(s, dir)
+    events
       .select(col("user_id"), col("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)

@@ -152,6 +152,147 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.move(files.head, dir.resolve(s"$name.parquet"))
   }
 
+  /** Drain a stream to completion against an explicit checkpoint so a
+    * test can stop, grow the source, and resume — with the gated
+    * runners' local shuffle-partition knob applied. */
+  private def drainWith(stream: DataFrame, mode: String, ckpt: String)(
+      f: (DataFrame, Long) => Unit): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = stream.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(f)
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("sessionize_stream recovers session state across stop/restart") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("sessrec")
+    val bucket = pmod(col("event_id"), lit(4))
+    writeSlice(raw.filter(bucket === 0), srcDir, "a0")
+    writeSlice(raw.filter(bucket === 1), srcDir, "a1")
+    val sink = java.nio.file.Files.createTempDirectory("graft_sessrec_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessrec_ckpt").toString
+    def phased(): Unit = drainWith(
+      StreamOps.sessionizeStreamOf(
+        StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1))),
+      "complete", ckpt) { (b, _) =>
+        b.write.mode("overwrite").parquet(sink) }
+    def rows(path: String): Seq[Seq[Any]] =
+      spark.read.parquet(path)
+        .orderBy("user_id", "session_start")
+        .collect().toSeq.map(_.toSeq)
+
+    phased()
+    val phaseA = rows(sink)
+    // "crash": the query object is gone; the rest of the feed arrives
+    writeSlice(raw.filter(bucket === 2), srcDir, "b0")
+    writeSlice(raw.filter(bucket === 3), srcDir, "b1")
+    phased()
+    val restarted = rows(sink)
+
+    // one-shot control: same four files, fresh checkpoint and state
+    val sink2 = java.nio.file.Files.createTempDirectory("graft_sessrec_s2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sessrec_c2").toString
+    drainWith(
+      StreamOps.sessionizeStreamOf(
+        StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1))),
+      "complete", ckpt2) { (b, _) =>
+        b.write.mode("overwrite").parquet(sink2) }
+
+    assert(restarted.nonEmpty)
+    assert(restarted == rows(sink2),
+      "restart-from-checkpoint diverges from a fresh one-shot run")
+    // the session state genuinely merged ACROSS the restart: phase B
+    // events extend phase-A sessions, not just append new ones
+    assert(phaseA != restarted, "phase B changed nothing — restart case is vacuous")
+  }
+
+  test("stream-stream left join recovers join state across stop/restart") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("leftrec")
+    val bucket = pmod(col("event_id"), lit(4))
+    writeSlice(raw.filter(bucket === 0), srcDir, "a0")
+    writeSlice(raw.filter(bucket === 1), srcDir, "a1")
+    def mk(): DataFrame = StreamOps.clickPurchaseLeftOf(
+      StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1)),
+      StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1)))
+    def rows(path: String): Seq[Seq[Any]] =
+      spark.read.parquet(path)
+        .orderBy("click_id", "purchase_id")
+        .collect().toSeq.map(_.toSeq)
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_leftrec_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_leftrec_ckpt").toString
+    drainWith(mk(), "append", ckpt) { (b, _) =>
+      b.write.mode("append").parquet(sink) }
+    writeSlice(raw.filter(bucket === 2), srcDir, "b0")
+    writeSlice(raw.filter(bucket === 3), srcDir, "b1")
+    drainWith(mk(), "append", ckpt) { (b, _) =>
+      b.write.mode("append").parquet(sink) }
+
+    // one-shot control over the same files: the phased run must emit
+    // the same matches AND the same watermark-flushed null rows —
+    // both sides' join state and watermark must survive the restart
+    val sink2 = java.nio.file.Files.createTempDirectory("graft_leftrec_s2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_leftrec_c2").toString
+    drainWith(mk(), "append", ckpt2) { (b, _) =>
+      b.write.mode("append").parquet(sink2) }
+
+    val phasedRows = rows(sink)
+    assert(phasedRows.nonEmpty)
+    assert(phasedRows == rows(sink2),
+      "restart-from-checkpoint diverges from a fresh one-shot run")
+  }
+
+  test("transformWithState recovers RocksDB state across stop/restart") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("twsrec")
+    val bucket = pmod(col("event_id"), lit(3))
+    writeSlice(raw.filter(bucket === 0), srcDir, "a0")
+    writeSlice(raw.filter(bucket === 1), srcDir, "a1")
+    val sink = java.nio.file.Files.createTempDirectory("graft_twsrec_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_twsrec_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def phased(): Unit = drainWith(
+        StreamOps.userMaxOf(spark,
+          StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1))),
+        "update", ckpt) { (b, id) =>
+          b.withColumn("bid", lit(id)).write.mode("append").parquet(sink) }
+      phased()
+      writeSlice(raw.filter(bucket === 2), srcDir, "b0")
+      phased()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    // update mode emits one row per touched key per batch; the LAST
+    // batch to touch a key carries its complete recovered state —
+    // which must equal the batch aggregate over ALL events
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(desc("bid"))
+    val landed = spark.read.parquet(sink)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "max_value", "n_events")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(round(max("value"), 3).as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(landed == batch,
+      "post-restart transformWithState state diverges from batch aggregate")
+  }
+
   test("CDC upsert sink recovers from checkpoint across stop/restart") {
     import org.apache.spark.sql.functions._
     val (srcDir, raw) = stageEventsSplit("upsert")
