@@ -257,61 +257,98 @@ object Dedup {
                     minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
     minhashLshFrom(cappedShingles(s, d), minEst, maxBucket)
 
+  private val lshEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** LSH core over a pre-hashed (and possibly caller-persisted)
     * capped-shingle relation — dedupClustersLsh persists ONE shingle
     * relation and feeds it to both this candidate generator and the
     * exact-Jaccard verify stage, so the corpus scan/explode/distinct
-    * runs once per composition. */
+    * runs once per composition.
+    *
+    * The signature and banded relations are MATERIALIZED once
+    * (persist + a scratch-parquet landing for the result): this plan
+    * references `sig` four ways (both banded self-join sides, both
+    * signature re-attach sides) and `banded` twice more via the
+    * hot-bucket aggregate, and Spark's exchange reuse does NOT
+    * deduplicate them — a 100× rehearsal measured the whole
+    * shingle→signature pipeline (tokenize, explode, distinct, df-cap
+    * window, minhash UDAF — the expensive head) executing FOUR times,
+    * once per reference. Persisting pins each artifact to one
+    * execution; both are per-doc-bounded (sig: doc_id + 64 int64s;
+    * banded: 16 narrow rows/doc), which is exactly the signature
+    * store a production MinHash deployment materializes anyway. The
+    * result lands in scratch parquet before unpersist so downstream
+    * consumers (fuzzy verification, clustering) never re-execute the
+    * candidate generator. */
   def minhashLshFrom(sh: DataFrame,
                      minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignaturesMd5From(sh)
-    val rows = NumHashes / Bands
-    // band rows carry only (doc_id, band, bucket) — the 512-byte
-    // signature array never enters the (band, bucket) shuffle. The
-    // band bucket is md5 over the comma-joined band slice — the same
-    // value DuckDB computes from string_agg(h, ',' ORDER BY i).
-    val banded0 = sig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => md5Hash60(concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            _.cast("string")))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
-    // bucket-size cap as a broadcast ANTI-join against the (tiny) set
-    // of oversized buckets: the hot-bucket list aggregates with
-    // map-side partial counts and broadcasts, so the banded relation
-    // is filtered in place with no extra wide shuffle (measured faster
-    // than a count-over-window cap, which funnels every row through a
-    // (band, bucket) exchange before the join)
-    val hot = banded0.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).select("band", "bucket")
-    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    // self-join sides shuffle on (band, bucket) identically →
-    // ReuseExchange shares the shuffle; no executor-memory cache.
-    // The candidate distinct runs on the bare 16-byte id pair; the two
-    // 64-element signatures are re-attached AFTER the dedup (sig is
-    // one row per doc, already hash-partitioned on doc_id by its
-    // groupBy, and its subplan is shared via ReuseExchange) — a ~64×
-    // narrower distinct shuffle than carrying both arrays through it.
-    val pairIds = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val pairs = pairIds
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-    pairs
-      .withColumn("est_jaccard",
-        round(aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
-      .filter(col("est_jaccard") >= minEst)
-      .select("doc_a", "doc_b", "est_jaccard")
+    val s = sh.sparkSession
+    val sig = minhashSignaturesMd5From(sh).persist()
+    try {
+      val rows = NumHashes / Bands
+      // band rows carry only (doc_id, band, bucket) — the 512-byte
+      // signature array never enters the (band, bucket) shuffle. The
+      // band bucket is md5 over the comma-joined band slice — the same
+      // value DuckDB computes from string_agg(h, ',' ORDER BY i).
+      val banded0 = sig.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => md5Hash60(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              _.cast("string")))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+      // bucket-size cap: the oversized-bucket list aggregates with
+      // map-side partial counts, is COLLECTED once (bounded by
+      // construction — every entry stands for > maxBucket docs, so
+      // there are at most docs×bands/maxBucket of them, and on real
+      // corpora the list is empty or tiny), and re-enters the plan as
+      // a literal relation for a broadcast anti-join. Leaving it as a
+      // plan subtree instead measurably re-executed the aggregate
+      // once per consumer of `banded` (a duplicated 8M-record
+      // exchange at the 100× rehearsal).
+      import s.implicits._
+      val hotRows = banded0.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).select("band", "bucket")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val banded = (if (hotRows.isEmpty) banded0
+        else banded0.join(broadcast(hotRows.toDF("band", "bucket")),
+          Seq("band", "bucket"), "left_anti"))
+        .persist()
+      try {
+        // build the cache EAGERLY: the self-join's two sides otherwise
+        // race to materialize it in parallel stages, duplicating the
+        // cache-build work; one count serializes the build, after
+        // which every consumer reads the cache
+        banded.count()
+        // the candidate distinct runs on the bare 16-byte id pair;
+        // the two 64-element signatures are re-attached AFTER the
+        // dedup from the sig cache — a ~64× narrower distinct shuffle
+        // than carrying both arrays through it
+        val pairIds = banded.as("x")
+          .join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val est = pairIds
+          .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("est_jaccard",
+            round(aggregate(
+              zip_with(col("sig_a"), col("sig_b"),
+                (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
+          .filter(col("est_jaccard") >= minEst)
+          .select("doc_a", "doc_b", "est_jaccard")
+        val out = graft.Scratch.path("graft_lsh",
+          s"pairs_${lshEpoch.getAndIncrement() % 8}").toString
+        est.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally banded.unpersist(false)
+    } finally sig.unpersist(false)
   }
 
   /** Fuzzy verification of LSH candidates by edit distance on the
