@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -121,6 +121,7 @@ case class CosineSim(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val cosineIdent = FunctionIdentifier("graft_cosine")
+  val mightContainIdent = FunctionIdentifier("graft_might_contain")
 
   def ensureRegistered(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -130,12 +131,32 @@ object GraftFunctions {
         new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
         (children: Seq[Expression]) => CosineSim(children(0), children(1)))
     }
+    if (!reg.functionExists(mightContainIdent)) {
+      reg.registerFunction(
+        mightContainIdent,
+        new ExpressionInfo(
+          classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+        (children: Seq[Expression]) =>
+          BloomFilterMightContain(children(0), children(1)))
+    }
   }
 
   /** cosine via the native codegen'd expression. */
   def cosineNative(s: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(s)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Codegen'd Bloom-filter probe — the same expression Spark's own
+    * runtime-filter injection pairs with BloomFilterAggregate.
+    * `filter` must be a FOLDABLE binary column (a literal or scalar
+    * subquery) holding a spark-sketch-serialized BloomFilter;
+    * `hash64` a LONG (probe with `xxhash64(x)` and build the filter
+    * over the same hashes). Deserialized lazily once per task, probed
+    * inside whole-stage codegen. */
+  def mightContain(s: SparkSession, filter: Column, hash64: Column): Column = {
+    ensureRegistered(s)
+    call_function("graft_might_contain", filter, hash64)
   }
 }
 
@@ -159,6 +180,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.cosineIdent,
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      GraftFunctions.mightContainIdent,
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
   }
 }

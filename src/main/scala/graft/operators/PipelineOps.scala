@@ -421,6 +421,57 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** Decontamination, Bloom scale path: IDENTICAL output to
+    * `decontamNgrams`, different physical strategy for the corpus
+    * where the eval shingle set no longer fits an exact broadcast.
+    * Three phases:
+    *   1. build a Bloom filter over xxhash64(eval shingle) with
+    *      Spark's distributed sketch aggregate — the driver holds
+    *      only the bit array (~1.2 GB per 10⁹ distinct shingles at
+    *      1% FPP), which is the bounded artifact this pattern exists
+    *      to broadcast;
+    *   2. prefilter TRAIN shingles map-side through the codegen'd
+    *      probe (`graft_might_contain`, the same expression Spark's
+    *      runtime-filter injection uses) — the ~99% of shingles that
+    *      cannot be contaminated never reach a shuffle;
+    *   3. verify survivors with an exact semi-join against the landed
+    *      eval relation (deliberately NOT hinted broadcast: at scale
+    *      the eval side shuffles once against the FP-thinned
+    *      candidates; at test SF AQE broadcasts it on its own).
+    * Bloom admits no false negatives and the verify join removes its
+    * false positives (including xxhash64 collisions), so the result
+    * equals the exact operator's and the oracle is the same exact
+    * SQL — no error bracket needed. The eval relation is landed to
+    * scratch parquet once (triangle_count's pattern): the count, the
+    * sketch aggregate, and the verify join all read the bounded
+    * parquet instead of re-running the corpus tokenize. At extreme
+    * eval sizes prefer a scalar-subquery filter over the literal so
+    * the bits ride the broadcast machinery rather than the task
+    * binary — same expression, same plan shape. */
+  def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(s, d)
+    val evalOut = graft.Scratch.path("graft_bloom",
+      s"eval_${ccEpoch.getAndIncrement() % 8}").toString
+    sh.filter(col("doc_id") % EvalEvery === 0)
+      .select("shingle").distinct()
+      .write.mode("overwrite").parquet(evalOut)
+    val evalSh = s.read.parquet(evalOut)
+    val n = math.max(evalSh.count(), 1000L)
+    val bf = evalSh.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", n, 0.01)
+    val bits = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    sh.filter(col("doc_id") % EvalEvery =!= 0)
+      .filter(graft.functions.GraftFunctions.mightContain(
+        s, lit(bits), xxhash64(col("shingle"))))
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 3)
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** Dedup materialization: one row per near-dup cluster with the
     * surviving doc and member count — the step that actually shrinks
     * the corpus. Composes the clustering (edge-bounded) with one
@@ -575,6 +626,7 @@ object PipelineOps {
     "dedup_clusters"   -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "dedup_clusters_lsh" -> ((s: SparkSession, d: String) => dedupClustersLsh(s, d)),
     "decontam_ngrams"  -> decontamNgrams _,
+    "decontam_bloom"   -> decontamBloom _,
     "keep_one_per_cluster" -> keepOnePerCluster _,
     "stratified_sample" -> stratifiedSample _,
     "doc_chunks"       -> docChunks _,
@@ -680,23 +732,12 @@ object PipelineOps {
          |SELECT cluster_id, min(doc_id) AS keep_id,
          |  count(*) AS n_members
          |FROM clusters GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
-    "decontam_ngrams" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
-         |      x -> x <> '') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    array_to_string(t[i:i+2], ' ') AS shingle
-         |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)),
-         |eval AS (
-         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalEvery = 0)
-         |SELECT doc_id, count(*) AS n_shared,
-         |  count(*) >= 3 AS contaminated
-         |FROM sh JOIN eval USING (shingle)
-         |WHERE doc_id % $EvalEvery <> 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // decontam_bloom deliberately shares decontamNgramsSql: Bloom has
+    // no false negatives and the verify join removes false positives,
+    // so the scale path's OUTPUT is defined to equal the exact one —
+    // the strongest gate a physically-different strategy can get.
+    "decontam_ngrams" -> decontamNgramsSql,
+    "decontam_bloom" -> decontamNgramsSql,
     "stratified_sample" ->
       s"""SELECT source, rk, doc_id FROM (
          |  SELECT source, doc_id,
@@ -730,6 +771,24 @@ object PipelineOps {
     * — md5-MinHash candidates (est >= 0.35, Dedup.lshOracleCtes) →
     * exact-Jaccard verify on candidates only (>= 0.5, same capped
     * universe) → recursive min-label reachability. */
+  private lazy val decontamNgramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[i:i+2], ' ') AS shingle
+       |  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)),
+       |eval AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalEvery = 0)
+       |SELECT doc_id, count(*) AS n_shared,
+       |  count(*) >= 3 AS contaminated
+       |FROM sh JOIN eval USING (shingle)
+       |WHERE doc_id % $EvalEvery <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private lazy val dedupClustersLshSql: String =
     s"""WITH RECURSIVE ${Dedup.lshOracleCtes()},
        |vsizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),

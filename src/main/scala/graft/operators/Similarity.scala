@@ -150,30 +150,41 @@ object Similarity {
   }
 
   /** ANN via banded LSH: a corpus vector is a candidate for a query if
-    * they share ANY band bucket; candidates are deduped on bare id
-    * pairs (vectors re-attached after — same narrow-distinct pattern
-    * as minhash_lsh), then exact cosine ranks top-k. The corpus side
-    * streams: signatures are computed map-side, the only wide op is
-    * the per-query rank. HASH-GATED: md5-derived planes replay in
-    * DuckDB, so the oracle recomputes signatures → candidates → exact
-    * rank verbatim; the spec additionally asserts recall vs brute
-    * force. */
+    * they share ANY band bucket. The corpus side NEVER shuffles its
+    * vectors: band signatures are computed map-side, the query band
+    * table (queries × bands rows, carrying the query vector) is
+    * broadcast, and exact cosine is scored in the SAME map stage while
+    * the corpus vector is still in hand — so the only rows that ever
+    * enter a shuffle are narrow (q_id, vec_id, cos) triples, first for
+    * the collision dedup (a pair can match in up to LshBands bands;
+    * max-agg dedupes identical scores), then for the per-query rank.
+    * An earlier form deduped bare id pairs and re-attached vectors by
+    * joining the corpus back on vec_id — fine while candidates
+    * broadcast, but the 100× rehearsal showed the candidate relation
+    * outgrowing the broadcast threshold, flipping that join to an SMJ
+    * that shuffles every corpus vector (the widest relation in the
+    * job, and at real scale candidates never broadcast). Scoring
+    * before dedup re-computes cosine once per colliding band
+    * (~1–2× on near-random corpora) in exchange for keeping the wide
+    * relation out of every exchange at every scale. HASH-GATED:
+    * md5-derived planes replay in DuckDB, so the oracle recomputes
+    * signatures → candidates → exact rank verbatim; the spec
+    * additionally asserts recall vs brute force. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val banded = e.select(col("vec_id"),
+    val banded = e.select(col("vec_id"), col("v"),
       posexplode(lshBandSignatures(col("v"))).as(Seq("band", "bsig")))
     val qBanded = banded.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("band"), col("bsig"))
-    val cand = banded.join(broadcast(qBanded), Seq("band", "bsig"))
+      .select(col("vec_id").as("q_id"), col("band"), col("bsig"),
+        col("v").as("qv"))
+    val scored = banded.join(broadcast(qBanded), Seq("band", "bsig"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct()
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("q_id"), col("vec_id"), round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6)
+        .as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
-    cand.join(e, "vec_id").join(broadcast(q), "q_id")
-      .withColumn("cos", round(
-        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
+    scored.groupBy("q_id", "vec_id").agg(max("cos").as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))

@@ -60,8 +60,10 @@ object FuseCosine extends Rule[LogicalPlan] {
       // matches LEGACY and TRY division semantics. An ANSI-mode divide
       // would THROW there instead, so rewriting it would silently
       // swallow the user's error — leave it untouched.
-      case Divide(Dot(a, b), Sqrt(Multiply(Dot(a2, a3), Dot(b2, b3), _)), mode)
-          if mode != EvalMode.ANSI &&
+      // (Spark 4.1 wraps the mode in NumericEvalContext — compare the
+      // enum inside it, not the wrapper, or the guard never fires.)
+      case Divide(Dot(a, b), Sqrt(Multiply(Dot(a2, a3), Dot(b2, b3), _)), ctx)
+          if ctx.evalMode != EvalMode.ANSI &&
             a2.semanticEquals(a) && a3.semanticEquals(a) &&
             b2.semanticEquals(b) && b3.semanticEquals(b) =>
         CosineSim(a, b)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -133,5 +133,45 @@ class ExtensionsSpec extends AnyFunSuite {
     // and the expected shape: 1–4 NULL, 5 defined
     assert(declarative.take(4).forall(_._2.isEmpty))
     assert(declarative.last._2.isDefined)
+  }
+
+  /** The guard FuseCosine documents: CosineSim yields NULL on a zero
+    * norm, an ANSI divide throws there — rewriting an ANSI `/` would
+    * silently swallow the user's error. Regression for a real bug:
+    * Spark 4.1 wraps the divide's mode in NumericEvalContext, and
+    * comparing the WRAPPER to EvalMode.ANSI is always-true, which made
+    * the guard fire on nothing (caught by the scalac always-true
+    * warning, invisible to the TRY-mode tests above). */
+  test("ANSI-mode divide is left untouched by the rewrite") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val ext = newSession(extended = true)
+    try {
+      assert(ext.conf.get("spark.sql.ansi.enabled") == "true",
+        "precondition: session must default to ANSI for this test to bite")
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, r) => p * r),
+          lit(0.0), (acc, el) => acc + el)
+      val e = Tables.embeddings(ext, sfDir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val df = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("v"), col("qv")) /
+            sqrt(dot(col("v"), col("v")) * dot(col("qv"), col("qv"))))
+            .as("cos"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("graft_cosine"),
+        s"FuseCosine rewrote an ANSI-mode divide — NULL-on-zero-norm would " +
+          s"replace the ANSI error contract:\n$optimized")
+      // the same pattern under TRY (what Similarity.cosine emits) DOES fuse
+      val fusedDf = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.operators.Similarity.cosine(col("v"), col("qv")).as("cos"))
+      assert(fusedDf.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+    } finally ext.stop()
   }
 }

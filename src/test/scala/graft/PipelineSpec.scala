@@ -93,6 +93,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontam_bloom equals the exact operator and probes through the filter") {
+    val bloom = PipelineOps.decontamBloom(spark, sfDir)
+    // the codegen'd probe must actually be on the plan's filter path —
+    // otherwise the test is equality between two runs of the same code
+    // (BloomFilterMightContain renders by its own prettyName, not the
+    // registry alias)
+    val plan = bloom.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the plan:\n${plan.take(2000)}")
+    val viaBloom = bloom.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val exact = PipelineOps.decontamNgrams(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaBloom == exact,
+      "bloom scale path must be output-identical to the exact operator")
+    assert(viaBloom.nonEmpty)
+  }
+
   test("keep_one_per_cluster keeps the min member; sizes sum to clustered docs") {
     val labels = PipelineOps.dedupClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
