@@ -479,10 +479,105 @@ object Dedup {
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
+  val IncrEvery = 10
+
+  /** Incremental near-dup: a NEW BATCH (doc_id % IncrEvery == 0 —
+    * today's crawl) scored against a materialized SIGNATURE STORE of
+    * the existing corpus, plus batch-internal pairs. This is the
+    * production shape at 100 TB: the full corpus is minhashed ONCE
+    * (the store build below, nightly-amortized), and each arriving
+    * batch pays only its own signatures plus band-collision joins —
+    * cost bounded by batch size and bucket collisions, independent of
+    * corpus size. Output is DEFINED as the full minhash_lsh pair set
+    * restricted to pairs with at least one batch member (store-store
+    * pairs were yesterday's output), which is exactly what the oracle
+    * computes — so the gate is a full hash gate, and DedupSpec asserts
+    * the same equality against the monolithic operator.
+    *
+    * The store build here derives both halves from one corpus pass
+    * (this fixture has no yesterday); everything downstream of the
+    * landed parquet is the recurrent path, and the spec pins that the
+    * probe plan contains no documents scan. The hot-bucket cap uses
+    * store-∪-batch bucket counts — identical semantics to the full
+    * cap; a production store maintains the per-bucket counts
+    * incrementally (they are exactly the store's bucket sizes). */
+  def dedupIncremental(s: SparkSession, d: String,
+                       minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val root = graft.Scratch.path("graft_incr",
+      s"store_${lshEpoch.getAndIncrement() % 8}").toString
+    val sig = minhashSignaturesMd5From(cappedShingles(s, d)).persist()
+    try {
+      sig.count() // build the cache once before the four filtered writes
+      val rows = NumHashes / Bands
+      val banded = sig.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => md5Hash60(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              _.cast("string")))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+      val isBatch = col("doc_id") % IncrEvery === 0
+      banded.filter(!isBatch).write.mode("overwrite")
+        .parquet(s"$root/store_banded")
+      banded.filter(isBatch).write.mode("overwrite")
+        .parquet(s"$root/batch_banded")
+      sig.filter(!isBatch).write.mode("overwrite").parquet(s"$root/store_sig")
+      sig.filter(isBatch).write.mode("overwrite").parquet(s"$root/batch_sig")
+    } finally sig.unpersist(false)
+    dedupIncrementalProbe(s, root, minEst, maxBucket)
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** The recurrent-cost stage: reads ONLY the landed store/batch
+    * artifacts. Batch bands join store bands (cross pairs, either id
+    * order) plus the batch self-join; signatures re-attach after the
+    * narrow id-pair distinct, as in minhashLshFrom. */
+  def dedupIncrementalProbe(s: SparkSession, root: String,
+                            minEst: Double, maxBucket: Int): DataFrame = {
+    import s.implicits._
+    val storeB = s.read.parquet(s"$root/store_banded")
+    val batchB = s.read.parquet(s"$root/batch_banded")
+    val allSig = s.read.parquet(s"$root/store_sig")
+      .unionByName(s.read.parquet(s"$root/batch_sig"))
+    val hotRows = storeB.unionByName(batchB).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    def capped(df: DataFrame): DataFrame =
+      if (hotRows.isEmpty) df
+      else df.join(broadcast(hotRows.toDF("band", "bucket")),
+        Seq("band", "bucket"), "left_anti")
+    val sb = capped(storeB)
+    val bb = capped(batchB)
+    val cross = bb.as("x").join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val self = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    cross.unionByName(self).distinct()
+      .join(allSig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(allSig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .withColumn("est_jaccard",
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
+      .filter(col("est_jaccard") >= minEst)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"     -> dedupExact _,
     "neardup_jaccard" -> ((s: SparkSession, d: String) => neardupJaccard(s, d)),
     "minhash_lsh"     -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "simhash64_invariants" -> simhash64Invariants _,
     "fuzzy_pairs"     -> ((s: SparkSession, d: String) => fuzzyPairs(s, d)),
@@ -583,6 +678,14 @@ object Dedup {
       s"""WITH ${lshOracleCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental operator's contract: the full pair set minus
+    // pairs internal to the existing store (those were yesterday's)
+    "dedup_incremental" ->
+      s"""WITH ${lshOracleCtes()}
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |  AND (doc_a % $IncrEvery = 0 OR doc_b % $IncrEvery = 0)
          |ORDER BY doc_a, doc_b""".stripMargin,
     // xxhash64 has no DuckDB twin; the gate checks per-doc invariants
     // (case/punctuation/partition independence) that each must hold

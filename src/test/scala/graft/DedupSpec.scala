@@ -5,6 +5,35 @@ import graft.operators.Dedup
 /** MinHash/LSH and SimHash behavior against exact ground truth. */
 class DedupSpec extends SparkSpec {
 
+  test("dedup_incremental equals full LSH restricted to batch pairs; probe reads only the store") {
+    val incr = Dedup.dedupIncremental(spark, sfDir)
+    val got = incr.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the recurrent stage must read ONLY the landed store/batch
+    // artifacts — corpus scans would mean incrementality is a fiction
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val sc = scans(incr.queryExecution.executedPlan)
+    assert(sc.nonEmpty, "no file scans found in the probe plan")
+    sc.foreach { f =>
+      val loc = f.relation.location.rootPaths.mkString(",")
+      assert(loc.contains("graft_incr"),
+        s"probe scanned outside the signature store: $loc")
+    }
+    val expected = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => t._1 % Dedup.IncrEvery == 0 || t._2 % Dedup.IncrEvery == 0)
+      .toSeq
+    assert(got == expected,
+      s"incremental (${got.size}) != filtered full (${expected.size})")
+  }
+
   test("minhash LSH finds every exact-jaccard pair at J >= 0.7 (recall)") {
     // LSH with 16 bands x 4 rows catches J >= 0.5 w.h.p.; at J >= 0.7
     // a miss is vanishingly unlikely — treat as hard assertion.
