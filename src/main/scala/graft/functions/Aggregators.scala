@@ -120,4 +120,53 @@ object Aggregators {
     override def outputEncoder: Encoder[(Double, Double)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   }
+
+  /** Misra–Gries heavy-hitters summary with k counters as a mergeable
+    * Aggregator: after any partition split and merge order, every item
+    * with true frequency > n/k is present in the summary and its
+    * estimate undercounts by at most n/k (Misra–Gries 1982; merge
+    * procedure and bound from Agarwal et al., "Mergeable Summaries",
+    * PODS 2012: sum counters, subtract the k-th largest, keep
+    * positives). The ESTIMATES depend on partition/merge order — only
+    * the guarantee is partition-independent, so queries must emit the
+    * bracket (found + within n/k), never the raw estimate. Buffer is a
+    * bounded immutable map (≤ k−1 entries, the summary invariant);
+    * per-row cost is O(1) amortized for resident tokens, O(k) on
+    * overflow decrements — at 100 TB this is the point: the full token
+    * stream folds into a k-entry buffer per task with no shuffle wider
+    * than k rows per partition. */
+  class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], w: String): Map[String, Long] =
+      b.get(w) match {
+        case Some(c) => b.updated(w, c + 1)
+        case None if b.size < k - 1 => b.updated(w, 1L)
+        case None =>
+          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+
+    override def merge(a: Map[String, Long],
+                       b: Map[String, Long]): Map[String, Long] = {
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val sum = (a.keySet ++ b.keySet).iterator
+          .map(w => w -> (a.getOrElse(w, 0L) + b.getOrElse(w, 0L))).toMap
+        if (sum.size <= k - 1) sum
+        else {
+          val kth = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)
+            .apply(k - 1)
+          sum.view.mapValues(_ - kth).filter(_._2 > 0).toMap
+        }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
 }

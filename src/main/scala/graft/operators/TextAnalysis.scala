@@ -136,6 +136,41 @@ object TextAnalysis {
         ceil(length(col("text")) / lit(4.0)).cast("long").as("budget_tokens"))
       .transform(Present.sortedUnbounded(_, col("doc_id")))
 
+  val HhK = 50
+
+  /** Heavy hitters: every token with corpus frequency > n/K, found by
+    * a Misra–Gries summary ([[graft.functions.Aggregators.MisraGriesAgg]])
+    * and BRACKET-GATED against the exact counts (the sketch pattern
+    * from approx_distinct/percentiles_approx): output = exact count +
+    * boolean "the sketch found this token and its estimate undercounts
+    * by ≤ n/K", which is the Misra–Gries guarantee under ANY partition
+    * split and merge order — the estimates themselves are
+    * partition-dependent and never emitted. All bracket arithmetic is
+    * INTEGER (`cnt·K > n`, `(cnt−est)·K ≤ n`) so both engines decide
+    * thresholds identically. At 100 TB the sketch side is the point:
+    * the token stream folds into one K-entry buffer per task — the
+    * shuffle carries ≤ K rows per partition vs the full distinct-token
+    * exchange of the exact plan (the exact side here exists to price
+    * the bracket, as in the other sketch gates). */
+  def heavyHitters(s: SparkSession, d: String, k: Int = HhK): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(cleanTokens(col("text"))).as("word"))
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum("cnt").as("n"))
+    val summary = toks.as[String]
+      .select(new graft.functions.Aggregators.MisraGriesAgg(k)
+        .toColumn.name("m"))
+      .select(explode(col("m")).as(Seq("word", "est")))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("cnt") * k > col("n"))
+      .join(summary, Seq("word"), "left")
+      .select(col("word"), col("cnt"),
+        (col("est").isNotNull && col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * k <= col("n")).as("sketch_ok"))
+      .transform(Present.sortedUnbounded(_, col("word")))
+  }
+
   /** Document fingerprint: SHA-256 over whitespace-canonicalized
     * lowercase text — the exact-dedup key at scale (fixed 32-byte
     * shuffle key instead of full text). */
@@ -247,6 +282,7 @@ object TextAnalysis {
     "text_quality" -> textQuality _,
     "repetition_stats" -> repetitionStats _,
     "token_counts" -> tokenCounts _,
+    "heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "fingerprint"  -> fingerprint _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "tfidf"        -> tfidf _,
@@ -302,6 +338,17 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
          |  ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+         |    '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |exact AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS n FROM exact)
+         |SELECT word, cnt, TRUE AS sketch_ok
+         |FROM exact, tot
+         |WHERE cnt * $HhK > n
+         |ORDER BY word""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

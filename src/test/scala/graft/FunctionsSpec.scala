@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends SparkSpec {
 
+  test("Misra-Gries summary honors the n/k guarantee under any partitioning") {
+    import spark.implicits._
+    val k = 10
+    // skewed stream: two true heavy hitters over a 50-token tail;
+    // n = 1020, n/k = 102 → "hot" (500) and "warm" (120) qualify
+    val words = Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 400).map(i => s"w${i % 50}")
+    val n = words.size
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hh = exact.filter { case (_, c) => c * k > n }
+    assert(hh.keySet == Set("hot", "warm")) // fixture sanity
+    for (parts <- Seq(1, 7, 32)) {
+      val m = spark.createDataset(words).repartition(parts)
+        .select(new Aggregators.MisraGriesAgg(k).toColumn.name("m"))
+        .head()
+      assert(m.size <= k - 1, s"summary overflowed at parts=$parts: ${m.size}")
+      hh.foreach { case (w, c) =>
+        val est = m.get(w)
+        assert(est.nonEmpty, s"true heavy hitter '$w' missing at parts=$parts")
+        assert(est.get <= c && (c - est.get) * k <= n,
+          s"estimate ${est.get} outside [c - n/k, c] for '$w' (c=$c, parts=$parts)")
+      }
+    }
+  }
+
   test("native cosine matches the declarative zip_with form exactly") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
