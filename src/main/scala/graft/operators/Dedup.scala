@@ -248,16 +248,86 @@ object Dedup {
     * additionally cross-checks recall against neardupJaccard. */
   def minhashLsh(s: SparkSession, d: String,
                  minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
-    minhashLshFrom(cappedShingles(s, d), minEst, maxBucket)
+    SigStore.lshPairs(s, d, minEst, maxBucket)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
 
   /** Unsorted form for internal composition (the LSH-verified
-    * clustering consumes candidates under joins and aggregates). */
+    * clustering consumes candidates under joins and aggregates).
+    * Both entry points read the session [[SigStore]]: the expensive
+    * shingle→signature head builds once per (dataset, params) key and
+    * every dedup-family query after the first pays only a parquet
+    * scan of the landed artifacts. */
   def minhashLshRaw(s: SparkSession, d: String,
                     minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
-    minhashLshFrom(cappedShingles(s, d), minEst, maxBucket)
+    SigStore.lshPairs(s, d, minEst, maxBucket)
 
+  // monotonically unique scratch slots — never recycled (a modulo
+  // rotation would let a still-referenced reader observe its path
+  // silently overwritten after enough invocations)
   private val lshEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Band expansion of a signature relation: 16 narrow
+    * (doc_id, band, bucket) rows per doc; the 512-byte signature
+    * array never enters the downstream (band, bucket) shuffle. The
+    * band bucket is md5 over the comma-joined band slice — the same
+    * value DuckDB computes from string_agg(h, ',' ORDER BY i). */
+  def bandedFrom(sig: DataFrame): DataFrame = {
+    val rows = NumHashes / Bands
+    sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => md5Hash60(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            _.cast("string")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Candidate generation + signature scoring over already-landed (or
+    * caller-persisted) banded/signature relations — the stage every
+    * LSH consumer shares once the pipeline head is materialized.
+    *
+    * Bucket-size cap: the oversized-bucket list aggregates with
+    * map-side partial counts, is COLLECTED once (bounded by
+    * construction — every entry stands for > maxBucket docs, so there
+    * are at most docs×bands/maxBucket of them, and on real corpora
+    * the list is empty or tiny), and re-enters the plan as a literal
+    * relation for a broadcast anti-join. Leaving it as a plan subtree
+    * instead measurably re-executed the aggregate once per consumer
+    * of `banded` (a duplicated 8M-record exchange at the 100×
+    * rehearsal). The candidate distinct runs on the bare 16-byte id
+    * pair; the two 64-element signatures are re-attached AFTER the
+    * dedup — a ~64× narrower distinct shuffle than carrying both
+    * arrays through it. */
+  def lshPairsFrom(banded0: DataFrame, sig: DataFrame,
+                   minEst: Double, maxBucket: Int): DataFrame = {
+    val s = banded0.sparkSession
+    import s.implicits._
+    val hotRows = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("band", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val banded = if (hotRows.isEmpty) banded0
+      else banded0.join(broadcast(hotRows.toDF("band", "bucket")),
+        Seq("band", "bucket"), "left_anti")
+    val pairIds = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairIds
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
+      .filter(col("est_jaccard") >= minEst)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
 
   /** LSH core over a pre-hashed (and possibly caller-persisted)
     * capped-shingle relation — dedupClustersLsh persists ONE shingle
@@ -285,66 +355,17 @@ object Dedup {
     val s = sh.sparkSession
     val sig = minhashSignaturesMd5From(sh).persist()
     try {
-      val rows = NumHashes / Bands
-      // band rows carry only (doc_id, band, bucket) — the 512-byte
-      // signature array never enters the (band, bucket) shuffle. The
-      // band bucket is md5 over the comma-joined band slice — the same
-      // value DuckDB computes from string_agg(h, ',' ORDER BY i).
-      val banded0 = sig.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => md5Hash60(concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, lit(rows)),
-              _.cast("string")))))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
-      // bucket-size cap: the oversized-bucket list aggregates with
-      // map-side partial counts, is COLLECTED once (bounded by
-      // construction — every entry stands for > maxBucket docs, so
-      // there are at most docs×bands/maxBucket of them, and on real
-      // corpora the list is empty or tiny), and re-enters the plan as
-      // a literal relation for a broadcast anti-join. Leaving it as a
-      // plan subtree instead measurably re-executed the aggregate
-      // once per consumer of `banded` (a duplicated 8M-record
-      // exchange at the 100× rehearsal).
-      import s.implicits._
-      val hotRows = banded0.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxBucket).select("band", "bucket")
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-      val banded = (if (hotRows.isEmpty) banded0
-        else banded0.join(broadcast(hotRows.toDF("band", "bucket")),
-          Seq("band", "bucket"), "left_anti"))
-        .persist()
+      val banded = bandedFrom(sig).persist()
       try {
         // build the cache EAGERLY: the self-join's two sides otherwise
         // race to materialize it in parallel stages, duplicating the
         // cache-build work; one count serializes the build, after
-        // which every consumer reads the cache
+        // which every consumer (hot-bucket aggregate, both join
+        // sides) reads the cache
         banded.count()
-        // the candidate distinct runs on the bare 16-byte id pair;
-        // the two 64-element signatures are re-attached AFTER the
-        // dedup from the sig cache — a ~64× narrower distinct shuffle
-        // than carrying both arrays through it
-        val pairIds = banded.as("x")
-          .join(banded.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.bucket") === col("y.bucket") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val est = pairIds
-          .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-          .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-          .withColumn("est_jaccard",
-            round(aggregate(
-              zip_with(col("sig_a"), col("sig_b"),
-                (a, b) => when(a === b, 1).otherwise(0)),
-              lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
-          .filter(col("est_jaccard") >= minEst)
-          .select("doc_a", "doc_b", "est_jaccard")
+        val est = lshPairsFrom(banded, sig, minEst, maxBucket)
         val out = graft.Scratch.path("graft_lsh",
-          s"pairs_${lshEpoch.getAndIncrement() % 8}").toString
+          s"pairs_${lshEpoch.getAndIncrement()}").toString
         est.write.mode("overwrite").parquet(out)
         s.read.parquet(out)
       } finally banded.unpersist(false)
@@ -504,42 +525,38 @@ object Dedup {
   def dedupIncremental(s: SparkSession, d: String,
                        minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val root = graft.Scratch.path("graft_incr",
-      s"store_${lshEpoch.getAndIncrement() % 8}").toString
-    val sig = minhashSignaturesMd5From(cappedShingles(s, d)).persist()
-    try {
-      sig.count() // build the cache once before the four filtered writes
-      val rows = NumHashes / Bands
-      val banded = sig.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => md5Hash60(concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, lit(rows)),
-              _.cast("string")))))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
-      val isBatch = col("doc_id") % IncrEvery === 0
-      banded.filter(!isBatch).write.mode("overwrite")
-        .parquet(s"$root/store_banded")
-      banded.filter(isBatch).write.mode("overwrite")
-        .parquet(s"$root/batch_banded")
-      sig.filter(!isBatch).write.mode("overwrite").parquet(s"$root/store_sig")
-      sig.filter(isBatch).write.mode("overwrite").parquet(s"$root/batch_sig")
-    } finally sig.unpersist(false)
+      s"store_${lshEpoch.getAndIncrement()}").toString
+    // derive both halves from the session SigStore — the corpus was
+    // already minhashed for the store; the split is two metadata-cheap
+    // parquet rewrites partitioned by is_batch (ONE pass per artifact,
+    // not one filtered pass per half)
+    val st = SigStore.forDataset(s, d)
+    val isBatch = col("doc_id") % IncrEvery === 0
+    st.banded(s).withColumn("is_batch", isBatch)
+      .write.mode("overwrite").partitionBy("is_batch")
+      .parquet(s"$root/banded")
+    st.sig(s).withColumn("is_batch", isBatch)
+      .write.mode("overwrite").partitionBy("is_batch")
+      .parquet(s"$root/sig")
     dedupIncrementalProbe(s, root, minEst, maxBucket)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   /** The recurrent-cost stage: reads ONLY the landed store/batch
-    * artifacts. Batch bands join store bands (cross pairs, either id
-    * order) plus the batch self-join; signatures re-attach after the
-    * narrow id-pair distinct, as in minhashLshFrom. */
+    * artifacts (partition pruning on is_batch serves each half).
+    * Batch bands join store bands (cross pairs, either id order) plus
+    * the batch self-join; signatures re-attach after the narrow
+    * id-pair distinct, as in minhashLshFrom. */
   def dedupIncrementalProbe(s: SparkSession, root: String,
                             minEst: Double, maxBucket: Int): DataFrame = {
     import s.implicits._
-    val storeB = s.read.parquet(s"$root/store_banded")
-    val batchB = s.read.parquet(s"$root/batch_banded")
-    val allSig = s.read.parquet(s"$root/store_sig")
-      .unionByName(s.read.parquet(s"$root/batch_sig"))
+    // partition-column type inference covers numerics/dates, NOT
+    // booleans — is_batch reads back as the string "true"/"false";
+    // string equality still partition-prunes
+    val bandedAll = s.read.parquet(s"$root/banded")
+    val storeB = bandedAll.filter(col("is_batch") =!= "true").drop("is_batch")
+    val batchB = bandedAll.filter(col("is_batch") === "true").drop("is_batch")
+    val allSig = s.read.parquet(s"$root/sig").drop("is_batch")
     val hotRows = storeB.unionByName(batchB).groupBy("band", "bucket")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
       .select("band", "bucket")

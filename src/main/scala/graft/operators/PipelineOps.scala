@@ -232,11 +232,15 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
 
   /** Unsorted form for internal composition (see
-    * Dedup.neardupJaccardRaw). */
+    * Dedup.neardupJaccardRaw). Reads the session [[SigStore]]: LSH
+    * candidates come from the cached pair artifact and the verify
+    * joins scan the landed shingle parquet — after the first
+    * dedup-family query of the session, no corpus re-scan. */
   def neardupJaccardLshRaw(s: SparkSession, d: String,
                            minJ: Double = 0.5,
                            minEst: Double = 0.35): DataFrame =
-    neardupJaccardLshFrom(Dedup.cappedShingles(s, d), minJ, minEst)
+    lshVerify(SigStore.forDataset(s, d).shingles(s),
+      SigStore.lshPairs(s, d, minEst).select("doc_a", "doc_b"), minJ)
 
   /** Core over a caller-supplied (possibly persisted) capped-shingle
     * relation: the SAME `sh` feeds the LSH candidate generator and the
@@ -244,8 +248,15 @@ object PipelineOps {
     * pays the corpus scan/explode/distinct once. */
   def neardupJaccardLshFrom(sh: DataFrame,
                             minJ: Double = 0.5,
-                            minEst: Double = 0.35): DataFrame = {
-    val cand = Dedup.minhashLshFrom(sh, minEst).select("doc_a", "doc_b")
+                            minEst: Double = 0.35): DataFrame =
+    lshVerify(sh, Dedup.minhashLshFrom(sh, minEst).select("doc_a", "doc_b"),
+      minJ)
+
+  /** Exact-Jaccard verification of candidate pairs against a shingle
+    * relation — shared by the store-backed and caller-supplied
+    * entry points. */
+  private def lshVerify(sh: DataFrame, cand: DataFrame,
+                        minJ: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -271,16 +282,15 @@ object PipelineOps {
     * md5-seeded MinHash family is engine-neutral, so the DuckDB oracle
     * replays candidates → verify → reachability verbatim.
     *
-    * The capped-shingle relation is deliberately NOT persisted: the
-    * composition materializes exactly once (connectedComponents pins
-    * the tiny pair set before looping), and within that one action the
-    * shingle subtrees under the signature, verify, and size branches
-    * execute as concurrent parallel scans with ReuseExchange deduping
-    * identical shuffles — measured 2.3× faster at sf0.1 than pinning
-    * the shingle relation, whose in-memory columnar build serializes
-    * the pipeline head. At 100 TB the same holds, or the caller lands
-    * the shingle relation in cluster storage once and passes it to
-    * neardupJaccardLshFrom. */
+    * Reads the session SigStore: candidates come from the cached LSH
+    * pair artifact and the verify/size branches scan the landed
+    * shingle parquet — the corpus-scanning pipeline head runs once
+    * per session, not once per query. (This is the "caller lands the
+    * shingle relation in cluster storage once" deployment shape the
+    * pre-store version of this comment promised; the in-memory
+    * alternative — persisting `sh` inside a one-shot composition —
+    * measured 2.3× SLOWER at sf0.1 because the columnar cache build
+    * serializes the pipeline head, and is still avoided.) */
   def dedupClustersLsh(s: SparkSession, d: String,
                        maxIter: Int = 20): DataFrame =
     connectedComponents(

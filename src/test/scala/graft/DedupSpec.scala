@@ -34,6 +34,41 @@ class DedupSpec extends SparkSpec {
       s"incremental (${got.size}) != filtered full (${expected.size})")
   }
 
+  test("dedup family shares one materialized signature store per session") {
+    import graft.operators.SigStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // first consumer forces the build (idempotent if an earlier test
+    // already did); everything after must be a pure store read
+    Dedup.minhashLsh(spark, sfDir).collect()
+    val builds = SigStore.buildCount.get()
+    Dedup.fuzzyPairs(spark, sfDir).collect()
+    graft.operators.PipelineOps.neardupJaccardLsh(spark, sfDir).collect()
+    val pairsAgain = SigStore.lshPairs(spark, sfDir)
+    pairsAgain.collect()
+    assert(SigStore.buildCount.get() == builds,
+      "a second dedup-family consumer re-built the signature store")
+    // the cached pair artifact is a bare parquet read: every file scan
+    // under it points into the store, and the expensive pipeline head
+    // (tokenize explode / df-cap window / minhash agg) is absent
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val sc = scans(pairsAgain.queryExecution.executedPlan)
+    assert(sc.nonEmpty)
+    sc.foreach { f =>
+      val loc = f.relation.location.rootPaths.mkString(",")
+      assert(loc.contains("graft_sigstore"),
+        s"cached LSH pairs scanned outside the store: $loc")
+    }
+    val plan = pairsAgain.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Window"),
+      s"cached pair read re-ran the pipeline head:\n$plan")
+  }
+
   test("minhash LSH finds every exact-jaccard pair at J >= 0.7 (recall)") {
     // LSH with 16 bands x 4 rows catches J >= 0.5 w.h.p.; at J >= 0.7
     // a miss is vanishingly unlikely — treat as hard assertion.
