@@ -432,7 +432,15 @@ object Dedup {
     *
     * Each counter must equal n_docs exactly — the oracle emits
     * count(*) four times. Any nondeterminism, order-sensitivity, or
-    * tokenizer drift in the production path breaks the hash match. */
+    * tokenizer drift in the production path breaks the hash match.
+    *
+    * n_docs counts EVERY document: the spine is the documents table
+    * itself, left-joined to the four signature relations, so a doc
+    * with no letter tokens (hence no signature row) still counts.
+    * Equality is null-safe (<=>): a letterless doc has ⊥ signature
+    * under every variant — the invariant holds vacuously — while a
+    * signature present on one side but missing on the other is a
+    * failure, not a silently-dropped row. */
   def simhash64Invariants(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     def sig(in: DataFrame, as: String): DataFrame =
@@ -443,12 +451,16 @@ object Dedup {
     val punct = sig(docs.withColumn("text",
       concat(col("text"), lit(" ... 42!?"))), "h2")
     val shuf = sig(docs.repartition(7), "h3")
-    base.join(cased, "doc_id").join(punct, "doc_id").join(shuf, "doc_id")
+    docs.select("doc_id")
+      .join(base, Seq("doc_id"), "left")
+      .join(cased, Seq("doc_id"), "left")
+      .join(punct, Seq("doc_id"), "left")
+      .join(shuf, Seq("doc_id"), "left")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("h1") === col("h0"), 1).otherwise(0)).as("case_ok"),
-        sum(when(col("h2") === col("h0"), 1).otherwise(0)).as("punct_ok"),
-        sum(when(col("h3") === col("h0"), 1).otherwise(0)).as("shuffle_ok"))
+        sum(when(col("h1") <=> col("h0"), 1).otherwise(0)).as("case_ok"),
+        sum(when(col("h2") <=> col("h0"), 1).otherwise(0)).as("punct_ok"),
+        sum(when(col("h3") <=> col("h0"), 1).otherwise(0)).as("shuffle_ok"))
   }
 
   /** Core over any (doc_id, text) frame — also the spec's hook for

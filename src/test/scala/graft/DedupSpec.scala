@@ -153,6 +153,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash64_invariants counts letterless docs instead of dropping them") {
+    // The gate's oracle is count(*) over ALL documents; a doc with no
+    // letter tokens produces no signature row, so the spine must be
+    // the documents table (left join), not an inner join of signature
+    // relations. Letterless docs have ⊥ signatures under every
+    // variant — null-safe equality counts them as invariant-holding.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sh64_spec").toString
+    Seq((1L, "alpha beta gamma"), (2L, "12345 !?!? ..."), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = Dedup.simhash64Invariants(spark, dir).collect().head
+    assert(row.getLong(0) == 3L, s"n_docs must count all docs: $row")
+    assert((1 to 3).map(row.getLong).forall(_ == 3L),
+      s"every invariant counter must equal n_docs: $row")
+  }
+
   test("fuzzy_pairs oracle precondition: the gate corpus is pure ASCII") {
     import org.apache.spark.sql.functions._
     // Spark levenshtein counts code points, DuckDB counts BYTES; the
