@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -122,6 +123,7 @@ case class CosineSim(left: Expression, right: Expression)
 object GraftFunctions {
   val cosineIdent = FunctionIdentifier("graft_cosine")
   val mightContainIdent = FunctionIdentifier("graft_might_contain")
+  val bloomAggIdent = FunctionIdentifier("graft_bloom_agg")
 
   def ensureRegistered(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -138,6 +140,18 @@ object GraftFunctions {
           classOf[BloomFilterMightContain].getName, "graft_might_contain"),
         (children: Seq[Expression]) =>
           BloomFilterMightContain(children(0), children(1)))
+    }
+    // Spark keeps bloom_filter_agg in its INTERNAL registry (it exists
+    // for InjectRuntimeFilter, not SQL users), so expose the identical
+    // aggregate under a graft name; the analyzer wraps the returned
+    // AggregateFunction in a Complete AggregateExpression.
+    if (!reg.functionExists(bloomAggIdent)) {
+      reg.registerFunction(
+        bloomAggIdent,
+        new ExpressionInfo(
+          classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+        (children: Seq[Expression]) =>
+          new BloomFilterAggregate(children(0), children(1), children(2)))
     }
   }
 
@@ -186,6 +200,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) =>
         BloomFilterMightContain(children(0), children(1))))
+    ext.injectFunction((
+      GraftFunctions.bloomAggIdent,
+      new ExpressionInfo(
+        classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new BloomFilterAggregate(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
   }
 }

@@ -208,7 +208,7 @@ object PipelineOps {
     * clobber each other while repeated runs don't accumulate dirs. */
   private def freshCcDir(): String = {
     val p = graft.Scratch.path("graft_cc",
-      s"labels_${ccEpoch.getAndIncrement() % 8}")
+      s"labels_${ccEpoch.getAndIncrement()}")
     p.toString
   }
 
@@ -334,7 +334,7 @@ object PipelineOps {
         .join(ac, col("a") === col("a3") && col("c") === col("c3"))
         .select(col("a"), col("b"), col("c"))
       val out = graft.Scratch.path("graft_cc",
-        s"triangles_${ccEpoch.getAndIncrement() % 8}").toString
+        s"triangles_${ccEpoch.getAndIncrement()}").toString
       tri.write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .transform(Present.sortedUnbounded(_, col("a"), col("b"), col("c")))
@@ -399,7 +399,7 @@ object PipelineOps {
       // action runs after this method returns — serving from the DAG
       // would recompute the candidate pipeline per edge reference)
       val out = graft.Scratch.path("graft_cc",
-        s"pagerank_${ccEpoch.getAndIncrement() % 8}").toString
+        s"pagerank_${ccEpoch.getAndIncrement()}").toString
       ranks.select(col("id").as("doc_id"), col("r").as("rank_ppb"))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -454,28 +454,36 @@ object PipelineOps {
     * SQL — no error bracket needed. The eval relation is landed to
     * scratch parquet once (triangle_count's pattern): the count, the
     * sketch aggregate, and the verify join all read the bounded
-    * parquet instead of re-running the corpus tokenize. At extreme
-    * eval sizes prefer a scalar-subquery filter over the literal so
-    * the bits ride the broadcast machinery rather than the task
-    * binary — same expression, same plan shape. */
+    * parquet instead of re-running the corpus tokenize.
+    *
+    * The bits ride a SCALAR SUBQUERY, not a literal: the filter is
+    * built by the distributed `bloom_filter_agg` aggregate INSIDE the
+    * query (exactly the BloomFilterAggregate + ScalarSubquery pair
+    * Spark's InjectRuntimeFilter emits), so the driver never
+    * materializes the byte array and the task binary / plan string
+    * never embed it — at a multi-GB eval set a `lit(bits)` form
+    * bloats every task closure and every plan dump with the full
+    * bit array. PlanSpec pins both properties. */
   def decontamBloom(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingles(s, d)
     val evalOut = graft.Scratch.path("graft_bloom",
-      s"eval_${ccEpoch.getAndIncrement() % 8}").toString
+      s"eval_${ccEpoch.getAndIncrement()}").toString
     sh.filter(col("doc_id") % EvalEvery === 0)
       .select("shingle").distinct()
       .write.mode("overwrite").parquet(evalOut)
     val evalSh = s.read.parquet(evalOut)
     val n = math.max(evalSh.count(), 1000L)
-    val bf = evalSh.select(xxhash64(col("shingle")).as("h"))
-      .stat.bloomFilter("h", n, 0.01)
-    val bits = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos); bos.toByteArray
-    }
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(n, 0.01)
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val bits = evalSh
+      .select(xxhash64(col("shingle")).as("h"))
+      .agg(call_function("graft_bloom_agg",
+        col("h"), lit(n), lit(numBits)).as("bits"))
+      .scalar()
     sh.filter(col("doc_id") % EvalEvery =!= 0)
       .filter(graft.functions.GraftFunctions.mightContain(
-        s, lit(bits), xxhash64(col("shingle"))))
+        s, bits, xxhash64(col("shingle"))))
       .join(evalSh, Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= 3)

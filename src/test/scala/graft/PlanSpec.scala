@@ -189,6 +189,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("decontam_bloom ships the filter as a scalar subquery, not a literal") {
+    // The Bloom bits must ride Spark's subquery/broadcast machinery
+    // (the BloomFilterAggregate + ScalarSubquery pair InjectRuntimeFilter
+    // emits) — a lit(bits) form embeds the full bit array in every task
+    // binary and plan dump, which at a multi-GB eval set is fatal.
+    val df = graft.operators.PipelineOps.decontamBloom(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(4000))
+    assert(p.toLowerCase.contains("subquery"),
+      "bloom bits are not fed through a scalar subquery:\n" + p.take(4000))
+    // no plan line carries an inlined multi-KB binary literal: the
+    // optimal filter for this eval set is >> 10 KB serialized, so any
+    // plan line longer than that must be the embedded byte array
+    assert(p.linesIterator.forall(_.length < 10000),
+      "plan dump contains a line large enough to be the embedded filter")
+  }
+
   test("stratified_sample ranks with a single hash shuffle on source") {
     val df = graft.operators.PipelineOps.stratifiedSample(spark, sfDir)
     val p = executed(df)
