@@ -19,11 +19,15 @@ import graft.Tables
   *   - audio  → WAV (RIFF/PCM 16-bit mono), decoded with
   *              `javax.sound.sampled.AudioSystem` — frame count and
   *              format come from the parsed container.
-  *   - video  → a minimal length-prefixed container (magic `GFTV` +
-  *              big-endian frame count + a BMP key frame); the frame
-  *              itself is decoded with `javax.imageio`. Real video
-  *              codecs aren't in the JDK; the container parse + key
-  *              frame decode exercise the same plumbing.
+  *   - video  → an ANIMATED GIF (GIF89a), written and read with the
+  *              JDK's native `javax.imageio` GIF plugin. Frame 0 is
+  *              the full key frame; frames 1..n-1 are 1×1-pixel
+  *              updates (a legal GIF animation shape — per-frame
+  *              image descriptors may cover any sub-rectangle), so
+  *              the frame count rides the real container while
+  *              encode cost stays O(1) per continuation frame. The
+  *              decode walks every frame (`getNumImages(true)` scans
+  *              the stream) and reads the key frame's pixels.
   *
   * Payload bytes are synthesized deterministically from
   * (`doc_id`, `n_chars`), so a DuckDB oracle can replicate every
@@ -96,14 +100,35 @@ object Multimodal {
       buf.array()
     }
 
-    /** `GFTV` + int32(BE) frame count + BMP key frame. */
+    /** Animated GIF: key frame + (frames−1) 1×1 continuation frames.
+      * GIF palettes are exact for the ≤2 colors used, so the probe
+      * pixels survive the round trip losslessly. */
     def encodeVideo(docId: Long, n: Long): Array[Byte] = {
-      val frame = write(makeImage(docId, n), "bmp")
-      java.nio.ByteBuffer.allocate(8 + frame.length)
-        .put("GFTV".getBytes("US-ASCII"))
-        .putInt(videoFrames(n))
-        .put(frame)
-        .array()
+      val frames = videoFrames(n)
+      val bos = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(makeImage(docId, n), null, null), null)
+        if (frames > 1) {
+          val dot = new BufferedImage(1, 1, BufferedImage.TYPE_3BYTE_BGR)
+          val g = gray(docId)
+          dot.setRGB(0, 0, (g << 16) | (g << 8) | g)
+          var i = 1
+          while (i < frames) {
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(dot, null, null), null)
+            i += 1
+          }
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose(); ios.close()
+      }
+      bos.toByteArray
     }
 
     /** The genuine decode: parses the container, reads the pixels. */
@@ -119,15 +144,23 @@ object Multimodal {
           in.getFrameLength.toInt, -1, -1)
         finally in.close()
       case _ =>
-        val bb = java.nio.ByteBuffer.wrap(r.payload)
-        val magic = new Array[Byte](4); bb.get(magic)
-        require(new String(magic, "US-ASCII") == "GFTV",
+        require(r.payload.length > 6 &&
+          new String(r.payload, 0, 3, "US-ASCII") == "GIF",
           s"bad video magic doc_id=${r.doc_id}")
-        val frames = bb.getInt
-        val img = ImageIO.read(new ByteArrayInputStream(
-          r.payload, 8, r.payload.length - 8))
-        require(img != null, s"undecodable key frame doc_id=${r.doc_id}")
-        probe(r, img, nFrames = frames)
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(r.payload))
+        try {
+          reader.setInput(iis)
+          // allowSearch=true forces a full stream walk — the frame
+          // count comes from parsing every image block, not a header
+          val frames = reader.getNumImages(true)
+          val img = reader.read(0)
+          require(img != null, s"undecodable key frame doc_id=${r.doc_id}")
+          probe(r, img, nFrames = frames)
+        } finally {
+          reader.dispose(); iis.close()
+        }
     }
 
     private def probe(r: MediaRow, img: BufferedImage,

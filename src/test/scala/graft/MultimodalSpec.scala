@@ -72,14 +72,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width == 0 && f.height == 0 && f.px00 == -1)
   }
 
-  test("video container parse + key-frame decode") {
+  test("video is a real animated GIF; frame count from the container") {
     import Multimodal.{Codec, MediaRow}
     val vid = Codec.encodeVideo(docId = 2L, n = 300L)
-    assert(new String(vid, 0, 4, "US-ASCII") == "GFTV")
+    // genuine GIF89a container
+    assert(new String(vid, 0, 6, "US-ASCII") == "GIF89a")
     val f = Codec.decode(MediaRow(2L, "video", vid))
     assert(f.n_frames == 300 % 240 + 1)
     assert(f.width == 300 % 64 + 16 && f.height == 300 % 48 + 16)
     assert(f.px00 == 2 && f.px_corner == 9)
+    // independent frame count: an ImageIO reader NOT constructed by
+    // the codec must agree with the decode's container walk
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(vid))
+    try {
+      rd.setInput(iis)
+      assert(rd.getNumImages(true) == 300 % 240 + 1)
+    } finally { rd.dispose(); iis.close() }
+    // single-frame edge: n chosen so n % 240 + 1 == 1
+    val one = Codec.decode(MediaRow(5L, "video", Codec.encodeVideo(5L, 240L)))
+    assert(one.n_frames == 1)
   }
 
   test("distributed decode matches the synthesis contract end-to-end") {
