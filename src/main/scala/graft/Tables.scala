@@ -28,15 +28,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which the
-    * vectorized parquet reader rejects; read nanos as long and convert
-    * with integer division (a double division would lose precision:
-    * nanos-since-2024 ≈ 1.7e18 > 2^53). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events.parquet has shipped with two different physical layouts
+    * for `ts` across testdata generations: INT64 TIMESTAMP(NANOS)
+    * (which the vectorized reader rejects unless read as raw longs)
+    * and plain timestamp[us] (which Spark infers as TIMESTAMP_NTZ).
+    * Hard-coding either one breaks silently or loudly when the data
+    * regenerates, so normalization branches on the type the reader
+    * ACTUALLY produced and fails loud on anything else — the
+    * schema-drift guard. The session runs with timeZone=UTC, so the
+    * ntz→ltz cast is value-preserving. */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      // legacy layout: TIMESTAMP(NANOS) surfaced as raw long nanos via
+      // nanosAsLong; integer division — a double division would lose
+      // precision (nanos-since-2024 ≈ 1.7e18 > 2^53)
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — testdata layout drifted; " +
+        "extend Tables.normalizeTs for the new physical type")
+    }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when ts is not NANOS; required to read the legacy layout
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -385,9 +385,10 @@ object Dedup {
     * ANY non-ASCII text, astral or not (measured: "café"→"cafe" is 1
     * in Spark, 2 in DuckDB; "a😀b"→"ab" is 1 vs 4). The two agree
     * exactly on ASCII, where byte = code point. The gate corpus is
-    * pure ASCII and DedupSpec enforces that precondition; a non-ASCII
-    * corpus keeps Spark's (correct, code-point) semantics but cannot
-    * be DuckDB-hash-gated. */
+    * pure ASCII and DedupSpec enforces that precondition; for the
+    * multilingual case `fuzzyPairsUnicode` below folds each accented
+    * codepoint to one ASCII char first, which makes byte- and
+    * codepoint-levenshtein coincide — the unfenced gate. */
   def fuzzyPairs(s: SparkSession, d: String, headLen: Int = 80): DataFrame = {
     val heads = Tables.documents(s, d)
       .select(col("doc_id"), substring(col("text"), 1, headLen).as("head"))
@@ -397,6 +398,47 @@ object Dedup {
       .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("head_a"), col("head_b")).as("head_dist"))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** Portuguese accent fold for the multilingual fuzzy gate — the
+    * lowercase accent set of the reference's Portuguese fixture
+    * (`Master/Data/TestInverted/3.txt`), one accented codepoint per
+    * ASCII base letter so `translate` round-trips exactly. */
+  private[graft] val AccentAscii = "aeiouc"
+  private[graft] val AccentPt   = "áéíóúç"
+
+  /** Multilingual (non-ASCII) variant of `fuzzyPairs` — the unfenced
+    * gate for codepoint text. The corpus heads are deterministically
+    * re-accented into Portuguese (codepoint `translate`, identical in
+    * Spark and DuckDB), so the compared columns genuinely carry
+    * multi-byte UTF-8; the edit distance is then computed over the
+    * CODEPOINT-NORMALIZED fold (each accented codepoint → exactly one
+    * ASCII char in BOTH engines), on which DuckDB's byte-levenshtein
+    * and Spark's codepoint-levenshtein coincide. `accents_a/b`
+    * (UTF-8 bytes minus codepoints) pin that the heads really were
+    * multi-byte — if the accenting ever stopped producing non-ASCII
+    * text, those columns go to 0 and the hash gate fails.
+    *
+    * Scale shape is `fuzzyPairs`: candidates from the landed SigStore
+    * pair set (never a cross join), fixed-width 80-char heads through
+    * the join. */
+  def fuzzyPairsUnicode(s: SparkSession, d: String,
+                        headLen: Int = 80): DataFrame = {
+    val heads = Tables.documents(s, d)
+      .select(col("doc_id"),
+        translate(substring(col("text"), 1, headLen),
+          AccentAscii, AccentPt).as("head"))
+    minhashLshRaw(s, d)
+      .select("doc_a", "doc_b")
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), "doc_a")
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(translate(col("head_a"), AccentPt, AccentAscii),
+                    translate(col("head_b"), AccentPt, AccentAscii))
+          .as("head_dist"),
+        (octet_length(col("head_a")) - length(col("head_a"))).as("accents_a"),
+        (octet_length(col("head_b")) - length(col("head_b"))).as("accents_b"))
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
@@ -610,6 +652,7 @@ object Dedup {
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "simhash64_invariants" -> simhash64Invariants _,
     "fuzzy_pairs"     -> ((s: SparkSession, d: String) => fuzzyPairs(s, d)),
+    "fuzzy_pairs_unicode" -> ((s: SparkSession, d: String) => fuzzyPairsUnicode(s, d)),
   )
 
   /** DuckDB CTE chain (no leading WITH) replicating the md5 LSH
@@ -729,6 +772,25 @@ object Dedup {
          |heads AS (SELECT doc_id, substring(text, 1, 80) AS head FROM documents)
          |SELECT l.doc_a, l.doc_b,
          |  levenshtein(ha.head, hb.head) AS head_dist
+         |FROM lsh l
+         |JOIN heads ha ON ha.doc_id = l.doc_a
+         |JOIN heads hb ON hb.doc_id = l.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the multilingual gate: accent via codepoint translate (both
+    // engines), distance over the ASCII fold where byte == codepoint;
+    // strlen (bytes) − length (codepoints) witnesses the multi-byte
+    // heads exactly as Spark's octet_length − length does
+    "fuzzy_pairs_unicode" ->
+      s"""WITH ${lshOracleCtes()},
+         |lsh AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |heads AS (SELECT doc_id,
+         |  translate(substring(text, 1, 80), '$AccentAscii', '$AccentPt') AS head
+         |  FROM documents)
+         |SELECT l.doc_a, l.doc_b,
+         |  levenshtein(translate(ha.head, '$AccentPt', '$AccentAscii'),
+         |              translate(hb.head, '$AccentPt', '$AccentAscii')) AS head_dist,
+         |  strlen(ha.head) - length(ha.head) AS accents_a,
+         |  strlen(hb.head) - length(hb.head) AS accents_b
          |FROM lsh l
          |JOIN heads ha ON ha.doc_id = l.doc_a
          |JOIN heads hb ON hb.doc_id = l.doc_b

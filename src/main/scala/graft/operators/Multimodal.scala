@@ -201,8 +201,40 @@ object Multimodal {
     }
   }
 
+  /** Session-scoped MATERIALIZED FEATURES STORE (the SigStore pattern,
+    * `SigStore.scala:37`): encode+decode of the whole corpus is the
+    * expensive head shared by all three multimodal queries, and before
+    * this store each query re-ran it — a suite paid the codec three
+    * times. At 100 TB the production shape is exactly a store: decode
+    * once into a landed columnar features table, query it many times;
+    * no one re-decodes petabytes of video per downstream query. Keyed
+    * by dataset dir; paths are monotonically unique per build so a
+    * returned reader never observes its path overwritten, and
+    * `computeIfAbsent` serializes the build per key. */
+  private val featureStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val storeIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so MultimodalSpec can pin build-once reuse. */
+  private[graft] val featureBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Landed features table for a dataset dir, building on first use.
+    * Returns a fresh parquet read bound to the caller's session (the
+    * cache holds only paths, so sessions interoperate). */
+  def featuresTable(s: SparkSession, d: String): DataFrame = {
+    val path = featureStores.computeIfAbsent(d, _ => {
+      featureBuildCount.incrementAndGet()
+      val out = graft.Scratch.path("graft_mediastore",
+        s"m${storeIds.getAndIncrement()}").toString
+      extractFeatures(mediaTable(s, d)).toDF()
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    Present.sortedUnbounded(extractFeatures(mediaTable(s, d)).toDF(),
+    Present.sortedUnbounded(featuresTable(s, d),
       org.apache.spark.sql.functions.col("doc_id"))
 
   val BoxSize = 224
@@ -211,7 +243,7 @@ object Multimodal {
     * preserving aspect ratio. Dims come from the REAL decode; the
     * letterbox arithmetic is integer-exact in both engines. */
   def multimodalResize(s: SparkSession, d: String): DataFrame = {
-    val f = extractFeatures(mediaTable(s, d)).toDF()
+    val f = featuresTable(s, d)
     val mx = greatest(col("width"), col("height"))
     f.select(col("doc_id"), col("media_type"), col("width"), col("height"),
         // integer division: products are small ints, exact in double,
@@ -232,7 +264,7 @@ object Multimodal {
     * the decoded container header. Narrow (explode only), no shuffle
     * until the presentation sort. */
   def multimodalFrames(s: SparkSession, d: String): DataFrame = {
-    val f = extractFeatures(mediaTable(s, d)).toDF()
+    val f = featuresTable(s, d)
     val stride = ceil(col("n_frames").cast("double") / MaxFrames).cast("int")
     f.filter(col("media_type") === "video")
       .select(col("doc_id"), col("n_frames"),

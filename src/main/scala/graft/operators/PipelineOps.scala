@@ -187,6 +187,15 @@ object PipelineOps {
         labels.unpersist(false)
         labels = next
         iter += 2
+        // cut the unrolled join lineage on the configured rung every 8
+        // rounds — persist pins the DATA but the logical plan still
+        // deepens per round, and a deep-diameter graph would pay
+        // growing analysis cost (same rung as pagerankRanks)
+        if (changed > 0 && iter % 8 == 0) {
+          val t = Checkpoints.truncate(labels)
+          labels.unpersist(false)
+          labels = t
+        }
       }
       require(changed == 0,
         s"connectedComponents did not converge in $maxIter iterations")
@@ -348,15 +357,15 @@ object PipelineOps {
 
   /** The PageRank iteration core over an undirected edge list
     * (`src`, `dst`), integer ppb arithmetic throughout. Every
-    * `checkpointEvery` rounds the rank relation is localCheckpoint'd
-    * (eager): the unrolled join-agg lineage is cut, so plan depth —
-    * and at 100 TB, driver plan-construction time plus the risk of a
-    * stack-overflowing optimizer pass — stays constant in `iters`.
-    * The rank relation is per-node (small); the checkpoint
-    * materialization is one bounded job per interval. At cluster
-    * scale a reliable `checkpoint()` to the checkpoint dir would
-    * replace localCheckpoint (executor loss survivable); the cadence
-    * logic is the same. */
+    * `checkpointEvery` rounds the rank relation is truncated via
+    * `Checkpoints.truncate` (eager): the unrolled join-agg lineage is
+    * cut, so plan depth — and at 100 TB, driver plan-construction
+    * time plus the risk of a stack-overflowing optimizer pass — stays
+    * constant in `iters`. The rank relation is per-node (small); the
+    * materialization is one bounded job per interval. The rung is
+    * configurable: localCheckpoint locally, reliable `checkpoint()`
+    * under `GRAFT_RELIABLE_CHECKPOINT=1` so executor loss is
+    * survivable at cluster scale; the cadence logic is identical. */
   def pagerankRanks(edges: DataFrame, iters: Int,
                     checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -374,7 +383,7 @@ object PipelineOps {
         .select(col("id"), col("deg"), col("n"),
           expr("(150000000 div n) + (85 * contrib) div 100").as("r"))
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = Checkpoints.truncate(ranks)
     }
     ranks
   }

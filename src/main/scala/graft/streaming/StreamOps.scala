@@ -21,15 +21,16 @@ import graft.Tables
   */
 object StreamOps {
 
-  /** The events schema as stored (ts arrives as INT64 nanos; the
-    * loader converts). Needed explicitly for readStream. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** readStream needs an explicit schema; hard-coding one broke when
+    * the testdata regenerated with a different physical `ts` type, so
+    * probe it from the actual file footers with a one-off batch read
+    * (driver-side metadata only — no data scan). `Tables.normalizeTs`
+    * then maps whatever physical layout arrived onto TimestampType,
+    * failing loud on an unknown one. */
+  private[graft] def probeRawSchema(s: SparkSession, srcDir: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(srcDir).schema
+  }
 
   /** Streaming source over the events parquet data. The file stream
     * source requires a DIRECTORY; production data is a directory of
@@ -58,11 +59,9 @@ object StreamOps {
     * cross-batch paths the one-shot drain never hits. */
   private[graft] def eventsStreamFromDir(s: SparkSession, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = s.readStream.schema(rawSchema)
+    val reader = s.readStream.schema(probeRawSchema(s, srcDir))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(reader.parquet(srcDir))
   }
 
   /** Streaming twin of RelOps.eventsWindow: tumbling 10-minute

@@ -186,6 +186,50 @@ class DedupSpec extends SparkSpec {
       "fuzzy_pairs cannot be DuckDB-hash-gated on them")
   }
 
+  test("fuzzy_pairs_unicode: multi-byte heads, same distances as ASCII gate") {
+    import org.apache.spark.sql.functions._
+    val ascii = Dedup.fuzzyPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val uni = Dedup.fuzzyPairsUnicode(spark, sfDir).collect()
+    // the accent fold round-trips exactly, so the normalized distance
+    // must equal the ASCII gate's distance pair-for-pair
+    assert(uni.nonEmpty)
+    assert(uni.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      == ascii)
+    // the compared heads genuinely carried multi-byte UTF-8 (bytes >
+    // codepoints wherever a vowel/c got accented) — the evidence the
+    // gate hashes; an all-zero column would mean the multilingual
+    // path silently degraded to ASCII
+    assert(uni.map(_.getInt(3)).sum > 0, "no multi-byte head on side a")
+    assert(uni.map(_.getInt(4)).sum > 0, "no multi-byte head on side b")
+  }
+
+  test("accent fold on the reference Portuguese fixture is byte-stable") {
+    // the real multilingual case (reference Master/Data/TestInverted/
+    // 3.txt): Spark sees more UTF-8 bytes than codepoints, and the
+    // fixture's lowercase accent set folds to pure ASCII under the
+    // gate's translate — the precondition for byte == codepoint
+    // levenshtein on the folded column
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fixture = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/Master/Data/TestInverted/3.txt")), "UTF-8")
+    val accented = "não é coração atenção depois está alguém"
+    assert(fixture.contains("ã"), "fixture lost its Portuguese accents")
+    val r = Seq((accented, fixture.take(2000)))
+      .toDF("a", "fx")
+      .select(
+        (octet_length(col("a")) - length(col("a"))).as("extra_a"),
+        (octet_length(col("fx")) - length(col("fx"))).as("extra_fx"),
+        translate(col("a"), Dedup.AccentPt + "àâãêô", Dedup.AccentAscii + "aaaeo")
+          .rlike("^[\\x00-\\x7F]*$").as("folds_ascii"))
+      .collect().head
+    assert(r.getInt(0) > 0 && r.getInt(1) > 0,
+      s"expected multi-byte text: $r")
+    assert(r.getBoolean(2), "accent fold left non-ASCII codepoints")
+  }
+
   test("levenshtein is code-point based, astral text included") {
     // Pins Spark's semantics on non-BMP input (emoji = one edit, not
     // four byte edits). DuckDB measured values for the same pairs are

@@ -95,6 +95,19 @@ class MultimodalSpec extends SparkSpec {
     assert(one.n_frames == 1)
   }
 
+  test("features store builds once per dataset; all queries are store reads") {
+    // warm the store, then run every multimodal query again — none may
+    // trigger a rebuild (the r8 regression was each query re-encoding
+    // AND re-decoding the whole corpus: 3× codec cost per suite)
+    Multimodal.featuresTable(spark, sfDir).count()
+    val before = Multimodal.featureBuildCount.get()
+    Multimodal.multimodalFeatures(spark, sfDir).count()
+    Multimodal.multimodalResize(spark, sfDir).count()
+    Multimodal.multimodalFrames(spark, sfDir).count()
+    assert(Multimodal.featureBuildCount.get() == before,
+      "a multimodal query rebuilt the features store instead of reading it")
+  }
+
   test("distributed decode matches the synthesis contract end-to-end") {
     import spark.implicits._
     val f = Multimodal.multimodalFeatures(spark, sfDir)

@@ -298,4 +298,31 @@ class PipelineSpec extends SparkSpec {
     ranks.values.foreach(v =>
       assert(math.abs(v - 1000000000L / 3) <= 3, s"rank off uniform: $v"))
   }
+
+  test("reliable-checkpoint rung: same results, same bounded plan depth") {
+    import spark.implicits._
+    import graft.operators.{Checkpoints, PipelineOps}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+                    (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    def run() = {
+      val r = PipelineOps.pagerankRanks(edges, iters = 25)
+      val depth = r.queryExecution.optimizedPlan.collect { case p => p }.size
+      (r.select($"id", $"r").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap, depth)
+    }
+    val prev = Checkpoints.reliable
+    try {
+      Checkpoints.reliable = false
+      val (localRanks, localDepth) = run()
+      Checkpoints.reliable = true
+      val (reliableRanks, reliableDepth) = run()
+      // identical integer arithmetic → identical fixpoint on both rungs
+      assert(reliableRanks == localRanks)
+      // both rungs truncate lineage: depth bounded, and equal — the
+      // mode changes the storage rung, never the plan shape
+      assert(localDepth < 60 && reliableDepth < 60,
+        s"plan depth grew: local=$localDepth reliable=$reliableDepth")
+      assert(reliableDepth == localDepth)
+    } finally Checkpoints.reliable = prev
+  }
 }

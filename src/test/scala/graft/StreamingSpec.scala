@@ -38,6 +38,45 @@ class StreamingSpec extends SparkSpec {
     assert(landed == batch)
   }
 
+  test("staged stream timestamps land in the data's epoch, not 1970") {
+    // regression guard for the r8 silent failure: the stream schema
+    // hard-coded ts as long nanos, so regenerated timestamp[us] data
+    // was read as raw micros, div 1000 put every event in Jan 1970,
+    // and the ts-dependent gates went wrong WITHOUT throwing. The
+    // stream's min/max ts must match the batch loader exactly and sit
+    // in the data's epoch.
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sfDir)
+      .agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val stream = runStreamToBatch(
+      StreamOps.eventsStream(spark, sfDir)
+        .agg(min("ts").as("lo"), max("ts").as("hi")), "complete")
+      .collect()(0)
+    assert(stream == batch)
+    assert(batch.getTimestamp(0).after(
+      java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
+      s"events epoch collapsed: min(ts)=${batch.getTimestamp(0)}")
+  }
+
+  test("a mis-typed events ts fails loud on batch AND stream paths") {
+    // schema-drift guard: a physical ts type normalizeTs doesn't know
+    // must throw at DataFrame construction on both ingest paths — the
+    // r8 batch path failed loud but the stream path failed silent
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badts")
+    spark.range(3)
+      .select(col("id").as("event_id"),
+        (col("id") * 1.5).as("ts"), // DoubleType: not a layout we ship
+        col("id").as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val b = intercept[IllegalStateException](Tables.events(spark, dir.toString))
+    assert(b.getMessage.contains("drifted"))
+    val st = intercept[IllegalStateException](
+      StreamOps.eventsStreamFromDir(spark, s"$dir/events.parquet"))
+    assert(st.getMessage.contains("drifted"))
+  }
+
   test("flatMapGroupsWithState running totals equal batch groupBy") {
     import org.apache.spark.sql.functions._
     val batch = Tables.events(spark, sfDir)
@@ -135,8 +174,9 @@ class StreamingSpec extends SparkSpec {
     * repartition on a hash bucket so every split is deterministic. */
   private def stageEventsSplit(tag: String): (java.nio.file.Path, DataFrame) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(StreamOps.rawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    // raw as-stored rows (no ts normalization) — the re-written slices
+    // go back through the stream reader, which probes + normalizes
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
     (dir, raw)
   }
