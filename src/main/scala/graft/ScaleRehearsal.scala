@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal harness (SCALE.md): stages isomorphic-shard
+  * multiples of the driver testdata and measures how streaming state
+  * and a fact⋈fact join behave as the corpus grows 1× → 10× → 50×.
+  *
+  * Method (same as the round-6/7 dedup & similarity rehearsals, now
+  * committed instead of throwaway): each shard k is the base table
+  * with its entity keys offset by k × (key range), so key cardinality
+  * and output rows replicate EXACTLY by the multiple — linear cost is
+  * the provable expectation, not an assumption.
+  *
+  * - events shards offset (user_id, event_id), keep `ts` — per-user
+  *   session/window structure replicates; the staged dir is split into
+  *   5 time-ordered files so `maxFilesPerTrigger=1` yields the same
+  *   number of micro-batches at every multiple (batch SIZE scales, the
+  *   batch boundary structure doesn't).
+  * - lineitem/orders shards offset (l_orderkey, o_orderkey) and keep
+  *   o_custkey — facts scale, dims stay 1×, exactly the 100 TB shape.
+  *
+  * Measurements: per-micro-batch wall + state-store rows/bytes from
+  * `StreamingQueryProgress` (the state-scaling evidence), and shuffle
+  * write bytes/records from a stage listener + min-of-passes wall for
+  * the join. One JSON line per (query, multiple) on stdout.
+  *
+  * Usage: runMain graft.ScaleRehearsal [streaming|join|all] [m1,m2,..]
+  */
+object ScaleRehearsal {
+
+  /** Shuffle write totals across all stages of one measured action.
+    * Records are the noise-free cross-pass signal; bytes track them
+    * modulo compression. */
+  final class ShuffleListener extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def reset(): Unit = { bytes.set(0); records.set(0) }
+  }
+
+  private def wipeDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+  }
+
+  private def freshDir(parts: String*): String = {
+    val p = Scratch.path(("graft_rehearsal" +: parts): _*)
+    wipeDir(p)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Staged dirs are content-addressed by (source, multiple) and
+    * reused across passes/runs; `_STAGED` marks a completed write. */
+  private def stagedDir(kind: String, mult: Int): java.nio.file.Path =
+    Scratch.path("graft_rehearsal", "stage", s"${kind}_x$mult")
+
+  private def isStaged(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(p.resolve("_STAGED"))
+
+  private def markStaged(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.write(p.resolve("_STAGED"), Array.empty[Byte])
+
+  // events sf0.1: user_id ∈ [0, 1500), event_id < 100 000, ts spans
+  // 2024-01-01..31. Offsets clear the key range so shards are disjoint.
+  private val UserRange = 1500L
+  private val EventRange = 100000L
+
+  /** Stage `mult` isomorphic events shards as `batches` time-ordered
+    * single files (b0 < b1 < … by both event time and mtime, so the
+    * file stream source replays them in event-time order and the
+    * watermark advances monotonically across micro-batches). */
+  def stageEvents(s: SparkSession, sfDir: String, mult: Int,
+                  batches: Int = 5): String = {
+    val dir = stagedDir("events", mult)
+    if (isStaged(dir)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val base = Tables.events(s, sfDir)
+    val shards = (0 until mult).map { k =>
+      base.select(
+        (col("event_id") + lit(k * EventRange)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * UserRange)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    val all = shards.reduce(_ union _)
+      // 30 days / 5 batches = 6-day slices: deterministic, engine-free
+      // (clamped so a day-31 straggler can't mint a 6th bucket)
+      .withColumn("__b",
+        least(((dayofmonth(col("ts")) - 1) / 6).cast("int"), lit(batches - 1)))
+    (0 until batches).foreach { b =>
+      val tmp = dir.resolve(s"_tmp$b")
+      all.filter(col("__b") === b).drop("__b")
+        .coalesce(1).write.parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.move(part, dir.resolve(f"b$b%02d.parquet"))
+      wipeDir(tmp)
+      Thread.sleep(20) // distinct mtimes → deterministic replay order
+    }
+    markStaged(dir)
+    dir.toString
+  }
+
+  /** Stage `mult` fact shards (lineitem + orders, orderkey-offset,
+    * custkey unchanged) and link the 1× dims alongside, producing a
+    * directory `Tables` reads like any sf dir. */
+  def stageFacts(s: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = stagedDir("facts", mult)
+    if (isStaged(dir)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val okRange = 150000L
+    val li = (0 until mult).map { k =>
+      Tables.lineitem(s, sfDir)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * okRange))
+    }.reduce(_ union _)
+    li.write.parquet(dir.resolve("lineitem.parquet").toString)
+    val ord = (0 until mult).map { k =>
+      Tables.orders(s, sfDir)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * okRange))
+    }.reduce(_ union _)
+    ord.write.parquet(dir.resolve("orders.parquet").toString)
+    Seq("customer", "nation", "region", "supplier", "part").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+    }
+    markStaged(dir)
+    dir.toString
+  }
+
+  /** One micro-batch's worth of progress evidence. */
+  final case class BatchRow(batchId: Long, inputRows: Long, wallMs: Long,
+                            stateRows: Long, stateBytes: Long)
+
+  /** Drain `stream` through a noop sink with AvailableNow and return
+    * the per-batch progress trail. Shuffle partitions pinned low for
+    * the local run (state stores instantiate per partition — pure
+    * overhead at test scale; see StreamOps). */
+  def drainWithProgress(s: SparkSession, stream: DataFrame, mode: String,
+                        tag: String): Seq[BatchRow] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = freshDir("ckpt", tag)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    val q =
+      try stream.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("noop")
+        .start()
+      finally s.conf.set(key, prev)
+    q.awaitTermination()
+    val rows = q.recentProgress.toSeq.map { p =>
+      val st = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
+      BatchRow(p.batchId, p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
+        st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+    }
+    q.stop()
+    rows
+  }
+
+  private def jsonLine(query: String, mult: Int, batches: Seq[BatchRow]): String = {
+    val bs = batches.map(b =>
+      s"""{"batch":${b.batchId},"rows":${b.inputRows},"ms":${b.wallMs},""" +
+        s""""state_rows":${b.stateRows},"state_bytes":${b.stateBytes}}""")
+      .mkString("[", ",", "]")
+    s"""{"family":"streaming","query":"$query","mult":$mult,""" +
+      s""""input_rows":${batches.map(_.inputRows).sum},""" +
+      s""""wall_ms":${batches.map(_.wallMs).sum},""" +
+      s""""max_state_rows":${(0L +: batches.map(_.stateRows)).max},""" +
+      s""""max_state_bytes":${(0L +: batches.map(_.stateBytes)).max},""" +
+      s""""batches":$bs}"""
+  }
+
+  def runStreaming(s: SparkSession, sfDir: String, mults: Seq[Int]): Unit = {
+    import graft.streaming.StreamOps
+    mults.foreach { m =>
+      val staged = stageEvents(s, sfDir, m)
+      def src = StreamOps.eventsStreamFromDir(s, staged, Some(1))
+      val cases = Seq(
+        // state ∝ users × sessions-in-horizon → linear in the multiple
+        ("sessionize_stream",
+          () => StreamOps.sessionizeStreamOf(src), "append"),
+        // state = one tuple per user → exactly linear
+        ("running_totals_stream",
+          () => StreamOps.runningTotalsOf(s, src), "update"),
+        // state bounded by (windows in horizon × event types) —
+        // CONSTANT across multiples while input scales: the
+        // watermark-bounds-state claim, measured
+        ("events_window_stream",
+          () => StreamOps.windowedCountsOf(src), "append"))
+      cases.foreach { case (name, mk, mode) =>
+        s.catalog.clearCache()
+        val trail = drainWithProgress(s, mk(), mode, s"${name}_x$m")
+        println(jsonLine(name, m, trail))
+        Console.err.println(s"[rehearsal] $name x$m: " +
+          trail.map(b => s"b${b.batchId}=${b.inputRows}r/${b.wallMs}ms/" +
+            s"${b.stateRows}st").mkString(" "))
+      }
+    }
+  }
+
+  def runJoin(s: SparkSession, sfDir: String, mults: Seq[Int],
+              passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageFacts(s, sfDir, m)
+      var bytes = 0L; var records = 0L; var rows = 0L
+      val walls = (1 to passes).map { _ =>
+        s.catalog.clearCache()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val df = operators.RelOps.q18LargeOrders(s, staged)
+        df.write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        // the listener bus is async (and private[spark], so no
+        // waitUntilEmpty) — a short drain keeps stage events from
+        // leaking across the capture boundary
+        Thread.sleep(500)
+        bytes = listener.bytes.get; records = listener.records.get
+        rows = df.count()
+        w
+      }
+      println(f"""{"family":"join","query":"q18_large_orders","mult":$m,""" +
+        f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val family = args.headOption.getOrElse("all")
+    val mults = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 10, 50))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (family == "streaming" || family == "all")
+      runStreaming(spark, sfDir, mults)
+    if (family == "join" || family == "all")
+      runJoin(spark, sfDir, mults)
+    spark.stop()
+  }
+}

@@ -69,7 +69,14 @@ object StreamOps {
     * streaming DataFrame; callers attach a sink (the spec uses
     * foreachBatch → memory). */
   def windowedCounts(s: SparkSession, dir: String): DataFrame =
-    eventsStream(s, dir)
+    windowedCountsOf(eventsStream(s, dir))
+
+  /** The tumbling-window aggregation over any events-shaped stream —
+    * split out so ScaleRehearsal can feed staged multi-batch sources
+    * through the same logic (the pattern every other streaming op here
+    * follows for its spec). */
+  private[graft] def windowedCountsOf(events: DataFrame): DataFrame =
+    events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
