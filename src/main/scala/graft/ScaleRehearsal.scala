@@ -192,6 +192,15 @@ object ScaleRehearsal {
 
   def runStreaming(s: SparkSession, sfDir: String, mults: Seq[Int]): Unit = {
     import graft.streaming.StreamOps
+    // SPARK_GRAFT_REHEARSAL_ROCKSDB=1 swaps in the RocksDB state store
+    // — the provider a 50×+ deployment actually runs (state spills to
+    // executor disk instead of living on-heap), so the rehearsal can
+    // show the same state scaling under the production store. NOTE:
+    // memoryUsedBytes is an on-heap metric; RocksDB reports usage
+    // differently, so compare state ROWS across providers.
+    if (sys.env.get("SPARK_GRAFT_REHEARSAL_ROCKSDB").contains("1"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     mults.foreach { m =>
       val staged = stageEvents(s, sfDir, m)
       def src = StreamOps.eventsStreamFromDir(s, staged, Some(1))
