@@ -115,19 +115,25 @@ object Dedup {
   def neardupJaccard(s: SparkSession, d: String,
                      minJ: Double = 0.5,
                      maxDf: Int = MaxShingleDf): DataFrame =
-    neardupJaccardRaw(s, d, minJ, maxDf)
+    SigStore.exactPairs(s, d, minJ, maxDf)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
 
-  /** Unsorted form for internal composition (clustering consumes the
-    * pair set under unions and aggregates, where a presentation sort
-    * only costs a range-sampling pass). */
+  /** Unsorted form building the pair set from scratch (clustering
+    * consumes the pair set under unions and aggregates, where a
+    * presentation sort only costs a range-sampling pass). Queries and
+    * compositions read [[SigStore.exactPairs]] — the landed artifact
+    * this computes — rather than calling this directly. */
   def neardupJaccardRaw(s: SparkSession, d: String,
                         minJ: Double = 0.5,
-                        maxDf: Int = MaxShingleDf): DataFrame = {
+                        maxDf: Int = MaxShingleDf): DataFrame =
+    neardupJaccardFromShingles(cappedShingles(s, d, maxDf), minJ)
+
+  /** The exact-Jaccard self-join over a caller-supplied capped-shingle
+    * relation (a raw build or the store's landed parquet). */
+  def neardupJaccardFromShingles(sh: DataFrame, minJ: Double): DataFrame = {
     // no persist: both join sides shuffle on `shingle` with identical
     // subplans, so ReuseExchange serves them from one shuffle write —
     // unlike a cache, that works no matter how big the shingle set is
-    val sh = cappedShingles(s, d, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -113,7 +113,7 @@ object PipelineOps {
   def dedupClusters(s: SparkSession, d: String,
                     maxIter: Int = 20): DataFrame =
     connectedComponents(
-      Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b"), maxIter)
+      SigStore.exactPairs(s, d).select("doc_a", "doc_b"), maxIter)
 
   /** Min-label propagation over an undirected pair graph. Converges in
     * graph-diameter rounds; each round is one shuffle over the EDGE
@@ -326,28 +326,27 @@ object PipelineOps {
     * graph-analytics join chain (a<b<c canonical ordering falls out
     * of the pair set's doc_a < doc_b invariant, so each triangle
     * appears exactly once with no dedup step). The PAIR set is the
-    * only relation touched: persisted once, materialized before the
-    * three self-references (Spark has no cross-branch CSE), two
-    * edge-bounded shuffles total. Landed to scratch parquet so no
+    * only relation touched, and it comes from the landed
+    * [[SigStore.exactPairs]] artifact — the three self-references are
+    * three scans of one edge-bounded parquet (no persist needed: the
+    * landing IS the materialization, which also covers Spark's lack
+    * of cross-branch CSE). Result landed to scratch parquet so no
     * cached partitions outlive the call — the same hygiene as
     * pagerank/connectedComponents. */
   def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val e = Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b").persist()
-    try {
-      e.count() // materialize the cache before the 3 branch reads
-      val ab = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val bc = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
-      val ac = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
-      val tri = ab
-        .join(bc, col("b") === col("b2"))
-        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
-        .select(col("a"), col("b"), col("c"))
-      val out = graft.Scratch.path("graft_cc",
-        s"triangles_${ccEpoch.getAndIncrement()}").toString
-      tri.write.mode("overwrite").parquet(out)
-      s.read.parquet(out)
-        .transform(Present.sortedUnbounded(_, col("a"), col("b"), col("c")))
-    } finally e.unpersist(false)
+    val e = SigStore.exactPairs(s, d).select("doc_a", "doc_b")
+    val ab = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val bc = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val ac = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    val tri = ab
+      .join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val out = graft.Scratch.path("graft_cc",
+      s"triangles_${ccEpoch.getAndIncrement()}").toString
+    tri.write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .transform(Present.sortedUnbounded(_, col("a"), col("b"), col("c")))
   }
 
   /** localCheckpoint cadence for iterative rank loops: lineage (and
@@ -390,12 +389,14 @@ object PipelineOps {
 
   def pagerankDocs(s: SparkSession, d: String,
                    iters: Int = PageRankIters): DataFrame = {
-    val pairs = Dedup.neardupJaccardRaw(s, d).select("doc_a", "doc_b")
-      .persist()
+    // the landed exact-pair artifact: every iteration's edge reference
+    // is a scan of one edge-bounded parquet, not a recompute of the
+    // shingle self-join (and not a cache that must outlive the loop)
+    val pairs = SigStore.exactPairs(s, d).select("doc_a", "doc_b")
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     try {
-      val nPairs = pairs.count() // one execution of the candidate pipeline
+      val nPairs = pairs.count() // parquet-count: sizes the loop shuffles
       // size the iteration shuffles from the measured edge count,
       // exactly as connectedComponents does for its loop
       s.conf.set(key,
@@ -404,19 +405,15 @@ object PipelineOps {
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
       val ranks = pagerankRanks(edges, iters)
-      // land the ranks before releasing the pair cache (the caller's
-      // action runs after this method returns — serving from the DAG
-      // would recompute the candidate pipeline per edge reference)
+      // land the ranks so the caller's action (after the conf is
+      // restored) serves from parquet, not a re-run of the rank loop
       val out = graft.Scratch.path("graft_cc",
         s"pagerank_${ccEpoch.getAndIncrement()}").toString
       ranks.select(col("id").as("doc_id"), col("r").as("rank_ppb"))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .transform(Present.sortedUnbounded(_, col("doc_id")))
-    } finally {
-      s.conf.set(key, prev)
-      pairs.unpersist(false)
-    }
+    } finally s.conf.set(key, prev)
   }
 
   /** Eval-set decontamination: flag training docs sharing any 3-gram

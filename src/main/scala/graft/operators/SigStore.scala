@@ -40,9 +40,13 @@ object SigStore {
 
   private val stores = new ConcurrentHashMap[Key, String]()
   private val pairs  = new ConcurrentHashMap[(Key, Double, Int), String]()
+  private val exact  = new ConcurrentHashMap[(Key, Double), String]()
   private val ids    = new AtomicInteger(0)
   /** Build counter — exposed so DedupSpec can pin build-once reuse. */
   private[graft] val buildCount = new AtomicInteger(0)
+  /** Exact-pair build counter — exposed so PipelineSpec can pin that
+    * the five exact-graph consumers share one landed artifact. */
+  private[graft] val exactBuildCount = new AtomicInteger(0)
 
   /** Handle over the landed artifacts; DataFrames are fresh parquet
     * reads bound to the CALLER's session (the cache holds only
@@ -86,6 +90,29 @@ object SigStore {
       val st = forDataset(s, d, maxDf)
       val out = s"${st.root}/pairs_${ids.getAndIncrement()}"
       Dedup.lshPairsFrom(st.banded(s), st.sig(s), minEst, maxBucket)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Landed EXACT-Jaccard near-dup pair graph — the verified pair set
+    * a production dedup pipeline persists before anything consumes it.
+    * Five registered queries read this one artifact (`neardup_jaccard`,
+    * `dedup_clusters`, `keep_one_per_cluster`, `triangle_count`,
+    * `pagerank_docs`); before it each recomputed the shingle self-join
+    * from the corpus, so a suite paid the most expensive relation in
+    * the family five times. Derived FROM the landed shingles parquet
+    * (the store's derivation-chain rule), so the corpus head still
+    * executes exactly once per dataset. */
+  def exactPairs(s: SparkSession, d: String, minJ: Double = 0.5,
+                 maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
+    val key = (Key(d, maxDf, Dedup.NumHashes, Dedup.Bands), minJ)
+    val path = exact.computeIfAbsent(key, _ => {
+      exactBuildCount.incrementAndGet()
+      val st = forDataset(s, d, maxDf)
+      val out = s"${st.root}/exact_${ids.getAndIncrement()}"
+      Dedup.neardupJaccardFromShingles(st.shingles(s), minJ)
         .write.mode("overwrite").parquet(out)
       out
     })

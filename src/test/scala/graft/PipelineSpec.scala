@@ -83,6 +83,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("exact-pair consumers share one landed pair artifact per session") {
+    import graft.operators.SigStore
+    // first consumer forces the build (idempotent if an earlier test
+    // already did); every consumer after must be a pure store read
+    Dedup.neardupJaccard(spark, sfDir).collect()
+    val builds = SigStore.exactBuildCount.get()
+    PipelineOps.dedupClusters(spark, sfDir).collect()
+    PipelineOps.triangleCount(spark, sfDir).collect()
+    PipelineOps.keepOnePerCluster(spark, sfDir).collect()
+    PipelineOps.pagerankDocs(spark, sfDir).collect()
+    assert(SigStore.exactBuildCount.get() == builds,
+      "an exact-pair consumer re-built the landed pair artifact")
+  }
+
   test("decontam_ngrams excludes eval docs and thresholds at 3 shared shingles") {
     val rows = PipelineOps.decontamNgrams(spark, sfDir).collect()
     assert(rows.nonEmpty)
