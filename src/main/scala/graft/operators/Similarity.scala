@@ -271,7 +271,38 @@ object Similarity {
     (assign(local), local)
   }
 
-  def ivfIndex(s: SparkSession, d: String): DataFrame = ivfBuild(s, d)._1
+  def ivfIndex(s: SparkSession, d: String): DataFrame = ivfStore(s, d)._1
+
+  /** Session-scoped LANDED IVF INDEX per dataset dir — the literal
+    * form of the build comment above: the inverted file (corpus
+    * clustered by cid) and the K-row centroid table written to storage
+    * once, with every ANN query a store read + probe. Rebuilding the
+    * index per query pays the seed + Lloyd passes over the corpus
+    * every time, which no production vector store does; here (as with
+    * SigStore / the multimodal features store) the artifact is keyed
+    * by dataset dir, paths are monotonically unique per build, and
+    * `computeIfAbsent` serializes the build. */
+  private val ivfStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val ivfBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (inverted file, centroids) as fresh parquet reads over the landed
+    * index, building it on first request for the dataset. */
+  def ivfStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = ivfStores.computeIfAbsent(d, _ => {
+      ivfBuildCount.incrementAndGet()
+      val out = graft.Scratch.path("graft_ivf",
+        s"i${ivfIds.getAndIncrement()}").toString
+      val (idx, cent) = ivfBuild(s, d)
+      idx.write.mode("overwrite").parquet(s"$out/idx")
+      cent.write.mode("overwrite").parquet(s"$out/cent")
+      out
+    })
+    (s.read.parquet(s"$root/idx"), s.read.parquet(s"$root/cent"))
+  }
 
   /** ANN via IVF: each query probes its IvfProbes nearest centroids
     * and ranks exact cosine only within those clusters — the corpus
@@ -283,7 +314,7 @@ object Similarity {
     * Lloyd rounds → probe → in-cell rank verbatim; the spec
     * additionally measures recall vs brute force. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
-    val (idx, cent) = ivfBuild(s, d)
+    val (idx, cent) = ivfStore(s, d)
     val q = emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = org.apache.spark.sql.expressions.Window

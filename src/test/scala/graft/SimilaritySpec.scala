@@ -91,6 +91,17 @@ class SimilaritySpec extends SparkSpec {
     assert(k > 1 && k <= Similarity.IvfClusters, s"clusters=$k")
   }
 
+  test("ivf queries read one landed index per dataset, never rebuilding") {
+    // first consumer forces the build (idempotent if an earlier test
+    // already did); repeat queries must be store reads + probes
+    Similarity.annIvf(spark, sfDir).collect()
+    val builds = Similarity.ivfBuildCount.get()
+    Similarity.annIvf(spark, sfDir).collect()
+    Similarity.ivfIndex(spark, sfDir).count()
+    assert(Similarity.ivfBuildCount.get() == builds,
+      "a repeat IVF consumer re-built the landed index")
+  }
+
   test("embed_quantize emits unit-scale int8-range codes that reconstruct the vector") {
     import org.apache.spark.sql.functions._
     val n = graft.Tables.embeddings(spark, sfDir).count()
