@@ -215,7 +215,12 @@ object ScaleRehearsal {
         // CONSTANT across multiples while input scales: the
         // watermark-bounds-state claim, measured
         ("events_window_stream",
-          () => StreamOps.windowedCountsOf(src), "append"))
+          () => StreamOps.windowedCountsOf(src), "append"),
+        // stream-stream LEFT join: both sides buffer rows inside
+        // watermark + join window; state ∝ events in that horizon —
+        // linear in the multiple, evicted as the watermark advances
+        ("stream_left_join",
+          () => StreamOps.clickPurchaseLeftOf(src, src), "append"))
       cases.foreach { case (name, mk, mode) =>
         s.catalog.clearCache()
         val trail = drainWithProgress(s, mk(), mode, s"${name}_x$m")
