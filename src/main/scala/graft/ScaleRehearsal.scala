@@ -260,6 +260,65 @@ object ScaleRehearsal {
     }
   }
 
+  /** The q18 body over PRE-BUCKETED facts — the layout SCALE.md's
+    * fact⋈fact note claims removes the join shuffles entirely. Both
+    * facts land bucketed+sorted on orderkey once per multiple (the
+    * write pays each side's shuffle ONE time); the measured join then
+    * aggregates and joins inside the bucket distribution, so the only
+    * shuffled rows left are the broadcast dim and the k-row output
+    * sort. Run next to `runJoin`'s unbucketed numbers, this turns
+    * "pre-bucketing removes the shuffle" into a measured ratio. */
+  def runBucketed(s: SparkSession, sfDir: String, mults: Seq[Int],
+                  passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageFacts(s, sfDir, m)
+      val liT = s"graft_rb_li_x$m"
+      val orT = s"graft_rb_or_x$m"
+      if (!s.catalog.tableExists(liT)) {
+        s.read.parquet(s"$staged/lineitem.parquet")
+          .select("l_orderkey", "l_quantity")
+          .write.mode("overwrite")
+          .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+          .option("path", Scratch.path("graft_rehearsal", "bkt", liT).toString)
+          .format("parquet").saveAsTable(liT)
+        s.read.parquet(s"$staged/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+          .write.mode("overwrite")
+          .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+          .option("path", Scratch.path("graft_rehearsal", "bkt", orT).toString)
+          .format("parquet").saveAsTable(orT)
+      }
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_name")
+      var bytes = 0L; var records = 0L; var rows = 0L
+      val walls = (1 to passes).map { _ =>
+        s.catalog.clearCache()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val big = s.table(liT).groupBy("l_orderkey")
+          .agg(round(sum("l_quantity"), 2).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        val df = big
+          .join(s.table(orT), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("total_qty"))
+          .transform(operators.Present.sortedUnbounded(_,
+            desc("total_qty"), col("o_orderkey")))
+        df.write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        bytes = listener.bytes.get; records = listener.records.get
+        rows = df.count()
+        w
+      }
+      println(f"""{"family":"bucketed","query":"q18_bucketed","mult":$m,""" +
+        f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val family = args.headOption.getOrElse("all")
@@ -278,6 +337,8 @@ object ScaleRehearsal {
       runStreaming(spark, sfDir, mults)
     if (family == "join" || family == "all")
       runJoin(spark, sfDir, mults)
+    if (family == "bucketed")
+      runBucketed(spark, sfDir, mults)
     spark.stop()
   }
 }
