@@ -551,6 +551,38 @@ object PipelineOps {
       .withColumn("chunk_len", length(col("chunk")))
       .transform(Present.sortedUnbounded(_, col("doc_id"), col("chunk_idx")))
 
+  /** GPT-style sequence packing: concatenate docs in id order and cut
+    * every PackTokens whitespace-tokens — the training-batch packing
+    * step (`doc_chunks` splits WITHIN a doc; this packs ACROSS docs).
+    * Each doc gets the coordinates of its first token in the packed
+    * stream: seq_id = tokens-before div C, seq_offset = mod C, plus
+    * how many sequences it straddles (the attention mask handles
+    * boundaries at training time; the packing plan only needs start
+    * coordinates). Deterministic, RNG-free, engine-exact integer
+    * arithmetic.
+    *
+    * Shape at scale: ONE window cumsum partitioned by the shard key —
+    * here `source`; at 100 TB the key is (source, dump shard) so no
+    * partition outgrows a task, and each shard packs independently
+    * (sequence ids are per-shard, exactly how distributed packing
+    * runs). No shuffle beyond the one window exchange. */
+  val PackTokens = 2048L
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div $PackTokens").as("seq_id"),
+        (col("cum_before") % PackTokens).as("seq_offset"),
+        (expr(s"((cum_before % $PackTokens) + n_tokens - 1) div $PackTokens")
+          + 1).as("n_seqs_spanned"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** PII redaction: emails → `<email>`, international-format phone
     * numbers → `<phone>`, then any surviving long digit run (account /
     * customer numbers) → `<id>`. Order matters — the email rule runs
@@ -657,6 +689,7 @@ object PipelineOps {
     "pii_redact"       -> piiRedact _,
     "pagerank_docs"    -> ((s: SparkSession, d: String) => pagerankDocs(s, d)),
     "triangle_count"   -> triangleCount _,
+    "pack_sequences"   -> packSequences _,
   )
 
   private def mixValues: String =
@@ -666,6 +699,25 @@ object PipelineOps {
     TextAnalysis.lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // same windowed integer arithmetic; the cumsum is CAST to BIGINT
+    // because DuckDB's sum(BIGINT) widens to HUGEINT
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  cum_before // $PackTokens AS seq_id,
+         |  cum_before % $PackTokens AS seq_offset,
+         |  ((cum_before % $PackTokens) + n_tokens - 1) // $PackTokens + 1
+         |    AS n_seqs_spanned
+         |FROM c ORDER BY doc_id""".stripMargin,
     "corpus_build" ->
       s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
          |tok AS (

@@ -83,6 +83,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences tiles each source's token stream exactly") {
+    val rows = PipelineOps.packSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val C = PipelineOps.PackTokens
+    rows.foreach { case (id, _, n, seqId, off, spans) =>
+      assert(n >= 1, s"doc $id token count")
+      assert(off >= 0 && off < C, s"doc $id offset $off out of [0,$C)")
+      assert(seqId >= 0)
+      assert(spans == (off + n - 1) / C + 1, s"doc $id span count")
+    }
+    // within each source (docs in id order) the coordinates are the
+    // exact running token sum: no gaps, no overlaps
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (id, _, n, seqId, off, _) =>
+        assert(seqId == cum / C && off == cum % C,
+          s"doc $id in $src: expected offset $cum, got ($seqId, $off)")
+        cum += n
+      }
+    }
+  }
+
   test("exact-pair consumers share one landed pair artifact per session") {
     import graft.operators.SigStore
     // first consumer forces the build (idempotent if an earlier test
