@@ -551,6 +551,44 @@ object PipelineOps {
       .withColumn("chunk_len", length(col("chunk")))
       .transform(Present.sortedUnbounded(_, col("doc_id"), col("chunk_idx")))
 
+  /** C4-style corpus-level LINE dedup: a (trimmed, non-empty) line
+    * survives only at its FIRST occurrence corpus-wide (order =
+    * (doc_id, line_no)); every later repetition — boilerplate, nav
+    * text, license headers — is dropped, and documents are
+    * reconstructed from their surviving lines. The doc-level dedup
+    * family can't catch this (the docs differ); this is the op that
+    * removes the shared boilerplate INSIDE otherwise-distinct docs.
+    *
+    * Shape at scale: explode lines (narrow) → first-occurrence window
+    * keyed on the 60-bit line hash (fixed-width shuffle key — the
+    * hash stands in for the line exactly as C4's implementation did;
+    * collisions merge distinct lines with p ≈ pairs/2⁶⁰, mirrored in
+    * the oracle) → one shuffle on doc_id to reassemble. Two bounded
+    * shuffles, no self-join, nothing quadratic. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "line_no")
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("h", Dedup.md5Hash60(col("line")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          e => e.getField("line"))).as("text_dedup"))
+    // docs whose every line was boilerplate still appear, empty
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** GPT-style sequence packing: concatenate docs in id order and cut
     * every PackTokens whitespace-tokens — the training-batch packing
     * step (`doc_chunks` splits WITHIN a doc; this packs ACROSS docs).
@@ -690,6 +728,7 @@ object PipelineOps {
     "pagerank_docs"    -> ((s: SparkSession, d: String) => pagerankDocs(s, d)),
     "triangle_count"   -> triangleCount _,
     "pack_sequences"   -> packSequences _,
+    "line_dedup"       -> lineDedup _,
   )
 
   private def mixValues: String =
@@ -699,6 +738,29 @@ object PipelineOps {
     TextAnalysis.lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // same first-occurrence rule over the same 60-bit line hash
+    "line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+        |  FROM d, unnest(range(1, len(ls) + 1)) AS r(i)
+        |  WHERE length(trim(ls[i])) > 0),
+        |k AS (
+        |  SELECT doc_id, line_no, line,
+        |    row_number() OVER (
+        |      PARTITION BY ('0x' || substring(md5(line), 1, 15))::BIGINT
+        |      ORDER BY doc_id, line_no) AS rn
+        |  FROM l),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_lines_kept,
+        |    string_agg(line, chr(10) ORDER BY line_no) AS text_dedup
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |  coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+        |  coalesce(r.text_dedup, '') AS text_dedup
+        |FROM documents d2 LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // same windowed integer arithmetic; the cumsum is CAST to BIGINT
     // because DuckDB's sum(BIGINT) widens to HUGEINT
     "pack_sequences" ->

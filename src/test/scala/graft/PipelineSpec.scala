@@ -83,6 +83,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("line_dedup keeps exactly the first occurrence of every line") {
+    // replay the rule exactly in plain scala (exact strings — the
+    // engine's 60-bit hash collides with p ~ lines²/2⁶⁰, test-safe)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = docs.map { case (id, text) =>
+      id -> text.split("\n", -1).filter(_.trim.nonEmpty).filter(seen.add)
+    }.toMap
+    val got = PipelineOps.lineDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.keySet == expect.keySet, "every doc appears exactly once")
+    expect.foreach { case (id, lines) =>
+      val (n, txt) = got(id)
+      assert(n == lines.length, s"doc $id kept-line count")
+      assert(txt == lines.mkString("\n"), s"doc $id reconstruction")
+    }
+  }
+
   test("pack_sequences tiles each source's token stream exactly") {
     val rows = PipelineOps.packSequences(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
