@@ -149,6 +149,29 @@ class PlanSpec extends SparkSpec {
       s"minhash agg input is no longer co-located by doc:\n$p")
   }
 
+  test("line_dedup explodes the corpus once; pack_sequences shuffles once") {
+    // line_dedup: the corpus must pass through exactly ONE explode
+    // (a second Generate = a second full line pass) and no join may
+    // degrade to a nested loop
+    // the adaptive plan prints Final + Initial sections — count in
+    // the finalized one only
+    def finalPlan(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val ld = graft.operators.PipelineOps.lineDedup(spark, sfDir)
+    ld.collect()
+    val pld = finalPlan(ld)
+    assert(pld.linesIterator.count(_.contains("Generate ")) == 1, pld)
+    assert(!pld.contains("CartesianProduct") &&
+      !pld.contains("BroadcastNestedLoopJoin"), pld)
+    // pack_sequences: one hash exchange (the per-shard window) plus
+    // the presentation range sort — any second hash shuffle means the
+    // cumsum stopped reusing the window partitioning
+    val ps = graft.operators.PipelineOps.packSequences(spark, sfDir)
+    ps.collect()
+    assert(finalPlan(ps).linesIterator.count(
+      _.contains("Exchange hashpartitioning")) == 1, finalPlan(ps))
+  }
+
   test("unbounded-output queries keep a parallel final sort (no single-task funnel)") {
     // O(input)-row outputs must present via a range-partitioned
     // orderBy, not repartition(1): at 100x data a single-task final
