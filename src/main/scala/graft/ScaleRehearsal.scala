@@ -260,6 +260,64 @@ object ScaleRehearsal {
     }
   }
 
+  /** Stage `mult` isomorphic documents shards: doc_id offset, every
+    * LINE suffixed with the shard tag (shards share no lines, so the
+    * line-dedup first-occurrence structure replicates exactly), and
+    * source made per-shard (each shard packs independently, so
+    * pack_sequences coordinates replicate exactly). */
+  def stageDocs(s: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = stagedDir("docs", mult)
+    if (isStaged(dir)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val docRange = 1000000L
+    val base = Tables.documents(s, sfDir)
+    val all = (0 until mult).map { k =>
+      base.select(
+        (col("doc_id") + lit(k * docRange)).as("doc_id"),
+        array_join(transform(split(col("text"), "\n"),
+          l => concat(l, lit(s" §$k"))), "\n").as("text"),
+        concat(col("source"), lit(s"_$k")).as("source"))
+    }.reduce(_ union _)
+    all.write.parquet(dir.resolve("documents.parquet").toString)
+    markStaged(dir)
+    dir.toString
+  }
+
+  /** line_dedup + pack_sequences over staged doc multiples: wall +
+    * shuffle, linear expectation by construction. */
+  def runPipeline(s: SparkSession, sfDir: String, mults: Seq[Int],
+                  passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      Seq(
+        ("line_dedup",
+          () => operators.PipelineOps.lineDedup(s, staged)),
+        ("pack_sequences",
+          () => operators.PipelineOps.packSequences(s, staged))
+      ).foreach { case (name, mk) =>
+        var bytes = 0L; var records = 0L; var rows = 0L
+        val walls = (1 to passes).map { _ =>
+          s.catalog.clearCache()
+          listener.reset()
+          val t0 = System.nanoTime()
+          val df = mk()
+          df.write.format("noop").mode("overwrite").save()
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500)
+          bytes = listener.bytes.get; records = listener.records.get
+          rows = df.count()
+          w
+        }
+        println(f"""{"family":"pipeline","query":"$name","mult":$m,""" +
+          f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+          f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
+      }
+    }
+  }
+
   /** The q18 body over PRE-BUCKETED facts — the layout SCALE.md's
     * fact⋈fact note claims removes the join shuffles entirely. Both
     * facts land bucketed+sorted on orderkey once per multiple (the
@@ -339,6 +397,8 @@ object ScaleRehearsal {
       runJoin(spark, sfDir, mults)
     if (family == "bucketed")
       runBucketed(spark, sfDir, mults)
+    if (family == "pipeline")
+      runPipeline(spark, sfDir, mults)
     spark.stop()
   }
 }
