@@ -272,6 +272,40 @@ object TextAnalysis {
       .transform(Present.sortedUnbounded(_, col("doc_id"), col("rn")))
   }
 
+  val VocabMinCount = 5
+  val VocabCoverage = 0.95
+
+  /** Vocabulary induction — the tokenizer-training prep step: corpus
+    * token counts, min-count-filtered, globally ranked (count desc,
+    * word), kept until cumulative coverage of the FULL token stream
+    * (including the rare words the filter dropped) reaches
+    * VocabCoverage. Emits (word, cnt, rank, coverage-after-this-word).
+    *
+    * Shape at scale: wordcount (narrow explode → partial agg → one
+    * shuffle on word) then one GLOBAL window over the min-count
+    * SURVIVORS — a vocabulary is bounded (≤ millions of rows after
+    * min-count on any real corpus) and is globally ranked by
+    * definition, so the single-partition window runs over a
+    * vocab-sized relation, never the corpus. The min-count filter is
+    * what bounds it: raise it before raising cluster size. */
+  def vocabBuild(s: SparkSession, d: String): DataFrame = {
+    val counts = TextOps.tokenize(Tables.documents(s, d))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // coverage denominator = ALL token occurrences, incl. filtered
+    val total = counts.agg(sum("cnt").as("total"))
+    val w = Window.orderBy(desc("cnt"), col("word"))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    counts.filter(col("cnt") >= VocabMinCount)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_before", coalesce(sum("cnt").over(before), lit(0L)))
+      .filter(col("cum_before") < col("total") * lit(VocabCoverage))
+      .select(col("word"), col("cnt"), col("rank"),
+        round((col("cum_before") + col("cnt")).cast("double") / col("total"), 6)
+          .as("coverage"))
+      .transform(Present.sortedUnbounded(_, col("rank")))
+  }
+
   private def lexValues: String =
     lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
@@ -286,9 +320,31 @@ object TextAnalysis {
     "fingerprint"  -> fingerprint _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "tfidf"        -> tfidf _,
+    "vocab_build"  -> vocabBuild _,
   )
 
   val oracle: Map[String, String] = Map(
+    // same rank order (cnt desc, word) and integer cumsum; DuckDB's
+    // sum(BIGINT) widens to HUGEINT, so both totals are CAST back
+    "vocab_build" ->
+      s"""WITH tok AS (
+         |  SELECT w AS word FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+         |ranked AS (
+         |  SELECT word, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY cnt DESC, word
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM counts WHERE cnt >= $VocabMinCount)
+         |SELECT word, cnt, rank,
+         |  round((cum_before + cnt)::DOUBLE / total, 6) AS coverage
+         |FROM ranked, tot
+         |WHERE cum_before < total * $VocabCoverage
+         |ORDER BY rank""".stripMargin,
     "repetition_stats" ->
       """WITH lines AS (
         |  SELECT doc_id,

@@ -83,6 +83,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("vocab_build is the exact frequency-ranked coverage prefix") {
+    import graft.operators.{TextAnalysis, TextOps}
+    val wc = TextOps.wordcount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = wc.map(_._2).sum
+    val survivors = wc.filter(_._2 >= TextAnalysis.VocabMinCount)
+      .sortBy { case (w, c) => (-c, w) }
+    var cum = 0L
+    val expect = survivors.takeWhile { case (_, c) =>
+      val keep = cum < total * TextAnalysis.VocabCoverage
+      cum += c; keep
+    }
+    val got = TextAnalysis.vocabBuild(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == expect.toSeq,
+      s"kept vocab mismatch: got ${got.length}, expected ${expect.length}")
+    assert(got.map(_._3).toSeq == (1 to got.length).toSeq, "ranks contiguous")
+    var run = 0L
+    got.foreach { case (w, c, _, cov) =>
+      run += c
+      assert(math.abs(cov - run.toDouble / total) < 1e-6, s"coverage at $w")
+    }
+  }
+
   test("line_dedup keeps exactly the first occurrence of every line") {
     // replay the rule exactly in plain scala (exact strings — the
     // engine's 60-bit hash collides with p ~ lines²/2⁶⁰, test-safe)
