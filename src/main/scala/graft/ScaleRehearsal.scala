@@ -232,31 +232,40 @@ object ScaleRehearsal {
     }
   }
 
+  /** min-of-passes wall + shuffle totals for one measured query,
+    * printed as one JSON line — shared by every batch family. */
+  private def measure(s: SparkSession, listener: ShuffleListener,
+                      family: String, name: String, mult: Int,
+                      passes: Int)(mk: => DataFrame): Unit = {
+    var bytes = 0L; var records = 0L; var rows = 0L
+    val walls = (1 to passes).map { _ =>
+      s.catalog.clearCache()
+      listener.reset()
+      val t0 = System.nanoTime()
+      val df = mk
+      df.write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async (and private[spark], so no
+      // waitUntilEmpty) — a short drain keeps stage events from
+      // leaking across the capture boundary
+      Thread.sleep(500)
+      bytes = listener.bytes.get; records = listener.records.get
+      rows = df.count()
+      w
+    }
+    println(f"""{"family":"$family","query":"$name","mult":$mult,""" +
+      f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+      f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
+  }
+
   def runJoin(s: SparkSession, sfDir: String, mults: Seq[Int],
               passes: Int = 3): Unit = {
     val listener = new ShuffleListener
     s.sparkContext.addSparkListener(listener)
     mults.foreach { m =>
       val staged = stageFacts(s, sfDir, m)
-      var bytes = 0L; var records = 0L; var rows = 0L
-      val walls = (1 to passes).map { _ =>
-        s.catalog.clearCache()
-        listener.reset()
-        val t0 = System.nanoTime()
-        val df = operators.RelOps.q18LargeOrders(s, staged)
-        df.write.format("noop").mode("overwrite").save()
-        val w = (System.nanoTime() - t0) / 1e9
-        // the listener bus is async (and private[spark], so no
-        // waitUntilEmpty) — a short drain keeps stage events from
-        // leaking across the capture boundary
-        Thread.sleep(500)
-        bytes = listener.bytes.get; records = listener.records.get
-        rows = df.count()
-        w
-      }
-      println(f"""{"family":"join","query":"q18_large_orders","mult":$m,""" +
-        f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
-        f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
+      measure(s, listener, "join", "q18_large_orders", m, passes)(
+        operators.RelOps.q18LargeOrders(s, staged))
     }
   }
 
@@ -292,29 +301,10 @@ object ScaleRehearsal {
     s.sparkContext.addSparkListener(listener)
     mults.foreach { m =>
       val staged = stageDocs(s, sfDir, m)
-      Seq(
-        ("line_dedup",
-          () => operators.PipelineOps.lineDedup(s, staged)),
-        ("pack_sequences",
-          () => operators.PipelineOps.packSequences(s, staged))
-      ).foreach { case (name, mk) =>
-        var bytes = 0L; var records = 0L; var rows = 0L
-        val walls = (1 to passes).map { _ =>
-          s.catalog.clearCache()
-          listener.reset()
-          val t0 = System.nanoTime()
-          val df = mk()
-          df.write.format("noop").mode("overwrite").save()
-          val w = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(500)
-          bytes = listener.bytes.get; records = listener.records.get
-          rows = df.count()
-          w
-        }
-        println(f"""{"family":"pipeline","query":"$name","mult":$m,""" +
-          f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
-          f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
-      }
+      measure(s, listener, "pipeline", "line_dedup", m, passes)(
+        operators.PipelineOps.lineDedup(s, staged))
+      measure(s, listener, "pipeline", "pack_sequences", m, passes)(
+        operators.PipelineOps.packSequences(s, staged))
     }
   }
 
@@ -349,31 +339,17 @@ object ScaleRehearsal {
           .format("parquet").saveAsTable(orT)
       }
       val cust = Tables.customer(s, sfDir).select("c_custkey", "c_name")
-      var bytes = 0L; var records = 0L; var rows = 0L
-      val walls = (1 to passes).map { _ =>
-        s.catalog.clearCache()
-        listener.reset()
-        val t0 = System.nanoTime()
-        val big = s.table(liT).groupBy("l_orderkey")
+      measure(s, listener, "bucketed", "q18_bucketed", m, passes) {
+        s.table(liT).groupBy("l_orderkey")
           .agg(round(sum("l_quantity"), 2).as("total_qty"))
           .filter(col("total_qty") > 300)
-        val df = big
           .join(s.table(orT), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate"), col("total_qty"))
           .transform(operators.Present.sortedUnbounded(_,
             desc("total_qty"), col("o_orderkey")))
-        df.write.format("noop").mode("overwrite").save()
-        val w = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500)
-        bytes = listener.bytes.get; records = listener.records.get
-        rows = df.count()
-        w
       }
-      println(f"""{"family":"bucketed","query":"q18_bucketed","mult":$m,""" +
-        f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
-        f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
     }
   }
 
