@@ -61,10 +61,15 @@ object ScaleRehearsal {
     p.toString
   }
 
-  /** Staged dirs are content-addressed by (source, multiple) and
-    * reused across passes/runs; `_STAGED` marks a completed write. */
-  private def stagedDir(kind: String, mult: Int): java.nio.file.Path =
-    Scratch.path("graft_rehearsal", "stage", s"${kind}_x$mult")
+  /** Staged dirs are content-addressed by (kind, SOURCE DATASET,
+    * multiple) and reused across passes/runs; `_STAGED` marks a
+    * completed write. The dataset is part of the key — keying on the
+    * multiple alone would silently reuse an sf0.1 staging for an
+    * sf0.001 request. */
+  private def stagedDir(kind: String, sfDir: String,
+                        mult: Int): java.nio.file.Path =
+    Scratch.path("graft_rehearsal", "stage",
+      s"${kind}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_x$mult")
 
   private def isStaged(p: java.nio.file.Path): Boolean =
     java.nio.file.Files.exists(p.resolve("_STAGED"))
@@ -83,7 +88,7 @@ object ScaleRehearsal {
     * watermark advances monotonically across micro-batches). */
   def stageEvents(s: SparkSession, sfDir: String, mult: Int,
                   batches: Int = 5): String = {
-    val dir = stagedDir("events", mult)
+    val dir = stagedDir("events", sfDir, mult)
     if (isStaged(dir)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
@@ -119,7 +124,7 @@ object ScaleRehearsal {
     * custkey unchanged) and link the 1× dims alongside, producing a
     * directory `Tables` reads like any sf dir. */
   def stageFacts(s: SparkSession, sfDir: String, mult: Int): String = {
-    val dir = stagedDir("facts", mult)
+    val dir = stagedDir("facts", sfDir, mult)
     if (isStaged(dir)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
@@ -275,7 +280,7 @@ object ScaleRehearsal {
     * source made per-shard (each shard packs independently, so
     * pack_sequences coordinates replicate exactly). */
   def stageDocs(s: SparkSession, sfDir: String, mult: Int): String = {
-    val dir = stagedDir("docs", mult)
+    val dir = stagedDir("docs", sfDir, mult)
     if (isStaged(dir)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)

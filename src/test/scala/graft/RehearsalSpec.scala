@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scale-rehearsal harness is evidence-generating code: if its
+  * staging silently broke, every SCALE.md number after that would lie.
+  * These specs pin the staging invariants the isomorphic-shard method
+  * depends on, at a small multiple on the small sf dir. */
+class RehearsalSpec extends SparkSpec {
+
+  test("staged events shards are key-disjoint and files time-ordered") {
+    val mult = 3
+    val dir = ScaleRehearsal.stageEvents(spark, sfDir, mult)
+    val staged = spark.read.parquet(dir)
+    val base = Tables.events(spark, sfDir)
+    // exact replication: rows and per-shard key ranges
+    assert(staged.count() == mult * base.count())
+    val shardsSeen = staged
+      .select((col("user_id") / 1500).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(shardsSeen == (0 until mult), s"shards=$shardsSeen")
+    // event ids stay unique after offsetting
+    assert(staged.select("event_id").distinct().count() == staged.count())
+    // batch files cover increasing, non-overlapping event-time ranges
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(files.size >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("ts").as("lo"), max("ts").as("hi")).head()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi.before(lo2), s"batch ranges overlap: $hi !< $lo2")
+      case _ =>
+    }
+  }
+
+  test("staged facts replicate output-defining keys; dims stay 1x") {
+    val mult = 2
+    val dir = ScaleRehearsal.stageFacts(spark, sfDir, mult)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val base = Tables.lineitem(spark, sfDir)
+    assert(li.count() == mult * base.count())
+    assert(li.select("l_orderkey").distinct().count() ==
+      mult * base.select("l_orderkey").distinct().count())
+    // dims are links to the 1x source
+    assert(spark.read.parquet(s"$dir/customer.parquet").count() ==
+      Tables.customer(spark, sfDir).count())
+  }
+
+  test("staged docs shards share no lines and pack independently") {
+    val mult = 2
+    val dir = ScaleRehearsal.stageDocs(spark, sfDir, mult)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = Tables.documents(spark, sfDir)
+    assert(docs.count() == mult * base.count())
+    // per-shard sources (independent packing domains)
+    assert(docs.select("source").distinct().count() ==
+      mult * base.select("source").distinct().count())
+    // the per-line suffix makes shards line-disjoint: every non-blank
+    // line occurs in exactly one shard tag
+    val crossShard = docs
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("line"),
+        regexp_extract(col("line"), "§([0-9]+)$", 1).as("tag"))
+      .groupBy("line").agg(countDistinct("tag").as("tags"))
+      .filter(col("tags") > 1)
+    assert(crossShard.count() == 0, "a staged line appears in two shards")
+  }
+}
