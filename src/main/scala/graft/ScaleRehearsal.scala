@@ -62,20 +62,42 @@ object ScaleRehearsal {
   }
 
   /** Staged dirs are content-addressed by (kind, SOURCE DATASET,
-    * multiple) and reused across passes/runs; `_STAGED` marks a
-    * completed write. The dataset is part of the key — keying on the
-    * multiple alone would silently reuse an sf0.1 staging for an
-    * sf0.001 request. */
-  private def stagedDir(kind: String, sfDir: String,
-                        mult: Int): java.nio.file.Path =
+    * multiple, any shape params in `extra`) and reused across
+    * passes/runs; `_STAGED` marks a completed write AND carries a
+    * fingerprint of the staging's source files. The dataset is part of
+    * the key — keying on the multiple alone would silently reuse an
+    * sf0.1 staging for an sf0.001 request — and the fingerprint closes
+    * the remaining hole: markers persist across JVM runs, so a
+    * regenerated testdata dir (same path, new content) would otherwise
+    * keep serving shards of the OLD data to every measurement. */
+  private def stagedDir(kind: String, sfDir: String, mult: Int,
+                        extra: String = ""): java.nio.file.Path =
     Scratch.path("graft_rehearsal", "stage",
-      s"${kind}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_x$mult")
+      s"${kind}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_x$mult$extra")
 
-  private def isStaged(p: java.nio.file.Path): Boolean =
-    java.nio.file.Files.exists(p.resolve("_STAGED"))
+  /** name:size:mtime of every regular file under the source paths —
+    * cheap, metadata-only, and any regeneration of the testdata moves
+    * at least one mtime. */
+  private def sourceFingerprint(srcs: Seq[java.nio.file.Path]): String = {
+    import scala.jdk.CollectionConverters._
+    srcs.flatMap { p =>
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toList
+      finally st.close()
+    }.sortBy(_.toString).map { f =>
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    }.mkString("|")
+  }
 
-  private def markStaged(p: java.nio.file.Path): Unit =
-    java.nio.file.Files.write(p.resolve("_STAGED"), Array.empty[Byte])
+  private def isStaged(p: java.nio.file.Path, fp: String): Boolean = {
+    val m = p.resolve("_STAGED")
+    java.nio.file.Files.exists(m) && java.nio.file.Files.readString(m) == fp
+  }
+
+  private def markStaged(p: java.nio.file.Path, fp: String): Unit =
+    java.nio.file.Files.writeString(p.resolve("_STAGED"), fp)
 
   // events sf0.1: user_id ∈ [0, 1500), event_id < 100 000, ts spans
   // 2024-01-01..31. Offsets clear the key range so shards are disjoint.
@@ -88,8 +110,10 @@ object ScaleRehearsal {
     * watermark advances monotonically across micro-batches). */
   def stageEvents(s: SparkSession, sfDir: String, mult: Int,
                   batches: Int = 5): String = {
-    val dir = stagedDir("events", sfDir, mult)
-    if (isStaged(dir)) return dir.toString
+    // `batches` shapes the staged files, so it is part of the key
+    val dir = stagedDir("events", sfDir, mult, s"_b$batches")
+    val fp = sourceFingerprint(Seq(java.nio.file.Paths.get(sfDir, "events.parquet")))
+    if (isStaged(dir, fp)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
     val base = Tables.events(s, sfDir)
@@ -116,7 +140,7 @@ object ScaleRehearsal {
       wipeDir(tmp)
       Thread.sleep(20) // distinct mtimes → deterministic replay order
     }
-    markStaged(dir)
+    markStaged(dir, fp)
     dir.toString
   }
 
@@ -125,7 +149,12 @@ object ScaleRehearsal {
     * directory `Tables` reads like any sf dir. */
   def stageFacts(s: SparkSession, sfDir: String, mult: Int): String = {
     val dir = stagedDir("facts", sfDir, mult)
-    if (isStaged(dir)) return dir.toString
+    // dims are symlinks (always-fresh); the copied facts are the
+    // staleness risk, so they are what the fingerprint covers
+    val fp = sourceFingerprint(Seq(
+      java.nio.file.Paths.get(sfDir, "lineitem.parquet"),
+      java.nio.file.Paths.get(sfDir, "orders.parquet")))
+    if (isStaged(dir, fp)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
     val okRange = 150000L
@@ -144,7 +173,7 @@ object ScaleRehearsal {
         dir.resolve(s"$t.parquet"),
         java.nio.file.Paths.get(sfDir, s"$t.parquet"))
     }
-    markStaged(dir)
+    markStaged(dir, fp)
     dir.toString
   }
 
@@ -251,16 +280,28 @@ object ScaleRehearsal {
       df.write.format("noop").mode("overwrite").save()
       val w = (System.nanoTime() - t0) / 1e9
       // the listener bus is async (and private[spark], so no
-      // waitUntilEmpty) — a short drain keeps stage events from
-      // leaking across the capture boundary
-      Thread.sleep(500)
+      // waitUntilEmpty) — poll until two consecutive reads of the
+      // counters agree (bounded) instead of trusting one fixed sleep,
+      // which under bus lag silently under-reports the totals
+      var prev = -1L
+      var cur = listener.bytes.get + listener.records.get
+      var waitedMs = 0
+      while (prev != cur && waitedMs < 5000) {
+        Thread.sleep(100); waitedMs += 100
+        prev = cur
+        cur = listener.bytes.get + listener.records.get
+      }
       bytes = listener.bytes.get; records = listener.records.get
       rows = df.count()
       w
     }
+    // out_rows comes from a SEPARATE count() execution after the timed
+    // noop write (flagged in the JSON so readers don't attribute its
+    // stages to the measured pass)
     println(f"""{"family":"$family","query":"$name","mult":$mult,""" +
       f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
-      f""""shuffle_bytes":$bytes,"shuffle_records":$records,"out_rows":$rows}""")
+      f""""shuffle_bytes":$bytes,"shuffle_records":$records,""" +
+      f""""out_rows":$rows,"out_rows_src":"separate-count-execution"}""")
   }
 
   def runJoin(s: SparkSession, sfDir: String, mults: Seq[Int],
@@ -281,7 +322,9 @@ object ScaleRehearsal {
     * pack_sequences coordinates replicate exactly). */
   def stageDocs(s: SparkSession, sfDir: String, mult: Int): String = {
     val dir = stagedDir("docs", sfDir, mult)
-    if (isStaged(dir)) return dir.toString
+    val fp = sourceFingerprint(Seq(
+      java.nio.file.Paths.get(sfDir, "documents.parquet")))
+    if (isStaged(dir, fp)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
     val docRange = 1000000L
@@ -294,7 +337,7 @@ object ScaleRehearsal {
         concat(col("source"), lit(s"_$k")).as("source"))
     }.reduce(_ union _)
     all.write.parquet(dir.resolve("documents.parquet").toString)
-    markStaged(dir)
+    markStaged(dir, fp)
     dir.toString
   }
 
@@ -310,6 +353,13 @@ object ScaleRehearsal {
         operators.PipelineOps.lineDedup(s, staged))
       measure(s, listener, "pipeline", "pack_sequences", m, passes)(
         operators.PipelineOps.packSequences(s, staged))
+      // the staged shards share no LINES (per-line §k suffix) but DO
+      // share every ≥K-token span that sits strictly inside a line —
+      // so each shared gram's occurrence count grows with the
+      // multiple, making this the hot-gram worst case for the
+      // first-occurrence window, exactly the pressure worth measuring
+      measure(s, listener, "pipeline", "substring_dedup", m, passes)(
+        operators.PipelineOps.substringDedup(s, staged))
     }
   }
 

@@ -589,6 +589,85 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** Substring-level exact dedup (the suffix-array dedup family, e.g.
+    * Lee et al. 2021 "Deduplicating Training Data Makes Language
+    * Models Better"): remove every repeated run of >= SubstrK
+    * whitespace tokens at all occurrences AFTER the corpus-wide first
+    * (order = (doc_id, pos)), then reconstruct documents from the
+    * surviving tokens. This is `line_dedup` generalized off line
+    * boundaries — repeated spans that DON'T align to lines (quoted
+    * paragraphs, templated sentences mid-line) survive line dedup and
+    * the whole-doc near-dup family, and this is the operator that
+    * removes them.
+    *
+    * Rule, exactly as both engines compute it: token t at (doc, p) is
+    * removed iff some K-token window covering p (window start in
+    * [p-K+1, p], in-bounds) has a gram hash seen earlier in
+    * (doc_id, pos) order. A repeated span of length L >= K consists of
+    * L-K+1 duplicated grams whose windows cover the whole span, so
+    * every later occurrence is removed end-to-end; conversely a token
+    * in no repeated >= K window is never touched, and every maximal
+    * removed run has length >= K by construction (the union of
+    * K-length intervals).
+    *
+    * Shape at scale, all fixed-width keys and O(corpus tokens) rows:
+    * tokenize + per-doc gram-hash array map-side (one md5 per token,
+    * like winnowing) → one explode to (doc, pos, tok, gh) → first-
+    * occurrence window on the 60-bit gram hash (the fixed-width
+    * shuffle key; a boilerplate gram repeated 10⁹ times is a hot
+    * window partition — the same documented hazard as line_dedup's
+    * line-hash window, and the mitigation at 100 TB is the same:
+    * pre-aggregate counts per (gh, doc range) or cap df like the
+    * shingle path) → coverage = max-over-K-row window per doc → one
+    * doc-keyed rebuild that reuses the coverage window's exchange.
+    * Nothing quadratic, no self-join: the tail positions that carry
+    * no gram ride the SAME pipeline under a per-row aux partition key
+    * (singleton windows) instead of forcing a second corpus scan for
+    * a token/gram join. */
+  val SubstrK = 8
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val K = SubstrK
+    import org.apache.spark.sql.expressions.Window
+    // tail rows (pos > n-K, gh null) get a unique aux key: they ride
+    // the gram window as singleton partitions instead of pooling into
+    // one (K-1)·n_docs-row null partition (a guaranteed hot task)
+    val wFirst = Window.partitionBy("gh", "aux").orderBy("doc_id", "pos")
+    val wCover = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(K - 1), 0)
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"), array_remove(split(col("text"), "\\s+"), "").as("t"))
+      // decouple the md5-per-token hash loop from input-byte task
+      // sizing, exactly as winnowFingerprintsOf does
+      .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+      .withColumn("gh", when(size(col("t")) >= K,
+        transform(sequence(lit(1), size(col("t")) - (K - 1)),
+          p => Dedup.md5Hash60(concat_ws(" ", slice(col("t"), p, lit(K))))))
+        .otherwise(array().cast("array<bigint>")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("t"), col("gh"))).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        col("z.t").as("tok"), col("z.gh").as("gh"))
+      .withColumn("aux", when(col("gh").isNull,
+        concat_ws("_", col("doc_id"), col("pos"))).otherwise(lit("")))
+      .withColumn("ds",
+        when(col("gh").isNotNull && row_number().over(wFirst) > 1, 1)
+          .otherwise(0))
+      .withColumn("rm", max(col("ds")).over(wCover))
+      .filter(col("rm") === 0)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("text_dedup"))
+    // docs whose every token sat in repeated spans still appear, empty
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** GPT-style sequence packing: concatenate docs in id order and cut
     * every PackTokens whitespace-tokens — the training-batch packing
     * step (`doc_chunks` splits WITHIN a doc; this packs ACROSS docs).
@@ -729,6 +808,7 @@ object PipelineOps {
     "triangle_count"   -> triangleCount _,
     "pack_sequences"   -> packSequences _,
     "line_dedup"       -> lineDedup _,
+    "substring_dedup"  -> substringDedup _,
   )
 
   private def mixValues: String =
@@ -738,6 +818,38 @@ object PipelineOps {
     TextAnalysis.lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the identical removal rule replayed verbatim: same whitespace
+    // tokens, same 60-bit gram hash, same (doc_id, pos) first-
+    // occurrence order, same K-window coverage test
+    "substring_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+         |    CASE WHEN i + ${SubstrK - 1} <= len(t)
+         |      THEN ('0x' || substring(md5(array_to_string(
+         |        t[i:i+${SubstrK - 1}], ' ')), 1, 15))::BIGINT END AS gh
+         |  FROM d, unnest(range(1, len(t) + 1)) AS r(i)),
+         |m AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN gh IS NOT NULL AND row_number() OVER (
+         |      PARTITION BY gh ORDER BY doc_id, pos) > 1
+         |    THEN 1 ELSE 0 END AS ds
+         |  FROM tok),
+         |c AS (
+         |  SELECT doc_id, pos, tok,
+         |    max(ds) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN ${SubstrK - 1} PRECEDING AND CURRENT ROW) AS rm
+         |  FROM m),
+         |r AS (
+         |  SELECT doc_id, count(*) AS n_tokens_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+         |  FROM c WHERE rm = 0 GROUP BY doc_id)
+         |SELECT d2.doc_id, coalesce(r.n_tokens_kept, 0) AS n_tokens_kept,
+         |  coalesce(r.text_dedup, '') AS text_dedup
+         |FROM documents d2 LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // same first-occurrence rule over the same 60-bit line hash
     "line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls

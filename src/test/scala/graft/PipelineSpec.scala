@@ -113,8 +113,11 @@ class PipelineSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
     val seen = scala.collection.mutable.Set[String]()
+    // space-only blank test: the engine and oracle use SQL trim
+    // (ASCII space), while String.trim strips every char <= U+0020 —
+    // a tabs-only line is KEPT by the engine and must be here too
     val expect = docs.map { case (id, text) =>
-      id -> text.split("\n", -1).filter(_.trim.nonEmpty).filter(seen.add)
+      id -> text.split("\n", -1).filter(_.exists(_ != ' ')).filter(seen.add)
     }.toMap
     val got = PipelineOps.lineDedup(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
@@ -124,6 +127,62 @@ class PipelineSpec extends SparkSpec {
       assert(n == lines.length, s"doc $id kept-line count")
       assert(txt == lines.mkString("\n"), s"doc $id reconstruction")
     }
+  }
+
+  test("substring_dedup replays the removal rule exactly on the real corpus") {
+    // plain-scala replay with exact gram strings (the engine's 60-bit
+    // hash collides with p ~ grams²/2⁶⁰ — test-safe, like line_dedup)
+    val K = PipelineOps.SubstrK
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[Seq[String]]()
+    val dup = scala.collection.mutable.Set[(Long, Int)]()
+    docs.foreach { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+      (0 to t.length - K).foreach { p =>
+        if (!seen.add(t.slice(p, p + K))) dup += ((id, p))
+      }
+    }
+    assert(dup.nonEmpty, "testdata should contain repeated >=K-token spans")
+    val expect = docs.map { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+      val keptIdx = t.indices.filterNot { i =>
+        (math.max(0, i - K + 1) to math.min(i, t.length - K))
+          .exists(w => dup((id, w)))
+      }
+      id -> ((keptIdx.length.toLong, keptIdx.map(t).mkString(" ")))
+    }.toMap
+    val got = PipelineOps.substringDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id substring-dedup mismatch")
+    }
+  }
+
+  test("substring_dedup: first span survives, later ones go, unique text untouched") {
+    import spark.implicits._
+    val K = PipelineOps.SubstrK // 8
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssd")
+    Seq(
+      (1L, s"$shared uniq1 uniq2"),
+      (2L, s"prefix2 $shared tail2a tail2b"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, s"$shared uniq1 uniq2") // exact copy of doc 1
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val got = PipelineOps.substringDedup(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // first occurrence survives whole
+    assert(got(1L) == ((12L, s"$shared uniq1 uniq2")))
+    // the repeated 10-token span is excised mid-doc; its removed run is
+    // >= K and the non-repeated frame survives
+    assert(got(2L) == ((3L, "prefix2 tail2a tail2b")))
+    // no repeated K-gram anywhere: byte-identical after the join
+    assert(got(3L) == ((10L, "one two three four five six seven eight nine ten")))
+    // an exact copy is removed END-TO-END (every token covered)
+    assert(got(4L) == ((0L, "")))
   }
 
   test("pack_sequences tiles each source's token stream exactly") {

@@ -23,13 +23,19 @@ class RehearsalSpec extends SparkSpec {
     assert(staged.select("event_id").distinct().count() == staged.count())
     // batch files cover increasing, non-overlapping event-time ranges
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files =
+      try st.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toList.sorted
+      finally st.close()
     assert(files.size >= 2)
     val ranges = files.map { f =>
       val r = spark.read.parquet(f)
         .agg(min("ts").as("lo"), max("ts").as("hi")).head()
+      // an empty batch file aggregates to null — fail diagnosably
+      // instead of NPEing in the range comparison below
+      assert(!r.isNullAt(0) && !r.isNullAt(1),
+        s"staged batch file $f is empty at this scale factor")
       (r.getTimestamp(0), r.getTimestamp(1))
     }
     ranges.sliding(2).foreach {
