@@ -306,6 +306,142 @@ object TextAnalysis {
       .transform(Present.sortedUnbounded(_, col("rank")))
   }
 
+  val BpeMergeRounds = 8
+
+  /** BPE merge learning (Sennrich et al. 2016, the public byte-pair-
+    * encoding algorithm): start from each distinct word as its
+    * character sequence, and for BpeMergeRounds rounds count adjacent
+    * symbol pairs weighted by word frequency, pick the most frequent
+    * pair (tie-break: count desc, lhs, rhs — deterministic so DuckDB
+    * replays the whole merge SEQUENCE), and merge its occurrences
+    * greedily left-to-right. Emits the learned merge table
+    * (merge_no, lhs, rhs, merged, pair_cnt) — the artifact a tokenizer
+    * trainer ships. `vocab_build` ranks whole tokens; this learns the
+    * subword units under them.
+    *
+    * Greedy left-to-right application is expressed RELATIONALLY so
+    * both engines compute it identically: match positions, then
+    * gaps-and-islands parity — within each maximal run of consecutive
+    * match positions (runs longer than 1 only happen for self-pairs
+    * like (a,a) over "aaa"), merge the 1st, 3rd, … occurrence, which
+    * is exactly what the sequential scan does.
+    *
+    * Shape at scale: the training input is the WORD-FREQUENCY table —
+    * vocabulary-bounded, not corpus-bounded; the corpus contributes
+    * one wordcount (narrow explode → one shuffle on word) and never
+    * re-enters the loop. Each round shuffles only the symbol relation
+    * (Σ|word| over distinct words, shrinking as merges apply) on
+    * `word`; the winning pair is a single bounded row (the "broadcast
+    * the winner" step — here driver-mediated, like SaltedAgg's
+    * justified bounded collect) and lineage is truncated on the
+    * Checkpoints rung every round so plan depth stays constant in the
+    * round count. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val wPos = Window.partitionBy("word").orderBy("pos")
+    val wf = TextOps.tokenize(Tables.documents(s, d))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var state: DataFrame = Checkpoints.truncate(
+      wf.select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("p0", "sym")))
+        .select(col("word"), col("freq"),
+          (col("p0") + 1).cast("long").as("pos"), col("sym")))
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeMergeRounds && !exhausted) {
+      val win = state
+        .withColumn("nxt", lead("sym", 1).over(wPos))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect() // exactly one bounded row: the round winner
+      if (win.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (wa, wb) = (win(0).getString(0), win(0).getString(1))
+        learned += ((r, wa, wb, win(0).getLong(2)))
+        val applied = state
+          .withColumn("nxt", lead("sym", 1).over(wPos))
+          .withColumn("mt",
+            when(col("sym") === lit(wa) && col("nxt") === lit(wb), 1)
+              .otherwise(0))
+          // islands: run id distinguishes maximal consecutive-match
+          // stretches; odd offsets within a run are the greedy merges
+          .withColumn("run", when(col("mt") === 1, col("pos") -
+            row_number().over(Window.partitionBy("word", "mt").orderBy("pos"))))
+          .withColumn("mg", when(col("mt") === 1 &&
+            row_number().over(Window.partitionBy("word", "run").orderBy("pos"))
+              % 2 === 1, 1).otherwise(0))
+          .withColumn("pmg", lag("mg", 1).over(wPos))
+          .filter(coalesce(col("pmg"), lit(0)) === 0) // drop merged rhs
+          .select(col("word"), col("freq"),
+            row_number().over(wPos).cast("long").as("pos"),
+            when(col("mg") === 1, concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+        state = Checkpoints.truncate(applied)
+      }
+      r += 1
+    }
+    import s.implicits._
+    learned.toSeq.toDF("merge_no", "lhs", "rhs", "pair_cnt")
+      .select(col("merge_no"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
+      .transform(Present.sorted(_, col("merge_no")))
+  }
+
+  /** One BPE round as DuckDB CTEs — pair count, winner, greedy-parity
+    * application — the SQL twin of the loop body above, unrolled per
+    * round exactly like PipelineOps.pagerankSql unrolls iterations. */
+  private def bpeRoundSql(r: Int): String = {
+    val p = s"s${r - 1}"
+    s""",
+       |p$r AS (
+       |  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT word, freq, sym,
+       |      lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |    FROM $p)
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |win$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |mg$r AS (
+       |  SELECT word, freq, pos, sym, nxt, CASE WHEN mt = 1 AND
+       |      (row_number() OVER (PARTITION BY word, run ORDER BY pos)) % 2 = 1
+       |    THEN 1 ELSE 0 END AS mg
+       |  FROM (
+       |    SELECT *, CASE WHEN mt = 1
+       |        THEN pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos)
+       |      END AS run
+       |    FROM (
+       |      SELECT t.word, t.freq, t.pos, t.sym, t.nxt,
+       |        CASE WHEN t.sym = w.a AND t.nxt = w.b THEN 1 ELSE 0 END AS mt
+       |      FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |            FROM $p) t, win$r w))),
+       |s$r AS (
+       |  SELECT word, freq,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |    CASE WHEN mg = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, lag(mg) OVER (PARTITION BY word ORDER BY pos) AS pmg
+       |        FROM mg$r)
+       |  WHERE coalesce(pmg, 0) = 0)""".stripMargin
+  }
+
+  private lazy val bpeSql: String = {
+    val head =
+      """WITH tok AS (
+        |  SELECT w AS word FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+        |s0 AS (
+        |  SELECT word, freq, i AS pos, substring(word, i, 1) AS sym
+        |  FROM wf, unnest(range(1, length(word) + 1)) AS r(i))""".stripMargin
+    val rounds = (1 to BpeMergeRounds).map(bpeRoundSql).mkString
+    val out = (1 to BpeMergeRounds).map(r =>
+      s"SELECT $r AS merge_no, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_cnt FROM win$r")
+      .mkString("\nUNION ALL\n")
+    s"$head$rounds\n$out\nORDER BY merge_no"
+  }
+
   private def lexValues: String =
     lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
@@ -321,9 +457,13 @@ object TextAnalysis {
     "winnow_fingerprints" -> winnowFingerprints _,
     "tfidf"        -> tfidf _,
     "vocab_build"  -> vocabBuild _,
+    "bpe_merges"   -> bpeMerges _,
   )
 
   val oracle: Map[String, String] = Map(
+    // the merge sequence replayed round by round: same pair counts,
+    // same (cnt desc, lhs, rhs) winner, same greedy-parity application
+    "bpe_merges" -> bpeSql,
     // same rank order (cnt desc, word) and integer cumsum; DuckDB's
     // sum(BIGINT) widens to HUGEINT, so both totals are CAST back
     "vocab_build" ->

@@ -107,6 +107,87 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  /** Naive reference BPE (Sennrich et al.): overlapping pair counts
+    * weighted by word freq, (count desc, lhs, rhs) winner, greedy
+    * left-to-right application — the sequential-scan form the engine's
+    * relational parity rule must equal. */
+  private def bpeModel(wordFreq: Seq[(String, Long)], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(Seq[String], Long)]) = {
+    var vocab: Seq[(Seq[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString): Seq[String]) -> f }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.lazyZip(syms.drop(1)).foreach { (a, b) =>
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        learned += ((r, a, b, c))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq -> f
+        }
+      }
+      r += 1
+    }
+    (learned.toSeq, vocab)
+  }
+
+  test("bpe_merges learns the reference merge sequence; encoding round-trips") {
+    import graft.operators.{TextAnalysis, TextOps}
+    val wf = TextOps.wordcount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val (expect, encoded) = bpeModel(wf, TextAnalysis.BpeMergeRounds)
+    assert(expect.nonEmpty)
+    val got = TextAnalysis.bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._5)).toSeq == expect,
+      s"merge sequence diverged:\n got=${got.toSeq}\n exp=$expect")
+    // merged symbol is the concatenation
+    got.foreach { case (_, l, rr, m, _) => assert(m == l + rr) }
+    // encode-with-learned-merges round-trips every word: the symbol
+    // sequence concatenates back to the original token
+    encoded.foreach { case (syms, _) => assert(syms.nonEmpty) }
+    wf.zip(encoded).foreach { case ((w, _), (syms, _)) =>
+      assert(syms.mkString == w, s"word $w does not round-trip: $syms")
+    }
+    // determinism: a second run learns the identical table
+    val again = TextAnalysis.bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("bpe greedy parity handles self-pair runs like the sequential scan") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 'aaaa' stresses the overlap rule: (a,a) counts 3 pairs, greedy
+    // merges positions 1-2 and 3-4 → 'aa aa'; next round (aa,aa) wins
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe")
+    Seq((1L, "aaaa aaaa aaaa ab"), (2L, "aaaa ab aaaa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val wf = Seq("aaaa" -> 5L, "ab" -> 2L)
+    val (expect, _) = bpeModel(wf, TextAnalysis.BpeMergeRounds)
+    val got = TextAnalysis.bpeMerges(spark, dir.toString).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == expect.map(t => (t._1, t._2, t._3, t._4)),
+      s"self-pair merge order diverged:\n got=${got.toSeq}\n exp=$expect")
+  }
+
   test("line_dedup keeps exactly the first occurrence of every line") {
     // replay the rule exactly in plain scala (exact strings — the
     // engine's 60-bit hash collides with p ~ lines²/2⁶⁰, test-safe)
