@@ -338,6 +338,109 @@ object Similarity {
       .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
+  /** Candidates the rerank keeps per query — the IVF-PQ shortlist
+    * depth (rerank cost = PqRerankDepth exact cosines per query). */
+  val PqRerankDepth = 25
+
+  /** int8 codes of a (double-array) vector column: round(127·x/‖v‖),
+    * the same quantizer embed_quantize gates. `nrm` must be a
+    * precomputed column — inlining sqrt(dot(v,v)) into the per-element
+    * lambda would recompute the norm 64×. */
+  private def int8Codes(v: Column, nrm: Column): Column =
+    transform(v, x => round(x * 127 / nrm, 0).cast("int"))
+
+  /** Session-scoped landed PQ store per dataset: the inverted file
+    * with int8 codes AND exact vectors, written PARTITIONED BY cid —
+    * on disk each coarse cell is its own directory, so a probe that
+    * filters on cid reads ONLY the probed lists (partition pruning,
+    * pinned by PlanSpec). This is the published IVF-(S)Q memory-bound
+    * layout: codes for the cheap scan, vectors co-located for the
+    * rerank fetch. Built once per dataset (ivfStore's pattern). */
+  private val pqStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val pqBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def pqStore(s: SparkSession, d: String): DataFrame = {
+    val root = pqStores.computeIfAbsent(d, _ => {
+      pqBuildCount.incrementAndGet()
+      val out = graft.Scratch.path("graft_ivfpq",
+        s"p${pqIds.getAndIncrement()}").toString
+      val (idx, _) = ivfStore(s, d)
+      idx.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .select(col("cid"), col("vec_id"), col("v"),
+          int8Codes(col("v"), col("nrm")).as("qvec"))
+        .write.mode("overwrite").partitionBy("cid").parquet(out)
+      out
+    })
+    // partition-column inference may narrow cid to int; pin to long so
+    // joins/filters against the centroid-derived cid stay cast-free
+    s.read.parquet(root).withColumn("cid", col("cid").cast("long"))
+  }
+
+  /** ANN via IVF-PQ: probe the IvfProbes nearest coarse cells, score
+    * candidates on int8 CODES (an integer dot product — engine-exact,
+    * so the whole pipeline stays hash-gated), keep the top
+    * PqRerankDepth per query, and rerank only those with exact cosine
+    * on the co-located full vectors. Composes `embed_quantize`'s
+    * quantizer with `ann_ivf`'s index — the published memory-bound
+    * form: the code scan touches 4× fewer bytes than the float scan,
+    * and the exact fetch touches PqRerankDepth rows per query.
+    *
+    * Scale shape: the probed cids are a ≤ IvfClusters literal set
+    * (bounded by construction — the collect is the probe plan, not
+    * data), so BOTH scans of the store are partition-pruned to the
+    * probed lists; candidate scoring is map-side (codes never
+    * shuffle); only narrow (q_id, vec_id, score) triples enter the
+    * shortlist and rank exchanges. HASH-GATED: the DuckDB oracle
+    * replays index build → probe → integer-dot shortlist → exact
+    * rerank verbatim; the spec additionally measures recall against
+    * brute force and pins it >= the plain-IVF floor. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (_, cent) = ivfStore(s, d)
+    val pq = pqStore(s, d)
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        int8Codes(col("v"), col("nrm")).as("qq"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("ccos"), col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")),
+        9))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbes)
+      .select("q_id", "qq", "cid")
+    // probed list ids as literals (≤ IvfClusters by construction):
+    // static partition pruning on both store scans below
+    val cids = probes.select("cid").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    val lists = pq.filter(col("cid").isin(cids: _*))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("apx"), col("vec_id"))
+    val short = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("qvec"), col("qq"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("apx"))
+      .withColumn("sr", row_number().over(wShort))
+      .filter(col("sr") <= PqRerankDepth)
+      .select("q_id", "vec_id")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    lists.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
   /** Per-label centroid + the member furthest from its centroid — an
     * embedding-quality / outlier-mining aggregate (array avg via
     * element-wise sums). */
@@ -397,6 +500,7 @@ object Similarity {
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
+    "ann_ivf_pq"        -> annIvfPq _,
     "label_outliers"    -> labelCentroidOutlier _,
     "embed_quantize"    -> embedQuantizeGated _,
   )
@@ -457,6 +561,57 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, vec_id) AS rn
          |  FROM scored)
+         |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+    "ann_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+         |    vec_id
+         |  LIMIT $IvfClusters),
+         |${assignSql("a0", "seeds")},
+         |${meansSql("c1", "a0")},
+         |${assignSql("a1", "c1")},
+         |${meansSql("c2", "a1")},
+         |${assignSql("idx", "c2")},
+         |codes AS (
+         |  SELECT cid, vec_id, v,
+         |    list_transform(v, x ->
+         |      round(x * 127 / sqrt(list_dot_product(v, v)))::INTEGER) AS qvec
+         |  FROM idx),
+         |qc AS (
+         |  SELECT vec_id AS q_id, v AS qv,
+         |    list_transform(v, x ->
+         |      round(x * 127 / sqrt(list_dot_product(v, v)))::INTEGER) AS qq
+         |  FROM e WHERE vec_id < $NumQueries),
+         |probes AS (
+         |  SELECT q_id, qq, cid FROM (
+         |    SELECT q.q_id, q.qq, c.cid,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.qv", "c.cv", 9)} DESC, c.cid) AS pr
+         |    FROM qc q CROSS JOIN c2 c)
+         |  WHERE pr <= $IvfProbes),
+         |apx AS (
+         |  SELECT p.q_id, x.vec_id,
+         |    CAST(list_dot_product(x.qvec::DOUBLE[], p.qq::DOUBLE[]) AS BIGINT) AS apx
+         |  FROM codes x JOIN probes p ON x.cid = p.cid
+         |  WHERE x.vec_id <> p.q_id),
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY apx DESC, vec_id) AS sr
+         |    FROM apx)
+         |  WHERE sr <= $PqRerankDepth),
+         |rer AS (
+         |  SELECT s.q_id, s.vec_id, ${cosSql("x.v", "q.qv", 6)} AS cos
+         |  FROM short s
+         |  JOIN codes x ON x.vec_id = s.vec_id
+         |  JOIN qc q ON q.q_id = s.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rn
+         |  FROM rer)
          |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
          |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
     "knn_bruteforce" ->
