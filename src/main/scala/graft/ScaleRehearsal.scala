@@ -192,7 +192,7 @@ object ScaleRehearsal {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "8")
-    val q =
+    val q = graft.streaming.StreamOps.withRocksDb(s) {
       try stream.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
@@ -200,6 +200,7 @@ object ScaleRehearsal {
         .format("noop")
         .start()
       finally s.conf.set(key, prev)
+    }
     q.awaitTermination()
     val rows = q.recentProgress.toSeq.map { p =>
       val st = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
@@ -226,15 +227,12 @@ object ScaleRehearsal {
 
   def runStreaming(s: SparkSession, sfDir: String, mults: Seq[Int]): Unit = {
     import graft.streaming.StreamOps
-    // SPARK_GRAFT_REHEARSAL_ROCKSDB=1 swaps in the RocksDB state store
-    // — the provider a 50×+ deployment actually runs (state spills to
-    // executor disk instead of living on-heap), so the rehearsal can
-    // show the same state scaling under the production store. NOTE:
-    // memoryUsedBytes is an on-heap metric; RocksDB reports usage
-    // differently, so compare state ROWS across providers.
-    if (sys.env.get("SPARK_GRAFT_REHEARSAL_ROCKSDB").contains("1"))
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Drains run on the RocksDB state store (StreamOps.withRocksDb,
+    // applied inside drainWithProgress) — the provider a 50×+
+    // deployment actually runs (state spills to executor disk instead
+    // of living on-heap), same as every gated drain. NOTE:
+    // memoryUsedBytes is provider-specific (RocksDB reports its own
+    // usage), so compare state ROWS across providers, bytes within one.
     mults.foreach { m =>
       val staged = stageEvents(s, sfDir, m)
       def src = StreamOps.eventsStreamFromDir(s, staged, Some(1))

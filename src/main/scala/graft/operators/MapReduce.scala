@@ -153,19 +153,30 @@ object MapReduce {
     * dispatch (`Master/Master.py:195-214`) can be exercised under the
     * driver gate on corpus data. The `_STAGED` marker is
     * underscore-prefixed, which Spark's file source treats as hidden.
-    * Driver-side staging is test scaffolding, not the operator — the
-    * operator's input at scale IS a directory of files. */
+    * Staging is test scaffolding, not the operator — the operator's
+    * input at scale IS a directory of files — but even scaffolding
+    * gets no driver ceiling: the per-doc files are written from
+    * EXECUTOR tasks (foreachPartition over the doc relation, to what
+    * would be shared storage on a cluster), so no corpus byte ever
+    * transits the driver. doc_id is unique per row, so concurrent
+    * tasks never write the same file and a task retry rewrites
+    * identical content — idempotent. */
   def stageDocsAsTextDir(s: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val staged = graft.Scratch.path("graft_mrdir",
       dir.replaceAll("[^A-Za-z0-9]", "_"))
     val marker = staged.resolve("_STAGED")
     if (!Files.exists(marker)) {
       Files.createDirectories(staged)
-      Tables.documents(s, dir).select("doc_id", "text").collect().foreach {
-        r => Files.writeString(
-          staged.resolve(s"doc_${r.getLong(0)}.txt"), r.getString(1))
-      }
+      val stagedPath = staged.toString
+      Tables.documents(s, dir).select("doc_id", "text")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            Files.writeString(
+              java.nio.file.Paths.get(stagedPath, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1))
+          }
+        }
       Files.writeString(marker, "")
     }
     staged.toString
@@ -180,12 +191,17 @@ object MapReduce {
     runMapRed(s, stageDocsAsTextDir(s, dir),
       "WordCountMapper", "WordCountReducer")
 
-  /** Stage `documents` as ONE text file (one doc per line, doc_id
+  /** Stage `documents` as ONE text file (one doc per line-run, doc_id
     * order) — the reference's S2 single-file input
     * (`Master/Master.py:216-254`), whose only chunking contract is
     * that no word is broken; line boundaries guarantee that. Same
-    * marker-guarded driver-side scaffolding rationale as
-    * [[stageDocsAsTextDir]]. */
+    * marker-guarded scaffolding rationale as [[stageDocsAsTextDir]],
+    * and same no-driver-ceiling rule: the file is produced by a
+    * single-task sorted `write.text` (each row lands newline-
+    * terminated, exactly the old driver StringBuilder's layout) and
+    * renamed into place — the corpus never occupies driver heap. A
+    * single output file is the S2 CONTRACT, so the one-task write is
+    * the operator, not a bottleneck to fix. */
   def stageDocsAsSingleFile(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val staged = graft.Scratch.path("graft_mrfile",
@@ -194,11 +210,23 @@ object MapReduce {
     val marker = staged.resolve("_STAGED")
     if (!Files.exists(marker)) {
       Files.createDirectories(staged)
-      val sb = new StringBuilder
-      Tables.documents(s, dir).select("doc_id", "text")
-        .orderBy("doc_id").collect()
-        .foreach(r => sb.append(r.getString(1)).append('\n'))
-      Files.writeString(out, sb.toString)
+      val tmp = staged.resolve("_txt")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+        .select("text")
+        .write.mode("overwrite").text(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(tmp)
+      val part =
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toList.head
+        finally st.close()
+      Files.move(part, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val wk = Files.walk(tmp)
+      try wk.iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      finally wk.close()
       Files.writeString(marker, "")
     }
     out.toString

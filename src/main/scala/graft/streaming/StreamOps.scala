@@ -113,6 +113,25 @@ object StreamOps {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Every gated drain runs on the RocksDB state store provider — the
+    * provider a production deployment runs: state lives off-heap and
+    * spills to executor disk, so state size is bounded by disk rather
+    * than executor memory, and transformWithState requires it
+    * outright. Scoped to the drain and restored in finally, so batch
+    * work on the shared session never silently inherits it. (The
+    * default HDFS-backed provider held every state row on-heap —
+    * exactly what breaks first on an unbounded feed at scale.) */
+  private[graft] def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Run a streaming aggregation TO COMPLETION and land it as a
     * batch-readable table: foreachBatch in complete mode overwrites a
     * parquet sink each micro-batch (the production shape: stream →
@@ -125,7 +144,7 @@ object StreamOps {
     import org.apache.spark.sql.streaming.Trigger
     val sink = freshDir(tag, "sink")
     val ckpt = freshDir(tag, "ckpt")
-    withLowShufflePartitions(s) {
+    withLowShufflePartitions(s) { withRocksDb(s) {
       val q = stream.writeStream
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
@@ -135,7 +154,7 @@ object StreamOps {
         }
         .start()
       q.awaitTermination()
-    }
+    } }
     s.read.parquet(sink)
       .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
   }
@@ -158,7 +177,7 @@ object StreamOps {
     import org.apache.spark.sql.streaming.Trigger
     val sink = freshDir(tag, "sink")
     val ckpt = freshDir(tag, "ckpt")
-    withLowShufflePartitions(s) {
+    withLowShufflePartitions(s) { withRocksDb(s) {
       val q = stream.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -168,7 +187,7 @@ object StreamOps {
         }
         .start()
       q.awaitTermination()
-    }
+    } }
     s.read.parquet(sink)
       .transform(graft.operators.Present.sortedUnbounded(_, sortCols: _*))
   }
@@ -327,7 +346,7 @@ object StreamOps {
     import org.apache.spark.sql.streaming.Trigger
     val sink = freshDir(tag, "sink")
     val ckpt = freshDir(tag, "ckpt")
-    withLowShufflePartitions(s) {
+    withLowShufflePartitions(s) { withRocksDb(s) {
       val q = stream.writeStream
         .outputMode("update")
         .option("checkpointLocation", ckpt)
@@ -338,7 +357,7 @@ object StreamOps {
         }
         .start()
       q.awaitTermination()
-    }
+    } }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols: _*).orderBy(col("__batch").desc)
     s.read.parquet(sink)
@@ -356,21 +375,12 @@ object StreamOps {
       col("user_id"))
 
   /** [[userMaxStream]] driver-gated (transformWithState + RocksDB
-    * ValueState cells vs the batch max). The provider conf is scoped
-    * to THIS drain: restored in finally so later stateful queries on
-    * the shared session don't silently inherit RocksDB. */
-  def userMaxStreamGated(s: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runToTableUpdate(s, userMaxStream(s, dir), "user_max_stream",
+    * ValueState cells vs the batch max). RocksDB — which this op
+    * REQUIRES — now comes from the shared drain wrapper
+    * ([[withRocksDb]]), like every other stateful gate. */
+  def userMaxStreamGated(s: SparkSession, dir: String): DataFrame =
+    runToTableUpdate(s, userMaxStream(s, dir), "user_max_stream",
       col("user_id"))
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
-  }
 
   /** Streaming MERGE (CDC upsert sink): each micro-batch's latest
     * record per key is merged into a parquet snapshot via the
@@ -399,7 +409,7 @@ object StreamOps {
   private[graft] def runUpsert(s: SparkSession, source: DataFrame,
                                snap: String, ckpt: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    withLowShufflePartitions(s) {
+    withLowShufflePartitions(s) { withRocksDb(s) {
       val q = source
         .writeStream
         .outputMode("append")
@@ -408,7 +418,7 @@ object StreamOps {
         .foreachBatch(upsertBatch(snap) _)
         .start()
       q.awaitTermination()
-    }
+    } }
   }
 
   /** One micro-batch of the CDC merge. Idempotent: the newer-wins
