@@ -60,6 +60,101 @@ object StorageOps {
       .transform(Present.sorted(_, col("o_orderpriority")))
   }
 
+  /** Session-scoped landed WAREHOUSE layout per dataset dir: lineitem
+    * and orders bucketed AND sorted on the orderkey — the layout a
+    * 100 TB deployment keeps its two biggest fact tables in so that
+    * EVERY orderkey-equi-join query (q9, q18, bucketed_join, ...)
+    * plans the fact⋈fact step with zero exchange, amortizing one
+    * write-time shuffle per table across the whole query mix. Parquet
+    * is columnar, so landing the union of the consumers' columns
+    * costs narrow queries nothing (column pruning still reaches the
+    * scan). Built once per dataset per JVM (the ivfStore/SigStore
+    * pattern); `whBuildCount` lets a spec pin build-once. */
+  private val whLanded =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private[graft] val whBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def ensureWarehouse(s: SparkSession, d: String): Unit = whLanded.synchronized {
+    if (whLanded.get != d) {
+      whBuildCount.incrementAndGet()
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", stageDir("wh_lineitem", d))
+        .format("parquet").saveAsTable("graft_wh_lineitem")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", stageDir("wh_orders", d))
+        .format("parquet").saveAsTable("graft_wh_orders")
+      whLanded.set(d)
+    }
+  }
+
+  /** TPC-H Q18 over the landed warehouse: the per-order quantity
+    * aggregate runs WITHOUT an exchange (the bucketed scan already
+    * hash-partitions on l_orderkey, satisfying the aggregate's
+    * required distribution), the big⋈orders join is a zero-exchange
+    * SMJ on co-bucketed sides, and the HAVING-qualified survivor set
+    * — tiny by construction — broadcasts into the customer join. The
+    * only shuffles left in the whole query are one BroadcastExchange
+    * of the qualified handful and the presentation sort; vs
+    * q18_large_orders this deletes BOTH fact-side hash exchanges,
+    * which at 100 TB are the query's dominant cost. Same oracle as
+    * q18_large_orders: the layout must change the plan, not the
+    * answer. */
+  def q18Bucketed(s: SparkSession, d: String): DataFrame = {
+    ensureWarehouse(s, d)
+    val big = s.table("graft_wh_lineitem")
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 300) // HAVING
+    val qualified = big
+      .join(s.table("graft_wh_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("total_qty"))
+    Tables.customer(s, d)
+      .join(broadcast(qualified), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .transform(Present.sortedUnbounded(_, desc("total_qty"), col("o_orderkey")))
+  }
+
+  /** TPC-H Q9 over the landed warehouse: part and supplier⋈nation
+    * stay broadcast dims (as in q9_product_profit), and the
+    * lineitem⋈orders fact⋈fact step — the one shuffled join in the
+    * original — becomes a zero-exchange SMJ on the co-bucketed
+    * layout. The single remaining hash exchange is the final
+    * (nation, year) aggregate, whose map-side partial reduces each
+    * task to ≤ |nations|×|years| rows before it moves. Fixed-point
+    * profit arithmetic identical to q9_product_profit, same oracle. */
+  def q9Bucketed(s: SparkSession, d: String): DataFrame = {
+    ensureWarehouse(s, d)
+    val promoParts = broadcast(
+      Tables.part(s, d).filter(col("p_type").isin("PROMO", "ECONOMY"))
+        .select("p_partkey"))
+    val supNation = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name"))
+    val profitFp = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 10000).cast("long")
+    s.table("graft_wh_lineitem")
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(s.table("graft_wh_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profitFp) / 10000.0, 2).as("profit"))
+      .transform(Present.sorted(_, col("nation"), desc("o_year")))
+  }
+
   /** The join body alone over already-staged bucketed tables — the
     * spec's hook for asserting the exchange-free plan shape without
     * re-timing the writes. */
@@ -209,6 +304,8 @@ object StorageOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"    -> bucketedJoin _,
+    "q18_bucketed"     -> q18Bucketed _,
+    "q9_bucketed"      -> q9Bucketed _,
     "partitioned_scan" -> partitionedScan _,
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
@@ -225,6 +322,28 @@ object StorageOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q18_bucketed" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q9_bucketed" ->
+      """SELECT n_name AS nation,
+        |  year(o_orderdate) AS o_year,
+        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) / 10000.0, 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type IN ('PROMO', 'ECONOMY')
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "partitioned_scan" ->
       """SELECT source, count(*) AS n_docs,
         |  sum(length(text))::BIGINT AS total_chars,

@@ -54,4 +54,20 @@ class BucketSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("warehouse q18/q9 variants equal their shuffled forms; layout lands once") {
+    import graft.sources.StorageOps
+    val before = StorageOps.whBuildCount.get
+    val q18b = StorageOps.q18Bucketed(spark, sfDir).collect()
+    val q18 = graft.operators.RelOps.q18LargeOrders(spark, sfDir).collect()
+    assert(q18b.map(_.toString).toSeq == q18.map(_.toString).toSeq)
+    val q9b = StorageOps.q9Bucketed(spark, sfDir).collect()
+    val q9 = graft.operators.RelOps.q9ProductProfit(spark, sfDir).collect()
+    assert(q9b.map(_.toString).toSeq == q9.map(_.toString).toSeq)
+    // both queries (and any reruns on the same dataset) share ONE
+    // landed layout — the amortization claim, pinned
+    StorageOps.q18Bucketed(spark, sfDir).collect()
+    assert(StorageOps.whBuildCount.get <= before + 1,
+      s"warehouse rebuilt per query: ${StorageOps.whBuildCount.get - before} builds")
+  }
 }

@@ -331,6 +331,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q18_bucketed: zero hash exchanges even when broadcast is off") {
+    // The warehouse layout's contract: the per-order aggregate runs
+    // on the bucketed scan's partitioning and the big⋈orders join is
+    // a co-bucketed SMJ — NO side re-shuffles. The qualified handful
+    // broadcasts (hinted) and the presentation sort range-partitions;
+    // neither is a hash exchange.
+    graft.sources.StorageOps.q18Bucketed(spark, sfDir).collect() // stage
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.sources.StorageOps.q18Bucketed(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.linesIterator.count(
+        _.contains("Exchange hashpartitioning")) == 0, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("q9_bucketed: only the final aggregate hash-exchanges") {
+    // vs q9_product_profit (fact⋈fact shuffles on l_orderkey AND
+    // o_orderkey plus the group-by exchange), the warehouse form must
+    // keep exactly ONE hash exchange: the (nation, year) aggregate.
+    graft.sources.StorageOps.q9Bucketed(spark, sfDir).collect() // stage
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.sources.StorageOps.q9Bucketed(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.linesIterator.count(
+        _.contains("Exchange hashpartitioning")) == 1, p)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("compaction reduces part files without a shuffle") {
     graft.sources.StorageOps.compactFiles(spark, sfDir).collect()
     val before = graft.sources.StorageOps.partFileCount(
