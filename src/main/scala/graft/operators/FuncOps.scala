@@ -140,6 +140,42 @@ object FuncOps {
       .orderBy("metric")
   }
 
+  /** Cross-table data-quality report — the constraint-validation pass
+    * an ingest pipeline runs before promoting a snapshot: key nulls,
+    * key uniqueness, referential integrity in BOTH directions
+    * (orphaned children AND childless parents), and a domain range
+    * check, each emitted as one (check, violations, checked) row.
+    * Null/unique/range checks are single-pass aggregates; the
+    * referential checks are anti-join counts on the key — at 100 TB
+    * each is one key-column shuffle (or zero with the [[graft.sources.StorageOps]]
+    * warehouse layout), never a row-by-row lookup. The childless-
+    * parent counts are deliberately non-zero on clean data, so the
+    * hash gate checks real values rather than a row of zeros. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    def check(name: String, violations: DataFrame, checked: DataFrame) =
+      violations.agg(count(lit(1)).as("violations"))
+        .crossJoin(checked.agg(count(lit(1)).as("checked")))
+        .select(lit(name).as("check_name"), col("violations"), col("checked"))
+    val keyNulls = check("orders_custkey_null",
+      ord.filter(col("o_custkey").isNull), ord)
+    val keyUnique = check("customer_key_duplicates",
+      cust.groupBy("c_custkey").count().filter(col("count") > 1), cust)
+    val orphanOrders = check("orders_orphaned_custkey",
+      ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti"), ord)
+    val orphanItems = check("lineitem_orphaned_orderkey",
+      li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti"), li)
+    val childless = check("customers_without_orders",
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti"), cust)
+    val range = check("discount_out_of_range",
+      li.filter(col("l_discount") < 0 || col("l_discount") > 1), li)
+    keyNulls.unionByName(keyUnique).unionByName(orphanOrders)
+      .unionByName(orphanItems).unionByName(childless).unionByName(range)
+      .transform(Present.sorted(_, col("check_name")))
+  }
+
   /** Schema-full JSON parsing (SURVEY.md §1.4: `from_json` — vs the
     * path-extraction `get_json_object` used by events_window): props
     * parsed to a typed MAP, entries exploded, stats per (type, key).
@@ -165,6 +201,7 @@ object FuncOps {
     "array_ops"          -> arrayOps _,
     "setops_all"         -> setOpsAll _,
     "profile_lineitem"   -> profileLineitem _,
+    "dq_checks"          -> dqChecks _,
     "json_map_funcs"     -> jsonMapFuncs _,
   )
 
@@ -210,6 +247,31 @@ object FuncOps {
         |  round(list_sum(list_transform(qs, x -> x * 2.0)), 2) AS q2_sum,
         |  len(list_filter(qs, x -> x > 49.0)) > 0 AS has_big
         |FROM a ORDER BY l_orderkey""".stripMargin,
+    "dq_checks" ->
+      """SELECT 'customer_key_duplicates' AS check_name,
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |    GROUP BY c_custkey HAVING count(*) > 1)) AS violations,
+        |  (SELECT count(*) FROM customer) AS checked
+        |UNION ALL SELECT 'customers_without_orders',
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+        |  (SELECT count(*) FROM customer)
+        |UNION ALL SELECT 'discount_out_of_range',
+        |  (SELECT count(*) FROM lineitem
+        |    WHERE l_discount < 0 OR l_discount > 1),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT 'lineitem_orphaned_orderkey',
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT 'orders_custkey_null',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 'orders_orphaned_custkey',
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT count(*) FROM orders)
+        |ORDER BY check_name""".stripMargin,
     "profile_lineitem" ->
       """WITH s AS (SELECT
         |  count(*)::DOUBLE AS n_rows,

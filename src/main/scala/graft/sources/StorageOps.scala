@@ -191,6 +191,75 @@ object StorageOps {
         max("doc_id").as("max_doc_id"))
       .transform(Present.sorted(_, col("source")))
 
+  /** Sort-clustered layout — the row-group data-skipping story that
+    * hive partitioning (see [[partitionedScan]]) can't give a
+    * high-cardinality column: lineitem lands range-partitioned AND
+    * sorted by l_shipdate, so every part file covers a disjoint date
+    * slice and every parquet row group's min/max statistics span a
+    * narrow window. A date-range query then skips whole files and row
+    * groups at the scan (PushedFilters reach the reader; PlanSpec),
+    * instead of reading 100 TB to filter 1%. `repartitionByRange`
+    * samples the sort key to pick balanced boundaries — the same
+    * mechanism a global sort uses, paid once at write time.
+    *
+    * The read half aggregates one year's slice; the oracle runs the
+    * same filter over the source parquet, proving the clustered
+    * round trip loses nothing. */
+  def sortedLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("sorted_lineitem", d)
+    Tables.lineitem(s, d)
+      .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"))
+      .repartitionByRange(Buckets, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    sortedLayoutRead(s, dir)
+  }
+
+  /** Read half of [[sortedLayout]] over a staged layout (spec hook). */
+  def sortedLayoutRead(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01"))
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .transform(Present.sorted(_, col("ship_month")))
+
+  def sortedLayoutDir(d: String): String = stageDir("sorted_lineitem", d)
+  def schemaEvolutionDir(d: String): String = stageDir("evolving_documents", d)
+
+  /** Schema evolution under continuous ingest — every long-lived
+    * corpus's reality: early batches landed without columns later
+    * batches carry. Batch 1 (even doc_ids) has (doc_id, source,
+    * text_len); batch 2 (odd doc_ids) adds a `quality` score. The
+    * batches live under `batch=N` directories, so partition discovery
+    * types `batch` as a column for free, and `mergeSchema` unions the
+    * file schemas — batch-1 rows surface `quality` as NULL instead of
+    * failing the read or silently dropping the column. The aggregate
+    * counts legacy (pre-evolution) rows per source and sums the new
+    * column where present; the oracle derives both batches from the
+    * source table. At 100 TB this is why you never rewrite the old
+    * petabytes when the schema grows. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("evolving_documents", d)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).as("text_len"))
+    base.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    base.filter(col("doc_id") % 2 === 1)
+      .withColumn("quality", (col("text_len") % 97).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality").isNull.cast("long")).as("legacy_rows"),
+        sum("quality").as("sum_quality"),
+        sum("text_len").as("sum_len"))
+      .transform(Present.sorted(_, col("source")))
+  }
+
   /** MERGE (SCD1 upsert) via full outer join — the Spark-native form
     * of `MERGE INTO target USING changes`: matched keys take the
     * change row's values, unmatched-in-target keys INSERT, everything
@@ -306,6 +375,8 @@ object StorageOps {
     "bucketed_join"    -> bucketedJoin _,
     "q18_bucketed"     -> q18Bucketed _,
     "q9_bucketed"      -> q9Bucketed _,
+    "sorted_layout"    -> sortedLayout _,
+    "schema_evolution" -> schemaEvolution _,
     "partitioned_scan" -> partitionedScan _,
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
@@ -350,6 +421,22 @@ object StorageOps {
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents WHERE source = 'src1'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "sorted_layout" ->
+      """SELECT month(l_shipdate) AS ship_month, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "schema_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS legacy_rows,
+        |  sum(CASE WHEN doc_id % 2 = 1
+        |    THEN length(text) % 97 END)::BIGINT AS sum_quality,
+        |  sum(length(text))::BIGINT AS sum_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price

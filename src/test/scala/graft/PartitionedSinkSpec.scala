@@ -32,6 +32,60 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(n == expect)
   }
 
+  test("sorted layout: part files cover disjoint shipdate slices; filter reaches the scan") {
+    import graft.sources.StorageOps
+    StorageOps.sortedLayout(spark, sfDir).collect()
+    val dir = StorageOps.sortedLayoutDir(sfDir)
+    // disjointness is the data-skipping evidence: a range predicate
+    // can rule out whole files (and row groups) by min/max stats
+    val files = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.toString).toList
+    assert(files.size >= 2, s"expected >=2 range files, got $files")
+    val ranges = files.map { f =>
+      // l_shipdate round-trips as TIMESTAMP_NTZ → LocalDateTime
+      val r = spark.read.parquet(f)
+        .agg(min("l_shipdate").cast("string").as("lo"),
+          max("l_shipdate").cast("string").as("hi")).head()
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"empty range file $f")
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $hi > $lo2")
+      case _ =>
+    }
+    // and the date-range predicate must be pushed to the reader
+    val plan = StorageOps.sortedLayoutRead(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("schema evolution: mergeSchema unions batch schemas, legacy rows read NULL") {
+    import graft.sources.StorageOps
+    val got = StorageOps.schemaEvolution(spark, sfDir)
+    assert(got.columns.toSet ==
+      Set("source", "n_docs", "legacy_rows", "sum_quality", "sum_len"))
+    val rows = got.collect()
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), length(col("text")).as("len"))
+    // legacy (batch-1, even-id) rows surface quality as NULL — counted
+    // per source exactly
+    val expectLegacy = base.filter(col("doc_id") % 2 === 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("legacy_rows")) ==
+        expectLegacy.getOrElse(r.getString(0), 0L), r.toString)
+    }
+    // the discovered `batch` partition column is readable too
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(StorageOps.schemaEvolutionDir(sfDir))
+    assert(merged.columns.contains("batch") && merged.columns.contains("quality"))
+    assert(merged.filter(col("batch") === 1 && col("quality").isNotNull).count() == 0)
+  }
+
   test("ORC sink/source roundtrip preserves data") {
     val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = Tables.nation(spark, sfDir)
