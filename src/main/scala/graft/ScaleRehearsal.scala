@@ -37,14 +37,22 @@ object ScaleRehearsal {
   final class ShuffleListener extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong
     val records = new java.util.concurrent.atomic.AtomicLong
+    // bytes/records the scans actually READ (FileSystem statistics) —
+    // the data-skipping evidence for the layout family: a skipped row
+    // group never lands here
+    val inBytes = new java.util.concurrent.atomic.AtomicLong
+    val inRecords = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        inBytes.addAndGet(m.inputMetrics.bytesRead)
+        inRecords.addAndGet(m.inputMetrics.recordsRead)
       }
     }
-    def reset(): Unit = { bytes.set(0); records.set(0) }
+    def reset(): Unit =
+      { bytes.set(0); records.set(0); inBytes.set(0); inRecords.set(0) }
   }
 
   private def wipeDir(p: java.nio.file.Path): Unit = {
@@ -270,6 +278,7 @@ object ScaleRehearsal {
                       family: String, name: String, mult: Int,
                       passes: Int)(mk: => DataFrame): Unit = {
     var bytes = 0L; var records = 0L; var rows = 0L
+    var inBytes = 0L; var inRecords = 0L
     val walls = (1 to passes).map { _ =>
       s.catalog.clearCache()
       listener.reset()
@@ -282,14 +291,17 @@ object ScaleRehearsal {
       // counters agree (bounded) instead of trusting one fixed sleep,
       // which under bus lag silently under-reports the totals
       var prev = -1L
-      var cur = listener.bytes.get + listener.records.get
+      var cur = listener.bytes.get + listener.records.get +
+        listener.inBytes.get + listener.inRecords.get
       var waitedMs = 0
       while (prev != cur && waitedMs < 5000) {
         Thread.sleep(100); waitedMs += 100
         prev = cur
-        cur = listener.bytes.get + listener.records.get
+        cur = listener.bytes.get + listener.records.get +
+          listener.inBytes.get + listener.inRecords.get
       }
       bytes = listener.bytes.get; records = listener.records.get
+      inBytes = listener.inBytes.get; inRecords = listener.inRecords.get
       rows = df.count()
       w
     }
@@ -299,6 +311,7 @@ object ScaleRehearsal {
     println(f"""{"family":"$family","query":"$name","mult":$mult,""" +
       f""""wall_s":${walls.min}%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
       f""""shuffle_bytes":$bytes,"shuffle_records":$records,""" +
+      f""""input_bytes":$inBytes,"input_records":$inRecords,""" +
       f""""out_rows":$rows,"out_rows_src":"separate-count-execution"}""")
   }
 
@@ -406,6 +419,55 @@ object ScaleRehearsal {
     }
   }
 
+  /** Data-skipping, measured: the same one-year window aggregate
+    * (StorageOps.sortedLayoutRead) over two layouts of the SAME rows
+    * at each fact multiple — shipdate-range-partitioned+sorted vs
+    * randomly repartitioned. The sorted layout's part files cover
+    * disjoint date slices, so the range predicate rules out whole
+    * files/row groups at the reader; the unsorted layout interleaves
+    * all dates into every file, so every row group matches the
+    * min/max check and the scan reads the corpus. `input_bytes` /
+    * `input_records` in the JSON are the evidence — skipped row
+    * groups never land in FileSystem read statistics. */
+  def runLayout(s: SparkSession, sfDir: String, mults: Seq[Int],
+                passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageFacts(s, sfDir, m)
+      val srcFp = sourceFingerprint(Seq(
+        java.nio.file.Paths.get(staged, "lineitem.parquet")))
+      // date-grain clustering column, as in StorageOps.sortedLayout:
+      // parquet never evaluates NTZ-timestamp predicates against
+      // row-group stats, so an NTZ layout would measure zero skipping
+      def land(kind: String)(write: DataFrame => Unit): String = {
+        val dir = stagedDir(kind, sfDir, m)
+        if (!isStaged(dir, srcFp)) {
+          wipeDir(dir)
+          write(s.read.parquet(s"$staged/lineitem.parquet")
+            .select(col("l_shipdate").cast("date").as("l_shipdate"),
+              col("l_quantity"), col("l_extendedprice")))
+          markStaged(dir, srcFp)
+        }
+        dir.toString
+      }
+      val sortedDir = land("li_sorted_d") {
+        _.repartitionByRange(32, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite")
+          .parquet(stagedDir("li_sorted_d", sfDir, m).toString)
+      }
+      val unsortedDir = land("li_unsorted_d") {
+        _.repartition(32).write.mode("overwrite")
+          .parquet(stagedDir("li_unsorted_d", sfDir, m).toString)
+      }
+      measure(s, listener, "layout", "window_sorted", m, passes)(
+        graft.sources.StorageOps.sortedLayoutRead(s, sortedDir))
+      measure(s, listener, "layout", "window_unsorted", m, passes)(
+        graft.sources.StorageOps.sortedLayoutRead(s, unsortedDir))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val family = args.headOption.getOrElse("all")
@@ -428,6 +490,8 @@ object ScaleRehearsal {
       runBucketed(spark, sfDir, mults)
     if (family == "pipeline")
       runPipeline(spark, sfDir, mults)
+    if (family == "layout")
+      runLayout(spark, sfDir, mults)
     spark.stop()
   }
 }

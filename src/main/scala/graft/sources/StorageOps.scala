@@ -208,7 +208,14 @@ object StorageOps {
   def sortedLayout(s: SparkSession, d: String): DataFrame = {
     val dir = stageDir("sorted_lineitem", d)
     Tables.lineitem(s, d)
-      .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"))
+      // The clustering column lands at DATE grain: TIMESTAMP_NTZ
+      // predicates are pushed to the scan but the parquet reader does
+      // NOT evaluate them against row-group min/max stats (measured:
+      // an NTZ-clustered layout read all 600k rows for a 1-year
+      // window; the date-clustered one read 92k). Day grain is what
+      // the range queries use anyway, and it makes the skipping real.
+      .select(col("l_shipdate").cast("date").as("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
       .repartitionByRange(Buckets, col("l_shipdate"))
       .sortWithinPartitions("l_shipdate")
       .write.mode("overwrite").parquet(dir)
