@@ -336,7 +336,28 @@ object TextAnalysis {
     * justified bounded collect) and lineage is truncated on the
     * Checkpoints rung every round so plan depth stays constant in the
     * round count. */
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  def bpeMerges(s: SparkSession, d: String): DataFrame = bpeTrain(s, d)._1
+
+  /** Tokenizer application under the learned merges — the "encode"
+    * half of the BPE surface: per distinct word, the subword token
+    * count after all BpeMergeRounds merges (the training loop's final
+    * symbol state IS the encoded form — one extra aggregate, no extra
+    * pass). `freq` carries the corpus weight, so corpus-level token
+    * totals are sum(freq·n_sub) downstream. The oracle replays the
+    * same unrolled rounds and aggregates the final state. At scale
+    * the encode input is the DISTINCT-WORD table (vocabulary-bounded,
+    * like training); per-document encoding is this table joined back
+    * to the corpus on word — a broadcast of the vocab. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d)._2
+      .groupBy("word", "freq")
+      .agg(count(lit(1)).as("n_sub"))
+      .select(col("word"), col("freq"),
+        length(col("word")).as("n_chars"), col("n_sub"))
+      .transform(Present.sortedUnbounded(_, col("word")))
+
+  /** (learned merge table, final per-word symbol state). */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val wPos = Window.partitionBy("word").orderBy("pos")
     val wf = TextOps.tokenize(Tables.documents(s, d))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -384,10 +405,11 @@ object TextAnalysis {
       r += 1
     }
     import s.implicits._
-    learned.toSeq.toDF("merge_no", "lhs", "rhs", "pair_cnt")
+    val merges = learned.toSeq.toDF("merge_no", "lhs", "rhs", "pair_cnt")
       .select(col("merge_no"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
       .transform(Present.sorted(_, col("merge_no")))
+    (merges, state)
   }
 
   /** One BPE round as DuckDB CTEs — pair count, winner, greedy-parity
@@ -425,7 +447,10 @@ object TextAnalysis {
        |  WHERE coalesce(pmg, 0) = 0)""".stripMargin
   }
 
-  private lazy val bpeSql: String = {
+  /** Shared CTE chain: tokenize → word freq → char state s0 → one
+    * (pair count, winner, application) block per round up to
+    * s&#36;BpeMergeRounds. Both BPE oracles select from it. */
+  private lazy val bpeCtes: String = {
     val head =
       """WITH tok AS (
         |  SELECT w AS word FROM (
@@ -435,12 +460,21 @@ object TextAnalysis {
         |s0 AS (
         |  SELECT word, freq, i AS pos, substring(word, i, 1) AS sym
         |  FROM wf, unnest(range(1, length(word) + 1)) AS r(i))""".stripMargin
-    val rounds = (1 to BpeMergeRounds).map(bpeRoundSql).mkString
+    head + (1 to BpeMergeRounds).map(bpeRoundSql).mkString
+  }
+
+  private lazy val bpeSql: String = {
     val out = (1 to BpeMergeRounds).map(r =>
       s"SELECT $r AS merge_no, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_cnt FROM win$r")
       .mkString("\nUNION ALL\n")
-    s"$head$rounds\n$out\nORDER BY merge_no"
+    s"$bpeCtes\n$out\nORDER BY merge_no"
   }
+
+  private lazy val bpeEncodeSql: String =
+    s"""$bpeCtes
+       |SELECT word, freq, length(word) AS n_chars,
+       |  CAST(count(*) AS BIGINT) AS n_sub
+       |FROM s$BpeMergeRounds GROUP BY word, freq ORDER BY word""".stripMargin
 
   private def lexValues: String =
     lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
@@ -458,12 +492,16 @@ object TextAnalysis {
     "tfidf"        -> tfidf _,
     "vocab_build"  -> vocabBuild _,
     "bpe_merges"   -> bpeMerges _,
+    "bpe_encode"   -> bpeEncode _,
   )
 
   val oracle: Map[String, String] = Map(
     // the merge sequence replayed round by round: same pair counts,
     // same (cnt desc, lhs, rhs) winner, same greedy-parity application
     "bpe_merges" -> bpeSql,
+    // the same unrolled rounds, aggregated over the FINAL symbol
+    // state instead of the winner rows
+    "bpe_encode" -> bpeEncodeSql,
     // same rank order (cnt desc, word) and integer cumsum; DuckDB's
     // sum(BIGINT) widens to HUGEINT, so both totals are CAST back
     "vocab_build" ->

@@ -171,6 +171,23 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("bpe_encode equals the reference model's encoded lengths") {
+    import graft.operators.{TextAnalysis, TextOps}
+    val wf = TextOps.wordcount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val (_, encoded) = bpeModel(wf, TextAnalysis.BpeMergeRounds)
+    val expect = wf.zip(encoded).map { case ((w, f), (syms, _)) =>
+      (w, f, w.length, syms.length.toLong) }.sortBy(_._1)
+    val got = TextAnalysis.bpeEncode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect,
+      s"encoded subword counts diverged:\n got=$got\n exp=$expect")
+    // every encoding compresses or preserves: 1 <= n_sub <= n_chars
+    got.foreach { case (w, _, nc, ns) =>
+      assert(ns >= 1 && ns <= nc, s"$w: n_sub=$ns n_chars=$nc") }
+  }
+
   test("bpe greedy parity handles self-pair runs like the sequential scan") {
     import spark.implicits._
     import graft.operators.TextAnalysis
