@@ -164,8 +164,9 @@ class PipelineSpec extends SparkSpec {
     wf.zip(encoded).foreach { case ((w, _), (syms, _)) =>
       assert(syms.mkString == w, s"word $w does not round-trip: $syms")
     }
-    // determinism: a second run learns the identical table
-    val again = TextAnalysis.bpeMerges(spark, sfDir).collect()
+    // determinism: a fresh TRAINING run (not a store re-read) learns
+    // the identical table
+    val again = TextAnalysis.bpeTrain(spark, sfDir)._1.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4)))
     assert(again.toSeq == got.toSeq)
