@@ -112,7 +112,44 @@ object ChangeOps {
       .transform(Present.sorted(_, col("cohort_week"), col("weeks_since")))
   }
 
+  /** Ordered funnel analysis — the product-analytics staple: how many
+    * users performed view → click → purchase IN THAT ORDER, where each
+    * step must occur strictly after the user's first qualifying
+    * occurrence of the previous step. Expressed as a chain of
+    * filtered min-aggregates (t1 = first view; t2 = first click after
+    * t1; t3 = first purchase after t2): each stage filters by event
+    * type MAP-SIDE before its user_id shuffle, and each intermediate
+    * relation is at most one row per user, so the chain's cost is
+    * bounded by |users reaching the previous step| — funnels narrow,
+    * and so does the data flow. The step-1 user count broadcasts as a
+    * 1-row denominator for the conversion rates. */
+  def funnelEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(name).as("step_name"),
+          col("users"))
+    val steps = stage(v, 1, "view")
+      .unionByName(stage(c, 2, "click"))
+      .unionByName(stage(p, 3, "purchase"))
+    val base = v.agg(count(lit(1)).as("base"))
+    steps.crossJoin(broadcast(base))
+      .select(col("step"), col("step_name"), col("users"),
+        round(col("users").cast("double") / col("base"), 4)
+          .as("rate_from_first"))
+      .transform(Present.sorted(_, col("step")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_events" -> funnelEvents _,
     "latest_events" -> latestEvents _,
     "scd2_events"   -> scd2Events _,
     "resample_events" -> resampleEvents _,
@@ -120,6 +157,27 @@ object ChangeOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "funnel_events" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+        |s AS (
+        |  SELECT 1 AS step, 'view' AS step_name,
+        |    (SELECT count(*) FROM v) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        |SELECT step, step_name, users::BIGINT AS users,
+        |  round(users::DOUBLE / (SELECT count(*) FROM v), 4)
+        |    AS rate_from_first
+        |FROM s ORDER BY step""".stripMargin,
     "latest_events" ->
       """SELECT user_id, event_type, event_id AS last_event_id,
         |  ts AS last_ts, value AS last_value

@@ -76,7 +76,12 @@ object StorageOps {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   def ensureWarehouse(s: SparkSession, d: String): Unit = whLanded.synchronized {
-    if (whLanded.get != d) {
+    // the landed flag is JVM-wide but the table CATALOG is
+    // per-session — a rebuilt session (e.g. after a stopped context)
+    // must re-register even when the files are already on disk
+    if (whLanded.get != d ||
+        !s.catalog.tableExists("graft_wh_lineitem") ||
+        !s.catalog.tableExists("graft_wh_orders")) {
       whBuildCount.incrementAndGet()
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -362,6 +367,29 @@ object StorageOps {
       .transform(Present.sorted(_, col("o_orderpriority")))
   }
 
+  /** XML round trip — Spark 4's built-in XML source (the spark-xml
+    * package folded into core), write + schema'd read-back: the
+    * interchange format feeds/catalog dumps still arrive in. Same
+    * pushdown-capable scan machinery as JSON once parsed; the gate
+    * aggregates the read-back against DuckDB on the source parquet,
+    * proving values survive the format (numeric types via the
+    * explicit read schema — XML itself is untyped). */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("xml_supplier", d)
+    val src = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    src.write.mode("overwrite").format("xml")
+      .option("rowTag", "supplier").save(dir)
+    s.read.schema(src.schema).format("xml")
+      .option("rowTag", "supplier").load(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum("s_acctbal"), 2).as("sum_bal"),
+        min("s_name").as("min_name"))
+      .transform(Present.sorted(_, col("s_nationkey")))
+  }
+
   /** JSON-lines round trip — the raw-corpus interchange format (JSON
     * string escaping survives embedded newlines/quotes in document
     * text, where single-line CSV would not). */
@@ -390,6 +418,7 @@ object StorageOps {
     "compact_files"    -> compactFiles _,
     "csv_roundtrip"    -> csvRoundtrip _,
     "jsonl_roundtrip"  -> jsonlRoundtrip _,
+    "xml_roundtrip"    -> xmlRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -454,6 +483,12 @@ object StorageOps {
         |  sum(length(text))::BIGINT AS total_chars,
         |  min(sha256(text)) AS min_sha
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "xml_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS sum_bal,
+        |  min(s_name) AS min_name
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "compact_files" ->
       """SELECT source, count(*) AS n_docs,
         |  sum(length(text))::BIGINT AS total_chars
