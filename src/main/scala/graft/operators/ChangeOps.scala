@@ -148,8 +148,27 @@ object ChangeOps {
       .transform(Present.sorted(_, col("step")))
   }
 
+  /** Sliding (overlapping) time windows — the batch twin of a
+    * sliding-window stream: 6-hour windows every 3 hours, so each
+    * event lands in exactly duration/slide = 2 windows. Spark's
+    * `window()` expands rows to their windows BEFORE the partial
+    * aggregate (an Expand, like rollup), so the shuffle carries at
+    * most |windows|×|types| rows per task regardless of input size.
+    * Epoch-aligned starts and ×100 fixed-point value sums make the
+    * replay engine-exact (the q9 rounding discipline). */
+  def slidingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .transform(Present.sortedUnbounded(_, col("w_start"), col("event_type")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_events" -> funnelEvents _,
+    "sliding_windows" -> slidingWindows _,
     "latest_events" -> latestEvents _,
     "scd2_events"   -> scd2Events _,
     "resample_events" -> resampleEvents _,
@@ -157,6 +176,20 @@ object ChangeOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // every event belongs to exactly two epoch-aligned 3h-slide
+    // starts: floor3h(ts) and floor3h(ts) - 3h
+    "sliding_windows" ->
+      """WITH wins AS (
+        |  SELECT event_type, value,
+        |    unnest([b, b - INTERVAL 3 HOUR]) AS w_start
+        |  FROM (
+        |    SELECT event_type, value,
+        |      CAST(to_timestamp(CAST(floor(epoch(ts) / 10800) * 10800
+        |        AS BIGINT)) AS TIMESTAMP) AS b
+        |    FROM events))
+        |SELECT w_start, event_type, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM wins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "funnel_events" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -95,4 +95,27 @@ class InvariantSpec extends SparkSpec {
     assert((cfps(1L) & cfps(3L)).isEmpty,
       "unrelated docs should not collide at this scale")
   }
+
+  test("funnel counts only strictly-ordered step sequences") {
+    import spark.implicits._
+    // crafted log: u1 completes in order; u2 purchases BEFORE its
+    // click (counts for steps 1-2 only); u3 clicks before its first
+    // view (counts for step 1 only); u4 never views (counts nowhere)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(2), "click"), (2L, ts(1), "purchase"),
+      (3L, ts(1), "view"), (3L, ts(0), "click"),
+      (4L, ts(0), "click"), (4L, ts(1), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel")
+    ev.write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    val got = graft.operators.ChangeOps.funnelEvents(spark, dir.toString)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L), got.toString)
+  }
 }
