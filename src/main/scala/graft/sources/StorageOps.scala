@@ -367,6 +367,43 @@ object StorageOps {
       .transform(Present.sorted(_, col("o_orderpriority")))
   }
 
+  /** Incremental materialized-view refresh — the warehouse op that
+    * keeps a 100 TB aggregate current without re-reading 100 TB: the
+    * per-priority order stats over the "historical" 90% of orders
+    * (o_orderkey % 10 != 0) land ONCE per dataset as a mergeable MV
+    * (count + ×100 fixed-point sum — partial-aggregate state, so
+    * merging is exact), and each refresh aggregates only the "newly
+    * arrived" 10% batch and merges it with the landed rows. Output is
+    * DEFINED equal to the full aggregate over all orders, so the
+    * oracle is the plain full group-by — the gate proves the
+    * merge-based refresh loses nothing. Refresh cost ∝ batch +
+    * |groups|, independent of history size. */
+  private val mvStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mvIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def orderStats(df: DataFrame): DataFrame =
+    df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sp"))
+
+  def mvRefresh(s: SparkSession, d: String): DataFrame = {
+    val root = mvStores.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.path("graft_mv",
+        s"m${mvIds.getAndIncrement()}").toString
+      orderStats(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    val batch = orderStats(
+      Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0))
+    s.read.parquet(root).unionByName(batch)
+      .groupBy("o_orderpriority")
+      .agg(sum("n_orders").as("n_orders"),
+        (sum("sp") / 100.0).as("sum_price"))
+      .transform(Present.sorted(_, col("o_orderpriority")))
+  }
+
   /** XML round trip — Spark 4's built-in XML source (the spark-xml
     * package folded into core), write + schema'd read-back: the
     * interchange format feeds/catalog dumps still arrive in. Same
@@ -419,6 +456,7 @@ object StorageOps {
     "csv_roundtrip"    -> csvRoundtrip _,
     "jsonl_roundtrip"  -> jsonlRoundtrip _,
     "xml_roundtrip"    -> xmlRoundtrip _,
+    "mv_refresh"       -> mvRefresh _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -483,6 +521,15 @@ object StorageOps {
         |  sum(length(text))::BIGINT AS total_chars,
         |  min(sha256(text)) AS min_sha
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // defined equal to the FULL aggregate — the refresh must merge to
+    // exactly what a recompute over all orders produces
+    "mv_refresh" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "xml_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
         |  round(sum(s_acctbal), 2) AS sum_bal,

@@ -86,6 +86,27 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(merged.filter(col("batch") === 1 && col("quality").isNotNull).count() == 0)
   }
 
+  test("mv refresh merges the landed aggregate with the batch; equals recompute") {
+    import graft.sources.StorageOps
+    val got = StorageOps.mvRefresh(spark, sfDir)
+    // the refresh must READ the landed MV (not recompute history):
+    // exactly one scan of the orders source feeds the plan (the
+    // batch), the other leaf is the MV parquet
+    val scans = got.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.exists(_.contains("graft_mv")), scans.mkString("\n"))
+    assert(scans.count(_.contains("orders.parquet")) == 1, scans.mkString("\n"))
+    // defined equal to the full recompute
+    val full = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+          .as("sum_price"))
+      .orderBy("o_orderpriority").collect()
+    assert(got.collect().map(_.toString).toSeq ==
+      full.map(_.toString).toSeq)
+  }
+
   test("ORC sink/source roundtrip preserves data") {
     val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = Tables.nation(spark, sfDir)
