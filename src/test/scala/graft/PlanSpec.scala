@@ -375,6 +375,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sliding_windows: row expansion happens before the partial aggregate") {
+    val df = graft.operators.ChangeOps.slidingWindows(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // windows-per-row expansion (Expand/Explode) must feed a partial
+    // (map-side) aggregate so the shuffle carries at most
+    // |windows|x|types| rows per task, never the expanded input
+    assert(p.contains("Expand") || p.contains("Generate"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.linesIterator.count(
+      _.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("compaction reduces part files without a shuffle") {
     graft.sources.StorageOps.compactFiles(spark, sfDir).collect()
     val before = graft.sources.StorageOps.partFileCount(
