@@ -113,37 +113,48 @@ object ChangeOps {
   }
 
   /** Ordered funnel analysis — the product-analytics staple: how many
-    * users performed view → click → purchase IN THAT ORDER, where each
-    * step must occur strictly after the user's first qualifying
-    * occurrence of the previous step. Expressed as a chain of
-    * filtered min-aggregates (t1 = first view; t2 = first click after
-    * t1; t3 = first purchase after t2): each stage filters by event
-    * type MAP-SIDE before its user_id shuffle, and each intermediate
-    * relation is at most one row per user, so the chain's cost is
-    * bounded by |users reaching the previous step| — funnels narrow,
-    * and so does the data flow. The step-1 user count broadcasts as a
-    * 1-row denominator for the conversion rates. */
+    * users performed view → click → purchase IN THAT ORDER, where
+    * each step must occur strictly after the user's first qualifying
+    * occurrence of the previous step (t1 = first view; t2 = first
+    * click after t1; t3 = first purchase after t2).
+    *
+    * ONE user_id shuffle computes the whole funnel: the log is
+    * filtered map-side to the three step types, and the chained
+    * per-user firsts are same-partitioned unbounded window
+    * aggregates — Catalyst plans all three (plus the per-user
+    * collapse, which the window partitioning already satisfies) over
+    * a single exchange, where the naive per-stage join chain pays a
+    * shuffle per step (PlanSpec pins exchange count = 1 and no
+    * join). The three stage counts then reduce to one row, and the
+    * step-1 count is the conversion denominator. */
   def funnelEvents(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("t2"))
-      .groupBy("user_id").agg(min("ts").as("t3"))
-    def stage(df: DataFrame, step: Int, name: String) =
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(step).as("step"), lit(name).as("step_name"),
-          col("users"))
-    val steps = stage(v, 1, "view")
-      .unionByName(stage(c, 2, "click"))
-      .unionByName(stage(p, 3, "purchase"))
-    val base = v.agg(count(lit(1)).as("base"))
-    steps.crossJoin(broadcast(base))
-      .select(col("step"), col("step_name"), col("users"),
-        round(col("users").cast("double") / col("base"), 4)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val c = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_type", "ts")
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(
+        col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(
+        col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+      .agg(sum(col("t1").isNotNull.cast("long")).as("u1"),
+        sum(col("t2").isNotNull.cast("long")).as("u2"),
+        sum(col("t3").isNotNull.cast("long")).as("u3"))
+    c.select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"),
+          col("u1").as("users")),
+        struct(lit(2).as("step"), lit("click").as("step_name"),
+          col("u2").as("users")),
+        struct(lit(3).as("step"), lit("purchase").as("step_name"),
+          col("u3").as("users")))).as("s"), col("u1"))
+      .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
+        col("s.users").as("users"),
+        round(col("s.users").cast("double") / col("u1"), 4)
           .as("rate_from_first"))
       .transform(Present.sorted(_, col("step")))
   }

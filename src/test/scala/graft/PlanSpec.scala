@@ -375,6 +375,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("funnel computes all stages over a single user shuffle") {
+    val df = graft.operators.ChangeOps.funnelEvents(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // chained same-partitioned window mins + the per-user collapse
+    // must share ONE user_id exchange; a per-stage join chain would
+    // show a shuffle and a join per step
+    assert(p.linesIterator.count(
+      _.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sliding_windows: row expansion happens before the partial aggregate") {
     val df = graft.operators.ChangeOps.slidingWindows(spark, sfDir)
     df.collect()
