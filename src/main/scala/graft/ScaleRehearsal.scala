@@ -468,6 +468,35 @@ object ScaleRehearsal {
     }
   }
 
+  /** funnel_events + sliding_windows over staged event multiples.
+    * Shards offset user_id, so funnel stage membership replicates
+    * per shard (output user counts scale exactly ×m) and the sliding
+    * window grid is IDENTICAL across multiples (same 31-day span) —
+    * the funnel's one user shuffle should scale linearly in records,
+    * the window aggregate's shuffle stays bounded by windows×types
+    * regardless of input (the partial-agg claim, measured). The
+    * staged batch dir is wrapped in a `Tables`-shaped dir via a
+    * symlink so the batch files read as one events table. */
+  def runEvents(s: SparkSession, sfDir: String, mults: Seq[Int],
+                passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageEvents(s, sfDir, m)
+      val wrap = stagedDir("eventswrap", sfDir, m)
+      java.nio.file.Files.createDirectories(wrap)
+      val link = wrap.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(staged))
+      measure(s, listener, "events", "funnel_events", m, passes)(
+        operators.ChangeOps.funnelEvents(s, wrap.toString))
+      measure(s, listener, "events", "sliding_windows", m, passes)(
+        operators.ChangeOps.slidingWindows(s, wrap.toString))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val family = args.headOption.getOrElse("all")
@@ -492,6 +521,8 @@ object ScaleRehearsal {
       runPipeline(spark, sfDir, mults)
     if (family == "layout")
       runLayout(spark, sfDir, mults)
+    if (family == "events")
+      runEvents(spark, sfDir, mults)
     spark.stop()
   }
 }

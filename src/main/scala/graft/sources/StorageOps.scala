@@ -131,13 +131,19 @@ object StorageOps {
   }
 
   /** TPC-H Q9 over the landed warehouse: part and supplier⋈nation
-    * stay broadcast dims (as in q9_product_profit), and the
-    * lineitem⋈orders fact⋈fact step — the one shuffled join in the
-    * original — becomes a zero-exchange SMJ on the co-bucketed
+    * stay broadcast dims (as in q9_product_profit; the explicit hint
+    * keeps the plan pinned under the spec's disabled threshold), and
+    * the lineitem⋈orders fact⋈fact step — the one shuffled join in
+    * the original — becomes a zero-exchange SMJ on the co-bucketed
     * layout. The single remaining hash exchange is the final
     * (nation, year) aggregate, whose map-side partial reduces each
     * task to ≤ |nations|×|years| rows before it moves. Fixed-point
-    * profit arithmetic identical to q9_product_profit, same oracle. */
+    * profit arithmetic identical to q9_product_profit, same oracle.
+    * Broadcast-side sizing: supplier is 1/600 of lineitem in the
+    * TPC-H ratio, so the hint holds far past this test scale; at the
+    * point a supplier dim no longer broadcasts, the warehouse answer
+    * is the same one used here — land it bucketed on s_suppkey and
+    * extend the layout, not the query. */
   def q9Bucketed(s: SparkSession, d: String): DataFrame = {
     ensureWarehouse(s, d)
     val promoParts = broadcast(
