@@ -96,6 +96,34 @@ class InvariantSpec extends SparkSpec {
       "unrelated docs should not collide at this scale")
   }
 
+  test("dq checks fire on crafted violations, not only count zeros on clean data") {
+    import spark.implicits._
+    // 4 customers (one duplicated key), 4 orders (one null custkey,
+    // one orphaned), 3 lineitems (one orphaned, one out-of-range
+    // discount)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq")
+    Seq((1, "a", 0.0), (1, "a2", 0.0), (2, "b", 0.0), (3, "c", 0.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .write.parquet(dir.resolve("customer.parquet").toString)
+    Seq((10L, Some(1), 5.0), (11L, Some(2), 5.0),
+        (12L, None, 5.0), (13L, Some(99), 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(dir.resolve("orders.parquet").toString)
+    Seq((10L, 0.05), (11L, 1.5), (99L, 0.05))
+      .toDF("l_orderkey", "l_discount")
+      .write.parquet(dir.resolve("lineitem.parquet").toString)
+    val got = graft.operators.FuncOps.dqChecks(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("customer_key_duplicates") == (1L, 4L), got.toString)
+    assert(got("orders_custkey_null") == (1L, 4L), got.toString)
+    // left_anti keeps null-key rows (null matches nothing), so the
+    // orphan check reports the null-custkey order AND custkey 99
+    assert(got("orders_orphaned_custkey") == (2L, 4L), got.toString)
+    assert(got("lineitem_orphaned_orderkey") == (1L, 3L), got.toString)
+    assert(got("customers_without_orders") == (1L, 4L), got.toString)
+    assert(got("discount_out_of_range") == (1L, 3L), got.toString)
+  }
+
   test("funnel counts only strictly-ordered step sequences") {
     import spark.implicits._
     // crafted log: u1 completes in order; u2 purchases BEFORE its
