@@ -167,6 +167,29 @@ object StreamOps {
     runToTable(s, windowedCounts(s, dir), "events_window_stream",
       col("window_start"), col("event_type"))
 
+  /** Sliding-window twin of `ChangeOps.slidingWindows` over the
+    * stream: overlapping 6h-every-3h event-time windows under a
+    * watermark — each arriving row enters its TWO open windows, and
+    * window state retires as the watermark passes the window end.
+    * Split out for the rehearsal/spec pattern. */
+  private[graft] def slidingWindowsStreamOf(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Driver-gated sliding-window stream, registered under the SAME
+    * oracle SQL as the batch `sliding_windows` — the streaming engine
+    * must agree with DuckDB on overlapping-window assignment, not
+    * just with batch Spark. */
+  def slidingWindowsStream(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, slidingWindowsStreamOf(eventsStream(s, dir)),
+      "sliding_windows_stream", col("w_start"), col("event_type"))
+
   /** Append-mode twin of runToTable for streams whose sinks emit rows
     * incrementally (joins, dedup) rather than replacing an aggregate:
     * each micro-batch appends to the parquet sink (batch 0 resets it),
@@ -657,6 +680,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize"           -> sessionize _,
     "events_window_stream" -> eventsWindowStream _,
+    "sliding_windows_stream" -> slidingWindowsStream _,
     "sessionize_stream"    -> sessionizeStreamGated _,
     "stream_stream_join"   -> clickPurchaseJoinGated _,
     "stream_left_join"     -> clickPurchaseLeftGated _,
@@ -671,6 +695,8 @@ object StreamOps {
     // same contract as the batch twin — the streaming engine must
     // reproduce RelOps.eventsWindow's DuckDB-checked result exactly
     "events_window_stream" -> graft.operators.RelOps.oracle("events_window"),
+    "sliding_windows_stream" ->
+      graft.operators.ChangeOps.oracle("sliding_windows"),
     "stream_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
         |  a.user_id, a.ts AS click_ts, b.ts AS purchase_ts

@@ -29,6 +29,14 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("sliding-window stream equals the batch twin (overlapping window assignment)") {
+    val batch = graft.operators.ChangeOps.slidingWindows(spark, sfDir)
+      .collect().toSeq
+    val landed = StreamOps.slidingWindowsStream(spark, sfDir)
+      .collect().toSeq
+    assert(landed == batch)
+  }
+
   test("events_window_stream (foreachBatch-landed table) equals the batch twin") {
     // the driver-gated registration: foreachBatch -> parquet -> read
     // back must reproduce eventsWindow row-for-row, so it can share
