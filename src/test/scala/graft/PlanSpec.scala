@@ -375,6 +375,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("topk_per_key plans the custom operator: no window, no input sort, one exchange") {
+    val df = graft.operators.TopKOps.topkPerKeyRaw(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p) // bounded heaps, not a partition sort
+    assert(p.linesIterator.count(
+      _.contains("Exchange hashpartitioning")) == 1, p)
+    // result-identical to the window formulation
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val expect = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.operators.TopKOps.K).drop("rn")
+      .collect().map(_.toString).sorted.toSeq
+    val got = df.collect().map(_.toString).sorted.toSeq
+    assert(got == expect)
+  }
+
+  test("topk_per_key keeps exactly k rows per key with deterministic ties") {
+    import spark.implicits._
+    graft.operators.TopKOps.ensureStrategy(spark)
+    // key 1: four rows, two tied at the cut — orderkey breaks the tie;
+    // key 2: fewer than k rows survive whole
+    val df = Seq((1L, 101L, 50.0), (1L, 102L, 50.0), (1L, 103L, 70.0),
+        (1L, 104L, 10.0), (2L, 201L, 5.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val analyzed = df.queryExecution.analyzed
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    def attr(n: String) = analyzed.output.find(_.name == n).get
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.TopKPerKeyPlan(Seq(attr("o_custkey")),
+        Seq(SortOrder(attr("o_totalprice"), Descending),
+          SortOrder(attr("o_orderkey"), Ascending)), 3, analyzed))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 201L)), got)
+  }
+
   test("funnel computes all stages over a single user shuffle") {
     val df = graft.operators.ChangeOps.funnelEvents(spark, sfDir)
     df.collect()
