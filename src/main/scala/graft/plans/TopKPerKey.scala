@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression,
   RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
-  Distribution, Partitioning}
+  Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator extension — the (c) rung of SURVEY.md §4.2's ladder
@@ -45,20 +45,32 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // partial/final pair, exactly like a two-phase aggregate: a row
+      // outside its map partition's top k cannot be in the global
+      // top k, so the partial pass bounds what the exchange carries
+      // to keys × k rows PER MAP TASK
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true),
+        partial = false) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, child: SparkPlan) extends UnaryExecNode {
+                          k: Int, child: SparkPlan,
+                          partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of a key must meet in one task; the planner satisfies
-    * this with a single hash exchange on `keys` (or zero if the child
-    * is already clustered — e.g. a bucketed scan). */
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** Final pass: all surviving rows of a key must meet in one task —
+    * one hash exchange on `keys` (or zero if the child is already
+    * clustered, e.g. a bucketed scan). Partial pass: runs wherever
+    * the data is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   /** Clustering is preserved: downstream per-key operators reuse the
     * exchange instead of re-shuffling. */

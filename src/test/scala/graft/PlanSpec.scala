@@ -381,6 +381,10 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(p.contains("TopKPerKey"), p)
+    // map-side partial pass bounds the exchange to keys×k per task
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.split("Exchange hashpartitioning").last
+      .contains("TopKPerKeyPartial"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("Sort "), p) // bounded heaps, not a partition sort
     assert(p.linesIterator.count(
