@@ -497,6 +497,33 @@ object ScaleRehearsal {
     }
   }
 
+  /** Custom TopKPerKey operator vs the row_number window form over
+    * staged fact multiples: orderkeys are offset but custkeys stay
+    * 1×, so rows PER KEY grow with the multiple — the regime where
+    * per-key top-k (k=3 of an ever-deeper pile) separates bounded
+    * heaps from sorting. Both forms are measured for wall + shuffle
+    * records (the window form gets Spark's own rank-limit pushdown;
+    * the comparison is against the engine's best, not a strawman). */
+  def runTopK(s: SparkSession, sfDir: String, mults: Seq[Int],
+              passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageFacts(s, sfDir, m)
+      measure(s, listener, "topk", "topk_per_key", m, passes)(
+        operators.TopKOps.topkPerKeyRaw(s, staged))
+      measure(s, listener, "topk", "topk_window", m, passes) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, staged)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= operators.TopKOps.K).drop("rn")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val family = args.headOption.getOrElse("all")
@@ -523,6 +550,8 @@ object ScaleRehearsal {
       runLayout(spark, sfDir, mults)
     if (family == "events")
       runEvents(spark, sfDir, mults)
+    if (family == "topk")
+      runTopK(spark, sfDir, mults)
     spark.stop()
   }
 }
