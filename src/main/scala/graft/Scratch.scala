@@ -20,4 +20,18 @@ object Scratch {
     * own their create/wipe semantics). */
   def path(parts: String*): java.nio.file.Path =
     java.nio.file.Paths.get(root, parts: _*)
+
+  /** This JVM's scratch namespace token. The landed-artifact stores
+    * name their roots with per-JVM AtomicInteger counters — unique
+    * WITHIN a JVM, but every JVM counts from 0, so two concurrent
+    * processes (e.g. a test suite and a Verify run) would otherwise
+    * both claim `<store>/s0` for DIFFERENT datasets and overwrite
+    * each other mid-read (observed: three pair-store queries
+    * mismatching only when run concurrently with the suite). */
+  val processTag: String = s"jvm${ProcessHandle.current().pid()}"
+
+  /** `<root>/<head>/<processTag>/<rest...>` — a store path no other
+    * process can collide with. */
+  def processScoped(head: String, rest: String*): java.nio.file.Path =
+    java.nio.file.Paths.get(root, (head +: processTag +: rest): _*)
 }

@@ -370,7 +370,7 @@ object Dedup {
         // sides) reads the cache
         banded.count()
         val est = lshPairsFrom(banded, sig, minEst, maxBucket)
-        val out = graft.Scratch.path("graft_lsh",
+        val out = graft.Scratch.processScoped("graft_lsh",
           s"pairs_${lshEpoch.getAndIncrement()}").toString
         est.write.mode("overwrite").parquet(out)
         s.read.parquet(out)
@@ -584,7 +584,7 @@ object Dedup {
     * incrementally (they are exactly the store's bucket sizes). */
   def dedupIncremental(s: SparkSession, d: String,
                        minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val root = graft.Scratch.path("graft_incr",
+    val root = graft.Scratch.processScoped("graft_incr",
       s"store_${lshEpoch.getAndIncrement()}").toString
     // derive both halves from the session SigStore — the corpus was
     // already minhashed for the store; the split is two metadata-cheap

@@ -224,7 +224,7 @@ object Multimodal {
   def featuresTable(s: SparkSession, d: String): DataFrame = {
     val path = featureStores.computeIfAbsent(d, _ => {
       featureBuildCount.incrementAndGet()
-      val out = graft.Scratch.path("graft_mediastore",
+      val out = graft.Scratch.processScoped("graft_mediastore",
         s"m${storeIds.getAndIncrement()}").toString
       extractFeatures(mediaTable(s, d)).toDF()
         .write.mode("overwrite").parquet(out)

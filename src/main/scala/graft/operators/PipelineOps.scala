@@ -216,7 +216,7 @@ object PipelineOps {
     * rotating slot per call so concurrent-in-session results can't
     * clobber each other while repeated runs don't accumulate dirs. */
   private def freshCcDir(): String = {
-    val p = graft.Scratch.path("graft_cc",
+    val p = graft.Scratch.processScoped("graft_cc",
       s"labels_${ccEpoch.getAndIncrement()}")
     p.toString
   }
@@ -342,7 +342,7 @@ object PipelineOps {
       .join(bc, col("b") === col("b2"))
       .join(ac, col("a") === col("a3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
-    val out = graft.Scratch.path("graft_cc",
+    val out = graft.Scratch.processScoped("graft_cc",
       s"triangles_${ccEpoch.getAndIncrement()}").toString
     tri.write.mode("overwrite").parquet(out)
     s.read.parquet(out)
@@ -407,7 +407,7 @@ object PipelineOps {
       val ranks = pagerankRanks(edges, iters)
       // land the ranks so the caller's action (after the conf is
       // restored) serves from parquet, not a re-run of the rank loop
-      val out = graft.Scratch.path("graft_cc",
+      val out = graft.Scratch.processScoped("graft_cc",
         s"pagerank_${ccEpoch.getAndIncrement()}").toString
       ranks.select(col("id").as("doc_id"), col("r").as("rank_ppb"))
         .write.mode("overwrite").parquet(out)
@@ -472,7 +472,7 @@ object PipelineOps {
     * bit array. PlanSpec pins both properties. */
   def decontamBloom(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingles(s, d)
-    val evalOut = graft.Scratch.path("graft_bloom",
+    val evalOut = graft.Scratch.processScoped("graft_bloom",
       s"eval_${ccEpoch.getAndIncrement()}").toString
     sh.filter(col("doc_id") % EvalEvery === 0)
       .select("shingle").distinct()

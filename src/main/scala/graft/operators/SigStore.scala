@@ -66,7 +66,7 @@ object SigStore {
 
   private def build(s: SparkSession, d: String, maxDf: Int): String = {
     buildCount.incrementAndGet()
-    val root = graft.Scratch.path("graft_sigstore",
+    val root = graft.Scratch.processScoped("graft_sigstore",
       s"s${ids.getAndIncrement()}").toString
     Dedup.cappedShingles(s, d, maxDf)
       .write.mode("overwrite").parquet(s"$root/shingles")

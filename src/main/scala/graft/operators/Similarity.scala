@@ -294,7 +294,7 @@ object Similarity {
   def ivfStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = ivfStores.computeIfAbsent(d, _ => {
       ivfBuildCount.incrementAndGet()
-      val out = graft.Scratch.path("graft_ivf",
+      val out = graft.Scratch.processScoped("graft_ivf",
         s"i${ivfIds.getAndIncrement()}").toString
       val (idx, cent) = ivfBuild(s, d)
       idx.write.mode("overwrite").parquet(s"$out/idx")
@@ -366,7 +366,7 @@ object Similarity {
   def pqStore(s: SparkSession, d: String): DataFrame = {
     val root = pqStores.computeIfAbsent(d, _ => {
       pqBuildCount.incrementAndGet()
-      val out = graft.Scratch.path("graft_ivfpq",
+      val out = graft.Scratch.processScoped("graft_ivfpq",
         s"p${pqIds.getAndIncrement()}").toString
       val (idx, _) = ivfStore(s, d)
       idx.withColumn("nrm", sqrt(dot(col("v"), col("v"))))

@@ -370,7 +370,7 @@ object TextAnalysis {
     * artifact, training on first request for the dataset. */
   def bpeStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = bpeStores.computeIfAbsent(d, _ => {
-      val out = graft.Scratch.path("graft_bpe",
+      val out = graft.Scratch.processScoped("graft_bpe",
         s"b${bpeIds.getAndIncrement()}").toString
       val (merges, state) = bpeTrain(s, d)
       merges.write.mode("overwrite").parquet(s"$out/merges")

@@ -395,7 +395,7 @@ object StorageOps {
 
   def mvRefresh(s: SparkSession, d: String): DataFrame = {
     val root = mvStores.computeIfAbsent(d, _ => {
-      val out = graft.Scratch.path("graft_mv",
+      val out = graft.Scratch.processScoped("graft_mv",
         s"m${mvIds.getAndIncrement()}").toString
       orderStats(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
         .write.mode("overwrite").parquet(out)
