@@ -465,6 +465,36 @@ object ScaleRehearsal {
         graft.sources.StorageOps.sortedLayoutRead(s, sortedDir))
       measure(s, listener, "layout", "window_unsorted", m, passes)(
         graft.sources.StorageOps.sortedLayoutRead(s, unsortedDir))
+      // two-dimension predicate: Z-order vs the same data sorted on
+      // date alone — the multi-column-skipping claim, measured. Both
+      // layouts carry l_suppkey so the identical query runs on each.
+      def withSupp(df: DataFrame): DataFrame =
+        df.select(col("l_shipdate").cast("date").as("l_shipdate"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      val zDir = land("li_zorder") { df =>
+        withSupp(df.sparkSession.read
+          .parquet(s"$staged/lineitem.parquet"))
+          .withColumn("z", graft.sources.StorageOps.morton16(
+            datediff(col("l_shipdate"), lit("1970-01-01"))
+              .bitwiseAND(lit(0xFFFF)),
+            col("l_suppkey").bitwiseAND(lit(0xFFFF))))
+          .repartitionByRange(32, col("z")).sortWithinPartitions("z")
+          .drop("z")
+          .write.mode("overwrite")
+          .parquet(stagedDir("li_zorder", sfDir, m).toString)
+      }
+      val dateDir = land("li_sorted_supp") { df =>
+        withSupp(df.sparkSession.read
+          .parquet(s"$staged/lineitem.parquet"))
+          .repartitionByRange(32, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite")
+          .parquet(stagedDir("li_sorted_supp", sfDir, m).toString)
+      }
+      measure(s, listener, "layout", "twodim_zorder", m, passes)(
+        graft.sources.StorageOps.zorderLayoutRead(s, zDir))
+      measure(s, listener, "layout", "twodim_datesorted", m, passes)(
+        graft.sources.StorageOps.zorderLayoutRead(s, dateDir))
     }
   }
 

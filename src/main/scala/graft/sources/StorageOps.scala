@@ -373,6 +373,66 @@ object StorageOps {
       .transform(Present.sorted(_, col("o_orderpriority")))
   }
 
+  import org.apache.spark.sql.Column
+
+  /** 16-bit × 2 Morton (Z-order) interleave as a pure column
+    * expression: each input's low 16 bits are spread to the even bit
+    * positions with the standard mask ladder, then `b` lands on the
+    * odd positions. Stays inside whole-stage codegen — five shifts
+    * and masks per side, no UDF. */
+  private[graft] def morton16(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      var v = x.cast("long").bitwiseAND(lit(0xFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-order clustered layout — multi-column data skipping, the
+    * lakehouse OPTIMIZE ZORDER feature: [[sortedLayout]] clusters ONE
+    * column perfectly and helps no other, while Morton-interleaving
+    * (shipdate-days, suppkey) clusters BOTH approximately, so each
+    * row group's min/max stats are narrow in BOTH dimensions and a
+    * two-column range predicate skips on either. The Z value orders
+    * the write and is then dropped — it's a layout device, not data.
+    * The gated query filters one year AND a supplier range; the
+    * oracle runs the same filter on the source parquet. Measured
+    * evidence: the `layout` rehearsal family compares scan records
+    * against the 1-D sorted layout on this two-dim predicate. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("zorder_lineitem", d)
+    Tables.lineitem(s, d)
+      .select(col("l_shipdate").cast("date").as("l_shipdate"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("z", morton16(
+        datediff(col("l_shipdate"), lit("1970-01-01"))
+          .bitwiseAND(lit(0xFFFF)),
+        col("l_suppkey").bitwiseAND(lit(0xFFFF))))
+      .repartitionByRange(Buckets, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(dir)
+    zorderLayoutRead(s, dir)
+  }
+
+  /** Read half of [[zorderLayout]] — the two-dimension range query
+    * (spec/rehearsal hook; also runs unmodified over the 1-D sorted
+    * layout for the skipping comparison). */
+  def zorderLayoutRead(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
+        col("l_suppkey") < 50)
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .transform(Present.sorted(_, col("ship_month")))
+
+  def zorderLayoutDir(d: String): String = stageDir("zorder_lineitem", d)
+
   /** Incremental materialized-view refresh — the warehouse op that
     * keeps a 100 TB aggregate current without re-reading 100 TB: the
     * per-priority order stats over the "historical" 90% of orders
@@ -454,6 +514,7 @@ object StorageOps {
     "q18_bucketed"     -> q18Bucketed _,
     "q9_bucketed"      -> q9Bucketed _,
     "sorted_layout"    -> sortedLayout _,
+    "zorder_layout"    -> zorderLayout _,
     "schema_evolution" -> schemaEvolution _,
     "partitioned_scan" -> partitionedScan _,
     "merge_upsert"     -> mergeUpsert _,
@@ -508,6 +569,14 @@ object StorageOps {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zorder_layout" ->
+      """SELECT month(l_shipdate) AS ship_month, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_suppkey < 50
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "schema_evolution" ->
       """SELECT source, count(*) AS n_docs,
