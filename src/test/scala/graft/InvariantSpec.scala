@@ -96,6 +96,26 @@ class InvariantSpec extends SparkSpec {
       "unrelated docs should not collide at this scale")
   }
 
+  test("morton16 matches the bit-by-bit reference interleave") {
+    import spark.implicits._
+    def ref(a: Int, b: Int): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      }.reduce(_ | _)
+    // deterministic pseudo-random 16-bit pairs + the corners
+    val pairs = (Seq((0, 0), (0xFFFF, 0), (0, 0xFFFF), (0xFFFF, 0xFFFF)) ++
+      (1 to 200).map(i => ((i * 40503) & 0xFFFF, (i * 12829) & 0xFFFF)))
+    val got = pairs.toDF("a", "b")
+      .select(graft.sources.StorageOps.morton16(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (a, b) => ref(a, b) },
+      "column interleave diverged from the reference")
+    // injective on the sampled domain — a collision would silently
+    // merge distinct (date, key) cells into one cluster
+    assert(got.distinct.size == got.size)
+  }
+
   test("dq checks fire on crafted violations, not only count zeros on clean data") {
     import spark.implicits._
     // 4 customers (one duplicated key), 4 orders (one null custkey,
