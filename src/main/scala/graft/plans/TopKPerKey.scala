@@ -28,6 +28,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * 100 TB. Result-identical to the window form (PlanSpec pins both
   * the plan shape and row equality; the driver gate hash-checks it
   * against DuckDB's row_number form).
+  *
+  * Memory honesty: per-task state is keys-in-task × k rows — the
+  * same order as a hash aggregate's pre-spill state, but WITHOUT a
+  * spill path. When per-task key cardinality × k outgrows executor
+  * memory, use the window form (whose sort spills) or raise the key
+  * partition count; the operator targets the common regime where
+  * the per-key result set is the small side.
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, child: LogicalPlan) extends UnaryNode {
