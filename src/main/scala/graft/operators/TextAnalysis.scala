@@ -357,6 +357,25 @@ object TextAnalysis {
         length(col("word")).as("n_chars"), col("n_sub"))
       .transform(Present.sortedUnbounded(_, col("word")))
 
+  /** Per-DOCUMENT token counts under the learned tokenizer — the
+    * practical question BPE answers in a pipeline ("how many tokens
+    * is this corpus under MY tokenizer", for budgeting/packing):
+    * each doc's word occurrences joined (vocab-sized broadcast)
+    * against the landed per-word subword counts and rolled up. One
+    * corpus tokenize pass + one doc_id shuffle; the store price was
+    * paid once at training. */
+  def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    val nsub = bpeStore(s, d)._2
+      .groupBy("word").agg(count(lit(1)).as("n_sub"))
+    TextOps.tokenize(Tables.documents(s, d))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
+      .join(broadcast(nsub), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ") * col("n_sub")).as("bpe_tokens"),
+        sum("n_occ").as("words"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** Session-scoped LANDED tokenizer artifact per dataset (the
     * ivfStore pattern): the learned merge table and the final
     * per-word symbol state written to parquet once — they ARE the
@@ -503,6 +522,23 @@ object TextAnalysis {
        |  CAST(count(*) AS BIGINT) AS n_sub
        |FROM s$BpeMergeRounds GROUP BY word, freq ORDER BY word""".stripMargin
 
+  private lazy val bpeDocTokensSql: String =
+    s"""$bpeCtes,
+       |nsub AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+       |  FROM s$BpeMergeRounds GROUP BY word),
+       |dtok AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |docw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM dtok GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(n_occ * n_sub) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(n_occ) AS BIGINT) AS words
+       |FROM docw JOIN nsub USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def lexValues: String =
     lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
@@ -520,6 +556,7 @@ object TextAnalysis {
     "vocab_build"  -> vocabBuild _,
     "bpe_merges"   -> bpeMerges _,
     "bpe_encode"   -> bpeEncode _,
+    "bpe_doc_tokens" -> bpeDocTokens _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -529,6 +566,7 @@ object TextAnalysis {
     // the same unrolled rounds, aggregated over the FINAL symbol
     // state instead of the winner rows
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_doc_tokens" -> bpeDocTokensSql,
     // same rank order (cnt desc, word) and integer cumsum; DuckDB's
     // sum(BIGINT) widens to HUGEINT, so both totals are CAST back
     "vocab_build" ->

@@ -96,6 +96,21 @@ class InvariantSpec extends SparkSpec {
       "unrelated docs should not collide at this scale")
   }
 
+  test("bpe doc tokens reconcile with the encode table's corpus totals") {
+    import graft.operators.TextAnalysis
+    // cross-operator equation: the per-doc rollup and the per-word
+    // encode table must agree on corpus totals exactly
+    val enc = TextAnalysis.bpeEncode(spark, sfDir).collect()
+    val corpusSubwords = enc.map(r => r.getLong(1) * r.getLong(3)).sum
+    val corpusWords = enc.map(_.getLong(1)).sum
+    val doc = TextAnalysis.bpeDocTokens(spark, sfDir).collect()
+    assert(doc.map(_.getLong(1)).sum == corpusSubwords)
+    assert(doc.map(_.getLong(2)).sum == corpusWords)
+    // merges only ever join characters: a word is never fewer than
+    // one subword, so per doc subwords >= words
+    doc.foreach(r => assert(r.getLong(1) >= r.getLong(2), r.toString))
+  }
+
   test("morton16 matches the bit-by-bit reference interleave") {
     import spark.implicits._
     def ref(a: Int, b: Int): Long =
