@@ -375,6 +375,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective fact join") {
+    // Spark's runtime row-level filtering: a selective predicate on
+    // the build side injects a bloom-filter might_contain onto the
+    // PROBE side's scan, so most fact rows die before the shuffle —
+    // at 100 TB this is the difference between shuffling the corpus
+    // and shuffling the matching slice. Thresholds are tuned down so
+    // the optimization fires at test scale; broadcast is off so the
+    // join actually shuffles (the regime the filter exists for).
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$opt")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("topk_per_key plans the custom operator: no window, no input sort, one exchange") {
     val df = graft.operators.TopKOps.topkPerKeyRaw(spark, sfDir)
     df.collect()
