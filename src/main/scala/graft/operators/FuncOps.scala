@@ -193,6 +193,33 @@ object FuncOps {
       .orderBy("event_type", "key")
   }
 
+  /** Corrupt-record-tolerant JSON ingest — the row-level counterpart
+    * of the scalar try_* family: a deterministic seventh of the
+    * events' props payloads is mangled, the PERMISSIVE `from_json`
+    * degrades exactly those rows to NULL instead of failing the job,
+    * and the report counts survivors/corrupt and aggregates only the
+    * parsed side. At 100 TB one malformed record must never kill a
+    * day of ingest; the dead-letter count IS the monitoring signal.
+    * The oracle reproduces the mangling and uses json_validity on
+    * its side, so both engines must agree row-for-row on what is
+    * salvageable. */
+  def jsonDirtyParse(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    Tables.events(s, d)
+      .withColumn("raw",
+        when(col("event_id") % 7 === 0, concat(lit("corrupt::"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("m", from_json(col("raw"), MapType(StringType, IntegerType)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("m").isNull.cast("long")).as("n_corrupt"),
+        sum(when(col("m").isNotNull, size(col("m"))).otherwise(0))
+          .cast("long").as("parsed_keys"),
+        sum(when(col("m").isNotNull, element_at(col("m"), "k")))
+          .cast("long").as("sum_k"))
+      .transform(Present.sorted(_, col("event_type")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "percentiles"        -> percentiles _,
     "percentiles_approx" -> percentilesApprox _,
@@ -203,6 +230,7 @@ object FuncOps {
     "profile_lineitem"   -> profileLineitem _,
     "dq_checks"          -> dqChecks _,
     "json_map_funcs"     -> jsonMapFuncs _,
+    "json_dirty_parse"   -> jsonDirtyParse _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -299,6 +327,23 @@ object FuncOps {
         |UNION ALL SELECT 'price_avg', price_avg FROM s
         |UNION ALL SELECT 'returnflag_distinct', returnflag_distinct FROM s
         |ORDER BY metric""".stripMargin,
+    // the mangled seventh is invalid JSON on both engines; parsed
+    // rows aggregate the single "k" key exactly as the Spark map does
+    "json_dirty_parse" ->
+      """WITH raw AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN 'corrupt::' || props
+        |         ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_type,
+        |  count(*) AS n_rows,
+        |  sum(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_corrupt,
+        |  sum(CASE WHEN json_valid(raw)
+        |    THEN len(json_keys(raw)) ELSE 0 END)::BIGINT AS parsed_keys,
+        |  sum(CASE WHEN json_valid(raw)
+        |    THEN CAST(raw->>'k' AS BIGINT) END)::BIGINT AS sum_k
+        |FROM raw GROUP BY event_type ORDER BY event_type""".stripMargin,
     "json_map_funcs" ->
       """WITH kv AS (
         |  SELECT event_type, props,
