@@ -55,6 +55,41 @@ class BucketSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey rides a bucketed layout with zero exchanges") {
+    // the operator declares ClusteredDistribution(keys); a layout
+    // bucketed on the key already satisfies it, so per-key top-k
+    // over the landed table plans with NO exchange at all — the
+    // distribution contract composing with the warehouse story
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_bkt").toString
+    Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey")
+      .option("path", dir).format("parquet")
+      .saveAsTable("graft_topk_orders_bkt")
+    try {
+      graft.operators.TopKOps.ensureStrategy(spark)
+      val analyzed = spark.table("graft_topk_orders_bkt")
+        .queryExecution.analyzed
+      def attr(n: String) = analyzed.output.find(_.name == n).get
+      val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        graft.plans.TopKPerKeyPlan(Seq(attr("o_custkey")),
+          Seq(SortOrder(attr("o_totalprice"), Descending),
+            SortOrder(attr("o_orderkey"), Ascending)),
+          graft.operators.TopKOps.K, analyzed))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("TopKPerKey"), p)
+      assert(!p.contains("Exchange"), s"bucketed top-k re-shuffled:\n$p")
+      // and the answer equals the shuffled registered form
+      val expect = graft.operators.TopKOps.topkPerKeyRaw(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_topk_orders_bkt")
+  }
+
   test("warehouse q18/q9 variants equal their shuffled forms; layout lands once") {
     import graft.sources.StorageOps
     val before = StorageOps.whBuildCount.get
