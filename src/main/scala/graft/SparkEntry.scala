@@ -8,7 +8,7 @@ object SparkEntry {
     TextOps.wordcount(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TextOps.queries ++ RelOps.queries ++ MapReduce.queries ++
+    TextOps.queries ++ RelOps.queries ++ TpchOps.queries ++ MapReduce.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ SqlSurface.queries ++ FuncOps.queries ++
       JoinOps.queries ++ PipelineOps.queries ++ ChangeOps.queries ++
@@ -17,7 +17,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TextOps.oracle ++ RelOps.oracle ++ MapReduce.oracle ++
+    TextOps.oracle ++ RelOps.oracle ++ TpchOps.oracle ++ MapReduce.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ SqlSurface.oracle ++ FuncOps.oracle ++
       JoinOps.oracle ++ PipelineOps.oracle ++ ChangeOps.oracle ++

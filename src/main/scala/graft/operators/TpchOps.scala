@@ -1,0 +1,409 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The rest of the classic TPC-H query forms (Q2–Q22), adapted to the
+  * driver's reduced star schema (TESTDATA.md: no `partsupp`, no
+  * `l_shipmode`/`l_commitdate`/`l_receiptdate`, no `c_phone`). Each
+  * query keeps the PLAN SHAPE that makes its original interesting —
+  * correlated aggregate subqueries, disjunctive pushdown, NOT-IN
+  * anti-joins, scalar-aggregate gates, two-role dimension joins — and
+  * substitutes equivalent predicates over the columns that exist. The
+  * reference itself has no relational surface at all (SURVEY.md §2.3);
+  * this module extends [[RelOps]]'s q1/q3/q5/q9/q18/q21 to the full
+  * 22-query family.
+  *
+  * Determinism contract (same as RelOps): every money sum that feeds a
+  * rounded output runs in FIXED POINT — `l_extendedprice`/`o_totalprice`
+  * /`*_acctbal` carry exactly 2dp and `l_discount`/`l_tax` 2dp, so
+  * revenue terms are exact at 4dp and a ×10⁴ `BIGINT` sum is
+  * association-free (double sums can straddle a half-cent boundary
+  * differently per shuffle order — the q9 failure class, RelOps.scala).
+  * Threshold comparisons against scalar aggregates are pure-integer
+  * (`value*1000 > total`) so no float boundary exists at all. Every
+  * output ends in a total order.
+  *
+  * Scale design: dimension sides (`part` 2 K rows, `supplier` ~100×sf,
+  * `nation`/`region` constant) are explicit `broadcast()`s — the fact
+  * side never shuffles for them; fact⋈fact joins shuffle on their key
+  * and AQE finalizes SMJ-vs-SHJ + skew splits at runtime. Scalar
+  * aggregates ("total revenue", "avg balance") are 1-row crossJoin
+  * broadcasts — the scalar-subquery shape, not a cartesian.
+  */
+object TpchOps {
+
+  private def revCents4 =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+      .cast("long")
+
+  /** Exact ×10⁴-fixed-point → 2dp money: integer half-up in fixed
+    * point (`(sum4+50) div 100` cents), THEN one exact double
+    * division. `round(sum4/10000.0, 2)` is not engine-stable at a
+    * half-cent boundary: Spark rounds `BigDecimal.valueOf(double)`
+    * (the double's shortest decimal repr, e.g. "307843.595" → .60)
+    * while DuckDB rounds the raw double (307843.59499999… → .59) —
+    * observed on q10 row 7 at sf0.01. Integer half-up has no float
+    * boundary; the DuckDB twin is `((sum4 + 50) // 100) / 100.0`. */
+  private def money2(sum4: org.apache.spark.sql.Column) =
+    ((sum4 + lit(50L)) - pmod(sum4 + lit(50L), lit(100L))) / lit(100L) / lit(100.0)
+
+  /** Q2-shaped min-cost supplier: for every STANDARD-type part, the
+    * EUROPE supplier(s) quoting the minimum unit price (unit price =
+    * min `l_extendedprice / l_quantity` over that supplier's line
+    * items — the `partsupp.ps_supplycost` stand-in). The classic Q2
+    * shape: an aggregate-subquery join back on the minimum. Unit
+    * prices are held as ×100 BIGINT cents so the min-equality join is
+    * exact. Reference has no joins at all; cf. `Master/Master.py:195`
+    * (its only "query" surface is map/reduce dispatch). */
+  def q2MinCostSupp(s: SparkSession, d: String): DataFrame = {
+    val eurNations = broadcast(
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val eurSupp = Tables.supplier(s, d)
+      .join(eurNations, col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val stdParts = broadcast(
+      Tables.part(s, d).filter(col("p_type") === "STANDARD").select("p_partkey"))
+    // one offer per (part, supplier): that supplier's best unit price
+    val offers = Tables.lineitem(s, d)
+      .join(stdParts, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity") * 100).cast("long")
+          .as("unit_cents"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(min("unit_cents").as("offer_cents"))
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+    val minPerPart = offers
+      .groupBy(col("p_partkey").as("mp_partkey"))
+      .agg(min("offer_cents").as("min_cents"))
+    offers
+      .join(minPerPart,
+        col("p_partkey") === col("mp_partkey") &&
+          col("offer_cents") === col("min_cents"))
+      .select(col("s_name"), col("n_name"), col("p_partkey"),
+        round(col("s_acctbal"), 2).as("s_acctbal"),
+        (col("offer_cents") / 100.0).as("min_price"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q4-shaped order-priority checking: orders placed in 1996Q1 with
+    * at least one line item shipped >30 days after the order date (the
+    * `l_commitdate < l_receiptdate` lateness stand-in), counted per
+    * priority. The semi-join runs with the lateness predicate INSIDE
+    * the join condition, so no late-lineitem set ever materializes. */
+  def q4PriorityCheck(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    o.join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q6-shaped forecasting-revenue change: a pure scan-side query —
+    * every predicate (ship year, discount band, quantity cap) pushes
+    * to the parquet scan, and the answer is one fixed-point sum. The
+    * 100 TB shape: zero shuffles beyond the final 1-row aggregate. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(money2(
+        sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+          .cast("long"))).as("revenue"))
+
+  /** Q7-shaped volume shipping: the two-role nation join — supplier
+    * nation and customer nation are the SAME dimension joined twice
+    * under different roles, filtered to an unordered country pair.
+    * Both roles broadcast; the fact chain shuffles on orderkey and
+    * custkey only. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(money2(sum(revCents4)).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8-shaped national market share: NATION_1's share of ECONOMY-part
+    * revenue sold to AMERICA customers, per order year. Numerator and
+    * denominator are both exact ×10⁴ longs from ONE aggregate pass
+    * (conditional sum), so the share is a single deterministic double
+    * division — no second scan, no join back. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val amNations = broadcast(
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk")))
+    val suppNation = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val ecoParts = broadcast(
+      Tables.part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey"))
+    Tables.lineitem(s, d)
+      .join(ecoParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(amNations, col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", revCents4)
+          .otherwise(lit(0L))).as("nation_cents"),
+        sum(revCents4).as("total_cents"))
+      .select(col("o_year"),
+        round(col("nation_cents") / col("total_cents").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q10-shaped returned-item reporting: top-20 customers by revenue
+    * lost to returns (`l_returnflag = 'R'`) in 1996Q1. The final top-k
+    * is TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(money2(sum(revCents4)).as("revenue"))
+      .select(col("c_custkey"), col("c_name"),
+        col("revenue"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("n_name"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  /** Q11-shaped important parts: parts whose shipped value from
+    * NATION_3 suppliers exceeds 0.1% of that nation's total — the
+    * scalar-aggregate HAVING. The threshold compare is PURE INTEGER
+    * (`value_cents * 1000 > total_cents`), so there is no float
+    * boundary for engines to disagree on; the total is a 1-row
+    * broadcast crossJoin (scalar-subquery shape). */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val n3Supp = broadcast(
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+    val perPart = Tables.lineitem(s, d)
+      .join(n3Supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("value_cents"))
+    val total = perPart.agg(sum("value_cents").as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .select(col("p_partkey"),
+        (col("value_cents") / 100.0).as("value"))
+      .orderBy(desc("value"), col("p_partkey"))
+  }
+
+  /** Q12-shaped shipping-mode priority: line items shipped in 1996,
+    * bucketed FAST/SLOW by ship delay (the `l_shipmode` stand-in),
+    * counting high- vs low-priority orders per bucket — the classic
+    * conditional-sum pivot. One fact⋈fact shuffle on orderkey. */
+  def q12ShipPriority(s: SparkSession, d: String): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "FAST")
+          .otherwise("SLOW").as("ship_bucket"),
+        isHigh.as("is_high"))
+      .groupBy("ship_bucket")
+      .agg(
+        sum(when(col("is_high"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("is_high"), 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_bucket")
+  }
+
+  /** Q14-shaped promotion effect: PROMO-part share of June-1996
+    * revenue, as a percentage. Same one-pass conditional-sum shape as
+    * [[q8MarketShare]]; `part` broadcasts. */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-06-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revCents4).otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum(revCents4).as("total_cents"))
+      .select(round(col("promo_cents") * 100 /
+        col("total_cents").cast("double"), 4).as("promo_pct"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supp"    -> q2MinCostSupp _,
+    "q4_priority_check"   -> q4PriorityCheck _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q7_volume_shipping"  -> q7VolumeShipping _,
+    "q8_market_share"     -> q8MarketShare _,
+    "q10_returned_items"  -> q10ReturnedItems _,
+    "q11_important_parts" -> q11ImportantParts _,
+    "q12_ship_priority"   -> q12ShipPriority _,
+    "q14_promo_revenue"   -> q14PromoRevenue _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q2_min_cost_supp" ->
+      """WITH eur_supp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal,
+        |    min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+        |      AS offer_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN eur_supp ON l_suppkey = s_suppkey
+        |  GROUP BY p_partkey, s_suppkey, s_name, n_name, s_acctbal),
+        |min_per AS (
+        |  SELECT p_partkey AS mp, min(offer_cents) AS min_cents
+        |  FROM offers GROUP BY p_partkey)
+        |SELECT s_name, n_name, p_partkey,
+        |  round(s_acctbal, 2) AS s_acctbal,
+        |  offer_cents / 100.0 AS min_price
+        |FROM offers JOIN min_per
+        |  ON p_partkey = mp AND offer_cents = min_cents
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT ((sum(CAST(round(l_extendedprice * l_discount * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(
+        |    sum(CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |        AS BIGINT) ELSE 0 END)
+        |    / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |        AS BIGINT)) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+        |  round(c_acctbal, 2) AS c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY l_partkey)
+        |SELECT p_partkey, value_cents / 100.0 AS value
+        |FROM per_part
+        |WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) <= 30
+        |    THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT) ELSE 0 END) * 100
+        |  / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS DOUBLE), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+  )
+}
