@@ -267,7 +267,165 @@ object TpchOps {
       .select(round(col("promo_cents") * 100 /
         col("total_cents").cast("double"), 4).as("promo_pct"))
 
+  /** Q13-shaped customer order distribution: LEFT OUTER join with the
+    * exclusion predicate INSIDE the join condition (moving it to a
+    * WHERE would silently turn the join inner — the classic Q13 trap),
+    * then a two-level aggregate: orders per customer, customers per
+    * order-count. Both shuffles are on bounded key domains. */
+  def q13OrderDistribution(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "4-NOT SPECIFIED",
+        "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** Q15-shaped top supplier: per-supplier quarterly revenue, join back
+    * on the scalar max (the CREATE VIEW shape). Revenue held as exact
+    * ×10⁴ longs so the max-equality join has no float boundary; the max
+    * is a 1-row broadcast crossJoin. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revCents4).as("rev4"))
+    val mx = rev.agg(max("rev4").as("max4"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev4") === col("max4"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        money2(col("rev4")).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q16-shaped supplier counts per part profile: distinct suppliers
+    * (from lineitem — the `partsupp` stand-in) per (brand, type, size)
+    * for a filtered part family, EXCLUDING a NOT-IN supplier set
+    * (negative account balance = the customer-complaints stand-in).
+    * The exclusion is a broadcast left-anti join; the distinct expands
+    * to a two-phase aggregate, never a driver-side set. */
+  def q16SupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val parts = broadcast(
+      Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+    val excluded = broadcast(
+      Tables.supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q17-shaped small-quantity-order revenue: line items of one brand
+    * whose quantity is below 20% of that part's average — the
+    * correlated-aggregate subquery, planned as an aggregate + join
+    * back on partkey. `avg(l_quantity)` is exact in both engines
+    * (integer-valued doubles sum exactly regardless of order), so the
+    * 0.2×avg comparison is deterministic. Output is yearly-average
+    * revenue: exact cents summed, ONE double division by 700. */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val brandParts = broadcast(
+      Tables.part(s, d).filter(col("p_brand") === "Brand#12").select("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("p_partkey").as("ap"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    // 4dp half-up of cents/7/100 in pure integers: round(cents/7) at
+    // 1e-4-dollar grain = (2·cents+7) div 14 — /7 never terminates in
+    // decimal, so a float round(…, 4) could straddle the boundary
+    val n = col("cents") * 2 + 7
+    li.join(avgQty, col("p_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .select(((n - pmod(n, lit(14L))) / lit(14L) / lit(10000.0))
+        .as("avg_yearly"))
+  }
+
+  /** Q19-shaped disjunctive revenue: an OR of three (brand, size band,
+    * quantity band) conjunct arms — the classic test that a disjunctive
+    * join predicate still prunes: the part-side conjuncts push into the
+    * broadcast build side, the lineitem quantity bounds into the scan. */
+  def q19DisjunctiveRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+      .agg(money2(sum(revCents4)).as("revenue"))
+
+  /** Q20-shaped part promotion: suppliers in NATION_5 who shipped more
+    * than 100 units of red-named parts in 1996 — the nested semi-join
+    * chain (parts-by-name → per-supplier quantity gate → supplier
+    * filter). Quantity sums are integer-valued; the gate casts to long
+    * so the threshold is pure-integer. */
+  def q20PartPromotion(s: SparkSession, d: String): DataFrame = {
+    val redParts = broadcast(
+      Tables.part(s, d).filter(col("p_name").like("red%")).select("p_partkey"))
+    val bigSupp = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 100)
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q22-shaped dormant high-balance customers: customers in five
+    * nations (the phone-prefix stand-in) whose balance exceeds the
+    * positive-balance average AND who placed no order since 2000 (the
+    * original's "no orders in 7 years") — scalar-aggregate threshold +
+    * anti-join against the RECENT order set (every customer here has
+    * SOME order, so an all-time anti-join would gate on an empty
+    * result). The above-average gate is PURE INTEGER (`cents × count >
+    * total_cents`), so the average is never materialized as a float at
+    * all. */
+  def q22DormantCustomers(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val pos = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("tot_cents"), count(lit(1)).as("n_pos"))
+    Tables.customer(s, d)
+      .filter(col("c_nationkey").isin(10, 11, 12, 13, 14))
+      .withColumn("c_cents", cents)
+      .crossJoin(broadcast(pos))
+      .filter(col("c_cents") * col("n_pos") > col("tot_cents"))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        (sum("c_cents") / 100.0).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_order_distribution" -> q13OrderDistribution _,
+    "q15_top_supplier"       -> q15TopSupplier _,
+    "q16_supplier_counts"    -> q16SupplierCounts _,
+    "q17_small_qty_revenue"  -> q17SmallQtyRevenue _,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
+    "q20_part_promotion"     -> q20PartPromotion _,
+    "q22_dormant_customers"  -> q22DormantCustomers _,
     "q2_min_cost_supp"    -> q2MinCostSupp _,
     "q4_priority_check"   -> q4PriorityCheck _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
@@ -280,6 +438,90 @@ object TpchOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  ((rev4 + 50) // 100) / 100.0 AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev4 = (SELECT max(rev4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey AND p_brand = 'Brand#12'),
+        |av AS (
+        |  SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty
+        |  FROM li GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM li JOIN av ON l_partkey = ap
+        |  WHERE l_quantity < 0.2 * avg_qty)
+        |SELECT ((cents * 2 + 7) // 14) / 10000.0 AS avg_yearly
+        |FROM tot""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_part_promotion" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN
+        |    (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(CAST(l_quantity AS BIGINT)) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot_cents,
+        |    count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+        |FROM customer, pos
+        |WHERE c_nationkey IN (10, 11, 12, 13, 14)
+        |  AND CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > tot_cents
+        |  AND NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |     AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q2_min_cost_supp" ->
       """WITH eur_supp AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name
