@@ -20,9 +20,10 @@ import graft.Tables
   *   - Every aggregate is declarative `groupBy().agg()` so Catalyst
   *     plans partial (map-side) + final hash aggregation; nothing here
   *     ships raw rows to a single node.
-  *   - Float aggregates are rounded on BOTH the Spark and oracle side:
-  *     double addition order differs between engines, so unrounded
-  *     sums diverge in the last ulps.
+  *   - Money/average outputs never round a double: sums run in exact
+  *     ×10ᵏ BIGINT fixed point with integer half-up rounding, mirrored
+  *     in the oracle (see Money.scala for the two observed failure
+  *     classes — association order and shortest-repr rounding).
   *   - Every query ends in a total order (unique sort key) so the
   *     driver's row-by-row hash compare is deterministic.
   */
@@ -31,19 +32,34 @@ object RelOps {
   private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** TPC-H Q1-flavored pricing summary: scan → filter (pushed to
-    * parquet) → partial/final hash agg → tiny sort. */
+    * parquet) → partial/final hash agg → tiny sort. All money/average
+    * outputs are exact fixed-point (Money.scala): base price in
+    * cents, disc price ×10⁴, charge ×10⁶ (2dp·2dp·2dp term) rounded
+    * via BIGINT `div` (its sums pass 2^53 at sf0.1), averages as
+    * pure-integer half-up — no double is ever rounded, so no engine
+    * can disagree at a boundary. Quantities are integer-valued, so
+    * their plain sum is already exact. */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
-        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(Money.cents(col("l_extendedprice"))).as("base_c"),
+        sum(Money.revCents4).as("disc4"),
+        sum(round(revenue * (lit(1) + col("l_tax")) * 1000000).cast("long"))
+          .as("charge6"),
+        sum(Money.cents(col("l_discount"))).as("disc_c"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        (col("qty") * 1.0).as("sum_qty"),
+        (col("base_c") / 100.0).as("sum_base_price"),
+        Money.money2(col("disc4")).as("sum_disc_price"),
+        Money.divFp("charge6", 4, 2).as("sum_charge"),
+        Money.avgFp4("qty", "count_order", 10000L).as("avg_qty"),
+        Money.avgFp4("disc_c", "count_order", 100L).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-flavored: 3-way fact join, group, top-10 by revenue.
@@ -56,7 +72,7 @@ object RelOps {
       .join(Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(revenue), 2).as("rev"))
+      .agg(Money.money2(sum(Money.revCents4)).as("rev"))
       .orderBy(desc("rev"), col("o_orderkey"))
       .limit(10)
 
@@ -75,7 +91,7 @@ object RelOps {
         col("s_suppkey") === col("l_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(revenue), 2).as("rev"))
+      .agg(Money.money2(sum(Money.revCents4)).as("rev"))
       .transform(Present.sorted(_, desc("rev"), col("n_name")))
   }
 
@@ -97,15 +113,13 @@ object RelOps {
     // half-cent boundary differently per engine/shuffle order (seen at
     // sf0.001: 1372920.005 → .00 vs .01). Same arithmetic in the
     // oracle.
-    val profitFp = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-      * 10000).cast("long")
     Tables.lineitem(s, d)
       .join(promoParts, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(profitFp) / 10000.0, 2).as("profit"))
+      .agg(Money.money2(sum(Money.revCents4)).as("profit"))
       .transform(Present.sorted(_, col("nation"), desc("o_year")))
   }
 
@@ -153,10 +167,13 @@ object RelOps {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct("o_custkey").as("n_customers"),
-        round(sum("o_totalprice"), 2).as("sum_price"),
-        round(avg("o_totalprice"), 4).as("avg_price"),
+        sum(Money.cents(col("o_totalprice"))).as("price_c"),
         round(min("o_totalprice"), 2).as("min_price"),
         round(max("o_totalprice"), 2).as("max_price"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_customers"),
+        (col("price_c") / 100.0).as("sum_price"),
+        Money.avgFp4("price_c", "n_orders", 100L).as("avg_price"),
+        col("min_price"), col("max_price"))
       .orderBy("o_orderpriority")
 
   /** ROLLUP over (status, priority). Super-aggregate rows are labeled
@@ -171,7 +188,8 @@ object RelOps {
           .otherwise(col("o_orderstatus")).as("status"),
         when(grouping(col("o_orderpriority")) === 1, lit("(all)"))
           .otherwise(col("o_orderpriority")).as("priority"),
-        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        count(lit(1)).as("n"),
+        (sum(Money.cents(col("o_totalprice"))) / 100.0).as("sum_price"))
       .select("status", "priority", "n", "sum_price")
       .orderBy("status", "priority")
 
@@ -357,19 +375,25 @@ object RelOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+        |    AS sum_base_price,
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS sum_disc_price,
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS sum_charge,
+        |  ((2 * sum(CAST(l_quantity AS BIGINT)) * 10000 + count(*))
+        |    // (2 * count(*))) / 10000.0 AS avg_qty,
+        |  ((2 * sum(CAST(round(l_discount * 100) AS BIGINT)) * 100 + count(*))
+        |    // (2 * count(*))) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS rev
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -379,7 +403,8 @@ object RelOps {
         |ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS rev
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -389,8 +414,8 @@ object RelOps {
     "q9_product_profit" ->
       """SELECT n_name AS nation,
         |  year(o_orderdate) AS o_year,
-        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-        |    AS BIGINT)) / 10000.0, 2) AS profit
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type IN ('PROMO', 'ECONOMY')
         |JOIN orders ON l_orderkey = o_orderkey
@@ -420,8 +445,9 @@ object RelOps {
       """SELECT o_orderpriority,
         |  count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_customers,
-        |  round(sum(o_totalprice), 2) AS sum_price,
-        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        |  ((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100 + count(*))
+        |    // (2 * count(*))) / 10000.0 AS avg_price,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -429,7 +455,8 @@ object RelOps {
       """SELECT
         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |  count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "cube_lineitem" ->

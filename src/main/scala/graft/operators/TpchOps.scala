@@ -34,20 +34,10 @@ import graft.Tables
   */
 object TpchOps {
 
-  private def revCents4 =
-    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-      .cast("long")
-
-  /** Exact ×10⁴-fixed-point → 2dp money: integer half-up in fixed
-    * point (`(sum4+50) div 100` cents), THEN one exact double
-    * division. `round(sum4/10000.0, 2)` is not engine-stable at a
-    * half-cent boundary: Spark rounds `BigDecimal.valueOf(double)`
-    * (the double's shortest decimal repr, e.g. "307843.595" → .60)
-    * while DuckDB rounds the raw double (307843.59499999… → .59) —
-    * observed on q10 row 7 at sf0.01. Integer half-up has no float
-    * boundary; the DuckDB twin is `((sum4 + 50) // 100) / 100.0`. */
-  private def money2(sum4: org.apache.spark.sql.Column) =
-    ((sum4 + lit(50L)) - pmod(sum4 + lit(50L), lit(100L))) / lit(100L) / lit(100.0)
+  // exact fixed-point money arithmetic — see Money.scala for why
+  // round(sum(double)) is never engine-stable
+  private def revCents4 = Money.revCents4
+  private def money2(sum4: org.apache.spark.sql.Column) = Money.money2(sum4)
 
   /** Q2-shaped min-cost supplier: for every STANDARD-type part, the
     * EUROPE supplier(s) quoting the minimum unit price (unit price =

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Present
+import graft.operators.{Money, Present}
 
 /** Storage-layout operators — the sink-side half of running at 100 TB
   * (SURVEY.md §2.3 sources/sinks): bucketed tables for shuffle-free
@@ -54,8 +54,7 @@ object StorageOps {
       .join(s.table("graft_bkt_orders"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"),
+      .agg(Money.money2(sum(Money.revCents4)).as("revenue"),
         count(lit(1)).as("n_items"))
       .transform(Present.sorted(_, col("o_orderpriority")))
   }
@@ -153,8 +152,6 @@ object StorageOps {
       .join(broadcast(Tables.nation(s, d)),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "n_name"))
-    val profitFp = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-      * 10000).cast("long")
     s.table("graft_wh_lineitem")
       .join(promoParts, col("l_partkey") === col("p_partkey"))
       .join(s.table("graft_wh_orders"),
@@ -162,7 +159,7 @@ object StorageOps {
       .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(profitFp) / 10000.0, 2).as("profit"))
+      .agg(Money.money2(sum(Money.revCents4)).as("profit"))
       .transform(Present.sorted(_, col("nation"), desc("o_year")))
   }
 
@@ -174,8 +171,7 @@ object StorageOps {
       .join(s.table("graft_bkt_orders"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"),
+      .agg(Money.money2(sum(Money.revCents4)).as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** Partition-pruned scan: documents lands partitioned by `source`
@@ -241,7 +237,7 @@ object StorageOps {
       .groupBy(month(col("l_shipdate")).as("ship_month"))
       .agg(count(lit(1)).as("n"),
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        (sum(Money.cents(col("l_extendedprice"))) / 100.0).as("sum_price"))
       .transform(Present.sorted(_, col("ship_month")))
 
   def sortedLayoutDir(d: String): String = stageDir("sorted_lineitem", d)
@@ -369,7 +365,7 @@ object StorageOps {
     s.read.schema(src.schema).option("header", "true").csv(dir)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
+        (sum(Money.cents(col("o_totalprice"))) / 100.0).as("sum_price"))
       .transform(Present.sorted(_, col("o_orderpriority")))
   }
 
@@ -488,7 +484,7 @@ object StorageOps {
       .option("rowTag", "supplier").load(dir)
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n"),
-        round(sum("s_acctbal"), 2).as("sum_bal"),
+        (sum(Money.cents(col("s_acctbal"))) / 100.0).as("sum_bal"),
         min("s_name").as("min_name"))
       .transform(Present.sorted(_, col("s_nationkey")))
   }
@@ -529,7 +525,8 @@ object StorageOps {
   val oracle: Map[String, String] = Map(
     "bucketed_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
@@ -547,8 +544,8 @@ object StorageOps {
     "q9_bucketed" ->
       """SELECT n_name AS nation,
         |  year(o_orderdate) AS o_year,
-        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-        |    AS BIGINT)) / 10000.0, 2) AS profit
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type IN ('PROMO', 'ECONOMY')
         |JOIN orders ON l_orderkey = o_orderkey
@@ -565,7 +562,7 @@ object StorageOps {
     "sorted_layout" ->
       """SELECT month(l_shipdate) AS ship_month, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -588,7 +585,7 @@ object StorageOps {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "jsonl_roundtrip" ->
@@ -607,7 +604,7 @@ object StorageOps {
         |ORDER BY o_orderpriority""".stripMargin,
     "xml_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
-        |  round(sum(s_acctbal), 2) AS sum_bal,
+        |  sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal,
         |  min(s_name) AS min_name
         |FROM supplier GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
