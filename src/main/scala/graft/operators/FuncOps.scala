@@ -123,18 +123,28 @@ object FuncOps {
     * the 100 TB path swaps in approx_count_distinct per column. */
   def profileLineitem(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // averages in pure-integer fixed point (Money.scala); stddev stays
+    // a rounded double — no fixed-point form exists and both engines'
+    // two-pass/Welford results have agreed at every gate so far
     val one = li.agg(
       count(lit(1)).as("n_rows"),
       count_distinct(col("l_orderkey")).as("orderkey_distinct"),
       sum(col("l_quantity").isNull.cast("long")).as("quantity_nulls"),
       round(min("l_quantity"), 2).as("quantity_min"),
       round(max("l_quantity"), 2).as("quantity_max"),
-      round(avg("l_quantity"), 4).as("quantity_avg"),
+      sum(col("l_quantity").cast("long")).as("qty_sum"),
       round(stddev_samp("l_quantity"), 4).as("quantity_std"),
       round(min("l_extendedprice"), 2).as("price_min"),
       round(max("l_extendedprice"), 2).as("price_max"),
-      round(avg("l_extendedprice"), 4).as("price_avg"),
+      sum(Money.cents(col("l_extendedprice"))).as("price_c"),
       count_distinct(col("l_returnflag")).as("returnflag_distinct"))
+      .select(
+        col("n_rows"), col("orderkey_distinct"), col("quantity_nulls"),
+        col("quantity_min"), col("quantity_max"),
+        Money.avgFp4("qty_sum", "n_rows", 10000L).as("quantity_avg"),
+        col("quantity_std"), col("price_min"), col("price_max"),
+        Money.avgFp4("price_c", "n_rows", 100L).as("price_avg"),
+        col("returnflag_distinct"))
     one.unpivot(Array.empty, one.columns.map(col),
         "metric", "value")
       .orderBy("metric")
@@ -189,7 +199,10 @@ object FuncOps {
       .groupBy("event_type", "key")
       .agg(count(lit(1)).as("n"),
         min("val").as("k_min"), max("val").as("k_max"),
-        round(avg("val"), 4).as("k_avg"))
+        sum(col("val").cast("long")).as("k_sum"))
+      .select(col("event_type"), col("key"), col("n"),
+        col("k_min"), col("k_max"),
+        Money.avgFp4("k_sum", "n", 10000L).as("k_avg"))
       .orderBy("event_type", "key")
   }
 
@@ -308,11 +321,13 @@ object FuncOps {
         |    AS quantity_nulls,
         |  round(min(l_quantity), 2) AS quantity_min,
         |  round(max(l_quantity), 2) AS quantity_max,
-        |  round(avg(l_quantity), 4) AS quantity_avg,
+        |  ((2 * sum(CAST(l_quantity AS BIGINT)) * 10000 + count(*))
+        |    // (2 * count(*))) / 10000.0 AS quantity_avg,
         |  round(stddev_samp(l_quantity), 4) AS quantity_std,
         |  round(min(l_extendedprice), 2) AS price_min,
         |  round(max(l_extendedprice), 2) AS price_max,
-        |  round(avg(l_extendedprice), 4) AS price_avg,
+        |  ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS price_avg,
         |  count(DISTINCT l_returnflag)::DOUBLE AS returnflag_distinct
         |FROM lineitem)
         |SELECT 'n_rows' AS metric, n_rows AS value FROM s
@@ -353,7 +368,8 @@ object FuncOps {
         |  count(*) AS n,
         |  min(json_extract(props, '$.' || key)::INT) AS k_min,
         |  max(json_extract(props, '$.' || key)::INT) AS k_max,
-        |  round(avg(json_extract(props, '$.' || key)::INT), 4) AS k_avg
+        |  ((2 * sum(json_extract(props, '$.' || key)::BIGINT) * 10000
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS k_avg
         |FROM kv
         |GROUP BY event_type, key
         |ORDER BY event_type, key""".stripMargin,

@@ -75,8 +75,7 @@ object JoinOps {
         col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        Money.money2(sum(Money.revCents4)).as("revenue"))
       .transform(Present.sorted(_, col("tier")))
   }
 
@@ -140,7 +139,8 @@ object JoinOps {
       """WITH tiers(tier, lo, hi) AS (VALUES
         |  ('low', 1, 10), ('mid', 10, 25), ('high', 25, 40), ('top', 40, 51))
         |SELECT tier, count(*) AS n,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) + 50) // 100) / 100.0 AS revenue
         |FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
     "asof_join" ->

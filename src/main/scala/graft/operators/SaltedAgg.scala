@@ -112,7 +112,7 @@ object SaltedAgg {
         .join(Tables.nation(s, d), col("hk") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_items"),
-          round(sum("l_extendedprice"), 2).as("revenue"))
+          (sum(Money.cents(col("l_extendedprice"))) / 100.0).as("revenue"))
       // collect() executes THIS QueryExecution, so AQE finalizes the
       // plan we record (df.write would spawn its own execution and
       // leave this one un-run); the landed table is rebuilt from the
@@ -141,7 +141,7 @@ object SaltedAgg {
     "wordcount_salted" -> TextOps.oracle("wordcount"),
     "skew_join_aqe" ->
       """SELECT n_name, count(*) AS n_items,
-        |  round(sum(l_extendedprice), 2) AS revenue
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem JOIN nation
         |  ON (CASE WHEN l_partkey % 25 < 22 THEN 0
         |      ELSE l_partkey % 25 END) = n_nationkey
