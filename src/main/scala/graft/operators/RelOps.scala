@@ -262,6 +262,27 @@ object RelOps {
       .transform(Present.sortedUnbounded(_, col("o_orderkey")))
   }
 
+  /** Time-RANGE window frame — the frame type [[windowFrames]] does
+    * NOT cover: a trailing 30-DAY interval over event time, where the
+    * frame holds every PEER row inside the time band (not a fixed row
+    * count). The canonical "trailing-month customer spend" analytic.
+    * RANGE frames are tie-insensitive by definition (all peers of the
+    * current timestamp are in-frame), so the output is deterministic
+    * without an intra-frame tie-break; the row itself still carries
+    * the orderkey for a total presentation order. Sums run in exact
+    * cents. One shuffle on custkey. */
+  def windowRangeInterval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = "PARTITION BY o_custkey ORDER BY o_orderdate " +
+      "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW"
+    Tables.orders(s, d)
+      .withColumn("cents", Money.cents(col("o_totalprice")))
+      .selectExpr("o_orderkey", "o_custkey",
+        s"sum(cents) OVER ($w) / CAST(100 AS DOUBLE) AS spend_30d",
+        s"count(*) OVER ($w) AS n_30d")
+      .transform(Present.sortedUnbounded(_, col("o_orderkey")))
+  }
+
   /** Top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
     * per-partition heaps + a k-row driver merge, no global sort. */
   def topkOrders(s: SparkSession, d: String): DataFrame =
@@ -347,7 +368,35 @@ object RelOps {
           greatest(col("exact_users") * lit(0.15), lit(16.0))).as("approx_ok"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    * Spark 4's hll_* functions): build one sketch PER DAY, then merge
+    * the partial sketches per event type and estimate — the two-level
+    * shape a warehouse lands per-partition sketches in, so "distinct
+    * users over any date range" is a sketch-union over the range, not
+    * a rescan (state per (type, day) is a ~KB sketch; the raw column
+    * is read exactly once, ever). Same bracket gate as
+    * [[approxDistinct]]: the sketch value is engine-specific, so the
+    * output is the EXACT cardinality (the oracle recomputes it) plus
+    * a boolean pinning the merged estimate inside 3× the sketch's
+    * nominal error; DuckDB emits literal TRUE. */
+  def hllDailyMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val merged = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+      .join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.15), lit(16.0))).as("merge_ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_daily_merge"    -> hllDailyMerge _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders"      -> q3TopOrders _,
     "q5_nation_revenue"  -> q5NationRevenue _,
@@ -360,6 +409,7 @@ object RelOps {
     "cube_lineitem"      -> cubeLineitem _,
     "window_orders"      -> windowOrders _,
     "window_frames"      -> windowFrames _,
+    "window_range_interval" -> windowRangeInterval _,
     "topk_orders"        -> topkOrders _,
     "setops_nations"     -> setOpsNations _,
     "scalar_funcs"       -> scalarFuncs _,
@@ -369,6 +419,10 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "hll_daily_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merge_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS approx_ok
@@ -497,6 +551,15 @@ object RelOps {
         |FROM orders
         |WINDOW d AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       p AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_range_interval" ->
+      """SELECT o_orderkey, o_custkey,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0
+        |    AS spend_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

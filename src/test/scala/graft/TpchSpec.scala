@@ -76,8 +76,7 @@ class TpchSpec extends SparkSpec {
       .toDF("sum4")
     val got = rows.select(
         col("sum4"),
-        ((col("sum4") + lit(50L)) - pmod(col("sum4") + lit(50L), lit(100L)))
-          ./(lit(100L))./(lit(100.0)).as("m"))
+        graft.operators.Money.money2(col("sum4")).as("m"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got(3078435950L) == 307843.60)
     assert(got(100L) == 0.01)  // exactly one cent
