@@ -374,6 +374,61 @@ object ScaleRehearsal {
     }
   }
 
+  // embeddings sf0.1: vec_id < 2 000
+  private val VecRange = 1000000L
+
+  /** Stage `mult` isomorphic embedding shards: per-shard dimension
+    * rotation (k·7 mod 64, sign-flip past one full rotation cycle) —
+    * a coordinate permutation, so norms and SAME-SHARD dot products
+    * are preserved exactly (each shard replicates the 1× pair
+    * geometry) while cross-shard vectors decorrelate. The round-7
+    * similarity rehearsal's method, now committed. */
+  def stageEmbeddings(s: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = stagedDir("emb", sfDir, mult)
+    val fp = sourceFingerprint(Seq(
+      java.nio.file.Paths.get(sfDir, "embeddings.parquet")))
+    if (isStaged(dir, fp)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val base = Tables.embeddings(s, sfDir)
+    val all = (0 until mult).map { k =>
+      val rot = (k * 7) % 64
+      val rotated = transform(sequence(lit(0), lit(63)),
+        i => element_at(col("embedding"), ((i + lit(rot)) % 64) + 1))
+      val e = if (k >= 64) transform(rotated, x => -x) else rotated
+      base.select((col("vec_id") + lit(k * VecRange)).as("vec_id"),
+        e.as("embedding"), col("label"))
+    }.reduce(_ union _)
+    all.write.parquet(dir.resolve("embeddings.parquet").toString)
+    markStaged(dir, fp)
+    dir.toString
+  }
+
+  /** semdedup over staged embedding multiples with K ∝ N — the
+    * published knob that keeps cells ~constant-sized. The index lands
+    * once per (multiple, K) OUTSIDE the measure (it is the landed
+    * artifact in production; its build cost at real scale is the
+    * kmeans literature's problem, not this operator's), so the
+    * measured op is the within-cell pair pass + keep-first partial
+    * min-agg. Expectation: linear records/bytes in the multiple —
+    * a FIXED K would instead grow cells with N and go quadratic. */
+  def runSimilarity(s: SparkSession, sfDir: String, mults: Seq[Int],
+                    passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageEmbeddings(s, sfDir, m)
+      val k = operators.Similarity.IvfClusters * m
+      val idxDir = java.nio.file.Paths.get(staged, s"idx_k$k")
+      if (!java.nio.file.Files.exists(idxDir.resolve("_SUCCESS")))
+        operators.Similarity.ivfBuild(s, staged, k)._1
+          .write.mode("overwrite").parquet(idxDir.toString)
+      measure(s, listener, "similarity", "semdedup", m, passes)(
+        operators.Similarity.semDedupFrom(s,
+          s.read.parquet(idxDir.toString)))
+    }
+  }
+
   /** The q18 body over PRE-BUCKETED facts — the layout SCALE.md's
     * fact⋈fact note claims removes the join shuffles entirely. Both
     * facts land bucketed+sorted on orderkey once per multiple (the
@@ -582,6 +637,8 @@ object ScaleRehearsal {
       runEvents(spark, sfDir, mults)
     if (family == "topk")
       runTopK(spark, sfDir, mults)
+    if (family == "similarity")
+      runSimilarity(spark, sfDir, mults)
     spark.stop()
   }
 }

@@ -228,14 +228,15 @@ object Similarity {
     * Each Lloyd step is one broadcast-join pass over the corpus plus a
     * (cid, dim)-keyed aggregation — no step ever shuffles vectors by
     * anything wider than the K·64 centroid table. */
-  def ivfBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  def ivfBuild(s: SparkSession, d: String,
+               k: Int = IvfClusters): (DataFrame, DataFrame) = {
     val e = emb(s, d)
     // deterministic pseudo-random K-row sample by md5 rank (engine-
     // neutral, like every split/sample op); orderBy+limit plans as
     // TakeOrdered (distributed partial top-K), not a global sort
     val seeds = e.orderBy(Dedup.md5Hash60(col("vec_id").cast("string")),
         col("vec_id"))
-      .limit(IvfClusters)
+      .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // assignment compares cosines ROUNDED to 9 places with a cid
     // tie-break: bit-identical across engines by construction (same
@@ -441,6 +442,91 @@ object Similarity {
       .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
+  /** Characters of document text returned per retrieved passage. */
+  val RagPassageChars = 40
+
+  /** Retrieval compose (the RAG serving path): ANN top-k over the
+    * landed IVF index, then fetch each hit's document text by id.
+    * The hit list is bounded by construction (NumQueries × TopK), so
+    * it collects to a literal id set and the document fetch is a
+    * scan with a pushed `doc_id IN (...)` filter — the row-group-
+    * skipping point-lookup shape a real retrieval layer runs, not a
+    * corpus join. vec_id keys the embedding of the same-numbered
+    * document (doc_id ≡ vec_id where both exist; the testdata doc
+    * table is a superset at every sf). HASH-GATED: the ann_ivf chain
+    * replays in DuckDB and the passage is a plain substring. */
+  def ragRetrieve(s: SparkSession, d: String): DataFrame = {
+    val hitRows = annIvf(s, d).collect() // ≤ NumQueries×TopK by construction
+    val hits = s.createDataFrame(
+      java.util.Arrays.asList(hitRows: _*), annIvf(s, d).schema)
+    val ids = hitRows.map(_.getLong(2)).distinct.toIndexedSeq
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"),
+        substring(col("text"), 1, RagPassageChars).as("passage"))
+    docs.join(broadcast(hits), col("doc_id") === col("neighbor"))
+      .select(col("q_id"), col("rn"), col("neighbor"), col("cos"),
+        col("passage"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
+  /** Within-cell similarity threshold for semantic dedup — matches
+    * [[neardupEmbedding]]'s 0.35 (this synthetic corpus is near-random
+    * and tops out around there; real embedding corpora run the
+    * published 0.9+). */
+  val SemDedupMinCos = 0.35
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540 — public): semantic
+    * deduplication by k-means cell + within-cell pairwise cosine. A
+    * vector is REMOVED iff some LOWER-id member of its cell has
+    * cosine >= threshold with it (the released implementation's
+    * keep-lowest-index rule); the emitted `dup_of` is the smallest
+    * such earlier member. This is the dedup rung above
+    * `neardup_embedding`: the cell structure makes it corpus-wide
+    * (no bounded id window) while never forming a global pair join.
+    *
+    * Scale shape: reads the LANDED IVF index (cells = coarse cid, the
+    * same artifact ann_ivf probes), self-joins per cell — Σ|cell|²
+    * pair work, which is exactly the published algorithm's cost and is
+    * controlled by growing K with the corpus (the paper's knob; cells
+    * stay ~constant-sized). The pair relation is consumed map-side by
+    * a partial min-aggregate, so the only rows that reach the second
+    * exchange are (vec_id, dup_of) — one per removed vector, never
+    * the pairs. HASH-GATED: the index build is engine-deterministic
+    * (md5 seeds + fixed-point Lloyd), so the DuckDB oracle replays
+    * index → within-cell pairs → keep-first verbatim. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupFrom(s, ivfStore(s, d)._1)
+
+  /** [[semDedup]] with an explicit cell count — the scale knob. The
+    * gated query reads the landed K=[[IvfClusters]] index; a real
+    * deployment grows K with the corpus so cells stay ~constant-sized
+    * and the Σ|cell|² pair work stays linear in N (the rehearsal
+    * measures exactly this; a FIXED K under a growing corpus is the
+    * quadratic trap). */
+  def semDedupScaled(s: SparkSession, d: String, k: Int): DataFrame =
+    semDedupFrom(s, ivfBuild(s, d, k)._1)
+
+  private[graft] def semDedupFrom(s: SparkSession, idx: DataFrame): DataFrame = {
+    val a = idx.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = idx.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("va"), col("vb")),
+        6))
+      .filter(col("cos") >= SemDedupMinCos)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("dup_of"))
+    idx.select("vec_id", "cid")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+      .transform(Present.sortedUnbounded(_, col("vec_id")))
+  }
+
   /** Per-label centroid + the member furthest from its centroid — an
     * embedding-quality / outlier-mining aggregate (array avg via
     * element-wise sums). */
@@ -501,6 +587,8 @@ object Similarity {
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
     "ann_ivf_pq"        -> annIvfPq _,
+    "semdedup"          -> semDedup _,
+    "rag_retrieve"      -> ragRetrieve _,
     "label_outliers"    -> labelCentroidOutlier _,
     "embed_quantize"    -> embedQuantizeGated _,
   )
@@ -533,7 +621,63 @@ object Similarity {
        |    GROUP BY cid, i)
        |  GROUP BY cid)""".stripMargin
 
+  /** The deterministic IVF index build (seeds → 2 Lloyd rounds →
+    * final assignment `idx`) as a shared CTE prefix — the exact chain
+    * ann_ivf/ann_ivf_pq inline. */
+  private def ivfIdxSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+       |    vec_id
+       |  LIMIT $IvfClusters),
+       |${assignSql("a0", "seeds")},
+       |${meansSql("c1", "a0")},
+       |${assignSql("a1", "c1")},
+       |${meansSql("c2", "a1")},
+       |${assignSql("idx", "c2")}""".stripMargin
+
+  /** ann_ivf's probe → in-cell score → per-query rank tail as a CTE
+    * suffix ending in `hits` — the exact chain ann_ivf's oracle
+    * inlines, shared by the retrieval compose. */
+  private def ivfHitsSql: String =
+    s"""probes AS (
+       |  SELECT q_id, qv, cid FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.cv", 9)} DESC, c.cid) AS pr
+       |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < $NumQueries)
+       |  WHERE pr <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.q_id, x.vec_id, ${cosSql("x.v", "p.qv", 6)} AS cos
+       |  FROM idx x JOIN probes p ON x.cid = p.cid
+       |  WHERE x.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored),
+       |hits AS (
+       |  SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+       |  WHERE rn <= $TopK)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "rag_retrieve" ->
+      s"""WITH $ivfIdxSql,
+         |$ivfHitsSql
+         |SELECT h.q_id, h.rn, h.neighbor, h.cos,
+         |  substring(d.text, 1, $RagPassageChars) AS passage
+         |FROM hits h JOIN documents d ON d.doc_id = h.neighbor
+         |ORDER BY h.q_id, h.rn""".stripMargin,
+    "semdedup" ->
+      s"""WITH $ivfIdxSql,
+         |dups AS (
+         |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", 6)} >= $SemDedupMinCos
+         |  GROUP BY b.vec_id)
+         |SELECT i.vec_id, i.cid, d.vec_id IS NULL AS kept, d.dup_of
+         |FROM idx i LEFT JOIN dups d ON i.vec_id = d.vec_id
+         |ORDER BY i.vec_id""".stripMargin,
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (

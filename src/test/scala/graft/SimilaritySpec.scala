@@ -128,6 +128,86 @@ class SimilaritySpec extends SparkSpec {
       "a repeat PQ consumer re-built the landed code store")
   }
 
+  test("semdedup: keep-first rule replayed exactly against the index") {
+    import org.apache.spark.sql.functions._
+    val idx = Similarity.ivfIndex(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val byId = idx.map(t => t._1 -> t).toMap
+    val out = Similarity.semDedup(spark, sfDir).collect()
+    // partitions the corpus: one row per vector, kept xor removed
+    assert(out.length == idx.length)
+    assert(out.map(_.getLong(0)).distinct.length == idx.length)
+    val tau = Similarity.SemDedupMinCos
+    out.foreach { r =>
+      val (id, v, cid) = byId(r.getLong(0))
+      assert(r.getLong(1) == cid, s"vec $id: cid drifted")
+      if (r.getBoolean(2)) {
+        assert(r.isNullAt(3), s"kept vec $id carries dup_of")
+        // no earlier same-cell member strictly above the threshold
+        // (guard band excuses exact-boundary rounding)
+        idx.filter(t => t._3 == cid && t._1 < id).foreach { case (u, uv, _) =>
+          assert(cos(uv, v) < tau + 1e-6,
+            s"kept vec $id has earlier near neighbor $u")
+        }
+      } else {
+        val dupOf = r.getLong(3)
+        val (_, uv, ucid) = byId(dupOf)
+        assert(dupOf < id && ucid == cid,
+          s"removed vec $id: dup_of $dupOf not an earlier cell-mate")
+        assert(cos(uv, v) >= tau - 1e-6,
+          s"removed vec $id: dup_of $dupOf below threshold")
+        // minimality: no earlier id strictly above the threshold
+        idx.filter(t => t._3 == cid && t._1 < dupOf).foreach {
+          case (u, uv2, _) =>
+            assert(cos(uv2, v) < tau + 1e-6,
+              s"removed vec $id: $u beats recorded dup_of $dupOf")
+        }
+      }
+    }
+    // the rule actually fires on this corpus (the gate is vacuous if
+    // nothing is ever removed)
+    assert(out.exists(r => !r.getBoolean(2)), "semdedup removed nothing")
+  }
+
+  test("rag_retrieve: hits ≡ ann_ivf, passages are the doc heads, fetch is pushed") {
+    import org.apache.spark.sql.functions._
+    val hits = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val out = Similarity.ragRetrieve(spark, sfDir).collect()
+    assert(out.length == hits.size, "retrieval must keep every ANN hit")
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      assert(hits(key) == ((r.getLong(2), r.getDouble(3))),
+        s"hit drifted at $key")
+      // code-point take: Spark's substring counts code points, not
+      // UTF-16 units
+      val cps = texts(r.getLong(2)).codePoints().toArray
+        .take(Similarity.RagPassageChars)
+      val expect = new String(cps, 0, cps.length)
+      assert(r.getString(4) == expect, s"passage mismatch at $key")
+    }
+    // the doc fetch is a point lookup: the IN filter reaches the scan
+    val plan = Similarity.ragRetrieve(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val docScan = plan.linesIterator
+      .filter(l => l.contains("documents.parquet") || l.contains("documents"))
+      .mkString("\n")
+    assert(plan.contains("PushedFilters: [") && plan.contains("In(doc_id"),
+      s"doc fetch not pushed:\n$docScan")
+  }
+
   test("ivf index assigns every vector to exactly one cluster") {
     val idx = Similarity.ivfIndex(spark, sfDir)
     val n = graft.Tables.embeddings(spark, sfDir).count()
