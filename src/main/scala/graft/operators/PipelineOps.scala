@@ -70,6 +70,48 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** Fixed-point scale for the √count weights — 10³ keeps the
+    * integer quota product inside long headroom even at 10¹⁰ docs
+    * (1000·√10¹⁰ · 10¹⁰/2 ≈ 5·10¹⁷ < 2⁶³). */
+  val TempMixScale = 1000L
+
+  /** Temperature-weighted corpus mixing (the published α-sampling for
+    * multilingual balance — XLM-R/mBERT style, α = 0.5 here): target
+    * share per language ∝ count^α, which UP-samples rare languages
+    * relative to proportional and down-samples the head. Quotas are
+    * EXACT INTEGERS: w = round(√c · 10³) per language (one IEEE sqrt
+    * of an exact integer — correctly rounded in every engine), then
+    * quota = (⌊N/2⌋ · w) div Σw in pure long arithmetic, clamped to c
+    * (sampling is without replacement). Membership is the md5-rank
+    * window stratified_sample uses — deterministic, no RNG.
+    *
+    * Scale shape: one count aggregate (langs-sized), quotas ride a
+    * broadcast back onto the doc relation, and the per-lang rank is
+    * ONE window shuffle on lang; at pathological single-lang skew the
+    * md5 rank inherits the window's one-task-per-key hazard — shard
+    * the rank like pack_sequences if a real corpus concentrates in
+    * one language. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("sq",
+        round(sqrt(col("c")) * TempMixScale, 0).cast("long"))
+    val tot = counts.agg(sum("sq").as("tot_sq"), sum("c").as("n"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        least(col("c"), expr("((n div 2) * sq) div tot_sq")))
+      .select("lang", "quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(concat(lit("tmix"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "lang", "rk")
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** Corpus bigram counts (n-gram statistics for contamination checks
     * and LM eval decontamination): reuses the shingle generator —
     * scan → explode (narrow) → one shuffle on the bigram for the
@@ -794,6 +836,7 @@ object PipelineOps {
     "corpus_build"     -> corpusBuild _,
     "train_test_split" -> trainTestSplit _,
     "sample_by_source" -> sampleBySource _,
+    "temperature_mix"  -> temperatureMix _,
     "ngram_counts"     -> ngramCounts _,
     "text_clean"       -> textClean _,
     "dedup_clusters"   -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
@@ -935,6 +978,27 @@ object PipelineOps {
          |       WHEN ${bucketSql("doc_id::VARCHAR", 100, "split")} < 90 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact-integer quota replay: one IEEE sqrt per lang, fixed-point
+    // weight, pure BIGINT quota arithmetic (// ≙ Spark's div), same
+    // md5-rank membership window
+    "temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+         |sq AS (
+         |  SELECT lang, c, round(sqrt(c) * $TempMixScale)::BIGINT AS sq
+         |  FROM c),
+         |tot AS (
+         |  SELECT sum(sq)::BIGINT AS tot_sq, sum(c)::BIGINT AS n FROM sq),
+         |q AS (
+         |  SELECT lang, least(c, ((n // 2) * sq) // tot_sq) AS quota
+         |  FROM sq CROSS JOIN tot),
+         |rk AS (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5('tmix' || doc_id::VARCHAR), doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.lang, r.rk
+         |FROM rk r JOIN q USING (lang) WHERE r.rk <= q.quota
+         |ORDER BY r.doc_id""".stripMargin,
     "sample_by_source" ->
       s"""WITH w(w_source, keep_per_mille) AS (VALUES $mixValues)
          |SELECT doc_id, source,

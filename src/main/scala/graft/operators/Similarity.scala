@@ -508,15 +508,21 @@ object Similarity {
     semDedupFrom(s, ivfBuild(s, d, k)._1)
 
   private[graft] def semDedupFrom(s: SparkSession, idx: DataFrame): DataFrame = {
-    val a = idx.select(col("cid"), col("vec_id").as("id_a"),
-      col("v").as("va"))
-    val b = idx.select(col("cid"), col("vec_id").as("id_b"),
-      col("v").as("vb"))
-    val dups = a.join(b, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        graft.functions.GraftFunctions.cosineNative(s, col("va"), col("vb")),
-        6))
+    // alias self-join over the IDENTICAL subtree: once the relation
+    // outgrows the broadcast threshold the cid SMJ shuffles each
+    // side, but identical children canonicalize equal, so
+    // ReuseExchange ships the vectors ONCE and replays the shuffle
+    // files for the other side (plan-verified: 1 ReusedExchange with
+    // broadcast off; rehearsal at 50-100x: shuffle records ≈ N
+    // vectors + N narrow final-join rows, not 2N vectors, and both
+    // metrics double exactly from 50x to 100x)
+    val base = idx.select(col("cid"), col("vec_id"), col("v"))
+    val dups = base.alias("a").join(base.alias("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(graft.functions.GraftFunctions.cosineNative(s,
+          col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= SemDedupMinCos)
       .groupBy(col("id_b").as("vec_id"))
       .agg(min("id_a").as("dup_of"))

@@ -544,7 +544,62 @@ object TextAnalysis {
 
   private def enStopList: String = enStop.map(w => s"'$w'").mkString(", ")
 
+  /** Keep gate on the rounded per-doc average NLL (nats/token) —
+    * chosen at the synthetic corpus's ~p90 so the filter demonstrably
+    * removes a tail; a real deployment tunes this per language, as
+    * CCNet does. */
+  val PplMaxAvgNll = 3.41
+
+  /** CCNet-style perplexity filtering on a corpus-trained unigram LM
+    * (Wenzek et al., public: score each doc under a language model,
+    * drop the high-perplexity tail; the LM here is the corpus's own
+    * unigram distribution, so no external artifact is needed and
+    * every token has mass). Per-doc score = avg over tokens of
+    * -ln(cf/N) — emitted as `avg_nll` (nats/token; perplexity is
+    * exp(avg_nll), monotone, so gating on either is equivalent).
+    *
+    * Cross-engine exactness: each DISTINCT token's nll is quantized
+    * to 10⁻⁷ fixed point ONCE (round(-ln(p)·10⁷) as int64 — the
+    * dimMeans trick), and the per-doc aggregate is an INTEGER
+    * sum(tf·nllq), so the fold is order-independent — a float sum
+    * over tokens would differ between engines/partitionings. The only
+    * float steps are one ln per distinct token and one final division
+    * + round(6) per doc, both deterministic.
+    *
+    * Scale shape: tokenize once → (doc_id, word) partial-agged tf
+    * (one shuffle, key-bounded) → LM = word-keyed re-agg of those
+    * bounded rows (second shuffle carries distinct (doc,word) pairs,
+    * never raw tokens) → score join on word → one doc_id-keyed
+    * integer aggregate. The 1-row total rides a broadcast cross
+    * join (scalar-subquery shape). No corpus-sized relation is ever
+    * shuffled twice. */
+  def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dt = docs
+      .select(col("doc_id"), explode(cleanTokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val lm = dt.groupBy("word").agg(sum("tf").as("cf"))
+    val tot = lm.agg(sum("cf").as("n"))
+    val scored = dt.join(lm, "word").crossJoin(broadcast(tot))
+      .withColumn("nllq",
+        round(-log(col("cf").cast("double") / col("n").cast("double")) * 1e7,
+          0).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("nllq")).as("sumq"),
+        sum("tf").as("n_tokens"))
+      .withColumn("avg_nll", round(
+        col("sumq").cast("double") / (col("n_tokens").cast("double") * 1e7),
+        6))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_nll"),
+        coalesce(col("avg_nll") <= PplMaxAvgNll, lit(false)).as("kept"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "perplexity_filter" -> perplexityFilter _,
     "lang_id"      -> langId _,
     "text_quality" -> textQuality _,
     "repetition_stats" -> repetitionStats _,
@@ -560,6 +615,33 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // per-distinct-token nll quantized to 1e-7 fixed point, per-doc
+    // INTEGER sum(tf*nllq) — order-free; DuckDB sum widens to
+    // HUGEINT, cast back before the float division
+    "perplexity_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(
+         |    trim(lower(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |dt AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |lm AS (SELECT word, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(cf)::BIGINT AS n FROM lm),
+         |sc AS (
+         |  SELECT dt.doc_id,
+         |    sum(dt.tf * round(-ln(lm.cf::DOUBLE / tot.n::DOUBLE)
+         |      * 10000000)::BIGINT)::BIGINT AS sumq,
+         |    sum(dt.tf)::BIGINT AS n_tokens
+         |  FROM dt JOIN lm USING (word) CROSS JOIN tot
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_tokens, 0) AS n_tokens,
+         |  round(sc.sumq::DOUBLE / (sc.n_tokens::DOUBLE * 10000000.0), 6)
+         |    AS avg_nll,
+         |  coalesce(round(sc.sumq::DOUBLE
+         |    / (sc.n_tokens::DOUBLE * 10000000.0), 6) <= $PplMaxAvgNll,
+         |    FALSE) AS kept
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // the merge sequence replayed round by round: same pair counts,
     // same (cnt desc, lhs, rhs) winner, same greedy-parity application
     "bpe_merges" -> bpeSql,

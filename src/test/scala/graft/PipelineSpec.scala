@@ -27,6 +27,88 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("perplexity_filter: unigram-LM scoring replayed exactly in plain Scala") {
+    import graft.operators.TextAnalysis
+    // space-only trim mirrors SQL trim (NOT String.trim, which also
+    // strips control chars — the PipelineSpec line_dedup trap)
+    def sqlTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def toks(text: String): Seq[String] =
+      sqlTrim(text.toLowerCase(java.util.Locale.ROOT))
+        .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docToks = docs.view.mapValues(toks).toMap
+    val cf = docToks.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cf.values.sum.toDouble
+    val nllq = cf.view.mapValues(c =>
+      math.round(-math.log(c / n) * 1e7)).toMap
+    val out = TextAnalysis.perplexityFilter(spark, sfDir).collect()
+    assert(out.length == docs.size, "one row per document")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ts = docToks(id)
+      assert(r.getLong(1) == ts.length, s"doc $id token count")
+      if (ts.isEmpty) {
+        assert(r.isNullAt(2) && !r.getBoolean(3),
+          s"empty doc $id must score null and be dropped")
+      } else {
+        val sumq = ts.map(nllq).sum
+        val expect = BigDecimal(sumq.toDouble / (ts.length * 1e7))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+          s"doc $id avg_nll ${r.getDouble(2)} vs $expect")
+        assert(r.getBoolean(3) == (expect <= TextAnalysis.PplMaxAvgNll),
+          s"doc $id kept flag")
+      }
+    }
+    // the gate removes a real tail on this corpus but not everything
+    val keptN = out.count(_.getBoolean(3))
+    assert(keptN > 0 && keptN < out.length,
+      s"degenerate filter: kept $keptN of ${out.length}")
+  }
+
+  test("temperature_mix: exact quotas, md5 membership, α=0.5 flattens the mix") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sq = counts.view.mapValues(c =>
+      math.round(math.sqrt(c.toDouble) * PipelineOps.TempMixScale)).toMap
+    val totSq = sq.values.sum
+    val n = counts.values.sum
+    val quota = counts.map { case (l, c) =>
+      l -> math.min(c, ((n / 2) * sq(l)) / totSq) }
+    val out = PipelineOps.temperatureMix(spark, sfDir).collect()
+    val byLang = out.groupBy(_.getString(1))
+    quota.foreach { case (l, q) =>
+      assert(byLang.get(l).map(_.length.toLong).getOrElse(0L) == q,
+        s"quota for $l") }
+    // membership: per lang, exactly the quota smallest by md5 rank
+    def h(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tmix$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    docs.groupBy(_._2).foreach { case (l, ds) =>
+      val expect = ds.map(_._1).sortBy(id => (h(id), id))
+        .take(quota(l).toInt).toSet
+      val got = byLang.getOrElse(l, Array.empty).map(_.getLong(0)).toSet
+      assert(got == expect, s"membership for $l")
+    }
+    // α = 0.5 flattens: head lang loses share vs proportional, the
+    // rarest gains (this corpus is en-heavy, so both sides are real)
+    val head = counts.maxBy(_._2)._1
+    val tail = counts.minBy(_._2)._1
+    assert(head != tail, "corpus must be skewed for this gate")
+    def keptShare(l: String) = quota(l).toDouble / (n / 2)
+    def natShare(l: String) = counts(l).toDouble / n
+    assert(keptShare(head) < natShare(head),
+      s"head $head not down-sampled")
+    assert(keptShare(tail) > natShare(tail),
+      s"tail $tail not up-sampled")
+  }
+
   test("sample_by_source keeps within per-source thresholds") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.groupBy("source").count().collect()

@@ -177,6 +177,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(r => !r.getBoolean(2)), "semdedup removed nothing")
   }
 
+  test("semdedup self-join reuses one vector exchange with broadcast off") {
+    // past the broadcast threshold the cid self-join goes SMJ; the
+    // identical aliased children must share ONE vector shuffle
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = Similarity.semDedup(spark, sfDir)
+      df.collect() // AQE finalizes reuse in the executed plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"semdedup self-join shuffles the vectors twice:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("rag_retrieve: hits ≡ ann_ivf, passages are the doc heads, fetch is pushed") {
     import org.apache.spark.sql.functions._
     val hits = Similarity.annIvf(spark, sfDir).collect()
