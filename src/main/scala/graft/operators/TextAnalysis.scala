@@ -566,20 +566,49 @@ object TextAnalysis {
     * float steps are one ln per distinct token and one final division
     * + round(6) per doc, both deterministic.
     *
-    * Scale shape: tokenize once → (doc_id, word) partial-agged tf
-    * (one shuffle, key-bounded) → LM = word-keyed re-agg of those
-    * bounded rows (second shuffle carries distinct (doc,word) pairs,
-    * never raw tokens) → score join on word → one doc_id-keyed
-    * integer aggregate. The 1-row total rides a broadcast cross
-    * join (scalar-subquery shape). No corpus-sized relation is ever
-    * shuffled twice. */
+    * Scale shape: the LM lands once per dataset ([[lmStore]] — the
+    * train-once/score-many deployment split); each scoring execution
+    * is ONE tokenize pass → (doc_id, word) partial-agged tf (one
+    * key-bounded shuffle) → word join against the vocab-sized landed
+    * LM → one doc_id-keyed integer aggregate. The 1-row total rides
+    * a broadcast cross join (scalar-subquery shape). No corpus-sized
+    * relation is shuffled twice, and no tokenize head executes
+    * twice. */
+  /** Session-scoped LANDED unigram LM per dataset dir — (word, cf)
+    * parquet, built once (SigStore/ivfStore pattern). Without it the
+    * lm/total/score references re-derive the tokenize head up to 5×
+    * per execution (plan-measured); with it, LM training pays ONE
+    * corpus pass per dataset and every scoring query is one tokenize
+    * pass + a vocab-sized store read — the train-once/score-many
+    * deployment shape. */
+  private val lmStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lmIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so PipelineSpec can pin build-once. */
+  private[graft] val lmBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def lmStore(s: SparkSession, d: String): DataFrame = {
+    val root = lmStores.computeIfAbsent(d, _ => {
+      lmBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_lm",
+        s"m${lmIds.getAndIncrement()}").toString
+      Tables.documents(s, d)
+        .select(explode(cleanTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cf"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(root)
+  }
+
   def perplexityFilter(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    val lm = lmStore(s, d)
+    val tot = lm.agg(sum("cf").as("n"))
     val dt = docs
       .select(col("doc_id"), explode(cleanTokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val lm = dt.groupBy("word").agg(sum("tf").as("cf"))
-    val tot = lm.agg(sum("cf").as("n"))
     val scored = dt.join(lm, "word").crossJoin(broadcast(tot))
       .withColumn("nllq",
         round(-log(col("cf").cast("double") / col("n").cast("double")) * 1e7,

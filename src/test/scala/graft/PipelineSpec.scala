@@ -68,6 +68,12 @@ class PipelineSpec extends SparkSpec {
     val keptN = out.count(_.getBoolean(3))
     assert(keptN > 0 && keptN < out.length,
       s"degenerate filter: kept $keptN of ${out.length}")
+    // train-once/score-many: repeat scoring must read the landed LM,
+    // never re-train it
+    val builds = TextAnalysis.lmBuildCount.get()
+    TextAnalysis.perplexityFilter(spark, sfDir).collect()
+    assert(TextAnalysis.lmBuildCount.get() == builds,
+      "a repeat perplexity scoring re-built the landed LM")
   }
 
   test("temperature_mix: exact quotas, md5 membership, α=0.5 flattens the mix") {
