@@ -533,6 +533,43 @@ object Similarity {
       .transform(Present.sortedUnbounded(_, col("vec_id")))
   }
 
+  /** Every SemIncrEvery-th vec_id plays the "new batch" — the same
+    * synthetic-split convention as Dedup.IncrEvery. */
+  val SemIncrEvery = 5L
+
+  /** Incremental SemDeDup: only the NEW BATCH (vec_id ≡ 0 mod
+    * [[SemIncrEvery]]) is scored against the landed index — the
+    * steady-state ingestion shape, where yesterday's corpus is already
+    * deduped and only today's delta pays compute. Output is DEFINED
+    * equal to [[semDedup]] restricted to batch members (the spec
+    * asserts it; the oracle is the full rule + one filter).
+    *
+    * Scale shape: the batch rides a BROADCAST into the cid join, so
+    * the corpus-sized index NEVER shuffles — one store scan (in a
+    * cid-partitioned layout it prunes to the batch's cells, as the
+    * ann_ivf_pq store demonstrates) scored map-side, with only
+    * (vec_id, dup_of) partial-agg survivors entering any exchange.
+    * Probe cost ∝ batch × cell size, independent of corpus size. */
+  def semDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val (idx, _) = ivfStore(s, d)
+    val base = idx.select(col("cid"), col("vec_id"), col("v"))
+    val batch = base.filter(col("vec_id") % SemIncrEvery === 0)
+    val dups = base.alias("a").join(broadcast(batch.alias("b")),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(graft.functions.GraftFunctions.cosineNative(s,
+          col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= SemDedupMinCos)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("dup_of"))
+    batch.select("vec_id", "cid")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+      .transform(Present.sortedUnbounded(_, col("vec_id")))
+  }
+
   /** Per-label centroid + the member furthest from its centroid — an
     * embedding-quality / outlier-mining aggregate (array avg via
     * element-wise sums). */
@@ -594,6 +631,7 @@ object Similarity {
     "ann_ivf"           -> annIvf _,
     "ann_ivf_pq"        -> annIvfPq _,
     "semdedup"          -> semDedup _,
+    "semdedup_incremental" -> semDedupIncremental _,
     "rag_retrieve"      -> ragRetrieve _,
     "label_outliers"    -> labelCentroidOutlier _,
     "embed_quantize"    -> embedQuantizeGated _,
@@ -683,6 +721,19 @@ object Similarity {
          |  GROUP BY b.vec_id)
          |SELECT i.vec_id, i.cid, d.vec_id IS NULL AS kept, d.dup_of
          |FROM idx i LEFT JOIN dups d ON i.vec_id = d.vec_id
+         |ORDER BY i.vec_id""".stripMargin,
+    // the full rule + one batch filter: incremental ≡ restricted full
+    "semdedup_incremental" ->
+      s"""WITH $ivfIdxSql,
+         |dups AS (
+         |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", 6)} >= $SemDedupMinCos
+         |    AND b.vec_id % $SemIncrEvery = 0
+         |  GROUP BY b.vec_id)
+         |SELECT i.vec_id, i.cid, d.vec_id IS NULL AS kept, d.dup_of
+         |FROM idx i LEFT JOIN dups d ON i.vec_id = d.vec_id
+         |WHERE i.vec_id % $SemIncrEvery = 0
          |ORDER BY i.vec_id""".stripMargin,
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

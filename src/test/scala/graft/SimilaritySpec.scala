@@ -177,6 +177,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(r => !r.getBoolean(2)), "semdedup removed nothing")
   }
 
+  test("semdedup_incremental ≡ semdedup restricted to the batch; batch broadcasts") {
+    val full = Similarity.semDedup(spark, sfDir).collect()
+      .filter(_.getLong(0) % Similarity.SemIncrEvery == 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val incr = Similarity.semDedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(incr.toSeq == full.toSeq,
+      "incremental probe drifted from the restricted full rule")
+    // the probe side broadcasts: the corpus-sized index never shuffles
+    val df = Similarity.semDedupIncremental(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch probe is not a broadcast join:\n$plan")
+  }
+
   test("semdedup self-join reuses one vector exchange with broadcast off") {
     // past the broadcast threshold the cid self-join goes SMJ; the
     // identical aliased children must share ONE vector shuffle
