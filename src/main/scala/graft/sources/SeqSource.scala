@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector — the SOURCES rung of the extension
+  * ladder (alongside the native `Expression`, the optimizer `Rule`,
+  * and the `SparkStrategy`+`SparkPlan` operator): a deterministic
+  * generated table `graftseq` wired through the full DSv2 read
+  * protocol. The reference's storage layer is a bespoke chunk store
+  * read through custom RPC (`KeyValueStore/KeyValueStore.py:13-59`,
+  * `Master/Master.py:195-254`); the Spark-native analogue of "teach
+  * the engine a new storage system" is exactly this interface, and
+  * unlike a wrapped RDD it participates in Catalyst: required-column
+  * pruning, id-range filter pushdown (EXACT — accepted filters are
+  * consumed, not re-evaluated), and partition planning all reach the
+  * scan.
+  *
+  * Rows: id ∈ [0, n); bucket = md5-60("seq"+id) % 100 (the engine's
+  * standard engine-neutral hash, so DuckDB replays content exactly);
+  * word = "w" + id%50. Options: n (rows), parts (target split count).
+  *
+  * Scale shape: `planInputPartitions` splits the SURVIVING id range
+  * after pushdown, so a selective id predicate prunes whole splits
+  * before any task launches (the generated-source analogue of
+  * partition pruning); each split streams rows with O(1) state. */
+class SeqSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new SeqTable(properties.getOrDefault("n", "1000").toLong,
+      properties.getOrDefault("parts", "4").toInt)
+}
+
+object SeqSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("word", StringType, nullable = false)))
+
+  /** md5-60 of "seq"+id, mod 100 — Dedup.md5Hash60's semantics on the
+    * JVM side so the SQL twin is the usual ('0x' || substring(md5(…),
+    * 1, 15))::BIGINT % 100. */
+  def bucketOf(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"seq$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 100L
+  }
+}
+
+class SeqTable(n: Long, parts: Int) extends Table with SupportsRead {
+  override def name: String = s"graftseq(n=$n)"
+  override def schema: StructType = SeqSource.schema
+  override def capabilities: java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(n, parts)
+}
+
+/** Folds id-range predicates into [lo, hi) at PLANNING time; every
+  * accepted filter is exact (no post-scan re-evaluation), everything
+  * else is handed back to Spark. */
+class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = n
+  private var accepted = Array.empty[Filter]
+  private var required = SeqSource.schema
+
+  private def isId(att: String): Boolean = att.equalsIgnoreCase("id")
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo(a, _: java.lang.Long | _: java.lang.Integer) => isId(a)
+      case GreaterThan(a, _: java.lang.Long | _: java.lang.Integer) => isId(a)
+      case GreaterThanOrEqual(a, _: java.lang.Long | _: java.lang.Integer) => isId(a)
+      case LessThan(a, _: java.lang.Long | _: java.lang.Integer) => isId(a)
+      case LessThanOrEqual(a, _: java.lang.Long | _: java.lang.Integer) => isId(a)
+      case _ => false
+    }
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+    }
+    ours.foreach {
+      case EqualTo(_, v)            => lo = math.max(lo, num(v)); hi = math.min(hi, num(v) + 1)
+      case GreaterThan(_, v)        => lo = math.max(lo, num(v) + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
+      case LessThan(_, v)           => hi = math.min(hi, num(v))
+      case LessThanOrEqual(_, v)    => hi = math.min(hi, num(v) + 1)
+      case _                        => ()
+    }
+    accepted = ours
+    rest
+  }
+  override def pushedFilters: Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SeqScan(lo, math.max(lo, hi), parts, required)
+}
+
+class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema: StructType = required
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graftseq range [$lo, $hi) cols ${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = hi - lo
+    if (total <= 0) return Array.empty
+    val k = math.max(1, math.min(parts.toLong, total)).toInt
+    val step = (total + k - 1) / k
+    (0 until k).iterator
+      .map(i => SeqRange(lo + i * step, math.min(hi, lo + (i + 1) * step)))
+      .filter(r => r.hi > r.lo).map(_.asInstanceOf[InputPartition]).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames.toIndexedSeq)
+}
+
+case class SeqRange(lo: Long, hi: Long) extends InputPartition
+
+class SeqReaderFactory(cols: IndexedSeq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SeqRange]
+    new PartitionReader[InternalRow] {
+      private var cur = r.lo - 1
+      override def next(): Boolean = { cur += 1; cur < r.hi }
+      override def get(): InternalRow = {
+        val vals = cols.map {
+          case "id"     => java.lang.Long.valueOf(cur)
+          case "bucket" => java.lang.Long.valueOf(SeqSource.bucketOf(cur))
+          case "word"   => UTF8String.fromString("w" + (cur % 50))
+        }
+        new GenericInternalRow(vals.toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

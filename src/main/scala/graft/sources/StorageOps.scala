@@ -143,6 +143,22 @@ object StorageOps {
     * point a supplier dim no longer broadcasts, the warehouse answer
     * is the same one used here — land it bucketed on s_suppkey and
     * extend the layout, not the query. */
+  /** Read through the custom DSv2 connector ([[SeqSource]] — the
+    * sources rung of the extension ladder): a selective id predicate
+    * and a narrow projection must BOTH reach the custom scan (range
+    * folded at planning time, word column pruned — SourcesSpec pins
+    * the scan description), then a standard aggregate runs on top.
+    * The dataset dir is unused: the source generates its rows, and
+    * the DuckDB oracle replays them from range() + the md5 bucket. */
+  val Dsv2N = 100000L
+  def dsv2Scan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", Dsv2N.toString).option("parts", "8").load()
+      .filter(col("id") >= Dsv2N / 4 && col("id") < Dsv2N * 3 / 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), sum("id").as("sum_id"))
+      .transform(Present.sorted(_, col("bucket")))
+
   def q9Bucketed(s: SparkSession, d: String): DataFrame = {
     ensureWarehouse(s, d)
     val promoParts = broadcast(
@@ -509,6 +525,7 @@ object StorageOps {
     "bucketed_join"    -> bucketedJoin _,
     "q18_bucketed"     -> q18Bucketed _,
     "q9_bucketed"      -> q9Bucketed _,
+    "dsv2_scan"        -> dsv2Scan _,
     "sorted_layout"    -> sortedLayout _,
     "zorder_layout"    -> zorderLayout _,
     "schema_evolution" -> schemaEvolution _,
@@ -541,6 +558,15 @@ object StorageOps {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    // the generated source replayed from range(): same id window,
+    // same md5-60 bucket; DuckDB sum widens to HUGEINT, cast back
+    "dsv2_scan" ->
+      s"""SELECT bucket, count(*) AS cnt, sum(i)::BIGINT AS sum_id FROM (
+         |  SELECT i,
+         |    ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |      % 100 AS bucket
+         |  FROM range(${Dsv2N / 4}, ${Dsv2N * 3 / 4}) t(i))
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q9_bucketed" ->
       """SELECT n_name AS nation,
         |  year(o_orderdate) AS o_year,

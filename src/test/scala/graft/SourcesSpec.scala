@@ -73,6 +73,37 @@ class SourcesSpec extends SparkSpec {
     assert(TextSources.resolve(spark, "just an inline data string").count() == 1)
   }
 
+  test("dsv2 source: range pushdown, column pruning, partition planning") {
+    import graft.sources.{SeqSource, StorageOps}
+    // the registered query's plan: the custom scan must show the
+    // FOLDED id range (filters consumed at planning) and only the
+    // surviving columns (word pruned away by the aggregate)
+    val df = StorageOps.dsv2Scan(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val lohi = (StorageOps.Dsv2N / 4, StorageOps.Dsv2N * 3 / 4)
+    assert(plan.contains(s"graftseq range [${lohi._1}, ${lohi._2})"),
+      s"id filter did not reach the custom scan:\n$plan")
+    assert(plan.contains("cols id,bucket") && !plan.contains("word"),
+      s"projection did not prune the word column:\n$plan")
+    // a fully-selective point predicate collapses partition planning
+    // to one split of one row
+    val one = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000").option("parts", "8").load()
+      .filter(col("id") === 17L)
+    val rows = one.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 17L)
+    assert(rows.head.getLong(1) == SeqSource.bucketOf(17L))
+    assert(rows.head.getString(2) == "w17")
+    assert(one.rdd.getNumPartitions == 1,
+      "point lookup should plan exactly one input partition")
+    // an out-of-range predicate plans zero splits (and zero rows)
+    val none = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000").option("parts", "8").load()
+      .filter(col("id") >= 5000L)
+    assert(none.count() == 0)
+  }
+
   test("S6 JSON sink roundtrip") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_json").toString
