@@ -159,6 +159,23 @@ object StorageOps {
       .agg(count(lit(1)).as("cnt"), sum("id").as("sum_id"))
       .transform(Present.sorted(_, col("bucket")))
 
+  /** Write through the custom DSv2 sink ([[CountSink]]): orders'
+    * keys stream through per-task `DataWriter`s, each partition's
+    * (rows, sum) rides its `WriterCommitMessage`, and the driver-side
+    * `BatchWrite.commit` aggregation IS the query result — gated
+    * against a plain aggregate of the same relation, so any lost /
+    * duplicated / double-committed partition message hash-fails. */
+  def dsv2Write(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val runId = java.util.UUID.randomUUID().toString
+    Tables.orders(s, d).select("o_orderkey")
+      .write.format("graft.sources.CountSink")
+      .option("runid", runId).mode("append").save()
+    val (rows, sum) = CountSink.take(runId).getOrElse(
+      throw new IllegalStateException("CountSink committed nothing"))
+    Seq((rows, sum)).toDF("n_rows", "sum_orderkey")
+  }
+
   def q9Bucketed(s: SparkSession, d: String): DataFrame = {
     ensureWarehouse(s, d)
     val promoParts = broadcast(
@@ -526,6 +543,7 @@ object StorageOps {
     "q18_bucketed"     -> q18Bucketed _,
     "q9_bucketed"      -> q9Bucketed _,
     "dsv2_scan"        -> dsv2Scan _,
+    "dsv2_write"       -> dsv2Write _,
     "sorted_layout"    -> sortedLayout _,
     "zorder_layout"    -> zorderLayout _,
     "schema_evolution" -> schemaEvolution _,
@@ -567,6 +585,11 @@ object StorageOps {
          |      % 100 AS bucket
          |  FROM range(${Dsv2N / 4}, ${Dsv2N * 3 / 4}) t(i))
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the committed totals must equal a plain aggregate of the input
+    "dsv2_write" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(o_orderkey)::BIGINT AS sum_orderkey
+        |FROM orders""".stripMargin,
     "q9_bucketed" ->
       """SELECT n_name AS nation,
         |  year(o_orderdate) AS o_year,

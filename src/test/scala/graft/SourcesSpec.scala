@@ -104,6 +104,19 @@ class SourcesSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("dsv2 sink: per-partition commit messages aggregate to the exact totals") {
+    import graft.sources.StorageOps
+    val out = StorageOps.dsv2Write(spark, sfDir).collect()
+    assert(out.length == 1)
+    val expect = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)), sum("o_orderkey")).head()
+    assert(out.head.getLong(0) == expect.getLong(0), "row count drifted")
+    assert(out.head.getLong(1) == expect.getLong(1), "key sum drifted")
+    // repeat runs are independent commits (no cross-run state bleed)
+    val again = StorageOps.dsv2Write(spark, sfDir).collect()
+    assert(again.head == out.head)
+  }
+
   test("S6 JSON sink roundtrip") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_json").toString
