@@ -37,7 +37,8 @@ class SeqSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new SeqTable(properties.getOrDefault("n", "1000").toLong,
-      properties.getOrDefault("parts", "4").toInt)
+      properties.getOrDefault("parts", "4").toInt,
+      properties.getOrDefault("batchrows", "30000").toLong)
 }
 
 object SeqSource {
@@ -57,19 +58,22 @@ object SeqSource {
   }
 }
 
-class SeqTable(n: Long, parts: Int) extends Table with SupportsRead {
+class SeqTable(n: Long, parts: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name: String = s"graftseq(n=$n)"
   override def schema: StructType = SeqSource.schema
   override def capabilities: java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, parts)
+    new SeqScanBuilder(n, parts, batchRows)
 }
 
 /** Folds id-range predicates into [lo, hi) at PLANNING time; every
   * accepted filter is exact (no post-scan re-evaluation), everything
   * else is handed back to Spark. */
-class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
+class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = n
@@ -105,16 +109,13 @@ class SeqScanBuilder(n: Long, parts: Int) extends ScanBuilder
   override def pushedFilters: Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SeqScan(lo, math.max(lo, hi), parts, required)
+  override def build(): Scan =
+    new SeqScan(lo, math.max(lo, hi), parts, required, batchRows)
 }
 
-class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
-    extends Scan with Batch {
-  override def readSchema: StructType = required
-  override def toBatch: Batch = this
-  override def description: String =
-    s"graftseq range [$lo, $hi) cols ${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] = {
+object SeqScan {
+  /** Split [lo, hi) into ≤ parts contiguous non-empty ranges. */
+  def splitRange(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
     val total = hi - lo
     if (total <= 0) return Array.empty
     val k = math.max(1, math.min(parts.toLong, total)).toInt
@@ -123,11 +124,71 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
       .map(i => SeqRange(lo + i * step, math.min(hi, lo + (i + 1) * step)))
       .filter(r => r.hi > r.lo).map(_.asInstanceOf[InputPartition]).toArray
   }
+}
+
+class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
+              batchRows: Long) extends Scan with Batch {
+  override def readSchema: StructType = required
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graftseq range [$lo, $hi) cols ${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    SeqScan.splitRange(lo, hi, parts)
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames.toIndexedSeq)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, parts, required, batchRows)
 }
 
 case class SeqRange(lo: Long, hi: Long) extends InputPartition
+
+/** Offset = next unread id; json is just the number, so checkpoint
+  * recovery round-trips trivially. */
+case class SeqOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = v.toString
+}
+
+/** The STREAMING read path of the connector: offsets are plain row
+  * positions, each micro-batch plans the [start, end) slice through
+  * the same range splitter as the batch scan, and
+  * `SupportsAdmissionControl` caps every batch at `batchrows` rows —
+  * so an AvailableNow drain replays the table as SEVERAL real
+  * micro-batches with offset tracking and commits, not one
+  * degenerate snapshot. Filter pushdown and column pruning arrive
+  * through the same ScanBuilder as the batch path. */
+class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int,
+                          required: StructType, batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+  // AvailableNow contract: snapshot the end once, then let the
+  // engine call the CAPPED latestOffset(start, limit) per batch
+  // until it reaches the snapshot — without this trait Spark wraps
+  // the stream and drains the snapshot in one uncapped batch
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def initialOffset(): SOffset = SeqOffset(lo)
+  override def latestOffset(): SOffset = SeqOffset(hi)
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s0 = start.asInstanceOf[SeqOffset].v
+    limit match {
+      case r: ReadMaxRows => SeqOffset(math.min(hi, s0 + r.maxRows()))
+      case _              => SeqOffset(hi)
+    }
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def deserializeOffset(json: String): SOffset =
+    SeqOffset(json.toLong)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =
+    SeqScan.splitRange(start.asInstanceOf[SeqOffset].v,
+      end.asInstanceOf[SeqOffset].v, parts)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames.toIndexedSeq)
+}
 
 class SeqReaderFactory(cols: IndexedSeq[String])
     extends PartitionReaderFactory {

@@ -677,7 +677,26 @@ object StreamOps {
       .withColumn("max_value", round(col("max_value"), 3))
   }
 
+  /** Streaming read through the custom DSv2 connector
+    * ([[graft.sources.SeqSource]] — MicroBatchStream + admission
+    * control): AvailableNow drains the 100k-row generated table as
+    * several ≤30k-row micro-batches (offset tracking + commits, not
+    * one degenerate snapshot), the id predicate rides the same
+    * ScanBuilder pushdown as the batch path, and the appended union
+    * of batches must equal the DuckDB range() replay — gating the
+    * connector's offset arithmetic end to end (an overlapping or
+    * gapped batch boundary duplicates or drops ids and hash-fails). */
+  def dsv2Stream(s: SparkSession, dir: String): DataFrame =
+    runToTableAppend(s,
+      s.readStream.format("graft.sources.SeqSource")
+        .option("n", "100000").option("parts", "4")
+        .option("batchrows", "30000").load()
+        .filter(col("id") >= 25000L && col("id") < 75000L)
+        .select("id", "bucket"),
+      "dsv2_stream", col("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsv2_stream"          -> dsv2Stream _,
     "sessionize"           -> sessionize _,
     "events_window_stream" -> eventsWindowStream _,
     "sliding_windows_stream" -> slidingWindowsStream _,
@@ -692,6 +711,14 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the drained micro-batches must union to the exact id window
+    // with the md5-60 bucket of each id
+    "dsv2_stream" ->
+      """SELECT i AS id,
+        |  ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+        |    % 100 AS bucket
+        |FROM range(25000, 75000) t(i)
+        |ORDER BY id""".stripMargin,
     // same contract as the batch twin — the streaming engine must
     // reproduce RelOps.eventsWindow's DuckDB-checked result exactly
     "events_window_stream" -> graft.operators.RelOps.oracle("events_window"),

@@ -21,6 +21,35 @@ class StreamingSpec extends SparkSpec {
     spark.table(id)
   }
 
+  test("dsv2 streaming source: capped multi-batch drain ≡ batch read") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = java.nio.file.Files.createTempDirectory("dsv2s_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2s_ckpt").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft.sources.SeqSource")
+      .option("n", "10000").option("parts", "4")
+      .option("batchrows", "3000").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches.incrementAndGet()
+        b.write.mode(if (id == 0) "overwrite" else "append").parquet(sink)
+      }
+      .start()
+    q.awaitTermination()
+    // 10 000 rows / 3 000-row admission cap → 4 real micro-batches
+    assert(batches.get() >= 3,
+      s"admission control ignored: drained in ${batches.get()} batch(es)")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = rows(spark.read.parquet(sink))
+    val expect = rows(spark.read.format("graft.sources.SeqSource")
+      .option("n", "10000").load())
+    assert(got == expect,
+      "streamed union of batches drifted from the batch scan")
+  }
+
   test("streaming windowed counts equal the batch eventsWindow") {
     val batch = RelOps.eventsWindow(spark, sfDir).collect().toSeq
     val stream = runStreamToBatch(
