@@ -337,6 +337,63 @@ object StorageOps {
       .transform(Present.sortedUnbounded(_, col("k")))
   }
 
+  /** Change-data-feed DERIVATION (Delta-CDF shape; the inverse of
+    * `stream_upsert`'s CDC apply): two landed table versions are
+    * diffed into typed change rows — `insert` (post values), `delete`
+    * (pre values), and `update_preimage`/`update_postimage` pairs —
+    * by a single full-outer join on the key with value comparison.
+    * The change rule here only SYNTHESIZES v1 (delete k%7=1, +100
+    * balance on k%3=0 survivors, shadow inserts on k%50=0 — the
+    * merge_upsert rule extended with deletes so all three types
+    * appear); the operator itself is the generic snapshot differ, and
+    * the DuckDB oracle replays the rule, so a diff that invents,
+    * drops, or mistypes a change hash-fails.
+    *
+    * Scale shape: one key shuffle per side for the full-outer join
+    * (or zero on bucketed snapshot layouts — the `bucketed_join`
+    * trade), unchanged rows die in the post-join filter before the
+    * union, and the two update images are projections of the SAME
+    * joined row (no second join, no second scan). */
+  def snapshotCdf(s: SparkSession, d: String): DataFrame = {
+    val dir0 = stageDir("snap_v0", d)
+    val dir1 = stageDir("snap_v1", d)
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    base.write.mode("overwrite").parquet(dir0)
+    base.filter(col("k") % 7 =!= 1)
+      .select(col("k"), col("name"),
+        when(col("k") % 3 === 0, round(col("bal") + 100.0, 2))
+          .otherwise(col("bal")).as("bal"))
+      .unionByName(base.filter(col("k") % 50 === 0)
+        .select((col("k") + 1000000L).as("k"),
+          concat(lit("shadow-"), col("name")).as("name"), col("bal")))
+      .write.mode("overwrite").parquet(dir1)
+    val pre = s.read.parquet(dir0)
+      .select(col("k"), col("name").as("pre_name"), col("bal").as("pre_bal"))
+    val post = s.read.parquet(dir1)
+      .select(col("k").as("pk"), col("name").as("post_name"),
+        col("bal").as("post_bal"))
+    val j = pre.join(post, col("k") === col("pk"), "full_outer")
+    val inserts = j.filter(col("k").isNull)
+      .select(col("pk").as("k"), lit("insert").as("change_type"),
+        col("post_name").as("name"), col("post_bal").as("bal"))
+    val deletes = j.filter(col("pk").isNull)
+      .select(col("k"), lit("delete").as("change_type"),
+        col("pre_name").as("name"), col("pre_bal").as("bal"))
+    val changed = j.filter(col("k").isNotNull && col("pk").isNotNull &&
+      (col("pre_bal") =!= col("post_bal") ||
+        col("pre_name") =!= col("post_name")))
+    val updates = changed
+      .select(col("k"), lit("update_preimage").as("change_type"),
+        col("pre_name").as("name"), col("pre_bal").as("bal"))
+      .unionByName(changed
+        .select(col("k"), lit("update_postimage").as("change_type"),
+          col("post_name").as("name"), col("post_bal").as("bal")))
+    inserts.unionByName(deletes).unionByName(updates)
+      .transform(Present.sortedUnbounded(_, col("k"), col("change_type")))
+  }
+
   /** ORC round trip — the second columnar format (Spark-native ORC
     * reader/writer): lineitem columns land as ORC, the aggregate runs
     * over the read-back, and the hash gate compares against DuckDB on
@@ -544,6 +601,7 @@ object StorageOps {
     "q9_bucketed"      -> q9Bucketed _,
     "dsv2_scan"        -> dsv2Scan _,
     "dsv2_write"       -> dsv2Write _,
+    "snapshot_cdf"     -> snapshotCdf _,
     "sorted_layout"    -> sortedLayout _,
     "zorder_layout"    -> zorderLayout _,
     "schema_evolution" -> schemaEvolution _,
@@ -585,6 +643,27 @@ object StorageOps {
          |      % 100 AS bucket
          |  FROM range(${Dsv2N / 4}, ${Dsv2N * 3 / 4}) t(i))
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the rule replayed per change type: shadow keys are inserts,
+    // k%7=1 are deletes with pre values, k%3=0 survivors emit both
+    // update images (+100 balance differs for every such row)
+    "snapshot_cdf" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+        |  FROM customer),
+        |cdf AS (
+        |  SELECT k + 1000000 AS k, 'insert' AS change_type,
+        |    'shadow-' || name AS name, bal
+        |  FROM base WHERE k % 50 = 0
+        |  UNION ALL
+        |  SELECT k, 'delete', name, bal FROM base WHERE k % 7 = 1
+        |  UNION ALL
+        |  SELECT k, 'update_preimage', name, bal
+        |  FROM base WHERE k % 3 = 0 AND k % 7 <> 1
+        |  UNION ALL
+        |  SELECT k, 'update_postimage', name, round(bal + 100, 2)
+        |  FROM base WHERE k % 3 = 0 AND k % 7 <> 1)
+        |SELECT k, change_type, name, bal FROM cdf
+        |ORDER BY k, change_type""".stripMargin,
     // the committed totals must equal a plain aggregate of the input
     "dsv2_write" ->
       """SELECT count(*)::BIGINT AS n_rows,

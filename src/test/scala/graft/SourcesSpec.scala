@@ -117,6 +117,31 @@ class SourcesSpec extends SparkSpec {
     assert(again.head == out.head)
   }
 
+  test("snapshot_cdf: the differ recovers exactly the applied change rule") {
+    import graft.sources.StorageOps
+    val keys = Tables.customer(spark, sfDir).select("c_custkey")
+      .collect().map(_.getLong(0))
+    val out = StorageOps.snapshotCdf(spark, sfDir).collect()
+    val byType = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val nIns = keys.count(_ % 50 == 0)
+    val nDel = keys.count(_ % 7 == 1)
+    val nUpd = keys.count(k => k % 3 == 0 && k % 7 != 1)
+    assert(byType.getOrElse("insert", 0) == nIns, s"inserts: $byType")
+    assert(byType.getOrElse("delete", 0) == nDel, s"deletes: $byType")
+    assert(byType.getOrElse("update_preimage", 0) == nUpd, byType.toString)
+    assert(byType.getOrElse("update_postimage", 0) == nUpd, byType.toString)
+    assert(out.length == nIns + nDel + 2 * nUpd, "no unchanged row may leak")
+    // every update pair differs by exactly the +100 balance
+    out.filter(_.getString(1).startsWith("update_"))
+      .groupBy(_.getLong(0)).foreach { case (k, rs) =>
+        val pre = rs.find(_.getString(1) == "update_preimage").get
+        val post = rs.find(_.getString(1) == "update_postimage").get
+        assert(math.abs(post.getDouble(3) - pre.getDouble(3) - 100.0) < 1e-9,
+          s"key $k update images inconsistent")
+        assert(pre.getString(2) == post.getString(2))
+      }
+  }
+
   test("S6 JSON sink roundtrip") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_json").toString
