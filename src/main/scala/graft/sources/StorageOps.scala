@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Money, Present}
@@ -351,9 +351,10 @@ object StorageOps {
     *
     * Scale shape: one key shuffle per side for the full-outer join
     * (or zero on bucketed snapshot layouts — the `bucketed_join`
-    * trade), unchanged rows die in the post-join filter before the
-    * union, and the two update images are projections of the SAME
-    * joined row (no second join, no second scan). */
+    * trade); all change types emit from ONE pass over the joined row
+    * (per-row change-struct array, exploded), so there is exactly one
+    * join and one Generate — unchanged rows produce a null array and
+    * vanish in the explode. PlanSpec pins the single-join shape. */
   def snapshotCdf(s: SparkSession, d: String): DataFrame = {
     val dir0 = stageDir("snap_v0", d)
     val dir1 = stageDir("snap_v1", d)
@@ -375,22 +376,27 @@ object StorageOps {
       .select(col("k").as("pk"), col("name").as("post_name"),
         col("bal").as("post_bal"))
     val j = pre.join(post, col("k") === col("pk"), "full_outer")
-    val inserts = j.filter(col("k").isNull)
-      .select(col("pk").as("k"), lit("insert").as("change_type"),
-        col("post_name").as("name"), col("post_bal").as("bal"))
-    val deletes = j.filter(col("pk").isNull)
-      .select(col("k"), lit("delete").as("change_type"),
-        col("pre_name").as("name"), col("pre_bal").as("bal"))
-    val changed = j.filter(col("k").isNotNull && col("pk").isNotNull &&
-      (col("pre_bal") =!= col("post_bal") ||
-        col("pre_name") =!= col("post_name")))
-    val updates = changed
-      .select(col("k"), lit("update_preimage").as("change_type"),
-        col("pre_name").as("name"), col("pre_bal").as("bal"))
-      .unionByName(changed
-        .select(col("k"), lit("update_postimage").as("change_type"),
-          col("post_name").as("name"), col("post_bal").as("bal")))
-    inserts.unionByName(deletes).unionByName(updates)
+    // every change type emits from ONE pass over the joined row: a
+    // per-row array of typed change structs, exploded (null array for
+    // unchanged rows → explode drops them). A union of filtered
+    // branches re-derives the join per branch (plan-measured: 2 full
+    // SMJs + 2 snapshot scans) — this form keeps one join, one
+    // Generate, and PlanSpec pins it.
+    def ev(ct: String, kk: Column, nm: Column, bb: Column): Column =
+      struct(kk.as("k"), lit(ct).as("change_type"),
+        nm.as("name"), bb.as("bal"))
+    val rows =
+      when(col("k").isNull,
+        array(ev("insert", col("pk"), col("post_name"), col("post_bal"))))
+      .when(col("pk").isNull,
+        array(ev("delete", col("k"), col("pre_name"), col("pre_bal"))))
+      .when(col("pre_bal") =!= col("post_bal") ||
+          col("pre_name") =!= col("post_name"),
+        array(
+          ev("update_preimage", col("k"), col("pre_name"), col("pre_bal")),
+          ev("update_postimage", col("k"), col("post_name"), col("post_bal"))))
+    j.select(explode(rows).as("c"))
+      .select(col("c.k"), col("c.change_type"), col("c.name"), col("c.bal"))
       .transform(Present.sortedUnbounded(_, col("k"), col("change_type")))
   }
 

@@ -515,4 +515,28 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.contains("src1"),
       s"source=src1 did not reach PartitionFilters:\n$p")
   }
+
+  test("perplexity scoring tokenizes the corpus exactly once") {
+    // the LM is a landed artifact; the scoring execution may contain
+    // ONE Generate (the doc-token explode) — a second one means the
+    // lm/total/score references re-derived the tokenize head (the
+    // pre-store plan paid it up to 5x)
+    def finalPlan(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val df = graft.operators.TextAnalysis.perplexityFilter(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p)
+  }
+
+  test("snapshot_cdf derives all change types from one full-outer join") {
+    def finalPlan(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val df = graft.sources.StorageOps.snapshotCdf(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df)
+    // one FullOuter join; insert/delete/update branches reuse it (the
+    // union must not trigger a join per branch)
+    assert(p.linesIterator.count(_.contains("FullOuter")) == 1, p)
+  }
 }
