@@ -102,6 +102,16 @@ class SourcesSpec extends SparkSpec {
       .option("n", "1000").option("parts", "8").load()
       .filter(col("id") >= 5000L)
     assert(none.count() == 0)
+    // range-fold boundary semantics, one by one
+    def src = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000").option("parts", "8").load()
+    assert(src.filter(col("id") > 999L).count() == 0, "> max")
+    assert(src.filter(col("id") >= 999L).count() == 1, ">= max")
+    assert(src.filter(col("id") <= 0L).count() == 1, "<= min")
+    assert(src.filter(col("id") < 0L).count() == 0, "< min")
+    assert(src.filter(col("id") === 1000L).count() == 0, "== n (exclusive)")
+    assert(src.filter(col("id") >= 10L && col("id") <= 19L).count() == 10,
+      "conjunction folds both bounds")
   }
 
   test("dsv2 sink: per-partition commit messages aggregate to the exact totals") {
