@@ -426,6 +426,12 @@ object ScaleRehearsal {
       measure(s, listener, "similarity", "semdedup", m, passes)(
         operators.Similarity.semDedupFrom(s,
           s.read.parquet(idxDir.toString)))
+      // the incremental probe over the SAME landed index: the batch
+      // broadcasts, so shuffle totals must stay ~batch-sized at every
+      // multiple (the full form's vector shuffle never appears)
+      measure(s, listener, "similarity", "semdedup_incremental", m, passes)(
+        operators.Similarity.semDedupIncrementalFrom(s,
+          s.read.parquet(idxDir.toString)))
     }
   }
 

@@ -550,8 +550,11 @@ object Similarity {
     * ann_ivf_pq store demonstrates) scored map-side, with only
     * (vec_id, dup_of) partial-agg survivors entering any exchange.
     * Probe cost ∝ batch × cell size, independent of corpus size. */
-  def semDedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val (idx, _) = ivfStore(s, d)
+  def semDedupIncremental(s: SparkSession, d: String): DataFrame =
+    semDedupIncrementalFrom(s, ivfStore(s, d)._1)
+
+  private[graft] def semDedupIncrementalFrom(s: SparkSession,
+                                             idx: DataFrame): DataFrame = {
     val base = idx.select(col("cid"), col("vec_id"), col("v"))
     val batch = base.filter(col("vec_id") % SemIncrEvery === 0)
     val dups = base.alias("a").join(broadcast(batch.alias("b")),
