@@ -127,9 +127,23 @@ object SeqScan {
 }
 
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
-              batchRows: Long) extends Scan with Batch {
+              batchRows: Long) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema: StructType = required
   override def toBatch: Batch = this
+  /** Post-pushdown size estimate — what lets Catalyst treat a small
+    * (or tightly filtered) connector table as broadcastable: without
+    * reported statistics a DSv2 relation defaults to "unknown/huge"
+    * and can never win a broadcast join. Row width ≈ 8B per long + 8B
+    * avg for the word column. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    private val width = 8L * required.fields.length
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * math.max(1L, width))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def description: String =
     s"graftseq range [$lo, $hi) cols ${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =

@@ -112,6 +112,19 @@ class SourcesSpec extends SparkSpec {
     assert(src.filter(col("id") === 1000L).count() == 0, "== n (exclusive)")
     assert(src.filter(col("id") >= 10L && col("id") <= 19L).count() == 10,
       "conjunction folds both bounds")
+    // reported statistics let Catalyst broadcast a small (or tightly
+    // filtered) connector table — without SupportsReportStatistics a
+    // DSv2 relation defaults to unknown/huge and never broadcasts
+    val dim = spark.read.format("graft.sources.SeqSource")
+      .option("n", "200").option("parts", "2").load()
+      .select(col("id"), col("word"))
+    val joined = Tables.documents(spark, sfDir)
+      .join(dim, col("doc_id") % 200 === col("id"))
+    joined.collect()
+    val jplan = joined.queryExecution.executedPlan.toString
+    assert(jplan.contains("BroadcastHashJoin") ||
+      jplan.contains("BroadcastExchange"),
+      s"small stats-reporting dsv2 table did not broadcast:\n$jplan")
   }
 
   test("dsv2 sink: per-partition commit messages aggregate to the exact totals") {
