@@ -78,4 +78,41 @@ class RehearsalSpec extends SparkSpec {
       .filter(col("tags") > 1)
     assert(crossShard.count() == 0, "a staged line appears in two shards")
   }
+
+  test("staged embedding shards preserve norms and same-shard geometry") {
+    val mult = 3
+    val dir = ScaleRehearsal.stageEmbeddings(spark, sfDir, mult)
+    val staged = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = Tables.embeddings(spark, sfDir)
+    val n = base.count()
+    assert(staged.count() == mult * n)
+    assert(staged.select("vec_id").distinct().count() == mult * n,
+      "shard id offsets must keep vec_ids unique")
+    // a dimension rotation is a coordinate permutation: every staged
+    // vector's norm equals its source vector's norm exactly, and
+    // same-shard dot products equal the 1x dot products exactly —
+    // the isomorphism SCALE.md's linearity claims rest on
+    val srcVecs = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val stagedVecs = staged.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val probe = srcVecs.keys.toSeq.sorted.take(5)
+    (0 until mult).foreach { k =>
+      probe.foreach { id =>
+        val s0 = srcVecs(id)
+        val s1 = stagedVecs(id + k * 1000000L)
+        assert(math.abs(dot(s1, s1) - dot(s0, s0)) < 1e-9,
+          s"shard $k vec $id norm drifted")
+      }
+      // pairwise same-shard dots replicate the 1x geometry
+      probe.combinations(2).foreach { case Seq(a, b) =>
+        val d0 = dot(srcVecs(a), srcVecs(b))
+        val d1 = dot(stagedVecs(a + k * 1000000L), stagedVecs(b + k * 1000000L))
+        assert(math.abs(d1 - d0) < 1e-9,
+          s"shard $k pair ($a,$b) dot drifted: $d0 vs $d1")
+      }
+    }
+  }
 }
