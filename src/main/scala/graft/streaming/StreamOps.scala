@@ -695,7 +695,41 @@ object StreamOps {
         .select("id", "bucket"),
       "dsv2_stream", col("id"))
 
+  /** Offline STATE-STORE inspection (Spark 4's state data source —
+    * the operational capability behind debugging a stuck stateful
+    * stream or auditing its state): a per-user count+sum aggregation
+    * drains to completion on RocksDB, then `spark.read
+    * .format("statestore")` reads the checkpoint's final state
+    * DIRECTLY — no re-execution, no sink — and the unpacked
+    * key/value structs are gated against the DuckDB batch aggregate.
+    * A state row that leaked, duplicated across rebalances, or held a
+    * stale aggregation buffer hash-fails.
+    *
+    * Scale shape: the state read is a parallel scan of the store's
+    * partition files (one task per state partition), never touching
+    * the original source — at production state sizes this is the only
+    * affordable way to look inside a query's state. */
+  def stateInspect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = freshDir("state_inspect", "ckpt")
+    withLowShufflePartitions(s) { withRocksDb(s) {
+      val q = eventsStream(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sid"))
+        .writeStream.outputMode("complete").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.user_id").as("user_id"),
+          col("value.count").as("n_events"),
+          col("value.sum").as("sum_event_id"))
+        .transform(graft.operators.Present.sortedUnbounded(_, col("user_id")))
+    } }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "state_inspect"        -> stateInspect _,
     "dsv2_stream"          -> dsv2Stream _,
     "sessionize"           -> sessionize _,
     "events_window_stream" -> eventsWindowStream _,
@@ -711,6 +745,12 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the checkpoint's final state rows ARE the per-user aggregate —
+    // a leaked/duplicated/stale state row hash-fails
+    "state_inspect" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(event_id)::BIGINT AS sum_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the drained micro-batches must union to the exact id window
     // with the md5-60 bucket of each id
     "dsv2_stream" ->

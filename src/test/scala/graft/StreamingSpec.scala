@@ -50,6 +50,19 @@ class StreamingSpec extends SparkSpec {
       "streamed union of batches drifted from the batch scan")
   }
 
+  test("state_inspect: the checkpoint's state rows equal the batch aggregate") {
+    val st = StreamOps.stateInspect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("event_id").as("sid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(st == batch, "state store content drifted from the aggregate")
+  }
+
   test("streaming windowed counts equal the batch eventsWindow") {
     val batch = RelOps.eventsWindow(spark, sfDir).collect().toSeq
     val stream = runStreamToBatch(
