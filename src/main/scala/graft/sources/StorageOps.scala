@@ -355,7 +355,10 @@ object StorageOps {
     * (per-row change-struct array, exploded), so there is exactly one
     * join and one Generate — unchanged rows produce a null array and
     * vanish in the explode. PlanSpec pins the single-join shape. */
-  def snapshotCdf(s: SparkSession, d: String): DataFrame = {
+  /** Write the two customer snapshot versions (v0 = base; v1 = the
+    * delete/update/insert rule applied) — shared by the CDF differ
+    * and the time-travel read. */
+  private def stageSnapshots(s: SparkSession, d: String): (String, String) = {
     val dir0 = stageDir("snap_v0", d)
     val dir1 = stageDir("snap_v1", d)
     val base = Tables.customer(s, d)
@@ -370,6 +373,31 @@ object StorageOps {
         .select((col("k") + 1000000L).as("k"),
           concat(lit("shadow-"), col("name")).as("name"), col("bal")))
       .write.mode("overwrite").parquet(dir1)
+    (dir0, dir1)
+  }
+
+  /** Time travel (read-at-version) over the landed snapshot pair:
+    * each retained version is an immutable directory, so "AS OF v0"
+    * is a plain scan of v0's files — v1's existence cannot perturb it
+    * (the gate proves v0's aggregate is byte-stable under the v1
+    * write). Copy-on-write versioning's read side; `snapshot_cdf` is
+    * its diff side and `merge_upsert` its write side. Per-version
+    * aggregates gated against the DuckDB rule replay. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val (dir0, dir1) = stageSnapshots(s, d)
+    def agg(dir: String, v: String): DataFrame =
+      s.read.parquet(dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum("k").as("sum_key"),
+        sum(when(col("k") >= 1000000L, 1L).otherwise(0L)).as("n_shadow"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_key"),
+          col("n_shadow"))
+    agg(dir0, "v0").unionByName(agg(dir1, "v1"))
+      .transform(Present.sorted(_, col("version")))
+  }
+
+  def snapshotCdf(s: SparkSession, d: String): DataFrame = {
+    val (dir0, dir1) = stageSnapshots(s, d)
     val pre = s.read.parquet(dir0)
       .select(col("k"), col("name").as("pre_name"), col("bal").as("pre_bal"))
     val post = s.read.parquet(dir1)
@@ -608,6 +636,7 @@ object StorageOps {
     "dsv2_scan"        -> dsv2Scan _,
     "dsv2_write"       -> dsv2Write _,
     "snapshot_cdf"     -> snapshotCdf _,
+    "time_travel"      -> timeTravel _,
     "sorted_layout"    -> sortedLayout _,
     "zorder_layout"    -> zorderLayout _,
     "schema_evolution" -> schemaEvolution _,
@@ -649,6 +678,20 @@ object StorageOps {
          |      % 100 AS bucket
          |  FROM range(${Dsv2N / 4}, ${Dsv2N * 3 / 4}) t(i))
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // each version replayed from the rule; v0 must be unperturbed by
+    // the v1 write (immutable version directories)
+    "time_travel" ->
+      """WITH base AS (SELECT c_custkey AS k FROM customer),
+        |v1 AS (
+        |  SELECT k FROM base WHERE k % 7 <> 1
+        |  UNION ALL
+        |  SELECT k + 1000000 FROM base WHERE k % 50 = 0)
+        |SELECT 'v0' AS version, count(*)::BIGINT AS n_rows,
+        |  sum(k)::BIGINT AS sum_key, 0::BIGINT AS n_shadow FROM base
+        |UNION ALL
+        |SELECT 'v1', count(*)::BIGINT, sum(k)::BIGINT,
+        |  sum(CASE WHEN k >= 1000000 THEN 1 ELSE 0 END)::BIGINT FROM v1
+        |ORDER BY version""".stripMargin,
     // the rule replayed per change type: shadow keys are inserts,
     // k%7=1 are deletes with pre values, k%3=0 survivors emit both
     // update images (+100 balance differs for every such row)
