@@ -124,6 +124,7 @@ object GraftFunctions {
   val cosineIdent = FunctionIdentifier("graft_cosine")
   val mightContainIdent = FunctionIdentifier("graft_might_contain")
   val bloomAggIdent = FunctionIdentifier("graft_bloom_agg")
+  val ngramsIdent = FunctionIdentifier("graft_ngrams")
 
   def ensureRegistered(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -152,6 +153,12 @@ object GraftFunctions {
           classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
         (children: Seq[Expression]) =>
           new BloomFilterAggregate(children(0), children(1), children(2)))
+    }
+    if (!reg.functionExists(ngramsIdent)) {
+      reg.registerFunction(
+        ngramsIdent,
+        new ExpressionInfo(classOf[NGramsGen].getName, "graft_ngrams"),
+        (children: Seq[Expression]) => NGramsGen(children(0), children(1)))
     }
   }
 
@@ -206,6 +213,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) =>
         new BloomFilterAggregate(children(0), children(1), children(2))))
+    ext.injectFunction((
+      GraftFunctions.ngramsIdent,
+      new ExpressionInfo(classOf[NGramsGen].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => NGramsGen(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
   }
 }

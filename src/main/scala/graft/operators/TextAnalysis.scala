@@ -627,7 +627,24 @@ object TextAnalysis {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** Corpus trigram counts through the native [[graft.functions
+    * .NGramsGen]] GENERATOR (the UDTF rung): the expansion streams
+    * through the same `GenerateExec` as the built-in explode — one
+    * narrow per-partition pass, no materialized n-gram relation —
+    * and the only shuffle is the count's key exchange. The cnt >= 5
+    * filter bounds output to frequent trigrams (ngram_counts'
+    * convention one n higher). */
+  def ngramsUdtf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, d)
+      .select(expr("graft_ngrams(text, 3)"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .transform(Present.sortedUnbounded(_, col("ngram")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngrams_udtf"  -> ngramsUdtf _,
     "perplexity_filter" -> perplexityFilter _,
     "lang_id"      -> langId _,
     "text_quality" -> textQuality _,
@@ -644,6 +661,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // the generator's tokenize + slide replayed with the established
+    // regex twin; 1-based list indexing, i up to len-2
+    "ngrams_udtf" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text),
+        |    '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tri AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+        |  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        |  WHERE len(t) >= 3)
+        |SELECT ngram, count(*)::BIGINT AS cnt FROM tri
+        |GROUP BY 1 HAVING count(*) >= 5 ORDER BY ngram""".stripMargin,
     // per-distinct-token nll quantized to 1e-7 fixed point, per-doc
     // INTEGER sum(tf*nllq) — order-free; DuckDB sum widens to
     // HUGEINT, cast back before the float division

@@ -174,4 +174,29 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(fusedDf.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
     } finally ext.stop()
   }
+
+  test("graft_ngrams generator works in the SQL surface like explode") {
+    // the injected-extension path must resolve the generator with no
+    // imperative registration at all
+    val s = newSession(extended = true)
+    try {
+      val sel = s.sql("SELECT graft_ngrams('A a, b! c', 2) AS ngram")
+        .collect().map(_.getString(0)).toSeq
+      assert(sel == Seq("a a", "a b", "b c"), sel)
+      // LATERAL VIEW position with a join back to the source row
+      s.sql("SELECT 1 AS id, 'x y z' AS t").createOrReplaceTempView("ng_src")
+      val lv = s.sql(
+        """SELECT id, ngram FROM ng_src
+          |LATERAL VIEW graft_ngrams(t, 3) g AS ngram""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(lv == Seq((1, "x y z")), lv)
+      // null text and short text yield no rows, not null rows
+      assert(s.sql("SELECT graft_ngrams(CAST(NULL AS STRING), 2)").count() == 0)
+      assert(s.sql("SELECT graft_ngrams('solo', 2)").count() == 0)
+      // planned through GenerateExec, the same operator as explode
+      val plan = s.sql("SELECT graft_ngrams('a b c', 2)")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Generate"), plan)
+    } finally s.stop()
+  }
 }
