@@ -432,6 +432,16 @@ object ScaleRehearsal {
       measure(s, listener, "similarity", "semdedup_incremental", m, passes)(
         operators.Similarity.semDedupIncrementalFrom(s,
           s.read.parquet(idxDir.toString)))
+      // the ANN family over the staged dir (it reads like any dataset
+      // dir) — re-validates the round-7 throwaway-harness numbers
+      // through committed code. ann_ivf's K-16 store lands inside the
+      // first pass; min-of-passes prices the steady-state probe.
+      measure(s, listener, "similarity", "knn_bruteforce", m, passes)(
+        operators.Similarity.knnBruteForce(s, staged))
+      measure(s, listener, "similarity", "ann_lsh", m, passes)(
+        operators.Similarity.annLsh(s, staged))
+      measure(s, listener, "similarity", "ann_ivf", m, passes)(
+        operators.Similarity.annIvf(s, staged))
     }
   }
 
