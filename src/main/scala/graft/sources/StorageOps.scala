@@ -84,13 +84,15 @@ object StorageOps {
       whBuildCount.incrementAndGet()
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_shipdate"))
         .write.mode("overwrite")
         .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", stageDir("wh_lineitem", d))
         .format("parquet").saveAsTable("graft_wh_lineitem")
       Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
         .write.mode("overwrite")
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", stageDir("wh_orders", d))
@@ -129,20 +131,6 @@ object StorageOps {
       .transform(Present.sortedUnbounded(_, desc("total_qty"), col("o_orderkey")))
   }
 
-  /** TPC-H Q9 over the landed warehouse: part and supplier⋈nation
-    * stay broadcast dims (as in q9_product_profit; the explicit hint
-    * keeps the plan pinned under the spec's disabled threshold), and
-    * the lineitem⋈orders fact⋈fact step — the one shuffled join in
-    * the original — becomes a zero-exchange SMJ on the co-bucketed
-    * layout. The single remaining hash exchange is the final
-    * (nation, year) aggregate, whose map-side partial reduces each
-    * task to ≤ |nations|×|years| rows before it moves. Fixed-point
-    * profit arithmetic identical to q9_product_profit, same oracle.
-    * Broadcast-side sizing: supplier is 1/600 of lineitem in the
-    * TPC-H ratio, so the hint holds far past this test scale; at the
-    * point a supplier dim no longer broadcasts, the warehouse answer
-    * is the same one used here — land it bucketed on s_suppkey and
-    * extend the layout, not the query. */
   /** Read through the custom DSv2 connector ([[SeqSource]] — the
     * sources rung of the extension ladder): a selective id predicate
     * and a narrow projection must BOTH reach the custom scan (range
@@ -176,6 +164,48 @@ object StorageOps {
     Seq((rows, sum)).toDF("n_rows", "sum_orderkey")
   }
 
+  /** TPC-H Q3 over the landed warehouse — the third consumer of the
+    * one orderkey layout (with q18/q9), which is the economics of
+    * pre-bucketing: the write cost amortizes across the query mix.
+    * Both fact filters (shipdate, orderdate) evaluate on the bucketed
+    * scans, the fact⋈fact join is a zero-exchange SMJ, the BUILDING
+    * customer filter rides a broadcast, and the grouped aggregate
+    * needs NO exchange either — its keys contain o_orderkey, so the
+    * bucketed hash partitioning already satisfies the aggregate's
+    * required clustering. The top-10 is a TakeOrdered. Net: ZERO hash
+    * exchanges in the whole query (BucketSpec pins it), vs two
+    * fact-side shuffles + an aggregate exchange in q3_top_orders.
+    * Same oracle: the layout changes the plan, never the answer. */
+  def q3Bucketed(s: SparkSession, d: String): DataFrame = {
+    ensureWarehouse(s, d)
+    val li = s.table("graft_wh_lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+    val ord = s.table("graft_wh_orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+    val cust = broadcast(Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(Money.money2(sum(Money.revCents4)).as("rev"))
+      .orderBy(desc("rev"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q9 over the landed warehouse: part and supplier⋈nation
+    * stay broadcast dims (as in q9_product_profit; the explicit hint
+    * keeps the plan pinned under the spec's disabled threshold), and
+    * the lineitem⋈orders fact⋈fact step — the one shuffled join in
+    * the original — becomes a zero-exchange SMJ on the co-bucketed
+    * layout. The single remaining hash exchange is the final
+    * (nation, year) aggregate, whose map-side partial reduces each
+    * task to ≤ |nations|×|years| rows before it moves. Fixed-point
+    * profit arithmetic identical to q9_product_profit, same oracle.
+    * Broadcast-side sizing: supplier is 1/600 of lineitem in the
+    * TPC-H ratio, so the hint holds far past this test scale; at the
+    * point a supplier dim no longer broadcasts, the warehouse answer
+    * is the same one used here — land it bucketed on s_suppkey and
+    * extend the layout, not the query. */
   def q9Bucketed(s: SparkSession, d: String): DataFrame = {
     ensureWarehouse(s, d)
     val promoParts = broadcast(
@@ -632,6 +662,7 @@ object StorageOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"    -> bucketedJoin _,
     "q18_bucketed"     -> q18Bucketed _,
+    "q3_bucketed"      -> q3Bucketed _,
     "q9_bucketed"      -> q9Bucketed _,
     "dsv2_scan"        -> dsv2Scan _,
     "dsv2_write"       -> dsv2Write _,
@@ -659,6 +690,9 @@ object StorageOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // identical answer to q3_top_orders — the layout changes the
+    // plan, never the result
+    "q3_bucketed" -> graft.operators.RelOps.oracle("q3_top_orders"),
     "q18_bucketed" ->
       """WITH big AS (
         |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

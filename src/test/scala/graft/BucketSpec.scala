@@ -99,8 +99,19 @@ class BucketSpec extends SparkSpec {
     val q9b = StorageOps.q9Bucketed(spark, sfDir).collect()
     val q9 = graft.operators.RelOps.q9ProductProfit(spark, sfDir).collect()
     assert(q9b.map(_.toString).toSeq == q9.map(_.toString).toSeq)
-    // both queries (and any reruns on the same dataset) share ONE
-    // landed layout — the amortization claim, pinned
+    // q3 over the same layout: result-identical to the shuffled form
+    // AND fully exchange-free — the grouped aggregate's keys contain
+    // o_orderkey, so the bucketed partitioning satisfies it too
+    val q3df = StorageOps.q3Bucketed(spark, sfDir)
+    val q3b = q3df.collect()
+    val q3 = graft.operators.RelOps.q3TopOrders(spark, sfDir).collect()
+    assert(q3b.map(_.toString).toSeq == q3.map(_.toString).toSeq)
+    val q3plan = q3df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!q3plan.contains("Exchange hashpartitioning"),
+      s"q3_bucketed must plan zero hash exchanges:\n$q3plan")
+    // all three queries (and any reruns on the same dataset) share
+    // ONE landed layout — the amortization claim, pinned
     StorageOps.q18Bucketed(spark, sfDir).collect()
     assert(StorageOps.whBuildCount.get <= before + 1,
       s"warehouse rebuilt per query: ${StorageOps.whBuildCount.get - before} builds")
