@@ -832,8 +832,30 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** The round-10 capstone compose — the pipeline a training-data
+    * run actually executes, end to end as ONE hash-gated operator:
+    * lang-ID gate (en) → quality gate (length + alpha ratio) →
+    * exact-dedup survivorship → PERPLEXITY gate (corpus-trained
+    * unigram LM, landed once) → deterministic split. Each stage is
+    * itself a gated operator; this pins their composition (join
+    * alignment, gate ordering, no survivor leaking past a later
+    * gate). Scale shape is the union of the stages': one tokenize
+    * per scoring pass, key-bounded shuffles only, the LM and the
+    * dedup window the only corpus-wide artifacts. */
+  def corpusBuildFull(s: SparkSession, d: String): DataFrame = {
+    val base = corpusBuild(s, d)
+    val ppl = TextAnalysis.perplexityFilter(s, d)
+      .filter(col("kept"))
+      .select(col("doc_id"), col("avg_nll"))
+    base.join(ppl, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("avg_nll"), col("split"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_build"     -> corpusBuild _,
+    "corpus_build_full" -> corpusBuildFull _,
     "train_test_split" -> trainTestSplit _,
     "sample_by_source" -> sampleBySource _,
     "temperature_mix"  -> temperatureMix _,
@@ -971,6 +993,60 @@ object PipelineOps {
          |       WHEN ${bucketSql("doc_id::VARCHAR", 100, "split")} < 90 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM surv ORDER BY doc_id""".stripMargin,
+    // corpus_build's CTE chain + the perplexity gate joined on the
+    // survivors (LM trained corpus-wide, as CCNet does)
+    "corpus_build_full" ->
+      s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
+         |tok AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |scores AS (
+         |  SELECT doc_id, lex_lang, count(*) AS score
+         |  FROM tok JOIN lex ON word = lex_word GROUP BY 1, 2),
+         |lang AS (
+         |  SELECT doc_id, lex_lang AS lang FROM (
+         |    SELECT doc_id, lex_lang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lex_lang) AS rn
+         |    FROM scores)
+         |  WHERE rn = 1 AND lex_lang = 'en'),
+         |q AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(trim(lower(text)),
+         |      '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS n_tokens,
+         |    round((length(text) - length(regexp_replace(text,
+         |      '[a-zA-Z]', '', 'g')))::DOUBLE / length(text), 6) AS alpha_ratio,
+         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |filt AS (
+         |  SELECT q.doc_id, lang, n_tokens, fp
+         |  FROM q JOIN lang ON q.doc_id = lang.doc_id
+         |  WHERE n_tokens >= $BuildMinTokens AND alpha_ratio >= $BuildMinAlpha),
+         |surv AS (
+         |  SELECT * FROM filt
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+         |ptok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(
+         |    trim(lower(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |dt AS (SELECT doc_id, word, count(*) AS tf FROM ptok GROUP BY 1, 2),
+         |lm AS (SELECT word, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1),
+         |ptot AS (SELECT sum(cf)::BIGINT AS n FROM lm),
+         |sc AS (
+         |  SELECT dt.doc_id,
+         |    round(sum(dt.tf * round(-ln(lm.cf::DOUBLE / ptot.n::DOUBLE)
+         |        * 10000000)::BIGINT)::DOUBLE
+         |      / (sum(dt.tf)::DOUBLE * 10000000.0), 6) AS avg_nll
+         |  FROM dt JOIN lm USING (word) CROSS JOIN ptot
+         |  GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.n_tokens, sc.avg_nll,
+         |  CASE WHEN ${bucketSql("s.doc_id::VARCHAR", 100, "split")} < 80 THEN 'train'
+         |       WHEN ${bucketSql("s.doc_id::VARCHAR", 100, "split")} < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM surv s JOIN sc ON s.doc_id = sc.doc_id
+         |WHERE sc.avg_nll <= ${TextAnalysis.PplMaxAvgNll}
+         |ORDER BY s.doc_id""".stripMargin,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  ${bucketSql("doc_id::VARCHAR", 100, "split")} AS bucket,
