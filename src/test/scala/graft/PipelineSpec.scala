@@ -76,6 +76,33 @@ class PipelineSpec extends SparkSpec {
       "a repeat perplexity scoring re-built the landed LM")
   }
 
+  test("corpus_build_full composes the gates without leaks") {
+    import graft.operators.TextAnalysis
+    val base = PipelineOps.corpusBuild(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3)))
+      .toMap
+    val ppl = TextAnalysis.perplexityFilter(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(3), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    val full = PipelineOps.corpusBuildFull(spark, sfDir).collect()
+    // full = base survivors that also pass the perplexity gate — with
+    // lang/tokens/split carried through unchanged
+    val expectIds = base.keySet.filter(id => ppl(id)._1)
+    assert(full.map(_.getLong(0)).toSet == expectIds,
+      "survivor set drifted from (base ∩ perplexity-kept)")
+    assert(full.length < base.size,
+      "the perplexity gate must prune something on this corpus")
+    full.foreach { r =>
+      val id = r.getLong(0)
+      val (lang, nTok, split) = base(id)
+      assert(r.getString(1) == lang && r.getInt(2) == nTok &&
+        r.getString(4) == split, s"doc $id columns drifted in the compose")
+      assert(math.abs(r.getDouble(3) - ppl(id)._2) < 1e-9,
+        s"doc $id avg_nll drifted")
+    }
+  }
+
   test("temperature_mix: exact quotas, md5 membership, α=0.5 flattens the mix") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
       .collect().map(r => r.getLong(0) -> r.getString(1))
