@@ -377,29 +377,52 @@ object ScaleRehearsal {
   // embeddings sf0.1: vec_id < 2 000
   private val VecRange = 1000000L
 
-  /** Stage `mult` isomorphic embedding shards: per-shard dimension
-    * rotation (k·7 mod 64, sign-flip past one full rotation cycle) —
-    * a coordinate permutation, so norms and SAME-SHARD dot products
-    * are preserved exactly (each shard replicates the 1× pair
-    * geometry) while cross-shard vectors decorrelate. The round-7
-    * similarity rehearsal's method, now committed. */
+  /** Stage `mult` isomorphic embedding shards as SIGNED PERMUTATIONS
+    * of the base: per-shard dimension rotation (k·7 mod 64) composed
+    * with a per-shard-group sign PATTERN — shard k = 64·g + r gets
+    * rotation r·7 mod 64 and flips dimension i iff bit (i mod 4) of g
+    * is set. A signed permutation is orthogonal, so norms and
+    * SAME-SHARD dot products are preserved exactly (each shard
+    * replicates the 1× pair geometry) while cross-shard vectors
+    * decorrelate. 64 rotations × 16 sign patterns = 1024 distinct
+    * transforms — the former family (rotation + all-dims flip) had
+    * only 128, so shard k silently DUPLICATED shard k−128 beyond that,
+    * inserting cross-shard exact duplicates that would corrupt
+    * semdedup/ANN rehearsal numbers; the hard require guards the new
+    * ceiling. g = 0 reproduces the former shards 0–63 bit-for-bit.
+    *
+    * Shards are written in append batches of ≤ 64 (not one
+    * `mult`-way union) so a 1000× staging plans 16 modest jobs
+    * instead of one 1000-branch union tree. */
   def stageEmbeddings(s: SparkSession, sfDir: String, mult: Int): String = {
-    val dir = stagedDir("emb", sfDir, mult)
+    require(mult <= 1024,
+      s"stageEmbeddings: transform family has 1024 distinct signed " +
+        s"permutations; mult=$mult would duplicate shards exactly")
+    // "_t2" keys the TRANSFORM VERSION: markers persist across JVM
+    // runs, and shards ≥ 64 changed content when the sign-pattern
+    // family replaced the all-dims flip
+    val dir = stagedDir("emb", sfDir, mult, "_t2")
     val fp = sourceFingerprint(Seq(
       java.nio.file.Paths.get(sfDir, "embeddings.parquet")))
     if (isStaged(dir, fp)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
     val base = Tables.embeddings(s, sfDir)
-    val all = (0 until mult).map { k =>
-      val rot = (k * 7) % 64
-      val rotated = transform(sequence(lit(0), lit(63)),
-        i => element_at(col("embedding"), ((i + lit(rot)) % 64) + 1))
-      val e = if (k >= 64) transform(rotated, x => -x) else rotated
-      base.select((col("vec_id") + lit(k * VecRange)).as("vec_id"),
-        e.as("embedding"), col("label"))
-    }.reduce(_ union _)
-    all.write.parquet(dir.resolve("embeddings.parquet").toString)
+    val out = dir.resolve("embeddings.parquet").toString
+    (0 until mult).grouped(64).foreach { chunk =>
+      chunk.map { k =>
+        val rot = (k * 7) % 64
+        val g = k / 64
+        val signs = array((0 until 64).map(i =>
+          lit(if (((g >> (i % 4)) & 1) == 1) -1.0f else 1.0f)): _*)
+        val rotated = transform(sequence(lit(0), lit(63)),
+          i => element_at(col("embedding"), ((i + lit(rot)) % 64) + 1))
+        val e = zip_with(rotated, signs, (x, sg) => x * sg)
+        base.select((col("vec_id") + lit(k * VecRange)).as("vec_id"),
+          e.as("embedding"), col("label"))
+      }.reduce(_ union _)
+        .write.mode("append").parquet(out)
+    }
     markStaged(dir, fp)
     dir.toString
   }

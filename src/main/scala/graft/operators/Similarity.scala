@@ -456,9 +456,14 @@ object Similarity {
     * table is a superset at every sf). HASH-GATED: the ann_ivf chain
     * replays in DuckDB and the passage is a plain substring. */
   def ragRetrieve(s: SparkSession, d: String): DataFrame = {
-    val hitRows = annIvf(s, d).collect() // ≤ NumQueries×TopK by construction
+    // NOTE: unlike every other registered query this one EXECUTES at
+    // DataFrame-construction time — the ANN hit list must be collected
+    // before the pushed doc_id IN (...) filter can be built. One plan,
+    // used for both the collect and the schema.
+    val ann = annIvf(s, d)
+    val hitRows = ann.collect() // ≤ NumQueries×TopK by construction
     val hits = s.createDataFrame(
-      java.util.Arrays.asList(hitRows: _*), annIvf(s, d).schema)
+      java.util.Arrays.asList(hitRows: _*), ann.schema)
     val ids = hitRows.map(_.getLong(2)).distinct.toIndexedSeq
     val docs = Tables.documents(s, d)
       .filter(col("doc_id").isin(ids: _*))

@@ -1,7 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -20,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the engine a new storage system" is exactly this interface, and
   * unlike a wrapped RDD it participates in Catalyst: required-column
   * pruning, id-range filter pushdown (EXACT — accepted filters are
-  * consumed, not re-evaluated), and partition planning all reach the
-  * scan.
+  * consumed, not re-evaluated), partition planning, RUNTIME (dynamic)
+  * filtering from join build sides ([[SeqScan.filter]] — the DPP
+  * rung), and complete global-aggregate pushdown ([[SeqAggScan]])
+  * all reach the scan.
   *
   * Rows: id ∈ [0, n); bucket = md5-60("seq"+id) % 100 (the engine's
   * standard engine-neutral hash, so DuckDB replays content exactly);
@@ -56,6 +61,13 @@ object SeqSource {
       .map("%02x".format(_)).mkString.take(15)
     java.lang.Long.parseLong(hex, 16) % 100L
   }
+
+  /** Test observability (driver-side only; planInputPartitions runs on
+    * the driver): partition counts planned by the most recent scan,
+    * split by whether a RUNTIME filter had arrived — SourcesSpec pins
+    * that a selective join plans strictly fewer partitions. */
+  @volatile var lastStaticPlanned: Int = -1
+  @volatile var lastRuntimePlanned: Int = -1
 }
 
 class SeqTable(n: Long, parts: Int, batchRows: Long)
@@ -71,16 +83,63 @@ class SeqTable(n: Long, parts: Int, batchRows: Long)
 
 /** Folds id-range predicates into [lo, hi) at PLANNING time; every
   * accepted filter is exact (no post-scan re-evaluation), everything
-  * else is handed back to Spark. */
+  * else is handed back to Spark. Also accepts GLOBAL aggregate
+  * pushdown (COUNT/MIN/MAX/SUM over the surviving range): Spark
+  * calls pushAggregation AFTER filters, and only when every filter
+  * was consumed exactly, so the folded [lo, hi) is precisely the
+  * aggregate's input — the connector answers from range arithmetic
+  * (its "footer statistics") and the plan carries NO Aggregate node
+  * at all. */
 class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = n
   private var accepted = Array.empty[Filter]
   private var required = SeqSource.schema
+  private var pushedAgg: Option[Aggregation] = None
 
   private def isId(att: String): Boolean = att.equalsIgnoreCase("id")
+
+  /** One supported aggregate: COUNT(*) / COUNT(lit) / COUNT(col) on
+    * any of the three (all-non-null) columns, MIN/MAX/SUM on id.
+    * Grouped aggregation is NOT claimed — complete pushdown promises
+    * one row per group from ONE partition, and the honest grouped
+    * answer would re-scan every row, which is an aggregate the engine
+    * plans better than the connector. */
+  private def supported(f: AggregateFunc): Boolean = {
+    def isCol(e: V2Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.length == 1 &&
+        SeqSource.schema.fieldNames.exists(_.equalsIgnoreCase(n.fieldNames()(0)))
+      case _ => false
+    }
+    def isIdRef(e: V2Expression): Boolean = e match {
+      case n: NamedReference =>
+        n.fieldNames.length == 1 && isId(n.fieldNames()(0))
+      case _ => false
+    }
+    f match {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct &&
+        (isCol(c.column) || c.column.isInstanceOf[V2Literal[_]])
+      case m: Min => isIdRef(m.column)
+      case m: Max => isIdRef(m.column)
+      case s: Sum => !s.isDistinct && isIdRef(s.column)
+      case _ => false
+    }
+  }
+
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(supported)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (canPush(agg)) { pushedAgg = Some(agg); true } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -109,8 +168,10 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L)
   override def pushedFilters: Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new SeqScan(lo, math.max(lo, hi), parts, required, batchRows)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new SeqAggScan(lo, math.max(lo, hi), agg)
+    case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows)
+  }
 }
 
 object SeqScan {
@@ -128,9 +189,66 @@ object SeqScan {
 
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
               batchRows: Long) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   override def readSchema: StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime (dynamic) filtering — the DPP rung of the connector:
+    * when this scan is the probe side of a join and the build side is
+    * selective, Catalyst injects a DynamicPruningSubquery keyed on
+    * `id`; at execution time BatchScanExec collects the build-side
+    * keys, hands them here as an IN predicate, and re-plans input
+    * partitions — so whole splits are pruned BEFORE any task
+    * launches, the generated-source analogue of Iceberg/Delta
+    * runtime file pruning. Pruning is partition-granular: surviving
+    * splits still emit their full id range (the join above
+    * re-filters — a runtime filter is a license to skip, never a
+    * duty to apply exactly), and an unrecognized predicate prunes
+    * nothing, which is always safe. */
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def isIdRef(e: V2Expression): Boolean = e match {
+      case n: NamedReference =>
+        n.fieldNames.length == 1 && n.fieldNames()(0).equalsIgnoreCase("id")
+      case _ => false
+    }
+    def longOf(e: V2Expression): Option[Long] = e match {
+      case l: V2Literal[_] => l.value match {
+        case v: java.lang.Long    => Some(v.longValue)
+        case v: java.lang.Integer => Some(v.longValue)
+        case v: java.lang.Short   => Some(v.longValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    predicates.foreach { p =>
+      val kids = p.children()
+      val vals: Option[Array[Long]] = p.name() match {
+        case "IN" if kids.nonEmpty && isIdRef(kids(0)) =>
+          val vs = kids.drop(1).map(longOf)
+          if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.map(_.get))
+          else None
+        case "=" if kids.length == 2 && isIdRef(kids(0)) =>
+          longOf(kids(1)).map(Array(_))
+        case "=" if kids.length == 2 && isIdRef(kids(1)) =>
+          longOf(kids(0)).map(Array(_))
+        case _ => None // unknown shape: prune nothing (safe)
+      }
+      vals.foreach { ids =>
+        val sorted = ids.sorted
+        runtimeIds = Some(runtimeIds match {
+          case Some(prev) => // conjunction of arriving filters
+            val set = sorted.toSet
+            prev.filter(set.contains)
+          case None => sorted
+        })
+      }
+    }
+  }
   /** Post-pushdown size estimate — what lets Catalyst treat a small
     * (or tightly filtered) connector table as broadcastable: without
     * reported statistics a DSv2 relation defaults to "unknown/huge"
@@ -146,8 +264,22 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
   }
   override def description: String =
     s"graftseq range [$lo, $hi) cols ${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] =
-    SeqScan.splitRange(lo, hi, parts)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = SeqScan.splitRange(lo, hi, parts)
+    val res = runtimeIds match {
+      case Some(ids) => // sorted: binary-search each split for a survivor
+        base.filter { p =>
+          val r = p.asInstanceOf[SeqRange]
+          val i = java.util.Arrays.binarySearch(ids, r.lo)
+          val at = if (i >= 0) i else -i - 1
+          at < ids.length && ids(at) < r.hi
+        }
+      case None => base
+    }
+    if (runtimeIds.isDefined) SeqSource.lastRuntimePlanned = res.length
+    else SeqSource.lastStaticPlanned = res.length
+    res
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames.toIndexedSeq)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -202,6 +334,65 @@ class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int,
       end.asInstanceOf[SeqOffset].v, parts)
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames.toIndexedSeq)
+}
+
+/** The scan a pushed GLOBAL aggregate builds to: one partition, one
+  * row, each value answered from range arithmetic over the
+  * post-filter [lo, hi) — count = hi−lo, min/max are the bounds,
+  * sum(id) is the closed-form series (the connector equivalent of
+  * answering COUNT from parquet footers without touching data
+  * pages). EXACTLY ONE partition by contract: complete pushdown
+  * removes the Aggregate node entirely, so a second partition would
+  * literally duplicate the result row. Empty range → SQL semantics:
+  * count 0, null min/max/sum. */
+class SeqAggScan(lo: Long, hi: Long, agg: Aggregation)
+    extends Scan with Batch {
+  private val funcs: IndexedSeq[AggregateFunc] =
+    agg.aggregateExpressions.toIndexedSeq
+  override def readSchema: StructType =
+    StructType(funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"agg_$i", LongType, nullable = !f.isInstanceOf[Count] &&
+        !f.isInstanceOf[CountStar])
+    })
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graftseq range [$lo, $hi) pushed aggregates " +
+      funcs.map(_.toString).mkString("[", ", ", "]")
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqAggReaderFactory(funcs)
+}
+
+class SeqAggReaderFactory(funcs: IndexedSeq[AggregateFunc])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SeqRange]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val f = !emitted; emitted = true; f }
+      override def get(): InternalRow = {
+        val n = math.max(0L, r.hi - r.lo)
+        def nullable(v: => Long): Any =
+          if (n == 0) null else java.lang.Long.valueOf(v)
+        val vals: IndexedSeq[Any] = funcs.map {
+          case _: CountStar => java.lang.Long.valueOf(n)
+          case _: Count     => java.lang.Long.valueOf(n) // non-null cols
+          case _: Min       => nullable(r.lo)
+          case _: Max       => nullable(r.hi - 1)
+          // arithmetic series; BigInt guards the (lo+hi)·n product
+          // even though callers stay far from Long range today
+          case _: Sum =>
+            if (n == 0) null
+            else java.lang.Long.valueOf(
+              ((BigInt(r.lo) + BigInt(r.hi - 1)) * BigInt(n) / 2).toLong)
+          case f => throw new IllegalStateException(s"unsupported agg $f")
+        }
+        new GenericInternalRow(vals.toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SeqReaderFactory(cols: IndexedSeq[String])

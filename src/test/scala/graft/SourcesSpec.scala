@@ -127,6 +127,77 @@ class SourcesSpec extends SparkSpec {
       s"small stats-reporting dsv2 table did not broadcast:\n$jplan")
   }
 
+  test("dsv2 runtime filtering: a selective join prunes planned partitions") {
+    import graft.sources.{SeqSource, StorageOps}
+    SeqSource.lastStaticPlanned = -1
+    SeqSource.lastRuntimePlanned = -1
+    val df = StorageOps.dsv2RuntimeFilter(spark, sfDir)
+    val rows = df.collect()
+    // content: one row per region-1 nation at id = 137·n_nationkey,
+    // with the generated bucket/word intact
+    val nk = Tables.nation(spark, sfDir).filter(col("n_regionkey") === 1)
+      .select("n_nationkey").collect()
+      .map(_.getAs[Number]("n_nationkey").longValue())
+    assert(rows.length == nk.length && rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSet == nk.map(_ * 137L).toSet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == SeqSource.bucketOf(r.getLong(0)))
+      assert(r.getString(2) == "w" + (r.getLong(0) % 50))
+    }
+    // the scan planned all 64 static splits, then strictly fewer once
+    // the runtime IN predicate arrived from the reused broadcast: the
+    // 5 joinable ids live in the first ~3.3k of a 100k range, i.e. at
+    // most the first 3 of 64 splits
+    assert(SeqSource.lastStaticPlanned == 64,
+      s"static plan saw ${SeqSource.lastStaticPlanned} splits")
+    assert(SeqSource.lastRuntimePlanned >= 1 &&
+      SeqSource.lastRuntimePlanned <= 3,
+      s"runtime filter left ${SeqSource.lastRuntimePlanned} of 64 splits " +
+        "planned — dynamic pruning did not reach the connector")
+    // and the query carries no broadcast hint — the join must win BHJ
+    // from the dim's own size
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("dsv2 aggregate pushdown: the Aggregate node folds into the scan") {
+    import graft.sources.StorageOps
+    val df = StorageOps.dsv2AggPushdown(spark, sfDir)
+    val row = df.head()
+    val lo = StorageOps.Dsv2N / 10
+    val hi = StorageOps.Dsv2N / 2
+    val n = hi - lo
+    assert(row.getLong(0) == n, "count")
+    assert(row.getLong(1) == lo, "min")
+    assert(row.getLong(2) == hi - 1, "max")
+    assert(row.getLong(3) == (lo + hi - 1) * n / 2, "sum")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") &&
+      !plan.contains("SortAggregate") && !plan.contains("ObjectHashAggregate"),
+      s"aggregate survived above the scan:\n$plan")
+    assert(plan.contains("pushed aggregates [COUNT"),
+      s"scan does not report the pushed aggregate:\n$plan")
+    // grouped aggregation is refused (complete pushdown can't promise
+    // one row per group) — the engine keeps its Aggregate and the
+    // grouped answer stays exact
+    val grouped = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000").option("parts", "4").load()
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val gRows = grouped.collect()
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(gPlan.contains("Aggregate"), gPlan)
+    assert(gRows.map(_.getLong(1)).sum == 1000L)
+    // empty post-filter range: SQL global-agg-over-empty semantics
+    val empty = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000").option("parts", "4").load()
+      .filter(col("id") >= 5000L)
+      .agg(count(lit(1)).as("c"), min("id").as("mn"), max("id").as("mx"),
+        sum("id").as("sm"))
+    val e = empty.head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.isNullAt(3))
+  }
+
   test("dsv2 sink: per-partition commit messages aggregate to the exact totals") {
     import graft.sources.StorageOps
     val out = StorageOps.dsv2Write(spark, sfDir).collect()
