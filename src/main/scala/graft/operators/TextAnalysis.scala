@@ -357,6 +357,23 @@ object TextAnalysis {
         length(col("word")).as("n_chars"), col("n_sub"))
       .transform(Present.sortedUnbounded(_, col("word")))
 
+  /** Byte-level merge table ([[bpeTrainBytes]]): lhs/rhs/merged are
+    * hex-spelled byte sequences. */
+  def bpeBytesMerges(s: SparkSession, d: String): DataFrame =
+    bpeByteStore(s, d)._1.transform(Present.sorted(_, col("merge_no")))
+
+  /** Per-word encoded length under the byte-level tokenizer —
+    * n_bytes (the UTF-8 length, the zero-merge worst case) against
+    * n_sub (the symbol count after the learned merges); multilingual
+    * supplement words appear with their multi-byte spellings intact,
+    * the no-OOV property in row form. */
+  def bpeBytesEncode(s: SparkSession, d: String): DataFrame =
+    bpeByteStore(s, d)._2
+      .groupBy("word", "freq").agg(count(lit(1)).as("n_sub"))
+      .select(col("word"), col("freq"),
+        octet_length(col("word")).as("n_bytes"), col("n_sub"))
+      .transform(Present.sortedUnbounded(_, col("word")))
+
   /** Per-DOCUMENT token counts under the learned tokenizer — the
     * practical question BPE answers in a pipeline ("how many tokens
     * is this corpus under MY tokenizer", for budgeting/packing):
@@ -376,22 +393,22 @@ object TextAnalysis {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
-  /** Session-scoped LANDED tokenizer artifact per dataset (the
-    * ivfStore pattern): the learned merge table and the final
+  /** Session-scoped LANDED tokenizer artifact per (dataset, alphabet)
+    * (the ivfStore pattern): the learned merge table and the final
     * per-word symbol state written to parquet once — they ARE the
-    * artifact a tokenizer trainer ships, and both BPE queries are
-    * store reads instead of re-running the training loop. */
+    * artifact a tokenizer trainer ships, and every BPE query is a
+    * store read instead of re-running the training loop. */
   private val bpeStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val bpeIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** (merge table, final symbol state) as fresh reads over the landed
-    * artifact, training on first request for the dataset. */
-  def bpeStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val root = bpeStores.computeIfAbsent(d, _ => {
+  private def bpeStoreFor(s: SparkSession, d: String, mode: String,
+                          train: => (DataFrame, DataFrame))
+      : (DataFrame, DataFrame) = {
+    val root = bpeStores.computeIfAbsent(s"$mode:$d", _ => {
       val out = graft.Scratch.processScoped("graft_bpe",
         s"b${bpeIds.getAndIncrement()}").toString
-      val (merges, state) = bpeTrain(s, d)
+      val (merges, state) = train
       merges.write.mode("overwrite").parquet(s"$out/merges")
       state.write.mode("overwrite").parquet(s"$out/state")
       out
@@ -399,19 +416,72 @@ object TextAnalysis {
     (s.read.parquet(s"$root/merges"), s.read.parquet(s"$root/state"))
   }
 
+  /** (merge table, final symbol state) as fresh reads over the landed
+    * artifact, training on first request for the dataset. */
+  def bpeStore(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpeStoreFor(s, d, "char", bpeTrain(s, d))
+
+  /** The byte-level twin of [[bpeStore]]. */
+  def bpeByteStore(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpeStoreFor(s, d, "byte", bpeTrainBytes(s, d))
+
   /** (learned merge table, final per-word symbol state) — RETRAINS on
     * every call; production reads [[bpeStore]]. Spec-visible so
     * determinism is asserted on the training loop itself, not on two
     * reads of one landed file. */
   private[graft] def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val wPos = Window.partitionBy("word").orderBy("pos")
     val wf = TextOps.tokenize(Tables.documents(s, d))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var state: DataFrame = Checkpoints.truncate(
+    bpeTrainLoop(s,
       wf.select(col("word"), col("freq"),
         posexplode(split(col("word"), "")).as(Seq("p0", "sym")))
         .select(col("word"), col("freq"),
           (col("p0") + 1).cast("long").as("pos"), col("sym")))
+  }
+
+  /** Deterministic multilingual supplement mixed into the byte-level
+    * training corpus (literal in BOTH engines): guarantees multi-byte
+    * UTF-8 sequences are present whatever the dataset holds, so the
+    * byte-fallback property is actually exercised, not vacuous. */
+  private[graft] val ByteSupplement: Seq[(String, Long)] = Seq(
+    ("coração", 40L), ("informação", 35L), ("naïve", 30L),
+    ("straße", 25L), ("日本語", 20L), ("данные", 15L))
+
+  /** Byte-level BPE training (the GPT-2 tokenizer shape, Radford et
+    * al. 2019 public): the base alphabet is the 256 UTF-8 BYTES of
+    * each word — represented as two-char hex symbols, the engine-
+    * neutral byte spelling both Spark (`hex(encode(word,'UTF-8'))`)
+    * and DuckDB (`hex(encode(word))`) produce identically — so ANY
+    * text tokenizes with zero OOV: a never-seen multilingual word
+    * falls back to its bytes instead of failing the vocabulary, which
+    * is why production tokenizers train at the byte level. Merge
+    * learning itself is [[bpeTrainLoop]], unchanged — only s0
+    * differs, exactly the relationship the two alphabets have in the
+    * literature. Scale shape identical to char BPE: vocabulary-
+    * bounded state (~bytes-per-word × |vocab| rows), corpus touched
+    * once for the word counts. */
+  private[graft] def bpeTrainBytes(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val wf0 = TextOps.tokenize(Tables.documents(s, d))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val wf = wf0.unionByName(ByteSupplement.toDF("word", "freq"))
+      .groupBy("word").agg(sum("freq").as("freq"))
+    bpeTrainLoop(s,
+      wf.select(col("word"), col("freq"),
+        posexplode(regexp_extract_all(
+          hex(encode(col("word"), "UTF-8")), lit(".."), lit(0)))
+          .as(Seq("p0", "sym")))
+        .select(col("word"), col("freq"),
+          (col("p0") + 1).cast("long").as("pos"), col("sym")))
+  }
+
+  /** The shared merge-learning loop over any initial symbol state
+    * (word, freq, pos, sym) — char and byte alphabets differ only in
+    * s0. */
+  private def bpeTrainLoop(s: SparkSession, state0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val wPos = Window.partitionBy("word").orderBy("pos")
+    var state: DataFrame = Checkpoints.truncate(state0)
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -493,6 +563,48 @@ object TextAnalysis {
        |  WHERE coalesce(pmg, 0) = 0)""".stripMargin
   }
 
+  /** The byte-level CTE chain: same tokenize → word freq head PLUS
+    * the literal multilingual supplement, then s0 as hex-pair byte
+    * symbols — the round blocks are [[bpeRoundSql]] UNCHANGED, the
+    * SQL mirror of char/byte training sharing one loop. */
+  private lazy val bpeBytesCtes: String = {
+    val sup = ByteSupplement
+      .map { case (w, f) => s"('$w', $f::BIGINT)" }.mkString(", ")
+    val head =
+      s"""WITH tok AS (
+         |  SELECT w AS word FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |wf0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM tok GROUP BY word),
+         |wf AS (
+         |  SELECT word, CAST(sum(freq) AS BIGINT) AS freq FROM (
+         |    SELECT * FROM wf0
+         |    UNION ALL
+         |    SELECT * FROM (VALUES $sup) v(word, freq))
+         |  GROUP BY word),
+         |s0 AS (
+         |  SELECT word, freq, i AS pos, h[i] AS sym
+         |  FROM (SELECT word, freq,
+         |          regexp_extract_all(hex(encode(word)), '..') AS h
+         |        FROM wf) t,
+         |       unnest(range(1, len(h) + 1)) AS r(i))""".stripMargin
+    head + (1 to BpeMergeRounds).map(bpeRoundSql).mkString
+  }
+
+  private lazy val bpeBytesSql: String = {
+    val out = (1 to BpeMergeRounds).map(r =>
+      s"SELECT $r AS merge_no, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_cnt FROM win$r")
+      .mkString("\nUNION ALL\n")
+    s"$bpeBytesCtes\n$out\nORDER BY merge_no"
+  }
+
+  private lazy val bpeBytesEncodeSql: String =
+    s"""$bpeBytesCtes
+       |SELECT word, freq, octet_length(encode(word)) AS n_bytes,
+       |  CAST(count(*) AS BIGINT) AS n_sub
+       |FROM s$BpeMergeRounds GROUP BY word, freq ORDER BY word""".stripMargin
+
   /** Shared CTE chain: tokenize → word freq → char state s0 → one
     * (pair count, winner, application) block per round up to
     * s&#36;BpeMergeRounds. Both BPE oracles select from it. */
@@ -565,6 +677,19 @@ object TextAnalysis {
     * over tokens would differ between engines/partitionings. The only
     * float steps are one ln per distinct token and one final division
     * + round(6) per doc, both deterministic.
+    *
+    * Residual cross-engine risk, documented: IEEE 754 requires sqrt
+    * to be correctly rounded but NOT ln, so Spark's Math.log and
+    * DuckDB's libm ln may differ in the last ulp for some (cf, N)
+    * ratio. The gate only flips if that last-ulp difference moves
+    * -ln(cf/N)·10⁷ across a .5 rounding boundary — the ratio must
+    * land within ~1e-9 of the boundary, ~2·10⁻⁹ probability per
+    * DISTINCT token (not per occurrence), and both local JVMs and
+    * glibc use correctly-rounded-in-practice crlibm-class
+    * implementations for the tested range. If a vocabulary ever
+    * trips it, the fix is the dimMeans trick one level up: compute
+    * nllq per distinct (cf, N) pair ONCE on one engine and replay
+    * the quantized integers as literals to the other.
     *
     * Scale shape: the LM lands once per dataset ([[lmStore]] — the
     * train-once/score-many deployment split); each scoring execution
@@ -658,6 +783,8 @@ object TextAnalysis {
     "bpe_merges"   -> bpeMerges _,
     "bpe_encode"   -> bpeEncode _,
     "bpe_doc_tokens" -> bpeDocTokens _,
+    "bpe_bytes_merges" -> bpeBytesMerges _,
+    "bpe_bytes_encode" -> bpeBytesEncode _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -704,6 +831,8 @@ object TextAnalysis {
     // the merge sequence replayed round by round: same pair counts,
     // same (cnt desc, lhs, rhs) winner, same greedy-parity application
     "bpe_merges" -> bpeSql,
+    "bpe_bytes_merges" -> bpeBytesSql,
+    "bpe_bytes_encode" -> bpeBytesEncodeSql,
     // the same unrolled rounds, aggregated over the FINAL symbol
     // state instead of the winner rows
     "bpe_encode" -> bpeEncodeSql,

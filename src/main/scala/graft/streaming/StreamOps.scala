@@ -313,6 +313,72 @@ object StreamOps {
         col("click_id"), col("purchase_id")))
   }
 
+  /** FULL OUTER stream-stream join — both sides' no-match verdicts:
+    * clicks with no purchase (the left-join rows) AND purchases with
+    * no qualifying click. A purchase's no-click verdict is decidable
+    * once the watermark passes purchase_ts — any qualifying click
+    * would carry click_ts ∈ [purchase_ts − 60 min, purchase_ts], all
+    * ≤ purchase_ts, so once the watermark clears purchase_ts no such
+    * arrival is admissible; Spark holds the purchase row in state
+    * until then and the terminal no-data batch flushes its
+    * null-extended row. */
+  private[graft] def clickPurchaseFullOf(clickSrc: DataFrame,
+                                         purchaseSrc: DataFrame): DataFrame = {
+    val clicks = clickSrc
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = purchaseSrc
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 60 minutes"),
+      "full_outer")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  def clickPurchaseFullJoin(s: SparkSession, dir: String): DataFrame =
+    clickPurchaseFullOf(eventsStream(s, dir), eventsStream(s, dir))
+
+  /** `clickPurchaseFullJoin` driver-gated. Two final zones, one per
+    * outer side (the stream_left_join gating extended): with terminal
+    * watermark W = min(max click_ts, max purchase_ts) − 1 h,
+    * click-side rows (matched or null-extended) are final once
+    * W > click_ts + 60 min, and purchase-side null-click rows once
+    * W > purchase_ts — both strict, dodging the eviction boundary.
+    * Landed table and DuckDB oracle restrict identically, where
+    * stream ≡ batch FULL JOIN exactly. */
+  def clickPurchaseFullGated(s: SparkSession, dir: String): DataFrame = {
+    val landed = runToTableAppend(s, clickPurchaseFullJoin(s, dir),
+      "stream_full_join", col("click_id"), col("purchase_id"))
+    val ev = Tables.events(s, dir)
+    val horizon = broadcast(
+      ev.filter(col("event_type") === "click").agg(max("ts").as("mc"))
+        .crossJoin(ev.filter(col("event_type") === "purchase")
+          .agg(max("ts").as("mp")))
+        .select(least(col("mc"), col("mp")).as("wm0")))
+    landed.crossJoin(horizon)
+      .filter(
+        (col("click_ts").isNotNull &&
+          col("click_ts") < col("wm0") - expr("interval 120 minutes")) ||
+        (col("click_ts").isNull &&
+          col("purchase_ts") < col("wm0") - expr("interval 60 minutes")))
+      .drop("wm0")
+      // NULLS LAST on both keys: the full-outer output is the one
+      // place a SORT key itself is null (purchase-only rows), and
+      // Spark's ASC default is nulls-first while DuckDB's is
+      // nulls-last — the driver compares rows in order
+      .transform(graft.operators.Present.sortedUnbounded(_,
+        col("click_id").asc_nulls_last, col("purchase_id").asc_nulls_last))
+  }
+
   /** Streaming exact dedup: first-seen (user_id, event_type) pairs via
     * streaming dropDuplicates. Exact-distinct semantics with one state
     * entry per DISTINCT key — bounded by key cardinality, so it holds
@@ -737,6 +803,7 @@ object StreamOps {
     "sessionize_stream"    -> sessionizeStreamGated _,
     "stream_stream_join"   -> clickPurchaseJoinGated _,
     "stream_left_join"     -> clickPurchaseLeftGated _,
+    "stream_full_join"     -> clickPurchaseFullGated _,
     "dedup_stream"         -> dedupStreamGated _,
     "stream_enrich"        -> streamEnrichGated _,
     "running_totals_stream" -> runningUserTotalsGated _,
@@ -770,6 +837,29 @@ object StreamOps {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // both outer sides replayed batch-side, each gated to its own
+    // final zone (click rows: W - 120 min; null-click purchase rows:
+    // W - 60 min, W = min of the two side maxima)
+    "stream_full_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user,
+        |    ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    AS wm0)
+        |SELECT click_id, purchase_id,
+        |  coalesce(user_id, p_user) AS user_id, click_ts, purchase_ts
+        |FROM clicks FULL JOIN purchases
+        |  ON user_id = p_user AND purchase_ts >= click_ts
+        |  AND purchase_ts <= click_ts + INTERVAL 60 MINUTE, wm
+        |WHERE (click_ts IS NOT NULL AND click_ts < wm0 - INTERVAL 120 MINUTE)
+        |   OR (click_ts IS NULL AND purchase_ts < wm0 - INTERVAL 60 MINUTE)
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_left_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id,

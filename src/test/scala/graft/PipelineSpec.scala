@@ -227,9 +227,16 @@ class PipelineSpec extends SparkSpec {
     * left-to-right application — the sequential-scan form the engine's
     * relational parity rule must equal. */
   private def bpeModel(wordFreq: Seq[(String, Long)], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(Seq[String], Long)]) =
+    bpeModelSyms(
+      wordFreq.map { case (w, f) => (w.map(_.toString): Seq[String]) -> f },
+      rounds)
+
+  /** The same reference model over an arbitrary pre-split symbol
+    * alphabet (chars or hex-spelled bytes). */
+  private def bpeModelSyms(vocab0: Seq[(Seq[String], Long)], rounds: Int)
       : (Seq[(Int, String, String, Long)], Seq[(Seq[String], Long)]) = {
-    var vocab: Seq[(Seq[String], Long)] =
-      wordFreq.map { case (w, f) => (w.map(_.toString): Seq[String]) -> f }
+    var vocab: Seq[(Seq[String], Long)] = vocab0
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -302,6 +309,42 @@ class PipelineSpec extends SparkSpec {
     // every encoding compresses or preserves: 1 <= n_sub <= n_chars
     got.foreach { case (w, _, nc, ns) =>
       assert(ns >= 1 && ns <= nc, s"$w: n_sub=$ns n_chars=$nc") }
+  }
+
+  test("byte-level bpe: hex-byte alphabet, reference parity, zero OOV") {
+    import graft.operators.{TextAnalysis, TextOps}
+    def hexSyms(w: String): Seq[String] =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toSeq
+    val wfCorpus = TextOps.wordcount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val wf = (wfCorpus ++ TextAnalysis.ByteSupplement)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val (expect, _) = bpeModelSyms(
+      wf.map { case (w, f) => hexSyms(w) -> f },
+      TextAnalysis.BpeMergeRounds)
+    assert(expect.nonEmpty)
+    val got = TextAnalysis.bpeBytesMerges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == expect.map(t => (t._1, t._2, t._3, t._4)),
+      s"byte merge sequence diverged:\n got=${got.toSeq}\n exp=$expect")
+    // zero OOV / no information loss: EVERY word's final symbols
+    // concatenate back to exactly its UTF-8 byte spelling — the
+    // property a char alphabet cannot give an unseen script
+    val state = TextAnalysis.bpeByteStore(spark, sfDir)._2.collect()
+      .groupBy(_.getString(0))
+    state.foreach { case (w, rows) =>
+      val hex = rows.sortBy(_.getLong(2)).map(_.getString(3)).mkString
+      assert(hex == hexSyms(w).mkString, s"'$w' does not byte-round-trip")
+    }
+    // the multilingual supplement is present with multi-byte
+    // spellings intact (ç/ã/ß/кана/kanji all ≥ 2 bytes per char)
+    TextAnalysis.ByteSupplement.foreach { case (w, _) =>
+      assert(state.contains(w), s"supplement word '$w' missing") }
+    val enc = TextAnalysis.bpeBytesEncode(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(enc("日本語")._1 == 9, "kanji must spell to 9 UTF-8 bytes")
+    enc.foreach { case (w, (nb, ns)) =>
+      assert(ns >= 1 && ns <= nb, s"$w: n_sub=$ns n_bytes=$nb") }
   }
 
   test("bpe greedy parity handles self-pair runs like the sequential scan") {

@@ -184,6 +184,42 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("full-outer stream-stream join: both no-match sides equal the gated batch full join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val mc = ev.filter(col("event_type") === "click")
+      .agg(max("ts")).head().getTimestamp(0)
+    val mp = ev.filter(col("event_type") === "purchase")
+      .agg(max("ts")).head().getTimestamp(0)
+    val wm0 = if (mc.before(mp)) mc else mp
+    val hClick = new java.sql.Timestamp(wm0.getTime - 120 * 60 * 1000L)
+    val hPur = new java.sql.Timestamp(wm0.getTime - 60 * 60 * 1000L)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    def key(r: org.apache.spark.sql.Row) = (Option(r.get(0)), Option(r.get(1)))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("interval 60 minutes"),
+        "full_outer")
+      .filter((col("click_ts").isNotNull && col("click_ts") < lit(hClick)) ||
+        (col("click_ts").isNull && col("purchase_ts") < lit(hPur)))
+      .select("click_id", "purchase_id")
+      .collect().map(key).toSet
+    val stream = StreamOps.clickPurchaseFullGated(spark, sfDir)
+      .select("click_id", "purchase_id")
+      .collect().map(key).toSet
+    assert(stream == batch && batch.nonEmpty)
+    // all three row classes must appear, or the full-outer claim is vacuous
+    assert(stream.exists(_._1.isEmpty), "no purchase-only rows in the final zone")
+    assert(stream.exists(_._2.isEmpty), "no click-only rows in the final zone")
+    assert(stream.exists(k => k._1.nonEmpty && k._2.nonEmpty), "no matched rows")
+  }
+
   test("streaming dropDuplicates equals batch distinct; watermark variant covers the key set") {
     import org.apache.spark.sql.functions._
     val distinctKeys = Tables.events(spark, sfDir)
