@@ -377,6 +377,12 @@ object ScaleRehearsal {
   // embeddings sf0.1: vec_id < 2 000
   private val VecRange = 1000000L
 
+  /** Above this K the semdedup rehearsal index builds hierarchically
+    * (Similarity.ivfBuildHier); at or below it the flat, fully-
+    * oracled ivfBuild is affordable and stays the reference. 3200 =
+    * the 200× point, the largest multiple the flat build has run. */
+  private val HierK = 3200
+
   /** Stage `mult` isomorphic embedding shards as SIGNED PERMUTATIONS
     * of the base: per-shard dimension rotation (k·7 mod 64) composed
     * with a per-shard-group sign PATTERN — shard k = 64·g + r gets
@@ -443,9 +449,17 @@ object ScaleRehearsal {
       val staged = stageEmbeddings(s, sfDir, m)
       val k = operators.Similarity.IvfClusters * m
       val idxDir = java.nio.file.Paths.get(staged, s"idx_k$k")
-      if (!java.nio.file.Files.exists(idxDir.resolve("_SUCCESS")))
-        operators.Similarity.ivfBuild(s, staged, k)._1
-          .write.mode("overwrite").parquet(idxDir.toString)
+      if (!java.nio.file.Files.exists(idxDir.resolve("_SUCCESS"))) {
+        // past HierK the flat build's N×K passes are the wall
+        // (K ∝ N makes them quadratic in the multiple); the
+        // hierarchical build is the committed large-K path —
+        // see Similarity.ivfBuildHier
+        if (k > HierK)
+          operators.Similarity.ivfBuildHier(s, staged, k, idxDir.toString)
+        else
+          operators.Similarity.ivfBuild(s, staged, k)._1
+            .write.mode("overwrite").parquet(idxDir.toString)
+      }
       measure(s, listener, "similarity", "semdedup", m, passes)(
         operators.Similarity.semDedupFrom(s,
           s.read.parquet(idxDir.toString)))

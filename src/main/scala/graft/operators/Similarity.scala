@@ -272,6 +272,92 @@ object Similarity {
     (assign(local), local)
   }
 
+  /** Two-level (hierarchical) IVF build — the committed scale path
+    * past the flat build's cost wall: every flat Lloyd/assignment
+    * pass is an N×K cosine sweep, fine at the gated K (16..3200 in
+    * the rehearsals) but prohibitive once K ∝ N pushes K to ~10⁴⁺
+    * (N=2M, K=16k is 3×10¹⁰ pairs PER PASS). The classic fix
+    * (hierarchical k-means / faiss's coarse-quantized assignment,
+    * public) quantizes the CENTROIDS first: `coarse` super-cells over
+    * the K fine centroids, then each vector shortlists its `nprobe`
+    * nearest super-cells (N×coarse) and argmaxes only over their fine
+    * members (N×nprobe×K/coarse) — for the defaults, ~250× fewer
+    * pairs per pass at K=16k. One Lloyd refinement (large-K
+    * practice) instead of the flat build's IvfLloydIters.
+    *
+    * The result is a valid IVF index with [[ivfBuild]]'s schema —
+    * the (vec_id, v, cid) inverted file lands at `outDir`, the
+    * (cid, cv) centroid table returns as a LocalRelation. A boundary
+    * vector
+    * whose best fine centroid hides in an unprobed super-cell may
+    * land in its runner-up cell — the standard recall/cost trade of
+    * every hierarchical quantizer, which moves a few assignments at
+    * the margin but not the cell-size economics. With
+    * nprobe ≥ coarse the shortlist is exhaustive and the assignment
+    * IS the exact argmax (SimilaritySpec pins that identity).
+    * Deterministic end to end: same md5-rank seeds as the flat
+    * build, 9-place-rounded cosines, (cos, -cid) tie-breaks, and the
+    * dimMeans fixed-point refinement. NOT registered as a gated
+    * query — its consumer is the large-K rehearsal
+    * ([[graft.ScaleRehearsal.runSimilarity]]); the gated semdedup
+    * family stays on the flat, fully-oracled build. */
+  private[graft] def ivfBuildHier(s: SparkSession, d: String, k: Int,
+      outDir: String, coarse: Int = 128, nprobe: Int = 2): DataFrame = {
+    val e = emb(s, d)
+    def cosTo(a: Column, b: Column): Column =
+      round(graft.functions.GraftFunctions.cosineNative(s, a, b), 9)
+    val rank = Dedup.md5Hash60(col("vec_id").cast("string"))
+    val fineSeeds = e.orderBy(rank, col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // coarse centroids = the first `coarse` seeds of the SAME rank
+    // order (a prefix of the fine seeds — one sampling pass)
+    val coarseCent = e.orderBy(rank, col("vec_id")).limit(math.min(coarse, k))
+      .select(col("vec_id").as("ccid"), col("v").as("ccv"))
+    // per-vector super-cell shortlist: one N×coarse pass folded
+    // map-side into a ≤coarse-entry buffer per vector (collect_list
+    // merges partially), then the top-nprobe slice — computed ONCE
+    // and persisted: both assignment passes reuse it, and it is the
+    // build's only corpus-sized intermediate
+    val shortlist = e.crossJoin(broadcast(coarseCent))
+      .withColumn("ccos", cosTo(col("v"), col("ccv")))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"),
+        slice(sort_array(collect_list(struct(
+          col("ccos"), (-col("ccid")).as("tb"), col("ccid"))), asc = false),
+          1, nprobe).as("top"))
+      .select(col("vec_id"), col("v"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("v"), col("t.ccid").as("ccid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // assignment under any fine-centroid table: label each fine
+    // centroid with its super-cell (K×coarse — tiny), join the
+    // shortlist on the super-cell, argmax within
+    def assignHier(fine: DataFrame): DataFrame = {
+      val labeled = fine.crossJoin(broadcast(coarseCent))
+        .withColumn("fcos", cosTo(col("cv"), col("ccv")))
+        .groupBy("cid")
+        .agg(max_by(col("ccid"), struct(col("fcos"), -col("ccid"))).as("ccid"),
+          first(col("cv")).as("cv"))
+      shortlist.join(broadcast(labeled), Seq("ccid"))
+        .withColumn("cos", cosTo(col("v"), col("cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+        .select("vec_id", "v", "cid")
+    }
+    // the assignment LANDS inside the call (outDir — the inverted
+    // file, same relation ivfBuild._1 produces) so the shortlist
+    // cache can be dropped before returning; the K-row centroid
+    // table comes back as a LocalRelation like the flat build's
+    try {
+      val cent = dimMeans(assignHier(fineSeeds), "cid").persist()
+      val rows = java.util.Arrays.asList(cent.collect(): _*)
+      val local = s.createDataFrame(rows, cent.schema)
+      cent.unpersist(false)
+      assignHier(local).write.mode("overwrite").parquet(outDir)
+      local
+    } finally shortlist.unpersist(false)
+  }
+
   def ivfIndex(s: SparkSession, d: String): DataFrame = ivfStore(s, d)._1
 
   /** Session-scoped LANDED IVF INDEX per dataset dir — the literal

@@ -128,6 +128,49 @@ class SimilaritySpec extends SparkSpec {
       "a repeat PQ consumer re-built the landed code store")
   }
 
+  test("hierarchical IVF: exhaustive probe = exact argmax; partial probe partitions") {
+    import scala.jdk.CollectionConverters._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val out = java.nio.file.Files.createTempDirectory("graft_hier").toString
+    // nprobe == coarse: the shortlist is exhaustive, so the
+    // hierarchical assignment must BE the exact argmax over the
+    // returned centroids — the identity that pins the two-level
+    // shortcut against the flat semantics
+    val cents = Similarity.ivfBuildHier(spark, sfDir, 16, s"$out/full",
+      coarse = 4, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val asg = spark.read.parquet(s"$out/full").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(asg.length == nVec && asg.map(_._1).distinct.length == asg.length,
+      "every vector exactly once")
+    asg.foreach { case (id, v, cid) =>
+      val cosines = cents.map { case (c, cv) => c -> cos(v, cv) }.toMap
+      val best = cosines.values.max
+      assert(cosines(cid) >= best - 1e-8,
+        s"vec $id assigned cell $cid (cos ${cosines(cid)}) but best is $best")
+    }
+    // partial probe (nprobe=1): still a complete partition into the
+    // same centroid id space — the recall/cost trade moves boundary
+    // vectors BETWEEN cells, never out of the index
+    val c2 = Similarity.ivfBuildHier(spark, sfDir, 16, s"$out/p1",
+      coarse = 4, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val a2 = spark.read.parquet(s"$out/p1").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(a2.length == nVec && a2.map(_._1).distinct.length == a2.length)
+    assert(a2.map(_._2).toSet.subsetOf(c2), "cids must come from the centroid table")
+    // no persisted partitions may outlive the build (the shortlist
+    // cache is call-scoped)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "ivfBuildHier leaked cached RDDs")
+  }
+
   test("semdedup: keep-first rule replayed exactly against the index") {
     import org.apache.spark.sql.functions._
     val idx = Similarity.ivfIndex(spark, sfDir)
