@@ -93,14 +93,62 @@ class SeqTable(n: Long, parts: Int, batchRows: Long)
 class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
   private var lo = 0L
   private var hi = n
   private var accepted = Array.empty[Filter]
   private var required = SeqSource.schema
   private var pushedAgg: Option[Aggregation] = None
+  private var topNDesc = false
 
   private def isId(att: String): Boolean = att.equalsIgnoreCase("id")
+
+  /** LIMIT/TopN/OFFSET fold into the id range too — the pagination
+    * rungs of the ladder. The engine calls these AFTER filters, so
+    * the folds compose on the surviving [lo, hi). `isPartiallyPushed`
+    * stays true (the engine keeps its own Limit/TakeOrdered above —
+    * always correct, and partition-concat order never has to carry a
+    * global-sort promise); the win is the scan itself, which now
+    * PLANS only the limit-sized slice. OFFSET is exact and fully
+    * consumed: after an id-DESC TopN the skipped rows are the
+    * HIGHEST ids, otherwise the lowest (for a plain un-sorted OFFSET
+    * any n rows are a valid skip — the range form is one legal
+    * instantiation). All refused once an aggregate is pushed: the
+    * agg scan answers from the whole surviving range. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) false
+    else {
+      if (topNDesc) lo = math.max(lo, hi - limit)
+      else hi = math.min(hi, lo + limit)
+      true
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    if (pushedAgg.isDefined || orders.length != 1) return false
+    orders(0).expression() match {
+      case r: NamedReference
+          if r.fieldNames.length == 1 && isId(r.fieldNames()(0)) =>
+        import org.apache.spark.sql.connector.expressions.SortDirection
+        if (orders(0).direction() == SortDirection.DESCENDING) {
+          topNDesc = true
+          lo = math.max(lo, hi - limit)
+        } else hi = math.min(hi, lo + limit)
+        true
+      case _ => false // sort on a generated column: the engine sorts
+    }
+  }
+  override def pushOffset(offset: Int): Boolean = {
+    if (pushedAgg.isDefined) false
+    else {
+      if (topNDesc) hi = math.max(lo, hi - offset)
+      else lo = math.min(hi, lo + offset)
+      true
+    }
+  }
 
   /** One supported aggregate: COUNT(*) / COUNT(lit) / COUNT(col) on
     * any of the three (all-non-null) columns, MIN/MAX/SUM on id.

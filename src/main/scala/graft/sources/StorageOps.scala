@@ -269,6 +269,18 @@ object StorageOps {
       .agg(count(lit(1)).as("n_rows"), min("id").as("min_id"),
         max("id").as("max_id"), sum("id").as("sum_id"))
 
+  /** TopN/limit pushdown through the DSv2 connector — the pagination
+    * rungs: ORDER BY id DESC + OFFSET/LIMIT folds the scan to the
+    * limit-sized id slice at PLANNING time (the probe shows
+    * `range [n-8, n)` for offset 3 + limit 5), so a top-k over the
+    * connector reads k rows, not the table. The engine keeps its own
+    * TakeOrdered above (isPartiallyPushed — always correct); the win
+    * is the scan. SourcesSpec pins the folded range. */
+  def dsv2TopnPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", Dsv2N.toString).option("parts", "16").load()
+      .orderBy(desc("id")).offset(3).limit(5)
+
   /** TPC-H Q3 over the landed warehouse — the third consumer of the
     * one orderkey layout (with q18/q9), which is the economics of
     * pre-bucketing: the write cost amortizes across the query mix.
@@ -782,6 +794,7 @@ object StorageOps {
     "dsv2_write"       -> dsv2Write _,
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
+    "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
@@ -854,6 +867,15 @@ object StorageOps {
         |JOIN part ON l_partkey = p_partkey
         |  AND p_type IN ('PROMO', 'ECONOMY')
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // the same slice replayed from range(); the scan fold must change
+    // planned rows, never the answer
+    "dsv2_topn_pushdown" ->
+      s"""SELECT i AS id,
+         |  ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |    % 100 AS bucket,
+         |  'w' || (i % 50)::VARCHAR AS word
+         |FROM range(0, $Dsv2N) t(i)
+         |ORDER BY i DESC LIMIT 5 OFFSET 3""".stripMargin,
     // the folded aggregate replayed over the same id window
     "dsv2_agg_pushdown" ->
       s"""SELECT count(*)::BIGINT AS n_rows, min(i) AS min_id,

@@ -198,6 +198,35 @@ class SourcesSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.isNullAt(3))
   }
 
+  test("dsv2 limit/TopN pushdown folds the scan to the limit-sized slice") {
+    import graft.sources.StorageOps
+    def src = spark.read.format("graft.sources.SeqSource")
+      .option("n", "100000").option("parts", "16").load()
+    // ORDER BY id ASC LIMIT 5: the scan plans exactly [0, 5)
+    val asc = src.orderBy(col("id")).limit(5)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L to 4L))
+    assert(asc.queryExecution.executedPlan.toString
+      .contains("graftseq range [0, 5)"), "TopN did not fold the scan")
+    // the registered desc+offset form: scan holds only the tail slice
+    val d = StorageOps.dsv2TopnPushdown(spark, sfDir)
+    assert(d.collect().map(_.getLong(0)).toSeq ==
+      Seq(99996L, 99995L, 99994L, 99993L, 99992L))
+    assert(d.queryExecution.executedPlan.toString
+      .contains("graftseq range [99992, 100000)"),
+      "desc TopN did not fold the scan tail")
+    // un-sorted LIMIT folds too (any n rows are a valid LIMIT answer)
+    val lim = src.limit(7)
+    assert(lim.collect().length == 7)
+    assert(lim.queryExecution.executedPlan.toString
+      .contains("graftseq range [0, 7)"))
+    // a sort the connector can't serve (generated column) is refused
+    // and stays exact in the engine
+    val byBucket = src.filter(col("id") < 50L).orderBy(col("bucket"), col("id")).limit(3)
+    val expect = (0L until 50L).map(i => (graft.sources.SeqSource.bucketOf(i), i))
+      .sorted.take(3).map(_._2)
+    assert(byBucket.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
   test("dsv2 sink: per-partition commit messages aggregate to the exact totals") {
     import graft.sources.StorageOps
     val out = StorageOps.dsv2Write(spark, sfDir).collect()
