@@ -233,7 +233,37 @@ object FuncOps {
       .transform(Present.sorted(_, col("event_type")))
   }
 
+  /** Spark 4 VariantType — the modern semi-structured lane (the
+    * binary variant encoding of the open Parquet/Iceberg VARIANT
+    * spec): `parse_json` builds a variant once per row, typed
+    * `variant_get` path extraction replaces string re-parsing per
+    * field, and `try_variant_get` yields NULL on a missing path
+    * instead of failing the row. The query nests the events props
+    * under a constructed envelope so the extraction exercises real
+    * multi-level paths; the oracle replays the same paths with
+    * DuckDB's JSON extraction. At scale variant beats
+    * get_json_object because the parse happens ONCE per row into a
+    * binary form all downstream extractions share, instead of one
+    * string parse per extraction. */
+  def variantOps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(
+        concat(lit("{\"meta\":{\"type\":\""), col("event_type"),
+          lit("\"},\"payload\":"), col("props"), lit("}"))))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.payload.k', 'int')").as("k"),
+        expr("variant_get(v, '$.meta.type', 'string')").as("vtype"),
+        expr("try_variant_get(v, '$.meta.absent', 'int')").as("missing"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+        count(col("missing")).as("n_missing"),
+        sum(when(col("vtype") === col("event_type"), 1L).otherwise(0L))
+          .as("n_type_ok"))
+      .transform(Present.sorted(_, col("event_type")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "variant_ops"        -> variantOps _,
     "percentiles"        -> percentiles _,
     "percentiles_approx" -> percentilesApprox _,
     "null_funcs"         -> nullFuncs _,
@@ -247,6 +277,17 @@ object FuncOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same multi-level paths via DuckDB JSON extraction; the
+    // missing path is NULL for every row, the envelope type echoes
+    // the event_type for every row
+    "variant_ops" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+        |  min(json_extract_string(props, '$.k')::INT) AS min_k,
+        |  max(json_extract_string(props, '$.k')::INT) AS max_k,
+        |  0::BIGINT AS n_missing,
+        |  count(*)::BIGINT AS n_type_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "percentiles_approx" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
