@@ -6,11 +6,14 @@ import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector — the SOURCES rung of the extension
@@ -38,12 +41,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition pruning); each split streams rows with O(1) state. */
 class SeqSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SeqSource.schema
+    SeqSource.schemaFor(options.getOrDefault("pstep", "0").toLong)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new SeqTable(properties.getOrDefault("n", "1000").toLong,
       properties.getOrDefault("parts", "4").toInt,
-      properties.getOrDefault("batchrows", "30000").toLong)
+      properties.getOrDefault("batchrows", "30000").toLong,
+      properties.getOrDefault("pstep", "0").toLong,
+      properties.getOrDefault("columnar", "false").toBoolean)
 }
 
 object SeqSource {
@@ -51,6 +56,15 @@ object SeqSource {
     StructField("id", LongType, nullable = false),
     StructField("bucket", LongType, nullable = false),
     StructField("word", StringType, nullable = false)))
+
+  /** With `pstep` > 0 the table is STORAGE-PARTITIONED: it exposes its
+    * layout as an extra `pkey = id / pstep` column, one input split per
+    * key, reported to Catalyst as a [[KeyGroupedPartitioning]] — the
+    * Iceberg-style contract that lets two co-partitioned tables join
+    * with NO shuffle on either side (storage-partitioned join). */
+  def schemaFor(pstep: Long): StructType =
+    if (pstep > 0) schema.add(StructField("pkey", LongType, nullable = false))
+    else schema
 
   /** md5-60 of "seq"+id, mod 100 — Dedup.md5Hash60's semantics on the
     * JVM side so the SQL twin is the usual ('0x' || substring(md5(…),
@@ -70,15 +84,16 @@ object SeqSource {
   @volatile var lastRuntimePlanned: Int = -1
 }
 
-class SeqTable(n: Long, parts: Int, batchRows: Long)
+class SeqTable(n: Long, parts: Int, batchRows: Long,
+               pstep: Long = 0L, columnar: Boolean = false)
     extends Table with SupportsRead {
   override def name: String = s"graftseq(n=$n)"
-  override def schema: StructType = SeqSource.schema
+  override def schema: StructType = SeqSource.schemaFor(pstep)
   override def capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, parts, batchRows)
+    new SeqScanBuilder(n, parts, batchRows, pstep, columnar)
 }
 
 /** Folds id-range predicates into [lo, hi) at PLANNING time; every
@@ -90,7 +105,8 @@ class SeqTable(n: Long, parts: Int, batchRows: Long)
   * aggregate's input — the connector answers from range arithmetic
   * (its "footer statistics") and the plan carries NO Aggregate node
   * at all. */
-class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L)
+class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
+                     pstep: Long = 0L, columnar: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -99,7 +115,7 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L)
   private var lo = 0L
   private var hi = n
   private var accepted = Array.empty[Filter]
-  private var required = SeqSource.schema
+  private var required = SeqSource.schemaFor(pstep)
   private var pushedAgg: Option[Aggregation] = None
   private var topNDesc = false
 
@@ -218,7 +234,8 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L)
     required = requiredSchema
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new SeqAggScan(lo, math.max(lo, hi), agg)
-    case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows)
+    case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows,
+      pstep, columnar)
   }
 }
 
@@ -236,9 +253,38 @@ object SeqScan {
 }
 
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
-              batchRows: Long) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+              batchRows: Long, pstep: Long = 0L, columnar: Boolean = false)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
   override def readSchema: StructType = required
+
+  /** Storage-partitioned mode (`pstep` > 0): one input split per
+    * pkey = id/pstep block, each split carrying its key via
+    * [[HasPartitionKey]], and the layout reported as a
+    * [[KeyGroupedPartitioning]] over `identity(pkey)`. Under
+    * `spark.sql.sources.v2.bucketing.enabled` a join of two tables
+    * sharing a `pstep` whose keys cover pkey plans with ZERO
+    * exchanges on either side — the storage-partitioned join, the
+    * Iceberg/Delta contract for shuffle-free fact⋈fact at 100 TB
+    * (co-partition on disk once, never re-shuffle per query).
+    * Pushed id-range filters compose: they clip the surviving key
+    * blocks, and a side missing whole keys is handled by the
+    * engine's partition-value push (empty-partition padding). */
+  private def bucketSplits: Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    (lo / pstep to (hi - 1) / pstep).iterator
+      .map(k => SeqBucket(math.max(lo, k * pstep),
+        math.min(hi, (k + 1) * pstep), k))
+      .filter(b => b.hi > b.lo).map(_.asInstanceOf[InputPartition]).toArray
+  }
+
+  override def outputPartitioning(): Partitioning =
+    if (pstep > 0 && required.fieldNames.exists(_.equalsIgnoreCase("pkey")))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("pkey")), bucketSplits.length)
+    else new UnknownPartitioning(SeqScan.splitRange(lo, hi, parts).length)
+
   override def toBatch: Batch = this
 
   /** Runtime (dynamic) filtering — the DPP rung of the connector:
@@ -255,8 +301,13 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
     * nothing, which is always safe. */
   private var runtimeIds: Option[Array[Long]] = None
 
+  // Storage-partitioned mode opts out of runtime filtering: the
+  // KeyGroupedPartitioning contract fixes the split list at planning
+  // time (reported numPartitions must equal the planned splits), so
+  // runtime split pruning would break it. The two rungs are separate
+  // demonstrations by design.
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    if (pstep > 0) Array.empty else Array(Expressions.column("id"))
 
   override def filter(predicates: Array[Predicate]): Unit = {
     def isIdRef(e: V2Expression): Boolean = e match {
@@ -313,6 +364,7 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
   override def description: String =
     s"graftseq range [$lo, $hi) cols ${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
+    if (pstep > 0) return bucketSplits
     val base = SeqScan.splitRange(lo, hi, parts)
     val res = runtimeIds match {
       case Some(ids) => // sorted: binary-search each split for a survivor
@@ -329,13 +381,27 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
     res
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames.toIndexedSeq)
+    new SeqReaderFactory(required.fieldNames.toIndexedSeq, pstep, columnar)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SeqMicroBatchStream(lo, hi, parts, required, batchRows)
 }
 
-case class SeqRange(lo: Long, hi: Long) extends InputPartition
+/** An id range a reader streams — the split currency of every scan. */
+sealed trait SeqSplit extends InputPartition {
+  def lo: Long; def hi: Long
+}
+
+case class SeqRange(lo: Long, hi: Long) extends SeqSplit
+
+/** A storage-partition split: the [lo, hi) block of pkey `key`,
+  * carrying the key for the engine's key-grouped split bookkeeping
+  * (sort, group, pad missing values on the other join side). */
+case class SeqBucket(lo: Long, hi: Long, key: Long)
+    extends SeqSplit with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
 
 /** Offset = next unread id; json is just the number, so checkpoint
   * recovery round-trips trivially. */
@@ -415,7 +481,7 @@ class SeqAggScan(lo: Long, hi: Long, agg: Aggregation)
 class SeqAggReaderFactory(funcs: IndexedSeq[AggregateFunc])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = p.asInstanceOf[SeqRange]
+    val r = p.asInstanceOf[SeqSplit]
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val f = !emitted; emitted = true; f }
@@ -443,10 +509,11 @@ class SeqAggReaderFactory(funcs: IndexedSeq[AggregateFunc])
   }
 }
 
-class SeqReaderFactory(cols: IndexedSeq[String])
+class SeqReaderFactory(cols: IndexedSeq[String], pstep: Long = 0L,
+                       columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = p.asInstanceOf[SeqRange]
+    val r = p.asInstanceOf[SeqSplit]
     new PartitionReader[InternalRow] {
       private var cur = r.lo - 1
       override def next(): Boolean = { cur += 1; cur < r.hi }
@@ -455,10 +522,62 @@ class SeqReaderFactory(cols: IndexedSeq[String])
           case "id"     => java.lang.Long.valueOf(cur)
           case "bucket" => java.lang.Long.valueOf(SeqSource.bucketOf(cur))
           case "word"   => UTF8String.fromString("w" + (cur % 50))
+          case "pkey"   => java.lang.Long.valueOf(cur / pstep)
         }
         new GenericInternalRow(vals.toArray[Any])
       }
       override def close(): Unit = ()
+    }
+  }
+
+  /** The VECTORIZED read path (`columnar=true`): rows materialize
+    * straight into on-heap column vectors, 4096 per [[ColumnarBatch]],
+    * and the engine consumes them through its columnar protocol
+    * (`ColumnarToRow` above the scan, itself codegen'd) — the
+    * parquet-vectorized-reader shape for a custom source. Same values
+    * as the row path; SourcesSpec pins equality and the columnar plan. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val r = p.asInstanceOf[SeqSplit]
+    new PartitionReader[ColumnarBatch] {
+      private val cap = 4096
+      private var cur = r.lo
+      private val vectors = cols.map { c =>
+        new OnHeapColumnVector(cap,
+          if (c == "word") StringType else LongType)
+      }.toArray
+      private val batch =
+        new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+      override def next(): Boolean = {
+        if (cur >= r.hi) return false
+        val n = math.min(cap.toLong, r.hi - cur).toInt
+        vectors.foreach(_.reset())
+        var ci = 0
+        while (ci < cols.length) {
+          val v = vectors(ci)
+          var i = 0
+          cols(ci) match {
+            case "id" =>
+              while (i < n) { v.putLong(i, cur + i); i += 1 }
+            case "bucket" =>
+              while (i < n) { v.putLong(i, SeqSource.bucketOf(cur + i)); i += 1 }
+            case "word" =>
+              while (i < n) {
+                v.putByteArray(i, ("w" + ((cur + i) % 50)).getBytes("UTF-8"))
+                i += 1
+              }
+            case "pkey" =>
+              while (i < n) { v.putLong(i, (cur + i) / pstep); i += 1 }
+          }
+          ci += 1
+        }
+        cur += n
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

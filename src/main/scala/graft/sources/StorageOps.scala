@@ -281,6 +281,68 @@ object StorageOps {
       .option("n", Dsv2N.toString).option("parts", "16").load()
       .orderBy(desc("id")).offset(3).limit(5)
 
+  /** Storage-partitioned join through the DSv2 connector — the
+    * co-location rung: both tables declare `pstep=500` so the source
+    * reports a `KeyGroupedPartitioning` over `identity(pkey)` with
+    * one HasPartitionKey split per key block, and under
+    * `spark.sql.sources.v2.bucketing.enabled` the join on
+    * (pkey, id) plans with ZERO exchanges on either side — Spark
+    * zips matching key blocks task-to-task, padding the keys the
+    * smaller table lacks (partition-value push). This is the
+    * Iceberg/Delta shape for 100 TB fact⋈fact: pay the partitioned
+    * layout once at write time, then every query joins in place —
+    * vs. the sort-merge twin that re-shuffles BOTH fact tables per
+    * query. Broadcast is disabled to price the honest comparison
+    * (SourcesSpec pins 1 exchange with SPJ vs 3 without on the SAME
+    * body); the confs ride a child session so nothing leaks. */
+  val SpjAN = 20000L
+  val SpjBN = 12000L
+  val SpjStep = 500L
+  def dsv2SpjJoin(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    cs.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // the join clusters on (pkey, id) — a SUPERSET of the partition
+    // key; allow the key-grouped layout to satisfy it
+    cs.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    cs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spjBody(cs)
+  }
+
+  /** The join body on whatever session/conf the caller prepared —
+    * shared by the registered query and the spec's with/without-SPJ
+    * exchange-count comparison. */
+  private[graft] def spjBody(cs: SparkSession): DataFrame = {
+    def tbl(n: Long) = cs.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).option("pstep", SpjStep.toString).load()
+    val b = tbl(SpjBN).select(col("pkey"), col("id"),
+      col("bucket").as("bucket_b"))
+    tbl(SpjAN).join(b, Seq("pkey", "id"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("bucket") + col("bucket_b")).as("sum_buckets"))
+      .transform(Present.sorted(_, col("word")))
+  }
+
+  /** The vectorized DSv2 read path (`columnar=true`): the scan hands
+    * the engine 4096-row `ColumnarBatch`es of on-heap vectors instead
+    * of one InternalRow at a time, and the plan consumes them through
+    * `ColumnarToRow` inside whole-stage codegen — the custom-source
+    * analogue of the parquet vectorized reader, i.e. the difference
+    * between per-row virtual calls and tight per-batch loops on a
+    * 100 TB scan. Same rows as the row path (SourcesSpec pins byte
+    * equality and the columnar plan shape); pushdown still applies —
+    * the id filter folds into the scan range before batching. */
+  def dsv2ColumnarScan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", Dsv2N.toString).option("parts", "8")
+      .option("columnar", "true").load()
+      .filter(col("id") < Dsv2N / 2)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), sum("bucket").as("sum_bucket"),
+        min("id").as("min_id"))
+      .transform(Present.sorted(_, col("word")))
+
   /** TPC-H Q3 over the landed warehouse — the third consumer of the
     * one orderkey layout (with q18/q9), which is the economics of
     * pre-bucketing: the write cost amortizes across the query mix.
@@ -795,6 +857,8 @@ object StorageOps {
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
+    "dsv2_spj_join"       -> dsv2SpjJoin _,
+    "dsv2_columnar_scan"  -> dsv2ColumnarScan _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
@@ -876,6 +940,37 @@ object StorageOps {
          |  'w' || (i % 50)::VARCHAR AS word
          |FROM range(0, $Dsv2N) t(i)
          |ORDER BY i DESC LIMIT 5 OFFSET 3""".stripMargin,
+    // both generated tables replayed from range(); the id join implies
+    // the pkey join (pkey = id / pstep on both sides), so co-location
+    // changes the plan, never the rows
+    "dsv2_spj_join" ->
+      s"""WITH a AS (
+         |  SELECT i AS id,
+         |    ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |      % 100 AS bucket,
+         |    'w' || (i % 50)::VARCHAR AS word
+         |  FROM range(0, $SpjAN) t(i)),
+         |b AS (
+         |  SELECT i AS id,
+         |    ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |      % 100 AS bucket_b
+         |  FROM range(0, $SpjBN) t(i))
+         |SELECT word, count(*)::BIGINT AS cnt,
+         |  sum(bucket + bucket_b)::BIGINT AS sum_buckets
+         |FROM a JOIN b USING (id)
+         |GROUP BY word ORDER BY word""".stripMargin,
+    // the vectorized path must produce byte-identical rows to the
+    // row path — same range replay
+    "dsv2_columnar_scan" ->
+      s"""SELECT word, count(*)::BIGINT AS cnt,
+         |  sum(bucket)::BIGINT AS sum_bucket, min(id) AS min_id
+         |FROM (
+         |  SELECT i AS id,
+         |    ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |      % 100 AS bucket,
+         |    'w' || (i % 50)::VARCHAR AS word
+         |  FROM range(0, ${Dsv2N / 2}) t(i))
+         |GROUP BY word ORDER BY word""".stripMargin,
     // the folded aggregate replayed over the same id window
     "dsv2_agg_pushdown" ->
       s"""SELECT count(*)::BIGINT AS n_rows, min(i) AS min_id,

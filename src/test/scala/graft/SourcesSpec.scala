@@ -227,6 +227,59 @@ class SourcesSpec extends SparkSpec {
     assert(byBucket.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("dsv2 storage-partitioned join: zero exchanges under the join") {
+    import graft.sources.StorageOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def joinSideShuffles(plan: SparkPlan): Int = {
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.length == 1, s"expected one SMJ, plan:\n$plan")
+      smj.head.collect { case e: ShuffleExchangeExec => e }.size
+    }
+    // SPJ session: key-grouped layout honored, broadcast off, AQE off
+    // so the executed plan is the statically pinned one
+    val on = spark.newSession()
+    on.conf.set("spark.sql.adaptive.enabled", "false")
+    on.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    on.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    on.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    on.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val spj = StorageOps.spjBody(on)
+    assert(joinSideShuffles(spj.queryExecution.executedPlan) == 0,
+      "SPJ still shuffled a join side")
+    // same body, v2 bucketing off: BOTH fact sides must re-shuffle
+    val off = spark.newSession()
+    off.conf.set("spark.sql.adaptive.enabled", "false")
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plain = StorageOps.spjBody(off)
+    assert(joinSideShuffles(plain.queryExecution.executedPlan) == 2,
+      "expected both join sides to exchange without SPJ")
+    // co-location changes the plan, never the rows — including the
+    // keys only the larger table holds (padded empty partitions)
+    assert(spj.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("dsv2 columnar scan: ColumnarBatch path, byte-equal to the row path") {
+    import graft.sources.StorageOps
+    val colDf = StorageOps.dsv2ColumnarScan(spark, sfDir)
+    val colRows = colDf.collect()
+    // the scan really went vectorized: the engine planned its
+    // columnar-to-row bridge above the BatchScan
+    assert(colDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "columnar=true scan did not plan a ColumnarToRow bridge")
+    // row-path twin: identical query, columnar off
+    val rowDf = spark.read.format("graft.sources.SeqSource")
+      .option("n", StorageOps.Dsv2N.toString).option("parts", "8").load()
+      .filter(col("id") < StorageOps.Dsv2N / 2)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), sum("bucket").as("sum_bucket"),
+        min("id").as("min_id"))
+      .orderBy("word")
+    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(colRows.toSeq == rowDf.collect().toSeq)
+  }
+
   test("dsv2 sink: per-partition commit messages aggregate to the exact totals") {
     import graft.sources.StorageOps
     val out = StorageOps.dsv2Write(spark, sfDir).collect()
