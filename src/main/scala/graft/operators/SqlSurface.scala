@@ -216,7 +216,100 @@ object SqlSurface {
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
   }
 
+  /** SQL UDFs (Spark 4) — functions whose BODY is SQL, so they inline
+    * into the plan at resolution time and stay inside whole-stage
+    * codegen (no JVM-closure lane, no serialization wall): the
+    * money-exact net-cents kernel as a named function, plus a second
+    * UDF CALLING the first (nested resolution). The engine's answer
+    * to "share business logic without paying the black-box UDF tax" —
+    * at 100 TB a Scala closure UDF caps the scan at deserialization
+    * speed; a SQL UDF is just more Catalyst expression tree. */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "lineitem")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_cents(
+        |  p DOUBLE, disc DOUBLE) RETURNS BIGINT
+        |RETURN CAST(round(p * (1 - disc) * 10000) AS BIGINT)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_taxed_cents(
+        |  p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT
+        |RETURN CAST(round(graft_net_cents(p, disc) * (1 + tax)) AS BIGINT)""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n_items,
+        |  sum(graft_net_cents(l_extendedprice, l_discount)) AS net_cents,
+        |  sum(graft_taxed_cents(l_extendedprice, l_discount, l_tax))
+        |    AS taxed_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** SQL TABLE function (Spark 4): a parameterized relation — the
+    * body resolves against the catalog at call time and plans like
+    * any subquery (pushdown/pruning apply through it), the SQL-native
+    * "view with arguments". */
+  def sqlTvf(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "orders")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_orders_of(
+        |  prio STRING)
+        |RETURNS TABLE (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
+        |RETURN SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderpriority = prio""".stripMargin)
+    s.sql(
+      """SELECT count(*) AS n, sum(cents) AS sum_cents,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM graft_orders_of('1-URGENT')""".stripMargin)
+  }
+
+  /** SQL pipe syntax (Spark 4): the linear |> form of a pricing
+    * summary — each stage consumes the previous relation, so the
+    * query reads in execution order. Sugar only: it lowers to the
+    * same Catalyst plan as the nested form (the oracle pins that). */
+  def sqlPipe(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "lineitem")
+    s.sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate <= DATE '1998-09-02'
+        ||> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |     AS BIGINT) AS rev_cents
+        ||> AGGREGATE count(*) AS n_items, sum(rev_cents) AS sum_cents
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n_items > 100
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** String collations (Spark 4): case-insensitive comparison as a
+    * TYPE property — `COLLATE UTF8_LCASE` makes equality, DISTINCT
+    * and joins case-insensitive WITHOUT rewriting every column
+    * through lower() (which would block stats and make every
+    * comparison allocate). Tokens are restricted to ASCII letters so
+    * the DuckDB lower() replay is exactly the UTF8_LCASE relation. */
+  def collationOps(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "documents")
+    collationBody(s)
+  }
+
+  /** The collation query over whatever `documents` view the caller
+    * staged — shared with the spec's crafted mixed-case corpus. */
+  private[graft] def collationBody(s: SparkSession): DataFrame =
+    s.sql(
+      """WITH toks AS (
+        |  SELECT explode(regexp_extract_all(text, '[A-Za-z]+', 0)) AS token
+        |  FROM documents)
+        |SELECT
+        |  count(DISTINCT token COLLATE UTF8_LCASE) AS n_ci,
+        |  count(DISTINCT token) AS n_cs,
+        |  count(CASE WHEN token = 'the' COLLATE UTF8_LCASE THEN 1 END)
+        |    AS n_the
+        |FROM toks""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_udf"       -> sqlUdf _,
+    "sql_tvf"       -> sqlTvf _,
+    "sql_pipe"      -> sqlPipe _,
+    "collation_ops" -> collationOps _,
     "recursive_hierarchy" -> recursiveHierarchy _,
     "lateral_top_orders" -> lateralTopOrders _,
     "grouping_sets"    -> groupingSets _,
@@ -250,6 +343,43 @@ object SqlSurface {
        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the SQL UDFs inlined — a named function must never change the
+    // answer of its own body
+    "sql_udf" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT))::BIGINT AS net_cents,
+        |  sum(CAST(round(CAST(round(l_extendedprice * (1 - l_discount)
+        |    * 10000) AS BIGINT) * (1 + l_tax)) AS BIGINT))::BIGINT
+        |    AS taxed_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the table function inlined as a plain subquery
+    "sql_tvf" ->
+      """SELECT count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |    AS sum_cents,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_cust
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // the pipe form lowers to exactly this nested query
+    "sql_pipe" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT))::BIGINT AS sum_cents
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY 1, 2 HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // ASCII-only tokens: UTF8_LCASE distinct/equality is exactly the
+    // lower() relation
+    "collation_ops" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
+        |  FROM documents)
+        |SELECT count(DISTINCT lower(token))::BIGINT AS n_ci,
+        |  count(DISTINCT token)::BIGINT AS n_cs,
+        |  count(CASE WHEN lower(token) = 'the' THEN 1 END)::BIGINT
+        |    AS n_the
+        |FROM toks""".stripMargin,
     "recursive_hierarchy" ->
       """WITH RECURSIVE walk(start, cur, d) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer
