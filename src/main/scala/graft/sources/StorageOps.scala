@@ -164,6 +164,31 @@ object StorageOps {
     Seq((rows, sum)).toDF("n_rows", "sum_orderkey")
   }
 
+  /** Write-side distribution/ordering through the DSv2 sink
+    * ([[ClusterSink]]): the sink DECLARES "cluster by k, sort by k,
+    * exactly 7 tasks" via `RequiresDistributionAndOrdering` and the
+    * ENGINE inserts the exchange + sort (the Iceberg write-
+    * distribution-mode shape — well-clustered output files without a
+    * hand-written repartition). The sink verifies the promise as it
+    * streams — per-task key sets and ordering verdicts ride the
+    * commit messages; driver commit checks cross-partition key
+    * disjointness — and the verdicts ARE the query result, gated
+    * against the DuckDB replay (disjoint ⇔ Σ per-partition distinct
+    * keys equals the global distinct count). */
+  def dsv2WriteDistribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val runId = java.util.UUID.randomUUID().toString
+    Tables.orders(s, d)
+      .select((col("o_custkey") % 101).as("k"), col("o_orderkey").as("v"))
+      .write.format("graft.sources.ClusterSink")
+      .option("runid", runId).mode("append").save()
+    val c = ClusterSink.take(runId).getOrElse(
+      throw new IllegalStateException("ClusterSink committed nothing"))
+    Seq((c.rows, c.sumV, c.nKeys, c.parts.toLong, c.ordered,
+      c.sumPartKeys == c.nKeys))
+      .toDF("n_rows", "sum_key", "n_keys", "n_parts", "ordered", "disjoint")
+  }
+
   /** Landed COLUMN statistics over the warehouse + part — the CBO
     * rung: `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`
     * writes row counts, ndv, min/max and null counts into the
@@ -859,6 +884,7 @@ object StorageOps {
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "dsv2_spj_join"       -> dsv2SpjJoin _,
     "dsv2_columnar_scan"  -> dsv2ColumnarScan _,
+    "dsv2_write_distribution" -> dsv2WriteDistribution _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
@@ -1011,6 +1037,15 @@ object StorageOps {
         |  FROM base WHERE k % 3 = 0 AND k % 7 <> 1)
         |SELECT k, change_type, name, bal FROM cdf
         |ORDER BY k, change_type""".stripMargin,
+    // the engine honored the declared clustering iff the verdicts are
+    // all-true and the totals match the plain replay
+    "dsv2_write_distribution" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(o_orderkey)::BIGINT AS sum_key,
+        |  count(DISTINCT o_custkey % 101)::BIGINT AS n_keys,
+        |  7::BIGINT AS n_parts,
+        |  true AS ordered, true AS disjoint
+        |FROM orders""".stripMargin,
     // the committed totals must equal a plain aggregate of the input
     "dsv2_write" ->
       """SELECT count(*)::BIGINT AS n_rows,

@@ -293,6 +293,25 @@ class SourcesSpec extends SparkSpec {
     assert(again.head == out.head)
   }
 
+  test("dsv2 write distribution: the engine delivers the declared layout") {
+    import graft.sources.StorageOps
+    val row = StorageOps.dsv2WriteDistribution(spark, sfDir).head()
+    val expect = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)), sum("o_orderkey"),
+        countDistinct(col("o_custkey") % 101)).head()
+    assert(row.getLong(0) == expect.getLong(0), "rows lost in the sink")
+    assert(row.getLong(1) == expect.getLong(1), "value sum drifted")
+    assert(row.getLong(2) == expect.getLong(2), "key universe drifted")
+    assert(row.getLong(3) == 7L, "requiredNumPartitions not honored")
+    // ordering verdict: every task saw non-decreasing k (the engine
+    // really inserted the declared sort)
+    assert(row.getBoolean(4), "within-task sort order violated")
+    // clustering verdict: no key landed in two partitions (the engine
+    // really inserted the clustered exchange) — without it, 101 keys
+    // over 7 tasks of pre-shuffled input would collide immediately
+    assert(row.getBoolean(5), "clustering violated: key split across tasks")
+  }
+
   test("snapshot_cdf: the differ recovers exactly the applied change rule") {
     import graft.sources.StorageOps
     val keys = Tables.customer(spark, sfDir).select("c_custkey")
