@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog PLUGIN — the last rung of the sources ladder: a
+  * `TableCatalog` the engine mounts under
+  * `spark.sql.catalog.<name> = graft.sources.MemCatalog`, after which
+  * the WHOLE SQL front door drives it: CREATE TABLE / INSERT INTO /
+  * DELETE FROM / TRUNCATE / ALTER RENAME / DROP all resolve through
+  * this class's methods instead of the built-in session catalog. This
+  * is the Spark-native re-expression of the reference's mounted
+  * KV chunk store (`KeyValueStore/KeyValueStore.py:13-59` — a storage
+  * service the framework addresses by name): instead of bespoke RPC
+  * verbs, the storage system implements the catalog + read + write +
+  * delete connector contracts and every engine feature (resolution,
+  * capability checks, commit protocol, delete pushdown) applies.
+  *
+  * The DATA plane here is a deliberate toy — rows live in driver
+  * memory, commit messages carry row payloads — because the protocol
+  * is the point: at 100 TB the same class of catalog fronts manifest
+  * files and object storage (Iceberg/Delta), and nothing in the
+  * CONTROL flow below would change. Each session builds its own
+  * catalog instance (CatalogManager is session-scoped), so gated
+  * queries are rerun-safe by construction.
+  *
+  * DELETE is METADATA delete (`SupportsDelete`): predicates the store
+  * can evaluate exactly (=, <, <=, >, >=, IN on long columns) are
+  * accepted in `canDeleteWhere` and applied in `deleteWhere` without
+  * a rewrite job — the Iceberg partition-drop shape; anything else is
+  * refused, and the engine reports it rather than deleting wrongly. */
+class MemCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private val tables = new ConcurrentHashMap[String, MemTable]()
+
+  private def key(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString(".")
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    tables.keySet.asScala.toArray.sorted.map { k =>
+      val parts = k.split('.')
+      Identifier.of(parts.dropRight(1), parts.last)
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tables.get(key(ident))
+    if (t == null) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    t
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val t = new MemTable(key(ident), schema)
+    if (tables.putIfAbsent(key(ident), t) != null)
+      throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    t
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(key(ident)) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val t = tables.remove(key(oldIdent))
+    if (t == null) throw new NoSuchTableException((oldIdent.namespace :+ oldIdent.name).toSeq)
+    tables.put(key(newIdent), t)
+  }
+
+  // single-level namespaces, existing implicitly once referenced —
+  // enough for the resolution paths the gated query exercises
+  override def listNamespaces(): Array[Array[String]] =
+    tables.keySet.asScala.map(_.split('.').dropRight(1).toSeq)
+      .toSeq.distinct.sortBy(_.mkString("."))
+      .map(_.toArray).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespace.length <= 1) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    false
+}
+
+class MemTable(tableName: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete with TruncatableTable {
+  // the toy data plane: committed rows, appended under the buffer lock
+  private val rows = new java.util.ArrayList[InternalRow]()
+  private[sources] def snapshot(): Array[InternalRow] =
+    rows.synchronized(rows.asScala.toArray)
+  private[sources] def append(batch: Seq[InternalRow]): Unit =
+    rows.synchronized(batch.foreach(r => rows.add(r)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def truncateTable(): Boolean = {
+    rows.synchronized(rows.clear()); true
+  }
+
+  /** Exact store-side predicate evaluation for metadata delete. */
+  private def eval(f: Filter, r: InternalRow): Boolean = {
+    def idx(a: String): Int = tableSchema.fieldIndex(a)
+    def lng(a: String): Long = r.getLong(idx(a))
+    def isLong(a: String): Boolean = tableSchema(idx(a)).dataType == LongType
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+    }
+    f match {
+      case EqualTo(a, v) if isLong(a)            => lng(a) == num(v)
+      case GreaterThan(a, v) if isLong(a)        => lng(a) > num(v)
+      case GreaterThanOrEqual(a, v) if isLong(a) => lng(a) >= num(v)
+      case LessThan(a, v) if isLong(a)           => lng(a) < num(v)
+      case LessThanOrEqual(a, v) if isLong(a)    => lng(a) <= num(v)
+      case In(a, vs) if isLong(a)                => vs.map(num).contains(lng(a))
+      case _ => throw new IllegalArgumentException(s"unevaluable $f")
+    }
+  }
+  private def evaluable(f: Filter): Boolean =
+    try { f.references.forall(a => tableSchema(tableSchema.fieldIndex(a)).dataType == LongType) &&
+      (f match {
+        case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+             _: LessThan | _: LessThanOrEqual | _: In => true
+        case _ => false
+      })
+    } catch { case _: IllegalArgumentException => false }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(evaluable)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    rows.synchronized {
+      val keep = rows.asScala.filterNot(r => filters.forall(eval(_, r))).toSeq
+      rows.clear(); keep.foreach(rows.add)
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new MemScan(snapshot(), tableSchema, required)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new MemBatchWrite(MemTable.this)
+      }
+    }
+}
+
+/** Scan over a snapshot: rows ride the serialized partitions to the
+  * tasks (the toy data plane); column pruning applies in the reader. */
+class MemScan(data: Array[InternalRow], full: StructType,
+              required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = math.max(1, math.min(4, data.length))
+    val step = (data.length + parts - 1) / math.max(1, parts)
+    if (data.isEmpty) Array(MemPartition(Array.empty))
+    else data.grouped(step).map(g => MemPartition(g): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val idxs = required.fieldNames.map(full.fieldIndex)
+    val types = idxs.map(full(_).dataType)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val rows = p.asInstanceOf[MemPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(idxs.indices.map(j =>
+              rows(i).get(idxs(j), types(j))))
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
+
+case class MemPartition(rows: Array[InternalRow]) extends InputPartition
+
+class MemBatchWrite(table: MemTable) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MemWriterFactory
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { m =>
+      table.append(m.asInstanceOf[MemRowsMsg].rows.toSeq)
+    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class MemRowsMsg(rows: Array[InternalRow]) extends WriterCommitMessage
+
+class MemWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      override def write(record: InternalRow): Unit = buf += record.copy()
+      override def commit(): WriterCommitMessage = MemRowsMsg(buf.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

@@ -189,6 +189,33 @@ object StorageOps {
       .toDF("n_rows", "sum_key", "n_keys", "n_parts", "ordered", "disjoint")
   }
 
+  /** CRUD through a mounted catalog PLUGIN ([[MemCatalog]] — the
+    * catalog rung of the sources ladder): the session mounts the
+    * custom `TableCatalog` under `spark.sql.catalog.graft_mem`, and
+    * the SQL front door drives the full lifecycle against it —
+    * CREATE TABLE, INSERT INTO (DSv2 commit protocol), metadata
+    * DELETE (`SupportsDelete`: the store evaluates the predicate
+    * exactly, no rewrite job — the Iceberg partition-drop shape),
+    * ALTER RENAME, and the final aggregate reads back through the
+    * connector scan with column pruning. Child session: the catalog
+    * mount stays scoped; rerun-safe because each session builds a
+    * fresh catalog instance. */
+  def catalogCrud(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql("CREATE TABLE graft_mem.ns.fact (k BIGINT, v BIGINT)")
+    cs.sql(
+      """INSERT INTO graft_mem.ns.fact
+        |SELECT CAST(o_custkey % 101 AS BIGINT) AS k,
+        |  CAST(o_orderkey AS BIGINT) AS v FROM orders""".stripMargin)
+    cs.sql("DELETE FROM graft_mem.ns.fact WHERE k >= 50")
+    cs.sql("ALTER TABLE graft_mem.ns.fact RENAME TO ns.kept")
+    cs.sql(
+      """SELECT k, count(*) AS cnt, sum(v) AS sum_v
+        |FROM graft_mem.ns.kept GROUP BY k ORDER BY k""".stripMargin)
+  }
+
   /** Landed COLUMN statistics over the warehouse + part — the CBO
     * rung: `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`
     * writes row counts, ndv, min/max and null counts into the
@@ -885,6 +912,7 @@ object StorageOps {
     "dsv2_spj_join"       -> dsv2SpjJoin _,
     "dsv2_columnar_scan"  -> dsv2ColumnarScan _,
     "dsv2_write_distribution" -> dsv2WriteDistribution _,
+    "catalog_crud"        -> catalogCrud _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
@@ -1037,6 +1065,13 @@ object StorageOps {
         |  FROM base WHERE k % 3 = 0 AND k % 7 <> 1)
         |SELECT k, change_type, name, bal FROM cdf
         |ORDER BY k, change_type""".stripMargin,
+    // the catalog lifecycle replayed as plain SQL: insert everything,
+    // keep k < 50, aggregate — create/rename/delete must never change
+    // the surviving rows
+    "catalog_crud" ->
+      """SELECT k, count(*)::BIGINT AS cnt, sum(v)::BIGINT AS sum_v
+        |FROM (SELECT o_custkey % 101 AS k, o_orderkey AS v FROM orders) t
+        |WHERE k < 50 GROUP BY k ORDER BY k""".stripMargin,
     // the engine honored the declared clustering iff the verdicts are
     // all-true and the totals match the plain replay
     "dsv2_write_distribution" ->

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+
+/** The mounted catalog plugin ([[graft.sources.MemCatalog]]): full
+  * SQL lifecycle against a custom TableCatalog, plus the contract
+  * edges — refused metadata delete, truncate, drop, re-create. */
+class CatalogSpec extends SparkSpec {
+
+  private def mounted(): SparkSession = {
+    val cs = spark.newSession()
+    cs.conf.set("spark.sql.catalog.mem", "graft.sources.MemCatalog")
+    cs
+  }
+
+  test("create / insert / delete / rename / read lifecycle") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ns.t (k BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.ns.t VALUES (1, 10), (2, 20), (3, 30), (2, 21)")
+    // metadata delete through SupportsDelete — no rewrite job
+    cs.sql("DELETE FROM mem.ns.t WHERE k = 2")
+    cs.sql("ALTER TABLE mem.ns.t RENAME TO ns.t2")
+    val rows = cs.sql("SELECT k, v FROM mem.ns.t2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (3L, 30L)))
+    // the old name is gone; the catalog reports it properly
+    val e = intercept[AnalysisException] {
+      cs.sql("SELECT * FROM mem.ns.t").collect()
+    }
+    assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND")
+  }
+
+  test("unevaluable delete predicate is refused, not mis-applied") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ns.s (k BIGINT, name STRING)")
+    cs.sql("INSERT INTO mem.ns.s VALUES (1, 'keep'), (2, 'drop')")
+    // the store only evaluates long-column range/equality predicates;
+    // a string predicate must be REFUSED by canDeleteWhere (the
+    // engine errors instead of the store guessing)
+    intercept[AnalysisException] {
+      cs.sql("DELETE FROM mem.ns.s WHERE name = 'drop'")
+    }
+    assert(cs.sql("SELECT count(*) FROM mem.ns.s").head().getLong(0) == 2L,
+      "refused delete must leave the table untouched")
+    // the evaluable form still works
+    cs.sql("DELETE FROM mem.ns.s WHERE k IN (2)")
+    assert(cs.sql("SELECT count(*) FROM mem.ns.s").head().getLong(0) == 1L)
+  }
+
+  test("truncate, drop, and re-create") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
+    cs.sql("INSERT INTO mem.ns.u VALUES (1), (2)")
+    cs.sql("TRUNCATE TABLE mem.ns.u")
+    assert(cs.sql("SELECT count(*) FROM mem.ns.u").head().getLong(0) == 0L)
+    cs.sql("DROP TABLE mem.ns.u")
+    // re-create under the dropped name succeeds (no stale entry)
+    cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
+    cs.sql("INSERT INTO mem.ns.u VALUES (7)")
+    assert(cs.sql("SELECT sum(k) FROM mem.ns.u").head().getLong(0) == 7L)
+    // duplicate create is a proper catalog error
+    intercept[AnalysisException] { cs.sql("CREATE TABLE mem.ns.u (k BIGINT)") }
+  }
+
+  test("column pruning reaches the connector reader") {
+    val cs = mounted()
+    // static plan so the BatchScan is reachable by collect (AQE wraps
+    // the tree in an opaque AdaptiveSparkPlanExec otherwise)
+    cs.conf.set("spark.sql.adaptive.enabled", "false")
+    cs.sql("CREATE TABLE mem.ns.w (k BIGINT, v BIGINT, s STRING)")
+    cs.sql("INSERT INTO mem.ns.w VALUES (1, 10, 'a'), (2, 20, 'b')")
+    val df = cs.sql("SELECT sum(v) AS sv FROM mem.ns.w")
+    assert(df.head().getLong(0) == 30L)
+    // the scan's read schema carries only the required column
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("v"))
+  }
+
+  test("catalog sessions are isolated (rerun-safe registered query)") {
+    val a = mounted(); val b = mounted()
+    a.sql("CREATE TABLE mem.ns.iso (k BIGINT)")
+    // the same name is free in the other session's catalog instance
+    b.sql("CREATE TABLE mem.ns.iso (k BIGINT)")
+    a.sql("INSERT INTO mem.ns.iso VALUES (1)")
+    assert(b.sql("SELECT count(*) FROM mem.ns.iso").head().getLong(0) == 0L)
+  }
+}
