@@ -41,12 +41,44 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * accepted in `canDeleteWhere` and applied in `deleteWhere` without
   * a rewrite job — the Iceberg partition-drop shape; anything else is
   * refused, and the engine reports it rather than deleting wrongly. */
-class MemCatalog extends TableCatalog with SupportsNamespaces {
+class MemCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
   private var catalogName: String = _
   private val tables = new ConcurrentHashMap[String, MemTable]()
 
   private def key(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString(".")
+
+  /** ATOMIC CTAS/RTAS (`StagingTableCatalog`): the staged table is
+    * invisible until `commitStagedChanges` — a CTAS whose write job
+    * FAILS leaves no table behind (CatalogSpec pins it), vs the
+    * non-atomic create-then-write path where a crash strands an empty
+    * husk. The Iceberg atomicity rung. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (tables.containsKey(key(ident)))
+      throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    new MemStagedTable(ident, new MemTable(key(ident), schema), this,
+      replace = false)
+  }
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    new MemStagedTable(ident, new MemTable(key(ident), schema), this,
+      replace = true)
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    new MemStagedTable(ident, new MemTable(key(ident), schema), this,
+      replace = true)
+
+  private[sources] def commitStaged(ident: Identifier, t: MemTable,
+                                    replace: Boolean): Unit = {
+    if (replace) tables.put(key(ident), t)
+    else if (tables.putIfAbsent(key(ident), t) != null)
+      throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -103,6 +135,21 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     false
+}
+
+/** A table that EXISTS only to its writer until committed. */
+class MemStagedTable(ident: Identifier, inner: MemTable,
+                     cat: MemCatalog, replace: Boolean)
+    extends StagedTable with SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    cat.commitStaged(ident, inner, replace)
+  override def abortStagedChanges(): Unit = ()
 }
 
 class MemTable(tableName: String, tableSchema: StructType)
@@ -170,9 +217,16 @@ class MemTable(tableName: String, tableSchema: StructType)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new MemBatchWrite(MemTable.this)
+    new WriteBuilder with SupportsTruncate {
+      // overwrite-by-truncate: clear atomically with the append, in
+      // the driver-side commit (RTAS and INSERT OVERWRITE route here)
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = {
+        val t = truncateFirst
+        new Write {
+          override def toBatch: BatchWrite = new MemBatchWrite(MemTable.this, t)
+        }
       }
     }
 }
@@ -209,13 +263,16 @@ class MemScan(data: Array[InternalRow], full: StructType,
 
 case class MemPartition(rows: Array[InternalRow]) extends InputPartition
 
-class MemBatchWrite(table: MemTable) extends BatchWrite {
+class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncateFirst) table.truncateTable()
     messages.foreach { m =>
       table.append(m.asInstanceOf[MemRowsMsg].rows.toSeq)
     }
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

@@ -211,9 +211,13 @@ object StorageOps {
         |  CAST(o_orderkey AS BIGINT) AS v FROM orders""".stripMargin)
     cs.sql("DELETE FROM graft_mem.ns.fact WHERE k >= 50")
     cs.sql("ALTER TABLE graft_mem.ns.fact RENAME TO ns.kept")
+    // atomic CTAS (StagingTableCatalog): the aggregate lands as a new
+    // table, visible only after the write commits
     cs.sql(
-      """SELECT k, count(*) AS cnt, sum(v) AS sum_v
-        |FROM graft_mem.ns.kept GROUP BY k ORDER BY k""".stripMargin)
+      """CREATE TABLE graft_mem.ns.agg AS
+        |SELECT k, count(*) AS cnt, sum(v) AS sum_v
+        |FROM graft_mem.ns.kept GROUP BY k""".stripMargin)
+    cs.sql("SELECT k, cnt, sum_v FROM graft_mem.ns.agg ORDER BY k")
   }
 
   /** Landed COLUMN statistics over the warehouse + part — the CBO

@@ -79,6 +79,29 @@ class CatalogSpec extends SparkSpec {
     assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("v"))
   }
 
+  test("CTAS is atomic: a failed write leaves no table behind") {
+    val cs = mounted()
+    // success path: the staged table becomes visible with its data
+    cs.sql("CREATE TABLE mem.ns.ok AS SELECT CAST(id AS BIGINT) AS k FROM range(5)")
+    assert(cs.sql("SELECT sum(k) FROM mem.ns.ok").head().getLong(0) == 10L)
+    // failure path: the write job dies mid-flight; commitStagedChanges
+    // never runs, so the name must stay unbound (no empty husk)
+    intercept[Exception] {
+      cs.sql(
+        """CREATE TABLE mem.ns.husk AS
+          |SELECT CASE WHEN id = 3 THEN raise_error('boom')
+          |  ELSE CAST(id AS STRING) END AS s FROM range(5)""".stripMargin)
+    }
+    val e = intercept[AnalysisException] {
+      cs.sql("SELECT * FROM mem.ns.husk").collect()
+    }
+    assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND",
+      "failed CTAS left a stranded table")
+    // REPLACE commits over the old content atomically
+    cs.sql("CREATE OR REPLACE TABLE mem.ns.ok AS SELECT CAST(1 AS BIGINT) AS k")
+    assert(cs.sql("SELECT sum(k) FROM mem.ns.ok").head().getLong(0) == 1L)
+  }
+
   test("catalog sessions are isolated (rerun-safe registered query)") {
     val a = mounted(); val b = mounted()
     a.sql("CREATE TABLE mem.ns.iso (k BIGINT)")
