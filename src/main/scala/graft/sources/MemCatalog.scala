@@ -152,9 +152,57 @@ class MemStagedTable(ident: Identifier, inner: MemTable,
   override def abortStagedChanges(): Unit = ()
 }
 
+object MemTable {
+  /** Driver-side observability for the spec: how DML routed. A
+    * DELETE whose predicate the store can evaluate must take the
+    * METADATA path (deleteWhere — no job); anything else, plus
+    * UPDATE/MERGE, must take the copy-on-write REWRITE path. */
+  @volatile var metadataDeletes: Int = 0
+  @volatile var rewrites: Int = 0
+}
+
 class MemTable(tableName: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with TruncatableTable {
+    with SupportsDelete with TruncatableTable
+    with SupportsRowLevelOperations {
+
+  /** Group-based (copy-on-write) row-level operations — what makes
+    * SQL UPDATE and MERGE INTO (and DELETE with predicates the store
+    * can't evaluate) work against this connector: the engine reads
+    * the affected groups through the operation's scan, computes the
+    * replacement rows, and writes them back through the operation's
+    * write, which REPLACES the scanned content (truncate + append in
+    * one driver-side commit). This table is one group (no reported
+    * partitioning), so the rewrite is a full-table copy-on-write —
+    * the unpartitioned-parquet shape; a partitioned store would scope
+    * both scan and replacement to matched partitions. The op's scan
+    * deliberately implements NO pushdown: pruned rows would be
+    * silently dropped by the whole-table replacement. Where the
+    * predicate IS store-evaluable, the engine's metadata-delete
+    * optimization routes around all of this (spec pins the routing
+    * via [[MemTable.metadataDeletes]]/[[MemTable.rewrites]]). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder {
+            override def build(): Scan =
+              new MemScan(snapshot(), tableSchema, tableSchema)
+          }
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = {
+                MemTable.rewrites += 1
+                new MemBatchWrite(MemTable.this, truncateFirst = true,
+                  rowLevel = true)
+              }
+            }
+          }
+      }
+    }
   // the toy data plane: committed rows, appended under the buffer lock
   private val rows = new java.util.ArrayList[InternalRow]()
   private[sources] def snapshot(): Array[InternalRow] =
@@ -202,11 +250,13 @@ class MemTable(tableName: String, tableSchema: StructType)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(evaluable)
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    MemTable.metadataDeletes += 1
     rows.synchronized {
       val keep = rows.asScala.filterNot(r => filters.forall(eval(_, r))).toSeq
       rows.clear(); keep.foreach(rows.add)
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -263,10 +313,11 @@ class MemScan(data: Array[InternalRow], full: StructType,
 
 case class MemPartition(rows: Array[InternalRow]) extends InputPartition
 
-class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false)
+class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
+                    rowLevel: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory
+    new MemWriterFactory(table.schema(), rowLevel)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst) table.truncateTable()
     messages.foreach { m =>
@@ -278,11 +329,28 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false)
 
 case class MemRowsMsg(rows: Array[InternalRow]) extends WriterCommitMessage
 
-class MemWriterFactory extends DataWriterFactory {
+class MemWriterFactory(schema: StructType, rowLevel: Boolean)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      override def write(record: InternalRow): Unit = buf += record.copy()
+      /** Spark 4.1's group-based rewrite hands writers the plan rows
+        * UNPROJECTED when the operation declares no metadata columns
+        * (ReplaceDataExec.writingTask falls back to the plain
+        * DataWritingSparkTask) — each row arrives as
+        * [__row_operation: int, data...]. Strip the leading operation
+        * column on the row-level path only; strings are cloned out of
+        * the reused UnsafeRow buffer. */
+      private def clean(record: InternalRow): InternalRow =
+        if (rowLevel && record.numFields == schema.length + 1) {
+          InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+            record.get(i + 1, f.dataType) match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+              case v => v
+            }
+          }.toIndexedSeq)
+        } else record.copy()
+      override def write(record: InternalRow): Unit = buf += clean(record)
       override def commit(): WriterCommitMessage = MemRowsMsg(buf.toArray)
       override def abort(): Unit = ()
       override def close(): Unit = ()

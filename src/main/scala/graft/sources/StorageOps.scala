@@ -220,6 +220,39 @@ object StorageOps {
     cs.sql("SELECT k, cnt, sum_v FROM graft_mem.ns.agg ORDER BY k")
   }
 
+  /** Row-level DML through the catalog plugin — UPDATE and MERGE INTO
+    * against the custom connector ([[MemTable]]'s
+    * `SupportsRowLevelOperations`, group-based copy-on-write): the
+    * target builds one row per customer-key bucket, an UPDATE bumps
+    * the small buckets, and a MERGE from a differently-bucketed
+    * source updates matched keys and inserts unmatched ones — the
+    * full warehouse DML surface (INSERT/DELETE/UPDATE/MERGE) running
+    * through engine rewrites against connector scans and commits.
+    * Store-evaluable DELETEs still route through the metadata path
+    * (CatalogSpec pins the routing); everything here is the rewrite
+    * path. Oracle replays the whole lifecycle as plain SQL CTEs. */
+  def catalogDml(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    Tables.customer(cs, d).createOrReplaceTempView("customer")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.acct AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)
+    cs.sql("UPDATE graft_mem.ns.acct SET v = v + 1000 WHERE k < 10")
+    cs.sql(
+      """MERGE INTO graft_mem.ns.acct t
+        |USING (SELECT CAST(c_custkey % 120 AS BIGINT) AS k,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM customer GROUP BY c_custkey % 120) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.cnt > 5 THEN UPDATE SET v = t.v + s.cnt
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.cnt)""".stripMargin)
+    cs.sql("SELECT k, v FROM graft_mem.ns.acct ORDER BY k")
+  }
+
   /** Landed COLUMN statistics over the warehouse + part — the CBO
     * rung: `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`
     * writes row counts, ndv, min/max and null counts into the
@@ -917,6 +950,7 @@ object StorageOps {
     "dsv2_columnar_scan"  -> dsv2ColumnarScan _,
     "dsv2_write_distribution" -> dsv2WriteDistribution _,
     "catalog_crud"        -> catalogCrud _,
+    "catalog_dml"         -> catalogDml _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
@@ -1076,6 +1110,28 @@ object StorageOps {
       """SELECT k, count(*)::BIGINT AS cnt, sum(v)::BIGINT AS sum_v
         |FROM (SELECT o_custkey % 101 AS k, o_orderkey AS v FROM orders) t
         |WHERE k < 50 GROUP BY k ORDER BY k""".stripMargin,
+    // the DML lifecycle replayed as CTEs: build buckets, bump the
+    // small ones, left-join the merge source for matched updates,
+    // anti-join it for inserts
+    "catalog_dml" ->
+      """WITH tgt0 AS (
+        |  SELECT o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v
+        |  FROM orders GROUP BY 1),
+        |tgt1 AS (
+        |  SELECT k, CASE WHEN k < 10 THEN v + 1000 ELSE v END AS v
+        |  FROM tgt0),
+        |src AS (
+        |  SELECT c_custkey % 120 AS k, count(*)::BIGINT AS cnt
+        |  FROM customer GROUP BY 1),
+        |merged AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL AND s.cnt > 5 THEN t.v + s.cnt
+        |         ELSE t.v END AS v
+        |  FROM tgt1 t LEFT JOIN src s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.cnt FROM src s LEFT JOIN tgt1 t ON t.k = s.k
+        |  WHERE t.k IS NULL)
+        |SELECT k, v FROM merged ORDER BY k""".stripMargin,
     // the engine honored the declared clustering iff the verdicts are
     // all-true and the totals match the plain replay
     "dsv2_write_distribution" ->

@@ -30,21 +30,33 @@ class CatalogSpec extends SparkSpec {
     assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND")
   }
 
-  test("unevaluable delete predicate is refused, not mis-applied") {
+  test("DML routing: metadata delete vs copy-on-write rewrite; UPDATE; MERGE") {
+    import graft.sources.MemTable
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.s (k BIGINT, name STRING)")
-    cs.sql("INSERT INTO mem.ns.s VALUES (1, 'keep'), (2, 'drop')")
-    // the store only evaluates long-column range/equality predicates;
-    // a string predicate must be REFUSED by canDeleteWhere (the
-    // engine errors instead of the store guessing)
-    intercept[AnalysisException] {
-      cs.sql("DELETE FROM mem.ns.s WHERE name = 'drop'")
-    }
-    assert(cs.sql("SELECT count(*) FROM mem.ns.s").head().getLong(0) == 2L,
-      "refused delete must leave the table untouched")
-    // the evaluable form still works
-    cs.sql("DELETE FROM mem.ns.s WHERE k IN (2)")
-    assert(cs.sql("SELECT count(*) FROM mem.ns.s").head().getLong(0) == 1L)
+    cs.sql("INSERT INTO mem.ns.s VALUES (1, 'keep'), (2, 'drop'), (3, 'drop')")
+    // store-evaluable predicate → METADATA delete (deleteWhere, no job)
+    val (md0, rw0) = (MemTable.metadataDeletes, MemTable.rewrites)
+    cs.sql("DELETE FROM mem.ns.s WHERE k IN (3)")
+    assert(MemTable.metadataDeletes == md0 + 1, "expected the metadata path")
+    assert(MemTable.rewrites == rw0, "metadata delete must not launch a rewrite")
+    // un-evaluable predicate → group-based copy-on-write rewrite
+    cs.sql("DELETE FROM mem.ns.s WHERE name = 'drop'")
+    assert(MemTable.rewrites == rw0 + 1, "expected the rewrite path")
+    assert(cs.sql("SELECT k, name FROM mem.ns.s").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))) == Seq((1L, "keep")))
+    // UPDATE routes through the rewrite
+    cs.sql("UPDATE mem.ns.s SET name = 'kept' WHERE k = 1")
+    // MERGE: one matched update, one not-matched insert
+    cs.sql(
+      """MERGE INTO mem.ns.s t
+        |USING (SELECT * FROM VALUES (1, 'merged'), (5, 'new') AS v(k, name)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)""".stripMargin)
+    val fin = cs.sql("SELECT k, name FROM mem.ns.s ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fin == Seq((1L, "merged"), (5L, "new")))
   }
 
   test("truncate, drop, and re-create") {
