@@ -761,6 +761,35 @@ object StreamOps {
         .select("id", "bucket"),
       "dsv2_stream", col("id"))
 
+  /** The DSv2 streaming WRITE half — the last connector quadrant
+    * (batch read/write and the micro-batch read already gated):
+    * [[graft.sources.SeqSource]]'s admission-controlled stream feeds
+    * [[graft.sources.CountSink]]'s `StreamingWrite`, whose commit
+    * protocol is EPOCH-ed — each micro-batch's per-task folds commit
+    * under (runId, epochId), keyed so a recovery-replayed epoch
+    * overwrites instead of double-counting (the connector side of
+    * exactly-once). Connector-to-connector: offsets tracked on the
+    * source, epochs committed on the sink, zero files. The gated
+    * result is the drained totals + the non-empty epoch count (4
+    * capped batches of ≤30k over 100k rows), all replayed by the
+    * oracle from range arithmetic. */
+  def dsv2StreamWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val runId = java.util.UUID.randomUUID().toString
+    val q = s.readStream.format("graft.sources.SeqSource")
+      .option("n", "100000").option("parts", "4")
+      .option("batchrows", "30000").load()
+      .select("id")
+      .writeStream.format("graft.sources.CountSink")
+      .option("runid", runId)
+      .option("checkpointLocation", freshDir("dsv2_stream_write", "ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val (rows, sum, epochs) = graft.sources.CountSink.takeStream(runId)
+    Seq((rows, sum, epochs)).toDF("n_rows", "sum_id", "n_epochs")
+  }
+
   /** Offline STATE-STORE inspection (Spark 4's state data source —
     * the operational capability behind debugging a stuck stateful
     * stream or auditing its state): a per-user count+sum aggregation
@@ -797,6 +826,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "state_inspect"        -> stateInspect _,
     "dsv2_stream"          -> dsv2Stream _,
+    "dsv2_stream_write"    -> dsv2StreamWrite _,
     "sessionize"           -> sessionize _,
     "events_window_stream" -> eventsWindowStream _,
     "sliding_windows_stream" -> slidingWindowsStream _,
@@ -826,6 +856,12 @@ object StreamOps {
         |    % 100 AS bucket
         |FROM range(25000, 75000) t(i)
         |ORDER BY id""".stripMargin,
+    // drained totals from range arithmetic; 100k rows through <=30k
+    // admission caps = exactly 4 non-empty epochs
+    "dsv2_stream_write" ->
+      """SELECT count(*)::BIGINT AS n_rows, sum(i)::BIGINT AS sum_id,
+        |  4::BIGINT AS n_epochs
+        |FROM range(0, 100000) t(i)""".stripMargin,
     // same contract as the batch twin — the streaming engine must
     // reproduce RelOps.eventsWindow's DuckDB-checked result exactly
     "events_window_stream" -> graft.operators.RelOps.oracle("events_window"),

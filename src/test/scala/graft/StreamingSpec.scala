@@ -21,6 +21,17 @@ class StreamingSpec extends SparkSpec {
     spark.table(id)
   }
 
+  test("dsv2 streaming sink: epoch-ed commits fold to exact totals") {
+    val out = graft.streaming.StreamOps.dsv2StreamWrite(spark, sfDir).head()
+    assert(out.getLong(0) == 100000L, "rows lost across epochs")
+    assert(out.getLong(1) == 100000L * 99999L / 2, "id sum drifted")
+    assert(out.getLong(2) == 4L, "admission caps should yield 4 epochs")
+    // independent rerun: fresh runId + fresh checkpoint, same totals
+    // (per-epoch keying leaves no cross-run state behind)
+    val again = graft.streaming.StreamOps.dsv2StreamWrite(spark, sfDir).head()
+    assert(again == out)
+  }
+
   test("dsv2 streaming source: capped multi-batch drain ≡ batch read") {
     import org.apache.spark.sql.streaming.Trigger
     val sink = java.nio.file.Files.createTempDirectory("dsv2s_sink").toString
