@@ -262,7 +262,36 @@ object FuncOps {
           .as("n_type_ok"))
       .transform(Present.sorted(_, col("event_type")))
 
+  /** In-flight observed metrics (`Dataset.observe` → `CollectMetrics`):
+    * the data-quality counters ride the SAME pass as the real job —
+    * here a filtered count — instead of a second full scan, which is
+    * the only affordable monitoring shape at 100 TB (profile the feed
+    * WHILE consuming it). The observation's aggregates evaluate
+    * per-partition and fold on the driver through the listener bus;
+    * the gated result is the observed map + the job's own output,
+    * both replayed by the oracle as plain aggregates — a dropped
+    * partition's metrics or a double-counted retry hash-fails. */
+  def observedMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val df = Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("sum_price_cents"),
+        min(col("l_shipdate").cast("date").cast("string")).as("min_ship"),
+        max(col("l_shipdate").cast("date").cast("string")).as("max_ship"))
+    val kept = df.filter(col("l_quantity") > 25).count()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("sum_price_cents").asInstanceOf[Long],
+      m("min_ship").asInstanceOf[String],
+      m("max_ship").asInstanceOf[String], kept))
+      .toDF("n_rows", "sum_price_cents", "min_ship", "max_ship", "n_kept")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "observed_metrics" -> observedMetrics _,
     "variant_ops"        -> variantOps _,
     "percentiles"        -> percentiles _,
     "percentiles_approx" -> percentilesApprox _,
@@ -277,6 +306,17 @@ object FuncOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the observed pass replayed as plain aggregates + the job's own
+    // filtered count
+    "observed_metrics" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |    AS sum_price_cents,
+        |  min(l_shipdate::DATE)::VARCHAR AS min_ship,
+        |  max(l_shipdate::DATE)::VARCHAR AS max_ship,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity > 25)::BIGINT
+        |    AS n_kept
+        |FROM lineitem""".stripMargin,
     // the same multi-level paths via DuckDB JSON extraction; the
     // missing path is NULL for every row, the envelope type echoes
     // the event_type for every row

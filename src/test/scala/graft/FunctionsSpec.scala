@@ -158,4 +158,20 @@ class FunctionsSpec extends SparkSpec {
         s"plane ($p,$i) drifted")
     }
   }
+
+  test("observed metrics equal the direct aggregates (single-pass profile)") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.FuncOps.observedMetrics(spark, sfDir).head()
+    val direct = Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)),
+      sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")),
+      min(col("l_shipdate").cast("date").cast("string")),
+      max(col("l_shipdate").cast("date").cast("string"))).head()
+    assert(row.getLong(0) == direct.getLong(0))
+    assert(row.getLong(1) == direct.getLong(1))
+    assert(row.getString(2) == direct.getString(2))
+    assert(row.getString(3) == direct.getString(3))
+    assert(row.getLong(4) == Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 25).count())
+  }
 }
