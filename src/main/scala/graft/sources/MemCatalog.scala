@@ -6,7 +6,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -42,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a rewrite job — the Iceberg partition-drop shape; anything else is
   * refused, and the engine reports it rather than deleting wrongly. */
 class MemCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private val tables = new ConcurrentHashMap[String, MemTable]()
 
@@ -116,6 +116,24 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     if (t == null) throw new NoSuchTableException((oldIdent.namespace :+ oldIdent.name).toSeq)
     tables.put(key(newIdent), t)
   }
+
+  /** V2 FUNCTION catalog — catalog-scoped SQL functions resolved
+    * through the connector, the surface Iceberg uses for its bucket/
+    * truncate transforms: `SELECT <catalog>.ns.hamming64(a, b)`
+    * resolves here to an [[UnboundFunction]], binds against the
+    * argument types, and — because the bound function exposes the
+    * MAGIC `invoke(long, long)` method — the engine calls it through
+    * a codegen'd static-style Invoke instead of boxing through
+    * `produceResult` row-at-a-time. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "hamming64"))
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    ident.name.toLowerCase match {
+      case "hamming64" => Hamming64Fn
+      case _ => throw new NoSuchFunctionException(ident)
+    }
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name.equalsIgnoreCase("hamming64")
 
   // single-level namespaces, existing implicitly once referenced —
   // enough for the resolution paths the gated query exercises
@@ -355,4 +373,41 @@ class MemWriterFactory(schema: StructType, rowLevel: Boolean)
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
+}
+
+/** Catalog-registered scalar function: 64-bit Hamming distance —
+  * popcount(a XOR b), the SimHash comparison kernel. The BOUND form
+  * carries the MAGIC `invoke(long, long)` method, so Catalyst plans a
+  * codegen'd call (no row boxing); `produceResult` stays as the
+  * contract-required interpreted fallback. DuckDB replays it as
+  * bit_count(xor(a, b)) — the oracle pins both paths agree. */
+object Hamming64Fn
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "hamming64"
+  override def description(): String =
+    "hamming64(a BIGINT, b BIGINT) -> BIGINT: popcount(a XOR b)"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    if (inputType.fields.length != 2 ||
+        !inputType.fields.forall(_.dataType == LongType))
+      throw new UnsupportedOperationException(
+        s"hamming64 expects (BIGINT, BIGINT), got $inputType")
+    new Hamming64Bound
+  }
+}
+
+class Hamming64Bound
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(LongType, LongType)
+  override def resultType(): org.apache.spark.sql.types.DataType = LongType
+  override def name(): String = "hamming64"
+  override def canonicalName(): String = "graft.hamming64"
+  override def isResultNullable: Boolean = false
+  override def isDeterministic: Boolean = true
+  /** Magic method — resolved reflectively by name+signature and
+    * compiled into the generated code as a direct call. */
+  def invoke(a: Long, b: Long): Long = java.lang.Long.bitCount(a ^ b).toLong
+  override def produceResult(input: InternalRow): java.lang.Long =
+    invoke(input.getLong(0), input.getLong(1))
 }

@@ -253,6 +253,24 @@ object StorageOps {
     cs.sql("SELECT k, v FROM graft_mem.ns.acct ORDER BY k")
   }
 
+  /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
+    * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
+    * resolves through the connector, binds on (BIGINT, BIGINT), and
+    * runs through the MAGIC `invoke(long,long)` codegen path — the
+    * Iceberg function-catalog surface (their bucket/truncate SQL
+    * functions). The query histograms the SimHash comparison kernel
+    * (popcount of XOR) over the orders key pair; DuckDB replays it
+    * as bit_count(xor(a,b)). */
+  def catalogFunction(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """SELECT graft_mem.ns.hamming64(o_orderkey, o_custkey) AS d,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY d""".stripMargin)
+  }
+
   /** Landed COLUMN statistics over the warehouse + part — the CBO
     * rung: `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`
     * writes row counts, ndv, min/max and null counts into the
@@ -951,6 +969,7 @@ object StorageOps {
     "dsv2_write_distribution" -> dsv2WriteDistribution _,
     "catalog_crud"        -> catalogCrud _,
     "catalog_dml"         -> catalogDml _,
+    "catalog_function"    -> catalogFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
@@ -1110,6 +1129,12 @@ object StorageOps {
       """SELECT k, count(*)::BIGINT AS cnt, sum(v)::BIGINT AS sum_v
         |FROM (SELECT o_custkey % 101 AS k, o_orderkey AS v FROM orders) t
         |WHERE k < 50 GROUP BY k ORDER BY k""".stripMargin,
+    // the V2 function replayed as bit_count(xor()) — the codegen'd
+    // magic path and DuckDB's kernel must agree bit for bit
+    "catalog_function" ->
+      """SELECT bit_count(xor(o_orderkey, o_custkey))::BIGINT AS d,
+        |  count(*)::BIGINT AS n
+        |FROM orders GROUP BY 1 ORDER BY d""".stripMargin,
     // the DML lifecycle replayed as CTEs: build buckets, bump the
     // small ones, left-join the merge source for matched updates,
     // anti-join it for inserts

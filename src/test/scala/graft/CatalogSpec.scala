@@ -114,6 +114,26 @@ class CatalogSpec extends SparkSpec {
     assert(cs.sql("SELECT sum(k) FROM mem.ns.ok").head().getLong(0) == 1L)
   }
 
+  test("V2 function catalog: magic-invoke scalar function resolves and binds") {
+    val cs = mounted()
+    // exact kernel vs an independent Scala computation
+    val got = cs.sql(
+      """SELECT mem.ns.hamming64(v.a, v.b) AS d
+        |FROM VALUES (0L, 0L), (1L, 0L), (255L, 0L), (-1L, 0L),
+        |  (6148914691236517205L, -6148914691236517206L) AS v(a, b)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 8L, 64L, 64L))
+    // binding rejects wrong signatures with the catalog's message
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      cs.sql("SELECT mem.ns.hamming64('x', 1L)").collect()
+    }
+    assert(e.getMessage.contains("hamming64"))
+    // unknown function is a proper catalog error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      cs.sql("SELECT mem.ns.nosuch(1L)").collect()
+    }
+  }
+
   test("catalog sessions are isolated (rerun-safe registered query)") {
     val a = mounted(); val b = mounted()
     a.sql("CREATE TABLE mem.ns.iso (k BIGINT)")
