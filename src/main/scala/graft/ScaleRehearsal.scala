@@ -441,6 +441,32 @@ object ScaleRehearsal {
     * measured op is the within-cell pair pass + keep-first partial
     * min-agg. Expectation: linear records/bytes in the multiple —
     * a FIXED K would instead grow cells with N and go quadratic. */
+  /** Storage-partitioned join vs. the same body shuffled: the
+    * generated tables scale with the multiple (nA = 100k·m,
+    * nB = 60k·m, pstep fixed so key blocks stay constant-sized and
+    * the split count grows linearly — the production shape: more
+    * files, same file size). Expectation: the shuffled twin's
+    * exchange records grow ∝ nA+nB (both fact sides re-cluster per
+    * query), while the SPJ form's shuffles stay FLAT (only the
+    * 50-word aggregate + presentation exchanges survive) — the
+    * measured form of the "deletes the two largest shuffles"
+    * claim SourcesSpec pins at plan level. */
+  def runSpj(s: SparkSession, sfDir: String, mults: Seq[Int],
+             passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val (nA, nB) = (100000L * m, 60000L * m)
+      val on = sources.StorageOps.spjSession(s)
+      measure(s, listener, "spj", "spj_join", m, passes)(
+        sources.StorageOps.spjBodyOf(on, nA, nB))
+      val off = s.newSession()
+      off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      measure(s, listener, "spj", "spj_join_shuffled", m, passes)(
+        sources.StorageOps.spjBodyOf(off, nA, nB))
+    }
+  }
+
   def runSimilarity(s: SparkSession, sfDir: String, mults: Seq[Int],
                     passes: Int = 3): Unit = {
     val listener = new ShuffleListener
@@ -692,6 +718,8 @@ object ScaleRehearsal {
       runTopK(spark, sfDir, mults)
     if (family == "similarity")
       runSimilarity(spark, sfDir, mults)
+    if (family == "spj")
+      runSpj(spark, sfDir, mults)
     spark.stop()
   }
 }

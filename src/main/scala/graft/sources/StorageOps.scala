@@ -405,30 +405,42 @@ object StorageOps {
   val SpjAN = 20000L
   val SpjBN = 12000L
   val SpjStep = 500L
-  def dsv2SpjJoin(s: SparkSession, d: String): DataFrame = {
-    val cs = s.newSession()
-    cs.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    cs.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-    // the join clusters on (pkey, id) — a SUPERSET of the partition
-    // key; allow the key-grouped layout to satisfy it
-    cs.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    cs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spjBody(cs)
-  }
+  def dsv2SpjJoin(s: SparkSession, d: String): DataFrame =
+    // join clusters on (pkey, id), a SUPERSET of the partition key —
+    // spjSession sets requireAllClusterKeysForCoPartition=false so the
+    // key-grouped layout satisfies it
+    spjBody(spjSession(s))
 
   /** The join body on whatever session/conf the caller prepared —
     * shared by the registered query and the spec's with/without-SPJ
     * exchange-count comparison. */
-  private[graft] def spjBody(cs: SparkSession): DataFrame = {
+  private[graft] def spjBody(cs: SparkSession): DataFrame =
+    spjBodyOf(cs, SpjAN, SpjBN)
+
+  /** The parameterized form — ScaleRehearsal scales the table extents
+    * through the same body the gate pins. */
+  private[graft] def spjBodyOf(cs: SparkSession, nA: Long,
+                               nB: Long): DataFrame = {
     def tbl(n: Long) = cs.read.format("graft.sources.SeqSource")
       .option("n", n.toString).option("pstep", SpjStep.toString).load()
-    val b = tbl(SpjBN).select(col("pkey"), col("id"),
+    val b = tbl(nB).select(col("pkey"), col("id"),
       col("bucket").as("bucket_b"))
-    tbl(SpjAN).join(b, Seq("pkey", "id"))
+    tbl(nA).join(b, Seq("pkey", "id"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"),
         sum(col("bucket") + col("bucket_b")).as("sum_buckets"))
       .transform(Present.sorted(_, col("word")))
+  }
+
+  /** A session with the SPJ confs on — shared by the registered
+    * query, the spec, and the rehearsal. */
+  private[graft] def spjSession(s: SparkSession): SparkSession = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    cs.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    cs.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    cs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cs
   }
 
   /** The vectorized DSv2 read path (`columnar=true`): the scan hands
