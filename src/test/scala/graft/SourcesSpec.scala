@@ -260,6 +260,39 @@ class SourcesSpec extends SparkSpec {
     assert(spj.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("dsv2 spj: pushed filters clip key blocks without breaking co-partition") {
+    import graft.sources.StorageOps
+    val on = StorageOps.spjSession(spark)
+    on.conf.set("spark.sql.adaptive.enabled", "false")
+    def tbl(cs: org.apache.spark.sql.SparkSession, n: Long) =
+      cs.read.format("graft.sources.SeqSource")
+        .option("n", n.toString).option("pstep", "500").load()
+    // a's filter drops whole leading key blocks AND clips one mid-block;
+    // b covers a shorter id range — partial key overlap on both ends
+    def body(cs: org.apache.spark.sql.SparkSession) = {
+      val a = tbl(cs, 20000).filter(col("id") >= 5250L)
+      val b = tbl(cs, 12000).select(col("pkey"), col("id"),
+        col("bucket").as("bucket_b"))
+      a.join(b, Seq("pkey", "id"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"), sum("bucket_b").as("s"))
+        .orderBy("word")
+    }
+    val spj = body(on)
+    // the join itself still plans shuffle-free under the clipped layout
+    val smj = spj.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.length == 1)
+    assert(smj.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "clipped key blocks broke the co-partition")
+    // and never changes the rows: ids 5250..11999 survive on both sides
+    val off = spark.newSession()
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    assert(spj.collect().toSeq == body(off).collect().toSeq)
+  }
+
   test("dsv2 columnar scan: ColumnarBatch path, byte-equal to the row path") {
     import graft.sources.StorageOps
     val colDf = StorageOps.dsv2ColumnarScan(spark, sfDir)
