@@ -305,10 +305,83 @@ object SqlSurface {
         |    AS n_the
         |FROM toks""".stripMargin)
 
+  /** SQL scripting (Spark 4): procedural control flow — DECLARE /
+    * WHILE / IF — compiled and run INSIDE the engine, so each
+    * statement in the script is a full Catalyst-planned query (the
+    * loop below runs five pushed-down counts, not a driver-side
+    * cursor). The script's value is its last statement's result.
+    * Semantically the whole script folds to one aggregate — the
+    * oracle pins that the procedural form loses nothing. */
+  def sqlScripting(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "orders")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql(
+      """BEGIN
+        |  DECLARE weighted BIGINT DEFAULT 0;
+        |  DECLARE i INT DEFAULT 1;
+        |  DECLARE label STRING DEFAULT '';
+        |  WHILE i <= 5 DO
+        |    SET weighted = weighted + i * (
+        |      SELECT count(*) FROM orders
+        |      WHERE substring(o_orderpriority, 1, 1) = CAST(i AS STRING));
+        |    SET i = i + 1;
+        |  END WHILE;
+        |  IF weighted % 2 = 0 THEN
+        |    SET label = 'even';
+        |  ELSE
+        |    SET label = 'odd';
+        |  END IF;
+        |  SELECT weighted, label;
+        |END""".stripMargin)
+  }
+
+  /** Session variables + EXECUTE IMMEDIATE + IDENTIFIER (Spark 4):
+    * the dynamic-SQL surface — a typed session variable feeds a
+    * positional `?` binding, and the TABLE NAME itself arrives
+    * through `IDENTIFIER(var)` (resolved safely as an identifier,
+    * not string-spliced — the injection-proof form of dynamic SQL).
+    * The oracle is the query with both bindings inlined. */
+  def sqlVariables(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "customer")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_seg STRING DEFAULT 'BUILDING'")
+    s.sql("SET VAR graft_seg = 'AUTOMOBILE'")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_tab STRING DEFAULT 'customer'")
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT c_mktsegment AS seg, count(*) AS n,
+        |     sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |   FROM IDENTIFIER(graft_tab)
+        |   WHERE c_mktsegment = ? GROUP BY c_mktsegment'
+        |USING graft_seg""".stripMargin)
+  }
+
+  /** Named-parameter SQL through the API (`spark.sql(text, args)`) —
+    * parameter markers bind as LITERALS at parse time (never string
+    * concatenation), so a parameterized query plans identically to
+    * its inlined twin: the date bounds still prune at the scan and
+    * the IN list still folds. The repeated-query surface every
+    * driver program needs. */
+  def sqlParams(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders
+        |WHERE o_orderdate >= :lo AND o_orderdate < :hi
+        |  AND o_orderpriority IN (:p1, :p2)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("lo" -> java.sql.Date.valueOf("1995-01-01"),
+          "hi" -> java.sql.Date.valueOf("1997-01-01"),
+          "p1" -> "1-URGENT", "p2" -> "2-HIGH"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_udf"       -> sqlUdf _,
     "sql_tvf"       -> sqlTvf _,
     "sql_pipe"      -> sqlPipe _,
+    "sql_scripting" -> sqlScripting _,
+    "sql_variables" -> sqlVariables _,
+    "sql_params"    -> sqlParams _,
     "collation_ops" -> collationOps _,
     "recursive_hierarchy" -> recursiveHierarchy _,
     "lateral_top_orders" -> lateralTopOrders _,
@@ -369,6 +442,33 @@ object SqlSurface {
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
         |GROUP BY 1, 2 HAVING count(*) > 100
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the script folds to one aggregate: weighted = Σ orders of the
+    // priority's leading digit (every priority starts with 1..5)
+    "sql_scripting" ->
+      """WITH w AS (
+        |  SELECT sum(CAST(substring(o_orderpriority, 1, 1) AS BIGINT))
+        |    ::BIGINT AS weighted
+        |  FROM orders
+        |  WHERE substring(o_orderpriority, 1, 1) BETWEEN '1' AND '5')
+        |SELECT weighted,
+        |  CASE WHEN weighted % 2 = 0 THEN 'even' ELSE 'odd' END AS label
+        |FROM w""".stripMargin,
+    // both dynamic bindings (the ? value and the IDENTIFIER table)
+    // inlined
+    "sql_variables" ->
+      """SELECT c_mktsegment AS seg, count(*)::BIGINT AS n,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents
+        |FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |GROUP BY c_mktsegment""".stripMargin,
+    // the named parameters inlined as literals
+    "sql_params" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // ASCII-only tokens: UTF8_LCASE distinct/equality is exactly the
     // lower() relation
     "collation_ops" ->

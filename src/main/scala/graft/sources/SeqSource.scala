@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
@@ -82,13 +82,28 @@ object SeqSource {
     * that a selective join plans strictly fewer partitions. */
   @volatile var lastStaticPlanned: Int = -1
   @volatile var lastRuntimePlanned: Int = -1
+
+  /** The connector's hidden METADATA column: each row's input-split
+    * lower id bound. Selectable as `_split_lo` on demand; absent from
+    * the table schema, so `SELECT *` and describe never see it — the
+    * `_metadata`-for-files contract applied to a generated source
+    * (split provenance without widening every scan). */
+  val SplitLoColumn: MetadataColumn = new MetadataColumn {
+    override def name: String = "_split_lo"
+    override def dataType: DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment: String =
+      "lower id bound of the input split that produced this row"
+  }
 }
 
 class SeqTable(n: Long, parts: Int, batchRows: Long,
                pstep: Long = 0L, columnar: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name: String = s"graftseq(n=$n)"
   override def schema: StructType = SeqSource.schemaFor(pstep)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(SeqSource.SplitLoColumn)
   override def capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -523,6 +538,7 @@ class SeqReaderFactory(cols: IndexedSeq[String], pstep: Long = 0L,
           case "bucket" => java.lang.Long.valueOf(SeqSource.bucketOf(cur))
           case "word"   => UTF8String.fromString("w" + (cur % 50))
           case "pkey"   => java.lang.Long.valueOf(cur / pstep)
+          case "_split_lo" => java.lang.Long.valueOf(r.lo)
         }
         new GenericInternalRow(vals.toArray[Any])
       }
@@ -569,6 +585,8 @@ class SeqReaderFactory(cols: IndexedSeq[String], pstep: Long = 0L,
               }
             case "pkey" =>
               while (i < n) { v.putLong(i, (cur + i) / pstep); i += 1 }
+            case "_split_lo" =>
+              while (i < n) { v.putLong(i, r.lo); i += 1 }
           }
           ci += 1
         }

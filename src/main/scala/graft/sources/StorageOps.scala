@@ -388,6 +388,37 @@ object StorageOps {
       .option("n", Dsv2N.toString).option("parts", "16").load()
       .orderBy(desc("id")).offset(3).limit(5)
 
+  /** Connector METADATA column (`SupportsMetadataColumns`) — the
+    * hidden-column rung: `_split_lo` exposes each row's input-split
+    * lower bound, selectable on demand and invisible otherwise
+    * (`SELECT *` never pays for it). The per-split histogram below is
+    * the task-skew introspection every 100 TB job wants — "which
+    * input splits carry the rows" — answered without a shuffle-side
+    * TaskContext hack. Split math is deterministic (ceil-division
+    * ranges), so DuckDB replays the split bound from id arithmetic. */
+  def dsv2MetadataCol(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", Dsv2N.toString).option("parts", "8").load()
+      .select(col("id"), col("bucket"), col("_split_lo"))
+      .groupBy(col("_split_lo").as("split_lo"))
+      .agg(count(lit(1)).as("n"), min("id").as("lo_id"),
+        max("id").as("hi_id"), sum("bucket").as("sum_bucket"))
+      .transform(Present.sorted(_, col("split_lo")))
+
+  /** FILE metadata columns on the parquet scan (`_metadata.file_name`
+    * / `_metadata.row_index`) — provenance without a provenance
+    * column: every file-based scan carries its origin for free, the
+    * lineage primitive a 100 TB corpus audit starts from ("which
+    * file, which row" for any flagged document — no join against a
+    * manifest). The testdata lands documents ordered by doc_id, so
+    * the oracle replays row_index as the doc_id rank. */
+  def fileMetadata(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("_metadata.row_index").as("ridx"),
+        col("_metadata.file_name").as("fname"))
+      .filter(col("doc_id") % 7 === 0)
+      .transform(Present.sorted(_, col("doc_id")))
+
   /** Storage-partitioned join through the DSv2 connector — the
     * co-location rung: both tables declare `pstep=500` so the source
     * reports a `KeyGroupedPartitioning` over `identity(pkey)` with
@@ -976,6 +1007,8 @@ object StorageOps {
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
+    "dsv2_metadata_col"   -> dsv2MetadataCol _,
+    "file_metadata"       -> fileMetadata _,
     "dsv2_spj_join"       -> dsv2SpjJoin _,
     "dsv2_columnar_scan"  -> dsv2ColumnarScan _,
     "dsv2_write_distribution" -> dsv2WriteDistribution _,
@@ -1094,6 +1127,26 @@ object StorageOps {
          |    'w' || (i % 50)::VARCHAR AS word
          |  FROM range(0, ${Dsv2N / 2}) t(i))
          |GROUP BY word ORDER BY word""".stripMargin,
+    // the split bound replayed from ceil-division range math:
+    // step = ceil(n / parts), split_lo = (id / step) * step
+    "dsv2_metadata_col" ->
+      s"""SELECT (i // ${(Dsv2N + 7) / 8}) * ${(Dsv2N + 7) / 8} AS split_lo,
+         |  count(*)::BIGINT AS n, min(i)::BIGINT AS lo_id,
+         |  max(i)::BIGINT AS hi_id,
+         |  sum(('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |    % 100)::BIGINT AS sum_bucket
+         |FROM range(0, $Dsv2N) t(i)
+         |GROUP BY 1 ORDER BY split_lo""".stripMargin,
+    // documents land ordered by doc_id in one file, so row_index is
+    // the doc_id rank; rank BEFORE the filter (hidden columns exist
+    // for every row, filtered or not)
+    "file_metadata" ->
+      """SELECT doc_id, ridx, fname FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS ridx,
+        |    'documents.parquet' AS fname
+        |  FROM documents)
+        |WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
     // the folded aggregate replayed over the same id window
     "dsv2_agg_pushdown" ->
       s"""SELECT count(*)::BIGINT AS n_rows, min(i) AS min_id,

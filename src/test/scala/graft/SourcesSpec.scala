@@ -313,6 +313,42 @@ class SourcesSpec extends SparkSpec {
     assert(colRows.toSeq == rowDf.collect().toSeq)
   }
 
+  test("dsv2 metadata column: hidden from *, split-exact when selected") {
+    import graft.sources.StorageOps
+    // hidden: the table schema and SELECT * never carry _split_lo
+    val star = spark.read.format("graft.sources.SeqSource")
+      .option("n", StorageOps.Dsv2N.toString).option("parts", "8").load()
+    assert(!star.schema.fieldNames.contains("_split_lo"))
+    // selected: every row's split bound matches the ceil-division
+    // range math planInputPartitions uses
+    val step = (StorageOps.Dsv2N + 7) / 8
+    val bad = star.select(col("id"), col("_split_lo"))
+      .filter(col("_split_lo") =!= expr(s"(id div $step) * $step"))
+      .count()
+    assert(bad == 0L, s"$bad rows carried a wrong split bound")
+    // the registered per-split histogram covers the table exactly
+    val hist = StorageOps.dsv2MetadataCol(spark, sfDir).collect()
+    assert(hist.length == 8)
+    assert(hist.map(_.getLong(1)).sum == StorageOps.Dsv2N)
+    hist.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0), "lo_id must equal split_lo")
+    }
+  }
+
+  test("file metadata: _metadata.row_index/file_name are real provenance") {
+    import graft.sources.StorageOps
+    val rows = StorageOps.fileMetadata(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every surviving doc keeps its physical position: the testdata
+    // lands documents ordered by doc_id, so row_index == doc_id rank
+    // (here: doc_id itself — ids are dense from 0)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0),
+        s"row_index ${r.getLong(1)} != doc_id ${r.getLong(0)}")
+      assert(r.getString(2) == "documents.parquet")
+    }
+  }
+
   test("dsv2 sink: per-partition commit messages aggregate to the exact totals") {
     import graft.sources.StorageOps
     val out = StorageOps.dsv2Write(spark, sfDir).collect()

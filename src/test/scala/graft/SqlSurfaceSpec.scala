@@ -49,6 +49,54 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(piped.toSeq == nested.toSeq)
   }
 
+  test("sql_scripting: the WHILE/IF script equals its one-aggregate fold") {
+    val row = SqlSurface.sqlScripting(spark, sfDir).head()
+    val folded = Tables.orders(spark, sfDir)
+      .agg(sum(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")))
+      .head().getLong(0)
+    assert(row.getLong(0) == folded)
+    assert(row.getString(1) == (if (folded % 2 == 0) "even" else "odd"))
+  }
+
+  test("sql_variables: EXECUTE IMMEDIATE binds the LIVE variable value") {
+    val auto = SqlSurface.sqlVariables(spark, sfDir).head()
+    assert(auto.getString(0) == "AUTOMOBILE")
+    // rebind and re-execute the same dynamic SQL: the binding must
+    // track the variable, not a captured value
+    spark.sql("SET VAR graft_seg = 'BUILDING'")
+    val building = spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT c_mktsegment AS seg, count(*) AS n FROM
+        |   IDENTIFIER(graft_tab) WHERE c_mktsegment = ?
+        |   GROUP BY c_mktsegment'
+        |USING graft_seg""".stripMargin).head()
+    assert(building.getString(0) == "BUILDING")
+    val exp = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(building.getLong(1) == exp)
+  }
+
+  test("sql_params: named parameters bind as literals, equal inlined twin") {
+    val got = SqlSurface.sqlParams(spark, sfDir).collect()
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    val inlined = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(got.toSeq == inlined.collect().toSeq)
+    // the markers are real bindings: different args, different rows
+    val other = spark.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority = :p",
+      Map("p" -> "5-LOW")).head().getLong(0)
+    val low = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "5-LOW").count()
+    assert(other == low)
+  }
+
   test("collation_ops: UTF8_LCASE distinct/equality vs independent recount") {
     import spark.implicits._
     val row = SqlSurface.collationOps(spark, sfDir).head()
