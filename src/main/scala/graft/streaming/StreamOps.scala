@@ -728,6 +728,125 @@ object StreamOps {
   def userMaxStream(s: SparkSession, dir: String): DataFrame =
     userMaxOf(s, eventsStream(s, dir))
 
+  /** Spark 4 `transformWithState` with EVENT-TIME TIMERS + ListState —
+    * the full arbitrary-state surface ([[UserMaxProcessor]] covers
+    * ValueState; this adds the other two legs): gap-based
+    * sessionization as an explicit state machine. Events buffer in a
+    * per-user `ListState`; ONE timer per user slides to
+    * (last event + gap), and when the WATERMARK passes it the timer
+    * fires, the buffered history splits into sessions by the batch
+    * rule (gap > 30 min), every closed session emits, and state
+    * clears — the processor holds exactly the un-closable tail, never
+    * the stream. This is how TTL-evicted custom state works at 100 TB:
+    * the watermark, not the data volume, bounds state.
+    *
+    * Timer granularity is MILLISECONDS while event time is micros, so
+    * expiry rounds UP to the next ms (never early-fires a session the
+    * μs math says is still open). */
+  class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Double), (Long, Long, Long, Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    private val GapUs = 1800000000L // 30 min — the batch sessionize rule
+    @transient private var evs: ListState[(Long, Double)] = _
+    @transient private var timerAt: ValueState[Long] = _
+    @transient private var sidBase: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      evs = getHandle.getListState[(Long, Double)]("evs",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timer_ms",
+        Encoders.scalaLong, TTLConfig.NONE)
+      // session numbering survives fires: a later fire CONTINUES the
+      // count (a post-fire event is > watermark ≥ last + gap, so it
+      // can never merge into an emitted session — only start the next)
+      sidBase = getHandle.getValueState[Long]("sid_base",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long, Long, Double)] = {
+      var mxUs = Long.MinValue
+      rows.foreach { case (_, tsUs, v) =>
+        evs.appendValue((tsUs, v)); mxUs = math.max(mxUs, tsUs)
+      }
+      // one sliding timer per user: (last event + gap), ms-ceiling
+      val want = (mxUs + GapUs + 999L) / 1000L
+      val cur = if (timerAt.exists()) timerAt.get() else Long.MinValue
+      if (want > cur) {
+        if (timerAt.exists()) getHandle.deleteTimer(cur)
+        getHandle.registerTimer(want)
+        timerAt.update(want)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long, Double)] = {
+      val all = evs.get().toArray.sortBy(_._1)
+      evs.clear(); timerAt.clear()
+      if (all.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Double)]
+      var sid = if (sidBase.exists()) sidBase.get() else 0L
+      var i = 0
+      while (i < all.length) {
+        var j = i
+        while (j + 1 < all.length && all(j + 1)._1 - all(j)._1 <= GapUs) j += 1
+        sid += 1
+        var sum = 0.0
+        var k = i
+        while (k <= j) { sum += all(k)._2; k += 1 }
+        out += ((key, sid, (j - i + 1).toLong, all(i)._1, all(j)._1, sum))
+        i = j + 1
+      }
+      sidBase.update(sid)
+      out.iterator
+    }
+  }
+
+  /** The timer-driven session stream over any events-shaped stream. */
+  private[graft] def sessionTimersOf(s: SparkSession,
+                                     events: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_id", "n_events", "start_us", "end_us",
+        "sum_raw")
+  }
+
+  /** [[sessionTimersOf]] driver-gated. Only FIRED timers emit, and a
+    * user's timer sits at their LAST event + gap — so the gate (and
+    * its oracle, identically) restricts to users whose entire history
+    * closed before the final watermark: user_max_ts ≤ max_ts − delay
+    * (30 min) − gap (30 min) − 1 s, the guard band covering the
+    * μs→ms timer truncation. Inside that zone the state machine must
+    * reproduce the batch sessionize relation exactly — session
+    * numbering, bounds, counts, and sums. */
+  def sessionTimersGated(s: SparkSession, dir: String): DataFrame = {
+    val raw = runToTableAppend(s, sessionTimersOf(s, eventsStream(s, dir)),
+      "tws_session", col("user_id"), col("session_id"))
+    val evUs = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    // bounded driver scalar: one row (the corpus max event time)
+    val mxUs = evUs.agg(max(col("ts_us"))).head().getLong(0)
+    val zoneUs = mxUs - 1800000000L - 1800000000L - 1000000L
+    val zoneUsers = evUs.groupBy("user_id")
+      .agg(max(col("ts_us")).as("umax"))
+      .filter(col("umax") <= zoneUs).select("user_id")
+    raw.join(broadcast(zoneUsers), Seq("user_id"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        round(col("sum_raw"), 3).as("sum_value"))
+      .transform(graft.operators.Present.sortedUnbounded(
+        _, col("user_id"), col("session_id")))
+  }
+
   /** The transformWithState machine over any events-shaped stream —
     * split out for StreamingSpec's stop/restart case. */
   private[graft] def userMaxOf(s: SparkSession, events: DataFrame): DataFrame = {
@@ -838,6 +957,7 @@ object StreamOps {
     "stream_enrich"        -> streamEnrichGated _,
     "running_totals_stream" -> runningUserTotalsGated _,
     "user_max_stream"      -> userMaxStreamGated _,
+    "tws_session_timers"   -> sessionTimersGated _,
     "stream_upsert"        -> streamUpsertGated _,
   )
 
@@ -927,6 +1047,36 @@ object StreamOps {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical contract to the batch change-log compaction
     "stream_upsert" -> graft.operators.ChangeOps.oracle("latest_events"),
+    // the batch sessionize relation restricted to the watermark-final
+    // zone: users whose LAST event closed before the final watermark
+    // (max_ts − 30 min delay − 30 min gap − 1 s ms-truncation guard) —
+    // exactly the users whose timer provably fired
+    "tws_session_timers" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |sess AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM b),
+        |mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |zone AS (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING max(epoch_us(ts)) <= (SELECT m FROM mx) - 3601000000)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 3) AS sum_value
+        |FROM sess JOIN zone USING (user_id)
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     // session_window semantics: new session at gap >= timeout (the
     // merge interval is half-open), session_end = last event + timeout
     "sessionize_stream" ->

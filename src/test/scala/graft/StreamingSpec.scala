@@ -388,6 +388,97 @@ class StreamingSpec extends SparkSpec {
       "restart-from-checkpoint diverges from a fresh one-shot run")
   }
 
+  test("tws timers: mid-stream fires + numbering continuation ≡ batch sessions") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("twstimer")
+    // split by TIME, not by key: batch 0 = early half, batch 1 = late
+    // half, so the watermark genuinely advances between batches and
+    // mid-stream timers fire — and nothing arrives late (every later
+    // file's events are newer than the earlier watermark)
+    // slice the NORMALIZED frame (writing TimestampType back is fine:
+    // the stream reader probes whatever physical type landed). One
+    // designated user u* goes quiet 2h before the first cut, so their
+    // timer provably fires MID-STREAM in batch 1 (everyone else's
+    // slides forward); u* then returns in batch 2, so their SECOND
+    // fire must continue the session numbering.
+    val rawTs = Tables.normalizeTs(raw)
+    val tsUs = unix_micros(col("ts"))
+    val stats = rawTs.agg(
+      expr("percentile_approx(unix_micros(ts), 0.5)"),
+      expr("percentile_approx(unix_micros(ts), 0.75)"),
+      max(tsUs)).head()
+    val (mid, q3, mx) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val hourUs = 3600000000L
+    val uStar = rawTs.agg(min("user_id")).head().getLong(0)
+    val isU = col("user_id") === uStar
+    writeSlice(rawTs.filter(
+      (isU && tsUs <= mid - 2 * hourUs) || (!isU && tsUs <= mid)),
+      srcDir, "a0")
+    writeSlice(rawTs.filter(!isU && tsUs > mid && tsUs <= q3), srcDir, "b0")
+    writeSlice(rawTs.filter(
+      tsUs > q3 && (!isU || tsUs <= mx - 2 * hourUs)), srcDir, "c0")
+    val sink = java.nio.file.Files.createTempDirectory("graft_twstimer_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_twstimer_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drainWith(
+      StreamOps.sessionTimersOf(spark,
+        StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1))),
+      "append", ckpt) { (b, id) =>
+        b.withColumn("bid", lit(id)).write.mode("append").parquet(sink) }
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val landed = spark.read.parquet(sink)
+    // u* fired at least twice: once mid-stream, once after returning
+    val uBids = landed.filter(isU).select("bid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(uBids.length >= 2,
+      s"u* emitted in one batch only (${uBids.toSeq}) — continuation vacuous")
+    // numbering CONTINUED across fires: u*'s session ids are 1..k
+    val uSids = landed.filter(isU).select("session_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(uSids.toSeq == (1L to uSids.length).toSeq,
+      s"u* session ids not contiguous from 1: ${uSids.toSeq}")
+    // the emitted relation over the provably-fired zone equals the
+    // batch sessionize rule applied to the STAGED source (u*'s
+    // dropped slices make it differ from the full table)
+    val staged = Tables.normalizeTs(spark.read.parquet(srcDir.toString))
+    val mxUs = staged.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val zone = staged.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("umax"))
+      .filter(col("umax") <= mxUs - 3601000000L).select("user_id")
+    val got = landed.join(zone, Seq("user_id"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        round(col("sum_raw"), 3).as("sum_value"))
+      .orderBy("user_id", "session_id").collect().toSeq.map(_.toSeq)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = staged
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("brk").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        round(sum("value"), 3).as("sum_value"))
+      .join(zone, Seq("user_id"))
+      .select("user_id", "session_id", "n_events", "start_us", "end_us",
+        "sum_value")
+      .orderBy("user_id", "session_id").collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty && got == want,
+      "multi-batch timer sessions diverge from the batch relation")
+  }
+
   test("transformWithState recovers RocksDB state across stop/restart") {
     import org.apache.spark.sql.functions._
     val (srcDir, raw) = stageEventsSplit("twsrec")
