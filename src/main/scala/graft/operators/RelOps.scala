@@ -395,7 +395,41 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** Process-scoped cached intermediate for [[cachedReuse]] — one
+    * InMemoryRelation per (session, dir), built once like the other
+    * landed artifacts (warehouse, lmStore), so repeated registration
+    * or bench passes don't stack duplicate cache entries. The cached
+    * table is the per-supplier aggregate: |suppliers| rows, bounded. */
+  private val cachedAggs =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def supplierQtyCached(s: SparkSession, d: String): DataFrame =
+    cachedAggs.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Cache-reuse rung: one cached aggregate consumed by TWO plan
+    * legs — the 1-row global threshold (suppliers whose total shipped
+    * quantity exceeds the corpus mean) and the row stream it filters.
+    * Without the cache the lineitem scan + shuffle would run twice;
+    * with it both legs read the same InMemoryRelation (PlanSpec pins
+    * two InMemoryTableScan nodes and a single materialization). The
+    * mean compare is kept in exact integer arithmetic
+    * (sum_qty * n > total) so the gate is ulp-proof. At 100 TB this
+    * is the "land the aggregate once, derive many" pattern; the
+    * cached table is |suppliers| rows, not the fact table. */
+  def cachedReuse(s: SparkSession, d: String): DataFrame = {
+    val agg = supplierQtyCached(s, d)
+    val thr = agg.agg(sum("sum_qty").as("tot"), count("*").as("n"))
+    agg.crossJoin(broadcast(thr))
+      .filter(col("sum_qty") * col("n") > col("tot"))
+      .select("l_suppkey", "sum_qty")
+      .transform(Present.sortedUnbounded(_, col("l_suppkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cached_reuse"       -> cachedReuse _,
     "hll_daily_merge"    -> hllDailyMerge _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders"      -> q3TopOrders _,
@@ -419,6 +453,14 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "cached_reuse" ->
+      """SELECT l_suppkey, sum_qty FROM (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1) t
+        |WHERE sum_qty * (SELECT count(DISTINCT l_suppkey) FROM lineitem)
+        |      > (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem)
+        |ORDER BY l_suppkey""".stripMargin,
     "hll_daily_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS merge_ok

@@ -49,12 +49,44 @@ object TopKOps {
     topkPerKeyRaw(s, d).transform(Present.sortedUnbounded(_,
       col("o_custkey"), desc("o_totalprice"), col("o_orderkey")))
 
+  /** The BUILT-IN twin of the custom operator: the declarative
+    * `row_number() <= k` filter, which Catalyst's
+    * InferWindowGroupLimit rewrites into partial+final
+    * WindowGroupLimit operators — each task keeps a bounded k-heap
+    * per key BEFORE the shuffle, so the exchange carries keys×k rows
+    * instead of the full input, same asymptotics as TopKPerKeyExec.
+    * Registered so the engine demonstrates both rungs (custom
+    * SparkStrategy and the optimizer's own rewrite) against one
+    * oracle; PlanSpec pins the Partial/Final WindowGroupLimit pair. */
+  def topkWindowLimitRaw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K).drop("rn")
+  }
+
+  def topkWindowLimit(s: SparkSession, d: String): DataFrame =
+    topkWindowLimitRaw(s, d).transform(Present.sortedUnbounded(_,
+      col("o_custkey"), desc("o_totalprice"), col("o_orderkey")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topk_per_key" -> topkPerKey _,
+    "topk_window_limit" -> topkWindowLimit _,
   )
 
   val oracle: Map[String, String] = Map(
     "topk_per_key" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders) t
+         |WHERE rn <= $K
+         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "topk_window_limit" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice FROM (
          |  SELECT o_custkey, o_orderkey, o_totalprice,
          |    row_number() OVER (PARTITION BY o_custkey

@@ -430,6 +430,39 @@ class PlanSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("topk_window_limit: rank filter is rewritten to partial+final WindowGroupLimit") {
+    val df = graft.operators.TopKOps.topkWindowLimitRaw(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // InferWindowGroupLimit: a bounded k-heap per key on BOTH sides of
+    // the exchange — the shuffle carries keys×k rows, not the input
+    val hits = p.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(hits.size == 2, s"expected Partial+Final WindowGroupLimit:\n$p")
+    assert(hits.exists(_.contains("Partial")), p)
+    assert(hits.exists(_.contains("Final")), p)
+    // the Partial pass must sit BELOW the exchange (map-side pruning)
+    assert(p.split("Exchange hashpartitioning").last
+      .contains("WindowGroupLimit"), p)
+    // matches the custom-operator rung row-for-row
+    val custom = graft.operators.TopKOps.topkPerKeyRaw(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val got = df.collect().map(_.toString).sorted.toSeq
+    assert(got == custom)
+  }
+
+  test("cached_reuse: both plan legs read one InMemoryRelation") {
+    val df = graft.operators.RelOps.cachedReuse(spark, sfDir)
+    df.collect()
+    val lp = df.queryExecution.optimizedPlan
+    // threshold leg + row leg both hit the cache; the lineitem scan
+    // and its shuffle run once, at cache fill, not per consumer
+    val leaves = lp.collectLeaves()
+    assert(leaves.size == 2, lp.toString)
+    assert(leaves.forall(_.nodeName == "InMemoryRelation"),
+      s"a consumer bypassed the cache:\n$lp")
+  }
+
   test("topk_per_key keeps exactly k rows per key with deterministic ties") {
     import spark.implicits._
     graft.operators.TopKOps.ensureStrategy(spark)
