@@ -169,4 +169,39 @@ object Aggregators {
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
+
+  /** Count-min sketch (Cormode/Muthukrishnan 2005) as a mergeable
+    * counter matrix: buffer = flattened d×w Long counters, reduce
+    * increments one counter per hash row, merge = element-wise add —
+    * EXACT and commutative, so unlike Misra-Gries the final matrix is
+    * fully partition-layout-independent and the point estimates are
+    * deterministic for fixed data. The input row carries the d bucket
+    * indices PRE-COMPUTED with the SQL `hash(word, i)` expression, so
+    * the probe side can replay the identical hashes in-plan (no UDF
+    * and no driver-side sketch lookup — `element_at` on the finished
+    * array column answers point queries inside codegen). At 100 TB
+    * the full token stream folds into one d×w matrix per task and a
+    * single d×w-row merge — no shuffle wider than the matrix, and
+    * matrices from different corpora/days add associatively (the
+    * warehouse lands per-partition sketches and unions them on read,
+    * the same lifecycle as the HLL rung). */
+  class CmsAgg(d: Int, w: Int)
+      extends Aggregator[Seq[Int], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.fill(d * w)(0L)
+    override def reduce(buf: Array[Long], idx: Seq[Int]): Array[Long] = {
+      var i = 0
+      while (i < d) { buf(i * w + idx(i)) += 1L; i += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

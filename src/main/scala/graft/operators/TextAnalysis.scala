@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -168,6 +168,58 @@ object TextAnalysis {
       .select(col("word"), col("cnt"),
         (col("est").isNotNull && col("est") <= col("cnt") &&
           (col("cnt") - col("est")) * k <= col("n")).as("sketch_ok"))
+      .transform(Present.sortedUnbounded(_, col("word")))
+  }
+
+  val CmsD = 5    // hash rows (error probability e^-d per query)
+  val CmsW = 2048 // counters per row (expected excess ≈ n/w)
+
+  /** The d bucket indices for one token, as plain SQL expressions —
+    * the SAME expressions serve the build side (pre-computed per
+    * token, folded by [[graft.functions.Aggregators.CmsAgg]]) and the
+    * probe side (replayed per candidate word), which is what makes
+    * the sketch point-queryable in-plan with no UDF. */
+  private def cmsBuckets(word: Column): Seq[Column] =
+    (0 until CmsD).map(i =>
+      pmod(hash(word, lit(i)), lit(CmsW)).cast("int"))
+
+  /** Count-min-sketch heavy hitters — the mergeable-counter twin of
+    * the Misra-Gries rung: one d×w matrix summarizes the token
+    * stream (merge = element-wise add, so the matrix and therefore
+    * every estimate is partition-layout-independent, unlike MG whose
+    * estimates are order-dependent), then the exact heavy-hitter set
+    * (cnt·k > n, the MG candidate definition) probes the matrix
+    * in-plan: est = min over d rows of counters[hash_i(word)],
+    * computed with `element_at` + the same `hash` expressions the
+    * build side used. Emitted gate: CMS never undercounts
+    * (est ≥ cnt always, a hard invariant) and the excess stays under
+    * 8·n/w (expected n/w per row, min over d=5 rows — generous but
+    * meaningful: ≤0.4% of corpus mass). DuckDB replays the exact set
+    * and pins TRUE. At 100 TB the matrix is the point: an 80 KB
+    * summary per corpus slice answers any point frequency without a
+    * groupBy over the stream, and slices union by addition. */
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(cleanTokens(col("text"))).as("word"))
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum("cnt").as("n"))
+    val sketch = toks
+      .select(array(cmsBuckets(col("word")): _*).as("bk"))
+      .as[Seq[Int]]
+      .select(new graft.functions.Aggregators.CmsAgg(CmsD, CmsW)
+        .toColumn.name("sk"))
+    // Row i's counters live at the i*w offset in the flattened matrix.
+    val est = cmsBuckets(col("word")).zipWithIndex
+      .map { case (b, i) => element_at(col("sk"), lit(i * CmsW) + b + 1) }
+      .reduce(least(_, _))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("cnt") * HhK > col("n"))
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), col("cnt"),
+        (est >= col("cnt") &&
+          (est - col("cnt")) * lit(CmsW.toLong) <= lit(8L) * col("n"))
+          .as("cms_ok"))
       .transform(Present.sortedUnbounded(_, col("word")))
   }
 
@@ -776,6 +828,7 @@ object TextAnalysis {
     "repetition_stats" -> repetitionStats _,
     "token_counts" -> tokenCounts _,
     "heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "cms_heavy_hitters" -> cmsHeavyHitters _,
     "fingerprint"  -> fingerprint _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "tfidf"        -> tfidf _,
@@ -915,6 +968,17 @@ object TextAnalysis {
          |exact AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
          |tot AS (SELECT sum(cnt) AS n FROM exact)
          |SELECT word, cnt, TRUE AS sketch_ok
+         |FROM exact, tot
+         |WHERE cnt * $HhK > n
+         |ORDER BY word""".stripMargin,
+    "cms_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+         |    '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |exact AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS n FROM exact)
+         |SELECT word, cnt, TRUE AS cms_ok
          |FROM exact, tot
          |WHERE cnt * $HhK > n
          |ORDER BY word""".stripMargin,

@@ -31,6 +31,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CMS matrix is partition-layout-independent and never undercounts") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.{CmsD, CmsW}
+    val words = Seq.fill(300)("hot") ++ Seq.fill(80)("warm") ++
+      (0 until 500).map(i => s"w${i % 90}")
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def buckets(w: org.apache.spark.sql.Column) =
+      (0 until CmsD).map(i => pmod(hash(w, lit(i)), lit(CmsW)).cast("int"))
+    def matrix(parts: Int): Seq[Long] =
+      spark.createDataset(words).repartition(parts)
+        .select(array(buckets(col("value")): _*).as("bk")).as[Seq[Int]]
+        .select(new Aggregators.CmsAgg(CmsD, CmsW).toColumn.name("sk"))
+        .head()
+    val m1 = matrix(1)
+    // merge = element-wise add: the SAME matrix from any layout
+    assert(matrix(7) == m1 && matrix(32) == m1)
+    assert(m1.sum == CmsD.toLong * words.size) // mass conservation per row
+    // point estimates: est >= exact for EVERY word (hard invariant),
+    // replayed with the same hash the build used
+    val est = spark.createDataset(exact.keys.toSeq)
+      .select(col("value").as("word"),
+        buckets(col("value")).zipWithIndex.map { case (b, i) =>
+          element_at(typedLit(m1), lit(i * CmsW) + b + 1)
+        }.reduce(least(_, _)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, c) =>
+      assert(est(w) >= c, s"CMS undercounted $w: ${est(w)} < $c")
+      assert(est(w) - c <= 8L * words.size / CmsW + CmsD,
+        s"excess blew the bound for $w: ${est(w)} vs $c")
+    }
+  }
+
   test("native cosine matches the declarative zip_with form exactly") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
