@@ -590,6 +590,39 @@ object StorageOps {
         max("doc_id").as("max_doc_id"))
       .transform(Present.sorted(_, col("source")))
 
+  /** Dynamic partition pruning — the runtime twin of
+    * [[partitionedScan]]'s static pruning, on the plain file source
+    * (the 100 TB warehouse path; `dsv2_runtime_filter` is the same
+    * rung for the connector): customer lands hive-partitioned by
+    * c_nationkey, then joins nation filtered to ONE region. The
+    * partition-filter values are the join side's OUTPUT, unknowable
+    * at plan time, so Catalyst injects a DynamicPruningSubquery that
+    * reuses the dim side's broadcast and prunes the fact scan to the
+    * region's 5 partitions of 25 before any file is opened
+    * (PlanSpec pins `dynamicpruningexpression` in PartitionFilters
+    * and a post-run numPartitions metric of 5). At 100 TB this is
+    * scanning one region's slice instead of the world whenever the
+    * pruning value comes from a query rather than a literal. */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = dppJoinDir(d)
+    Tables.customer(s, d).write.mode("overwrite")
+      .partitionBy("c_nationkey").parquet(dir)
+    dppJoinRead(s, d, dir)
+  }
+
+  /** Read half of [[dppJoin]] over a staged layout. */
+  def dppJoinRead(s: SparkSession, d: String, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_regionkey") === 1)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(Money.cents(col("c_acctbal"))).as("acct_cents"))
+      .transform(Present.sorted(_, col("n_name")))
+
+  def dppJoinDir(d: String): String = stageDir("dpp_customer", d)
+
   /** Sort-clustered layout — the row-group data-skipping story that
     * hive partitioning (see [[partitionedScan]]) can't give a
     * high-cardinality column: lineitem lands range-partitioned AND
@@ -1022,6 +1055,7 @@ object StorageOps {
     "zorder_layout"    -> zorderLayout _,
     "schema_evolution" -> schemaEvolution _,
     "partitioned_scan" -> partitionedScan _,
+    "dpp_join"         -> dppJoin _,
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
     "compact_files"    -> compactFiles _,
@@ -1254,6 +1288,13 @@ object StorageOps {
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents WHERE source = 'src1'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "dpp_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS acct_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 1
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "sorted_layout" ->
       """SELECT month(l_shipdate) AS ship_month, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -402,6 +402,30 @@ class PlanSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("dpp_join injects dynamic partition pruning: 5 of 25 partitions read") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = graft.sources.StorageOps.dppJoin(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"no DynamicPruningSubquery reached the scan:\n$p")
+    // the scan's runtime metric is the proof pruning HAPPENED, not
+    // just that the subquery was planned
+    def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("dpp_customer")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the dpp_customer layout")
+    val read = scans.head.metrics("numPartitions").value
+    assert(read == 5, s"expected 5 of 25 partitions read, got $read")
+  }
+
   test("topk_per_key plans the custom operator: no window, no input sort, one exchange") {
     val df = graft.operators.TopKOps.topkPerKeyRaw(spark, sfDir)
     df.collect()
