@@ -376,6 +376,29 @@ object StorageOps {
       .agg(count(lit(1)).as("n_rows"), min("id").as("min_id"),
         max("id").as("max_id"), sum("id").as("sum_id"))
 
+  /** Parquet aggregate pushdown — the FILE-source twin of
+    * [[dsv2AggPushdown]], and the footer-statistics story: on the V2
+    * parquet read path with `spark.sql.parquet.aggregatePushdown` on,
+    * an unfiltered whole-table MIN/MAX/COUNT compiles to a walk over
+    * parquet FOOTER stats (row-group counts + column min/max) — cost
+    * O(files), not O(rows). At 100 TB that is kilobytes of metadata
+    * instead of terabytes of pages; the same footers the sorted/
+    * Z-order layouts narrow are here the ANSWER, not just the skip
+    * index. The engine still merges the per-file partials above the
+    * scan (PlanSpec pins `PushedAggregation` at the scan and zero
+    * row-reading). Confs ride a cloned session — the V1/V2 source
+    * switch must not leak into other queries' plans. */
+  def parquetAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown only exists on the V2 FileScan path
+    cs.conf.set("spark.sql.sources.useV1SourceList", "")
+    cs.read.parquet(s"$d/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+  }
+
   /** TopN/limit pushdown through the DSv2 connector — the pagination
     * rungs: ORDER BY id DESC + OFFSET/LIMIT folds the scan to the
     * limit-sized id slice at PLANNING time (the probe shows
@@ -622,6 +645,38 @@ object StorageOps {
       .transform(Present.sorted(_, col("n_name")))
 
   def dppJoinDir(d: String): String = stageDir("dpp_customer", d)
+
+  /** Nested-schema pruning — the wide-struct story: documents land
+    * with a `meta` STRUCT of three fields (src, n_chars, and a
+    * payload-sized head the query never touches), then an aggregate
+    * over two leaves reads ONLY those leaves — the executed scan's
+    * ReadSchema carries `meta:struct<src,n_chars>` with the payload
+    * field GONE (PlanSpec pins it). Real corpora keep metadata as
+    * wide structs; at 100 TB failing to prune a struct means paying
+    * the whole column chunk for every query that glances at one
+    * field. Catalyst's nestedSchemaPruning is on by default — the
+    * rung proves the round trip (write nested → prune → same answer
+    * as the flat oracle). */
+  def nestedPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = nestedPruneDir(d)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        struct(col("source").as("src"),
+          length(col("text")).as("n_chars"),
+          substring(col("text"), 1, 64).as("head")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    nestedPruneRead(s, dir)
+  }
+
+  /** Read half of [[nestedPrune]] — two struct leaves, never `head`. */
+  def nestedPruneRead(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy(col("meta.src").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("meta.n_chars")).as("total_chars"))
+      .transform(Present.sorted(_, col("source")))
+
+  def nestedPruneDir(d: String): String = stageDir("nested_documents", d)
 
   /** Sort-clustered layout — the row-group data-skipping story that
     * hive partitioning (see [[partitionedScan]]) can't give a
@@ -1039,6 +1094,7 @@ object StorageOps {
     "dsv2_write"       -> dsv2Write _,
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
+    "parquet_agg_pushdown" -> parquetAggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "dsv2_metadata_col"   -> dsv2MetadataCol _,
     "file_metadata"       -> fileMetadata _,
@@ -1056,6 +1112,7 @@ object StorageOps {
     "schema_evolution" -> schemaEvolution _,
     "partitioned_scan" -> partitionedScan _,
     "dpp_join"         -> dppJoin _,
+    "nested_prune"     -> nestedPrune _,
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
     "compact_files"    -> compactFiles _,
@@ -1161,6 +1218,11 @@ object StorageOps {
          |    'w' || (i % 50)::VARCHAR AS word
          |  FROM range(0, ${Dsv2N / 2}) t(i))
          |GROUP BY word ORDER BY word""".stripMargin,
+    "parquet_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
     // the split bound replayed from ceil-division range math:
     // step = ceil(n / parts), split_lo = (id / step) * step
     "dsv2_metadata_col" ->
@@ -1295,6 +1357,11 @@ object StorageOps {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey = 1
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "nested_prune" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
     "sorted_layout" ->
       """SELECT month(l_shipdate) AS ship_month, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -426,6 +426,41 @@ class PlanSpec extends SparkSpec {
     assert(read == 5, s"expected 5 of 25 partitions read, got $read")
   }
 
+  test("parquet_agg_pushdown answers MIN/MAX/COUNT from footer stats, not rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = graft.sources.StorageOps.parquetAggPushdown(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = "PushedAggregation: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(Seq("COUNT", "MIN", "MAX").forall(pushed.toUpperCase.contains),
+      s"aggregates not pushed to the parquet scan:\n$p")
+    // the scan must emit per-file PARTIALS (a handful of rows), not
+    // the table — the proof the answer came from footers
+    def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val scanRows = flatten(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.metrics("numOutputRows").value }
+    assert(scanRows.nonEmpty && scanRows.head < 1000,
+      s"scan emitted $scanRows rows — footer stats not used")
+  }
+
+  test("nested_prune reads only the touched struct leaves") {
+    val df = graft.sources.StorageOps.nestedPrune(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val rs = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse("")
+    assert(rs.contains("src") && rs.contains("n_chars"),
+      s"touched leaves missing from ReadSchema: $rs\n$p")
+    assert(!rs.contains("head"), s"payload leaf not pruned: $rs")
+  }
+
   test("topk_per_key plans the custom operator: no window, no input sort, one exchange") {
     val df = graft.operators.TopKOps.topkPerKeyRaw(spark, sfDir)
     df.collect()
