@@ -882,7 +882,10 @@ object PipelineOps {
   private def lexValues: String =
     TextAnalysis.lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
-  val oracle: Map[String, String] = Map(
+  // a def, not a val: corpus_build_full's perplexity gate embeds the
+  // landed nllq integers harvested at oracle-dump time (see
+  // TextAnalysis.nllqOracleParts — the boundary-proof replay)
+  def oracle: Map[String, String] = Map(
     // the identical removal rule replayed verbatim: same whitespace
     // tokens, same 60-bit gram hash, same (doc_id, pos) first-
     // occurrence order, same K-window coverage test
@@ -994,8 +997,10 @@ object PipelineOps {
          |       ELSE 'test' END AS split
          |FROM surv ORDER BY doc_id""".stripMargin,
     // corpus_build's CTE chain + the perplexity gate joined on the
-    // survivors (LM trained corpus-wide, as CCNet does)
-    "corpus_build_full" ->
+    // survivors (LM trained corpus-wide, as CCNet does); the gate's
+    // nllq integers replay the landed sidecar, not a re-derived ln
+    "corpus_build_full" -> {
+      val (nqCte, nqJoin, nqExpr) = TextAnalysis.nllqOracleParts
       s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
          |tok AS (
          |  SELECT doc_id, w AS word FROM (
@@ -1032,13 +1037,12 @@ object PipelineOps {
          |  FROM documents),
          |dt AS (SELECT doc_id, word, count(*) AS tf FROM ptok GROUP BY 1, 2),
          |lm AS (SELECT word, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1),
-         |ptot AS (SELECT sum(cf)::BIGINT AS n FROM lm),
+         |$nqCte,
          |sc AS (
          |  SELECT dt.doc_id,
-         |    round(sum(dt.tf * round(-ln(lm.cf::DOUBLE / ptot.n::DOUBLE)
-         |        * 10000000)::BIGINT)::DOUBLE
+         |    round(sum(dt.tf * $nqExpr)::DOUBLE
          |      / (sum(dt.tf)::DOUBLE * 10000000.0), 6) AS avg_nll
-         |  FROM dt JOIN lm USING (word) CROSS JOIN ptot
+         |  FROM dt JOIN lm USING (word) $nqJoin
          |  GROUP BY 1)
          |SELECT s.doc_id, s.lang, s.n_tokens, sc.avg_nll,
          |  CASE WHEN ${bucketSql("s.doc_id::VARCHAR", 100, "split")} < 80 THEN 'train'
@@ -1046,7 +1050,8 @@ object PipelineOps {
          |       ELSE 'test' END AS split
          |FROM surv s JOIN sc ON s.doc_id = sc.doc_id
          |WHERE sc.avg_nll <= ${TextAnalysis.PplMaxAvgNll}
-         |ORDER BY s.doc_id""".stripMargin,
+         |ORDER BY s.doc_id""".stripMargin
+    },
     "train_test_split" ->
       s"""SELECT doc_id,
          |  ${bucketSql("doc_id::VARCHAR", 100, "split")} AS bucket,

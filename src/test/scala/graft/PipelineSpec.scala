@@ -76,6 +76,52 @@ class PipelineSpec extends SparkSpec {
       "a repeat perplexity scoring re-built the landed LM")
   }
 
+  test("perplexity nllq: landed-integer replay is immune to ln ulp flips") {
+    import graft.operators.TextAnalysis
+    // 1. The risk being closed, demonstrated on a CRAFTED near-boundary
+    //    token: cf=1 in a corpus of N tokens puts the quantization input
+    //    at x = ln(N)·10⁷ ~ 1.7e8, where ulp(x) ≈ 3e-8 — exactly the
+    //    magnitude a legal 1-2 ulp cross-libm ln divergence moves x by.
+    //    Find an N whose frac(x) sits within 5e-8 of the .5 boundary and
+    //    show a 2-ulp nudge flips the per-engine round() — the hash
+    //    failure mode if each engine re-derived ln itself.
+    var n = 2L; var best = 2L; var bestD = 1.0
+    while (n < 20000000L && bestD > 5e-8) {
+      val x = math.log(n.toDouble) * 1e7
+      val d = math.abs(x - math.floor(x) - 0.5)
+      if (d < bestD) { bestD = d; best = n }
+      n += 1
+    }
+    assert(bestD <= 5e-8, s"no near-boundary N found (best $best at $bestD)")
+    val x = math.log(best.toDouble) * 1e7
+    val frac = x - math.floor(x)
+    val nudged = x + math.copySign(2 * math.ulp(x), 0.5 - frac)
+    assert(math.round(x) != math.round(nudged),
+      s"crafted token N=$best did not straddle the boundary")
+    // 2. The closure: after a scoring run, the distributed plan holds no
+    //    ln at all (nllq is JOINED from the landed sidecar) ...
+    val df = TextAnalysis.perplexityFilter(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toUpperCase.contains("LOG("),
+      s"scoring plan still computes ln in-flight:\n$plan")
+    // ... and BOTH oracles replay the landed integers verbatim — the
+    // other engine never evaluates ln either, so a boundary token
+    // cannot diverge no matter which way the landed round() went.
+    val landed = TextAnalysis.lmNllqStore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(landed.nonEmpty)
+    val pplSql = TextAnalysis.oracle("perplexity_filter")
+    val fullSql = PipelineOps.oracle("corpus_build_full")
+    for (sql <- Seq(pplSql, fullSql)) {
+      assert(sql.contains("nq(cf, nllq) AS (VALUES"), sql.take(400))
+      assert(!sql.contains("ln("), "oracle still re-derives ln")
+      landed.foreach { case (c, q) =>
+        assert(sql.contains(s"($c,$q)"), s"landed pair ($c,$q) missing")
+      }
+    }
+  }
+
   test("corpus_build_full composes the gates without leaks") {
     import graft.operators.TextAnalysis
     val base = PipelineOps.corpusBuild(spark, sfDir).collect()
