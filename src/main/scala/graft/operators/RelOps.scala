@@ -401,13 +401,21 @@ object RelOps {
     * or bench passes don't stack duplicate cache entries. The cached
     * table is the per-supplier aggregate: |suppliers| rows, bounded. */
   private val cachedAggs =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def supplierQtyCached(s: SparkSession, d: String): DataFrame =
-    cachedAggs.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ =>
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def supplierQtyCached(s: SparkSession, d: String): DataFrame = {
+    // keyed by the session OBJECT (reference equality — unlike
+    // identity hash codes, which can be reused after a session is
+    // GC'd and hand a new session a DataFrame bound to a stopped
+    // one); entries of stopped sessions are swept so the map pins
+    // neither the persisted RDD nor the SparkSession forever
+    cachedAggs.entrySet.removeIf(e =>
+      e.getKey._1.sparkContext.isStopped)
+    cachedAggs.computeIfAbsent((s, d), _ =>
       Tables.lineitem(s, d)
         .groupBy("l_suppkey")
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Cache-reuse rung: one cached aggregate consumed by TWO plan
     * legs — the 1-row global threshold (suppliers whose total shipped

@@ -313,9 +313,13 @@ object SqlSurface {
     * Semantically the whole script folds to one aggregate — the
     * oracle pins that the procedural form loses nothing. */
   def sqlScripting(s: SparkSession, d: String): DataFrame = {
-    withView(s, d, "orders")
-    s.conf.set("spark.sql.scripting.enabled", "true")
-    s.sql(
+    // cloned session (the parquetAggPushdown/catalog isolation
+    // pattern): the scripting conf must not leak into every later
+    // query on the caller's shared session
+    val cs = s.newSession()
+    withView(cs, d, "orders")
+    cs.conf.set("spark.sql.scripting.enabled", "true")
+    cs.sql(
       """BEGIN
         |  DECLARE weighted BIGINT DEFAULT 0;
         |  DECLARE i INT DEFAULT 1;

@@ -84,11 +84,18 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     catalogName = name
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    tables.keySet.asScala.toArray.sorted.map { k =>
-      val parts = k.split('.')
-      Identifier.of(parts.dropRight(1), parts.last)
-    }
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val in = tables.keySet.asScala.toArray.sorted
+      .map(_.split('.'))
+      .filter(_.dropRight(1).sameElements(namespace))
+      .map(p => Identifier.of(p.dropRight(1), p.last))
+    // namespaces exist implicitly through their tables, so an empty
+    // listing for a named namespace means it does not exist — the
+    // TableCatalog contract wants NoSuchNamespaceException, not []
+    if (in.isEmpty && namespace.nonEmpty)
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    in
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val t = tables.get(key(ident))
@@ -112,9 +119,15 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     tables.remove(key(ident)) != null
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val t = tables.remove(key(oldIdent))
+    val t = tables.get(key(oldIdent))
     if (t == null) throw new NoSuchTableException((oldIdent.namespace :+ oldIdent.name).toSeq)
-    tables.put(key(newIdent), t)
+    // claim the destination FIRST (putIfAbsent, commitStaged's
+    // pattern): renaming onto an occupied name must throw, not
+    // silently destroy that table, and the source entry stays visible
+    // until the destination exists — no window where neither resolves
+    if (tables.putIfAbsent(key(newIdent), t) != null)
+      throw new TableAlreadyExistsException((newIdent.namespace :+ newIdent.name).toSeq)
+    tables.remove(key(oldIdent))
   }
 
   /** V2 FUNCTION catalog — catalog-scoped SQL functions resolved
@@ -174,9 +187,13 @@ object MemTable {
   /** Driver-side observability for the spec: how DML routed. A
     * DELETE whose predicate the store can evaluate must take the
     * METADATA path (deleteWhere — no job); anything else, plus
-    * UPDATE/MERGE, must take the copy-on-write REWRITE path. */
-  @volatile var metadataDeletes: Int = 0
-  @volatile var rewrites: Int = 0
+    * UPDATE/MERGE, must take the copy-on-write REWRITE path.
+    * Atomic (not volatile +=): parallel suites must not drop
+    * increments, and rewrites is bumped in the COMMIT (exactly once
+    * per rewrite), not in toBatch, which the engine may call more
+    * than once per write. */
+  val metadataDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val rewrites = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 class MemTable(tableName: String, tableSchema: StructType)
@@ -212,11 +229,9 @@ class MemTable(tableName: String, tableSchema: StructType)
         override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
             override def build(): Write = new Write {
-              override def toBatch: BatchWrite = {
-                MemTable.rewrites += 1
+              override def toBatch: BatchWrite =
                 new MemBatchWrite(MemTable.this, truncateFirst = true,
                   rowLevel = true)
-              }
             }
           }
       }
@@ -269,7 +284,7 @@ class MemTable(tableName: String, tableSchema: StructType)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(evaluable)
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    MemTable.metadataDeletes += 1
+    MemTable.metadataDeletes.incrementAndGet()
     rows.synchronized {
       val keep = rows.asScala.filterNot(r => filters.forall(eval(_, r))).toSeq
       rows.clear(); keep.foreach(rows.add)
@@ -337,6 +352,7 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(table.schema(), rowLevel)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (rowLevel) MemTable.rewrites.incrementAndGet()
     if (truncateFirst) table.truncateTable()
     messages.foreach { m =>
       table.append(m.asInstanceOf[MemRowsMsg].rows.toSeq)

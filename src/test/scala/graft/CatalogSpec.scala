@@ -30,19 +30,45 @@ class CatalogSpec extends SparkSpec {
     assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND")
   }
 
+  test("rename onto an occupied name throws and destroys nothing") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.rn.a (k BIGINT)")
+    cs.sql("CREATE TABLE mem.rn.b (k BIGINT)")
+    cs.sql("INSERT INTO mem.rn.b VALUES (7)")
+    intercept[AnalysisException] {
+      cs.sql("ALTER TABLE mem.rn.a RENAME TO rn.b")
+    }
+    // the occupied destination kept its data; the source still exists
+    assert(cs.sql("SELECT k FROM mem.rn.b").collect().map(_.getLong(0)).toSeq
+      == Seq(7L))
+    assert(cs.sql("SELECT count(*) FROM mem.rn.a").collect()(0).getLong(0) == 0)
+  }
+
+  test("SHOW TABLES is namespace-scoped; a missing namespace raises") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.nsa.x (k BIGINT)")
+    cs.sql("CREATE TABLE mem.nsb.y (k BIGINT)")
+    val inA = cs.sql("SHOW TABLES IN mem.nsa").collect().map(_.getString(1))
+    assert(inA.toSeq == Seq("x"), s"nsa listing leaked: ${inA.toSeq}")
+    val e = intercept[AnalysisException] {
+      cs.sql("SHOW TABLES IN mem.nope").collect()
+    }
+    assert(e.getCondition == "SCHEMA_NOT_FOUND", e.getCondition)
+  }
+
   test("DML routing: metadata delete vs copy-on-write rewrite; UPDATE; MERGE") {
     import graft.sources.MemTable
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.s (k BIGINT, name STRING)")
     cs.sql("INSERT INTO mem.ns.s VALUES (1, 'keep'), (2, 'drop'), (3, 'drop')")
     // store-evaluable predicate → METADATA delete (deleteWhere, no job)
-    val (md0, rw0) = (MemTable.metadataDeletes, MemTable.rewrites)
+    val (md0, rw0) = (MemTable.metadataDeletes.get(), MemTable.rewrites.get())
     cs.sql("DELETE FROM mem.ns.s WHERE k IN (3)")
-    assert(MemTable.metadataDeletes == md0 + 1, "expected the metadata path")
-    assert(MemTable.rewrites == rw0, "metadata delete must not launch a rewrite")
+    assert(MemTable.metadataDeletes.get() == md0 + 1, "expected the metadata path")
+    assert(MemTable.rewrites.get() == rw0, "metadata delete must not launch a rewrite")
     // un-evaluable predicate → group-based copy-on-write rewrite
     cs.sql("DELETE FROM mem.ns.s WHERE name = 'drop'")
-    assert(MemTable.rewrites == rw0 + 1, "expected the rewrite path")
+    assert(MemTable.rewrites.get() == rw0 + 1, "expected the rewrite path")
     assert(cs.sql("SELECT k, name FROM mem.ns.s").collect().toSeq
       .map(r => (r.getLong(0), r.getString(1))) == Seq((1L, "keep")))
     // UPDATE routes through the rewrite
