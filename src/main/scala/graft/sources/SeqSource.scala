@@ -183,10 +183,17 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
 
   /** One supported aggregate: COUNT(*) / COUNT(lit) / COUNT(col) on
     * any of the three (all-non-null) columns, MIN/MAX/SUM on id.
-    * Grouped aggregation is NOT claimed — complete pushdown promises
-    * one row per group from ONE partition, and the honest grouped
-    * answer would re-scan every row, which is an aggregate the engine
-    * plans better than the connector. */
+    *
+    * GROUPED aggregation is claimed as PARTIAL pushdown only
+    * (supportCompletePushDown = false): complete pushdown promises
+    * one row per group from ONE partition, which would serialize the
+    * scan; instead each split emits its own per-group partial rows
+    * (answered from modular range arithmetic — the grouped analogue
+    * of footer statistics) and the ENGINE plans the final merge
+    * aggregate above. What enters the exchange is splits × groups
+    * rows, not the table. Grouping is accepted on `word` (50 groups,
+    * id % 50 arithmetic) and, in storage-partitioned mode, `pkey`
+    * (id / pstep blocks). */
   private def supported(f: AggregateFunc): Boolean = {
     def isCol(e: V2Expression): Boolean = e match {
       case n: NamedReference => n.fieldNames.length == 1 &&
@@ -209,12 +216,24 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
     }
   }
 
+  private def groupColOf(agg: Aggregation): Option[String] =
+    agg.groupByExpressions match {
+      case Array(n: NamedReference) if n.fieldNames.length == 1 &&
+          (n.fieldNames()(0).equalsIgnoreCase("word") ||
+            (pstep > 0 && n.fieldNames()(0).equalsIgnoreCase("pkey"))) =>
+        Some(n.fieldNames()(0).toLowerCase)
+      case _ => None
+    }
+
   private def canPush(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    (agg.groupByExpressions.isEmpty || groupColOf(agg).isDefined) &&
+      agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(supported)
 
+  // only the GLOBAL form is complete (no Aggregate node at all);
+  // grouped pushdown stays partial so splits aggregate independently
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPush(agg)
+    canPush(agg) && agg.groupByExpressions.isEmpty
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (canPush(agg)) { pushedAgg = Some(agg); true } else false
@@ -248,6 +267,9 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = pushedAgg match {
+    case Some(agg) if groupColOf(agg).isDefined =>
+      new SeqGroupAggScan(lo, math.max(lo, hi), parts,
+        groupColOf(agg).get, agg, pstep)
     case Some(agg) => new SeqAggScan(lo, math.max(lo, hi), agg)
     case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows,
       pstep, columnar)
@@ -519,6 +541,90 @@ class SeqAggReaderFactory(funcs: IndexedSeq[AggregateFunc])
         }
         new GenericInternalRow(vals.toArray[Any])
       }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The scan a pushed GROUPED aggregate builds to — PARTIAL pushdown:
+  * the id range still splits into `parts` independent input
+  * partitions, and each split emits ONE row per group it intersects,
+  * carrying that split's partial COUNT/MIN/MAX/SUM for the group.
+  * The engine's final Aggregate above merges the partials (Spark
+  * rewrites COUNT→sum-of-partials etc.), so the exchange carries
+  * splits × groups rows instead of the table. Partials are answered
+  * CLOSED-FORM: word = "w"+id%50 makes each group an arithmetic
+  * progression within the split range, and pkey = id/pstep a
+  * contiguous block — no row is ever materialized (the grouped
+  * analogue of answering from footer statistics). Output schema by
+  * the partial-pushdown contract: group column first, then one
+  * column per aggregate, positionally matched. */
+class SeqGroupAggScan(lo: Long, hi: Long, parts: Int, groupCol: String,
+                      agg: Aggregation, pstep: Long)
+    extends Scan with Batch {
+  private val funcs: IndexedSeq[AggregateFunc] =
+    agg.aggregateExpressions.toIndexedSeq
+  override def readSchema: StructType =
+    StructType(
+      StructField(groupCol,
+        if (groupCol == "word") StringType else LongType,
+        nullable = false) +:
+      funcs.zipWithIndex.map { case (f, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      })
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graftseq range [$lo, $hi) pushed GROUP BY $groupCol partial aggregates " +
+      funcs.map(_.toString).mkString("[", ", ", "]")
+  override def planInputPartitions(): Array[InputPartition] =
+    SeqScan.splitRange(lo, hi, parts)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqGroupAggReaderFactory(groupCol, funcs, pstep)
+}
+
+class SeqGroupAggReaderFactory(groupCol: String,
+                               funcs: IndexedSeq[AggregateFunc],
+                               pstep: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SeqSplit]
+    // (group key, count, min id, max id) per group in [r.lo, r.hi)
+    val groups: IndexedSeq[(Any, Long, Long, Long)] = groupCol match {
+      case "word" =>
+        (0 until 50).flatMap { j =>
+          // first id >= lo with id % 50 == j
+          val f = r.lo + (((j - r.lo) % 50 + 50) % 50)
+          if (f >= r.hi) None
+          else {
+            val last = f + 50L * ((r.hi - 1 - f) / 50)
+            Some((UTF8String.fromString("w" + j): Any,
+              (last - f) / 50 + 1, f, last))
+          }
+        }
+      case "pkey" =>
+        (r.lo / pstep to (r.hi - 1) / pstep).iterator.map { k =>
+          val mn = math.max(r.lo, k * pstep)
+          val mx = math.min(r.hi, (k + 1) * pstep) - 1
+          (java.lang.Long.valueOf(k): Any, mx - mn + 1, mn, mx)
+        }.filter(_._2 > 0).toIndexedSeq
+    }
+    val rows: IndexedSeq[InternalRow] = groups.map {
+      case (key, cnt, mn, mx) =>
+        val vals: IndexedSeq[Any] = funcs.map {
+          case _: CountStar | _: Count => java.lang.Long.valueOf(cnt)
+          case _: Min => java.lang.Long.valueOf(mn)
+          case _: Max => java.lang.Long.valueOf(mx)
+          // arithmetic progression: count * (first + last) / 2
+          case _: Sum => java.lang.Long.valueOf(
+            ((BigInt(mn) + BigInt(mx)) * BigInt(cnt) / 2).toLong)
+          case f => throw new IllegalStateException(s"unsupported agg $f")
+        }
+        new GenericInternalRow((key +: vals).toArray[Any])
+    }
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
       override def close(): Unit = ()
     }
   }

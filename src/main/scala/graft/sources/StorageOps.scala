@@ -376,6 +376,27 @@ object StorageOps {
       .agg(count(lit(1)).as("n_rows"), min("id").as("min_id"),
         max("id").as("max_id"), sum("id").as("sum_id"))
 
+  /** GROUPED aggregate pushdown through the connector — the partial
+    * rung above [[dsv2AggPushdown]]'s complete one: the group-by on
+    * `word` pushes to the scan with supportCompletePushDown = false,
+    * so each of the 8 splits emits per-group PARTIAL rows (closed-form
+    * modular range arithmetic, no row materialized) and the engine
+    * final-merges above. The exchange carries ≤ splits × 50 rows
+    * instead of the filtered table — at 100 TB this is the difference
+    * between shuffling partials and shuffling rows. The pushed
+    * id-range filter composes: partials are computed over the
+    * surviving [lo, hi) only. SourcesSpec pins pushed grouping in the
+    * scan description AND a final Aggregate above (the global rung
+    * keeps planning NO Aggregate at all). */
+  def dsv2GroupAggPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", Dsv2N.toString).option("parts", "8").load()
+      .filter(col("id") >= 100 && col("id") < Dsv2N - 123)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_rows"), min("id").as("min_id"),
+        max("id").as("max_id"), sum("id").as("sum_id"))
+      .transform(Present.sorted(_, col("word")))
+
   /** Parquet aggregate pushdown — the FILE-source twin of
     * [[dsv2AggPushdown]], and the footer-statistics story: on the V2
     * parquet read path with `spark.sql.parquet.aggregatePushdown` on,
@@ -1094,6 +1115,7 @@ object StorageOps {
     "dsv2_write"       -> dsv2Write _,
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
+    "dsv2_group_agg_pushdown" -> dsv2GroupAggPushdown _,
     "parquet_agg_pushdown" -> parquetAggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "dsv2_metadata_col"   -> dsv2MetadataCol _,
@@ -1248,6 +1270,13 @@ object StorageOps {
       s"""SELECT count(*)::BIGINT AS n_rows, min(i) AS min_id,
          |  max(i) AS max_id, sum(i)::BIGINT AS sum_id
          |FROM range(${Dsv2N / 10}, ${Dsv2N / 2}) t(i)""".stripMargin,
+    // the merged grouped partials replayed as a plain GROUP BY over
+    // the same id window and word rule (id % 50)
+    "dsv2_group_agg_pushdown" ->
+      s"""SELECT 'w' || (i % 50) AS word, count(*)::BIGINT AS n_rows,
+         |  min(i) AS min_id, max(i) AS max_id, sum(i)::BIGINT AS sum_id
+         |FROM range(100, ${Dsv2N - 123}) t(i)
+         |GROUP BY 1 ORDER BY word""".stripMargin,
     // each version replayed from the rule; v0 must be unperturbed by
     // the v1 write (immutable version directories)
     "time_travel" ->

@@ -178,15 +178,16 @@ class SourcesSpec extends SparkSpec {
       s"aggregate survived above the scan:\n$plan")
     assert(plan.contains("pushed aggregates [COUNT"),
       s"scan does not report the pushed aggregate:\n$plan")
-    // grouped aggregation is refused (complete pushdown can't promise
-    // one row per group) — the engine keeps its Aggregate and the
-    // grouped answer stays exact
+    // grouping on a column outside the closed-form family (bucket is
+    // an md5 hash — no range arithmetic) is refused: the engine keeps
+    // its full Aggregate over the row scan and the answer stays exact
     val grouped = spark.read.format("graft.sources.SeqSource")
       .option("n", "1000").option("parts", "4").load()
       .groupBy("bucket").agg(count(lit(1)).as("c"))
     val gRows = grouped.collect()
     val gPlan = grouped.queryExecution.executedPlan.toString
     assert(gPlan.contains("Aggregate"), gPlan)
+    assert(!gPlan.contains("pushed GROUP BY"), gPlan)
     assert(gRows.map(_.getLong(1)).sum == 1000L)
     // empty post-filter range: SQL global-agg-over-empty semantics
     val empty = spark.read.format("graft.sources.SeqSource")
@@ -196,6 +197,35 @@ class SourcesSpec extends SparkSpec {
         sum("id").as("sm"))
     val e = empty.head()
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.isNullAt(3))
+  }
+
+  test("dsv2 GROUPED aggregate pushdown: per-split partials, engine merges") {
+    import graft.sources.StorageOps
+    val df = StorageOps.dsv2GroupAggPushdown(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 50, "one row per word group")
+    // replay the closed form over the filtered window [100, N-123)
+    val lo = 100L; val hi = StorageOps.Dsv2N - 123
+    rows.foreach { r =>
+      val j = r.getString(0).drop(1).toLong
+      val f = lo + (((j - lo) % 50 + 50) % 50)
+      val last = f + 50L * ((hi - 1 - f) / 50)
+      val cnt = (last - f) / 50 + 1
+      assert(r.getLong(1) == cnt, s"count w$j")
+      assert(r.getLong(2) == f && r.getLong(3) == last, s"min/max w$j")
+      assert(r.getLong(4) == cnt * (f + last) / 2, s"sum w$j")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan reports the pushed grouping...
+    assert(plan.contains("pushed GROUP BY word partial aggregates"),
+      s"no pushed grouping at the scan:\n$plan")
+    // ...and the ENGINE still plans the final merge Aggregate above
+    // (partial pushdown — unlike the global rung, which plans none)
+    assert(plan.contains("HashAggregate"),
+      s"partial pushdown must keep a merge Aggregate:\n$plan")
+    // the merge consumes partials: COUNT merges as sum-of-partials
+    assert(plan.contains("sum(agg_func_0"),
+      s"final aggregate is not merging pushed partials:\n$plan")
   }
 
   test("dsv2 limit/TopN pushdown folds the scan to the limit-sized slice") {
