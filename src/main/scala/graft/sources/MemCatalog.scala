@@ -54,24 +54,27 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     * FAILS leaves no table behind (CatalogSpec pins it), vs the
     * non-atomic create-then-write path where a crash strands an empty
     * husk. The Iceberg atomicity rung. */
+  private def isMor(properties: util.Map[String, String]): Boolean =
+    properties.getOrDefault("mor", "false").toBoolean
+
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
     if (tables.containsKey(key(ident)))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
-    new MemStagedTable(ident, new MemTable(key(ident), schema), this,
-      replace = false)
+    new MemStagedTable(ident, new MemTable(key(ident), schema,
+      isMor(properties)), this, replace = false)
   }
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable =
-    new MemStagedTable(ident, new MemTable(key(ident), schema), this,
-      replace = true)
+    new MemStagedTable(ident, new MemTable(key(ident), schema,
+      isMor(properties)), this, replace = true)
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable =
-    new MemStagedTable(ident, new MemTable(key(ident), schema), this,
-      replace = true)
+    new MemStagedTable(ident, new MemTable(key(ident), schema,
+      isMor(properties)), this, replace = true)
 
   private[sources] def commitStaged(ident: Identifier, t: MemTable,
                                     replace: Boolean): Unit = {
@@ -106,7 +109,7 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val t = new MemTable(key(ident), schema)
+    val t = new MemTable(key(ident), schema, isMor(properties))
     if (tables.putIfAbsent(key(ident), t) != null)
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
     t
@@ -191,66 +194,120 @@ object MemTable {
     * Atomic (not volatile +=): parallel suites must not drop
     * increments, and rewrites is bumped in the COMMIT (exactly once
     * per rewrite), not in toBatch, which the engine may call more
-    * than once per write. */
+    * than once per write. MoR tables route DML to deltaCommits
+    * instead — rewrites MUST stay flat for them (CatalogSpec pins
+    * it). */
   val metadataDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
   val rewrites = new java.util.concurrent.atomic.AtomicInteger(0)
+  val deltaCommits = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
-class MemTable(tableName: String, tableSchema: StructType)
+/** One committed merge-on-read delta record (Iceberg MoR shape):
+  * base rows stay immutable; scans merge the log. */
+sealed trait MemDeltaRec extends Serializable
+case class MemDelRec(key: Long) extends MemDeltaRec
+case class MemUpdRec(key: Long, row: InternalRow) extends MemDeltaRec
+case class MemInsRec(row: InternalRow) extends MemDeltaRec
+
+class MemTable(tableName: String, tableSchema: StructType,
+               val mor: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable
     with SupportsRowLevelOperations {
 
-  /** Group-based (copy-on-write) row-level operations — what makes
-    * SQL UPDATE and MERGE INTO (and DELETE with predicates the store
-    * can't evaluate) work against this connector: the engine reads
-    * the affected groups through the operation's scan, computes the
-    * replacement rows, and writes them back through the operation's
-    * write, which REPLACES the scanned content (truncate + append in
-    * one driver-side commit). This table is one group (no reported
-    * partitioning), so the rewrite is a full-table copy-on-write —
-    * the unpartitioned-parquet shape; a partitioned store would scope
-    * both scan and replacement to matched partitions. The op's scan
-    * deliberately implements NO pushdown: pruned rows would be
-    * silently dropped by the whole-table replacement. Where the
-    * predicate IS store-evaluable, the engine's metadata-delete
-    * optimization routes around all of this (spec pins the routing
-    * via [[MemTable.metadataDeletes]]/[[MemTable.rewrites]]). */
+  /** Row-level operations, two shapes:
+    *
+    * COPY-ON-WRITE (default) — the engine reads the affected groups
+    * through the operation's scan, computes the replacement rows, and
+    * writes them back through the operation's write, which REPLACES
+    * the scanned content (truncate + append in one driver-side
+    * commit). This table is one group (no reported partitioning), so
+    * the rewrite is a full-table copy-on-write — the
+    * unpartitioned-parquet shape. The op's scan deliberately
+    * implements NO pushdown: pruned rows would be silently dropped by
+    * the whole-table replacement. Where the predicate IS
+    * store-evaluable, the engine's metadata-delete optimization
+    * routes around all of this.
+    *
+    * MERGE-ON-READ (`TBLPROPERTIES('mor'='true')`) — the operation
+    * implements [[SupportsDelta]]: the engine plans a WriteDelta that
+    * hands the writer per-row delete/update/insert DELTAS keyed by
+    * the row id (the first column), the commit appends them to a
+    * delta LOG, and scans merge log over base — so a 1-row UPDATE
+    * against a huge group commits one delta record instead of
+    * rewriting the group (the Iceberg MoR shape; at 100 TB this is
+    * the difference between writing bytes ∝ change and bytes ∝
+    * group). Spec pins the routing via [[MemTable.deltaCommits]] vs
+    * [[MemTable.rewrites]] and that base rows stay untouched. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new RowLevelOperation {
-        override def command(): RowLevelOperation.Command = info.command()
-        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          new ScanBuilder {
-            override def build(): Scan =
-              new MemScan(snapshot(), tableSchema, tableSchema)
-          }
-        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
-          new WriteBuilder {
-            override def build(): Write = new Write {
-              override def toBatch: BatchWrite =
-                new MemBatchWrite(MemTable.this, truncateFirst = true,
-                  rowLevel = true)
+      override def build(): RowLevelOperation =
+        if (mor) new MemDeltaOperation(MemTable.this, info)
+        else new RowLevelOperation {
+          override def command(): RowLevelOperation.Command = info.command()
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+            new ScanBuilder {
+              override def build(): Scan =
+                new MemScan(snapshot(), tableSchema, tableSchema)
             }
-          }
-      }
+          override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+            new WriteBuilder {
+              override def build(): Write = new Write {
+                override def toBatch: BatchWrite =
+                  new MemBatchWrite(MemTable.this, truncateFirst = true,
+                    rowLevel = true)
+              }
+            }
+        }
     }
-  // the toy data plane: committed rows, appended under the buffer lock
+  // the toy data plane: committed BASE rows, appended under the
+  // buffer lock, plus (MoR only) the committed delta log
   private val rows = new java.util.ArrayList[InternalRow]()
-  private[sources] def snapshot(): Array[InternalRow] =
-    rows.synchronized(rows.asScala.toArray)
+  private val deltaLog = new java.util.ArrayList[MemDeltaRec]()
+  /** Ordinal of the MoR row-id column (first field, must be LONG). */
+  private[sources] def idOrdinal: Int = 0
+  private[graft] def baseRowCount: Int = rows.synchronized(rows.size)
+  private[graft] def deltaLogSize: Int = rows.synchronized(deltaLog.size)
+  private[sources] def appendDeltas(recs: Seq[MemDeltaRec]): Unit =
+    rows.synchronized(recs.foreach(r => deltaLog.add(r)))
+  /** Scan-time view: base merged with the delta log (MoR), or the
+    * base rows verbatim. LinkedHashMap keyed by row id keeps base
+    * order for updated rows and appends inserts — deterministic, and
+    * honest merge-on-read: the base list is never mutated by DML. */
+  private[sources] def snapshot(): Array[InternalRow] = rows.synchronized {
+    if (!mor || deltaLog.isEmpty) rows.asScala.toArray
+    else {
+      val m = new java.util.LinkedHashMap[Long, InternalRow]()
+      rows.forEach(r => m.put(r.getLong(idOrdinal), r))
+      deltaLog.forEach {
+        case MemDelRec(k)      => m.remove(k)
+        case MemUpdRec(k, row) => m.put(k, row)
+        case MemInsRec(row)    => m.put(row.getLong(idOrdinal), row)
+      }
+      m.values.asScala.toArray
+    }
+  }
   private[sources] def append(batch: Seq[InternalRow]): Unit =
     rows.synchronized(batch.foreach(r => rows.add(r)))
 
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  // a MoR table's row id must be non-null (the delta log keys on it,
+  // and the engine rejects nullable row-id attributes) — the store
+  // declares that contract in its schema
+  private val effectiveSchema: StructType =
+    if (mor)
+      StructType(tableSchema.fields.zipWithIndex.map { case (f, i) =>
+        if (i == idOrdinal) f.copy(nullable = false) else f
+      })
+    else tableSchema
+  override def schema(): StructType = effectiveSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def truncateTable(): Boolean = {
-    rows.synchronized(rows.clear()); true
+    rows.synchronized { rows.clear(); deltaLog.clear() }; true
   }
 
   /** Exact store-side predicate evaluation for metadata delete. */
@@ -281,8 +338,11 @@ class MemTable(tableName: String, tableSchema: StructType)
       })
     } catch { case _: IllegalArgumentException => false }
 
+  // MoR tables refuse the metadata shortcut: deleteWhere mutates the
+  // BASE list, which would bypass the delta log's merge semantics —
+  // their deletes route through the SupportsDelta path instead
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(evaluable)
+    !mor && filters.forall(evaluable)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     MemTable.metadataDeletes.incrementAndGet()
     rows.synchronized {
@@ -293,10 +353,11 @@ class MemTable(tableName: String, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
-      private var required = tableSchema
+      private var required = effectiveSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new MemScan(snapshot(), tableSchema, required)
+      override def build(): Scan =
+        new MemScan(snapshot(), effectiveSchema, required)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -362,6 +423,76 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
 }
 
 case class MemRowsMsg(rows: Array[InternalRow]) extends WriterCommitMessage
+
+/** The MERGE-ON-READ row-level operation ([[SupportsDelta]]): the
+  * engine projects each affected row's ROW ID (here the first
+  * column) through the operation scan, computes the per-row
+  * delete/update/insert actions, and hands them to [[MemDeltaWriter]]
+  * as deltas — never the unaffected rows. The scan implements no
+  * pushdown for the same reason as the CoW path: the engine's
+  * MERGE/UPDATE plans own the matching. */
+class MemDeltaOperation(table: MemTable, info: RowLevelOperationInfo)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = info.command()
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      table.schema().fields(table.idOrdinal).name))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new MemScan(table.snapshot(), table.schema(), table.schema())
+    }
+  override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new MemDeltaBatchWrite(table)
+      }
+    }
+}
+
+class MemDeltaBatchWrite(table: MemTable) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new MemDeltaWriterFactory(table.schema(), table.idOrdinal)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    MemTable.deltaCommits.incrementAndGet()
+    messages.foreach { m =>
+      table.appendDeltas(m.asInstanceOf[MemDeltaMsg].recs.toSeq)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class MemDeltaMsg(recs: Array[MemDeltaRec]) extends WriterCommitMessage
+
+class MemDeltaWriterFactory(schema: StructType, idOrd: Int)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new MemDeltaWriter(schema, idOrd)
+}
+
+class MemDeltaWriter(schema: StructType, idOrd: Int)
+    extends DeltaWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[MemDeltaRec]
+  // rows arrive in reused UnsafeRow buffers — copy values out, cloning
+  // strings (the MemWriterFactory lesson)
+  private def copyRow(r: InternalRow): InternalRow =
+    InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+      r.get(i, f.dataType) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case v => v
+      }
+    }.toIndexedSeq)
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    buf += MemDelRec(id.getLong(0))
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit =
+    buf += MemUpdRec(id.getLong(0), copyRow(row))
+  override def insert(row: InternalRow): Unit =
+    buf += MemInsRec(copyRow(row))
+  override def commit(): WriterCommitMessage = MemDeltaMsg(buf.toArray)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
 
 class MemWriterFactory(schema: StructType, rowLevel: Boolean)
     extends DataWriterFactory {

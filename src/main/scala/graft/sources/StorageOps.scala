@@ -253,6 +253,39 @@ object StorageOps {
     cs.sql("SELECT k, v FROM graft_mem.ns.acct ORDER BY k")
   }
 
+  /** Row-level DML against the MERGE-ON-READ table
+    * (`TBLPROPERTIES('mor'='true')` → [[graft.sources.MemDeltaOperation]],
+    * the SupportsDelta path): the same UPDATE/MERGE shapes as
+    * [[catalogDml]] plus a DELETE, but every statement commits per-row
+    * DELTAS against an immutable base — a 1-row UPDATE writes one
+    * delta record, not a group rewrite (the Iceberg MoR contract; at
+    * 100 TB, bytes written ∝ change, not ∝ group). The final SELECT
+    * reads through the merge-on-read scan. CatalogSpec pins the
+    * routing: deltaCommits moves, rewrites stays flat, base rows stay
+    * untouched. */
+  def catalogDmlDelta(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    Tables.customer(cs, d).createOrReplaceTempView("customer")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.acct_mor TBLPROPERTIES('mor'='true') AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)
+    cs.sql("UPDATE graft_mem.ns.acct_mor SET v = v + 1000 WHERE k < 10")
+    cs.sql("DELETE FROM graft_mem.ns.acct_mor WHERE v % 7 = 3")
+    cs.sql(
+      """MERGE INTO graft_mem.ns.acct_mor t
+        |USING (SELECT CAST(c_custkey % 120 AS BIGINT) AS k,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM customer GROUP BY c_custkey % 120) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.cnt > 5 THEN UPDATE SET v = t.v + s.cnt
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.cnt)""".stripMargin)
+    cs.sql("SELECT k, v FROM graft_mem.ns.acct_mor ORDER BY k")
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and
@@ -1125,6 +1158,7 @@ object StorageOps {
     "dsv2_write_distribution" -> dsv2WriteDistribution _,
     "catalog_crud"        -> catalogCrud _,
     "catalog_dml"         -> catalogDml _,
+    "catalog_dml_delta"   -> catalogDmlDelta _,
     "catalog_function"    -> catalogFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
@@ -1345,6 +1379,28 @@ object StorageOps {
         |  FROM tgt1 t LEFT JOIN src s ON t.k = s.k
         |  UNION ALL
         |  SELECT s.k, s.cnt FROM src s LEFT JOIN tgt1 t ON t.k = s.k
+        |  WHERE t.k IS NULL)
+        |SELECT k, v FROM merged ORDER BY k""".stripMargin,
+    // the MoR statement chain replayed as CTEs: update, delete, merge
+    // in order — the delta log must converge to the same table state
+    "catalog_dml_delta" ->
+      """WITH tgt0 AS (
+        |  SELECT o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v
+        |  FROM orders GROUP BY 1),
+        |tgt1 AS (
+        |  SELECT k, CASE WHEN k < 10 THEN v + 1000 ELSE v END AS v
+        |  FROM tgt0),
+        |tgt2 AS (SELECT k, v FROM tgt1 WHERE NOT (v % 7 = 3)),
+        |src AS (
+        |  SELECT c_custkey % 120 AS k, count(*)::BIGINT AS cnt
+        |  FROM customer GROUP BY 1),
+        |merged AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL AND s.cnt > 5 THEN t.v + s.cnt
+        |         ELSE t.v END AS v
+        |  FROM tgt2 t LEFT JOIN src s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.cnt FROM src s LEFT JOIN tgt2 t ON t.k = s.k
         |  WHERE t.k IS NULL)
         |SELECT k, v FROM merged ORDER BY k""".stripMargin,
     // the engine honored the declared clustering iff the verdicts are

@@ -85,6 +85,48 @@ class CatalogSpec extends SparkSpec {
     assert(fin == Seq((1L, "merged"), (5L, "new")))
   }
 
+  test("merge-on-read DML: deltas commit, base stays immutable, no rewrite") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql(
+      "CREATE TABLE mem.mor.t (k BIGINT, v BIGINT) TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.mor.t VALUES (1,10),(2,20),(3,30),(4,40)")
+    val cat = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+    val t = cat.loadTable(Identifier.of(Array("mor"), "t"))
+      .asInstanceOf[MemTable]
+    val (rw0, md0, dc0) = (MemTable.rewrites.get(),
+      MemTable.metadataDeletes.get(), MemTable.deltaCommits.get())
+    val base0 = t.baseRowCount
+    // a 1-row UPDATE commits ONE delta record — never a group rewrite
+    cs.sql("UPDATE mem.mor.t SET v = v + 5 WHERE k = 2")
+    assert(MemTable.rewrites.get() == rw0, "MoR UPDATE took the CoW path")
+    assert(MemTable.deltaCommits.get() == dc0 + 1, "expected a delta commit")
+    assert(t.baseRowCount == base0, "MoR DML mutated the base rows")
+    assert(t.deltaLogSize == 1, s"log size ${t.deltaLogSize}")
+    // DELETE routes through deltas too (metadata path refused on MoR,
+    // even for a store-evaluable predicate)
+    cs.sql("DELETE FROM mem.mor.t WHERE k = 3")
+    assert(MemTable.metadataDeletes.get() == md0, "MoR DELETE went metadata")
+    assert(MemTable.deltaCommits.get() == dc0 + 2)
+    assert(t.baseRowCount == base0)
+    // MERGE emits update + insert deltas in one commit
+    cs.sql(
+      """MERGE INTO mem.mor.t t
+        |USING (SELECT * FROM VALUES (4, 400L), (9, 900L) AS v(k, nv)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    assert(MemTable.rewrites.get() == rw0, "MoR MERGE took the CoW path")
+    assert(MemTable.deltaCommits.get() == dc0 + 3)
+    assert(t.baseRowCount == base0, "MERGE mutated the base rows")
+    // the merge-on-read scan converges to the expected state
+    val fin = cs.sql("SELECT k, v FROM mem.mor.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fin == Seq((1L, 10L), (2L, 25L), (4L, 400L), (9L, 900L)), fin)
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
