@@ -629,7 +629,65 @@ object ScaleRehearsal {
         graft.sources.StorageOps.zorderLayoutRead(s, zDir))
       measure(s, listener, "layout", "twodim_datesorted", m, passes)(
         graft.sources.StorageOps.zorderLayoutRead(s, dateDir))
+      // POINT lookup on an unsorted high-cardinality key: bloom vs
+      // no-bloom over the SAME shuffled rows. Range clustering can't
+      // help here (the key is deliberately unclustered); the bloom's
+      // row-group kills are the only skipping in play. Probes are
+      // precomputed so the measured pass contains only the layout
+      // scan.
+      val bloomDir = land("li_bloom") { _ =>
+        graft.sources.StorageOps.stageBloomLineitem(s, staged,
+          stagedDir("li_bloom", sfDir, m).toString, bloom = true) }
+      val nobloomDir = land("li_nobloom") { _ =>
+        graft.sources.StorageOps.stageBloomLineitem(s, staged,
+          stagedDir("li_nobloom", sfDir, m).toString, bloom = false) }
+      val probes = graft.sources.StorageOps.interiorProbes(s, staged)
+      measure(s, listener, "layout", "point_bloom", m, passes)(
+        graft.sources.StorageOps.bloomProbeRead(s, bloomDir, probes))
+      measure(s, listener, "layout", "point_nobloom", m, passes)(
+        graft.sources.StorageOps.bloomProbeRead(s, nobloomDir, probes))
+      // row-group accounting via parquet-mr — the same stats+bloom
+      // verdict the Spark reader applies at scan time, counted
+      // directly: visited vs total for the present-key probes
+      println(s"""{"family":"layout","query":"point_rowgroups",""" +
+        s""""mult":$m,${rowGroupCounts(bloomDir, probes)},""" +
+        s"""${rowGroupCounts(nobloomDir, probes, "nobloom_")}}""")
     }
+  }
+
+  /** Visited/total row groups for an equality-probe read of a staged
+    * parquet dir, as parquet-mr's RowGroupFilter (stats + dictionary +
+    * bloom, exactly what the Spark scan consults) decides them. */
+  private def rowGroupCounts(dir: String, probes: Seq[Long],
+                             prefix: String = "bloom_"): String = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.HadoopReadOptions
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new Configuration()
+    val pred = probes.map(p => FilterApi.eq(
+        FilterApi.longColumn("l_orderkey"), java.lang.Long.valueOf(p))
+        : org.apache.parquet.filter2.predicate.FilterPredicate)
+      .reduce(FilterApi.or(_, _))
+    var visited = 0; var total = 0
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).foreach { f =>
+        val opts = HadoopReadOptions.builder(conf, new Path(f))
+          .withRecordFilter(FilterCompat.get(pred))
+          .useStatsFilter(true).useDictionaryFilter(true)
+          .useBloomFilter(true).build()
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), conf), opts)
+        try {
+          visited += r.getRowGroups.size
+          total += r.getFooter.getBlocks.size
+        } finally r.close()
+      }
+    s""""${prefix}visited":$visited,"${prefix}total":$total"""
   }
 
   /** funnel_events + sliding_windows over staged event multiples.

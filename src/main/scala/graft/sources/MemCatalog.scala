@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, Metadata, MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Catalog PLUGIN — the last rung of the sources ladder: a
@@ -115,8 +115,53 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER not supported")
+  /** Schema evolution WITHOUT rewrite — ALTER TABLE ADD COLUMN
+    * (DEFAULT supported via [[capabilities]]): the catalog appends the
+    * field to the table schema and records the column's
+    * EXISTS-default; committed base rows are NEVER touched (CatalogSpec
+    * pins the rewrite counter flat), and the SCAN surfaces the default
+    * for legacy rows whose stored arity predates the column — the
+    * Iceberg add-column contract, where 100 TB of old files never get
+    * rewritten because the schema grew. Spark itself fills the
+    * CURRENT-default for post-evolution INSERTs that omit the column
+    * (it reads the `CURRENT_DEFAULT` field metadata this method
+    * writes). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tables.get(key(ident))
+    if (t == null) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN into nested structs not supported")
+        if (add.position != null)
+          throw new UnsupportedOperationException(
+            "only trailing ADD COLUMN supported (legacy-row backfill is positional)")
+        val dv = add.defaultValue()
+        if (dv == null && !add.isNullable)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN NOT NULL requires a DEFAULT (legacy rows need a value)")
+        val meta: Metadata =
+          if (dv == null) Metadata.empty
+          else {
+            val sql = Option(dv.getSql).getOrElse(dv.getValue.toString)
+            new MetadataBuilder()
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build()
+          }
+        t.addColumn(
+          StructField(add.fieldNames()(0), add.dataType, add.isNullable, meta),
+          if (dv == null) null else dv.getValue.value())
+      case c =>
+        throw new UnsupportedOperationException(s"ALTER change $c not supported")
+    }
+    t
+  }
+
+  /** Declares DEFAULT-value support so the engine routes
+    * `ADD COLUMN ... DEFAULT` here instead of refusing it up front. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)) != null
@@ -249,7 +294,7 @@ class MemTable(tableName: String, tableSchema: StructType,
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
             new ScanBuilder {
               override def build(): Scan =
-                new MemScan(snapshot(), tableSchema, tableSchema)
+                new MemScan(snapshot(), schema(), schema(), defaultsSnapshot)
             }
           override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
             new WriteBuilder {
@@ -265,6 +310,19 @@ class MemTable(tableName: String, tableSchema: StructType,
   // buffer lock, plus (MoR only) the committed delta log
   private val rows = new java.util.ArrayList[InternalRow]()
   private val deltaLog = new java.util.ArrayList[MemDeltaRec]()
+  // evolved schema + per-ordinal EXISTS-defaults (catalyst internal
+  // values) for columns added after rows landed — base rows are never
+  // rewritten; the scan backfills positionally (stored arity predates
+  // the column ⇔ ordinal >= numFields)
+  private var curSchema: StructType = tableSchema
+  private var addedDefaults: Map[Int, Any] = Map.empty
+  private[sources] def addColumn(f: StructField, existsDefault: Any): Unit =
+    rows.synchronized {
+      curSchema = StructType(curSchema.fields :+ f)
+      addedDefaults += (curSchema.length - 1) -> existsDefault
+    }
+  private[sources] def defaultsSnapshot: Map[Int, Any] =
+    rows.synchronized(addedDefaults)
   /** Ordinal of the MoR row-id column (first field, must be LONG). */
   private[sources] def idOrdinal: Int = 0
   private[graft] def baseRowCount: Int = rows.synchronized(rows.size)
@@ -294,13 +352,16 @@ class MemTable(tableName: String, tableSchema: StructType,
   override def name(): String = tableName
   // a MoR table's row id must be non-null (the delta log keys on it,
   // and the engine rejects nullable row-id attributes) — the store
-  // declares that contract in its schema
-  private val effectiveSchema: StructType =
+  // declares that contract in its schema. A def, not a val: ALTER
+  // ADD COLUMN evolves the schema in place.
+  private def effectiveSchema: StructType = {
+    val cur = rows.synchronized(curSchema)
     if (mor)
-      StructType(tableSchema.fields.zipWithIndex.map { case (f, i) =>
+      StructType(cur.fields.zipWithIndex.map { case (f, i) =>
         if (i == idOrdinal) f.copy(nullable = false) else f
       })
-    else tableSchema
+    else cur
+  }
   override def schema(): StructType = effectiveSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -310,7 +371,8 @@ class MemTable(tableName: String, tableSchema: StructType,
     rows.synchronized { rows.clear(); deltaLog.clear() }; true
   }
 
-  /** Exact store-side predicate evaluation for metadata delete. */
+  /** Exact store-side predicate evaluation for metadata delete.
+    * Restricted to the ORIGINAL columns — see [[evaluable]]. */
   private def eval(f: Filter, r: InternalRow): Boolean = {
     def idx(a: String): Int = tableSchema.fieldIndex(a)
     def lng(a: String): Long = r.getLong(idx(a))
@@ -329,6 +391,11 @@ class MemTable(tableName: String, tableSchema: StructType,
       case _ => throw new IllegalArgumentException(s"unevaluable $f")
     }
   }
+  // ADDED columns are excluded from the metadata-delete shortcut:
+  // legacy rows hold no stored value for them (the scan backfills the
+  // default), and a null-valued nullable add needs 3-valued predicate
+  // semantics this exact evaluator deliberately does not carry — those
+  // deletes route through the engine's rewrite path instead.
   private def evaluable(f: Filter): Boolean =
     try { f.references.forall(a => tableSchema(tableSchema.fieldIndex(a)).dataType == LongType) &&
       (f match {
@@ -357,7 +424,7 @@ class MemTable(tableName: String, tableSchema: StructType,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan =
-        new MemScan(snapshot(), effectiveSchema, required)
+        new MemScan(snapshot(), effectiveSchema, required, defaultsSnapshot)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -376,9 +443,13 @@ class MemTable(tableName: String, tableSchema: StructType,
 }
 
 /** Scan over a snapshot: rows ride the serialized partitions to the
-  * tasks (the toy data plane); column pruning applies in the reader. */
+  * tasks (the toy data plane); column pruning applies in the reader.
+  * `defaults` maps post-evolution column ordinals to their
+  * EXISTS-default internal values — a stored row whose arity predates
+  * an added column surfaces the default instead (never a rewrite). */
 class MemScan(data: Array[InternalRow], full: StructType,
-              required: StructType) extends Scan with Batch {
+              required: StructType,
+              defaults: Map[Int, Any] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
@@ -390,6 +461,9 @@ class MemScan(data: Array[InternalRow], full: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val idxs = required.fieldNames.map(full.fieldIndex)
     val types = idxs.map(full(_).dataType)
+    // bind locally: the anonymous factory must not capture the scan
+    // itself (Scan is not Serializable; the factory ships to tasks)
+    val defs = defaults
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
@@ -397,8 +471,11 @@ class MemScan(data: Array[InternalRow], full: StructType,
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow =
-            InternalRow.fromSeq(idxs.indices.map(j =>
-              rows(i).get(idxs(j), types(j))))
+            InternalRow.fromSeq(idxs.indices.map { j =>
+              val src = idxs(j)
+              if (src >= rows(i).numFields) defs.getOrElse(src, null)
+              else rows(i).get(src, types(j))
+            })
           override def close(): Unit = ()
         }
     }
@@ -440,7 +517,8 @@ class MemDeltaOperation(table: MemTable, info: RowLevelOperationInfo)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new MemScan(table.snapshot(), table.schema(), table.schema())
+        new MemScan(table.snapshot(), table.schema(), table.schema(),
+          table.defaultsSnapshot)
     }
   override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

@@ -286,6 +286,45 @@ object StorageOps {
     cs.sql("SELECT k, v FROM graft_mem.ns.acct_mor ORDER BY k")
   }
 
+  /** Column DEFAULTs through the catalog plugin — the schema-evolution
+    * rung's CATALOG-side twin (`schema_evolution` covers the file
+    * source): the catalog declares
+    * `TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`, so
+    * `ALTER TABLE ... ADD COLUMN tier BIGINT DEFAULT 7` routes to
+    * [[MemCatalog]]`.alterTable`, which appends the field and records
+    * the EXISTS-default WITHOUT touching a single committed row
+    * (CatalogSpec pins the rewrite counter flat). Legacy rows surface
+    * tier = 7 at SCAN time (positional backfill in [[MemScan]]); a
+    * post-evolution INSERT that omits the column gets the
+    * CURRENT-default filled by the ENGINE from the field metadata the
+    * ALTER wrote; an INSERT that supplies the column keeps its value.
+    * At 100 TB this is the contract that lets a schema grow without
+    * rewriting the old petabytes — Iceberg's add-column semantics,
+    * re-expressed through the Spark connector API. Oracle replays the
+    * three ingest generations as CTEs. */
+  def catalogDefaults(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.evo AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)
+    cs.sql("ALTER TABLE graft_mem.ns.evo ADD COLUMN tier BIGINT DEFAULT 7")
+    // post-evolution ingest, both shapes: explicit tier values...
+    cs.sql(
+      """INSERT INTO graft_mem.ns.evo
+        |SELECT CAST(1000 + o_custkey % 7 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS v,
+        |  CAST(max(o_custkey) % 5 AS BIGINT) AS tier
+        |FROM orders GROUP BY o_custkey % 7""".stripMargin)
+    // ...and an omitted column the ENGINE fills with the declared
+    // CURRENT-default
+    cs.sql("INSERT INTO graft_mem.ns.evo (k, v) VALUES (2000, 1)")
+    cs.sql("SELECT k, v, tier FROM graft_mem.ns.evo ORDER BY k, v")
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and
@@ -1063,6 +1102,100 @@ object StorageOps {
 
   def zorderLayoutDir(d: String): String = stageDir("zorder_lineitem", d)
 
+  /** Parquet BLOOM-FILTER data skipping — the point-lookup story the
+    * range layouts can't tell: [[sortedLayout]]/[[zorderLayout]] skip
+    * via row-group min/max, which only works when the data is
+    * CLUSTERED on the predicate column. A point lookup on an UNSORTED
+    * high-cardinality key (find one orderkey in 100 TB of
+    * arrival-ordered facts) defeats min/max — every row group's range
+    * covers the whole domain — and a dictionary check dies exactly
+    * when cardinality forces plain encoding. The parquet bloom filter
+    * (split-block, written per row group via
+    * `parquet.bloom.filter.enabled#l_orderkey`) answers "definitely
+    * not here" probabilistically at ~1 byte/value: the reader drops
+    * row groups whose bloom rejects the probe key, so the scan reads
+    * O(matching row groups), not O(table). Dictionary encoding is
+    * disabled on the key column to make the attribution honest — with
+    * it on, small test files would dictionary-skip and mask what the
+    * bloom contributes at scale (PlanSpec measures: bloom ON skips
+    * row groups that bloom OFF reads, on byte-identical data).
+    *
+    * The layout deliberately SHUFFLES rows (hash of l_partkey) so the
+    * key column is maximally unclustered — the adversarial case for
+    * stats, the designed case for blooms. The gated read probes the
+    * domain extremes (min/max orderkey, collected once — a point
+    * lookup needs LITERALS for the pushed filter to reach the
+    * reader's bloom check; a 1-row bounded agg, the same shape the
+    * oracle's scalar subqueries replay). */
+  def bloomSkipLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("bloom_lineitem", d)
+    stageBloomLineitem(s, d, dir, bloom = true)
+    bloomSkipRead(s, d, dir)
+  }
+
+  /** Write half of [[bloomSkipLayout]] (rehearsal hook): same rows,
+    * same shuffle, bloom on/off switchable for the measured twin. */
+  private[graft] def stageBloomLineitem(s: SparkSession, src: String,
+                                        dir: String, bloom: Boolean): Unit = {
+    val w = Tables.lineitem(s, src)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartition(Buckets, col("l_partkey"))
+      .write.mode("overwrite")
+      // small row groups: the skipping unit must exist in plural even
+      // at test scale (a 100 TB layout has ~128 MB groups; same math)
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+    (if (bloom)
+      w.option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        // sized to the ndv a ROW GROUP holds, not the table — an
+        // over-spec'd ndv inflates every group's bloom to the point
+        // where reading the blooms rivals reading the data (measured:
+        // ndv=300k made the bloom layout read MORE bytes than the
+        // plain one)
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "8192")
+    else w).parquet(dir)
+  }
+
+  /** Read half of [[bloomSkipLayout]]: point lookup on two INTERIOR
+    * keys (first present keys at 1/3 and 2/3 of the domain). Interior
+    * on purpose — a probe at the domain EXTREME is the one point
+    * lookup min/max stats can still answer on shuffled data (a random
+    * row group's range contains an interior value but rarely the
+    * exact global min), so extremes would demo stats, not blooms
+    * (measured: extreme probes skipped identically with blooms off). */
+  private[graft] def bloomSkipRead(s: SparkSession, srcDir: String,
+                                   layoutDir: String): DataFrame =
+    bloomProbeRead(s, layoutDir, interiorProbes(s, srcDir))
+
+  /** First present keys ≥ 1/3 and ≥ 2/3 of the orderkey domain — two
+    * bounded 1-row aggs; the oracle replays them as scalar
+    * subqueries. */
+  private[graft] def interiorProbes(s: SparkSession, srcDir: String): Seq[Long] = {
+    val ext = Tables.lineitem(s, srcDir)
+      .agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (mn, mx) = (ext.getLong(0), ext.getLong(1))
+    val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+    val pr = Tables.lineitem(s, srcDir).agg(
+      min(when(col("l_orderkey") >= t1, col("l_orderkey"))),
+      min(when(col("l_orderkey") >= t2, col("l_orderkey")))).head()
+    Seq(pr.getLong(0), pr.getLong(1))
+  }
+
+  /** The probe plan alone (rehearsal hook — probes precomputed so the
+    * measured pass contains ONLY the layout scan). */
+  private[graft] def bloomProbeRead(s: SparkSession, layoutDir: String,
+                                    probes: Seq[Long]): DataFrame =
+    s.read.parquet(layoutDir)
+      .filter(col("l_orderkey").isin(probes: _*))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        sum(Money.cents(col("l_extendedprice"))).as("price_cents"))
+      .transform(Present.sorted(_, col("l_orderkey")))
+
+  def bloomSkipLayoutDir(d: String): String = stageDir("bloom_lineitem", d)
+
   /** Incremental materialized-view refresh — the warehouse op that
     * keeps a 100 TB aggregate current without re-reading 100 TB: the
     * per-priority order stats over the "historical" 90% of orders
@@ -1159,12 +1292,14 @@ object StorageOps {
     "catalog_crud"        -> catalogCrud _,
     "catalog_dml"         -> catalogDml _,
     "catalog_dml_delta"   -> catalogDmlDelta _,
+    "catalog_defaults"    -> catalogDefaults _,
     "catalog_function"    -> catalogFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
     "sorted_layout"    -> sortedLayout _,
     "zorder_layout"    -> zorderLayout _,
+    "bloom_skip_layout" -> bloomSkipLayout _,
     "schema_evolution" -> schemaEvolution _,
     "partitioned_scan" -> partitionedScan _,
     "dpp_join"         -> dppJoin _,
@@ -1403,6 +1538,39 @@ object StorageOps {
         |  SELECT s.k, s.cnt FROM src s LEFT JOIN tgt2 t ON t.k = s.k
         |  WHERE t.k IS NULL)
         |SELECT k, v FROM merged ORDER BY k""".stripMargin,
+    // the layout changes the plan (bloom-skipped row groups), never
+    // the answer: the point lookup replays as scalar-subquery probes
+    "bloom_skip_layout" ->
+      """WITH ext AS (
+        |  SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM lineitem),
+        |p AS (SELECT
+        |  (SELECT min(l_orderkey) FROM lineitem, ext
+        |   WHERE l_orderkey >= mn + (mx - mn) // 3) AS k1,
+        |  (SELECT min(l_orderkey) FROM lineitem, ext
+        |   WHERE l_orderkey >= mn + 2 * ((mx - mn) // 3)) AS k2)
+        |SELECT l_orderkey, count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem, p
+        |WHERE l_orderkey IN (k1, k2)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // three ingest generations: pre-evolution rows MUST surface the
+    // EXISTS-default (7), the engine must fill the omitted column with
+    // the CURRENT-default, explicit values must survive
+    "catalog_defaults" ->
+      """WITH legacy AS (
+        |  SELECT o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v
+        |  FROM orders GROUP BY 1),
+        |explicit AS (
+        |  SELECT 1000 + o_custkey % 7 AS k, count(*)::BIGINT AS v,
+        |    (max(o_custkey) % 5)::BIGINT AS tier
+        |  FROM orders GROUP BY o_custkey % 7),
+        |evolved AS (
+        |  SELECT k, v, 7::BIGINT AS tier FROM legacy
+        |  UNION ALL SELECT k, v, tier FROM explicit
+        |  UNION ALL SELECT 2000::BIGINT, 1::BIGINT, 7::BIGINT)
+        |SELECT k, v, tier FROM evolved ORDER BY k, v""".stripMargin,
     // the engine honored the declared clustering iff the verdicts are
     // all-true and the totals match the plain replay
     "dsv2_write_distribution" ->

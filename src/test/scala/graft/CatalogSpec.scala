@@ -127,6 +127,53 @@ class CatalogSpec extends SparkSpec {
     assert(fin == Seq((1L, 10L), (2L, 25L), (4L, 400L), (9L, 900L)), fin)
   }
 
+  test("ADD COLUMN DEFAULT: legacy rows surface the default, zero rewrite") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.evo.t (k BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.evo.t VALUES (1, 10), (2, 20)")
+    val cat = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+    val t = cat.loadTable(Identifier.of(Array("evo"), "t"))
+      .asInstanceOf[MemTable]
+    val (rw0, dc0) = (MemTable.rewrites.get(), MemTable.deltaCommits.get())
+    val base0 = t.baseRowCount
+    cs.sql("ALTER TABLE mem.evo.t ADD COLUMN tier BIGINT DEFAULT 7")
+    // the evolution touched METADATA only: no rewrite, no delta, no
+    // base-row mutation
+    assert(MemTable.rewrites.get() == rw0, "ALTER launched a rewrite")
+    assert(MemTable.deltaCommits.get() == dc0, "ALTER committed deltas")
+    assert(t.baseRowCount == base0, "ALTER mutated the base rows")
+    // legacy rows surface the EXISTS-default at scan time
+    assert(cs.sql("SELECT k, tier FROM mem.evo.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 7L), (2L, 7L)))
+    // engine fills the CURRENT-default for an omitted column; explicit
+    // values survive; still zero rewrites
+    cs.sql("INSERT INTO mem.evo.t (k, v) VALUES (3, 30)")
+    cs.sql("INSERT INTO mem.evo.t VALUES (4, 40, 9)")
+    assert(MemTable.rewrites.get() == rw0)
+    assert(cs.sql("SELECT k, v, tier FROM mem.evo.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 10L, 7L), (2L, 20L, 7L), (3L, 30L, 7L), (4L, 40L, 9L)))
+    // predicates on the ADDED column must NOT take the exact metadata
+    // path (legacy rows hold no stored value) — rewrite handles them
+    val md0 = MemTable.metadataDeletes.get()
+    cs.sql("DELETE FROM mem.evo.t WHERE tier = 9")
+    assert(MemTable.metadataDeletes.get() == md0,
+      "delete on an added column took the metadata path")
+    assert(cs.sql("SELECT count(*) FROM mem.evo.t").collect()(0).getLong(0) == 3)
+    // a nullable add without DEFAULT backfills NULL; NOT NULL without
+    // DEFAULT is refused (legacy rows would have no value)
+    cs.sql("ALTER TABLE mem.evo.t ADD COLUMN note STRING")
+    assert(cs.sql("SELECT count(*) FROM mem.evo.t WHERE note IS NULL")
+      .collect()(0).getLong(0) == 3)
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.evo.t ADD COLUMN bad BIGINT NOT NULL")
+    }
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")

@@ -450,6 +450,73 @@ class PlanSpec extends SparkSpec {
       s"scan emitted $scanRows rows — footer stats not used")
   }
 
+  test("bloom_skip_layout: blooms land on the key column and skip row groups") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.HadoopReadOptions
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val df = graft.sources.StorageOps.bloomSkipLayout(spark, sfDir)
+    // the point lookup reaches the reader as a pushed literal filter
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(l_orderkey") ||
+      p.contains("PushedFilters: [Or(EqualTo(l_orderkey"), p)
+    val dir = graft.sources.StorageOps.bloomSkipLayoutDir(sfDir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(files.nonEmpty, s"no part files under $dir")
+    val conf = new Configuration()
+    // footer contract: the key column carries a bloom per row group
+    // (offset >= 0) and stays OFF dictionary encoding; other columns
+    // carry no bloom
+    val footer = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(files.head), conf))
+    try {
+      val cols = footer.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val ok = cols.find(_.getPath.toDotString == "l_orderkey").get
+      val oq = cols.find(_.getPath.toDotString == "l_quantity").get
+      assert(ok.getBloomFilterOffset >= 0, "no bloom on l_orderkey")
+      assert(oq.getBloomFilterOffset < 0, "unexpected bloom on l_quantity")
+      assert(!ok.getEncodings.asScala.exists(_.toString.contains("DICTIONARY")),
+        s"l_orderkey dictionary-encoded: ${ok.getEncodings}")
+    } finally footer.close()
+    // skipping, attributed: probe an ABSENT key INSIDE the domain (the
+    // first gap in the key sequence) — in-range, so min/max stats
+    // cannot reject it on the shuffled layout, dictionary filtering is
+    // off, and every killed row group is the BLOOM's verdict. Bloom ON
+    // must visit zero groups; bloom OFF must visit all of them.
+    import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
+    val ext = spark.read.parquet(dir).agg(mn("l_orderkey"), mx("l_orderkey")).head()
+    val probe = spark.range(ext.getLong(0), ext.getLong(1)).toDF("id")
+      .join(spark.read.parquet(dir).select(c("l_orderkey")).distinct(),
+        c("id") === c("l_orderkey"), "left_anti")
+      .agg(mn("id")).head().getLong(0)
+    def rowGroups(f: String, useBloom: Boolean): (Int, Int) = {
+      val pred = FilterApi.eq(FilterApi.longColumn("l_orderkey"),
+        java.lang.Long.valueOf(probe))
+      val opts = HadoopReadOptions.builder(conf, new Path(f))
+        .withRecordFilter(FilterCompat.get(pred))
+        .useStatsFilter(true).useDictionaryFilter(true)
+        .useBloomFilter(useBloom)
+        .build()
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf), opts)
+      try (r.getRowGroups.size, r.getFooter.getBlocks.size)
+      finally r.close()
+    }
+    val (visitedOn, total) = files.map(rowGroups(_, useBloom = true))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val (visitedOff, _) = files.map(rowGroups(_, useBloom = false))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(visitedOff == total,
+      s"stats/dictionary skipped on shuffled data?! $visitedOff of $total")
+    assert(visitedOn == 0,
+      s"bloom visited $visitedOn of $total row groups for an absent key")
+  }
+
   test("nested_prune reads only the touched struct leaves") {
     val df = graft.sources.StorageOps.nestedPrune(spark, sfDir)
     df.collect()
