@@ -125,22 +125,27 @@ object ScaleRehearsal {
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
     val base = Tables.events(s, sfDir)
-    val shards = (0 until mult).map { k =>
-      base.select(
-        (col("event_id") + lit(k * EventRange)).as("event_id"),
+    // shard k = base with keys offset by k × range, generated as ONE
+    // broadcast cross join with the shard index (not a mult-way union
+    // tree, which stops planning cleanly around the hundreds — the
+    // stageEmbeddings lesson; this form stages 1000× as one plan)
+    val all = base
+      .crossJoin(broadcast(s.range(0, mult).toDF("k")))
+      .select(
+        (col("event_id") + col("k") * lit(EventRange)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(k * UserRange)).as("user_id"),
+        (col("user_id") + col("k") * lit(UserRange)).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    }
-    val all = shards.reduce(_ union _)
       // 30 days / 5 batches = 6-day slices: deterministic, engine-free
       // (clamped so a day-31 straggler can't mint a 6th bucket)
       .withColumn("__b",
         least(((dayofmonth(col("ts")) - 1) / 6).cast("int"), lit(batches - 1)))
     (0 until batches).foreach { b =>
       val tmp = dir.resolve(s"_tmp$b")
+      // repartition(1), not coalesce(1): the single-file invariant with
+      // the shard expansion still computed in parallel upstream
       all.filter(col("__b") === b).drop("__b")
-        .coalesce(1).write.parquet(tmp.toString)
+        .repartition(1).write.parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
       val part = java.nio.file.Files.list(tmp).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
@@ -261,6 +266,35 @@ object ScaleRehearsal {
         // linear in the multiple, evicted as the watermark advances
         ("stream_left_join",
           () => StreamOps.clickPurchaseLeftOf(src, src), "append"))
+      cases.foreach { case (name, mk, mode) =>
+        s.catalog.clearCache()
+        val trail = drainWithProgress(s, mk(), mode, s"${name}_x$m")
+        println(jsonLine(name, m, trail))
+        Console.err.println(s"[rehearsal] $name x$m: " +
+          trail.map(b => s"b${b.batchId}=${b.inputRows}r/${b.wallMs}ms/" +
+            s"${b.stateRows}st").mkString(" "))
+      }
+    }
+  }
+
+  /** The DEEP streaming-state drains (SCALE.md §"200–1000×
+    * streaming"): the two heaviest per-key state machines —
+    * session_window merging and the transformWithState timer
+    * sessionizer — pushed to 200×/1000× staged batches on RocksDB, to
+    * surface checkpoint-size or timer-fan-out cliffs the 1–50× table
+    * can't see (1000× ≈ 1.5M live timers, ~19M session-state rows).
+    * Separate family: these drains run minutes each at 1000×, and the
+    * 1–50× table keeps its four-query breadth. */
+  def runStreamingDeep(s: SparkSession, sfDir: String, mults: Seq[Int]): Unit = {
+    import graft.streaming.StreamOps
+    mults.foreach { m =>
+      val staged = stageEvents(s, sfDir, m)
+      def src = StreamOps.eventsStreamFromDir(s, staged, Some(1))
+      val cases = Seq(
+        ("sessionize_stream",
+          () => StreamOps.sessionizeStreamOf(src), "append"),
+        ("tws_session_timers",
+          () => StreamOps.sessionTimersOf(s, src), "append"))
       cases.foreach { case (name, mk, mode) =>
         s.catalog.clearCache()
         val trail = drainWithProgress(s, mk(), mode, s"${name}_x$m")
@@ -762,6 +796,8 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     if (family == "streaming" || family == "all")
       runStreaming(spark, sfDir, mults)
+    if (family == "deepstate")
+      runStreamingDeep(spark, sfDir, mults)
     if (family == "join" || family == "all")
       runJoin(spark, sfDir, mults)
     if (family == "bucketed")

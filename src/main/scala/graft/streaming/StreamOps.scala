@@ -379,6 +379,71 @@ object StreamOps {
         col("click_id").asc_nulls_last, col("purchase_id").asc_nulls_last))
   }
 
+  /** CHAINED stateful operators — stream-stream join feeding a
+    * windowed aggregate DOWNSTREAM in the same query (Spark 4 multi-
+    * stateful-operator support): click→purchase attribution joined
+    * under two watermarks, then attributed purchases aggregated into
+    * 3-hour event-time windows per user cohort. TWO state stores live
+    * in one query — the join's buffered sides and the aggregate's open
+    * windows — and the engine propagates the watermark THROUGH the
+    * join (the join can emit rows older than the input watermark by up
+    * to its 60-minute interval, so the aggregate's finalization
+    * watermark is delayed accordingly; getting this wrong either
+    * drops attributed purchases or never closes windows). At 100 TB/
+    * day this is the shape of every funnel dashboard: the alternative
+    * — land the join, re-read it, re-aggregate — pays a full
+    * materialization cycle of latency and storage. */
+  private[graft] def joinWindowOf(clickSrc: DataFrame,
+                                  purchaseSrc: DataFrame): DataFrame = {
+    val clicks = clickSrc
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = purchaseSrc
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 60 minutes"))
+      .groupBy(window(col("purchase_ts"), "3 hours").as("w"),
+        (col("user_id") % 5).as("cohort"))
+      .agg(count(lit(1)).as("n_attributed"),
+        sum(col("purchase_id")).as("sum_purchase_id"))
+      .select(col("w.start").as("w_start"), col("cohort"),
+        col("n_attributed"), col("sum_purchase_id"))
+  }
+
+  /** `joinWindowOf` driver-gated. Append mode emits a window only
+    * once the POST-JOIN watermark clears its end; with terminal
+    * watermark W = min(max click_ts, max purchase_ts) − 1 h, the join
+    * delays propagation by at most its 60-minute interval, so any
+    * window with end < W − 60 min has provably been emitted. Landed
+    * table and DuckDB oracle restrict identically to
+    * w_end < wm0 − 120 min (wm0 = min of the side maxima; strict,
+    * dodging the eviction boundary), where the chained stream ≡ the
+    * batch join + window aggregate exactly. */
+  def joinWindowGated(s: SparkSession, dir: String): DataFrame = {
+    val landed = runToTableAppend(s,
+      joinWindowOf(eventsStream(s, dir), eventsStream(s, dir)),
+      "stream_join_window", col("w_start"), col("cohort"))
+    val ev = Tables.events(s, dir)
+    val horizon = broadcast(
+      ev.filter(col("event_type") === "click").agg(max("ts").as("mc"))
+        .crossJoin(ev.filter(col("event_type") === "purchase")
+          .agg(max("ts").as("mp")))
+        .select(least(col("mc"), col("mp")).as("wm0")))
+    landed.crossJoin(horizon)
+      .filter(col("w_start") + expr("interval 3 hours") <
+        col("wm0") - expr("interval 120 minutes"))
+      .drop("wm0")
+      .transform(graft.operators.Present.sortedUnbounded(_,
+        col("w_start"), col("cohort")))
+  }
+
   /** Streaming exact dedup: first-seen (user_id, event_type) pairs via
     * streaming dropDuplicates. Exact-distinct semantics with one state
     * entry per DISTINCT key — bounded by key cardinality, so it holds
@@ -953,6 +1018,7 @@ object StreamOps {
     "stream_stream_join"   -> clickPurchaseJoinGated _,
     "stream_left_join"     -> clickPurchaseLeftGated _,
     "stream_full_join"     -> clickPurchaseFullGated _,
+    "stream_join_window"   -> joinWindowGated _,
     "dedup_stream"         -> dedupStreamGated _,
     "stream_enrich"        -> streamEnrichGated _,
     "running_totals_stream" -> runningUserTotalsGated _,
@@ -1029,6 +1095,27 @@ object StreamOps {
         |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
         |    - INTERVAL 120 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // the chained join->window stream replayed batch-side, restricted
+    // to windows whose end clears the post-join watermark margin
+    // (wm0 - 1h delay - 60min join interval; see joinWindowGated)
+    "stream_join_window" ->
+      """WITH j AS (
+        |  SELECT b.event_id AS purchase_id, a.user_id, b.ts AS purchase_ts
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    AS wm0)
+        |SELECT time_bucket(INTERVAL '3 hours', purchase_ts) AS w_start,
+        |  user_id % 5 AS cohort,
+        |  count(*) AS n_attributed,
+        |  CAST(sum(purchase_id) AS BIGINT) AS sum_purchase_id
+        |FROM j, wm
+        |WHERE time_bucket(INTERVAL '3 hours', purchase_ts) + INTERVAL 3 HOUR
+        |      < wm0 - INTERVAL 120 MINUTE
+        |GROUP BY 1, 2 ORDER BY w_start, cohort""".stripMargin,
     "dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

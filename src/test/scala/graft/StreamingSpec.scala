@@ -388,6 +388,49 @@ class StreamingSpec extends SparkSpec {
       "restart-from-checkpoint diverges from a fresh one-shot run")
   }
 
+  test("chained join->window recovers BOTH operators' state across stop/restart") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("jwrec")
+    // split by TIME, not by key: interleaved-key slices would advance
+    // the watermark past later files' rows and late-drop nearly every
+    // join input (only 5 click→purchase pairs exist at this sf) —
+    // time-ordered slices keep the feed watermark-monotone, the
+    // realistic arrival shape
+    val bucket = least(((dayofmonth(col("ts")) - 1) / 8).cast("int"), lit(3))
+    writeSlice(raw.filter(bucket === 0), srcDir, "a0")
+    writeSlice(raw.filter(bucket === 1), srcDir, "a1")
+    def mk(): DataFrame = StreamOps.joinWindowOf(
+      StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1)),
+      StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1)))
+    def rows(path: String): Seq[Seq[Any]] =
+      spark.read.parquet(path)
+        .orderBy("w_start", "cohort")
+        .collect().toSeq.map(_.toSeq)
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_jwrec_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jwrec_ckpt").toString
+    drainWith(mk(), "append", ckpt) { (b, _) =>
+      b.write.mode("append").parquet(sink) }
+    writeSlice(raw.filter(bucket === 2), srcDir, "b0")
+    writeSlice(raw.filter(bucket === 3), srcDir, "b1")
+    drainWith(mk(), "append", ckpt) { (b, _) =>
+      b.write.mode("append").parquet(sink) }
+
+    // one-shot control over the same four files: the phased run must
+    // emit the same finalized windows — the JOIN's buffered sides AND
+    // the AGGREGATE's open windows (plus the propagated watermark
+    // between them) must all survive the restart
+    val sink2 = java.nio.file.Files.createTempDirectory("graft_jwrec_s2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_jwrec_c2").toString
+    drainWith(mk(), "append", ckpt2) { (b, _) =>
+      b.write.mode("append").parquet(sink2) }
+
+    val phasedRows = rows(sink)
+    assert(phasedRows.nonEmpty)
+    assert(phasedRows == rows(sink2),
+      "restart-from-checkpoint diverges from a fresh one-shot run")
+  }
+
   test("tws timers: mid-stream fires + numbering continuation ≡ batch sessions") {
     import org.apache.spark.sql.functions._
     val (srcDir, raw) = stageEventsSplit("twstimer")
