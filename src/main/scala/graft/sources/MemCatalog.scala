@@ -152,6 +152,17 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
         t.addColumn(
           StructField(add.fieldNames()(0), add.dataType, add.isNullable, meta),
           if (dv == null) null else dv.getValue.value())
+      case ren: TableChange.RenameColumn =>
+        if (ren.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "RENAME inside nested structs not supported")
+        t.renameColumn(ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "DROP inside nested structs not supported")
+        t.dropColumn(del.fieldNames()(0),
+          del.ifExists != null && del.ifExists.booleanValue())
       case c =>
         throw new UnsupportedOperationException(s"ALTER change $c not supported")
     }
@@ -247,12 +258,21 @@ object MemTable {
   val deltaCommits = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** A stored row plus the LAYOUT it was written under: the field ids,
+  * in row order, of the schema at write time. Schema evolution never
+  * rewrites stored rows — scans resolve each requested field id
+  * against the row's own layout (Iceberg's field-id contract: a
+  * renamed column keeps its id and its data; a dropped-then-re-added
+  * name gets a NEW id, so old values can never resurrect). The layout
+  * array is shared per write epoch, not per row. */
+case class MemRow(layout: Array[Int], row: InternalRow) extends Serializable
+
 /** One committed merge-on-read delta record (Iceberg MoR shape):
   * base rows stay immutable; scans merge the log. */
 sealed trait MemDeltaRec extends Serializable
 case class MemDelRec(key: Long) extends MemDeltaRec
-case class MemUpdRec(key: Long, row: InternalRow) extends MemDeltaRec
-case class MemInsRec(row: InternalRow) extends MemDeltaRec
+case class MemUpdRec(key: Long, row: MemRow) extends MemDeltaRec
+case class MemInsRec(row: MemRow) extends MemDeltaRec
 
 class MemTable(tableName: String, tableSchema: StructType,
                val mor: Boolean = false)
@@ -294,7 +314,8 @@ class MemTable(tableName: String, tableSchema: StructType,
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
             new ScanBuilder {
               override def build(): Scan =
-                new MemScan(snapshot(), schema(), schema(), defaultsSnapshot)
+                new MemScan(snapshot(), schema(), layoutSnapshot,
+                  schema(), defaultsSnapshot)
             }
           override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
             new WriteBuilder {
@@ -308,54 +329,106 @@ class MemTable(tableName: String, tableSchema: StructType,
     }
   // the toy data plane: committed BASE rows, appended under the
   // buffer lock, plus (MoR only) the committed delta log
-  private val rows = new java.util.ArrayList[InternalRow]()
+  private val rows = new java.util.ArrayList[MemRow]()
   private val deltaLog = new java.util.ArrayList[MemDeltaRec]()
-  // evolved schema + per-ordinal EXISTS-defaults (catalyst internal
-  // values) for columns added after rows landed — base rows are never
-  // rewritten; the scan backfills positionally (stored arity predates
-  // the column ⇔ ordinal >= numFields)
-  private var curSchema: StructType = tableSchema
-  private var addedDefaults: Map[Int, Any] = Map.empty
+  // FIELD-ID schema (the Iceberg evolution model): every column gets
+  // a stable id at birth; RENAME keeps the id (and therefore the
+  // data), DROP retires it, a re-ADD under the same name mints a NEW
+  // id — stored rows are never rewritten, scans resolve ids against
+  // each row's own write-time layout, and EXISTS-defaults are keyed
+  // by id
+  private var colIds: Vector[Int] = tableSchema.indices.toVector
+  private var colFields: Vector[StructField] = tableSchema.fields.toVector
+  private var nextId: Int = tableSchema.length
+  private var idDefaults: Map[Int, Any] = Map.empty
+  /** The field ids of the CURRENT schema, in order (shared, immutable
+    * per epoch — stamped onto every row written under it). */
+  private var curLayout: Array[Int] = colIds.toArray
+
   private[sources] def addColumn(f: StructField, existsDefault: Any): Unit =
     rows.synchronized {
-      curSchema = StructType(curSchema.fields :+ f)
-      addedDefaults += (curSchema.length - 1) -> existsDefault
+      if (colFields.exists(_.name.equalsIgnoreCase(f.name)))
+        throw new IllegalArgumentException(s"column ${f.name} already exists")
+      colIds :+= nextId; colFields :+= f
+      idDefaults += nextId -> existsDefault
+      nextId += 1
+      curLayout = colIds.toArray
+    }
+  private[sources] def renameColumn(name: String, newName: String): Unit =
+    rows.synchronized {
+      val i = colFields.indexWhere(_.name.equalsIgnoreCase(name))
+      if (i < 0) throw new IllegalArgumentException(s"no column $name")
+      if (colFields.exists(_.name.equalsIgnoreCase(newName)))
+        throw new IllegalArgumentException(s"column $newName already exists")
+      // the id — and with it the stored data — survives the rename
+      colFields = colFields.updated(i, colFields(i).copy(name = newName))
+    }
+  private[sources] def dropColumn(name: String, ifExists: Boolean): Unit =
+    rows.synchronized {
+      val i = colFields.indexWhere(_.name.equalsIgnoreCase(name))
+      if (i < 0) {
+        if (ifExists) return
+        throw new IllegalArgumentException(s"no column $name")
+      }
+      if (mor && i == idOrdinal)
+        throw new UnsupportedOperationException(
+          "cannot drop the row-id column of a merge-on-read table")
+      if (colFields.length == 1)
+        throw new UnsupportedOperationException("cannot drop the last column")
+      // metadata-only: the id is retired, stored values become
+      // unreachable (and a later same-name ADD cannot resurrect them)
+      colIds = colIds.patch(i, Nil, 1); colFields = colFields.patch(i, Nil, 1)
+      curLayout = colIds.toArray
     }
   private[sources] def defaultsSnapshot: Map[Int, Any] =
-    rows.synchronized(addedDefaults)
+    rows.synchronized(idDefaults)
+  /** (field ids in schema order) under the lock — the scan's view. */
+  private[sources] def layoutSnapshot: Array[Int] =
+    rows.synchronized(curLayout)
   /** Ordinal of the MoR row-id column (first field, must be LONG). */
   private[sources] def idOrdinal: Int = 0
   private[graft] def baseRowCount: Int = rows.synchronized(rows.size)
   private[graft] def deltaLogSize: Int = rows.synchronized(deltaLog.size)
   private[sources] def appendDeltas(recs: Seq[MemDeltaRec]): Unit =
     rows.synchronized(recs.foreach(r => deltaLog.add(r)))
+  /** Field id of the MoR row-id column (position [[idOrdinal]] of the
+    * current schema — undropable on MoR tables, and renames keep the
+    * id, so it is stable for the table's lifetime). */
+  private def rowIdFid: Int = colIds(idOrdinal)
+  private def keyOf(mr: MemRow): Long =
+    mr.row.getLong(mr.layout.indexOf(rowIdFid))
   /** Scan-time view: base merged with the delta log (MoR), or the
     * base rows verbatim. LinkedHashMap keyed by row id keeps base
     * order for updated rows and appends inserts — deterministic, and
     * honest merge-on-read: the base list is never mutated by DML. */
-  private[sources] def snapshot(): Array[InternalRow] = rows.synchronized {
+  private[sources] def snapshot(): Array[MemRow] = rows.synchronized {
     if (!mor || deltaLog.isEmpty) rows.asScala.toArray
     else {
-      val m = new java.util.LinkedHashMap[Long, InternalRow]()
-      rows.forEach(r => m.put(r.getLong(idOrdinal), r))
+      val m = new java.util.LinkedHashMap[Long, MemRow]()
+      rows.forEach(r => m.put(keyOf(r), r))
       deltaLog.forEach {
         case MemDelRec(k)      => m.remove(k)
         case MemUpdRec(k, row) => m.put(k, row)
-        case MemInsRec(row)    => m.put(row.getLong(idOrdinal), row)
+        case MemInsRec(row)    => m.put(keyOf(row), row)
       }
       m.values.asScala.toArray
     }
   }
+  /** Append under the lock, stamping the CURRENT layout — the one
+    * shared array per write epoch that later scans resolve against. */
   private[sources] def append(batch: Seq[InternalRow]): Unit =
-    rows.synchronized(batch.foreach(r => rows.add(r)))
+    rows.synchronized {
+      val layout = curLayout
+      batch.foreach(r => rows.add(MemRow(layout, r)))
+    }
 
   override def name(): String = tableName
   // a MoR table's row id must be non-null (the delta log keys on it,
   // and the engine rejects nullable row-id attributes) — the store
   // declares that contract in its schema. A def, not a val: ALTER
-  // ADD COLUMN evolves the schema in place.
+  // ADD/RENAME/DROP COLUMN evolve the schema in place.
   private def effectiveSchema: StructType = {
-    val cur = rows.synchronized(curSchema)
+    val cur = rows.synchronized(StructType(colFields.toArray))
     if (mor)
       StructType(cur.fields.zipWithIndex.map { case (f, i) =>
         if (i == idOrdinal) f.copy(nullable = false) else f
@@ -371,39 +444,53 @@ class MemTable(tableName: String, tableSchema: StructType,
     rows.synchronized { rows.clear(); deltaLog.clear() }; true
   }
 
-  /** Exact store-side predicate evaluation for metadata delete.
-    * Restricted to the ORIGINAL columns — see [[evaluable]]. */
-  private def eval(f: Filter, r: InternalRow): Boolean = {
-    def idx(a: String): Int = tableSchema.fieldIndex(a)
-    def lng(a: String): Long = r.getLong(idx(a))
-    def isLong(a: String): Boolean = tableSchema(idx(a)).dataType == LongType
+  /** Exact store-side predicate evaluation for metadata delete,
+    * resolved through field ids against each row's own layout.
+    * [[evaluable]] guarantees the id exists in EVERY stored layout. */
+  private def eval(f: Filter, mr: MemRow): Boolean = {
+    def fid(a: String): Int = colIds(colFields.indexWhere(_.name == a))
+    def lng(a: String): Long = mr.row.getLong(mr.layout.indexOf(fid(a)))
     def num(v: Any): Long = v match {
       case l: java.lang.Long => l
       case i: java.lang.Integer => i.toLong
     }
     f match {
-      case EqualTo(a, v) if isLong(a)            => lng(a) == num(v)
-      case GreaterThan(a, v) if isLong(a)        => lng(a) > num(v)
-      case GreaterThanOrEqual(a, v) if isLong(a) => lng(a) >= num(v)
-      case LessThan(a, v) if isLong(a)           => lng(a) < num(v)
-      case LessThanOrEqual(a, v) if isLong(a)    => lng(a) <= num(v)
-      case In(a, vs) if isLong(a)                => vs.map(num).contains(lng(a))
+      case EqualTo(a, v)            => lng(a) == num(v)
+      case GreaterThan(a, v)        => lng(a) > num(v)
+      case GreaterThanOrEqual(a, v) => lng(a) >= num(v)
+      case LessThan(a, v)           => lng(a) < num(v)
+      case LessThanOrEqual(a, v)    => lng(a) <= num(v)
+      case In(a, vs)                => vs.map(num).contains(lng(a))
       case _ => throw new IllegalArgumentException(s"unevaluable $f")
     }
   }
-  // ADDED columns are excluded from the metadata-delete shortcut:
-  // legacy rows hold no stored value for them (the scan backfills the
-  // default), and a null-valued nullable add needs 3-valued predicate
-  // semantics this exact evaluator deliberately does not carry — those
-  // deletes route through the engine's rewrite path instead.
-  private def evaluable(f: Filter): Boolean =
-    try { f.references.forall(a => tableSchema(tableSchema.fieldIndex(a)).dataType == LongType) &&
-      (f match {
-        case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-             _: LessThan | _: LessThanOrEqual | _: In => true
-        case _ => false
-      })
-    } catch { case _: IllegalArgumentException => false }
+  // The metadata-delete shortcut applies only to LONG columns whose
+  // field id is present in EVERY stored row's layout: a row written
+  // before the column existed holds no value for it (the scan
+  // backfills the default), and a null-valued nullable add needs
+  // 3-valued predicate semantics this exact evaluator deliberately
+  // does not carry — those deletes route through the engine's rewrite
+  // path instead.
+  private def evaluable(f: Filter): Boolean = rows.synchronized {
+    def ok(a: String): Boolean = {
+      val i = colFields.indexWhere(_.name == a)
+      i >= 0 && colFields(i).dataType == LongType && {
+        val id = colIds(i)
+        var all = true
+        val seen = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Array[Int], java.lang.Boolean]())
+        rows.forEach { r =>
+          if (seen.add(r.layout) && !r.layout.contains(id)) all = false
+        }
+        all
+      }
+    }
+    f.references.forall(ok) && (f match {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: In => true
+      case _ => false
+    })
+  }
 
   // MoR tables refuse the metadata shortcut: deleteWhere mutates the
   // BASE list, which would bypass the delta log's merge semantics —
@@ -424,7 +511,8 @@ class MemTable(tableName: String, tableSchema: StructType,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan =
-        new MemScan(snapshot(), effectiveSchema, required, defaultsSnapshot)
+        new MemScan(snapshot(), effectiveSchema, layoutSnapshot,
+          required, defaultsSnapshot)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -444,10 +532,11 @@ class MemTable(tableName: String, tableSchema: StructType,
 
 /** Scan over a snapshot: rows ride the serialized partitions to the
   * tasks (the toy data plane); column pruning applies in the reader.
-  * `defaults` maps post-evolution column ordinals to their
-  * EXISTS-default internal values — a stored row whose arity predates
-  * an added column surfaces the default instead (never a rewrite). */
-class MemScan(data: Array[InternalRow], full: StructType,
+  * Each requested column is a FIELD ID (`fullIds` aligns with `full`),
+  * resolved against every row's own write-time layout — a stored row
+  * that predates the column surfaces its EXISTS-default (`defaults`,
+  * keyed by id); a retired id is simply never requested again. */
+class MemScan(data: Array[MemRow], full: StructType, fullIds: Array[Int],
               required: StructType,
               defaults: Map[Int, Any] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -459,10 +548,10 @@ class MemScan(data: Array[InternalRow], full: StructType,
     else data.grouped(step).map(g => MemPartition(g): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
-    val idxs = required.fieldNames.map(full.fieldIndex)
-    val types = idxs.map(full(_).dataType)
     // bind locally: the anonymous factory must not capture the scan
     // itself (Scan is not Serializable; the factory ships to tasks)
+    val ids = required.fieldNames.map(n => fullIds(full.fieldIndex(n)))
+    val types = required.fields.map(_.dataType)
     val defs = defaults
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -471,10 +560,10 @@ class MemScan(data: Array[InternalRow], full: StructType,
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow =
-            InternalRow.fromSeq(idxs.indices.map { j =>
-              val src = idxs(j)
-              if (src >= rows(i).numFields) defs.getOrElse(src, null)
-              else rows(i).get(src, types(j))
+            InternalRow.fromSeq(ids.indices.map { j =>
+              val pos = rows(i).layout.indexOf(ids(j))
+              if (pos < 0) defs.getOrElse(ids(j), null)
+              else rows(i).row.get(pos, types(j))
             })
           override def close(): Unit = ()
         }
@@ -482,7 +571,7 @@ class MemScan(data: Array[InternalRow], full: StructType,
   }
 }
 
-case class MemPartition(rows: Array[InternalRow]) extends InputPartition
+case class MemPartition(rows: Array[MemRow]) extends InputPartition
 
 class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
                     rowLevel: Boolean = false)
@@ -517,8 +606,8 @@ class MemDeltaOperation(table: MemTable, info: RowLevelOperationInfo)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new MemScan(table.snapshot(), table.schema(), table.schema(),
-          table.defaultsSnapshot)
+        new MemScan(table.snapshot(), table.schema(), table.layoutSnapshot,
+          table.schema(), table.defaultsSnapshot)
     }
   override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -530,7 +619,8 @@ class MemDeltaOperation(table: MemTable, info: RowLevelOperationInfo)
 
 class MemDeltaBatchWrite(table: MemTable) extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new MemDeltaWriterFactory(table.schema(), table.idOrdinal)
+    new MemDeltaWriterFactory(table.schema(), table.layoutSnapshot,
+      table.idOrdinal)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     MemTable.deltaCommits.incrementAndGet()
     messages.foreach { m =>
@@ -542,24 +632,26 @@ class MemDeltaBatchWrite(table: MemTable) extends DeltaBatchWrite {
 
 case class MemDeltaMsg(recs: Array[MemDeltaRec]) extends WriterCommitMessage
 
-class MemDeltaWriterFactory(schema: StructType, idOrd: Int)
-    extends DeltaWriterFactory {
+class MemDeltaWriterFactory(schema: StructType, layout: Array[Int],
+                            idOrd: Int) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new MemDeltaWriter(schema, idOrd)
+    new MemDeltaWriter(schema, layout, idOrd)
 }
 
-class MemDeltaWriter(schema: StructType, idOrd: Int)
+class MemDeltaWriter(schema: StructType, layout: Array[Int], idOrd: Int)
     extends DeltaWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[MemDeltaRec]
   // rows arrive in reused UnsafeRow buffers — copy values out, cloning
-  // strings (the MemWriterFactory lesson)
-  private def copyRow(r: InternalRow): InternalRow =
-    InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
-      r.get(i, f.dataType) match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-        case v => v
-      }
-    }.toIndexedSeq)
+  // strings (the MemWriterFactory lesson); delta rows are stamped with
+  // the CURRENT layout like any other write
+  private def copyRow(r: InternalRow): MemRow =
+    MemRow(layout, InternalRow.fromSeq(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        r.get(i, f.dataType) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+          case v => v
+        }
+      }.toIndexedSeq))
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     buf += MemDelRec(id.getLong(0))
   override def update(meta: InternalRow, id: InternalRow,

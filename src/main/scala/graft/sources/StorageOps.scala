@@ -325,6 +325,35 @@ object StorageOps {
     cs.sql("SELECT k, v, tier FROM graft_mem.ns.evo ORDER BY k, v")
   }
 
+  /** FULL schema evolution through the catalog — RENAME COLUMN and
+    * DROP COLUMN joining ADD, all metadata-only (the [[MemRow]]
+    * field-id model, Iceberg's evolution contract): RENAME keeps the
+    * column's field id so its stored data survives untouched; DROP
+    * retires the id without rewriting a row; and a later ADD under
+    * the SAME NAME mints a NEW id — the old values can never
+    * resurrect (the classic evolution corruption bug, pinned by both
+    * the oracle and CatalogSpec). At 100 TB: renames and drops cost
+    * one catalog write, never a table rewrite, and name-reuse is safe
+    * because data is addressed by id, not by name. */
+  def catalogEvolution(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.evr AS
+        |SELECT CAST(o_custkey % 53 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS total
+        |FROM orders GROUP BY o_custkey % 53""".stripMargin)
+    cs.sql("ALTER TABLE graft_mem.ns.evr RENAME COLUMN total TO gross")
+    cs.sql("ALTER TABLE graft_mem.ns.evr DROP COLUMN n")
+    // same NAME as the dropped column — new field id, old counts must
+    // NOT come back
+    cs.sql("ALTER TABLE graft_mem.ns.evr ADD COLUMN n BIGINT DEFAULT -1")
+    cs.sql("INSERT INTO graft_mem.ns.evr VALUES (500, 123, 7)")
+    cs.sql("SELECT k, gross, n FROM graft_mem.ns.evr ORDER BY k")
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and
@@ -1293,6 +1322,7 @@ object StorageOps {
     "catalog_dml"         -> catalogDml _,
     "catalog_dml_delta"   -> catalogDmlDelta _,
     "catalog_defaults"    -> catalogDefaults _,
+    "catalog_evolution"   -> catalogEvolution _,
     "catalog_function"    -> catalogFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
@@ -1571,6 +1601,16 @@ object StorageOps {
         |  UNION ALL SELECT k, v, tier FROM explicit
         |  UNION ALL SELECT 2000::BIGINT, 1::BIGINT, 7::BIGINT)
         |SELECT k, v, tier FROM evolved ORDER BY k, v""".stripMargin,
+    // rename keeps the data (gross = old total), drop + same-name
+    // re-add must NOT resurrect the old counts (n = -1 on legacy rows)
+    "catalog_evolution" ->
+      """WITH legacy AS (
+        |  SELECT o_custkey % 53 AS k, sum(o_orderkey)::BIGINT AS gross
+        |  FROM orders GROUP BY 1),
+        |evolved AS (
+        |  SELECT k, gross, CAST(-1 AS BIGINT) AS n FROM legacy
+        |  UNION ALL SELECT 500::BIGINT, 123::BIGINT, 7::BIGINT)
+        |SELECT k, gross, n FROM evolved ORDER BY k""".stripMargin,
     // the engine honored the declared clustering iff the verdicts are
     // all-true and the totals match the plain replay
     "dsv2_write_distribution" ->

@@ -174,6 +174,57 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("RENAME/DROP COLUMN: field-id semantics, no rewrite, no resurrection") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.fid.t (k BIGINT, n BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.fid.t VALUES (1, 100, 10), (2, 200, 20)")
+    val cat = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+    val t = cat.loadTable(Identifier.of(Array("fid"), "t"))
+      .asInstanceOf[MemTable]
+    val rw0 = MemTable.rewrites.get()
+    val base0 = t.baseRowCount
+    // RENAME keeps the field id → the stored data survives
+    cs.sql("ALTER TABLE mem.fid.t RENAME COLUMN v TO worth")
+    assert(cs.sql("SELECT k, worth FROM mem.fid.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (2L, 20L)))
+    // the old name is gone
+    intercept[AnalysisException] {
+      cs.sql("SELECT v FROM mem.fid.t").collect()
+    }
+    // DROP retires the id; a SAME-NAME re-add mints a new id — the
+    // old values must NOT resurrect (they'd be silent corruption)
+    cs.sql("ALTER TABLE mem.fid.t DROP COLUMN n")
+    cs.sql("ALTER TABLE mem.fid.t ADD COLUMN n BIGINT DEFAULT -1")
+    assert(cs.sql("SELECT k, n FROM mem.fid.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, -1L), (2L, -1L)),
+      "dropped column's values resurrected through the re-added name")
+    // the whole evolution chain was metadata-only
+    assert(MemTable.rewrites.get() == rw0, "evolution launched a rewrite")
+    assert(t.baseRowCount == base0, "evolution mutated base rows")
+    // post-evolution rows carry the new column; legacy defaults hold
+    cs.sql("INSERT INTO mem.fid.t VALUES (3, 30, 300)")
+    assert(cs.sql("SELECT k, worth, n FROM mem.fid.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 10L, -1L), (2L, 20L, -1L), (3L, 30L, 300L)))
+    // contract edges: unknown column, duplicate target name, last column
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.fid.t RENAME COLUMN nope TO x")
+    }
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.fid.t RENAME COLUMN worth TO n")
+    }
+    // MoR row-id column is undropable
+    cs.sql("CREATE TABLE mem.fid.m (k BIGINT, v BIGINT) TBLPROPERTIES('mor'='true')")
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.fid.m DROP COLUMN k")
+    }
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
