@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, Metadata, MetadataBuilder, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Catalog PLUGIN — the last rung of the sources ladder: a
@@ -42,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a rewrite job — the Iceberg partition-drop shape; anything else is
   * refused, and the engine reports it rather than deleting wrongly. */
 class MemCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with FunctionCatalog {
+    with StagingTableCatalog with FunctionCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private val tables = new ConcurrentHashMap[String, MemTable]()
 
@@ -198,14 +198,48 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     * a codegen'd static-style Invoke instead of boxing through
     * `produceResult` row-at-a-time. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "hamming64"))
+    Array(Identifier.of(namespace, "hamming64"),
+      Identifier.of(namespace, "bitxor"))
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     ident.name.toLowerCase match {
       case "hamming64" => Hamming64Fn
+      case "bitxor"    => BitXorAggFn
       case _ => throw new NoSuchFunctionException(ident)
     }
   override def functionExists(ident: Identifier): Boolean =
-    ident.name.equalsIgnoreCase("hamming64")
+    ident.name.equalsIgnoreCase("hamming64") ||
+      ident.name.equalsIgnoreCase("bitxor")
+
+  /** V2 PROCEDURE catalog — the MAINTENANCE-operation surface
+    * (Iceberg's `CALL catalog.system.rewrite_data_files` shape):
+    * `CALL <catalog>.sys.compact('ns.tbl')` resolves here through the
+    * engine's procedure resolution (UnboundProcedure → bind on the
+    * coerced argument row → call), and folds the named merge-on-read
+    * table's delta log into its base. Maintenance as a first-class
+    * catalog verb matters at 100 TB because compaction must be
+    * SCHEDULED (off-peak, amortized), not implied by DML — the
+    * catalog exposes the knob, the operator turns it. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "compact"))
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    ident.name.toLowerCase match {
+      case "compact" => new CompactProcedure(this)
+      case _ => throw new RuntimeException(
+        s"procedure not found: ${key(ident)}")
+    }
+  private[sources] def tableByName(name: String): MemTable = {
+    val t = tables.get(name)
+    if (t == null) throw new NoSuchTableException(name.split('.').toSeq)
+    t
+  }
+
+  // NOT implemented: ViewCatalog. The interface ships in the 4.1 API
+  // jar, but a classpath scan shows ZERO engine classes consume it —
+  // ResolveSessionCatalog throws MISSING_CATALOG_ABILITY.VIEWS for
+  // every non-session catalog regardless (verified empirically with
+  // an implementing catalog; Iceberg wires views through its OWN
+  // SQL extensions, not this engine path). An implementation would
+  // be engine-unreachable dead surface; see COVERAGE.md absentees.
 
   // single-level namespaces, existing implicitly once referenced —
   // enough for the resolution paths the gated query exercises
@@ -256,6 +290,7 @@ object MemTable {
   val metadataDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
   val rewrites = new java.util.concurrent.atomic.AtomicInteger(0)
   val deltaCommits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 /** A stored row plus the LAYOUT it was written under: the field ids,
@@ -413,6 +448,28 @@ class MemTable(tableName: String, tableSchema: StructType,
       }
       m.values.asScala.toArray
     }
+  }
+  /** MoR MAINTENANCE — fold the delta log into the base (the
+    * rewrite_data_files half of the Iceberg MoR bargain): DML stays
+    * cheap because commits append deltas, but every scan pays the
+    * log-over-base merge until a compaction folds the log — one
+    * amortized rewrite, scheduled by the operator via
+    * `CALL <catalog>.sys.compact(...)`, instead of one per DML.
+    * Atomic under the row lock; the merged view becomes the new base
+    * (each row KEEPS its own write-time layout — compaction is a
+    * data-file rewrite, not a schema migration), the log clears, and
+    * scans before/after are identical by construction (the fold IS
+    * `snapshot()`). No-op on an empty log. Returns
+    * (deltas folded, base rows after). */
+  private[sources] def compact(): (Int, Int) = rows.synchronized {
+    val folded = deltaLog.size
+    if (folded > 0) {
+      val merged = snapshot().toSeq
+      rows.clear(); merged.foreach(rows.add)
+      deltaLog.clear()
+      MemTable.compactions.incrementAndGet()
+    }
+    (folded, rows.size)
   }
   /** Append under the lock, stamping the CURRENT layout — the one
     * shared array per write epoch that later scans resolve against. */
@@ -727,4 +784,92 @@ class Hamming64Bound
   def invoke(a: Long, b: Long): Long = java.lang.Long.bitCount(a ^ b).toLong
   override def produceResult(input: InternalRow): java.lang.Long =
     invoke(input.getLong(0), input.getLong(1))
+}
+
+/** Catalog-registered V2 AGGREGATE function — the other half of the
+  * function-catalog surface ([[Hamming64Fn]] covers scalars):
+  * `bitxor(x BIGINT)` XOR-folds a group. The engine wraps the bound
+  * [[functions.AggregateFunction]] in its V2Aggregator, which is a
+  * real two-phase aggregate: `update` runs map-side per partition,
+  * the serialized state rides the exchange, and `merge` combines
+  * partials — so a connector-supplied aggregate gets map-side
+  * combine for free, exactly like a built-in (the exchange carries
+  * group cardinality, not the table). XOR is associative/commutative
+  * so any merge tree is exact; DuckDB replays it as `bit_xor`. */
+object BitXorAggFn
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bitxor"
+  override def description(): String =
+    "bitxor(x BIGINT) -> BIGINT: XOR fold of the group"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    if (inputType.fields.length != 1 ||
+        inputType.fields(0).dataType != LongType)
+      throw new UnsupportedOperationException(
+        s"bitxor expects (BIGINT), got $inputType")
+    new BitXorAggBound
+  }
+}
+
+class BitXorAggBound
+    extends org.apache.spark.sql.connector.catalog.functions.AggregateFunction[java.lang.Long, java.lang.Long] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(LongType)
+  override def resultType(): org.apache.spark.sql.types.DataType = LongType
+  override def name(): String = "bitxor"
+  override def canonicalName(): String = "graft.bitxor"
+  override def isDeterministic: Boolean = true
+  // SQL aggregate semantics: an empty (or all-null) group is NULL,
+  // and null inputs are skipped — the state stays null until the
+  // first non-null value folds in
+  override def isResultNullable: Boolean = true
+  override def newAggregationState(): java.lang.Long = null
+  override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) state
+    else java.lang.Long.valueOf(
+      (if (state == null) 0L else state.longValue) ^ input.getLong(0))
+  override def merge(a: java.lang.Long, b: java.lang.Long): java.lang.Long =
+    if (a == null) b else if (b == null) a
+    else java.lang.Long.valueOf(a.longValue ^ b.longValue)
+  override def produceResult(state: java.lang.Long): java.lang.Long = state
+}
+
+/** The catalog's one stored procedure: `compact('ns.tbl')` folds a
+  * merge-on-read table's delta log into its base ([[MemTable.compact]])
+  * and returns one summary row `(folded_deltas, base_rows)` through a
+  * [[LocalScan]] — the engine surfaces it as the CALL's result set, so
+  * the maintenance job reports what it did in-band (the Iceberg
+  * procedure-result contract). Binding validates arity/type once at
+  * analysis; `isDeterministic = false` because the call mutates table
+  * state. */
+class CompactProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "compact('ns.tbl'): fold a merge-on-read table's delta log into its base"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 1 ||
+        inputType.fields(0).dataType != StringType)
+      throw new UnsupportedOperationException(
+        s"compact expects one STRING table name, got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String = CompactProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val (folded, baseRows) =
+          cat.tableByName(input.getUTF8String(0).toString).compact()
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("folded_deltas", LongType, nullable = false),
+            StructField("base_rows", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] = Array(
+            InternalRow.fromSeq(Seq(folded.toLong, baseRows.toLong)))
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
 }

@@ -293,8 +293,31 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
               batchRows: Long, pstep: Long = 0L, columnar: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema: StructType = required
+
+  /** Reported OUTPUT ORDERING — the sort-elision rung, the natural
+    * companion of [[outputPartitioning]]: every reader streams ids
+    * ascending within its split (row and columnar paths alike), and
+    * pkey = id/pstep is monotone in id, so [pkey ASC, id ASC] is a
+    * truthful per-partition order. The engine folds it into
+    * `BatchScanExec.outputOrdering`, so a sort-merge join over two
+    * key-grouped graftseq tables plans ZERO sorts on top of SPJ's
+    * zero exchanges — the full Iceberg write-ordered-table contract:
+    * at 100 TB the SMJ's per-task sort of every fact partition
+    * (memory + spill) simply disappears, because the layout already
+    * paid it at write time. Only columns the pruned schema retains
+    * may appear (the engine resolves these against the scan output). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    def asc(c: String) = Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)
+    val names = required.fieldNames.map(_.toLowerCase)
+    val cols =
+      (if (pstep > 0 && names.contains("pkey")) Seq("pkey") else Nil) ++
+        (if (names.contains("id")) Seq("id") else Nil)
+    cols.map(asc).toArray
+  }
 
   /** Storage-partitioned mode (`pstep` > 0): one input split per
     * pkey = id/pstep block, each split carrying its key via

@@ -354,6 +354,41 @@ object StorageOps {
     cs.sql("SELECT k, gross, n FROM graft_mem.ns.evr ORDER BY k")
   }
 
+  /** MoR COMPACTION through the V2 PROCEDURE catalog — the
+    * maintenance half of the merge-on-read bargain, surfaced the way
+    * Iceberg surfaces it: `CALL graft_mem.sys.compact('ns.cmp')`
+    * resolves through [[MemCatalog]]'s `ProcedureCatalog`, binds, and
+    * folds the table's delta log into its base in one atomic swap —
+    * after which scans stop paying the log-over-base merge and the
+    * log is empty (CatalogSpec pins the counters and that the scan is
+    * IDENTICAL before/after). The CALL's result set — one row of
+    * `(folded_deltas, base_rows)` — rides back through a `LocalScan`
+    * and is cross-joined (broadcast, 1 row) onto the table scan, so
+    * the oracle checks the maintenance accounting, not just the data:
+    * exactly 2 deltas folded (one UPDATE, one DELETE), 31 base rows
+    * after. At 100 TB: DML commits bytes ∝ change, compaction is ONE
+    * amortized rewrite scheduled by the operator via a catalog verb,
+    * and the read-optimized table comes back without a single engine
+    * change. */
+  def catalogCompact(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.cmp TBLPROPERTIES('mor'='true') AS
+        |SELECT CAST(o_custkey % 31 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS total
+        |FROM orders GROUP BY o_custkey % 31""".stripMargin)
+    cs.sql("UPDATE graft_mem.ns.cmp SET total = total + 7 WHERE k = 3")
+    cs.sql("DELETE FROM graft_mem.ns.cmp WHERE k = 5")
+    cs.sql("INSERT INTO graft_mem.ns.cmp VALUES (1000, 1, 42)")
+    val summary = cs.sql("CALL graft_mem.sys.compact('ns.cmp')")
+    cs.sql("SELECT k, n, total FROM graft_mem.ns.cmp")
+      .crossJoin(broadcast(summary))
+      .orderBy("k")
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and
@@ -370,6 +405,28 @@ object StorageOps {
       """SELECT graft_mem.ns.hamming64(o_orderkey, o_custkey) AS d,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY d""".stripMargin)
+  }
+
+  /** Catalog-registered V2 AGGREGATE function ([[BitXorAggFn]]) — the
+    * other half of the function-catalog surface: the engine wraps the
+    * bound `AggregateFunction` in its V2Aggregator, a genuine
+    * two-phase aggregate (map-side `update` per partition, serialized
+    * state across the exchange, `merge` of partials), so a
+    * connector-supplied aggregate gets map-side combine exactly like
+    * a built-in — the exchange carries 11 group states here, not the
+    * orders table. XOR is associative/commutative, so the partial
+    * merge tree is exact on any partitioning; DuckDB replays it as
+    * `bit_xor`. CatalogSpec additionally pins the two-phase plan and
+    * binding rejection. */
+  def catalogAggFunction(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """SELECT CAST(o_custkey % 11 AS BIGINT) AS k,
+        |  graft_mem.ns.bitxor(CAST(o_orderkey AS BIGINT)) AS x,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_custkey % 11 ORDER BY k""".stripMargin)
   }
 
   /** Landed COLUMN statistics over the warehouse + part — the CBO
@@ -1323,7 +1380,9 @@ object StorageOps {
     "catalog_dml_delta"   -> catalogDmlDelta _,
     "catalog_defaults"    -> catalogDefaults _,
     "catalog_evolution"   -> catalogEvolution _,
+    "catalog_compact"     -> catalogCompact _,
     "catalog_function"    -> catalogFunction _,
+    "catalog_agg_function" -> catalogAggFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
     "snapshot_cdf"     -> snapshotCdf _,
     "time_travel"      -> timeTravel _,
@@ -1524,6 +1583,13 @@ object StorageOps {
       """SELECT bit_count(xor(o_orderkey, o_custkey))::BIGINT AS d,
         |  count(*)::BIGINT AS n
         |FROM orders GROUP BY 1 ORDER BY d""".stripMargin,
+    // the connector aggregate is exact bit_xor — any partial-merge
+    // tree must reproduce it
+    "catalog_agg_function" ->
+      """SELECT o_custkey % 11 AS k,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS x,
+        |  count(*)::BIGINT AS n
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
     // the DML lifecycle replayed as CTEs: build buckets, bump the
     // small ones, left-join the merge source for matched updates,
     // anti-join it for inserts
@@ -1611,6 +1677,25 @@ object StorageOps {
         |  SELECT k, gross, CAST(-1 AS BIGINT) AS n FROM legacy
         |  UNION ALL SELECT 500::BIGINT, 123::BIGINT, 7::BIGINT)
         |SELECT k, gross, n FROM evolved ORDER BY k""".stripMargin,
+    // compaction must not change the data (the fold IS the scan's
+    // merge); the summary row is the maintenance accounting — exactly
+    // the UPDATE + DELETE deltas folded, and the post-compaction base
+    "catalog_compact" ->
+      """WITH base AS (
+        |  SELECT o_custkey % 31 AS k, count(*)::BIGINT AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS total
+        |  FROM orders GROUP BY 1),
+        |upd AS (
+        |  SELECT k, n, CASE WHEN k = 3 THEN total + 7 ELSE total END AS total
+        |  FROM base WHERE k <> 5),
+        |final AS (
+        |  SELECT k, n, total FROM upd
+        |  UNION ALL SELECT 1000::BIGINT, 1::BIGINT, 42::BIGINT)
+        |SELECT k, n, total,
+        |  CAST((SELECT count(*) FROM base WHERE k IN (3, 5)) AS BIGINT)
+        |    AS folded_deltas,
+        |  CAST((SELECT count(*) FROM final) AS BIGINT) AS base_rows
+        |FROM final ORDER BY k""".stripMargin,
     // the engine honored the declared clustering iff the verdicts are
     // all-true and the totals match the plain replay
     "dsv2_write_distribution" ->

@@ -225,6 +225,50 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL compact: folds the delta log, scan identical, counters route") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ns.cp (k BIGINT, v BIGINT) TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.ns.cp VALUES (1, 10), (2, 20), (3, 30)")
+    cs.sql("UPDATE mem.ns.cp SET v = v + 1 WHERE k = 1")
+    cs.sql("DELETE FROM mem.ns.cp WHERE k = 2")
+    val cat = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+    val t = cat.loadTable(Identifier.of(Array("ns"), "cp"))
+      .asInstanceOf[MemTable]
+    // MoR invariants pre-compaction: log holds the two deltas, base
+    // untouched
+    assert(t.deltaLogSize == 2)
+    assert(t.baseRowCount == 3)
+    val pre = cs.sql("SELECT k, v FROM mem.ns.cp ORDER BY k").collect().toSeq
+    val rw0 = MemTable.rewrites.get()
+    val cp0 = MemTable.compactions.get()
+    // the CALL reports its accounting in-band: 2 deltas folded, 2
+    // base rows after (update applied in place, delete dropped)
+    val res = cs.sql("CALL mem.sys.compact('ns.cp')").collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
+    assert(t.deltaLogSize == 0, "compaction left the log")
+    assert(t.baseRowCount == 2)
+    assert(MemTable.compactions.get() == cp0 + 1)
+    assert(MemTable.rewrites.get() == rw0,
+      "compaction routed through the CoW rewrite path")
+    // the fold IS the scan's merge — data identical before/after
+    assert(cs.sql("SELECT k, v FROM mem.ns.cp ORDER BY k").collect().toSeq
+      == pre, "compaction changed the data")
+    // empty-log compact is a reported no-op, not a counted rewrite
+    val res2 = cs.sql("CALL mem.sys.compact('ns.cp')").collect()
+    assert(res2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 2L)))
+    assert(MemTable.compactions.get() == cp0 + 1, "no-op compaction counted")
+    // contract edges: unknown table, unknown procedure
+    intercept[Exception] {
+      cs.sql("CALL mem.sys.compact('ns.nope')").collect()
+    }
+    intercept[Exception] {
+      cs.sql("CALL mem.sys.vacuum('ns.cp')").collect()
+    }
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
@@ -298,6 +342,45 @@ class CatalogSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       cs.sql("SELECT mem.ns.nosuch(1L)").collect()
     }
+  }
+
+  test("V2 function catalog: AGGREGATE function two-phase, exact, rebindable") {
+    val cs = mounted()
+    // exact XOR fold incl. null-skip and sign bits, vs independent Scala
+    val df = cs.sql(
+      """SELECT v.k AS k, mem.ns.bitxor(v.x) AS x
+        |FROM VALUES (0L, 1L), (0L, 2L), (0L, 4L),
+        |  (1L, -1L), (1L, 1L),
+        |  (2L, CAST(NULL AS BIGINT)), (2L, 9L),
+        |  (3L, CAST(NULL AS BIGINT))
+        |AS v(k, x) GROUP BY v.k ORDER BY k""".stripMargin)
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toSeq
+    assert(got == Seq((0L, 7L), (1L, -2L), (2L, 9L), (3L, null)),
+      s"bitxor fold wrong: $got")
+    // the engine planned a REAL two-phase aggregate around the
+    // connector function (map-side partial + final merge) — the
+    // map-side-combine-for-free claim, pinned in the (finalized
+    // adaptive) plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case o => o.children.flatMap(flatten)
+    }) :+ p
+    val aggs = flatten(df.queryExecution.executedPlan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.length == 2,
+      s"expected partial+final aggregate pair, got ${aggs.length}")
+    // binding rejects wrong signatures with the catalog's message
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      cs.sql("SELECT mem.ns.bitxor('x')").collect()
+    }
+    assert(e.getMessage.contains("bitxor"))
   }
 
   test("catalog sessions are isolated (rerun-safe registered query)") {

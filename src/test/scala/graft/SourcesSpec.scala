@@ -290,6 +290,32 @@ class SourcesSpec extends SparkSpec {
     assert(spj.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("dsv2 spj + reported ordering: zero exchanges AND zero sorts") {
+    import graft.sources.StorageOps
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val on = StorageOps.spjSession(spark)
+    on.conf.set("spark.sql.adaptive.enabled", "false")
+    val spj = StorageOps.spjBody(on)
+    val smj = spj.queryExecution.executedPlan.collect {
+      case j: SortMergeJoinExec => j
+    }
+    assert(smj.length == 1, "expected one SMJ")
+    // SupportsReportOrdering: readers stream ids ascending within each
+    // key-grouped split, the scan says so, and the SMJ's per-task
+    // sorts vanish on BOTH sides — write-ordered-table semantics: the
+    // layout paid the sort once, no query pays it again
+    assert(smj.head.collect { case s: SortExec => s }.isEmpty,
+      "scan-reported ordering did not elide the join sorts")
+    assert(smj.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "SPJ shuffled a join side")
+    // and the sort-free plan still returns the exact rows
+    val off = spark.newSession()
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    assert(spj.collect().toSeq == StorageOps.spjBody(off).collect().toSeq)
+  }
+
   test("dsv2 spj: pushed filters clip key blocks without breaking co-partition") {
     import graft.sources.StorageOps
     val on = StorageOps.spjSession(spark)
