@@ -205,6 +205,15 @@ object ScaleRehearsal {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "8")
+    // SPARK_GRAFT_REHEARSAL_CHANGELOG=1: RocksDB CHANGELOG
+    // checkpointing — per-batch commits upload the delta log instead
+    // of snapshotting SST files (snapshots continue in the
+    // background), the production knob for large-state low-latency
+    // commits; measured as a deepstate twin
+    if (sys.env.get("SPARK_GRAFT_REHEARSAL_CHANGELOG").contains("1"))
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
     val q = graft.streaming.StreamOps.withRocksDb(s) {
       try stream.writeStream
         .outputMode(mode)
@@ -494,6 +503,11 @@ object ScaleRehearsal {
       val on = sources.StorageOps.spjSession(s)
       measure(s, listener, "spj", "spj_join", m, passes)(
         sources.StorageOps.spjBodyOf(on, nA, nB))
+      // the sort-cost twin: same zero-exchange SPJ, but the scan
+      // withholds its ordering so the SMJ re-sorts every key block —
+      // isolates what SupportsReportOrdering saves
+      measure(s, listener, "spj", "spj_join_unsorted", m, passes)(
+        sources.StorageOps.spjBodyOf(on, nA, nB, noorder = true))
       val off = s.newSession()
       off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       measure(s, listener, "spj", "spj_join_shuffled", m, passes)(

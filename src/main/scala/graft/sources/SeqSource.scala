@@ -48,7 +48,8 @@ class SeqSource extends TableProvider {
       properties.getOrDefault("parts", "4").toInt,
       properties.getOrDefault("batchrows", "30000").toLong,
       properties.getOrDefault("pstep", "0").toLong,
-      properties.getOrDefault("columnar", "false").toBoolean)
+      properties.getOrDefault("columnar", "false").toBoolean,
+      properties.getOrDefault("noorder", "false").toBoolean)
 }
 
 object SeqSource {
@@ -98,7 +99,8 @@ object SeqSource {
 }
 
 class SeqTable(n: Long, parts: Int, batchRows: Long,
-               pstep: Long = 0L, columnar: Boolean = false)
+               pstep: Long = 0L, columnar: Boolean = false,
+               noorder: Boolean = false)
     extends Table with SupportsRead with SupportsMetadataColumns {
   override def name: String = s"graftseq(n=$n)"
   override def schema: StructType = SeqSource.schemaFor(pstep)
@@ -108,7 +110,7 @@ class SeqTable(n: Long, parts: Int, batchRows: Long,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, parts, batchRows, pstep, columnar)
+    new SeqScanBuilder(n, parts, batchRows, pstep, columnar, noorder)
 }
 
 /** Folds id-range predicates into [lo, hi) at PLANNING time; every
@@ -121,7 +123,8 @@ class SeqTable(n: Long, parts: Int, batchRows: Long,
   * (its "footer statistics") and the plan carries NO Aggregate node
   * at all. */
 class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
-                     pstep: Long = 0L, columnar: Boolean = false)
+                     pstep: Long = 0L, columnar: Boolean = false,
+                     noorder: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -272,7 +275,7 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
         groupColOf(agg).get, agg, pstep)
     case Some(agg) => new SeqAggScan(lo, math.max(lo, hi), agg)
     case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows,
-      pstep, columnar)
+      pstep, columnar, noorder)
   }
 }
 
@@ -290,7 +293,8 @@ object SeqScan {
 }
 
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
-              batchRows: Long, pstep: Long = 0L, columnar: Boolean = false)
+              batchRows: Long, pstep: Long = 0L, columnar: Boolean = false,
+              noorder: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -307,9 +311,13 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
     * at 100 TB the SMJ's per-task sort of every fact partition
     * (memory + spill) simply disappears, because the layout already
     * paid it at write time. Only columns the pruned schema retains
-    * may appear (the engine resolves these against the scan output). */
+    * may appear (the engine resolves these against the scan output).
+    * `noorder=true` suppresses the report — the honest rehearsal twin
+    * that prices exactly what the declaration saves. */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.SortDirection
+    if (noorder)
+      return Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
     def asc(c: String) = Expressions.sort(Expressions.column(c),
       SortDirection.ASCENDING)
     val names = required.fieldNames.map(_.toLowerCase)

@@ -651,11 +651,14 @@ object StorageOps {
     spjBodyOf(cs, SpjAN, SpjBN)
 
   /** The parameterized form — ScaleRehearsal scales the table extents
-    * through the same body the gate pins. */
+    * through the same body the gate pins. `noorder` suppresses the
+    * scan's reported ordering (the rehearsal's sort-cost twin: same
+    * zero-exchange SPJ, but the SMJ re-sorts every key block). */
   private[graft] def spjBodyOf(cs: SparkSession, nA: Long,
-                               nB: Long): DataFrame = {
+                               nB: Long, noorder: Boolean = false): DataFrame = {
     def tbl(n: Long) = cs.read.format("graft.sources.SeqSource")
-      .option("n", n.toString).option("pstep", SpjStep.toString).load()
+      .option("n", n.toString).option("pstep", SpjStep.toString)
+      .option("noorder", noorder.toString).load()
     val b = tbl(nB).select(col("pkey"), col("id"),
       col("bucket").as("bucket_b"))
     tbl(nA).join(b, Seq("pkey", "id"))

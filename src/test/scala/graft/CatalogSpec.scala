@@ -267,6 +267,13 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       cs.sql("CALL mem.sys.vacuum('ns.cp')").collect()
     }
+    // the procedure surface is discoverable through the DDL verbs
+    val shown = cs.sql("SHOW PROCEDURES IN mem.sys").collect()
+      .map(_.toString).mkString
+    assert(shown.contains("compact"), s"SHOW PROCEDURES missed compact: $shown")
+    val desc = cs.sql("DESCRIBE PROCEDURE mem.sys.compact").collect()
+      .map(_.toString).mkString
+    assert(desc.contains("compact"), s"DESCRIBE PROCEDURE empty: $desc")
   }
 
   test("truncate, drop, and re-create") {

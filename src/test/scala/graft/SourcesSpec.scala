@@ -310,6 +310,16 @@ class SourcesSpec extends SparkSpec {
       "scan-reported ordering did not elide the join sorts")
     assert(smj.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       "SPJ shuffled a join side")
+    // the noorder twin makes the elision ATTRIBUTABLE: same session,
+    // same SPJ layout, ordering withheld → the SMJ plans its sorts
+    val twin = StorageOps.spjBodyOf(on, StorageOps.SpjAN, StorageOps.SpjBN,
+      noorder = true)
+    val tsmj = twin.queryExecution.executedPlan.collect {
+      case j: SortMergeJoinExec => j
+    }
+    assert(tsmj.length == 1 &&
+      tsmj.head.collect { case s: SortExec => s }.nonEmpty,
+      "noorder twin should re-plan the join sorts")
     // and the sort-free plan still returns the exact rows
     val off = spark.newSession()
     off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
