@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** BM25 lexical retrieval over the documents corpus — the sparse
+  * (keyword) half of a RAG stack next to [[Similarity]]'s dense
+  * cosine half; also the standard relevance score for corpus
+  * curation ("find training docs about X").
+  *
+  * Engine-neutral scoring (hash-stable by CONSTRUCTION, not by
+  * rounding): with k1 = 6/5 and b = 3/4, the per-term BM25 factor
+  *
+  *   tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+  *
+  * becomes, after quantizing avgdl once to tenths of a token
+  * (avgq = 10·total_tokens DIV n_docs) and multiplying through by
+  * 10·avgq, the exact integer ratio
+  *
+  *   22·avgq·tf / (10·avgq·tf + 3·avgq + 90·len)
+  *
+  * so each term's contribution is one BIGINT floor-division
+  * idfq·22·avgq·tf DIV (10·avgq·tf + 3·avgq + 90·len) and the doc
+  * score is an exact integer sum — no float ever crosses the engine
+  * boundary. The only transcendental, Robertson idf
+  * ln((N − df + ½)/(df + ½) + 1), is evaluated ONCE (in-plan, over
+  * the distinct-df relation — at most |vocab| rows), quantized to
+  * 10⁻⁷, and replayed into the oracle as integer literals — the same
+  * landed-integer scheme as the perplexity gate, so a 1-ulp libm
+  * divergence cannot flip a hash.
+  *
+  * Shape at scale: tokenize is a narrow explode; tf/len/df are the
+  * wordcount shuffles; the query relation (a handful of terms), the
+  * distinct-df idf table, and the 1-row corpus stats are all
+  * BROADCAST, so scoring adds no shuffle beyond the (query, doc)
+  * partial-agg sum, and the final top-k is a per-query window over
+  * docs that matched at least one query term — the inverted-index
+  * selectivity is what makes BM25 cheap at 100 TB: docs sharing no
+  * term with the query are never scored, never shuffled. Overflow
+  * headroom: idfq·22·avgq·tf stays under 2⁶³ for any document up to
+  * ~10⁵ tokens at ~10⁵ avgdl; book-length corpora would widen the
+  * product to DECIMAL(38,0), identical floor-division semantics on
+  * both engines.
+  */
+object Retrieval {
+
+  val TopK = 10
+
+  /** Fixed query workload (query_id, terms) — vocabulary drawn from
+    * the synthetic corpus. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark join filter"),
+    (2L, "window agg order"),
+    (3L, "fast table scan"))
+
+  private def queryTerms(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Bm25Queries.flatMap { case (id, q) =>
+      q.split(" ").toSeq.map(w => (id, w))
+    }.toDF("query_id", "word")
+  }
+
+  /** Lazily-harvested oracle literals for the quantized idf table
+    * (df → idfq), set whenever a scoring runs and evaluated only at
+    * oracle-dump time (Verify runs every query before dumping) —
+    * bounded by distinct-df count, which is at most the vocabulary
+    * size and in practice tiny. Past the cap the oracle falls back
+    * to re-deriving ln (documented, carries the ulp-boundary risk
+    * the literal path removes). */
+  private val idfStash = new java.util.concurrent.atomic.AtomicReference[
+    () => Seq[(Long, Long)]](null)
+  private val IdfLiteralCap = 100000
+
+  private[graft] def idfValuesSql: Option[String] =
+    Option(idfStash.get())
+      .flatMap(t => scala.util.Try(t()).toOption)
+      .filter(rs => rs.nonEmpty && rs.size <= IdfLiteralCap)
+      .map(_.sortBy(_._1).map { case (d, q) => s"($d,$q)" }.mkString(", "))
+
+  /** Top-[[TopK]] docs per query by exact-integer BM25:
+    * (query_id, doc_id, n_terms, score, rank). */
+  def bm25Retrieve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = TextOps.tokenize(docs)
+    val dt = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // 1-row corpus stats; avgdl quantized to tenths of a token by
+    // integer division — the engine-neutral constant the integer
+    // ratio above is built on
+    val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
+      .select(expr("(10 * t) div nd").as("avgq"))
+    val nd = docs.agg(count(lit(1)).as("ndocs"))
+    val dfr = dt.groupBy("word").agg(count(lit(1)).as("df"))
+    // Robertson idf over the DISTINCT df domain — ln runs once per
+    // distinct df, here, and nowhere else (both engines replay the
+    // landed integers)
+    val idf = dfr.select("df").distinct()
+      .crossJoin(broadcast(nd))
+      .select(col("df"),
+        round(log((col("ndocs").cast("double") - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * 1e7, 0).cast("long").as("idfq"))
+    idfStash.set(() =>
+      idf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val contrib = queryTerms(s).join(dt, "word")
+      .join(dl, "doc_id")
+      .join(dfr, "word")
+      .join(broadcast(idf), "df")
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"),
+        expr("(idfq * 22 * avgq * tf) div " +
+          "(10 * avgq * tf + 3 * avgq + 90 * len)").as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "doc_id", "n_terms", "score", "rank")
+      .transform(Present.sorted(_, col("query_id"), col("rank")))
+  }
+
+  private def qtValues: String =
+    Bm25Queries.flatMap { case (id, q) =>
+      q.split(" ").toSeq.map(w => s"(${id}::BIGINT, '$w')")
+    }.mkString(", ")
+
+  /** (idf CTE, idf join clause) — literal-replay form when a run has
+    * stashed the landed integers; ln-rederiving fallback otherwise. */
+  private def idfOracleParts: (String, String) = idfValuesSql match {
+    case Some(vals) =>
+      (s"idfv(df, idfq) AS (VALUES $vals)", "JOIN idfv USING (df)")
+    case None =>
+      ("""idfv AS (
+         |  SELECT df, round(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+         |    * 10000000)::BIGINT AS idfq
+         |  FROM (SELECT DISTINCT df FROM dfr)
+         |  CROSS JOIN (SELECT count(*)::BIGINT AS nd FROM documents))"""
+        .stripMargin, "JOIN idfv USING (df)")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_retrieve" -> bm25Retrieve _,
+  )
+
+  // a def, not a val: embeds the idf integers harvested at dump time
+  def oracle: Map[String, String] = {
+    val (idfCte, idfJoin) = idfOracleParts
+    Map(
+      "bm25_retrieve" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, w AS word FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text),
+           |      '[^\\p{L}]+')) AS w
+           |    FROM documents) WHERE w <> ''),
+           |dt AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+           |       FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS len
+           |       FROM toks GROUP BY 1),
+           |st AS (SELECT (10 * CAST(sum(len) AS BIGINT)) //
+           |         count(*)::BIGINT AS avgq FROM dl),
+           |dfr AS (SELECT word, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+           |$idfCte,
+           |qt(query_id, word) AS (VALUES $qtValues),
+           |c AS (
+           |  SELECT qt.query_id, dt.doc_id,
+           |    (idfv.idfq * 22 * st.avgq * dt.tf) //
+           |      (10 * st.avgq * dt.tf + 3 * st.avgq + 90 * dl.len) AS c
+           |  FROM qt JOIN dt USING (word) JOIN dl USING (doc_id)
+           |    JOIN dfr ON dfr.word = qt.word $idfJoin CROSS JOIN st),
+           |sc AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+           |         CAST(sum(c) AS BIGINT) AS score FROM c GROUP BY 1, 2),
+           |rk AS (SELECT *, row_number() OVER (
+           |         PARTITION BY query_id ORDER BY score DESC, doc_id)
+           |         AS rank FROM sc)
+           |SELECT query_id, doc_id, n_terms, score, rank FROM rk
+           |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Retrieval, TextOps}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval: integer-exactness, ranking invariants, and the
+  * broadcast shape that keeps scoring shuffle-free past the tf/df
+  * aggregations. */
+class RetrievalSpec extends SparkSpec {
+
+  private lazy val out = Retrieval.bm25Retrieve(spark, sfDir).collect()
+
+  test("bm25: per-query ranks are 1..k, dense, score-sorted") {
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Retrieval.Bm25Queries.map(_._1).toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length),
+        "ranks not dense from 1")
+      assert(sorted.length <= Retrieval.TopK)
+      val scores = sorted.map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted(Ordering[Long].reverse),
+        s"scores not descending in rank order: $scores")
+      // tie-break is doc_id asc within equal scores
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        if (a.getLong(3) == b.getLong(3))
+          assert(a.getLong(1) < b.getLong(1), "tie not broken by doc_id")
+        case _ =>
+      }
+    }
+  }
+
+  test("bm25: n_terms bounded by the query's term count") {
+    val nTermsByQ = Retrieval.Bm25Queries
+      .map { case (id, q) => id -> q.split(" ").length }.toMap
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= nTermsByQ(r.getLong(0)),
+        s"n_terms out of range: $r")
+    }
+  }
+
+  test("bm25: score replays exactly from integer components") {
+    // independently recompute the top hit of query 1 from raw tf/df/
+    // len/avgq with BigInt arithmetic — the engine's BIGINT sum must
+    // match to the unit (no float anywhere)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val toks = TextOps.tokenize(docs)
+    val terms = Retrieval.Bm25Queries.head._2.split(" ").toSet
+    val top = out.filter(r => r.getLong(0) == 1L && r.getInt(4) == 1).head
+    val docId = top.getLong(1)
+    val tf = toks.filter(col("doc_id") === docId)
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val len = tf.values.sum
+    val lens = toks.groupBy("doc_id").count()
+      .agg(sum("count"), count(lit(1))).collect().head
+    val avgq = 10 * lens.getLong(0) / lens.getLong(1)
+    val nDocs = docs.count()
+    val dfByWord = toks.select("doc_id", "word").distinct()
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = terms.filter(tf.contains).toSeq.map { w =>
+      val idfq = math.round(math.log(
+        (nDocs - dfByWord(w) + 0.5) / (dfByWord(w) + 0.5) + 1.0) * 1e7)
+      (BigInt(idfq) * 22 * avgq * tf(w) /
+        (BigInt(10) * avgq * tf(w) + 3 * avgq + 90 * len)).toLong
+    }.sum
+    assert(top.getLong(3) == expected,
+      s"score ${top.getLong(3)} != replayed $expected for doc $docId")
+  }
+
+  test("bm25: idf, stats, and query relations broadcast (no extra shuffle)") {
+    // string form reads through the AdaptiveSparkPlan wrapper
+    val p = Retrieval.bm25Retrieve(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // idf join + at least one side of the qt/dfr joins broadcast; the
+    // corpus-side tf/len/df aggregations own the only key shuffles
+    assert(p.contains("BroadcastHashJoin"),
+      "no broadcast join in bm25 plan:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "bm25 planned a cartesian product:\n" + p)
+  }
+
+  test("bm25: oracle idf literals harvest after a run") {
+    assert(Retrieval.idfValuesSql.nonEmpty,
+      "idf stash empty after bm25 run — oracle would fall back to ln")
+    assert(Retrieval.oracle("bm25_retrieve").contains("idfv(df, idfq)"),
+      "oracle did not embed the landed idf literals")
+  }
+}
