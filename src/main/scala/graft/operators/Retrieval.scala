@@ -81,7 +81,14 @@ object Retrieval {
 
   /** Top-[[TopK]] docs per query by exact-integer BM25:
     * (query_id, doc_id, n_terms, score, rank). */
-  def bm25Retrieve(s: SparkSession, d: String): DataFrame = {
+  def bm25Retrieve(s: SparkSession, d: String): DataFrame =
+    bm25Ranked(s, d)
+      .transform(Present.sorted(_, col("query_id"), col("rank")))
+
+  /** The pre-presentation ranked relation — shared by the gated query
+    * and the hybrid fusion (which must not inherit the 1-partition
+    * presentation sort mid-plan). */
+  private[graft] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = TextOps.tokenize(docs)
     val dt = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -119,6 +126,66 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("query_id", "doc_id", "n_terms", "score", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25)
+  // and dense (cosine) lists — the standard production RAG pattern
+  // (each retriever catches what the other misses; RRF needs no
+  // score calibration because it consumes only RANKS).
+  // ---------------------------------------------------------------
+
+  /** RRF constant (Cormack et al.: 1/(60 + rank)). */
+  val RrfK = 60
+  /** Integer micro-units: contribution = 10⁹ DIV (RrfK + rank) —
+    * exact BIGINT, so fusion is engine-neutral by construction. */
+  val RrfScale = 1000000000L
+
+  /** Dense top-[[TopK]] per query: query vector = the corpus
+    * embedding whose vec_id equals the query_id (doc and vector ids
+    * share one domain in this corpus). Broadcast queries × streamed
+    * corpus, codegen'd cosine, per-query rank — the [[Similarity]]
+    * brute-force shape with the retrieval workload's ids. */
+  private def denseRanked(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val ids = Bm25Queries.map(_._1)
+    val q = e.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")),
+        6))
+      .withColumn("drank", row_number().over(w))
+      .filter(col("drank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("drank"))
+  }
+
+  /** Top-[[TopK]] fused docs per query:
+    * (query_id, doc_id, srank, drank, rrf, rank) — srank/drank null
+    * when a doc appears in only one list; rrf is the exact-integer
+    * sum of the per-list reciprocal contributions. A full-outer join
+    * of two k-row-per-query lists: past the two retrievers the
+    * fusion is O(queries·k) — free at any corpus size. */
+  def hybridRetrieve(s: SparkSession, d: String): DataFrame = {
+    val sparse = bm25Ranked(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("srank"))
+    val fused = sparse
+      .join(denseRanked(s, d), Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"cast($RrfScale as bigint) div ($RrfK + srank)"),
+          lit(0L)) +
+        coalesce(expr(s"cast($RrfScale as bigint) div ($RrfK + drank)"),
+          lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf"), col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "doc_id", "srank", "drank", "rrf", "rank")
       .transform(Present.sorted(_, col("query_id"), col("rank")))
   }
 
@@ -142,41 +209,82 @@ object Retrieval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bm25_retrieve" -> bm25Retrieve _,
+    "bm25_retrieve"   -> bm25Retrieve _,
+    "hybrid_retrieve" -> hybridRetrieve _,
   )
 
-  // a def, not a val: embeds the idf integers harvested at dump time
-  def oracle: Map[String, String] = {
+  /** The BM25 CTE chain ending in `rk` (ranked, un-truncated) —
+    * shared by the gated query and the hybrid fusion oracle. */
+  private def bm25CtesSql: String = {
     val (idfCte, idfJoin) = idfOracleParts
-    Map(
-      "bm25_retrieve" ->
-        s"""WITH toks AS (
-           |  SELECT doc_id, w AS word FROM (
-           |    SELECT doc_id, unnest(string_split_regex(lower(text),
-           |      '[^\\p{L}]+')) AS w
-           |    FROM documents) WHERE w <> ''),
-           |dt AS (SELECT doc_id, word, count(*)::BIGINT AS tf
-           |       FROM toks GROUP BY 1, 2),
-           |dl AS (SELECT doc_id, count(*)::BIGINT AS len
-           |       FROM toks GROUP BY 1),
-           |st AS (SELECT (10 * CAST(sum(len) AS BIGINT)) //
-           |         count(*)::BIGINT AS avgq FROM dl),
-           |dfr AS (SELECT word, count(*)::BIGINT AS df FROM dt GROUP BY 1),
-           |$idfCte,
-           |qt(query_id, word) AS (VALUES $qtValues),
-           |c AS (
-           |  SELECT qt.query_id, dt.doc_id,
-           |    (idfv.idfq * 22 * st.avgq * dt.tf) //
-           |      (10 * st.avgq * dt.tf + 3 * st.avgq + 90 * dl.len) AS c
-           |  FROM qt JOIN dt USING (word) JOIN dl USING (doc_id)
-           |    JOIN dfr ON dfr.word = qt.word $idfJoin CROSS JOIN st),
-           |sc AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
-           |         CAST(sum(c) AS BIGINT) AS score FROM c GROUP BY 1, 2),
-           |rk AS (SELECT *, row_number() OVER (
-           |         PARTITION BY query_id ORDER BY score DESC, doc_id)
-           |         AS rank FROM sc)
-           |SELECT query_id, doc_id, n_terms, score, rank FROM rk
-           |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
-    )
+    s"""toks AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text),
+       |      '[^\\p{L}]+')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |dt AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS len
+       |       FROM toks GROUP BY 1),
+       |st AS (SELECT (10 * CAST(sum(len) AS BIGINT)) //
+       |         count(*)::BIGINT AS avgq FROM dl),
+       |dfr AS (SELECT word, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+       |$idfCte,
+       |qt(query_id, word) AS (VALUES $qtValues),
+       |c AS (
+       |  SELECT qt.query_id, dt.doc_id,
+       |    (idfv.idfq * 22 * st.avgq * dt.tf) //
+       |      (10 * st.avgq * dt.tf + 3 * st.avgq + 90 * dl.len) AS c
+       |  FROM qt JOIN dt USING (word) JOIN dl USING (doc_id)
+       |    JOIN dfr ON dfr.word = qt.word $idfJoin CROSS JOIN st),
+       |sc AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+       |         CAST(sum(c) AS BIGINT) AS score FROM c GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (
+       |         PARTITION BY query_id ORDER BY score DESC, doc_id)
+       |         AS rank FROM sc)""".stripMargin
   }
+
+  /** Dense-list CTE ending in `dn` — the knn oracle shape with the
+    * retrieval workload's query ids. */
+  private def denseCtesSql: String = {
+    val ids = Bm25Queries.map(_._1).mkString(", ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id IN ($ids)),
+       |dn AS (
+       |  SELECT query_id, doc_id, drank FROM (
+       |    SELECT q.query_id, e.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_dot_product(e.v, q.qv) / sqrt(
+       |          list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)),
+       |          6) DESC, e.vec_id) AS drank
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |  WHERE drank <= $TopK)""".stripMargin
+  }
+
+  // a def, not a val: embeds the idf integers harvested at dump time
+  def oracle: Map[String, String] = Map(
+    "bm25_retrieve" ->
+      s"""WITH $bm25CtesSql
+         |SELECT query_id, doc_id, n_terms, score, rank FROM rk
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "hybrid_retrieve" ->
+      s"""WITH $bm25CtesSql,
+         |sp AS (SELECT query_id, doc_id, rank AS srank FROM rk
+         |       WHERE rank <= $TopK),
+         |$denseCtesSql,
+         |f AS (
+         |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |    s.srank, d.drank,
+         |    coalesce($RrfScale::BIGINT // ($RrfK + s.srank), 0) +
+         |    coalesce($RrfScale::BIGINT // ($RrfK + d.drank), 0) AS rrf
+         |  FROM sp s FULL OUTER JOIN dn d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+         |rk2 AS (SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+         |          AS rank FROM f)
+         |SELECT query_id, doc_id, srank, drank, rrf, rank FROM rk2
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+  )
 }

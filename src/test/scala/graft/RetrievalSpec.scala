@@ -81,6 +81,61 @@ class RetrievalSpec extends SparkSpec {
       "bm25 planned a cartesian product:\n" + p)
   }
 
+  test("hybrid: fused table replays exactly from the component ranks") {
+    import org.apache.spark.sql.functions._
+    val sparse = Retrieval.bm25Retrieve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    // dense twin recomputed independently: rounded cosine vs the
+    // query-id seed vector, (cos desc, vec_id) rank
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val qids = Retrieval.Bm25Queries.map(_._1)
+    val dense = qids.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(v, vecs(q))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Retrieval.TopK).zipWithIndex
+        .map { case ((id, _), i) => (q, id) -> (i + 1) }
+    }.toMap
+    val expected = qids.flatMap { q =>
+      val docs = (sparse.keySet ++ dense.keySet).filter(_._1 == q)
+      docs.toSeq.map { k =>
+        val rrf =
+          sparse.get(k).map(r => Retrieval.RrfScale / (Retrieval.RrfK + r))
+            .getOrElse(0L) +
+          dense.get(k).map(r => Retrieval.RrfScale / (Retrieval.RrfK + r))
+            .getOrElse(0L)
+        (q, k._2, rrf)
+      }.sortBy { case (_, id, rrf) => (-rrf, id) }
+        .take(Retrieval.TopK).zipWithIndex
+        .map { case ((qq, id, rrf), i) => (qq, id, rrf, i + 1) }
+    }.toSet
+    val got = Retrieval.hybridRetrieve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getInt(5)))
+      .toSet
+    assert(got == expected,
+      s"fused mismatch:\nextra=${got -- expected}\nmissing=${expected -- got}")
+  }
+
+  test("hybrid: srank/drank nullability marks single-list docs") {
+    val rows = Retrieval.hybridRetrieve(spark, sfDir).collect()
+    assert(rows.exists(r => r.isNullAt(2) || r.isNullAt(3)),
+      "every fused doc appeared in both lists — workload degenerate?")
+    rows.foreach { r =>
+      assert(!(r.isNullAt(2) && r.isNullAt(3)),
+        s"fused doc in neither list: $r")
+    }
+  }
+
   test("bm25: oracle idf literals harvest after a run") {
     assert(Retrieval.idfValuesSql.nonEmpty,
       "idf stash empty after bm25 run — oracle would fall back to ln")
