@@ -129,7 +129,92 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset
+    with SupportsPushDownJoin {
+
+  /** JOIN PUSHDOWN (Spark 4.1, `spark.sql.optimizer
+    * .datasourceV2JoinPushdown`) — the top rung of the pushdown
+    * ladder: the CONNECTOR answers an inner id-equality join of two
+    * graftseq tables, so the engine plans ONE scan and no join
+    * operator at all. For id-keyed generated ranges the join is
+    * closed-form: matching ids are exactly the INTERSECTION of the
+    * two (already filter-folded) [lo, hi) ranges, and every output
+    * column of either side derives deterministically from id — so
+    * the "join" costs what one range scan costs. This is the
+    * generated-source analogue of JDBC join pushdown (ship the JOIN
+    * to the store): at 100 TB it deletes both scans' shuffle AND the
+    * join operator, strictly stronger than SPJ (which still runs the
+    * join, just without exchanges). Output columns keep the
+    * engine-assigned aliases ([[SupportsPushDownJoin.ColumnWithAlias]]
+    * disambiguates name collisions); chained joins compose — a
+    * pushed join produces another joinable builder, so an N-way
+    * id-equijoin collapses into ONE scan. Anything else (outer
+    * joins, non-id keys, compound conditions, already-aggregated
+    * sides) is refused and the engine keeps its join — refusal is
+    * always safe. */
+  private[sources] var outCols: Seq[(String, String, Long)] =
+    SeqSource.schemaFor(pstep).fields.toSeq
+      .map(f => (f.name, f.name, pstep))
+  private var joined = false
+
+  override def isOtherSideCompatibleForJoin(
+      other: SupportsPushDownJoin): Boolean =
+    other.isInstanceOf[SeqScanBuilder] &&
+      pushedAgg.isEmpty &&
+      other.asInstanceOf[SeqScanBuilder].pushedAgg.isEmpty
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Boolean = other match {
+    case o: SeqScanBuilder
+        if joinType == org.apache.spark.sql.connector.join.JoinType.INNER_JOIN &&
+          pushedAgg.isEmpty && o.pushedAgg.isEmpty =>
+      def rename(src: Seq[(String, String, Long)],
+                 c: SupportsPushDownJoin.ColumnWithAlias)
+          : Option[(String, String, Long)] =
+        src.find(_._1.equalsIgnoreCase(c.colName))
+          .map { case (_, s, p) =>
+            (Option(c.alias).getOrElse(c.colName), s, p) }
+      val nl = leftCols.toSeq.map(rename(outCols, _))
+      val nr = rightCols.toSeq.map(rename(o.outCols, _))
+      if (nl.exists(_.isEmpty) || nr.exists(_.isEmpty)) return false
+      val lmap = nl.flatten.map(c => c._1.toLowerCase -> c).toMap
+      val rmap = nr.flatten.map(c => c._1.toLowerCase -> c).toMap
+      // the condition arrives over the RENAMED namespace; accept
+      // exactly `left-id-derived = right-id-derived`
+      def refName(e: V2Expression): Option[String] = e match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          Some(n.fieldNames()(0).toLowerCase)
+        case _ => None
+      }
+      val kids = condition.children()
+      val keyed = condition.name() == "=" && kids.length == 2 && {
+        (refName(kids(0)), refName(kids(1))) match {
+          case (Some(a), Some(b)) =>
+            (lmap.get(a).exists(_._2 == "id") &&
+              rmap.get(b).exists(_._2 == "id")) ||
+            (lmap.get(b).exists(_._2 == "id") &&
+              rmap.get(a).exists(_._2 == "id"))
+          case _ => false
+        }
+      }
+      if (!keyed) return false
+      lo = math.max(lo, o.lo)
+      hi = math.min(hi, o.hi)
+      outCols = nl.flatten ++ nr.flatten
+      required = StructType(outCols.map { case (name, src, _) =>
+        StructField(name,
+          if (src.equalsIgnoreCase("word")) StringType else LongType,
+          nullable = false)
+      })
+      joined = true
+      true
+    case _ => false
+  }
   private var lo = 0L
   private var hi = n
   private var accepted = Array.empty[Filter]
@@ -137,7 +222,10 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
   private var pushedAgg: Option[Aggregation] = None
   private var topNDesc = false
 
-  private def isId(att: String): Boolean = att.equalsIgnoreCase("id")
+  /** "Is this (possibly join-renamed) output column id-derived?" —
+    * filters/TopN on any alias of id still fold into the range. */
+  private def isId(att: String): Boolean =
+    outCols.exists(c => c._1.equalsIgnoreCase(att) && c._2 == "id")
 
   /** LIMIT/TopN/OFFSET fold into the id range too — the pagination
     * rungs of the ladder. The engine calls these AFTER filters, so
@@ -229,7 +317,8 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
     }
 
   private def canPush(agg: Aggregation): Boolean =
-    (agg.groupByExpressions.isEmpty || groupColOf(agg).isDefined) &&
+    !joined && // a pushed join renames columns; keep aggs engine-side
+      (agg.groupByExpressions.isEmpty || groupColOf(agg).isDefined) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(supported)
 
@@ -274,6 +363,13 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
       new SeqGroupAggScan(lo, math.max(lo, hi), parts,
         groupColOf(agg).get, agg, pstep)
     case Some(agg) => new SeqAggScan(lo, math.max(lo, hi), agg)
+    case None if joined =>
+      // joined output: per-column (source, side-pstep) mapping; the
+      // scan itself is un-keyed (the join it would have keyed for is
+      // already absorbed) and reads rows (the mapping is per-name)
+      new SeqScan(lo, math.max(lo, hi), parts, required, batchRows,
+        0L, columnar = false, noorder = noorder,
+        colMap = outCols.map(c => c._1 -> ((c._2, c._3))).toMap)
     case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows,
       pstep, columnar, noorder)
   }
@@ -294,11 +390,18 @@ object SeqScan {
 
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
               batchRows: Long, pstep: Long = 0L, columnar: Boolean = false,
-              noorder: Boolean = false)
+              noorder: Boolean = false,
+              colMap: Map[String, (String, Long)] = Map.empty)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema: StructType = required
+
+  /** Output name → (source column, that column's side pstep). Empty
+    * for a plain scan; populated by a pushed join, where engine-
+    * assigned aliases (id_1, …) map back to their generators. */
+  private def srcOf(name: String): (String, Long) =
+    colMap.getOrElse(name, (name, pstep))
 
   /** Reported OUTPUT ORDERING — the sort-elision rung, the natural
     * companion of [[outputPartitioning]]: every reader streams ids
@@ -320,6 +423,13 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
       return Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
     def asc(c: String) = Expressions.sort(Expressions.column(c),
       SortDirection.ASCENDING)
+    if (colMap.nonEmpty)
+      // joined output: the engine resolves reported orderings against
+      // the ORIGINAL relation's attributes, not the join's aliased
+      // output (upstream join pushdown doesn't exercise
+      // SupportsReportOrdering), so a joined scan must stay silent —
+      // there is no downstream join left to elide sorts for anyway
+      return Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
     val names = required.fieldNames.map(_.toLowerCase)
     val cols =
       (if (pstep > 0 && names.contains("pkey")) Seq("pkey") else Nil) ++
@@ -375,12 +485,16 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
   // runtime split pruning would break it. The two rungs are separate
   // demonstrations by design.
   override def filterAttributes(): Array[NamedReference] =
-    if (pstep > 0) Array.empty else Array(Expressions.column("id"))
+    // a joined scan stays silent for the same resolution reason as
+    // outputOrdering (engine resolves against pre-join attributes)
+    if (pstep > 0 || colMap.nonEmpty) Array.empty
+    else Array(Expressions.column("id"))
 
   override def filter(predicates: Array[Predicate]): Unit = {
     def isIdRef(e: V2Expression): Boolean = e match {
       case n: NamedReference =>
-        n.fieldNames.length == 1 && n.fieldNames()(0).equalsIgnoreCase("id")
+        n.fieldNames.length == 1 &&
+          srcOf(n.fieldNames()(0))._1.equalsIgnoreCase("id")
       case _ => false
     }
     def longOf(e: V2Expression): Option[Long] = e match {
@@ -449,7 +563,8 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
     res
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames.toIndexedSeq, pstep, columnar)
+    new SeqReaderFactory(required.fieldNames.map(srcOf).toIndexedSeq,
+      columnar)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SeqMicroBatchStream(lo, hi, parts, required, batchRows)
@@ -515,7 +630,7 @@ class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int,
     SeqScan.splitRange(start.asInstanceOf[SeqOffset].v,
       end.asInstanceOf[SeqOffset].v, parts)
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames.toIndexedSeq)
+    new SeqReaderFactory(required.fieldNames.map(n => (n, 0L)).toIndexedSeq)
 }
 
 /** The scan a pushed GLOBAL aggregate builds to: one partition, one
@@ -661,7 +776,10 @@ class SeqGroupAggReaderFactory(groupCol: String,
   }
 }
 
-class SeqReaderFactory(cols: IndexedSeq[String], pstep: Long = 0L,
+/** Per-column (source, pstep) pairs: a plain scan's columns carry the
+  * scan's own pstep; a pushed-join scan maps each aliased output back
+  * to its source column and ORIGINAL side's pstep. */
+class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
                        columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -671,11 +789,11 @@ class SeqReaderFactory(cols: IndexedSeq[String], pstep: Long = 0L,
       override def next(): Boolean = { cur += 1; cur < r.hi }
       override def get(): InternalRow = {
         val vals = cols.map {
-          case "id"     => java.lang.Long.valueOf(cur)
-          case "bucket" => java.lang.Long.valueOf(SeqSource.bucketOf(cur))
-          case "word"   => UTF8String.fromString("w" + (cur % 50))
-          case "pkey"   => java.lang.Long.valueOf(cur / pstep)
-          case "_split_lo" => java.lang.Long.valueOf(r.lo)
+          case ("id", _)     => java.lang.Long.valueOf(cur)
+          case ("bucket", _) => java.lang.Long.valueOf(SeqSource.bucketOf(cur))
+          case ("word", _)   => UTF8String.fromString("w" + (cur % 50))
+          case ("pkey", p)   => java.lang.Long.valueOf(cur / p)
+          case ("_split_lo", _) => java.lang.Long.valueOf(r.lo)
         }
         new GenericInternalRow(vals.toArray[Any])
       }
@@ -698,7 +816,7 @@ class SeqReaderFactory(cols: IndexedSeq[String], pstep: Long = 0L,
       private var cur = r.lo
       private val vectors = cols.map { c =>
         new OnHeapColumnVector(cap,
-          if (c == "word") StringType else LongType)
+          if (c._1 == "word") StringType else LongType)
       }.toArray
       private val batch =
         new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
@@ -711,18 +829,18 @@ class SeqReaderFactory(cols: IndexedSeq[String], pstep: Long = 0L,
           val v = vectors(ci)
           var i = 0
           cols(ci) match {
-            case "id" =>
+            case ("id", _) =>
               while (i < n) { v.putLong(i, cur + i); i += 1 }
-            case "bucket" =>
+            case ("bucket", _) =>
               while (i < n) { v.putLong(i, SeqSource.bucketOf(cur + i)); i += 1 }
-            case "word" =>
+            case ("word", _) =>
               while (i < n) {
                 v.putByteArray(i, ("w" + ((cur + i) % 50)).getBytes("UTF-8"))
                 i += 1
               }
-            case "pkey" =>
-              while (i < n) { v.putLong(i, (cur + i) / pstep); i += 1 }
-            case "_split_lo" =>
+            case ("pkey", p) =>
+              while (i < n) { v.putLong(i, (cur + i) / p); i += 1 }
+            case ("_split_lo", _) =>
               while (i < n) { v.putLong(i, r.lo); i += 1 }
           }
           ci += 1

@@ -555,6 +555,44 @@ object StorageOps {
         max("id").as("max_id"), sum("id").as("sum_id"))
       .transform(Present.sorted(_, col("word")))
 
+  /** JOIN pushdown through the connector (Spark 4.1,
+    * `spark.sql.optimizer.datasourceV2JoinPushdown`) — the TOP rung
+    * of the ladder: the connector answers the inner id-equality join
+    * of two graftseq tables itself, so the engine plans ONE scan and
+    * NO join operator at all. For id-keyed generated ranges the join
+    * is closed-form (the intersection of the filter-folded ranges),
+    * the way a JDBC connector ships the whole JOIN to the database —
+    * strictly stronger than SPJ, which still executes the join, just
+    * without exchanges. The filters on both sides fold FIRST, then
+    * the join intersects the surviving ranges; the GROUP BY above
+    * stays engine-side (a pushed join refuses aggregate pushdown —
+    * its columns are engine-aliased), pinning that the rungs compose
+    * without overclaiming. Conf rides a cloned session. SourcesSpec
+    * pins zero join nodes + the intersected scan range + the 3-way
+    * collapse + refusal shapes (outer/non-equi keep the engine
+    * join). */
+  def dsv2JoinPushdown(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    val (a, b) = dsv2JoinSides(cs)
+    dsv2JoinBody(a, b)
+  }
+
+  private[graft] def dsv2JoinSides(cs: SparkSession)
+      : (DataFrame, DataFrame) = {
+    def tbl(n: Long) = cs.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).option("parts", "8").load()
+    (tbl(Dsv2N).filter(col("id") >= Dsv2N / 10), tbl(Dsv2N / 2))
+  }
+
+  private[graft] def dsv2JoinBody(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a("id") === b("id"))
+      .select(a("id").as("id"), a("bucket").as("bucket"), b("word").as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), sum("bucket").as("sum_bucket"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .transform(Present.sorted(_, col("word")))
+
   /** Parquet aggregate pushdown — the FILE-source twin of
     * [[dsv2AggPushdown]], and the footer-statistics story: on the V2
     * parquet read path with `spark.sql.parquet.aggregatePushdown` on,
@@ -1371,6 +1409,7 @@ object StorageOps {
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
     "dsv2_group_agg_pushdown" -> dsv2GroupAggPushdown _,
+    "dsv2_join_pushdown" -> dsv2JoinPushdown _,
     "parquet_agg_pushdown" -> parquetAggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "dsv2_metadata_col"   -> dsv2MetadataCol _,
@@ -1537,6 +1576,17 @@ object StorageOps {
       s"""SELECT 'w' || (i % 50) AS word, count(*)::BIGINT AS n_rows,
          |  min(i) AS min_id, max(i) AS max_id, sum(i)::BIGINT AS sum_id
          |FROM range(100, ${Dsv2N - 123}) t(i)
+         |GROUP BY 1 ORDER BY word""".stripMargin,
+    // the connector-answered join replayed as one range scan over the
+    // INTERSECTION of the two filter-folded ranges (inner id-equijoin
+    // of generated sequences ≡ their range intersection), md5 bucket
+    // and word rule as everywhere
+    "dsv2_join_pushdown" ->
+      s"""SELECT 'w' || (i % 50) AS word, count(*)::BIGINT AS cnt,
+         |  sum(('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |    % 100)::BIGINT AS sum_bucket,
+         |  min(i) AS min_id, max(i) AS max_id
+         |FROM range(${Dsv2N / 10}, ${Dsv2N / 2}) t(i)
          |GROUP BY 1 ORDER BY word""".stripMargin,
     // each version replayed from the rule; v0 must be unperturbed by
     // the v1 write (immutable version directories)

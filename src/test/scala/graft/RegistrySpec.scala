@@ -38,7 +38,8 @@ class RegistrySpec extends AnyFunSuite {
       "SaltedAgg" -> graft.operators.SaltedAgg.queries.keySet,
       "StreamOps" -> graft.streaming.StreamOps.queries.keySet,
       "StorageOps" -> graft.sources.StorageOps.queries.keySet,
-      "TopKOps" -> graft.operators.TopKOps.queries.keySet)
+      "TopKOps" -> graft.operators.TopKOps.queries.keySet,
+      "Retrieval" -> graft.operators.Retrieval.queries.keySet)
     val collisions = maps.combinations(2).flatMap {
       case Seq((an, as), (bn, bs)) =>
         (as & bs).map(k => s"$k ($an vs $bn)")

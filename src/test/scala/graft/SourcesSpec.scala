@@ -472,6 +472,63 @@ class SourcesSpec extends SparkSpec {
       }
   }
 
+  test("dsv2 join pushdown: the connector answers the join — zero join nodes") {
+    import graft.sources.StorageOps
+    val on = spark.newSession()
+    on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    on.conf.set("spark.sql.adaptive.enabled", "false")
+    val (a, b) = StorageOps.dsv2JoinSides(on)
+    val body = StorageOps.dsv2JoinBody(a, b)
+    val p = body.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"),
+      "pushed join still planned a join operator:\n" + p)
+    // the scan folded to the INTERSECTION of the filter-folded ranges
+    assert(p.contains(s"graftseq range [${StorageOps.Dsv2N / 10}, " +
+      s"${StorageOps.Dsv2N / 2})"),
+      "scan range is not the two-sided intersection:\n" + p)
+    // the GROUP BY stayed engine-side (a joined builder refuses aggs)
+    assert(p.contains("HashAggregate"),
+      "expected the aggregate ABOVE the pushed join:\n" + p)
+    // pushdown changes the plan, never the rows
+    val off = spark.newSession()
+    off.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+    val (a2, b2) = StorageOps.dsv2JoinSides(off)
+    val plain = StorageOps.dsv2JoinBody(a2, b2)
+    assert(plain.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"), "control plan lost its join?")
+    assert(body.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("dsv2 join pushdown: three-way id-equijoin collapses into ONE scan") {
+    val on = spark.newSession()
+    on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    def tbl(n: Long) = on.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).load()
+    val j3 = tbl(1000).join(tbl(700), "id").join(tbl(450), "id")
+    val p = j3.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"),
+      "three-way join did not collapse:\n" + p)
+    assert(p.contains("graftseq range [0, 450)"),
+      "chained intersection wrong:\n" + p)
+    assert(j3.count() == 450)
+  }
+
+  test("dsv2 join pushdown: outer and non-equi joins are refused, stay correct") {
+    val on = spark.newSession()
+    on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    def tbl(n: Long) = on.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).load()
+    val outer = tbl(300).join(tbl(200), Seq("id"), "left_outer")
+    assert(outer.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"), "outer join must NOT push")
+    assert(outer.count() == 300)
+    val ne = tbl(100).as("x").join(tbl(100).as("y"),
+      col("x.id") === col("y.id") + 1)
+    assert(ne.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"), "non-equi join must NOT push")
+    assert(ne.count() == 99)
+  }
+
   test("S6 JSON sink roundtrip") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_json").toString
