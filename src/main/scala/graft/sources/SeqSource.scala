@@ -130,7 +130,31 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset
-    with SupportsPushDownJoin {
+    with SupportsPushDownJoin
+    with SupportsPushDownTableSample {
+
+  /** TABLESAMPLE pushdown — the source applies its own sampling (the
+    * JDBC `TABLESAMPLE SYSTEM` shape): for a generated range the
+    * deterministic instantiation is the [lower, upper) SLICE of the
+    * surviving id span — a legal sample (the contract hands sampling
+    * semantics to the store), and deterministic so the oracle can
+    * replay it exactly. Pushdown is COMPLETE: the engine drops its
+    * Sample operator entirely, and because the fold happens on
+    * [lo, hi) it COMPOSES with every later rung — a sampled COUNT
+    * still answers closed-form from range arithmetic with no rows
+    * read. Replacement sampling is refused (a slice cannot emit
+    * duplicates). */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean,
+                               seed: Long): Boolean = {
+    if (withReplacement || joined) return false
+    val span = math.max(0L, hi - lo)
+    val newHi = lo + (span * upperBound).toLong
+    val newLo = lo + (span * lowerBound).toLong
+    lo = newLo
+    hi = newHi
+    true
+  }
 
   /** JOIN PUSHDOWN (Spark 4.1, `spark.sql.optimizer
     * .datasourceV2JoinPushdown`) — the top rung of the pushdown

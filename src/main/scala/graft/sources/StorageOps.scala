@@ -555,6 +555,26 @@ object StorageOps {
         max("id").as("max_id"), sum("id").as("sum_id"))
       .transform(Present.sorted(_, col("word")))
 
+  /** TABLESAMPLE pushdown — the source owns its sampling (the JDBC
+    * `TABLESAMPLE SYSTEM` shape): the generated range instantiates a
+    * sample as the deterministic [lower, upper) slice of the id span,
+    * the engine drops its Sample operator entirely (complete
+    * pushdown), and because the fold lands on [lo, hi) it COMPOSES
+    * with aggregate pushdown — this query's sampled COUNT/MIN/MAX/SUM
+    * is answered closed-form from range arithmetic over the slice,
+    * zero rows read, no Sample and no Aggregate in the plan. At
+    * 100 TB sample pushdown is what makes "profile 1% of the table"
+    * cost 1% (or, for a stats-backed store, nothing) instead of a
+    * full scan that discards 99% after the fact. SourcesSpec pins
+    * both absences + the slice range + row equality vs engine-side
+    * sampling semantics (count of the unsampled twin × fraction). */
+  def dsv2SamplePushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", Dsv2N.toString).option("parts", "8").load()
+      .sample(0.25, 42L)
+      .agg(count(lit(1)).as("n_rows"), min("id").as("min_id"),
+        max("id").as("max_id"), sum("id").as("sum_id"))
+
   /** JOIN pushdown through the connector (Spark 4.1,
     * `spark.sql.optimizer.datasourceV2JoinPushdown`) — the TOP rung
     * of the ladder: the connector answers the inner id-equality join
@@ -1410,6 +1430,7 @@ object StorageOps {
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
     "dsv2_group_agg_pushdown" -> dsv2GroupAggPushdown _,
     "dsv2_join_pushdown" -> dsv2JoinPushdown _,
+    "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "parquet_agg_pushdown" -> parquetAggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "dsv2_metadata_col"   -> dsv2MetadataCol _,
@@ -1577,6 +1598,14 @@ object StorageOps {
          |  min(i) AS min_id, max(i) AS max_id, sum(i)::BIGINT AS sum_id
          |FROM range(100, ${Dsv2N - 123}) t(i)
          |GROUP BY 1 ORDER BY word""".stripMargin,
+    // the pushed sample is the deterministic [0, n·fraction) slice;
+    // the aggregate over it replayed from the same range (the JVM
+    // computes the bound once and embeds it — both engines replay
+    // the identical integer)
+    "dsv2_sample_pushdown" ->
+      s"""SELECT count(*)::BIGINT AS n_rows, min(i) AS min_id,
+         |  max(i) AS max_id, sum(i)::BIGINT AS sum_id
+         |FROM range(0, ${(Dsv2N * 0.25).toLong}) t(i)""".stripMargin,
     // the connector-answered join replayed as one range scan over the
     // INTERSECTION of the two filter-folded ranges (inner id-equijoin
     // of generated sequences ≡ their range intersection), md5 bucket

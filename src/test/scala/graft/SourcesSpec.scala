@@ -472,6 +472,31 @@ class SourcesSpec extends SparkSpec {
       }
   }
 
+  test("dsv2 sample pushdown: no Sample operator, composes with pushed aggs") {
+    import graft.sources.StorageOps
+    val agg = StorageOps.dsv2SamplePushdown(spark, sfDir)
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Sample"), "Sample survived pushdown:\n" + p)
+    assert(!p.contains("HashAggregate"),
+      "sampled aggregate did not answer closed-form:\n" + p)
+    val r = agg.collect().head
+    val n = (StorageOps.Dsv2N * 0.25).toLong
+    assert(r.getLong(0) == n && r.getLong(1) == 0 && r.getLong(2) == n - 1 &&
+      r.getLong(3) == n * (n - 1) / 2, s"sampled agg wrong: $r")
+    // row-level: the pushed sample is the deterministic prefix slice
+    val rows = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000").load().sample(0.1, 7L)
+    val rp = rows.queryExecution.executedPlan.toString
+    assert(!rp.contains("Sample") && rp.contains("graftseq range [0, 100)"),
+      "row-level sample not folded to the slice:\n" + rp)
+    assert(rows.count() == 100)
+    // replacement sampling is refused — the engine keeps its Sample
+    val wr = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000").load().sample(withReplacement = true, 0.1, 7L)
+    assert(wr.queryExecution.executedPlan.toString.contains("Sample"),
+      "withReplacement must not push")
+  }
+
   test("dsv2 join pushdown: the connector answers the join — zero join nodes") {
     import graft.sources.StorageOps
     val on = spark.newSession()
