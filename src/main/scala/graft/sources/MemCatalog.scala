@@ -109,7 +109,8 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val t = new MemTable(key(ident), schema, isMor(properties))
+    val t = new MemTable(key(ident), schema, isMor(properties),
+      MemCatalog.partitionColOf(schema, partitions))
     if (tables.putIfAbsent(key(ident), t) != null)
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
     t
@@ -291,6 +292,30 @@ object MemTable {
   val rewrites = new java.util.concurrent.atomic.AtomicInteger(0)
   val deltaCommits = new java.util.concurrent.atomic.AtomicInteger(0)
   val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+  val replaceWheres = new java.util.concurrent.atomic.AtomicInteger(0)
+  val dynamicOverwrites = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+object MemCatalog {
+  /** Parse CREATE's PARTITIONED BY: at most ONE identity transform on
+    * an existing BIGINT column (the toy store's partition currency —
+    * the contract, not the type width, is the point). */
+  private[sources] def partitionColOf(schema: StructType,
+                                      partitions: Array[Transform])
+      : Option[String] = partitions.toSeq match {
+    case Seq() => None
+    case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+      val col = t.references()(0).fieldNames.mkString(".")
+      val f = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $col not in schema"))
+      if (f.dataType != LongType)
+        throw new UnsupportedOperationException(
+          s"mem catalog partitions only BIGINT columns, got ${f.dataType}")
+      Some(f.name)
+    case _ => throw new UnsupportedOperationException(
+      "mem catalog supports at most one identity partition column")
+  }
 }
 
 /** A stored row plus the LAYOUT it was written under: the field ids,
@@ -310,10 +335,18 @@ case class MemUpdRec(key: Long, row: MemRow) extends MemDeltaRec
 case class MemInsRec(row: MemRow) extends MemDeltaRec
 
 class MemTable(tableName: String, tableSchema: StructType,
-               val mor: Boolean = false)
+               val mor: Boolean = false,
+               val partitionCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable
     with SupportsRowLevelOperations {
+
+  /** PARTITIONED BY (identity) — what makes dynamic overwrite
+    * meaningful: the overwrite unit is the partition, not the table. */
+  override def partitioning(): Array[Transform] =
+    partitionCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   /** Row-level operations, two shapes:
     *
@@ -495,7 +528,8 @@ class MemTable(tableName: String, tableSchema: StructType,
   override def schema(): StructType = effectiveSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def truncateTable(): Boolean = {
     rows.synchronized { rows.clear(); deltaLog.clear() }; true
@@ -554,6 +588,38 @@ class MemTable(tableName: String, tableSchema: StructType,
   // their deletes route through the SupportsDelta path instead
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !mor && filters.forall(evaluable)
+
+  /** Store-side removal under a v1 filter conjunction — the delete
+    * half of REPLACE WHERE. AlwaysTrue short-circuits to truncate. */
+  private[sources] def removeWhere(filters: Array[Filter]): Unit =
+    rows.synchronized {
+      val keep = rows.asScala.filterNot(r => filters.forall(eval(_, r))).toSeq
+      rows.clear(); keep.foreach(rows.add)
+    }
+
+  private[sources] def overwritableFilters(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case f => evaluable(f)
+    }
+
+  /** Partition value of a stored row (dynamic overwrite's grouping
+    * key), resolved through field ids like every scan. */
+  private[sources] def partitionValueOf(mr: MemRow): Long = {
+    val name = partitionCol.getOrElse(
+      throw new IllegalStateException("unpartitioned table"))
+    val fid = colIds(colFields.indexWhere(_.name == name))
+    mr.row.getLong(mr.layout.indexOf(fid))
+  }
+
+  /** Remove every row whose partition lands in `keys` — the
+    * dynamic-overwrite delete step. */
+  private[sources] def removePartitions(keys: Set[Long]): Unit =
+    rows.synchronized {
+      val keep = rows.asScala.filterNot(r =>
+        keys.contains(partitionValueOf(r))).toSeq
+      rows.clear(); keep.foreach(rows.add)
+    }
   override def deleteWhere(filters: Array[Filter]): Unit = {
     MemTable.metadataDeletes.incrementAndGet()
     rows.synchronized {
@@ -573,15 +639,43 @@ class MemTable(tableName: String, tableSchema: StructType,
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite
+        with SupportsDynamicOverwrite {
       // overwrite-by-truncate: clear atomically with the append, in
       // the driver-side commit (RTAS and INSERT OVERWRITE route here)
       private var truncateFirst = false
+      // REPLACE WHERE: delete-matching + append in ONE commit
+      private var owFilters: Option[Array[Filter]] = None
+      // dynamic partition overwrite: replace exactly the partitions
+      // the incoming batch touches, leave every other one alone
+      private var dynamic = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (!overwritableFilters(filters))
+          throw new UnsupportedOperationException(
+            "overwrite condition not store-evaluable: " +
+              filters.mkString(", "))
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          truncateFirst = true
+        else owFilters = Some(filters.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        if (partitionCol.isEmpty)
+          throw new UnsupportedOperationException(
+            "dynamic overwrite needs a partitioned table")
+        dynamic = true
+        this
+      }
       override def build(): Write = {
         val t = truncateFirst
+        val ow = owFilters
+        val dyn = dynamic
         new Write {
-          override def toBatch: BatchWrite = new MemBatchWrite(MemTable.this, t)
+          override def toBatch: BatchWrite =
+            new MemBatchWrite(MemTable.this, t, rowLevel = false,
+              overwriteFilters = ow, dynamicPartitions = dyn)
         }
       }
     }
@@ -631,16 +725,31 @@ class MemScan(data: Array[MemRow], full: StructType, fullIds: Array[Int],
 case class MemPartition(rows: Array[MemRow]) extends InputPartition
 
 class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
-                    rowLevel: Boolean = false)
+                    rowLevel: Boolean = false,
+                    overwriteFilters: Option[Array[Filter]] = None,
+                    dynamicPartitions: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(table.schema(), rowLevel)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (rowLevel) MemTable.rewrites.incrementAndGet()
     if (truncateFirst) table.truncateTable()
-    messages.foreach { m =>
-      table.append(m.asInstanceOf[MemRowsMsg].rows.toSeq)
+    val incoming = messages.toSeq.flatMap(
+      _.asInstanceOf[MemRowsMsg].rows.toSeq)
+    // REPLACE WHERE: one atomic delete-matching + append commit
+    overwriteFilters.foreach { fs =>
+      MemTable.replaceWheres.incrementAndGet()
+      table.removeWhere(fs)
     }
+    // dynamic overwrite: replace exactly the partitions the batch
+    // touches (computed from the incoming rows, never declared)
+    if (dynamicPartitions) {
+      MemTable.dynamicOverwrites.incrementAndGet()
+      val ord = table.schema().fieldIndex(table.partitionCol.get)
+      val touched = incoming.map(_.getLong(ord)).toSet
+      table.removePartitions(touched)
+    }
+    table.append(incoming)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

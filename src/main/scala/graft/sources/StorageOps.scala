@@ -286,6 +286,72 @@ object StorageOps {
     cs.sql("SELECT k, v FROM graft_mem.ns.acct_mor ORDER BY k")
   }
 
+  /** REPLACE WHERE through the catalog plugin (`SupportsOverwrite`):
+    * `df.writeTo(t).overwrite(condition)` commits delete-matching +
+    * append as ONE atomic write — the partition-surgery verb that
+    * replaces a slice of a table without touching the rest and
+    * without a read-modify-write round trip through the engine. At
+    * 100 TB this is how a backfill replaces one day of a fact table:
+    * the store deletes the slice and lands the recomputation in the
+    * same commit, so readers never observe the gap. Store-evaluable
+    * conditions only (same contract as metadata DELETE); anything
+    * else is refused loudly rather than silently mis-replaced.
+    * Oracle replays base − slice + recomputation as CTEs. */
+  def catalogReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    Tables.customer(cs, d).createOrReplaceTempView("customer")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.rw AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)
+    // the backfill: recompute the k < 10 slice from a different rule
+    // and swap it in atomically
+    cs.table("customer")
+      .groupBy((col("c_custkey") % 10).cast("long").as("k"))
+      .agg(count(lit(1)).cast("long").as("v"))
+      .writeTo("graft_mem.ns.rw").overwrite(col("k") < 10)
+    cs.sql("SELECT k, v FROM graft_mem.ns.rw ORDER BY k, v")
+  }
+
+  /** DYNAMIC partition overwrite through the catalog plugin
+    * (`SupportsDynamicOverwrite` + identity `PARTITIONED BY`): with
+    * `partitionOverwriteMode=dynamic`, INSERT OVERWRITE replaces
+    * exactly the partitions the incoming batch TOUCHES — computed
+    * from the data, never declared — and leaves every other
+    * partition alone. The daily-reprocessing contract at 100 TB:
+    * recompute two days, overwrite two days, the other thousand
+    * survive untouched. Static mode on the same table is the
+    * documented contrast: it truncates everything first
+    * (CatalogSpec pins both). Oracle replays untouched ∪ recomputed. */
+  def catalogDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    cs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.dyn (part BIGINT, k BIGINT, v BIGINT)
+        |PARTITIONED BY (part)""".stripMargin)
+    cs.sql(
+      """INSERT INTO graft_mem.ns.dyn
+        |SELECT CAST(o_custkey % 5 AS BIGINT) AS part,
+        |  CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 5, o_custkey % 97""".stripMargin)
+    // reprocess partitions 1 and 3 only — the overwrite set is
+    // whatever the batch contains
+    cs.sql(
+      """INSERT OVERWRITE graft_mem.ns.dyn
+        |SELECT CAST(o_custkey % 5 AS BIGINT) AS part,
+        |  CAST(o_custkey % 11 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS v
+        |FROM orders WHERE o_custkey % 5 IN (1, 3)
+        |GROUP BY o_custkey % 5, o_custkey % 11""".stripMargin)
+    cs.sql("SELECT part, k, v FROM graft_mem.ns.dyn ORDER BY part, k, v")
+  }
+
   /** Column DEFAULTs through the catalog plugin — the schema-evolution
     * rung's CATALOG-side twin (`schema_evolution` covers the file
     * source): the catalog declares
@@ -1442,6 +1508,8 @@ object StorageOps {
     "catalog_dml"         -> catalogDml _,
     "catalog_dml_delta"   -> catalogDmlDelta _,
     "catalog_defaults"    -> catalogDefaults _,
+    "catalog_replace_where" -> catalogReplaceWhere _,
+    "catalog_dynamic_overwrite" -> catalogDynamicOverwrite _,
     "catalog_evolution"   -> catalogEvolution _,
     "catalog_compact"     -> catalogCompact _,
     "catalog_function"    -> catalogFunction _,
@@ -1696,6 +1764,32 @@ object StorageOps {
         |SELECT k, v FROM merged ORDER BY k""".stripMargin,
     // the MoR statement chain replayed as CTEs: update, delete, merge
     // in order — the delta log must converge to the same table state
+    // REPLACE WHERE replayed: base minus the slice, plus the
+    // recomputation, in one relation
+    "catalog_replace_where" ->
+      """WITH base AS (
+        |  SELECT o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v
+        |  FROM orders GROUP BY 1),
+        |repl AS (
+        |  SELECT c_custkey % 10 AS k, count(*)::BIGINT AS v
+        |  FROM customer GROUP BY 1)
+        |SELECT k, v FROM base WHERE NOT (k < 10)
+        |UNION ALL SELECT k, v FROM repl
+        |ORDER BY k, v""".stripMargin,
+    // dynamic overwrite replayed: untouched partitions ∪ recomputed
+    // partitions (the touched set is what the batch contains)
+    "catalog_dynamic_overwrite" ->
+      """WITH seed AS (
+        |  SELECT o_custkey % 5 AS part, o_custkey % 97 AS k,
+        |    sum(o_orderkey)::BIGINT AS v
+        |  FROM orders GROUP BY 1, 2),
+        |redo AS (
+        |  SELECT o_custkey % 5 AS part, o_custkey % 11 AS k,
+        |    count(*)::BIGINT AS v
+        |  FROM orders WHERE o_custkey % 5 IN (1, 3) GROUP BY 1, 2)
+        |SELECT part, k, v FROM seed WHERE part NOT IN (1, 3)
+        |UNION ALL SELECT part, k, v FROM redo
+        |ORDER BY part, k, v""".stripMargin,
     "catalog_dml_delta" ->
       """WITH tgt0 AS (
         |  SELECT o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v

@@ -276,6 +276,56 @@ class CatalogSpec extends SparkSpec {
     assert(desc.contains("compact"), s"DESCRIBE PROCEDURE empty: $desc")
   }
 
+  test("REPLACE WHERE: atomic slice swap, counted, refuses opaque conditions") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.MemTable
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ow.t (k BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.ow.t VALUES (1, 10), (2, 20), (11, 110), (12, 120)")
+    val before = MemTable.replaceWheres.get()
+    import cs.implicits._
+    Seq((1L, 99L), (3L, 33L)).toDF("k", "v")
+      .writeTo("mem.ow.t").overwrite(col("k") < 10)
+    assert(MemTable.replaceWheres.get() == before + 1,
+      "replace-where did not route through the overwrite commit")
+    val rows = cs.sql("SELECT k, v FROM mem.ow.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the k >= 10 slice survived untouched; the k < 10 slice is the
+    // new batch, including a row the old slice never had
+    assert(rows == Seq((1L, 99L), (3L, 33L), (11L, 110L), (12L, 120L)), rows)
+    // a condition the store cannot evaluate exactly must refuse
+    intercept[Exception] {
+      Seq((1L, 1L)).toDF("k", "v")
+        .writeTo("mem.ow.t").overwrite(col("k") % 2 === 0)
+    }
+  }
+
+  test("dynamic overwrite replaces touched partitions only; static truncates") {
+    import graft.sources.MemTable
+    val cs = mounted()
+    cs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cs.sql("CREATE TABLE mem.ow.p (part BIGINT, v BIGINT) PARTITIONED BY (part)")
+    cs.sql("INSERT INTO mem.ow.p VALUES (0, 1), (1, 2), (2, 3), (2, 4)")
+    val before = MemTable.dynamicOverwrites.get()
+    cs.sql("INSERT OVERWRITE mem.ow.p VALUES (CAST(2 AS BIGINT), CAST(99 AS BIGINT))")
+    assert(MemTable.dynamicOverwrites.get() == before + 1)
+    val dyn = cs.sql("SELECT part, v FROM mem.ow.p ORDER BY part, v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dyn == Seq((0L, 1L), (1L, 2L), (2L, 99L)),
+      s"untouched partitions must survive dynamic overwrite: $dyn")
+    // static mode on the same table: INSERT OVERWRITE truncates ALL
+    cs.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    cs.sql("INSERT OVERWRITE mem.ow.p VALUES (CAST(5 AS BIGINT), CAST(1 AS BIGINT))")
+    val stat = cs.sql("SELECT part, v FROM mem.ow.p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stat == Seq((5L, 1L)), s"static overwrite must truncate: $stat")
+    // partitioning is limited and loud: two partition columns refuse
+    intercept[Exception] {
+      cs.sql("CREATE TABLE mem.ow.p2 (a BIGINT, b BIGINT, v BIGINT) " +
+        "PARTITIONED BY (a, b)")
+    }
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
