@@ -515,6 +515,33 @@ object ScaleRehearsal {
     }
   }
 
+  /** Join pushdown vs engine join on the SAME body: the pushed form
+    * reads the intersection ONCE (no join operator at all); the
+    * engine form scans both sides and joins. Broadcast disabled on
+    * the engine twin so the comparison is the honest large-scale
+    * shape (SMJ), not a small-side special case. */
+  def runJoinPush(s: SparkSession, sfDir: String, mults: Seq[Int],
+                  passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val n = sources.StorageOps.Dsv2N * m
+      val on = s.newSession()
+      on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      measure(s, listener, "joinpush", "join_pushed", m, passes) {
+        val (a, b) = sources.StorageOps.dsv2JoinSidesOf(on, n)
+        sources.StorageOps.dsv2JoinBody(a, b)
+      }
+      val off = s.newSession()
+      off.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+      off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      measure(s, listener, "joinpush", "join_engine", m, passes) {
+        val (a, b) = sources.StorageOps.dsv2JoinSidesOf(off, n)
+        sources.StorageOps.dsv2JoinBody(a, b)
+      }
+    }
+  }
+
   def runSimilarity(s: SparkSession, sfDir: String, mults: Seq[Int],
                     passes: Int = 3): Unit = {
     val listener = new ShuffleListener
@@ -828,6 +855,8 @@ object ScaleRehearsal {
       runSimilarity(spark, sfDir, mults)
     if (family == "spj")
       runSpj(spark, sfDir, mults)
+    if (family == "joinpush")
+      runJoinPush(spark, sfDir, mults)
     spark.stop()
   }
 }

@@ -665,10 +665,15 @@ object StorageOps {
   }
 
   private[graft] def dsv2JoinSides(cs: SparkSession)
+      : (DataFrame, DataFrame) = dsv2JoinSidesOf(cs, Dsv2N)
+
+  /** The parameterized form — ScaleRehearsal scales the extents
+    * through the same body the gate pins. */
+  private[graft] def dsv2JoinSidesOf(cs: SparkSession, n: Long)
       : (DataFrame, DataFrame) = {
-    def tbl(n: Long) = cs.read.format("graft.sources.SeqSource")
-      .option("n", n.toString).option("parts", "8").load()
-    (tbl(Dsv2N).filter(col("id") >= Dsv2N / 10), tbl(Dsv2N / 2))
+    def tbl(x: Long) = cs.read.format("graft.sources.SeqSource")
+      .option("n", x.toString).option("parts", "8").load()
+    (tbl(n).filter(col("id") >= n / 10), tbl(n / 2))
   }
 
   private[graft] def dsv2JoinBody(a: DataFrame, b: DataFrame): DataFrame =
