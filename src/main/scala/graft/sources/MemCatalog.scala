@@ -339,7 +339,7 @@ class MemTable(tableName: String, tableSchema: StructType,
                val partitionCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsPartitionManagement {
 
   /** PARTITIONED BY (identity) — what makes dynamic overwrite
     * meaningful: the overwrite unit is the partition, not the table. */
@@ -347,6 +347,80 @@ class MemTable(tableName: String, tableSchema: StructType,
     partitionCol.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
+
+  // ----- partition lifecycle DDL (SupportsPartitionManagement) -----
+  // A partition EXISTS if it is explicitly registered (ADD PARTITION,
+  // possibly empty — a landing slot declared ahead of its data) or
+  // implicitly populated (any stored row carries its value): the Hive
+  // metastore contract, where SHOW PARTITIONS is metadata truth, not
+  // a data scan promise. DROP drops data + registration; TRUNCATE
+  // PARTITION drops data, keeps the slot.
+  private val partMeta =
+    new ConcurrentHashMap[Long, util.Map[String, String]]()
+
+  private def partValue(ident: InternalRow): Long = ident.getLong(0)
+
+  override def partitionSchema(): StructType =
+    StructType(partitionCol.toSeq.map(c =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
+
+  override def partitionExists(ident: InternalRow): Boolean = {
+    val v = partValue(ident)
+    partMeta.containsKey(v) || rows.synchronized {
+      rows.asScala.exists(r => partitionValueOf(r) == v)
+    }
+  }
+
+  override def createPartition(ident: InternalRow,
+                               properties: util.Map[String, String]): Unit = {
+    if (partitionExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(tableName, ident, partitionSchema())
+    partMeta.put(partValue(ident), properties)
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val existed = partitionExists(ident)
+    removePartitions(Set(partValue(ident)))
+    partMeta.remove(partValue(ident))
+    existed
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    if (!partitionExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(tableName, ident, partitionSchema())
+    // keep the slot registered: truncation empties, never unregisters
+    partMeta.putIfAbsent(partValue(ident),
+      java.util.Collections.emptyMap[String, String]())
+    removePartitions(Set(partValue(ident)))
+    true
+  }
+
+  override def replacePartitionMetadata(
+      ident: InternalRow, properties: util.Map[String, String]): Unit = {
+    if (!partitionExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(tableName, ident, partitionSchema())
+    partMeta.put(partValue(ident), properties)
+  }
+
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] =
+    partMeta.getOrDefault(partValue(ident),
+      java.util.Collections.emptyMap[String, String]())
+
+  override def listPartitionIdentifiers(
+      names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    val implicitVals = rows.synchronized {
+      rows.asScala.map(partitionValueOf).toSet
+    }
+    val all = (implicitVals ++ partMeta.keySet.asScala).toSeq.sorted
+    val filtered =
+      if (names.isEmpty) all
+      else all.filter(_ == ident.getLong(0)) // single partition column
+    filtered.map(v => InternalRow(v): InternalRow).toArray
+  }
 
   /** Row-level operations, two shapes:
     *

@@ -352,6 +352,37 @@ object StorageOps {
     cs.sql("SELECT part, k, v FROM graft_mem.ns.dyn ORDER BY part, k, v")
   }
 
+  /** Partition lifecycle DDL through the catalog plugin
+    * (`SupportsPartitionManagement`): SHOW PARTITIONS / ALTER TABLE
+    * ADD|DROP PARTITION / TRUNCATE TABLE … PARTITION all resolve to
+    * store verbs. Existence is metastore-truth: a partition exists if
+    * explicitly registered (possibly EMPTY — a landing slot declared
+    * ahead of its data, what makes "is yesterday loaded yet?"
+    * answerable without scanning) or implicitly populated. DROP
+    * removes data + registration; TRUNCATE PARTITION empties but
+    * keeps the slot. At 100 TB these verbs are the retention story:
+    * expiring a day is one metadata call that unreferences the
+    * partition, never a DELETE that scans it. Oracle replays seed
+    * minus the dropped/truncated partitions. */
+  def catalogPartitions(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.plc (part BIGINT, k BIGINT, v BIGINT)
+        |PARTITIONED BY (part)""".stripMargin)
+    cs.sql(
+      """INSERT INTO graft_mem.ns.plc
+        |SELECT CAST(o_custkey % 7 AS BIGINT) AS part,
+        |  CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 7, o_custkey % 97""".stripMargin)
+    cs.sql("ALTER TABLE graft_mem.ns.plc ADD PARTITION (part=99)")
+    cs.sql("ALTER TABLE graft_mem.ns.plc DROP PARTITION (part=2)")
+    cs.sql("TRUNCATE TABLE graft_mem.ns.plc PARTITION (part=5)")
+    cs.sql("SELECT part, k, v FROM graft_mem.ns.plc ORDER BY part, k, v")
+  }
+
   /** Column DEFAULTs through the catalog plugin — the schema-evolution
     * rung's CATALOG-side twin (`schema_evolution` covers the file
     * source): the catalog declares
@@ -1515,6 +1546,7 @@ object StorageOps {
     "catalog_defaults"    -> catalogDefaults _,
     "catalog_replace_where" -> catalogReplaceWhere _,
     "catalog_dynamic_overwrite" -> catalogDynamicOverwrite _,
+    "catalog_partitions" -> catalogPartitions _,
     "catalog_evolution"   -> catalogEvolution _,
     "catalog_compact"     -> catalogCompact _,
     "catalog_function"    -> catalogFunction _,
@@ -1769,6 +1801,15 @@ object StorageOps {
         |SELECT k, v FROM merged ORDER BY k""".stripMargin,
     // the MoR statement chain replayed as CTEs: update, delete, merge
     // in order — the delta log must converge to the same table state
+    // partition DDL replayed: seed minus the dropped and truncated
+    // partitions (the ADD registers an empty slot — no rows)
+    "catalog_partitions" ->
+      """SELECT o_custkey % 7 AS part, o_custkey % 97 AS k,
+        |  sum(o_orderkey)::BIGINT AS v
+        |FROM orders
+        |WHERE o_custkey % 7 NOT IN (2, 5)
+        |GROUP BY 1, 2
+        |ORDER BY part, k, v""".stripMargin,
     // REPLACE WHERE replayed: base minus the slice, plus the
     // recomputation, in one relation
     "catalog_replace_where" ->

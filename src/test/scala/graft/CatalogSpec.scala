@@ -326,6 +326,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("partition DDL: SHOW/ADD/DROP/TRUNCATE with metastore existence") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.pd.t (part BIGINT, v BIGINT) PARTITIONED BY (part)")
+    cs.sql("INSERT INTO mem.pd.t VALUES (1, 10), (2, 20), (2, 21), (5, 50)")
+    cs.sql("ALTER TABLE mem.pd.t ADD PARTITION (part=99)")
+    def shown() = cs.sql("SHOW PARTITIONS mem.pd.t").collect()
+      .map(_.getString(0)).toSet
+    // explicit-but-empty AND implicit-from-data both exist
+    assert(shown() == Set("part=1", "part=2", "part=5", "part=99"), shown())
+    // re-adding an existing partition (registered OR populated) throws
+    intercept[Exception] { cs.sql("ALTER TABLE mem.pd.t ADD PARTITION (part=2)") }
+    intercept[Exception] { cs.sql("ALTER TABLE mem.pd.t ADD PARTITION (part=99)") }
+    // DROP removes data and registration
+    cs.sql("ALTER TABLE mem.pd.t DROP PARTITION (part=2)")
+    assert(shown() == Set("part=1", "part=5", "part=99"), shown())
+    // TRUNCATE PARTITION empties but keeps the slot
+    cs.sql("TRUNCATE TABLE mem.pd.t PARTITION (part=5)")
+    assert(shown() == Set("part=1", "part=5", "part=99"), shown())
+    val rows = cs.sql("SELECT part, v FROM mem.pd.t ORDER BY part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L)), rows)
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
