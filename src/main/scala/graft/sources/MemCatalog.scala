@@ -164,6 +164,10 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
             "DROP inside nested structs not supported")
         t.dropColumn(del.fieldNames()(0),
           del.ifExists != null && del.ifExists.booleanValue())
+      case ac: TableChange.AddConstraint =>
+        t.addConstraint(ac.constraint())
+      case dc: TableChange.DropConstraint =>
+        t.dropConstraint(dc.name(), dc.ifExists())
       case c =>
         throw new UnsupportedOperationException(s"ALTER change $c not supported")
     }
@@ -173,7 +177,20 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   /** Declares DEFAULT-value support so the engine routes
     * `ADD COLUMN ... DEFAULT` here instead of refusing it up front. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** The TableInfo overload is what carries CONSTRAINTS — the
+    * default delegation would silently drop them. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = new MemTable(key(ident), info.schema(),
+      isMor(info.properties),
+      MemCatalog.partitionColOf(info.schema(), info.partitions()),
+      info.constraints())
+    if (tables.putIfAbsent(key(ident), t) != null)
+      throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    t
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)) != null
@@ -336,10 +353,34 @@ case class MemInsRec(row: MemRow) extends MemDeltaRec
 
 class MemTable(tableName: String, tableSchema: StructType,
                val mor: Boolean = false,
-               val partitionCol: Option[String] = None)
+               val partitionCol: Option[String] = None,
+               initialConstraints:
+                 Array[org.apache.spark.sql.connector.catalog.constraints
+                   .Constraint] = Array.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable
     with SupportsRowLevelOperations with SupportsPartitionManagement {
+
+  /** CHECK constraints declared at CREATE (or added by ALTER): the
+    * store records them, the ENGINE enforces them — V2 writes inject
+    * a validation that fails the job on the first violating row, so
+    * a constrained table can never commit bad data regardless of
+    * which query wrote it. Declarative table quality at the protocol
+    * level, not in pipeline code. */
+  @volatile private var tableConstraints = initialConstraints
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableConstraints
+  private[sources] def addConstraint(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : Unit = tableConstraints = tableConstraints :+ c
+  private[sources] def dropConstraint(name: String, ifExists: Boolean)
+      : Unit = {
+    if (!ifExists && !tableConstraints.exists(_.name == name))
+      throw new IllegalArgumentException(
+        s"no constraint $name on $tableName")
+    tableConstraints = tableConstraints.filterNot(_.name == name)
+  }
 
   /** PARTITIONED BY (identity) — what makes dynamic overwrite
     * meaningful: the overwrite unit is the partition, not the table. */

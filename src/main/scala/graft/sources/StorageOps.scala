@@ -352,6 +352,47 @@ object StorageOps {
     cs.sql("SELECT part, k, v FROM graft_mem.ns.dyn ORDER BY part, k, v")
   }
 
+  /** CHECK constraints through the catalog plugin
+    * (`TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT`, Spark 4.1):
+    * the STORE records constraints (CREATE … CONSTRAINT CHECK /
+    * ALTER ADD|DROP CONSTRAINT route through createTable(TableInfo)
+    * and alterTable); the ENGINE enforces them — every V2 write gets
+    * a validation that fails the job on the first violating row, and
+    * the failed write commits NOTHING (the final table must contain
+    * only the valid batch — atomicity is the assertion, not just the
+    * error). Declarative data quality at the protocol level: at
+    * 100 TB a constrained table cannot ingest bad rows no matter
+    * which of a thousand pipelines writes it, and the gate is
+    * enforced once, in the write path, not re-implemented per
+    * pipeline. Oracle replays the valid ingest only. */
+  def catalogConstraints(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.chk (k BIGINT, v BIGINT,
+        |  CONSTRAINT v_pos CHECK (v > 0),
+        |  CONSTRAINT k_cap CHECK (k < 1000))""".stripMargin)
+    cs.sql(
+      """INSERT INTO graft_mem.ns.chk
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)
+    // a batch with ANY violating row must commit NOTHING
+    try {
+      cs.sql(
+        """INSERT INTO graft_mem.ns.chk
+          |SELECT CAST(2000 + o_custkey % 9 AS BIGINT) AS k,
+          |  CAST(count(*) AS BIGINT) AS v
+          |FROM orders GROUP BY o_custkey % 9""".stripMargin)
+      throw new IllegalStateException("constraint violation not raised")
+    } catch {
+      case e: IllegalStateException => throw e
+      case _: Exception => () // CHECK_CONSTRAINT_VIOLATION — expected
+    }
+    cs.sql("SELECT k, v FROM graft_mem.ns.chk ORDER BY k, v")
+  }
+
   /** Partition lifecycle DDL through the catalog plugin
     * (`SupportsPartitionManagement`): SHOW PARTITIONS / ALTER TABLE
     * ADD|DROP PARTITION / TRUNCATE TABLE … PARTITION all resolve to
@@ -1547,6 +1588,7 @@ object StorageOps {
     "catalog_replace_where" -> catalogReplaceWhere _,
     "catalog_dynamic_overwrite" -> catalogDynamicOverwrite _,
     "catalog_partitions" -> catalogPartitions _,
+    "catalog_constraints" -> catalogConstraints _,
     "catalog_evolution"   -> catalogEvolution _,
     "catalog_compact"     -> catalogCompact _,
     "catalog_function"    -> catalogFunction _,
@@ -1801,6 +1843,11 @@ object StorageOps {
         |SELECT k, v FROM merged ORDER BY k""".stripMargin,
     // the MoR statement chain replayed as CTEs: update, delete, merge
     // in order — the delta log must converge to the same table state
+    // constraints replayed: the VALID ingest only — the violating
+    // batch must have committed nothing
+    "catalog_constraints" ->
+      """SELECT o_custkey % 97 AS k, count(*)::BIGINT AS v
+        |FROM orders GROUP BY 1 ORDER BY k, v""".stripMargin,
     // partition DDL replayed: seed minus the dropped and truncated
     // partitions (the ADD registers an empty slot — no rows)
     "catalog_partitions" ->

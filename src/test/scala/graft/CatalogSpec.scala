@@ -349,6 +349,36 @@ class CatalogSpec extends SparkSpec {
     assert(rows == Seq((1L, 10L)), rows)
   }
 
+  test("CHECK constraints: engine-enforced, atomic, ALTER-managed") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ck.t (k BIGINT, v BIGINT, " +
+      "CONSTRAINT v_pos CHECK (v > 0))")
+    cs.sql("INSERT INTO mem.ck.t VALUES (1, 10), (2, 20)")
+    // a batch with one bad row commits NOTHING
+    val e = intercept[Exception] {
+      cs.sql("INSERT INTO mem.ck.t VALUES (3, 30), (4, -1)")
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    assert(cs.sql("SELECT count(*) FROM mem.ck.t").head.getLong(0) == 2,
+      "violating batch partially committed")
+    // DESCRIBE surfaces the recorded constraint
+    val desc = cs.sql("DESCRIBE EXTENDED mem.ck.t").collect()
+      .map(_.toString).mkString
+    assert(desc.contains("v_pos") && desc.contains("ENFORCED"), desc)
+    // DROP lifts the gate; ADD re-arms a new one
+    cs.sql("ALTER TABLE mem.ck.t DROP CONSTRAINT v_pos")
+    cs.sql("INSERT INTO mem.ck.t VALUES (5, -5)")
+    cs.sql("ALTER TABLE mem.ck.t ADD CONSTRAINT k_cap CHECK (k < 100)")
+    intercept[Exception] {
+      cs.sql("INSERT INTO mem.ck.t VALUES (500, 1)")
+    }
+    assert(cs.sql("SELECT count(*) FROM mem.ck.t").head.getLong(0) == 3)
+    // dropping a missing constraint without IF EXISTS refuses
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.ck.t DROP CONSTRAINT nope")
+    }
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
