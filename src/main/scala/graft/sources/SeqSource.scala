@@ -399,6 +399,37 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
   }
 }
 
+/** Connector-reported CUSTOM METRICS (`CustomMetric` /
+  * `CustomTaskMetric`) — the observability rung: the source publishes
+  * its own counters into the engine's SQL metrics system, where they
+  * aggregate across tasks and surface in the UI/listeners next to the
+  * built-ins. This is how a production connector (Iceberg/Delta)
+  * reports files-read/skipped without a side channel: at 100 TB,
+  * "how much did pruning actually save" must be readable off the
+  * query's own metrics, not reconstructed from logs. Task-side:
+  * rows each reader generated. Driver-side: splits planned, and
+  * splits pruned by the runtime (DPP) filter. */
+class RowsGeneratedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name: String = "graft_rows_generated"
+  override def description: String = "rows generated by the source"
+}
+class SplitsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name: String = "graft_splits_planned"
+  override def description: String = "input splits planned"
+}
+class SplitsPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name: String = "graft_splits_pruned"
+  override def description: String = "splits pruned by runtime filtering"
+}
+private[sources] case class SeqTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name: String = metricName
+  override def value: Long = v
+}
+
 object SeqScan {
   /** Split [lo, hi) into ≤ parts contiguous non-empty ranges. */
   def splitRange(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
@@ -569,8 +600,17 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
   }
   override def description: String =
     s"graftseq range [$lo, $hi) cols ${required.fieldNames.mkString(",")}"
+  // driver-side metric state, filled by the LAST planInputPartitions
+  // (reportDriverMetrics is called after planning by contract)
+  @volatile private var plannedSplits = 0
+  @volatile private var prunedSplits = 0
+
   override def planInputPartitions(): Array[InputPartition] = {
-    if (pstep > 0) return bucketSplits
+    if (pstep > 0) {
+      val b = bucketSplits
+      plannedSplits = b.length
+      return b
+    }
     val base = SeqScan.splitRange(lo, hi, parts)
     val res = runtimeIds match {
       case Some(ids) => // sorted: binary-search each split for a survivor
@@ -584,8 +624,21 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
     }
     if (runtimeIds.isDefined) SeqSource.lastRuntimePlanned = res.length
     else SeqSource.lastStaticPlanned = res.length
+    plannedSplits = res.length
+    prunedSplits = base.length - res.length
     res
   }
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new RowsGeneratedMetric, new SplitsPlannedMetric,
+      new SplitsPrunedMetric)
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(SeqTaskMetric("graft_splits_planned", plannedSplits),
+      SeqTaskMetric("graft_splits_pruned", prunedSplits))
+
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames.map(srcOf).toIndexedSeq,
       columnar)
@@ -821,6 +874,10 @@ class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
         }
         new GenericInternalRow(vals.toArray[Any])
       }
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(SeqTaskMetric("graft_rows_generated",
+          math.max(0L, math.min(cur + 1, r.hi) - r.lo)))
       override def close(): Unit = ()
     }
   }
@@ -874,6 +931,10 @@ class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
         true
       }
       override def get(): ColumnarBatch = batch
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(SeqTaskMetric("graft_rows_generated",
+          math.max(0L, math.min(cur, r.hi) - r.lo)))
       override def close(): Unit = batch.close()
     }
   }

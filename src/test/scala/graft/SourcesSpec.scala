@@ -159,6 +159,45 @@ class SourcesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
+    // connector-reported CUSTOM METRICS tell the same pruning story
+    // through the engine's own metric system: the scan's SQL metrics
+    // carry splits planned/pruned (driver-reported after planning)
+    // and rows generated (task-reported) — pruning saved >= 61 of 64
+    // splits, visible on the query, not in a side channel
+    val scanMetrics = collectScans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics).filter(_._1.startsWith("graft")).toMap
+    assert(scanMetrics("graft_splits_pruned").value >= 61,
+      s"pruned metric: $scanMetrics")
+    assert(scanMetrics("graft_splits_planned").value ==
+      SeqSource.lastRuntimePlanned.toLong, s"planned metric: $scanMetrics")
+    assert(scanMetrics("graft_rows_generated").value > 0 &&
+      scanMetrics("graft_rows_generated").value <= 3 * (100000L / 64 + 1),
+      s"rows metric outside surviving-splits bound: $scanMetrics")
+  }
+
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectScans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
+      case o => o.children.flatMap(collectScans) ++
+        o.subqueries.flatMap(collectScans)
+    }
+
+  test("dsv2 custom metrics: exact row/split accounting on a folded scan") {
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("n", "10000").option("parts", "4").load()
+      .filter(col("id") >= 2000)
+    df.collect()
+    val m = collectScans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics).filter(_._1.startsWith("graft")).toMap
+    assert(m("graft_rows_generated").value == 8000, m.toString)
+    assert(m("graft_splits_planned").value == 4, m.toString)
+    assert(m("graft_splits_pruned").value == 0, m.toString)
   }
 
   test("dsv2 aggregate pushdown: the Aggregate node folds into the scan") {
