@@ -515,6 +515,24 @@ object ScaleRehearsal {
     }
   }
 
+  /** BM25 over staged doc multiples: the corpus-owned tf/len/df
+    * aggregations are the only O(corpus) terms; the scoring join is
+    * bounded by the inverted-index selectivity (docs sharing a query
+    * term), so wall should track the wordcount family, not the join
+    * family. Hybrid fusion is NOT separately staged: its dense half
+    * is the similarity family's rehearsed path and the fuse itself
+    * is O(queries·k) by construction. */
+  def runRetrieval(s: SparkSession, sfDir: String, mults: Seq[Int],
+                   passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      measure(s, listener, "retrieval", "bm25_retrieve", m, passes)(
+        operators.Retrieval.bm25Retrieve(s, staged))
+    }
+  }
+
   /** Join pushdown vs engine join on the SAME body: the pushed form
     * reads the intersection ONCE (no join operator at all); the
     * engine form scans both sides and joins. Broadcast disabled on
@@ -857,6 +875,8 @@ object ScaleRehearsal {
       runSpj(spark, sfDir, mults)
     if (family == "joinpush")
       runJoinPush(spark, sfDir, mults)
+    if (family == "retrieval")
+      runRetrieval(spark, sfDir, mults)
     spark.stop()
   }
 }

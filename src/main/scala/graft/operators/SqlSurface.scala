@@ -379,7 +379,37 @@ object SqlSurface {
           "p1" -> "1-URGENT", "p2" -> "2-HIGH"))
   }
 
+  /** Analyst-ergonomics sugar, all Spark 4 resolver features in one
+    * query: GROUP BY ALL (group by every non-aggregate select item),
+    * ORDER BY ALL (total order over the output columns left-to-right
+    * — which also makes the result hash-deterministic without a
+    * presentation transform), and LATERAL COLUMN ALIASES (`keysum`
+    * and `cnt` referenced by sibling select items, CHAINED —
+    * `per_order_x2` reads `per_order`, itself an alias — in the
+    * projection above the aggregate, since resolving an LCA through
+    * GROUP BY ALL itself is unsupported on both engines). Pure
+    * resolution features: the PLAN is identical to the spelled-out
+    * query, so there is nothing scale-relevant to price — the rung
+    * exists because a user of the engine writes this shape daily.
+    * DuckDB implements all three natively (same left-to-right alias
+    * and ALL semantics), so the oracle is the same text modulo the
+    * div spelling. */
+  def sqlSugar(s: SparkSession, d: String): DataFrame = {
+    withView(s, d, "orders")
+    s.sql(
+      """SELECT pri, st, cnt, keysum,
+        |  keysum div cnt AS per_order,
+        |  per_order * 2 AS per_order_x2
+        |FROM (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS keysum
+        |  FROM orders
+        |  GROUP BY ALL)
+        |ORDER BY ALL""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_sugar"     -> sqlSugar _,
     "sql_udf"       -> sqlUdf _,
     "sql_tvf"       -> sqlTvf _,
     "sql_pipe"      -> sqlPipe _,
@@ -420,6 +450,16 @@ object SqlSurface {
        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sql_sugar" ->
+      """SELECT pri, st, cnt, keysum,
+        |  keysum // cnt AS per_order,
+        |  per_order * 2 AS per_order_x2
+        |FROM (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    count(*)::BIGINT AS cnt, sum(o_orderkey)::BIGINT AS keysum
+        |  FROM orders
+        |  GROUP BY ALL)
+        |ORDER BY ALL""".stripMargin,
     // the SQL UDFs inlined — a named function must never change the
     // answer of its own body
     "sql_udf" ->
