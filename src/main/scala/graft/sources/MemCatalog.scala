@@ -705,11 +705,14 @@ class MemTable(tableName: String, tableSchema: StructType,
     !mor && filters.forall(evaluable)
 
   /** Store-side removal under a v1 filter conjunction — the delete
-    * half of REPLACE WHERE. AlwaysTrue short-circuits to truncate. */
-  private[sources] def removeWhere(filters: Array[Filter]): Unit =
+    * half of REPLACE WHERE. Returns the removed-row count (the
+    * write's driver-side metric). */
+  private[sources] def removeWhere(filters: Array[Filter]): Int =
     rows.synchronized {
+      val before = rows.size
       val keep = rows.asScala.filterNot(r => filters.forall(eval(_, r))).toSeq
       rows.clear(); keep.foreach(rows.add)
+      before - keep.size
     }
 
   private[sources] def overwritableFilters(filters: Array[Filter]): Boolean =
@@ -728,12 +731,14 @@ class MemTable(tableName: String, tableSchema: StructType,
   }
 
   /** Remove every row whose partition lands in `keys` — the
-    * dynamic-overwrite delete step. */
-  private[sources] def removePartitions(keys: Set[Long]): Unit =
+    * dynamic-overwrite delete step. Returns the removed-row count. */
+  private[sources] def removePartitions(keys: Set[Long]): Int =
     rows.synchronized {
+      val before = rows.size
       val keep = rows.asScala.filterNot(r =>
         keys.contains(partitionValueOf(r))).toSeq
       rows.clear(); keep.foreach(rows.add)
+      before - keep.size
     }
   override def deleteWhere(filters: Array[Filter]): Unit = {
     MemTable.metadataDeletes.incrementAndGet()
@@ -784,13 +789,21 @@ class MemTable(tableName: String, tableSchema: StructType,
         this
       }
       override def build(): Write = {
-        val t = truncateFirst
-        val ow = owFilters
-        val dyn = dynamic
+        val bw = new MemBatchWrite(MemTable.this, truncateFirst,
+          rowLevel = false, overwriteFilters = owFilters,
+          dynamicPartitions = dynamic)
         new Write {
-          override def toBatch: BatchWrite =
-            new MemBatchWrite(MemTable.this, t, rowLevel = false,
-              overwriteFilters = ow, dynamicPartitions = dyn)
+          override def toBatch: BatchWrite = bw
+          /** Write-side twin of the scan metrics: rows written
+            * (task-reported) and rows the overwrite REMOVED
+            * (driver-reported at commit) — the audit trail of a
+            * REPLACE WHERE / dynamic overwrite lives on the query. */
+          override def supportedCustomMetrics()
+              : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+            Array(new RowsWrittenMetric, new OverwriteRemovedMetric)
+          override def reportDriverMetrics()
+              : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            Array(SeqTaskMetric("graft_overwrite_removed", bw.lastRemoved))
         }
       }
     }
@@ -846,6 +859,10 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(table.schema(), rowLevel)
+  /** Rows the overwrite removed at commit — the Write's driver
+    * metric (reportDriverMetrics is called after the write ends). */
+  @volatile private[sources] var lastRemoved = 0L
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (rowLevel) MemTable.rewrites.incrementAndGet()
     if (truncateFirst) table.truncateTable()
@@ -854,7 +871,7 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
     // REPLACE WHERE: one atomic delete-matching + append commit
     overwriteFilters.foreach { fs =>
       MemTable.replaceWheres.incrementAndGet()
-      table.removeWhere(fs)
+      lastRemoved += table.removeWhere(fs)
     }
     // dynamic overwrite: replace exactly the partitions the batch
     // touches (computed from the incoming rows, never declared)
@@ -862,7 +879,7 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
       MemTable.dynamicOverwrites.incrementAndGet()
       val ord = table.schema().fieldIndex(table.partitionCol.get)
       val touched = incoming.map(_.getLong(ord)).toSet
-      table.removePartitions(touched)
+      lastRemoved += table.removePartitions(touched)
     }
     table.append(incoming)
   }
@@ -870,6 +887,17 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
 }
 
 case class MemRowsMsg(rows: Array[InternalRow]) extends WriterCommitMessage
+
+class RowsWrittenMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name: String = "graft_rows_written"
+  override def description: String = "rows written to the store"
+}
+class OverwriteRemovedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name: String = "graft_overwrite_removed"
+  override def description: String = "rows removed by the overwrite commit"
+}
 
 /** The MERGE-ON-READ row-level operation ([[SupportsDelta]]): the
   * engine projects each affected row's ROW ID (here the first
@@ -967,6 +995,9 @@ class MemWriterFactory(schema: StructType, rowLevel: Boolean)
           }.toIndexedSeq)
         } else record.copy()
       override def write(record: InternalRow): Unit = buf += clean(record)
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(SeqTaskMetric("graft_rows_written", buf.size.toLong))
       override def commit(): WriterCommitMessage = MemRowsMsg(buf.toArray)
       override def abort(): Unit = ()
       override def close(): Unit = ()

@@ -379,6 +379,40 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("write-side custom metrics: rows written + overwrite-removed on the query") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.wm.t (k BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.wm.t VALUES (1, 10), (2, 20), (11, 110)")
+    @volatile var captured: QueryExecution = null
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = captured = qe
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    cs.listenerManager.register(listener)
+    try {
+      import cs.implicits._
+      import org.apache.spark.sql.functions.col
+      Seq((1L, 99L), (3L, 33L)).toDF("k", "v")
+        .writeTo("mem.wm.t").overwrite(col("k") < 10)
+      // the listener bus is async — poll briefly
+      var waited = 0
+      while (captured == null && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(captured != null, "write execution not observed")
+      val metrics = captured.executedPlan.collect {
+        case p if p.metrics.keys.exists(_.startsWith("graft")) => p.metrics
+      }.flatten.toMap
+      assert(metrics("graft_rows_written").value == 2, metrics.toString)
+      // the REPLACE WHERE removed the two k < 10 rows at commit
+      assert(metrics("graft_overwrite_removed").value == 2, metrics.toString)
+    } finally cs.listenerManager.unregister(listener)
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
