@@ -408,8 +408,45 @@ object SqlSurface {
         |ORDER BY ALL""".stripMargin)
   }
 
+  /** `Dataset.transpose()` (Spark 4): rows↔columns over a BOUNDED
+    * aggregate — the first column's values become the output columns,
+    * each remaining input column becomes a row. Presentation-shaped
+    * by nature (the transposed relation's schema depends on the DATA,
+    * so it only makes sense over a small, known key domain — here the
+    * 3 return flags); the aggregate below it is the usual
+    * partial+final shape, and the transpose itself is a driver-side
+    * pivot of an already-tiny relation. */
+  def dfTranspose(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(sum("l_quantity").cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    agg.transpose().orderBy("key")
+  }
+
+  /** The Spark 4 DataFrame twins of LATERAL and scalar subqueries:
+    * `Dataset.lateralJoin` (per-customer top-1 order — the outer()
+    * marker makes the correlation explicit) and `Dataset.scalar()`
+    * (a 1-row aggregate riding every output row). Plans identically
+    * to the SQL forms ([[lateralTopOrders]], [[scalarSubquery]]) —
+    * the rung exists because library code composes Datasets, not SQL
+    * strings, and the API must reach the same Catalyst nodes
+    * (DomainJoin → window/limit rewrite, ScalarSubquery). */
+  def apiLateralScalar(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.lateralJoin(
+        o.where(col("o_custkey") === col("c_custkey").outer())
+          .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(1))
+      .select(col("c_custkey"), col("o_orderkey").as("top_order"),
+        round(col("o_totalprice") * 100).cast("long").as("top_cents"),
+        o.agg(count(lit(1)).cast("long")).scalar().as("n_orders_total"))
+      .transform(Present.sortedUnbounded(_, col("c_custkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_sugar"     -> sqlSugar _,
+    "df_transpose"  -> dfTranspose _,
+    "api_lateral_scalar" -> apiLateralScalar _,
     "sql_udf"       -> sqlUdf _,
     "sql_tvf"       -> sqlTvf _,
     "sql_pipe"      -> sqlPipe _,
@@ -450,6 +487,32 @@ object SqlSurface {
        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "df_transpose" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS f, CAST(sum(l_quantity) AS BIGINT)
+        |    AS sum_qty, count(*)::BIGINT AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT 'sum_qty' AS key,
+        |  max(CASE WHEN f = 'A' THEN sum_qty END) AS "A",
+        |  max(CASE WHEN f = 'N' THEN sum_qty END) AS "N",
+        |  max(CASE WHEN f = 'R' THEN sum_qty END) AS "R"
+        |FROM a
+        |UNION ALL
+        |SELECT 'cnt',
+        |  max(CASE WHEN f = 'A' THEN cnt END),
+        |  max(CASE WHEN f = 'N' THEN cnt END),
+        |  max(CASE WHEN f = 'R' THEN cnt END)
+        |FROM a
+        |ORDER BY key""".stripMargin,
+    "api_lateral_scalar" ->
+      """SELECT c.c_custkey, t.o_orderkey AS top_order,
+        |  CAST(round(t.o_totalprice * 100) AS BIGINT) AS top_cents,
+        |  (SELECT count(*) FROM orders)::BIGINT AS n_orders_total
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin,
     "sql_sugar" ->
       """SELECT pri, st, cnt, keysum,
         |  keysum // cnt AS per_order,
