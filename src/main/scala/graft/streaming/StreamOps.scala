@@ -793,6 +793,52 @@ object StreamOps {
   def userMaxStream(s: SparkSession, dir: String): DataFrame =
     userMaxOf(s, eventsStream(s, dir))
 
+  /** `transformWithState` with state TTL — the third state-lifecycle
+    * leg next to watermark eviction (event-time ops) and explicit
+    * timers ([[SessionTimerProcessor]]): the STORE expires a cell
+    * `ttl` after its last write, with no code path in the processor —
+    * the bounded-state contract for keys that simply stop arriving.
+    * At 100 TB this is what keeps a per-entity cache (rate counters,
+    * feature snapshots) from accumulating every entity ever seen:
+    * expiry is O(expired) via the store's TTL index, not a scan.
+    * TTL requires `TimeMode.ProcessingTime`; expiry is evaluated
+    * against each BATCH's timestamp, so with ttlMs below the
+    * inter-batch gap a cell written in batch N is expired in batch
+    * N+1 — which makes the semantics deterministically testable
+    * (StreamingSpec pins per-batch-reset vs cumulative counts on the
+    * same sliced source). ttlMs <= 0 selects TTLConfig.NONE (the
+    * cumulative twin). */
+  class UserCountTtlProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        if (ttlMs <= 0) TTLConfig.NONE
+        else TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val cur = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(cur)
+      Iterator((key, cur))
+    }
+  }
+
+  private[graft] def userCountTtlOf(s: SparkSession, events: DataFrame,
+                                    ttlMs: Long): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserCountTtlProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
+
   /** Spark 4 `transformWithState` with EVENT-TIME TIMERS + ListState —
     * the full arbitrary-state surface ([[UserMaxProcessor]] covers
     * ValueState; this adds the other two legs): gap-based

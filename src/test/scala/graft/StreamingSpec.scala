@@ -522,6 +522,81 @@ class StreamingSpec extends SparkSpec {
       "multi-batch timer sessions diverge from the batch relation")
   }
 
+  test("transformWithState TTL: state expires between batches; NONE accumulates") {
+    import org.apache.spark.sql.functions._
+    val (srcDir, raw) = stageEventsSplit("twsttl")
+    val bucket = pmod(col("event_id"), lit(2))
+    writeSlice(raw.filter(bucket === 0), srcDir, "a0")
+    writeSlice(raw.filter(bucket === 1), srcDir, "a1")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def drain(ttlMs: Long): Map[Long, Long] = {
+        val sink = java.nio.file.Files.createTempDirectory("graft_ttl_sink").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+        // NOT AvailableNow, and NOT processAllAvailable either:
+        // TimeMode.ProcessingTime makes shouldRunAnotherBatch
+        // perpetually true (state-maintenance batches), so the query
+        // never quiesces (observed: thousands of empty batches under
+        // AvailableNow; processAllAvailable parks forever). Terminate
+        // from the DRIVER instead: poll progress until the SOURCE is
+        // fully consumed, then stop.
+        val totalEvents = Tables.events(spark, sfDir).count()
+        val q = StreamOps.userCountTtlOf(spark,
+            StreamOps.eventsStreamFromDir(spark, srcDir.toString, Some(1)),
+            ttlMs)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            // keep batches strictly more than ttlMs apart so a 1 ms
+            // TTL is guaranteed stale by the next batch's timestamp
+            if (!b.isEmpty)
+              b.withColumn("bid", lit(id)).write.mode("append").parquet(sink)
+            Thread.sleep(100)
+          }
+          .start()
+        try {
+          var waited = 0
+          def consumed() = q.recentProgress.map(_.numInputRows).sum
+          while (consumed() < totalEvents && waited < 120000) {
+            Thread.sleep(200); waited += 200
+          }
+          assert(consumed() >= totalEvents,
+            s"source not drained: ${consumed()} of $totalEvents")
+          Thread.sleep(500) // let the final data batch's commit land
+        } finally q.stop()
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(desc("bid"))
+        spark.read.parquet(sink)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("user_id", "n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      }
+      // cumulative twin (TTL NONE): last update per user = TOTAL count
+      val total = Tables.events(spark, sfDir).groupBy("user_id")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(drain(0L) == total, "TTL NONE must accumulate across batches")
+      // 1 ms TTL: state written in batch 0 is expired by batch 1, so
+      // each user's final count covers only their LAST slice
+      val lastSlice = Tables.events(spark, sfDir)
+        .withColumn("b", pmod(col("event_id"), lit(2)))
+        .groupBy("user_id")
+        .agg(max("b").as("lb"), count(lit(1)).as("tot"),
+          sum(when(col("b") === 1, 1L).otherwise(0L)).as("n1"))
+        .collect().map { r =>
+          (r.getLong(0), if (r.getLong(1) == 1L) r.getLong(3) else r.getLong(2))
+        }.toMap
+      assert(drain(1L) == lastSlice,
+        "1 ms TTL must reset state between micro-batches")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState recovers RocksDB state across stop/restart") {
     import org.apache.spark.sql.functions._
     val (srcDir, raw) = stageEventsSplit("twsrec")
