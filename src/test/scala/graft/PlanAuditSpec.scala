@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
   private val audited: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
     RelOps.queries ++ TpchOps.queries ++ JoinOps.queries ++
-      SqlSurface.queries ++ FuncOps.queries ++ ChangeOps.queries
+      SqlSurface.queries ++ FuncOps.queries ++ ChangeOps.queries ++
+      Retrieval.queries
 
   private def hasCartesian(p: SparkPlan): Boolean = p match {
     case a: AdaptiveSparkPlanExec => hasCartesian(a.executedPlan)
