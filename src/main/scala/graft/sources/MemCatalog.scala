@@ -92,10 +92,11 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
       .map(_.split('.'))
       .filter(_.dropRight(1).sameElements(namespace))
       .map(p => Identifier.of(p.dropRight(1), p.last))
-    // namespaces exist implicitly through their tables, so an empty
-    // listing for a named namespace means it does not exist — the
-    // TableCatalog contract wants NoSuchNamespaceException, not []
-    if (in.isEmpty && namespace.nonEmpty)
+    // namespaces exist implicitly through their tables OR explicitly
+    // through the registry (CREATE NAMESPACE) — an empty listing is
+    // legal for a registered-but-empty namespace, and the
+    // TableCatalog contract wants NoSuchNamespaceException otherwise
+    if (in.isEmpty && namespace.nonEmpty && !nsExists(namespace))
       throw new NoSuchNamespaceException(namespace.toSeq)
     in
   }
@@ -259,24 +260,82 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   // SQL extensions, not this engine path). An implementation would
   // be engine-unreachable dead surface; see COVERAGE.md absentees.
 
-  // single-level namespaces, existing implicitly once referenced —
-  // enough for the resolution paths the gated query exercises
+  // Namespace LIFECYCLE (`SupportsNamespaces`, full contract): a
+  // namespace exists if explicitly REGISTERED (CREATE NAMESPACE —
+  // possibly empty, with properties, the declared-ahead-of-data
+  // shape) or implicitly POPULATED (a table lives under it) — the
+  // same two-source existence rule as the partition registry. DROP
+  // refuses a non-empty namespace without CASCADE (and with it,
+  // drops the tables); properties live only on explicit entries
+  // (ALTER materializes an implicit namespace into the registry).
+  private val namespaces =
+    new ConcurrentHashMap[String, util.Map[String, String]]()
+  private def nsKey(ns: Array[String]): String = ns.mkString(".")
+  private def implicitNamespaces: Set[Seq[String]] =
+    tables.keySet.asScala.map(_.split('.').dropRight(1).toSeq).toSet
+  private def nsExists(ns: Array[String]): Boolean =
+    namespaces.containsKey(nsKey(ns)) ||
+      implicitNamespaces.contains(ns.toSeq)
+
   override def listNamespaces(): Array[Array[String]] =
-    tables.keySet.asScala.map(_.split('.').dropRight(1).toSeq)
+    (implicitNamespaces ++
+        namespaces.keySet.asScala.map(_.split('.').toSeq))
       .toSeq.distinct.sortBy(_.mkString("."))
       .map(_.toArray).toArray
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!nsExists(namespace))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    // flat namespace space: no children below a concrete namespace
     Array.empty
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    nsExists(namespace)
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
-    if (namespace.length <= 1) util.Collections.emptyMap()
-    else throw new NoSuchNamespaceException(namespace.toSeq)
+    Option(namespaces.get(nsKey(namespace))).getOrElse {
+      if (implicitNamespaces.contains(namespace.toSeq))
+        util.Collections.emptyMap()
+      else throw new NoSuchNamespaceException(namespace.toSeq)
+    }
   override def createNamespace(namespace: Array[String],
-                               metadata: util.Map[String, String]): Unit = ()
+                               metadata: util.Map[String, String]): Unit = {
+    if (nsExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    namespaces.put(nsKey(namespace),
+      new util.HashMap[String, String](metadata))
+  }
   override def alterNamespace(namespace: Array[String],
-                              changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    false
+                              changes: NamespaceChange*): Unit = {
+    if (!nsExists(namespace))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    // materialize an implicit namespace so its properties persist
+    val props = namespaces.computeIfAbsent(nsKey(namespace),
+      _ => new util.HashMap[String, String]())
+    props.synchronized {
+      changes.foreach {
+        case s: NamespaceChange.SetProperty =>
+          props.put(s.property(), s.value())
+        case r: NamespaceChange.RemoveProperty =>
+          props.remove(r.property())
+        case c =>
+          throw new UnsupportedOperationException(
+            s"namespace change $c not supported")
+      }
+    }
+  }
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!nsExists(namespace)) return false
+    val owned = tables.keySet.asScala
+      .filter(_.split('.').dropRight(1).sameElements(namespace)).toSeq
+    if (owned.nonEmpty && !cascade)
+      throw org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace, "namespace holds tables",
+          None)
+    owned.foreach(tables.remove)
+    namespaces.remove(nsKey(namespace))
+    true
+  }
 }
 
 /** A table that EXISTS only to its writer until committed. */

@@ -413,6 +413,33 @@ class CatalogSpec extends SparkSpec {
     } finally cs.listenerManager.unregister(listener)
   }
 
+  test("namespace lifecycle: create/show/alter/drop with two-source existence") {
+    val cs = mounted()
+    // explicit, empty, with properties — declared ahead of its data
+    cs.sql("CREATE NAMESPACE mem.fresh WITH PROPERTIES ('team'='graft')")
+    intercept[Exception] { cs.sql("CREATE NAMESPACE mem.fresh") }
+    // implicit, via a table
+    cs.sql("CREATE TABLE mem.lived.t (k BIGINT)")
+    val shown = cs.sql("SHOW NAMESPACES IN mem").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("fresh", "lived").subsetOf(shown), shown)
+    // a registered-but-empty namespace lists zero tables, not an error
+    assert(cs.sql("SHOW TABLES IN mem.fresh").collect().isEmpty)
+    // properties round-trip; ALTER materializes and mutates
+    cs.sql("ALTER NAMESPACE mem.fresh SET PROPERTIES ('tier'='gold')")
+    val desc = cs.sql("DESCRIBE NAMESPACE EXTENDED mem.fresh").collect()
+      .map(_.toString).mkString
+    assert(desc.contains("team") && desc.contains("gold"), desc)
+    // non-empty drop refuses without CASCADE, obeys with it
+    intercept[Exception] { cs.sql("DROP NAMESPACE mem.lived") }
+    cs.sql("DROP NAMESPACE mem.lived CASCADE")
+    intercept[Exception] { cs.sql("SELECT * FROM mem.lived.t").collect() }
+    cs.sql("DROP NAMESPACE mem.fresh")
+    val after = cs.sql("SHOW NAMESPACES IN mem").collect()
+      .map(_.getString(0)).toSet
+    assert(!after.contains("fresh") && !after.contains("lived"), after)
+  }
+
   test("truncate, drop, and re-create") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.ns.u (k BIGINT)")
