@@ -41,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition pruning); each split streams rows with O(1) state. */
 class SeqSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SeqSource.schemaFor(options.getOrDefault("pstep", "0").toLong)
+    SeqSource.schemaFor(options.getOrDefault("pstep", "0").toLong,
+      options.getOrDefault("variant", "false").toBoolean)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new SeqTable(properties.getOrDefault("n", "1000").toLong,
@@ -49,7 +50,8 @@ class SeqSource extends TableProvider {
       properties.getOrDefault("batchrows", "30000").toLong,
       properties.getOrDefault("pstep", "0").toLong,
       properties.getOrDefault("columnar", "false").toBoolean,
-      properties.getOrDefault("noorder", "false").toBoolean)
+      properties.getOrDefault("noorder", "false").toBoolean,
+      properties.getOrDefault("variant", "false").toBoolean)
 }
 
 object SeqSource {
@@ -63,9 +65,15 @@ object SeqSource {
     * key, reported to Catalyst as a [[KeyGroupedPartitioning]] — the
     * Iceberg-style contract that lets two co-partitioned tables join
     * with NO shuffle on either side (storage-partitioned join). */
-  def schemaFor(pstep: Long): StructType =
-    if (pstep > 0) schema.add(StructField("pkey", LongType, nullable = false))
-    else schema
+  def schemaFor(pstep: Long, variant: Boolean = false): StructType = {
+    val base =
+      if (pstep > 0) schema.add(StructField("pkey", LongType, nullable = false))
+      else schema
+    // `variant=true`: an open-format VARIANT column derived from id —
+    // the semi-structured twin of the generated scalars
+    if (variant) base.add(StructField("props", VariantType, nullable = true))
+    else base
+  }
 
   /** md5-60 of "seq"+id, mod 100 — Dedup.md5Hash60's semantics on the
     * JVM side so the SQL twin is the usual ('0x' || substring(md5(…),
@@ -100,17 +108,17 @@ object SeqSource {
 
 class SeqTable(n: Long, parts: Int, batchRows: Long,
                pstep: Long = 0L, columnar: Boolean = false,
-               noorder: Boolean = false)
+               noorder: Boolean = false, variant: Boolean = false)
     extends Table with SupportsRead with SupportsMetadataColumns {
   override def name: String = s"graftseq(n=$n)"
-  override def schema: StructType = SeqSource.schemaFor(pstep)
+  override def schema: StructType = SeqSource.schemaFor(pstep, variant)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(SeqSource.SplitLoColumn)
   override def capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, parts, batchRows, pstep, columnar, noorder)
+    new SeqScanBuilder(n, parts, batchRows, pstep, columnar, noorder, variant)
 }
 
 /** Folds id-range predicates into [lo, hi) at PLANNING time; every
@@ -124,14 +132,35 @@ class SeqTable(n: Long, parts: Int, batchRows: Long,
   * at all. */
 class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
                      pstep: Long = 0L, columnar: Boolean = false,
-                     noorder: Boolean = false)
+                     noorder: Boolean = false, variant: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset
     with SupportsPushDownJoin
-    with SupportsPushDownTableSample {
+    with SupportsPushDownTableSample
+    with SupportsPushDownVariantExtractions {
+
+  /** VARIANT-extraction pushdown (`SupportsPushDownVariantExtractions`,
+    * Spark 4.1): deliberately REFUSES every extraction. Accepting was
+    * verified empirically to crash the engine's own rewrite on this
+    * (non-parquet) DSv2 path — `V2ScanRelationPushDown.pruneColumns`
+    * hits `Invalid call to exprId on unresolved object` via
+    * `ScanOperation.getAliasMap` immediately after a successful
+    * `pushDownVariants`, even for a single accepted `$.k` extraction
+    * on a minimal single-column query; the only upstream implementor
+    * (`ParquetScanBuilder`) is exercised through the separate
+    * file-source rule (`PushVariantIntoScan`), not this one. Refusal
+    * is always safe (the engine keeps `variant_get` exact above the
+    * scan — SourcesSpec gates the values), and the interface presence
+    * documents the probe contract: extraction paths arrive in
+    * `__VARIANT_METADATA_KEY` metadata (`{path, timeZoneId,
+    * failOnError}`) with the expected data type, and a refusal round
+    * is retried including a whole-variant `$` extraction. */
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] =
+    Array.fill(extractions.length)(false)
 
   /** TABLESAMPLE pushdown — the source applies its own sampling (the
     * JDBC `TABLESAMPLE SYSTEM` shape): for a generated range the
@@ -177,7 +206,7 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
     * sides) is refused and the engine keeps its join — refusal is
     * always safe. */
   private[sources] var outCols: Seq[(String, String, Long)] =
-    SeqSource.schemaFor(pstep).fields.toSeq
+    SeqSource.schemaFor(pstep, variant).fields.toSeq
       .map(f => (f.name, f.name, pstep))
   private var joined = false
 
@@ -242,7 +271,7 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
   private var lo = 0L
   private var hi = n
   private var accepted = Array.empty[Filter]
-  private var required = SeqSource.schemaFor(pstep)
+  private var required = SeqSource.schemaFor(pstep, variant)
   private var pushedAgg: Option[Aggregation] = None
   private var topNDesc = false
 
@@ -853,6 +882,17 @@ class SeqGroupAggReaderFactory(groupCol: String,
   }
 }
 
+object SeqReaderFactory {
+  /** The VARIANT column's per-row value: open-format binary variant
+    * built from the id-derived JSON — deterministic, so the DuckDB
+    * oracle replays the same fields from arithmetic. */
+  def propsOf(id: Long): org.apache.spark.unsafe.types.VariantVal = {
+    val v = org.apache.spark.types.variant.VariantBuilder.parseJson(
+      s"""{"k":${id % 100},"tag":"t${id % 5}"}""", false)
+    new org.apache.spark.unsafe.types.VariantVal(v.getValue, v.getMetadata)
+  }
+}
+
 /** Per-column (source, pstep) pairs: a plain scan's columns carry the
   * scan's own pstep; a pushed-join scan maps each aliased output back
   * to its source column and ORIGINAL side's pstep. */
@@ -870,6 +910,7 @@ class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
           case ("bucket", _) => java.lang.Long.valueOf(SeqSource.bucketOf(cur))
           case ("word", _)   => UTF8String.fromString("w" + (cur % 50))
           case ("pkey", p)   => java.lang.Long.valueOf(cur / p)
+          case ("props", _)  => SeqReaderFactory.propsOf(cur)
           case ("_split_lo", _) => java.lang.Long.valueOf(r.lo)
         }
         new GenericInternalRow(vals.toArray[Any])

@@ -693,6 +693,31 @@ object StorageOps {
         max("id").as("max_id"), sum("id").as("sum_id"))
       .transform(Present.sorted(_, col("word")))
 
+  /** VARIANT through the connector: the source serves an open-format
+    * binary VARIANT column (`variant=true` — each row's `props` built
+    * with the engine's own variant encoder from id-derived JSON), and
+    * typed `variant_get` path extraction runs engine-side above the
+    * scan. Extraction PUSHDOWN is deliberately refused (see
+    * `SeqScanBuilder.pushVariantExtractions` — accepting trips an
+    * engine-internal rewrite error on the non-parquet DSv2 path,
+    * verified empirically; refusal is always safe). At 100 TB this is
+    * the semi-structured column contract: one binary column carries
+    * evolving telemetry without schema migrations, and the typed
+    * extraction replaces per-row string re-parsing. Oracle replays
+    * the fields from the generating arithmetic. */
+  def dsv2VariantScan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", Dsv2N.toString).option("parts", "8")
+      .option("variant", "true").load()
+      .filter(col("id") >= Dsv2N / 2)
+      .select(col("id"),
+        expr("variant_get(props, '$.k', 'bigint')").as("k"),
+        expr("variant_get(props, '$.tag', 'string')").as("tag"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .transform(Present.sorted(_, col("tag")))
+
   /** TABLESAMPLE pushdown — the source owns its sampling (the JDBC
     * `TABLESAMPLE SYSTEM` shape): the generated range instantiates a
     * sample as the deterministic [lower, upper) slice of the id span,
@@ -1574,6 +1599,7 @@ object StorageOps {
     "dsv2_group_agg_pushdown" -> dsv2GroupAggPushdown _,
     "dsv2_join_pushdown" -> dsv2JoinPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
+    "dsv2_variant_scan" -> dsv2VariantScan _,
     "parquet_agg_pushdown" -> parquetAggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "dsv2_metadata_col"   -> dsv2MetadataCol _,
@@ -1745,6 +1771,14 @@ object StorageOps {
          |  min(i) AS min_id, max(i) AS max_id, sum(i)::BIGINT AS sum_id
          |FROM range(100, ${Dsv2N - 123}) t(i)
          |GROUP BY 1 ORDER BY word""".stripMargin,
+    // the connector's variant fields replayed from the generating
+    // arithmetic (k = i % 100, tag = 't' || i % 5)
+    "dsv2_variant_scan" ->
+      s"""SELECT 't' || (i % 5) AS tag, count(*)::BIGINT AS cnt,
+         |  sum(i % 100)::BIGINT AS sum_k,
+         |  min(i) AS min_id, max(i) AS max_id
+         |FROM range(${Dsv2N / 2}, $Dsv2N) t(i)
+         |GROUP BY 1 ORDER BY tag""".stripMargin,
     // the pushed sample is the deterministic [0, n·fraction) slice;
     // the aggregate over it replayed from the same range (the JVM
     // computes the bound once and embeds it — both engines replay

@@ -536,6 +536,30 @@ class SourcesSpec extends SparkSpec {
       "withReplacement must not push")
   }
 
+  test("dsv2 variant column: typed extraction correct; pushdown refusal is safe") {
+    def tbl(s: org.apache.spark.sql.SparkSession) =
+      s.read.format("graft.sources.SeqSource")
+        .option("n", "500").option("variant", "true").load()
+    // schema carries a real VariantType column
+    assert(tbl(spark).schema("props").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    def vals(s: org.apache.spark.sql.SparkSession) =
+      tbl(s).select(col("id"),
+          expr("variant_get(props, '$.k', 'bigint')").as("k"),
+          expr("variant_get(props, '$.tag', 'string')").as("tag"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val base = vals(spark)
+    assert(base.forall { case (id, k, tag) =>
+      k == id % 100 && tag == s"t${id % 5}" }, base.take(5))
+    // with extraction pushdown requested, the builder REFUSES (the
+    // engine rewrite is broken on this path — see the builder's
+    // scaladoc) and the engine keeps variant_get exact above the scan
+    val on = spark.newSession()
+    on.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+    assert(vals(on) == base, "refused pushdown changed results")
+  }
+
   test("dsv2 join pushdown: the connector answers the join — zero join nodes") {
     import graft.sources.StorageOps
     val on = spark.newSession()
