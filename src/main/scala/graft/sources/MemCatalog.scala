@@ -62,19 +62,25 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): StagedTable = {
     if (tables.containsKey(key(ident)))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    // PARTITIONED BY must survive the staged path too: an atomic CTAS
+    // that silently dropped the declared layout would later fail SHOW
+    // PARTITIONS / dynamic overwrite with no error at create time
     new MemStagedTable(ident, new MemTable(key(ident), schema,
-      isMor(properties)), this, replace = false)
+      isMor(properties),
+      MemCatalog.partitionColOf(schema, partitions)), this, replace = false)
   }
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable =
     new MemStagedTable(ident, new MemTable(key(ident), schema,
-      isMor(properties)), this, replace = true)
+      isMor(properties),
+      MemCatalog.partitionColOf(schema, partitions)), this, replace = true)
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable =
     new MemStagedTable(ident, new MemTable(key(ident), schema,
-      isMor(properties)), this, replace = true)
+      isMor(properties),
+      MemCatalog.partitionColOf(schema, partitions)), this, replace = true)
 
   private[sources] def commitStaged(ident: Identifier, t: MemTable,
                                     replace: Boolean): Unit = {
@@ -344,6 +350,7 @@ class MemStagedTable(ident: Identifier, inner: MemTable,
     extends StagedTable with SupportsWrite {
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
   override def capabilities(): util.Set[TableCapability] =
     inner.capabilities()
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -602,6 +609,13 @@ class MemTable(tableName: String, tableSchema: StructType,
       if (i < 0) throw new IllegalArgumentException(s"no column $name")
       if (colFields.exists(_.name.equalsIgnoreCase(newName)))
         throw new IllegalArgumentException(s"column $newName already exists")
+      // partitionCol stores the create-time NAME: renaming under it
+      // would leave partitionValueOf resolving indexWhere == -1 and
+      // crash every later partition operation — refuse, like the MoR
+      // row-id guard in dropColumn
+      if (partitionCol.exists(_.equalsIgnoreCase(name)))
+        throw new UnsupportedOperationException(
+          s"cannot rename the partition column $name")
       // the id — and with it the stored data — survives the rename
       colFields = colFields.updated(i, colFields(i).copy(name = newName))
     }
@@ -615,6 +629,9 @@ class MemTable(tableName: String, tableSchema: StructType,
       if (mor && i == idOrdinal)
         throw new UnsupportedOperationException(
           "cannot drop the row-id column of a merge-on-read table")
+      if (partitionCol.exists(_.equalsIgnoreCase(name)))
+        throw new UnsupportedOperationException(
+          s"cannot drop the partition column $name")
       if (colFields.length == 1)
         throw new UnsupportedOperationException("cannot drop the last column")
       // metadata-only: the id is retired, stored values become
@@ -678,6 +695,12 @@ class MemTable(tableName: String, tableSchema: StructType,
     }
     (folded, rows.size)
   }
+  /** Run `f` under the row lock — the commit-protocol entry point for
+    * multi-step mutations (remove-matching + append must be ONE
+    * atomic commit: a concurrent scan's snapshot() taken between them
+    * would observe the slice deleted but not yet replaced). The lock
+    * is reentrant, so the helpers' own synchronized blocks nest. */
+  private[sources] def withRowLock[T](f: => T): T = rows.synchronized(f)
   /** Append under the lock, stamping the CURRENT layout — the one
     * shared array per write epoch that later scans resolve against. */
   private[sources] def append(batch: Seq[InternalRow]): Unit =
@@ -830,6 +853,18 @@ class MemTable(tableName: String, tableSchema: StructType,
       private var dynamic = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        // MoR guard (mirrors canDeleteWhere): removeWhere mutates only
+        // the BASE rows, so on a table with pending delta records the
+        // overwrite would delete matching base rows and then snapshot()
+        // would re-apply the stale deltas on top — overwritten rows
+        // silently resurrecting. Only the AlwaysTrue path is safe (it
+        // routes to truncateTable, which clears the log too).
+        if (mor && !filters.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          throw new UnsupportedOperationException(
+            "REPLACE WHERE on a merge-on-read table is not supported " +
+              "(base-row removal would not see pending delta records); " +
+              "compact first or use DELETE/INSERT")
         if (!overwritableFilters(filters))
           throw new UnsupportedOperationException(
             "overwrite condition not store-evaluable: " +
@@ -841,6 +876,11 @@ class MemTable(tableName: String, tableSchema: StructType,
         this
       }
       override def overwriteDynamicPartitions(): WriteBuilder = {
+        if (mor)
+          throw new UnsupportedOperationException(
+            "dynamic partition overwrite on a merge-on-read table is " +
+              "not supported (base-row removal would not see pending " +
+              "delta records); compact first")
         if (partitionCol.isEmpty)
           throw new UnsupportedOperationException(
             "dynamic overwrite needs a partitioned table")
@@ -924,23 +964,29 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (rowLevel) MemTable.rewrites.incrementAndGet()
-    if (truncateFirst) table.truncateTable()
     val incoming = messages.toSeq.flatMap(
       _.asInstanceOf[MemRowsMsg].rows.toSeq)
-    // REPLACE WHERE: one atomic delete-matching + append commit
-    overwriteFilters.foreach { fs =>
-      MemTable.replaceWheres.incrementAndGet()
-      lastRemoved += table.removeWhere(fs)
+    // the WHOLE remove + append sequence runs under ONE row lock: a
+    // concurrent scan snapshots either the pre-commit or post-commit
+    // state, never the deleted-but-not-yet-replaced gap (the
+    // documented REPLACE WHERE / dynamic-overwrite atomicity contract)
+    table.withRowLock {
+      if (truncateFirst) table.truncateTable()
+      // REPLACE WHERE: one atomic delete-matching + append commit
+      overwriteFilters.foreach { fs =>
+        MemTable.replaceWheres.incrementAndGet()
+        lastRemoved += table.removeWhere(fs)
+      }
+      // dynamic overwrite: replace exactly the partitions the batch
+      // touches (computed from the incoming rows, never declared)
+      if (dynamicPartitions) {
+        MemTable.dynamicOverwrites.incrementAndGet()
+        val ord = table.schema().fieldIndex(table.partitionCol.get)
+        val touched = incoming.map(_.getLong(ord)).toSet
+        lastRemoved += table.removePartitions(touched)
+      }
+      table.append(incoming)
     }
-    // dynamic overwrite: replace exactly the partitions the batch
-    // touches (computed from the incoming rows, never declared)
-    if (dynamicPartitions) {
-      MemTable.dynamicOverwrites.incrementAndGet()
-      val ord = table.schema().fieldIndex(table.partitionCol.get)
-      val touched = incoming.map(_.getLong(ord)).toSet
-      lastRemoved += table.removePartitions(touched)
-    }
-    table.append(incoming)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

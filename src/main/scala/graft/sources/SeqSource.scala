@@ -132,7 +132,8 @@ class SeqTable(n: Long, parts: Int, batchRows: Long,
   * at all. */
 class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
                      pstep: Long = 0L, columnar: Boolean = false,
-                     noorder: Boolean = false, variant: Boolean = false)
+                     noorder: Boolean = false,
+                     private[sources] val variant: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -213,8 +214,9 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
   override def isOtherSideCompatibleForJoin(
       other: SupportsPushDownJoin): Boolean =
     other.isInstanceOf[SeqScanBuilder] &&
-      pushedAgg.isEmpty &&
-      other.asInstanceOf[SeqScanBuilder].pushedAgg.isEmpty
+      pushedAgg.isEmpty && !variant &&
+      other.asInstanceOf[SeqScanBuilder].pushedAgg.isEmpty &&
+      !other.asInstanceOf[SeqScanBuilder].variant
 
   override def pushDownJoin(
       other: SupportsPushDownJoin,
@@ -225,7 +227,11 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
       : Boolean = other match {
     case o: SeqScanBuilder
         if joinType == org.apache.spark.sql.connector.join.JoinType.INNER_JOIN &&
-          pushedAgg.isEmpty && o.pushedAgg.isEmpty =>
+          pushedAgg.isEmpty && o.pushedAgg.isEmpty &&
+          // variant sides are refused (also in isOtherSideCompatible):
+          // the rebuilt joined schema types every non-word column as
+          // LongType, which would corrupt a VARIANT props column
+          !variant && !o.variant =>
       def rename(src: Seq[(String, String, Long)],
                  c: SupportsPushDownJoin.ColumnWithAlias)
           : Option[(String, String, Long)] =
@@ -928,8 +934,13 @@ class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
     * and the engine consumes them through its columnar protocol
     * (`ColumnarToRow` above the scan, itself codegen'd) — the
     * parquet-vectorized-reader shape for a custom source. Same values
-    * as the row path; SourcesSpec pins equality and the columnar plan. */
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+    * as the row path; SourcesSpec pins equality and the columnar plan.
+    * A pruned schema that retains the VARIANT `props` column falls
+    * back to the ROW path (no variant column vector exists in the
+    * on-heap vector set) — `columnar=true, variant=true` stays
+    * correct instead of hitting an unmatched column at scan time. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && !cols.exists(_._1 == "props")
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val r = p.asInstanceOf[SeqSplit]

@@ -562,4 +562,66 @@ class CatalogSpec extends SparkSpec {
     a.sql("INSERT INTO mem.ns.iso VALUES (1)")
     assert(b.sql("SELECT count(*) FROM mem.ns.iso").head().getLong(0) == 0L)
   }
+
+  test("REPLACE WHERE / dynamic overwrite refuse MoR tables (no resurrection)") {
+    import org.apache.spark.sql.functions._
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.morow.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.morow.t VALUES (1, 10), (2, 20)")
+    // leave a pending delta in the log: the overwrite-removal path
+    // only sees base rows, so accepting would let this stale record
+    // resurrect the overwritten slice on the next snapshot()
+    cs.sql("UPDATE mem.morow.t SET v = 21 WHERE k = 2")
+    import cs.implicits._
+    intercept[Exception] {
+      Seq((2L, 99L)).toDF("k", "v")
+        .writeTo("mem.morow.t").overwrite(col("k") >= 2)
+    }
+    // the table is untouched by the refused overwrite
+    val rows = cs.sql("SELECT k, v FROM mem.morow.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 21L)), rows)
+    // the truncate path (overwrite AlwaysTrue) stays legal on MoR —
+    // truncateTable clears BOTH the base and the delta log
+    Seq((7L, 70L)).toDF("k", "v").writeTo("mem.morow.t").overwrite(lit(true))
+    val after = cs.sql("SELECT k, v FROM mem.morow.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == Seq((7L, 70L)), after)
+  }
+
+  test("atomic CTAS keeps PARTITIONED BY (staged path routes partitions)") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ctas.p PARTITIONED BY (part) AS " +
+      "SELECT CAST(id % 3 AS BIGINT) AS part, id AS v FROM range(9)")
+    // the staged table carried the declared layout: SHOW PARTITIONS
+    // resolves and dynamic overwrite works on the created table
+    val parts = cs.sql("SHOW PARTITIONS mem.ctas.p").collect()
+      .map(_.getString(0)).toSet
+    assert(parts == Set("part=0", "part=1", "part=2"), parts)
+    cs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cs.sql("INSERT OVERWRITE mem.ctas.p VALUES (CAST(1 AS BIGINT), CAST(100 AS BIGINT))")
+    val counts = cs.sql("SELECT part, count(*) AS c FROM mem.ctas.p GROUP BY part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(0L -> 3L, 1L -> 1L, 2L -> 3L), counts)
+  }
+
+  test("RENAME/DROP of the partition column are refused, table stays usable") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.pc.t (part BIGINT, v BIGINT) PARTITIONED BY (part)")
+    cs.sql("INSERT INTO mem.pc.t VALUES (1, 10), (2, 20)")
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.pc.t RENAME COLUMN part TO p2")
+    }
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.pc.t DROP COLUMN part")
+    }
+    // partition machinery still resolves after the refused changes
+    val parts = cs.sql("SHOW PARTITIONS mem.pc.t").collect()
+      .map(_.getString(0)).toSet
+    assert(parts == Set("part=1", "part=2"), parts)
+    // non-partition columns still rename fine
+    cs.sql("ALTER TABLE mem.pc.t RENAME COLUMN v TO w")
+    assert(cs.sql("SELECT sum(w) FROM mem.pc.t").head().getLong(0) == 30L)
+  }
 }

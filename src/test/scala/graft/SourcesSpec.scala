@@ -558,6 +558,41 @@ class SourcesSpec extends SparkSpec {
     val on = spark.newSession()
     on.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
     assert(vals(on) == base, "refused pushdown changed results")
+    // columnar=true + variant=true: the pruned schema retaining the
+    // props column falls back to the ROW reader (no variant vector
+    // exists) instead of failing at scan time; values are identical
+    val cv = spark.read.format("graft.sources.SeqSource")
+      .option("n", "500").option("variant", "true")
+      .option("columnar", "true").load()
+      .select(col("id"), expr("variant_get(props, '$.k', 'bigint')").as("k"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cv == base.map(t => (t._1, t._2)), cv.take(5))
+    // a variant-less projection of the same table still reads columnar
+    val noProps = spark.read.format("graft.sources.SeqSource")
+      .option("n", "500").option("variant", "true")
+      .option("columnar", "true").load().select("id", "word")
+    assert(noProps.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "variant-free projection lost the columnar path")
+    assert(noProps.count() == 500)
+  }
+
+  test("join pushdown refuses variant sides (schema would corrupt)") {
+    val on = spark.newSession()
+    on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    def side(variant: Boolean) = on.read.format("graft.sources.SeqSource")
+      .option("n", "200").option("variant", variant.toString).load()
+    val j = side(variant = true).as("a")
+      .join(side(variant = false).as("b"), col("a.id") === col("b.id"))
+      .select(col("a.id"),
+        expr("variant_get(a.props, '$.k', 'bigint')").as("k"))
+      .orderBy("id")
+    // the engine keeps its join — the connector refused the variant side
+    assert(j.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"), "variant join was pushed (refusal expected)")
+    val rows = j.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.length == 200 && rows.forall { case (id, k) => k == id % 100 },
+      rows.take(5))
   }
 
   test("dsv2 join pushdown: the connector answers the join — zero join nodes") {
