@@ -740,8 +740,9 @@ object Similarity {
     "embed_quantize"    -> embedQuantizeGated _,
   )
 
-  /** Cosine in DuckDB list arithmetic, rounded like the Spark side. */
-  private def cosSql(a: String, b: String, places: Int): String =
+  /** Cosine in DuckDB list arithmetic, rounded like the Spark side.
+    * Shared with [[Retrieval]]'s hybrid dense-half oracle. */
+  private[operators] def cosSql(a: String, b: String, places: Int): String =
     s"""round(list_dot_product($a, $b) / sqrt(
        |      list_dot_product($a, $a) * list_dot_product($b, $b)), $places)""".stripMargin
 
@@ -770,8 +771,9 @@ object Similarity {
 
   /** The deterministic IVF index build (seeds → 2 Lloyd rounds →
     * final assignment `idx`) as a shared CTE prefix — the exact chain
-    * ann_ivf/ann_ivf_pq inline. */
-  private def ivfIdxSql: String =
+    * ann_ivf/ann_ivf_pq inline; [[Retrieval]]'s hybrid dense half
+    * replays the same landed index with its own query workload. */
+  private[operators] def ivfIdxSql: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |seeds AS (
        |  SELECT vec_id AS cid, v AS cv FROM e

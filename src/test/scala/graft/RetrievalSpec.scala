@@ -83,25 +83,39 @@ class RetrievalSpec extends SparkSpec {
 
   test("hybrid: fused table replays exactly from the component ranks") {
     import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
     val sparse = Retrieval.bm25Retrieve(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
-    // dense twin recomputed independently: rounded cosine vs the
-    // query-id seed vector, (cos desc, vec_id) rank
+    // dense twin recomputed independently AGAINST THE LANDED IVF
+    // index: probe the IvfProbes nearest centroids (9-rounded cosine,
+    // cid tie-break), rank exact 6-rounded cosine within the probed
+    // cells — the production dense-retriever chain, replayed
+    // driver-side over the same landed artifacts
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Double](1).toArray).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
+    def cos(a: Array[Double], b: Array[Double], places: Int): Double = {
       def dot(x: Array[Double], y: Array[Double]) =
         x.zip(y).map { case (p, q) => p * q }.sum
       BigDecimal(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .setScale(places, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    val (idxDf, centDf) = Similarity.ivfStore(spark, sfDir)
+    val cents = centDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    val cellOf = idxDf.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val qids = Retrieval.Bm25Queries.map(_._1)
     val dense = qids.flatMap { q =>
-      vecs.toSeq.filter(_._1 != q)
-        .map { case (id, v) => (id, cos(v, vecs(q))) }
+      val probed = cents
+        .map { case (cid, cv) => (cid, cos(vecs(q), cv, 9)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(Similarity.IvfProbes).map(_._1).toSet
+      vecs.toSeq
+        .filter { case (id, _) => id != q && probed.contains(cellOf(id)) }
+        .map { case (id, v) => (id, cos(v, vecs(q), 6)) }
         .sortBy { case (id, c) => (-c, id) }
         .take(Retrieval.TopK).zipWithIndex
         .map { case ((id, _), i) => (q, id) -> (i + 1) }
@@ -136,10 +150,48 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
-  test("bm25: oracle idf literals harvest after a run") {
+  test("bm25: oracle reads the LANDED idf sidecar (no ln fallback)") {
     assert(Retrieval.idfValuesSql.nonEmpty,
-      "idf stash empty after bm25 run — oracle would fall back to ln")
-    assert(Retrieval.oracle("bm25_retrieve").contains("idfv(df, idfq)"),
+      "landed idf sidecar unreadable after a bm25 run")
+    val sql = Retrieval.oracle("bm25_retrieve")
+    assert(sql.contains("idfv(df, idfq) AS (VALUES"),
       "oracle did not embed the landed idf literals")
+    assert(!sql.contains("ln("),
+      "ln leaked into the bm25 oracle — the literal path must be total")
+    // the sidecar lands once per dataset; re-running costs a store read
+    val builds = Retrieval.idfBuildCount.get()
+    Retrieval.bm25Retrieve(spark, sfDir).collect()
+    assert(Retrieval.idfBuildCount.get() == builds,
+      "idf sidecar rebuilt on a second run")
+    // the landed integers equal an independent ln evaluation (the ln
+    // ran exactly once, at land time — this pins WHAT it landed)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val byDf = Retrieval.idfStore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDf.foreach { case (df, idfq) =>
+      val expect = math.round(math.log(
+        (nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1e7)
+      assert(idfq == expect, s"landed idfq for df=$df: $idfq != $expect")
+    }
+  }
+
+  test("hybrid: dense half probes the landed IVF index, not the corpus") {
+    import graft.operators.Similarity
+    // the landed index is shared with ann_ivf — running the hybrid
+    // must not trigger another IVF build
+    Similarity.ivfStore(spark, sfDir)
+    val builds = Similarity.ivfBuildCount.get()
+    val df = Retrieval.hybridRetrieve(spark, sfDir)
+    df.collect()
+    assert(Similarity.ivfBuildCount.get() == builds,
+      "hybrid dense half rebuilt the IVF index")
+    // the plan reads the landed parquet index (scan nodes over the
+    // ivf store) and never plans a cartesian over the corpus
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf"),
+      "hybrid dense half does not read the landed IVF store:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "hybrid planned a cartesian product:\n" + p)
   }
 }
