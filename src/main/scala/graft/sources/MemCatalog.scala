@@ -113,6 +113,23 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     t
   }
 
+  /** TIME TRAVEL through the catalog (`VERSION AS OF n`): every
+    * content-changing commit lands an immutable VERSION MANIFEST —
+    * an array of row references, the toy-plane analogue of an Iceberg
+    * snapshot's manifest list (row payloads are shared and immutable;
+    * the manifest is O(rows) pointers) — and a versioned read serves
+    * manifest n verbatim. Later commits, and crucially later
+    * COMPACTIONS (which rewrite the live base), cannot perturb a
+    * landed manifest: maintenance reorganizes the present, never the
+    * past (CatalogSpec pins it). Reads use the CURRENT schema with
+    * per-row layout resolution — the read-time schema-evolution
+    * contract the live scan already carries. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tables.get(key(ident))
+    if (t == null) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    t.atVersion(version)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -580,6 +597,34 @@ class MemTable(tableName: String, tableSchema: StructType,
   // buffer lock, plus (MoR only) the committed delta log
   private val rows = new java.util.ArrayList[MemRow]()
   private val deltaLog = new java.util.ArrayList[MemDeltaRec]()
+  // VERSION MANIFESTS — one immutable row-reference array per
+  // content-changing commit (see MemCatalog.loadTable(ident, version)).
+  // Compaction records NOTHING here: it rewrites the live base without
+  // changing content, and landed manifests keep their own references.
+  private val versionLog = new java.util.ArrayList[Array[MemRow]]()
+  /** Land the CURRENT merged view as the next version manifest —
+    * called at the end of every content-changing commit, under the
+    * row lock (reentrant from the commit's own critical section). */
+  private[sources] def commitVersion(): Unit =
+    rows.synchronized { versionLog.add(snapshot()) }
+  private[graft] def versionCount: Int = rows.synchronized(versionLog.size)
+  /** The read-only table view serving version manifest `version`
+    * (1-based commit ordinals, the store's snapshot-id scheme). */
+  private[sources] def atVersion(version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"version must be a commit ordinal, got '$version'")
+    }
+    val manifest = rows.synchronized {
+      if (v < 1 || v > versionLog.size)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(Seq(tableName, s"version $v of " +
+            s"${versionLog.size}"))
+      versionLog.get(v.toInt - 1)
+    }
+    new MemVersionTable(s"$tableName@v$v", manifest, effectiveSchema,
+      layoutSnapshot, defaultsSnapshot)
+  }
   // FIELD-ID schema (the Iceberg evolution model): every column gets
   // a stable id at birth; RENAME keeps the id (and therefore the
   // data), DROP retires it, a re-ADD under the same name mints a NEW
@@ -728,8 +773,15 @@ class MemTable(tableName: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
 
+  /** Clear base + delta log WITHOUT landing a version — the building
+    * block for commits that clear-then-append atomically (their ONE
+    * version lands at commit end, never the intermediate gap). */
+  private[sources] def clearData(): Unit =
+    rows.synchronized { rows.clear(); deltaLog.clear() }
+
   override def truncateTable(): Boolean = {
-    rows.synchronized { rows.clear(); deltaLog.clear() }; true
+    // a direct TRUNCATE TABLE is its own content-changing commit
+    rows.synchronized { clearData(); commitVersion() }; true
   }
 
   /** Exact store-side predicate evaluation for metadata delete,
@@ -827,6 +879,7 @@ class MemTable(tableName: String, tableSchema: StructType,
     rows.synchronized {
       val keep = rows.asScala.filterNot(r => filters.forall(eval(_, r))).toSeq
       rows.clear(); keep.foreach(rows.add)
+      commitVersion()
     }
   }
 
@@ -908,6 +961,30 @@ class MemTable(tableName: String, tableSchema: StructType,
     }
 }
 
+/** A read-only table view over one landed version manifest — what
+  * `VERSION AS OF n` resolves to. No write/delete/DML surface at all:
+  * the past is immutable by TYPE, not by convention (the engine
+  * cannot even plan a write against it). Reads go through the same
+  * [[MemScan]] as the live table, with the current schema and
+  * field-id layout resolution. */
+class MemVersionTable(versionName: String, manifest: Array[MemRow],
+                      tableSchema: StructType, layout: Array[Int],
+                      defaults: Map[Int, Any])
+    extends Table with SupportsRead {
+  override def name(): String = versionName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new MemScan(manifest, tableSchema, layout, required, defaults)
+    }
+}
+
 /** Scan over a snapshot: rows ride the serialized partitions to the
   * tasks (the toy data plane); column pruning applies in the reader.
   * Each requested column is a FIELD ID (`fullIds` aligns with `full`),
@@ -971,7 +1048,7 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
     // state, never the deleted-but-not-yet-replaced gap (the
     // documented REPLACE WHERE / dynamic-overwrite atomicity contract)
     table.withRowLock {
-      if (truncateFirst) table.truncateTable()
+      if (truncateFirst) table.clearData()
       // REPLACE WHERE: one atomic delete-matching + append commit
       overwriteFilters.foreach { fs =>
         MemTable.replaceWheres.incrementAndGet()
@@ -986,6 +1063,9 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
         lastRemoved += table.removePartitions(touched)
       }
       table.append(incoming)
+      // ONE manifest per commit — the post-commit state, never the
+      // cleared/removed intermediate
+      table.commitVersion()
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -1037,8 +1117,11 @@ class MemDeltaBatchWrite(table: MemTable) extends DeltaBatchWrite {
       table.idOrdinal)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     MemTable.deltaCommits.incrementAndGet()
-    messages.foreach { m =>
-      table.appendDeltas(m.asInstanceOf[MemDeltaMsg].recs.toSeq)
+    table.withRowLock {
+      messages.foreach { m =>
+        table.appendDeltas(m.asInstanceOf[MemDeltaMsg].recs.toSeq)
+      }
+      table.commitVersion()
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -527,6 +527,50 @@ object StorageOps {
       .orderBy("k")
   }
 
+  /** TIME TRAVEL through the catalog plugin (`VERSION AS OF` →
+    * `TableCatalog.loadTable(ident, version)`): the memory catalog's
+    * merge-on-read commit log already records history — every
+    * content-changing commit now lands an immutable VERSION MANIFEST,
+    * and a versioned read serves that manifest verbatim. This is the
+    * connector twin of the file-source `time_travel` (immutable
+    * staged snapshot directories): same contract, catalog protocol
+    * instead of paths. The query builds three versions (CTAS ingest →
+    * delta UPDATE → delta DELETE), then COMPACTS — and reads all
+    * three versions plus the live table AFTER the compaction, so the
+    * gate proves maintenance rewrote the present without perturbing
+    * the past (v3 must equal the live read; CatalogSpec pins the
+    * manifest-immutability mechanics). At 100 TB this is the Iceberg
+    * snapshot contract: rollback/audit reads resolve old manifest
+    * lists while rewrite_data_files churns the live files underneath.
+    * Oracle replays the version chain as CTEs. */
+  def catalogTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.tt TBLPROPERTIES('mor'='true') AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)   // v1
+    cs.sql("UPDATE graft_mem.ns.tt SET v = v + 1000 WHERE k < 10") // v2
+    cs.sql("DELETE FROM graft_mem.ns.tt WHERE v % 7 = 3")          // v3
+    // fold the delta log into the base: versioned reads below must
+    // not notice (manifests hold their own row references)
+    cs.sql("CALL graft_mem.sys.compact('ns.tt')").collect()
+    def at(v: Int): DataFrame =
+      cs.sql(s"""SELECT '$v' AS version, count(*) AS n_rows,
+                |  CAST(sum(v) AS BIGINT) AS sum_v,
+                |  CAST(min(v) AS BIGINT) AS min_v
+                |FROM graft_mem.ns.tt VERSION AS OF $v""".stripMargin)
+    at(1).unionByName(at(2)).unionByName(at(3))
+      .unionByName(cs.sql(
+        """SELECT 'live' AS version, count(*) AS n_rows,
+          |  CAST(sum(v) AS BIGINT) AS sum_v,
+          |  CAST(min(v) AS BIGINT) AS min_v
+          |FROM graft_mem.ns.tt""".stripMargin))
+      .transform(Present.sorted(_, col("version")))
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and
@@ -717,6 +761,55 @@ object StorageOps {
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
         min("id").as("min_id"), max("id").as("max_id"))
       .transform(Present.sorted(_, col("tag")))
+
+  /** VARIANT extraction pushdown on the PARQUET FILE-SOURCE path —
+    * the rung the connector deliberately refuses
+    * ([[SeqScanBuilder.pushVariantExtractions]] — the DSv2 rewrite is
+    * broken upstream), exercised where it actually works: the
+    * `PushVariantIntoScan` rule (on by default,
+    * `spark.sql.variant.pushVariantIntoScan`) rewrites `variant_get`
+    * over a parquet scan into a SHREDDED STRUCT READ — the scan's
+    * ReadSchema becomes `struct<props:struct<...>>` carrying only the
+    * requested extractions, the Project reads struct fields, and no
+    * variant_get survives in the physical plan (PlanSpec pins both).
+    * At 100 TB this is the open-format shredding contract: a binary
+    * semi-structured column is decoded once, columnar, inside the
+    * scan, to exactly the paths the query touches — instead of
+    * shipping whole variant blobs up the plan and re-walking them per
+    * expression. The staged table's variant values are built with the
+    * engine's own encoder from order-derived JSON (landed once per
+    * dataset; versions are immutable), so the DuckDB oracle replays
+    * the fields from the generating arithmetic on `orders`. */
+  private val variantLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageVariantParquet(s: SparkSession, d: String): String =
+    variantLanded.computeIfAbsent(d, _ => {
+      val dir = stageDir("variant_orders", d)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("id"),
+          parse_json(to_json(struct(
+            (col("o_custkey") % 97).as("k"),
+            concat(lit("t"), col("o_custkey") % 5).as("tag"),
+            round(col("o_totalprice") * 100, 0).cast("long")
+              .as("price_cents")))).as("props"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  def parquetVariantPushdown(s: SparkSession, d: String): DataFrame = {
+    val dir = stageVariantParquet(s, d)
+    s.read.parquet(dir)
+      .select(col("id"),
+        expr("variant_get(props, '$.k', 'bigint')").as("k"),
+        expr("variant_get(props, '$.tag', 'string')").as("tag"),
+        expr("variant_get(props, '$.price_cents', 'bigint')")
+          .as("price_cents"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        sum("price_cents").as("sum_cents"))
+      .transform(Present.sorted(_, col("tag")))
+  }
 
   /** TABLESAMPLE pushdown — the source owns its sampling (the JDBC
     * `TABLESAMPLE SYSTEM` shape): the generated range instantiates a
@@ -1600,6 +1693,7 @@ object StorageOps {
     "dsv2_join_pushdown" -> dsv2JoinPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_variant_scan" -> dsv2VariantScan _,
+    "parquet_variant_pushdown" -> parquetVariantPushdown _,
     "parquet_agg_pushdown" -> parquetAggPushdown _,
     "dsv2_topn_pushdown"  -> dsv2TopnPushdown _,
     "dsv2_metadata_col"   -> dsv2MetadataCol _,
@@ -1617,6 +1711,7 @@ object StorageOps {
     "catalog_constraints" -> catalogConstraints _,
     "catalog_evolution"   -> catalogEvolution _,
     "catalog_compact"     -> catalogCompact _,
+    "catalog_time_travel" -> catalogTimeTravel _,
     "catalog_function"    -> catalogFunction _,
     "catalog_agg_function" -> catalogAggFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
@@ -1937,6 +2032,42 @@ object StorageOps {
         |  SELECT s.k, s.cnt FROM src s LEFT JOIN tgt2 t ON t.k = s.k
         |  WHERE t.k IS NULL)
         |SELECT k, v FROM merged ORDER BY k""".stripMargin,
+    // the shredded extraction changes the SCAN (struct read, pinned
+    // in PlanSpec), never the values: replay the generating
+    // arithmetic straight from orders
+    "parquet_variant_pushdown" ->
+      """SELECT 't' || (o_custkey % 5) AS tag,
+        |  count(*)::BIGINT AS cnt,
+        |  sum(o_custkey % 97)::BIGINT AS sum_k,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY tag""".stripMargin,
+    // the version chain replayed as CTEs: v1 = ingest, v2 = update
+    // applied, v3 = delete applied; live == v3 (compaction is
+    // content-neutral, and versioned reads ignore it entirely)
+    "catalog_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey % 97 AS k, CAST(sum(o_orderkey) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k < 10 THEN v + 1000 ELSE v END AS v
+        |  FROM v1),
+        |v3 AS (SELECT k, v FROM v2 WHERE NOT (v % 7 = 3)),
+        |allv AS (
+        |  SELECT '1' AS version, count(*)::BIGINT AS n_rows,
+        |    CAST(sum(v) AS BIGINT) AS sum_v, CAST(min(v) AS BIGINT) AS min_v
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT '2', count(*)::BIGINT, CAST(sum(v) AS BIGINT),
+        |    CAST(min(v) AS BIGINT) FROM v2
+        |  UNION ALL
+        |  SELECT '3', count(*)::BIGINT, CAST(sum(v) AS BIGINT),
+        |    CAST(min(v) AS BIGINT) FROM v3
+        |  UNION ALL
+        |  SELECT 'live', count(*)::BIGINT, CAST(sum(v) AS BIGINT),
+        |    CAST(min(v) AS BIGINT) FROM v3)
+        |SELECT version, n_rows, sum_v, min_v FROM allv
+        |ORDER BY version""".stripMargin,
     // the layout changes the plan (bloom-skipped row groups), never
     // the answer: the point lookup replays as scalar-subquery probes
     "bloom_skip_layout" ->

@@ -606,6 +606,44 @@ class CatalogSpec extends SparkSpec {
     assert(counts == Map(0L -> 3L, 1L -> 1L, 2L -> 3L), counts)
   }
 
+  test("time travel: version manifests are immutable under compaction") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.tt.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.tt.t VALUES (1, 10), (2, 20), (3, 30)") // v1
+    cs.sql("UPDATE mem.tt.t SET v = v + 5 WHERE k = 2")             // v2
+    cs.sql("DELETE FROM mem.tt.t WHERE k = 3")                      // v3
+    def at(v: Int) = cs.sql(
+      s"SELECT k, v FROM mem.tt.t VERSION AS OF $v ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (v1, v2, v3) = (at(1), at(2), at(3))
+    assert(v1 == Seq((1L, 10L), (2L, 20L), (3L, 30L)), v1)
+    assert(v2 == Seq((1L, 10L), (2L, 25L), (3L, 30L)), v2)
+    assert(v3 == Seq((1L, 10L), (2L, 25L)), v3)
+    // compaction rewrites the LIVE base; landed manifests keep their
+    // own row references — every versioned read is byte-identical
+    cs.sql("CALL mem.sys.compact('tt.t')").collect()
+    assert(at(1) == v1 && at(2) == v2 && at(3) == v3,
+      "compaction perturbed a landed version manifest")
+    // compaction itself lands no version (content-neutral): the next
+    // ordinal after v3 is still unbound
+    val t = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+      .loadTable(Identifier.of(Array("tt"), "t")).asInstanceOf[MemTable]
+    assert(t.versionCount == 3, s"versions: ${t.versionCount}")
+    intercept[Exception] {
+      cs.sql("SELECT * FROM mem.tt.t VERSION AS OF 4").collect()
+    }
+    intercept[Exception] {
+      cs.sql("SELECT * FROM mem.tt.t VERSION AS OF 0").collect()
+    }
+    // a later commit appends v4 without renumbering the past
+    cs.sql("INSERT INTO mem.tt.t VALUES (9, 90)")
+    assert(at(4).contains((9L, 90L)) && at(1) == v1)
+  }
+
   test("RENAME/DROP of the partition column are refused, table stays usable") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.pc.t (part BIGINT, v BIGINT) PARTITIONED BY (part)")

@@ -698,4 +698,28 @@ class PlanSpec extends SparkSpec {
     // union must not trigger a join per branch)
     assert(p.linesIterator.count(_.contains("FullOuter")) == 1, p)
   }
+
+  test("parquet variant extraction is SHREDDED into the scan") {
+    // PushVariantIntoScan (file-source rule, on by default) rewrites
+    // variant_get over the parquet scan into a struct read: the scan's
+    // ReadSchema carries struct-typed extractions in place of the
+    // variant column, and no variant_get survives in the physical plan
+    val df = graft.sources.StorageOps.parquetVariantPushdown(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("struct<props:struct<"),
+      "scan ReadSchema is not the shredded struct:\n" + p)
+    assert(!p.contains("variant_get"),
+      "variant_get survived above the scan (pushdown did not fire):\n" + p)
+    // the rule changes the plan, never the values: the unpushed twin
+    // (rule off) returns byte-identical rows with variant_get intact
+    val off = spark.newSession()
+    off.conf.set("spark.sql.variant.pushVariantIntoScan", "false")
+    val twin = graft.sources.StorageOps.parquetVariantPushdown(off, sfDir)
+    assert(twin.queryExecution.executedPlan.toString.contains("variant_get"),
+      "control plan lost its variant_get — twin not exercising the rule")
+    assert(twin.collect().toSeq ==
+      graft.sources.StorageOps.parquetVariantPushdown(spark, sfDir)
+        .collect().toSeq)
+  }
 }
