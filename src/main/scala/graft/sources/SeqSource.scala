@@ -51,7 +51,8 @@ class SeqSource extends TableProvider {
       properties.getOrDefault("pstep", "0").toLong,
       properties.getOrDefault("columnar", "false").toBoolean,
       properties.getOrDefault("noorder", "false").toBoolean,
-      properties.getOrDefault("variant", "false").toBoolean)
+      properties.getOrDefault("variant", "false").toBoolean,
+      properties.getOrDefault("hotsplits", "1").toInt)
 }
 
 object SeqSource {
@@ -108,7 +109,8 @@ object SeqSource {
 
 class SeqTable(n: Long, parts: Int, batchRows: Long,
                pstep: Long = 0L, columnar: Boolean = false,
-               noorder: Boolean = false, variant: Boolean = false)
+               noorder: Boolean = false, variant: Boolean = false,
+               hotsplits: Int = 1)
     extends Table with SupportsRead with SupportsMetadataColumns {
   override def name: String = s"graftseq(n=$n)"
   override def schema: StructType = SeqSource.schemaFor(pstep, variant)
@@ -118,7 +120,8 @@ class SeqTable(n: Long, parts: Int, batchRows: Long,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, parts, batchRows, pstep, columnar, noorder, variant)
+    new SeqScanBuilder(n, parts, batchRows, pstep, columnar, noorder,
+      variant, hotsplits)
 }
 
 /** Folds id-range predicates into [lo, hi) at PLANNING time; every
@@ -133,7 +136,8 @@ class SeqTable(n: Long, parts: Int, batchRows: Long,
 class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
                      pstep: Long = 0L, columnar: Boolean = false,
                      noorder: Boolean = false,
-                     private[sources] val variant: Boolean = false)
+                     private[sources] val variant: Boolean = false,
+                     hotsplits: Int = 1)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -430,7 +434,7 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
         0L, columnar = false, noorder = noorder,
         colMap = outCols.map(c => c._1 -> ((c._2, c._3))).toMap)
     case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows,
-      pstep, columnar, noorder)
+      pstep, columnar, noorder, hotsplits = hotsplits)
   }
 }
 
@@ -481,7 +485,8 @@ object SeqScan {
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
               batchRows: Long, pstep: Long = 0L, columnar: Boolean = false,
               noorder: Boolean = false,
-              colMap: Map[String, (String, Long)] = Map.empty)
+              colMap: Map[String, (String, Long)] = Map.empty,
+              hotsplits: Int = 1)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -542,8 +547,23 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
   private def bucketSplits: Array[InputPartition] = {
     if (hi <= lo) return Array.empty
     (lo / pstep to (hi - 1) / pstep).iterator
-      .map(k => SeqBucket(math.max(lo, k * pstep),
-        math.min(hi, (k + 1) * pstep), k))
+      .flatMap { k =>
+        val bLo = math.max(lo, k * pstep)
+        val bHi = math.min(hi, (k + 1) * pstep)
+        // the SKEWED-LAYOUT twin (`hotsplits` > 1): the pkey=0 block
+        // is written as several files, so it plans as several splits
+        // CARRYING THE SAME PARTITION KEY — the storage shape of a
+        // hot key. Plain SPJ must group them back into one task
+        // (the straggler); partially-clustered distribution keeps
+        // them apart and replicates the other side's matching block.
+        if (k == 0 && hotsplits > 1) {
+          val span = bHi - bLo
+          val step = math.max(1L, (span + hotsplits - 1) / hotsplits)
+          (0 until hotsplits).iterator
+            .map(i => SeqBucket(bLo + i * step,
+              math.min(bHi, bLo + (i + 1) * step), k))
+        } else Iterator.single(SeqBucket(bLo, bHi, k))
+      }
       .filter(b => b.hi > b.lo).map(_.asInstanceOf[InputPartition]).toArray
   }
 

@@ -854,6 +854,40 @@ object StorageOps {
     dsv2JoinBody(a, b)
   }
 
+  /** THREE-WAY join pushdown — the compositional claim made a gated
+    * query: a pushed join produces another joinable builder, so the
+    * second id-equijoin folds into the SAME scan and an N-way chain
+    * collapses to ONE range read over the N-way intersection of the
+    * filter-folded ranges ([N/10, N) ∩ [0, N/2) ∩ [0, 2N/5) =
+    * [N/10, 2N/5)). Columns from all three sides survive the two
+    * rename rounds (engine-assigned aliases mapped back to their
+    * generators each time). At 100 TB: a JDBC-style connector that
+    * owns a star's keys answers the whole multi-join as one scan —
+    * two shuffles AND two join operators deleted, compounding the
+    * 2-way rung. SourcesSpec pins ONE scan / zero join nodes on this
+    * registered body; the oracle replays the intersection range. */
+  def dsv2JoinPushdown3way(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    join3Body(cs)
+  }
+
+  private[graft] def join3Body(cs: SparkSession): DataFrame = {
+    def tbl(x: Long) = cs.read.format("graft.sources.SeqSource")
+      .option("n", x.toString).option("parts", "8").load()
+    val a = tbl(Dsv2N).filter(col("id") >= Dsv2N / 10)
+    val b = tbl(Dsv2N / 2)
+    val c = tbl(Dsv2N * 3 / 4).filter(col("id") < Dsv2N * 2 / 5)
+    a.join(b, a("id") === b("id")).join(c, a("id") === c("id"))
+      .select(a("id").as("id"), a("bucket").as("bucket_a"),
+        b("word").as("word"), c("bucket").as("bucket_c"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), sum("bucket_a").as("sum_bucket_a"),
+        sum("bucket_c").as("sum_bucket_c"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .transform(Present.sorted(_, col("word")))
+  }
+
   private[graft] def dsv2JoinSides(cs: SparkSession)
       : (DataFrame, DataFrame) = dsv2JoinSidesOf(cs, Dsv2N)
 
@@ -996,6 +1030,49 @@ object StorageOps {
     cs.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     cs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     cs
+  }
+
+  /** SPJ under SKEW — the partially-clustered rung
+    * (`spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    * .enabled`): the fact side's hot pkey=0 block is laid out as FOUR
+    * splits carrying the same partition key (`hotsplits=4` — the
+    * storage shape of a skewed key: one logical partition, many
+    * files). Plain SPJ must group them back into ONE task — the
+    * straggler that makes skewed SPJ slower than a shuffle with AQE
+    * skew-split; partially-clustered distribution instead keeps the
+    * hot block's splits apart and REPLICATES the other side's
+    * matching block across them, so the hot key runs as four tasks
+    * with ZERO exchanges still (SourcesSpec pins: same results, no
+    * new exchange, join input partitions grow by exactly the extra
+    * hot splits). At 100 TB this is the skew escape hatch that keeps
+    * the co-located layout's economics: the 5%-of-keys-own-half-the-
+    * rows fact table still joins in place, paying replication of ONE
+    * small block instead of re-shuffling two fact tables. Content is
+    * split-layout-independent, so the oracle is the same range replay
+    * as the uniform SPJ. */
+  val SkewHotSplits = 4
+  def dsv2SpjSkew(s: SparkSession, d: String): DataFrame = {
+    val cs = spjSession(s)
+    cs.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "true")
+    spjSkewBody(cs)
+  }
+
+  /** The skewed-layout join body on the caller's session — shared by
+    * the registered query and the spec's grouped-vs-partially-
+    * clustered comparison. */
+  private[graft] def spjSkewBody(cs: SparkSession): DataFrame = {
+    def tbl(n: Long, hot: Int) = cs.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).option("pstep", SpjStep.toString)
+      .option("hotsplits", hot.toString).load()
+    val b = tbl(SpjBN, 1).select(col("pkey"), col("id"),
+      col("bucket").as("bucket_b"))
+    tbl(SpjAN, SkewHotSplits).join(b, Seq("pkey", "id"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("bucket") + col("bucket_b")).as("sum_buckets"))
+      .transform(Present.sorted(_, col("word")))
   }
 
   /** The vectorized DSv2 read path (`columnar=true`): the scan hands
@@ -1691,6 +1768,7 @@ object StorageOps {
     "dsv2_agg_pushdown"   -> dsv2AggPushdown _,
     "dsv2_group_agg_pushdown" -> dsv2GroupAggPushdown _,
     "dsv2_join_pushdown" -> dsv2JoinPushdown _,
+    "dsv2_join_pushdown_3way" -> dsv2JoinPushdown3way _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_variant_scan" -> dsv2VariantScan _,
     "parquet_variant_pushdown" -> parquetVariantPushdown _,
@@ -1699,6 +1777,7 @@ object StorageOps {
     "dsv2_metadata_col"   -> dsv2MetadataCol _,
     "file_metadata"       -> fileMetadata _,
     "dsv2_spj_join"       -> dsv2SpjJoin _,
+    "dsv2_spj_skew"       -> dsv2SpjSkew _,
     "dsv2_columnar_scan"  -> dsv2ColumnarScan _,
     "dsv2_write_distribution" -> dsv2WriteDistribution _,
     "catalog_crud"        -> catalogCrud _,
@@ -1893,6 +1972,37 @@ object StorageOps {
          |  min(i) AS min_id, max(i) AS max_id
          |FROM range(${Dsv2N / 10}, ${Dsv2N / 2}) t(i)
          |GROUP BY 1 ORDER BY word""".stripMargin,
+    // the three-way collapse replayed as one scan of the THREE-WAY
+    // range intersection; both non-key column families survive the
+    // chained renames (bucket from side a and side c — same id, same
+    // value, which is itself the correctness claim)
+    "dsv2_join_pushdown_3way" ->
+      s"""SELECT 'w' || (i % 50) AS word, count(*)::BIGINT AS cnt,
+         |  sum(('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |    % 100)::BIGINT AS sum_bucket_a,
+         |  sum(('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |    % 100)::BIGINT AS sum_bucket_c,
+         |  min(i) AS min_id, max(i) AS max_id
+         |FROM range(${Dsv2N / 10}, ${Dsv2N * 2 / 5}) t(i)
+         |GROUP BY 1 ORDER BY word""".stripMargin,
+    // content is split-layout-independent: the skewed (hotsplits)
+    // layout replays as the same range join as the uniform SPJ
+    "dsv2_spj_skew" ->
+      s"""WITH a AS (
+         |  SELECT i AS id,
+         |    ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |      % 100 AS bucket,
+         |    'w' || (i % 50)::VARCHAR AS word
+         |  FROM range(0, $SpjAN) t(i)),
+         |b AS (
+         |  SELECT i AS id,
+         |    ('0x' || substring(md5('seq' || i::VARCHAR), 1, 15))::BIGINT
+         |      % 100 AS bucket_b
+         |  FROM range(0, $SpjBN) t(i))
+         |SELECT word, count(*)::BIGINT AS cnt,
+         |  sum(bucket + bucket_b)::BIGINT AS sum_buckets
+         |FROM a JOIN b USING (id)
+         |GROUP BY word ORDER BY word""".stripMargin,
     // each version replayed from the rule; v0 must be unperturbed by
     // the v1 write (immutable version directories)
     "time_travel" ->

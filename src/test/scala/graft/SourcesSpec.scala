@@ -634,6 +634,65 @@ class SourcesSpec extends SparkSpec {
     assert(p.contains("graftseq range [0, 450)"),
       "chained intersection wrong:\n" + p)
     assert(j3.count() == 450)
+    // the REGISTERED 3-way body (filters on two sides, columns from
+    // all three): one scan over the three-way intersection, zero join
+    // operators, aggregate engine-side
+    import graft.sources.StorageOps
+    val body = StorageOps.join3Body(on)
+    val bp = body.queryExecution.executedPlan.toString
+    assert(!bp.toLowerCase.contains("join"),
+      "registered 3-way body kept a join:\n" + bp)
+    assert(bp.contains(s"graftseq range [${StorageOps.Dsv2N / 10}, " +
+      s"${StorageOps.Dsv2N * 2 / 5})"),
+      "3-way intersection range wrong:\n" + bp)
+    // pushdown changes the plan, never the rows
+    val off = spark.newSession()
+    off.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+    val plain = StorageOps.join3Body(off)
+    assert(plain.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"), "control plan lost its joins?")
+    assert(body.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("spj skew: partially-clustered keeps hot splits apart, zero exchanges") {
+    import graft.sources.StorageOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case o => o.children.flatMap(flatten)
+    }) :+ p
+    def scanParts(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.collect()
+      flatten(df.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      flatten(df.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    // grouped twin: plain SPJ coalesces the hot key's splits into one
+    // task per key — partition count == key-block count
+    val grouped = StorageOps.spjSkewBody(StorageOps.spjSession(spark))
+    val gParts = scanParts(grouped)
+    val nKeys = (StorageOps.SpjAN / StorageOps.SpjStep).toInt
+    assert(gParts.forall(_ == nKeys),
+      s"grouped SPJ expected $nKeys partitions/side, got $gParts")
+    // partially clustered: the hot block's extra splits stay apart
+    // and the other side's matching block replicates across them
+    val pcd = graft.sources.StorageOps.dsv2SpjSkew(spark, sfDir)
+    val pParts = scanParts(pcd)
+    val expect = nKeys + StorageOps.SkewHotSplits - 1
+    assert(pParts.forall(_ == expect),
+      s"partially-clustered expected $expect partitions/side, got $pParts")
+    // still a storage-partitioned join: the skew handling added NO
+    // join-side exchange (1 exchange = the aggregate's, same as the
+    // grouped twin), and layout never changes content
+    assert(exchanges(pcd) == exchanges(grouped),
+      "partially-clustered added an exchange")
+    assert(pcd.collect().toSeq == grouped.collect().toSeq)
   }
 
   test("dsv2 join pushdown: outer and non-equi joins are refused, stay correct") {
