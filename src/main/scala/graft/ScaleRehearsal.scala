@@ -519,9 +519,15 @@ object ScaleRehearsal {
     * aggregations are the only O(corpus) terms; the scoring join is
     * bounded by the inverted-index selectivity (docs sharing a query
     * term), so wall should track the wordcount family, not the join
-    * family. Hybrid fusion is NOT separately staged: its dense half
-    * is the similarity family's rehearsed path and the fuse itself
-    * is O(queries·k) by construction. */
+    * family. The hybrid's DENSE HALF is measured over staged
+    * embedding multiples as the landed-IVF probe it now is
+    * ([[operators.Retrieval.denseRanked]] — the round-13 rework away
+    * from the brute-force corpus scan): the store lands inside the
+    * first pass, min-of-passes prices the steady-state probe, and the
+    * expectation is the ann_ivf slope (cells grow with N at fixed K —
+    * sublinear wall, NOT the linear full-corpus scan the old shape
+    * paid). The fuse itself is O(queries·k) by construction and has
+    * no corpus-sized term to rehearse. */
   def runRetrieval(s: SparkSession, sfDir: String, mults: Seq[Int],
                    passes: Int = 3): Unit = {
     val listener = new ShuffleListener
@@ -530,6 +536,9 @@ object ScaleRehearsal {
       val staged = stageDocs(s, sfDir, m)
       measure(s, listener, "retrieval", "bm25_retrieve", m, passes)(
         operators.Retrieval.bm25Retrieve(s, staged))
+      val stagedEmb = stageEmbeddings(s, sfDir, m)
+      measure(s, listener, "retrieval", "hybrid_dense_probe", m, passes)(
+        operators.Retrieval.denseRanked(s, stagedEmb))
     }
   }
 
@@ -557,6 +566,13 @@ object ScaleRehearsal {
         val (a, b) = sources.StorageOps.dsv2JoinSidesOf(off, n)
         sources.StorageOps.dsv2JoinBody(a, b)
       }
+      // the 3-way collapse vs the engine's two SMJs on the same body:
+      // the compounding claim, measured — one scan of the three-way
+      // intersection vs three scans + two joins
+      measure(s, listener, "joinpush", "join3_pushed", m, passes)(
+        sources.StorageOps.join3BodyOf(on, n))
+      measure(s, listener, "joinpush", "join3_engine", m, passes)(
+        sources.StorageOps.join3BodyOf(off, n))
     }
   }
 

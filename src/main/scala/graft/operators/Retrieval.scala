@@ -184,7 +184,7 @@ object Retrieval {
     * (md5 seed ranks, fixed-point Lloyd means, 9-place probe cosines
     * with cid tie-breaks), so the DuckDB oracle replays build → probe
     * → in-cell rank verbatim and the fused ranks stay hash-exact. */
-  private def denseRanked(s: SparkSession, d: String): DataFrame = {
+  private[graft] def denseRanked(s: SparkSession, d: String): DataFrame = {
     val (idx, cent) = Similarity.ivfStore(s, d)
     val ids = Bm25Queries.map(_._1)
     val q = Tables.embeddings(s, d)

@@ -130,6 +130,17 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     t.atVersion(version)
   }
 
+  /** `TIMESTAMP AS OF` — the engine hands MICROSECONDS since epoch;
+    * the store resolves the LATEST manifest whose commit time is ≤
+    * the asked instant (the Iceberg snapshot-log rule). Commit times
+    * are recorded when manifests land; asking before the first
+    * commit is an error (there was no table state to read). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tables.get(key(ident))
+    if (t == null) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    t.atTimestamp(timestamp)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -602,11 +613,17 @@ class MemTable(tableName: String, tableSchema: StructType,
   // Compaction records NOTHING here: it rewrites the live base without
   // changing content, and landed manifests keep their own references.
   private val versionLog = new java.util.ArrayList[Array[MemRow]]()
+  // wall-clock commit instants (micros), index-aligned with
+  // versionLog — what TIMESTAMP AS OF resolves against
+  private val versionTimes = new java.util.ArrayList[Long]()
   /** Land the CURRENT merged view as the next version manifest —
     * called at the end of every content-changing commit, under the
     * row lock (reentrant from the commit's own critical section). */
   private[sources] def commitVersion(): Unit =
-    rows.synchronized { versionLog.add(snapshot()) }
+    rows.synchronized {
+      versionLog.add(snapshot())
+      versionTimes.add(System.currentTimeMillis() * 1000L)
+    }
   private[graft] def versionCount: Int = rows.synchronized(versionLog.size)
   /** The read-only table view serving version manifest `version`
     * (1-based commit ordinals, the store's snapshot-id scheme). */
@@ -625,6 +642,19 @@ class MemTable(tableName: String, tableSchema: StructType,
     new MemVersionTable(s"$tableName@v$v", manifest, effectiveSchema,
       layoutSnapshot, defaultsSnapshot)
   }
+  /** Latest manifest committed at or before `tsMicros` (the Iceberg
+    * snapshot-log rule); see [[MemCatalog.loadTable(ident,Long)]]. */
+  private[sources] def atTimestamp(tsMicros: Long): Table =
+    rows.synchronized {
+      var v = 0
+      for (i <- 0 until versionTimes.size)
+        if (versionTimes.get(i) <= tsMicros) v = i + 1
+      if (v == 0)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(Seq(tableName,
+            s"no commit at or before timestamp $tsMicros"))
+      atVersion(v.toString)
+    }
   // FIELD-ID schema (the Iceberg evolution model): every column gets
   // a stable id at birth; RENAME keeps the id (and therefore the
   // data), DROP retires it, a re-ADD under the same name mints a NEW

@@ -872,12 +872,23 @@ object StorageOps {
     join3Body(cs)
   }
 
-  private[graft] def join3Body(cs: SparkSession): DataFrame = {
+  private[graft] def join3Body(cs: SparkSession): DataFrame =
+    join3BodyOf(cs, Dsv2N)
+
+  /** The parameterized 3-way form — ScaleRehearsal scales the extents
+    * through the same body the gate pins. */
+  private[graft] def join3BodyOf(cs: SparkSession, n: Long): DataFrame = {
+    // parts=32: the pushed form collapses THREE scans into one, so
+    // that one scan must carry the parallelism all three would have
+    // had — with 8 splits the collapsed scan underuses local[32] and
+    // the wall (not shuffle) becomes the bottleneck at 200×
+    // (rehearsal-measured: 13.2 s at parts=8 vs the engine twin's
+    // 9.7 s across 24 concurrent scan tasks)
     def tbl(x: Long) = cs.read.format("graft.sources.SeqSource")
-      .option("n", x.toString).option("parts", "8").load()
-    val a = tbl(Dsv2N).filter(col("id") >= Dsv2N / 10)
-    val b = tbl(Dsv2N / 2)
-    val c = tbl(Dsv2N * 3 / 4).filter(col("id") < Dsv2N * 2 / 5)
+      .option("n", x.toString).option("parts", "32").load()
+    val a = tbl(n).filter(col("id") >= n / 10)
+    val b = tbl(n / 2)
+    val c = tbl(n * 3 / 4).filter(col("id") < n * 2 / 5)
     a.join(b, a("id") === b("id")).join(c, a("id") === c("id"))
       .select(a("id").as("id"), a("bucket").as("bucket_a"),
         b("word").as("word"), c("bucket").as("bucket_c"))
@@ -895,8 +906,11 @@ object StorageOps {
     * through the same body the gate pins. */
   private[graft] def dsv2JoinSidesOf(cs: SparkSession, n: Long)
       : (DataFrame, DataFrame) = {
+    // parts=32 for the same reason as join3BodyOf: the pushed join
+    // serves BOTH sides from one scan, which must not halve the
+    // machine's parallelism just because the join disappeared
     def tbl(x: Long) = cs.read.format("graft.sources.SeqSource")
-      .option("n", x.toString).option("parts", "8").load()
+      .option("n", x.toString).option("parts", "32").load()
     (tbl(n).filter(col("id") >= n / 10), tbl(n / 2))
   }
 

@@ -644,6 +644,35 @@ class CatalogSpec extends SparkSpec {
     assert(at(4).contains((9L, 90L)) && at(1) == v1)
   }
 
+  test("time travel: TIMESTAMP AS OF resolves the latest commit <= instant") {
+    val cs = mounted()
+    cs.conf.set("spark.sql.session.timeZone", "UTC")
+    cs.sql("CREATE TABLE mem.ts.t (k BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.ts.t VALUES (1, 10)")          // v1
+    Thread.sleep(5)
+    val between = java.time.Instant.now()                   // v1 < t < v2
+    Thread.sleep(5)
+    cs.sql("INSERT INTO mem.ts.t VALUES (2, 20)")          // v2
+    def fmt(i: java.time.Instant): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+    val atBetween = cs.sql(
+      s"SELECT k FROM mem.ts.t TIMESTAMP AS OF '${fmt(between)}' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(atBetween == Seq(1L), s"between-commits read: $atBetween")
+    val atNow = cs.sql(
+      s"SELECT k FROM mem.ts.t TIMESTAMP AS OF " +
+        s"'${fmt(java.time.Instant.now().plusSeconds(1))}' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(atNow == Seq(1L, 2L), s"post-commit read: $atNow")
+    // an instant before the first commit has no table state to serve
+    intercept[Exception] {
+      cs.sql("SELECT k FROM mem.ts.t TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
   test("RENAME/DROP of the partition column are refused, table stays usable") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.pc.t (part BIGINT, v BIGINT) PARTITIONED BY (part)")
