@@ -515,6 +515,42 @@ object ScaleRehearsal {
     }
   }
 
+  /** SPJ skew rehearsal — the straggler as a measured wall: the fact
+    * side's hot pkey=0 block owns a QUARTER of the table
+    * (pstep = nA/4) and is laid out as 16 same-key splits. Plain SPJ
+    * groups those splits into ONE task — a straggler that serializes
+    * 25 % of the join on one core; partially-clustered distribution
+    * keeps them apart (replicating the build side's matching block),
+    * so the hot key fans across 16 tasks with zero join-side
+    * exchanges either way. Expectation: the grouped twin's wall is
+    * gated by the hot task and the gap widens with the multiple. */
+  def runSpjSkew(s: SparkSession, sfDir: String, mults: Seq[Int],
+                 passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      // GENUINE skew via the source's hotrows map: pkey 0 owns HALF
+      // the fact table, the other half spreads over 16 uniform
+      // blocks, and the probe side (20k·m) sits entirely inside the
+      // hot key — the classic hot-customer join. Plain SPJ groups
+      // the hot block's 16 splits into ONE task (a straggler owning
+      // half the join); partially-clustered keeps them apart and
+      // replicates the probe block across them (visible as grown
+      // input records — the price of the parallelism).
+      val (nA, nB) = (100000L * m, 20000L * m)
+      val hotrows = nA / 2
+      val pstep = math.max(1L, hotrows / 16)
+      val grouped = sources.StorageOps.spjSession(s)
+      measure(s, listener, "spjskew", "skew_grouped", m, passes)(
+        sources.StorageOps.spjSkewBodyOf(grouped, nA, nB, pstep, 16, hotrows))
+      val pcd = sources.StorageOps.spjSession(s)
+      pcd.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "true")
+      measure(s, listener, "spjskew", "skew_partially_clustered", m, passes)(
+        sources.StorageOps.spjSkewBodyOf(pcd, nA, nB, pstep, 16, hotrows))
+    }
+  }
+
   /** BM25 over staged doc multiples: the corpus-owned tf/len/df
     * aggregations are the only O(corpus) terms; the scoring join is
     * bounded by the inverted-index selectivity (docs sharing a query
@@ -889,6 +925,8 @@ object ScaleRehearsal {
       runSimilarity(spark, sfDir, mults)
     if (family == "spj")
       runSpj(spark, sfDir, mults)
+    if (family == "spjskew")
+      runSpjSkew(spark, sfDir, mults)
     if (family == "joinpush")
       runJoinPush(spark, sfDir, mults)
     if (family == "retrieval")

@@ -52,7 +52,8 @@ class SeqSource extends TableProvider {
       properties.getOrDefault("columnar", "false").toBoolean,
       properties.getOrDefault("noorder", "false").toBoolean,
       properties.getOrDefault("variant", "false").toBoolean,
-      properties.getOrDefault("hotsplits", "1").toInt)
+      properties.getOrDefault("hotsplits", "1").toInt,
+      properties.getOrDefault("hotrows", "0").toLong)
 }
 
 object SeqSource {
@@ -110,7 +111,7 @@ object SeqSource {
 class SeqTable(n: Long, parts: Int, batchRows: Long,
                pstep: Long = 0L, columnar: Boolean = false,
                noorder: Boolean = false, variant: Boolean = false,
-               hotsplits: Int = 1)
+               hotsplits: Int = 1, hotrows: Long = 0L)
     extends Table with SupportsRead with SupportsMetadataColumns {
   override def name: String = s"graftseq(n=$n)"
   override def schema: StructType = SeqSource.schemaFor(pstep, variant)
@@ -121,7 +122,7 @@ class SeqTable(n: Long, parts: Int, batchRows: Long,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(n, parts, batchRows, pstep, columnar, noorder,
-      variant, hotsplits)
+      variant, hotsplits, hotrows)
 }
 
 /** Folds id-range predicates into [lo, hi) at PLANNING time; every
@@ -137,7 +138,7 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
                      pstep: Long = 0L, columnar: Boolean = false,
                      noorder: Boolean = false,
                      private[sources] val variant: Boolean = false,
-                     hotsplits: Int = 1)
+                     hotsplits: Int = 1, hotrows: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -434,7 +435,7 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
         0L, columnar = false, noorder = noorder,
         colMap = outCols.map(c => c._1 -> ((c._2, c._3))).toMap)
     case None => new SeqScan(lo, math.max(lo, hi), parts, required, batchRows,
-      pstep, columnar, noorder, hotsplits = hotsplits)
+      pstep, columnar, noorder, hotsplits = hotsplits, hotrows = hotrows)
   }
 }
 
@@ -486,7 +487,7 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
               batchRows: Long, pstep: Long = 0L, columnar: Boolean = false,
               noorder: Boolean = false,
               colMap: Map[String, (String, Long)] = Map.empty,
-              hotsplits: Int = 1)
+              hotsplits: Int = 1, hotrows: Long = 0L)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -544,12 +545,39 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
     * Pushed id-range filters compose: they clip the surviving key
     * blocks, and a side missing whole keys is handled by the
     * engine's partition-value push (empty-partition padding). */
+  /** Key-block boundaries as (blockLo, blockHi, key). Uniform map:
+    * pkey = id / pstep. SKEWED map (`hotrows` > 0): ids below
+    * `hotrows` all land in pkey 0 — ONE genuinely oversized block
+    * (the 5%-of-keys-own-half-the-rows fact-table shape) — and the
+    * rest are uniform pstep blocks keyed 1 + (id − hotrows) / pstep.
+    * Both maps are monotone in id, so the reported [pkey, id]
+    * ordering stays truthful. */
+  private def keyBlocks: Iterator[(Long, Long, Long)] = {
+    if (hotrows <= 0)
+      (lo / pstep to (hi - 1) / pstep).iterator.map { k =>
+        (math.max(lo, k * pstep), math.min(hi, (k + 1) * pstep), k)
+      }
+    else {
+      val hot =
+        if (lo < math.min(hi, hotrows))
+          Iterator.single((lo, math.min(hi, hotrows), 0L))
+        else Iterator.empty
+      val restLo = math.max(lo, hotrows)
+      val rest =
+        if (hi <= restLo) Iterator.empty
+        else ((restLo - hotrows) / pstep to (hi - 1 - hotrows) / pstep)
+          .iterator.map { k =>
+            (math.max(restLo, hotrows + k * pstep),
+              math.min(hi, hotrows + (k + 1) * pstep), k + 1)
+          }
+      hot ++ rest
+    }
+  }
+
   private def bucketSplits: Array[InputPartition] = {
     if (hi <= lo) return Array.empty
-    (lo / pstep to (hi - 1) / pstep).iterator
-      .flatMap { k =>
-        val bLo = math.max(lo, k * pstep)
-        val bHi = math.min(hi, (k + 1) * pstep)
+    keyBlocks
+      .flatMap { case (bLo, bHi, k) =>
         // the SKEWED-LAYOUT twin (`hotsplits` > 1): the pkey=0 block
         // is written as several files, so it plans as several splits
         // CARRYING THE SAME PARTITION KEY — the storage shape of a
@@ -696,7 +724,7 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames.map(srcOf).toIndexedSeq,
-      columnar)
+      columnar, hotrows)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SeqMicroBatchStream(lo, hi, parts, required, batchRows)
@@ -923,8 +951,13 @@ object SeqReaderFactory {
   * scan's own pstep; a pushed-join scan maps each aliased output back
   * to its source column and ORIGINAL side's pstep. */
 class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
-                       columnar: Boolean = false)
+                       columnar: Boolean = false, hotrows: Long = 0L)
     extends PartitionReaderFactory {
+  /** The pkey map, skew-aware (see SeqScan.keyBlocks). */
+  private def pkeyOf(id: Long, p: Long): Long =
+    if (hotrows <= 0) id / p
+    else if (id < hotrows) 0L
+    else 1L + (id - hotrows) / p
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[SeqSplit]
     new PartitionReader[InternalRow] {
@@ -935,7 +968,7 @@ class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
           case ("id", _)     => java.lang.Long.valueOf(cur)
           case ("bucket", _) => java.lang.Long.valueOf(SeqSource.bucketOf(cur))
           case ("word", _)   => UTF8String.fromString("w" + (cur % 50))
-          case ("pkey", p)   => java.lang.Long.valueOf(cur / p)
+          case ("pkey", p)   => java.lang.Long.valueOf(pkeyOf(cur, p))
           case ("props", _)  => SeqReaderFactory.propsOf(cur)
           case ("_split_lo", _) => java.lang.Long.valueOf(r.lo)
         }
@@ -992,7 +1025,7 @@ class SeqReaderFactory(cols: IndexedSeq[(String, Long)],
                 i += 1
               }
             case ("pkey", p) =>
-              while (i < n) { v.putLong(i, (cur + i) / p); i += 1 }
+              while (i < n) { v.putLong(i, pkeyOf(cur + i, p)); i += 1 }
             case ("_split_lo", _) =>
               while (i < n) { v.putLong(i, r.lo); i += 1 }
           }

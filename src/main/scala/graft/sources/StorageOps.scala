@@ -1076,13 +1076,26 @@ object StorageOps {
   /** The skewed-layout join body on the caller's session — shared by
     * the registered query and the spec's grouped-vs-partially-
     * clustered comparison. */
-  private[graft] def spjSkewBody(cs: SparkSession): DataFrame = {
-    def tbl(n: Long, hot: Int) = cs.read.format("graft.sources.SeqSource")
-      .option("n", n.toString).option("pstep", SpjStep.toString)
-      .option("hotsplits", hot.toString).load()
-    val b = tbl(SpjBN, 1).select(col("pkey"), col("id"),
+  private[graft] def spjSkewBody(cs: SparkSession): DataFrame =
+    spjSkewBodyOf(cs, SpjAN, SpjBN, SpjStep, SkewHotSplits)
+
+  /** Parameterized form — ScaleRehearsal turns the straggler into a
+    * measured wall: with `hotrows` > 0 the source's pkey map is
+    * genuinely SKEWED (ids below hotrows all land in pkey 0 — one
+    * oversized block next to uniform pstep blocks), so grouping the
+    * hot block into one task is a real straggler, not just a
+    * partition-count curiosity. Both sides share (pstep, hotrows),
+    * so the key maps align and the join still co-partitions. */
+  private[graft] def spjSkewBodyOf(cs: SparkSession, nA: Long, nB: Long,
+                                   pstep: Long, hot: Int,
+                                   hotrows: Long = 0L): DataFrame = {
+    def tbl(n: Long, h: Int) = cs.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).option("pstep", pstep.toString)
+      .option("hotsplits", h.toString)
+      .option("hotrows", hotrows.toString).load()
+    val b = tbl(nB, 1).select(col("pkey"), col("id"),
       col("bucket").as("bucket_b"))
-    tbl(SpjAN, SkewHotSplits).join(b, Seq("pkey", "id"))
+    tbl(nA, hot).join(b, Seq("pkey", "id"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"),
         sum(col("bucket") + col("bucket_b")).as("sum_buckets"))
