@@ -31,14 +31,19 @@ import graft.Tables
   * landed-integer scheme as the perplexity gate, so a 1-ulp libm
   * divergence cannot flip a hash.
   *
-  * Shape at scale: tokenize is a narrow explode; tf/len/df are the
-  * wordcount shuffles; the query relation (a handful of terms), the
-  * distinct-df idf table, and the 1-row corpus stats are all
-  * BROADCAST, so scoring adds no shuffle beyond the (query, doc)
-  * partial-agg sum, and the final top-k is a per-query window over
-  * docs that matched at least one query term — the inverted-index
-  * selectivity is what makes BM25 cheap at 100 TB: docs sharing no
-  * term with the query are never scored, never shuffled. Overflow
+  * Shape at scale: the (doc_id, word, tf) POSTINGS land once per
+  * dataset ([[dtStore]] — the index-build/query split every
+  * production BM25 engine makes); len/df/stats derive from the
+  * landed postings without touching raw text again, the query
+  * relation (a handful of terms), the distinct-df idf table, and
+  * the 1-row corpus stats are all BROADCAST, so a scoring query
+  * costs one postings scan plus the (query, doc) partial-agg sum,
+  * and the final top-k is a per-query window over docs that matched
+  * at least one query term — the inverted-index selectivity is what
+  * makes BM25 cheap at 100 TB: docs sharing no term with the query
+  * are never scored, never shuffled. (At warehouse scale the
+  * postings would additionally be bucketed by word so the query
+  * join prunes to the matched terms' buckets.) Overflow
   * headroom: idfq·22·avgq·tf stays under 2⁶³ for any document up to
   * ~10⁵ tokens at ~10⁵ avgdl; book-length corpora would widen the
   * product to DECIMAL(38,0), identical floor-division semantics on
@@ -71,6 +76,37 @@ object Retrieval {
     * integers. No ln survives anywhere else, so run order can no
     * longer matter and the former ln-rederiving oracle fallback is
     * gone. Bounded by distinct-df count ≤ vocabulary size. */
+  /** Session-scoped LANDED INVERTED INDEX per dataset dir — the
+    * (doc_id, word, tf) postings as parquet, built from ONE corpus
+    * tokenize pass (the lmStore/ivfStore pattern applied to
+    * retrieval, which is exactly what a production BM25 engine does:
+    * the index is BUILT once, every query probes it). Everything
+    * else derives from the postings without touching raw text again:
+    * doc length = Σtf per doc, df = postings per word, corpus stats
+    * from the lengths — so a scoring query costs one postings scan,
+    * not a corpus re-tokenize. */
+  private val dtStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dtIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val dtBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def dtRoot(s: SparkSession, d: String): String =
+    dtStores.computeIfAbsent(d, _ => {
+      dtBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bm25",
+        s"x${dtIds.getAndIncrement()}").toString
+      TextOps.tokenize(Tables.documents(s, d))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The landed (doc_id, word, tf) postings as a fresh store read. */
+  def dtStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(dtRoot(s, d))
+
   private val idfStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val idfIds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -83,12 +119,12 @@ object Retrieval {
       idfBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_idf",
         s"f${idfIds.getAndIncrement()}").toString
-      val docs = Tables.documents(s, d)
-      val dfr = TextOps.tokenize(docs)
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .groupBy("word").agg(count(lit(1)).as("df"))
+      // built FROM the landed postings — the raw corpus is tokenized
+      // exactly once per dataset, by the postings build
+      val dfr = dtStore(s, d).groupBy("word").agg(count(lit(1)).as("df"))
       dfr.select("df").distinct()
-        .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndocs"))))
+        .crossJoin(broadcast(
+          Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))))
         .select(col("df"),
           round(log((col("ndocs").cast("double") - col("df").cast("double")
             + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -127,10 +163,13 @@ object Retrieval {
     * presentation sort mid-plan). */
   private[graft] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     noteContext(s, d)
-    val docs = Tables.documents(s, d)
-    val toks = TextOps.tokenize(docs)
-    val dt = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // every relation below derives from the LANDED postings — the
+    // scoring query never re-tokenizes the corpus (index built once
+    // per dataset, the production BM25 shape)
+    val dt = dtStore(s, d)
+    // doc length = Σtf over the doc's postings (tokenize counts every
+    // occurrence, so the sums are identical by construction)
+    val dl = dt.groupBy("doc_id").agg(sum("tf").as("len"))
     // 1-row corpus stats; avgdl quantized to tenths of a token by
     // integer division — the engine-neutral constant the integer
     // ratio above is built on

@@ -158,11 +158,23 @@ class RetrievalSpec extends SparkSpec {
       "oracle did not embed the landed idf literals")
     assert(!sql.contains("ln("),
       "ln leaked into the bm25 oracle — the literal path must be total")
-    // the sidecar lands once per dataset; re-running costs a store read
+    // the sidecar AND the postings index land once per dataset;
+    // re-running costs store reads, never a corpus re-tokenize
     val builds = Retrieval.idfBuildCount.get()
+    val dtBuilds = Retrieval.dtBuildCount.get()
     Retrieval.bm25Retrieve(spark, sfDir).collect()
     assert(Retrieval.idfBuildCount.get() == builds,
       "idf sidecar rebuilt on a second run")
+    assert(Retrieval.dtBuildCount.get() == dtBuilds,
+      "postings index rebuilt on a second run")
+    // the scoring plan reads the landed postings — no tokenize
+    // (Generate/explode) anywhere in it
+    val plan = Retrieval.bm25Retrieve(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      "bm25 scoring re-tokenized the corpus:\n" + plan)
+    assert(plan.contains("graft_bm25"),
+      "bm25 scoring does not read the landed postings:\n" + plan)
     // the landed integers equal an independent ln evaluation (the ln
     // ran exactly once, at land time — this pins WHAT it landed)
     val docs = graft.Tables.documents(spark, sfDir)
