@@ -37,13 +37,14 @@ import graft.Tables
   * landed postings without touching raw text again, the query
   * relation (a handful of terms), the distinct-df idf table, and
   * the 1-row corpus stats are all BROADCAST, so a scoring query
-  * costs one postings scan plus the (query, doc) partial-agg sum,
-  * and the final top-k is a per-query window over docs that matched
-  * at least one query term — the inverted-index selectivity is what
-  * makes BM25 cheap at 100 TB: docs sharing no term with the query
-  * are never scored, never shuffled. (At warehouse scale the
-  * postings would additionally be bucketed by word so the query
-  * join prunes to the matched terms' buckets.) Overflow
+  * costs a postings read PRUNED to the query terms' word buckets
+  * (the postings land PARTITIONED BY md5-bucket(word) — partition
+  * pruning as the inverted-index lookup) plus the (query, doc)
+  * partial-agg sum, and the final top-k is a per-query window over
+  * docs that matched at least one query term — the inverted-index
+  * selectivity is what makes BM25 cheap at 100 TB: docs sharing no
+  * term with the query are never read, never scored, never
+  * shuffled. Overflow
   * headroom: idfq·22·avgq·tf stays under 2⁶³ for any document up to
   * ~10⁵ tokens at ~10⁵ avgdl; book-length corpora would widen the
   * product to DECIMAL(38,0), identical floor-division semantics on
@@ -85,6 +86,19 @@ object Retrieval {
     * doc length = Σtf per doc, df = postings per word, corpus stats
     * from the lengths — so a scoring query costs one postings scan,
     * not a corpus re-tokenize. */
+  /** Word-bucket count for the postings layout. */
+  val WordBuckets = 64
+
+  /** JVM twin of the Column-side bucket (md5-60 % WordBuckets) — the
+    * query's terms are known driver-side, so their buckets become
+    * partition-pruning literals on the store read. */
+  private[graft] def wbOf(word: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(word.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % WordBuckets
+  }
+
   private val dtStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dtIds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -92,6 +106,15 @@ object Retrieval {
   private[graft] val dtBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Build the full index artifact set under one root, once per
+    * dataset: `dt` = postings PARTITIONED BY word bucket (wb =
+    * md5-60(word) % 64 — on disk each bucket is its own directory,
+    * so a query's probe reads ONLY the matched terms' buckets:
+    * partition pruning as the inverted-index lookup), plus the
+    * corpus-stat sidecars a real engine stores next to the index —
+    * `dl` (doc_id → length) and `dfr` (word → df) — computed here
+    * from the one tokenize pass so no scoring query ever needs the
+    * unpruned postings. */
   private def dtRoot(s: SparkSession, d: String): String =
     dtStores.computeIfAbsent(d, _ => {
       dtBuildCount.incrementAndGet()
@@ -99,13 +122,29 @@ object Retrieval {
         s"x${dtIds.getAndIncrement()}").toString
       TextOps.tokenize(Tables.documents(s, d))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(s"$out/flat")
+      val dt = s.read.parquet(s"$out/flat")
+      dt.withColumn("wb",
+          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
+      dt.groupBy("doc_id").agg(sum("tf").as("len"))
+        .write.mode("overwrite").parquet(s"$out/dl")
+      dt.groupBy("word").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$out/dfr")
       out
     })
 
-  /** The landed (doc_id, word, tf) postings as a fresh store read. */
+  /** The landed (doc_id, word, tf) postings as a fresh store read
+    * (unpruned — callers wanting the inverted-index lookup filter on
+    * `wb` first). */
   def dtStore(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(dtRoot(s, d))
+    s.read.parquet(s"${dtRoot(s, d)}/dt")
+
+  /** The landed (doc_id, len) / (word, df) corpus-stat sidecars. */
+  def dlStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${dtRoot(s, d)}/dl")
+  def dfrStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${dtRoot(s, d)}/dfr")
 
   private val idfStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -119,10 +158,9 @@ object Retrieval {
       idfBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_idf",
         s"f${idfIds.getAndIncrement()}").toString
-      // built FROM the landed postings — the raw corpus is tokenized
-      // exactly once per dataset, by the postings build
-      val dfr = dtStore(s, d).groupBy("word").agg(count(lit(1)).as("df"))
-      dfr.select("df").distinct()
+      // built FROM the landed df sidecar — the raw corpus is
+      // tokenized exactly once per dataset, by the postings build
+      dfrStore(s, d).select("df").distinct()
         .crossJoin(broadcast(
           Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))))
         .select(col("df"),
@@ -163,19 +201,20 @@ object Retrieval {
     * presentation sort mid-plan). */
   private[graft] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     noteContext(s, d)
-    // every relation below derives from the LANDED postings — the
-    // scoring query never re-tokenizes the corpus (index built once
-    // per dataset, the production BM25 shape)
-    val dt = dtStore(s, d)
-    // doc length = Σtf over the doc's postings (tokenize counts every
-    // occurrence, so the sums are identical by construction)
-    val dl = dt.groupBy("doc_id").agg(sum("tf").as("len"))
+    // every relation below is a LANDED index artifact — the scoring
+    // query never re-tokenizes the corpus, and the postings read is
+    // PRUNED to the query terms' word buckets (partition pruning as
+    // the inverted-index lookup: at 100 TB the probe reads the
+    // matched directories, not the index)
+    val wbs = Bm25Queries.flatMap(_._2.split(" ")).map(wbOf).distinct
+    val dt = dtStore(s, d).filter(col("wb").isin(wbs: _*)).drop("wb")
+    val dl = dlStore(s, d)
     // 1-row corpus stats; avgdl quantized to tenths of a token by
     // integer division — the engine-neutral constant the integer
     // ratio above is built on
     val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
       .select(expr("(10 * t) div nd").as("avgq"))
-    val dfr = dt.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfr = dfrStore(s, d)
     // the LANDED (df → idfq) sidecar: ln ran once, at land time —
     // this plan (and the oracle) only ever joins stored integers
     val idf = idfStore(s, d)

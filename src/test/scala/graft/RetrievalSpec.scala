@@ -175,6 +175,25 @@ class RetrievalSpec extends SparkSpec {
       "bm25 scoring re-tokenized the corpus:\n" + plan)
     assert(plan.contains("graft_bm25"),
       "bm25 scoring does not read the landed postings:\n" + plan)
+    // the postings scan carries a partition filter on wb — the
+    // inverted-index lookup expressed as directory pruning
+    assert(plan.contains("PartitionFilters") && plan.contains("wb#"),
+      "postings scan is not partition-pruned on word bucket:\n" + plan)
+    // the driver-side bucket twin matches the Column-side layout
+    // hash exactly (a mismatch would silently read the WRONG buckets
+    // and drop matching postings)
+    val words = Retrieval.Bm25Queries.flatMap(_._2.split(" ")).distinct
+    import spark.implicits._
+    val colSide = words.toDF("word")
+      .select(col("word"),
+        pmod(graft.operators.Dedup.md5Hash60(col("word")),
+          lit(Retrieval.WordBuckets.toLong)).as("wb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(Retrieval.wbOf(w) == colSide(w),
+        s"bucket twin mismatch for '$w': jvm=${Retrieval.wbOf(w)} " +
+          s"col=${colSide(w)}")
+    }
     // the landed integers equal an independent ln evaluation (the ln
     // ran exactly once, at land time — this pins WHAT it landed)
     val docs = graft.Tables.documents(spark, sfDir)
