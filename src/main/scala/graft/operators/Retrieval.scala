@@ -278,9 +278,15 @@ object Retrieval {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= Similarity.IvfProbes)
       .select("query_id", "qv", "cid")
+    // probed cids as literals (≤ queries × nprobe, bounded): static
+    // partition pruning on the cid-partitioned inverted file — the
+    // probe reads only the probed lists' directories
+    val cids = probes.select("cid").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), col("vec_id"))
-    idx.join(broadcast(probes), Seq("cid"))
+    idx.filter(col("cid").isin(cids: _*))
+      .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
         graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")),

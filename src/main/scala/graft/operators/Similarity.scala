@@ -377,18 +377,26 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** (inverted file, centroids) as fresh parquet reads over the landed
-    * index, building it on first request for the dataset. */
+    * index, building it on first request for the dataset. The
+    * inverted file lands PARTITIONED BY cid — on disk each cell is
+    * its own directory (the IVF-PQ store's layout, now on the float
+    * index too), so a probe that filters on the probed cid literals
+    * reads ONLY the probed lists: partition pruning as the
+    * inverted-list lookup, instead of scanning the whole index and
+    * discarding at the join. Partition-column inference narrows cid
+    * to int; pin it back to long so joins stay cast-free. */
   def ivfStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = ivfStores.computeIfAbsent(d, _ => {
       ivfBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_ivf",
         s"i${ivfIds.getAndIncrement()}").toString
       val (idx, cent) = ivfBuild(s, d)
-      idx.write.mode("overwrite").parquet(s"$out/idx")
+      idx.write.mode("overwrite").partitionBy("cid").parquet(s"$out/idx")
       cent.write.mode("overwrite").parquet(s"$out/cent")
       out
     })
-    (s.read.parquet(s"$root/idx"), s.read.parquet(s"$root/cent"))
+    (s.read.parquet(s"$root/idx").withColumn("cid", col("cid").cast("long")),
+      s.read.parquet(s"$root/cent"))
   }
 
   /** ANN via IVF: each query probes its IvfProbes nearest centroids
@@ -413,9 +421,16 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= IvfProbes)
       .select("q_id", "qv", "cid")
+    // probed list ids as literals (≤ NumQueries × IvfProbes by
+    // construction — the collect is probe plan, not data): static
+    // partition pruning on the cid-partitioned inverted file, so the
+    // scan reads ONLY the probed lists' directories
+    val cids = probes.select("cid").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
-    idx.join(broadcast(probes), Seq("cid"))
+    idx.filter(col("cid").isin(cids: _*))
+      .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(
         graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))

@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkSpec {
       s"a PQ store scan is not pruned on cid:\n$l"))
   }
 
+  test("ann ivf: the float-index probe is partition-pruned to the probed lists") {
+    // round-13 layout parity with the PQ store: the inverted file
+    // lands PARTITIONED BY cid, so the probe reads only the probed
+    // lists' directories instead of scanning the index and
+    // discarding at the join
+    val df = Similarity.annIvf(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val idxScans = plan.linesIterator
+      .filter(l => l.contains("graft_ivf") && !l.contains("graft_ivfpq"))
+      .filter(_.contains("/idx")).toList
+    assert(idxScans.nonEmpty, s"no inverted-file scan found:\n$plan")
+    idxScans.foreach(l => assert(l.contains("PartitionFilters: [cid"),
+      s"the inverted-file scan is not pruned on cid:\n$l"))
+  }
+
   test("pq queries read one landed code store per dataset, never rebuilding") {
     Similarity.annIvfPq(spark, sfDir).collect()
     val builds = Similarity.pqBuildCount.get()
