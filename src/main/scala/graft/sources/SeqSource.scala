@@ -138,7 +138,8 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
                      pstep: Long = 0L, columnar: Boolean = false,
                      noorder: Boolean = false,
                      private[sources] val variant: Boolean = false,
-                     hotsplits: Int = 1, hotrows: Long = 0L)
+                     hotsplits: Int = 1,
+                     private[sources] val hotrows: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -219,9 +220,10 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
   override def isOtherSideCompatibleForJoin(
       other: SupportsPushDownJoin): Boolean =
     other.isInstanceOf[SeqScanBuilder] &&
-      pushedAgg.isEmpty && !variant &&
+      pushedAgg.isEmpty && !variant && hotrows <= 0 &&
       other.asInstanceOf[SeqScanBuilder].pushedAgg.isEmpty &&
-      !other.asInstanceOf[SeqScanBuilder].variant
+      !other.asInstanceOf[SeqScanBuilder].variant &&
+      other.asInstanceOf[SeqScanBuilder].hotrows <= 0
 
   override def pushDownJoin(
       other: SupportsPushDownJoin,
@@ -235,8 +237,11 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
           pushedAgg.isEmpty && o.pushedAgg.isEmpty &&
           // variant sides are refused (also in isOtherSideCompatible):
           // the rebuilt joined schema types every non-word column as
-          // LongType, which would corrupt a VARIANT props column
-          !variant && !o.variant =>
+          // LongType, which would corrupt a VARIANT props column.
+          // hotrows sides are refused too: the joined scan's reader
+          // generates pkey with the factory-default UNIFORM map, which
+          // would silently mis-key a skew-mapped side's pkey column
+          !variant && !o.variant && hotrows <= 0 && o.hotrows <= 0 =>
       def rename(src: Seq[(String, String, Long)],
                  c: SupportsPushDownJoin.ColumnWithAlias)
           : Option[(String, String, Long)] =

@@ -654,6 +654,26 @@ class SourcesSpec extends SparkSpec {
     assert(body.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("join pushdown refuses skew-mapped (hotrows) sides, stays correct") {
+    val on = spark.newSession()
+    on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    def side(hotrows: Long) = on.read.format("graft.sources.SeqSource")
+      .option("n", "300").option("pstep", "100")
+      .option("hotrows", hotrows.toString).load()
+    // a pushed join would regenerate pkey with the UNIFORM map and
+    // silently mis-key the skewed side — the connector must refuse
+    val j = side(150L).select(col("id"), col("pkey"))
+      .join(side(0L).select(col("id").as("id2")), col("id") === col("id2"))
+    assert(j.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"), "hotrows join was pushed (refusal expected)")
+    val rows = j.select("id", "pkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 300)
+    // the skew map survived: ids below hotrows key 0, above uniform
+    assert(rows(10L) == 0L && rows(149L) == 0L &&
+      rows(150L) == 1L && rows(299L) == 2L, rows.toSeq.sorted.take(5))
+  }
+
   test("spj skew: partially-clustered keeps hot splits apart, zero exchanges") {
     import graft.sources.StorageOps
     import org.apache.spark.sql.execution.SparkPlan
