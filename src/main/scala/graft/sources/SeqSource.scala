@@ -732,7 +732,11 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
       columnar, hotrows)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SeqMicroBatchStream(lo, hi, parts, required, batchRows)
+    // cols via srcOf — a streamed pstep table's pkey column must
+    // carry the REAL pstep (and the skew map), not a rebuilt
+    // (name, 0) pair that would divide by zero at read time
+    new SeqMicroBatchStream(lo, hi, parts,
+      required.fieldNames.map(srcOf).toIndexedSeq, batchRows, hotrows)
 }
 
 /** An id range a reader streams — the split currency of every scan. */
@@ -767,7 +771,8 @@ case class SeqOffset(v: Long)
   * degenerate snapshot. Filter pushdown and column pruning arrive
   * through the same ScanBuilder as the batch path. */
 class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int,
-                          required: StructType, batchRows: Long)
+                          cols: IndexedSeq[(String, Long)], batchRows: Long,
+                          hotrows: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -795,7 +800,7 @@ class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int,
     SeqScan.splitRange(start.asInstanceOf[SeqOffset].v,
       end.asInstanceOf[SeqOffset].v, parts)
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames.map(n => (n, 0L)).toIndexedSeq)
+    new SeqReaderFactory(cols, hotrows = hotrows)
 }
 
 /** The scan a pushed GLOBAL aggregate builds to: one partition, one

@@ -654,6 +654,26 @@ class SourcesSpec extends SparkSpec {
     assert(body.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("streaming a storage-partitioned table generates pkey correctly") {
+    // the micro-batch reader must carry the REAL pstep (and skew map)
+    // for the pkey column — a rebuilt (name, 0) pair divided by zero
+    val out = java.nio.file.Files.createTempDirectory("graft_pstream")
+    val q = spark.readStream.format("graft.sources.SeqSource")
+      .option("n", "300").option("pstep", "100")
+      .option("hotrows", "150").load()
+      .writeStream.format("memory").queryName("pstream")
+      .option("checkpointLocation", out.resolve("cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT id, pkey FROM pstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 300)
+    assert(rows(0L) == 0L && rows(149L) == 0L &&
+      rows(150L) == 1L && rows(299L) == 2L,
+      rows.toSeq.sortBy(_._1).take(4).toString)
+  }
+
   test("join pushdown refuses skew-mapped (hotrows) sides, stays correct") {
     val on = spark.newSession()
     on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
