@@ -562,7 +562,19 @@ object StorageOps {
                 |  CAST(sum(v) AS BIGINT) AS sum_v,
                 |  CAST(min(v) AS BIGINT) AS min_v
                 |FROM graft_mem.ns.tt VERSION AS OF $v""".stripMargin)
+    // TIMESTAMP AS OF "now" resolves the latest manifest ≤ the
+    // instant — i.e. v3, deterministically, whatever the wall clock
+    // says (the snapshot-log rule lands the nondeterministic input
+    // on a deterministic version). timestamp_micros is epoch-based,
+    // so the row is session-timezone-independent.
+    val nowMicros = java.time.Instant.now().plusSeconds(1).toEpochMilli * 1000L
     at(1).unionByName(at(2)).unionByName(at(3))
+      .unionByName(cs.sql(
+        s"""SELECT 'ts' AS version, count(*) AS n_rows,
+           |  CAST(sum(v) AS BIGINT) AS sum_v,
+           |  CAST(min(v) AS BIGINT) AS min_v
+           |FROM graft_mem.ns.tt TIMESTAMP AS OF
+           |  timestamp_micros(${nowMicros}L)""".stripMargin))
       .unionByName(cs.sql(
         """SELECT 'live' AS version, count(*) AS n_rows,
           |  CAST(sum(v) AS BIGINT) AS sum_v,
@@ -2199,6 +2211,9 @@ object StorageOps {
         |    CAST(min(v) AS BIGINT) FROM v2
         |  UNION ALL
         |  SELECT '3', count(*)::BIGINT, CAST(sum(v) AS BIGINT),
+        |    CAST(min(v) AS BIGINT) FROM v3
+        |  UNION ALL
+        |  SELECT 'ts', count(*)::BIGINT, CAST(sum(v) AS BIGINT),
         |    CAST(min(v) AS BIGINT) FROM v3
         |  UNION ALL
         |  SELECT 'live', count(*)::BIGINT, CAST(sum(v) AS BIGINT),
