@@ -515,15 +515,18 @@ object ScaleRehearsal {
     }
   }
 
-  /** SPJ skew rehearsal — the straggler as a measured wall: the fact
-    * side's hot pkey=0 block owns a QUARTER of the table
-    * (pstep = nA/4) and is laid out as 16 same-key splits. Plain SPJ
-    * groups those splits into ONE task — a straggler that serializes
-    * 25 % of the join on one core; partially-clustered distribution
-    * keeps them apart (replicating the build side's matching block),
-    * so the hot key fans across 16 tasks with zero join-side
-    * exchanges either way. Expectation: the grouped twin's wall is
-    * gated by the hot task and the gap widens with the multiple. */
+  /** SPJ skew rehearsal — the straggler as a measured wall, on the
+    * GENUINELY skewed key map (`hotrows = nA/2`): pkey 0 owns HALF
+    * the fact table, laid out as 16 same-key splits, with the other
+    * half spread over 16 uniform pstep blocks and the probe side
+    * living entirely inside the hot key. Plain SPJ groups the hot
+    * splits into ONE task — a straggler that serializes half the
+    * join on one core; partially-clustered distribution keeps them
+    * apart (replicating the probe side's matching block), so the hot
+    * key fans across 16 tasks with zero join-side exchanges either
+    * way. Expectation: the grouped twin's wall is gated by the hot
+    * task; the pcd twin pays visible replication (input records) to
+    * buy the parallelism. */
   def runSpjSkew(s: SparkSession, sfDir: String, mults: Seq[Int],
                  passes: Int = 3): Unit = {
     val listener = new ShuffleListener

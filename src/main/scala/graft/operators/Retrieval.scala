@@ -120,13 +120,14 @@ object Retrieval {
       dtBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_bm25",
         s"x${dtIds.getAndIncrement()}").toString
+      // ONE tokenize pass, ONE postings write (bucket-partitioned);
+      // the sidecars derive from the landed artifact itself
       TextOps.tokenize(Tables.documents(s, d))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(s"$out/flat")
-      val dt = s.read.parquet(s"$out/flat")
-      dt.withColumn("wb",
+        .withColumn("wb",
           pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
         .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
+      val dt = s.read.parquet(s"$out/dt")
       dt.groupBy("doc_id").agg(sum("tf").as("len"))
         .write.mode("overwrite").parquet(s"$out/dl")
       dt.groupBy("word").agg(count(lit(1)).as("df"))
@@ -184,11 +185,18 @@ object Retrieval {
   def noteContext(s: SparkSession, d: String): Unit = lastCtx.set((s, d))
 
   private[graft] def idfValuesSql: Option[String] =
-    Option(lastCtx.get()).map { case (s, d) =>
-      idfStore(s, d).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(_._1).map { case (df, q) => s"($df,$q)" }.mkString(", ")
-    }
+    Option(lastCtx.get())
+      // Try: a stopped session / vanished scratch dir must degrade to
+      // the loud error() oracle for the RETRIEVAL queries only, not
+      // abort the whole oracle_sql.json dump (Verify assembles the
+      // map outside its per-query try). nonEmpty: an empty-corpus idf
+      // store would otherwise emit the malformed `VALUES ` form.
+      .flatMap { case (s, d) =>
+        scala.util.Try(idfStore(s, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq).toOption
+      }
+      .filter(_.nonEmpty)
+      .map(_.sortBy(_._1).map { case (df, q) => s"($df,$q)" }.mkString(", "))
 
   /** Top-[[TopK]] docs per query by exact-integer BM25:
     * (query_id, doc_id, n_terms, score, rank). */
@@ -263,37 +271,18 @@ object Retrieval {
     * with cid tie-breaks), so the DuckDB oracle replays build → probe
     * → in-cell rank verbatim and the fused ranks stay hash-exact. */
   private[graft] def denseRanked(s: SparkSession, d: String): DataFrame = {
-    val (idx, cent) = Similarity.ivfStore(s, d)
     val ids = Bm25Queries.map(_._1)
     val q = Tables.embeddings(s, d)
       .filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id").as("query_id"),
+      .select(col("vec_id").as("q_id"),
         transform(col("embedding"), x => x.cast("double")).as("qv"))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(desc("ccos"), col("cid"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("ccos", round(
-        graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")),
-        9))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= Similarity.IvfProbes)
-      .select("query_id", "qv", "cid")
-    // probed cids as literals (≤ queries × nprobe, bounded): static
-    // partition pruning on the cid-partitioned inverted file — the
-    // probe reads only the probed lists' directories
-    val cids = probes.select("cid").distinct().collect()
-      .map(_.getLong(0)).toIndexedSeq
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), col("vec_id"))
-    idx.filter(col("cid").isin(cids: _*))
-      .join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(
-        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")),
-        6))
-      .withColumn("drank", row_number().over(w))
-      .filter(col("drank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("drank"))
+    // ONE probe implementation, shared with ann_ivf
+    // ([[Similarity.ivfProbeRanked]]) — both oracles replay the same
+    // rounding/tie-break rules, so sharing the chain keeps them from
+    // drifting apart
+    Similarity.ivfProbeRanked(s, d, q, TopK)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("rn").as("drank"))
   }
 
   /** Top-[[TopK]] fused docs per query:

@@ -409,22 +409,35 @@ object Similarity {
     * Lloyd rounds → probe → in-cell rank verbatim; the spec
     * additionally measures recall vs brute force. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
-    val (idx, cent) = ivfStore(s, d)
     val q = emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbeRanked(s, d, q, TopK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
+  /** The landed-index probe chain — probe the [[IvfProbes]] nearest
+    * centroids per query (9-rounded cosine, cid tie-break), PRUNE the
+    * cid-partitioned inverted file to the probed lists (the probed
+    * cids collect as ≤ queries × nprobe literals — probe plan, not
+    * data), and rank exact 6-rounded cosine within the probed cells.
+    * ONE implementation shared by [[annIvf]] and [[Retrieval]]'s
+    * hybrid dense half: both are hash-gated against DuckDB replays of
+    * these exact rounding/tie-break rules, so a single chain keeps
+    * the two oracles from drifting apart. `queries` = (q_id, qv);
+    * output = (q_id, rn, vec_id, cos) with self-hits excluded. */
+  private[operators] def ivfProbeRanked(s: SparkSession, d: String,
+      queries: DataFrame, topK: Int): DataFrame = {
+    val (idx, cent) = ivfStore(s, d)
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("ccos"), col("cid"))
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = queries.crossJoin(broadcast(cent))
       .withColumn("ccos", round(
         graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")),
         9))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= IvfProbes)
       .select("q_id", "qv", "cid")
-    // probed list ids as literals (≤ NumQueries × IvfProbes by
-    // construction — the collect is probe plan, not data): static
-    // partition pruning on the cid-partitioned inverted file, so the
-    // scan reads ONLY the probed lists' directories
     val cids = probes.select("cid").distinct().collect()
       .map(_.getLong(0)).toIndexedSeq
     val wRank = org.apache.spark.sql.expressions.Window
@@ -435,9 +448,8 @@ object Similarity {
       .withColumn("cos", round(
         graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
       .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= TopK)
-      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
-      .transform(Present.sorted(_, col("q_id"), col("rn")))
+      .filter(col("rn") <= topK)
+      .select("q_id", "rn", "vec_id", "cos")
   }
 
   /** Candidates the rerank keeps per query — the IVF-PQ shortlist

@@ -378,9 +378,14 @@ class SeqScanBuilder(n: Long, parts: Int, batchRows: Long = 30000L,
 
   private def groupColOf(agg: Aggregation): Option[String] =
     agg.groupByExpressions match {
+      // pkey grouping is refused on a skew-mapped (hotrows) table:
+      // SeqGroupAggScan answers partials from the UNIFORM id/pstep
+      // arithmetic, which would silently mis-key the skewed blocks —
+      // the engine keeps the aggregate exact instead
       case Array(n: NamedReference) if n.fieldNames.length == 1 &&
           (n.fieldNames()(0).equalsIgnoreCase("word") ||
-            (pstep > 0 && n.fieldNames()(0).equalsIgnoreCase("pkey"))) =>
+            (pstep > 0 && hotrows <= 0 &&
+              n.fieldNames()(0).equalsIgnoreCase("pkey"))) =>
         Some(n.fieldNames()(0).toLowerCase)
       case _ => None
     }
