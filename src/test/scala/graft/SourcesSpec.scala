@@ -674,6 +674,28 @@ class SourcesSpec extends SparkSpec {
       rows.toSeq.sortBy(_._1).take(4).toString)
   }
 
+  test("grouped-agg pushdown refuses pkey on skew-mapped tables, stays exact") {
+    // the grouped scan answers partials from UNIFORM id/pstep
+    // arithmetic — on a hotrows table that would return wrong groups
+    // ({0:100,1:100,2:100} instead of {0:150,1:100,2:50}); the
+    // connector must refuse and let the engine aggregate exactly
+    def tbl(hotrows: Long) = spark.read.format("graft.sources.SeqSource")
+      .option("n", "300").option("pstep", "100")
+      .option("hotrows", hotrows.toString).load()
+    val skewed = tbl(150L).groupBy("pkey").count()
+    assert(!skewed.queryExecution.executedPlan.toString
+      .contains("pushed GROUP BY"),
+      "pkey grouping pushed on a skew-mapped table")
+    val got = skewed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 150L, 1L -> 100L, 2L -> 50L), got)
+    // the uniform table still pushes (the rung itself is intact)
+    val uniform = tbl(0L).groupBy("pkey").count()
+    assert(uniform.queryExecution.executedPlan.toString
+      .contains("pushed GROUP BY pkey"),
+      "uniform pkey grouping lost its pushdown")
+    assert(uniform.collect().map(_.getLong(1)).sum == 300L)
+  }
+
   test("join pushdown refuses skew-mapped (hotrows) sides, stays correct") {
     val on = spark.newSession()
     on.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
