@@ -207,6 +207,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25 incremental: merge is invisible, update cost is batch-shaped") {
+    // the merged index must answer EXACTLY like the full one
+    val full = Retrieval.bm25Retrieve(spark, sfDir).collect().toSeq
+    val incr = Retrieval.bm25Incremental(spark, sfDir).collect().toSeq
+    assert(incr == full,
+      "incremental index answered differently from the full index")
+    // base + delta segments land once each; re-running is pure reads
+    val (b0, i0) = (Retrieval.baseBuildCount.get(),
+      Retrieval.incrBuildCount.get())
+    val df = Retrieval.bm25Incremental(spark, sfDir)
+    df.collect()
+    assert(Retrieval.baseBuildCount.get() == b0,
+      "base index rebuilt on a second run")
+    assert(Retrieval.incrBuildCount.get() == i0,
+      "delta segment rebuilt on a second run")
+    // steady-state scoring is store reads only — ZERO tokenize
+    // (Generate) in the plan; both segments ride landed parquet
+    val plan = df.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"),
+      "steady-state incremental scoring re-tokenized something:\n" + plan)
+    assert(plan.contains("graft_bm25b") && plan.contains("graft_bm25i"),
+      "merged scoring does not read both landed segments:\n" + plan)
+  }
+
   test("hybrid: dense half probes the landed IVF index, not the corpus") {
     import graft.operators.Similarity
     // the landed index is shared with ann_ivf — running the hybrid
