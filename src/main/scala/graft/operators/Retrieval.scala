@@ -106,33 +106,37 @@ object Retrieval {
   private[graft] val dtBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Build the full index artifact set under one root, once per
-    * dataset: `dt` = postings PARTITIONED BY word bucket (wb =
-    * md5-60(word) % 64 — on disk each bucket is its own directory,
-    * so a query's probe reads ONLY the matched terms' buckets:
-    * partition pruning as the inverted-index lookup), plus the
-    * corpus-stat sidecars a real engine stores next to the index —
-    * `dl` (doc_id → length) and `dfr` (word → df) — computed here
-    * from the one tokenize pass so no scoring query ever needs the
-    * unpruned postings. */
+  /** Land ONE index SEGMENT under a fresh root — the single
+    * index-build recipe every store below shares: `dt` = postings
+    * PARTITIONED BY word bucket (wb = md5-60(word) % 64 — on disk
+    * each bucket is its own directory, so a probe reads ONLY the
+    * matched terms' buckets: partition pruning as the inverted-index
+    * lookup), plus the corpus-stat sidecars a real engine stores
+    * next to the index — `dl` (doc_id → length) and `dfr`
+    * (word → df) — derived from the landed postings so ONE tokenize
+    * pass covers everything. A layout change edits exactly this
+    * method; the full/base/delta roots only choose the doc slice. */
+  private def landSegment(s: SparkSession, docs: DataFrame,
+                          tag: String, rest: String): String = {
+    val out = graft.Scratch.processScoped(tag, rest).toString
+    TextOps.tokenize(docs)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("wb",
+        pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
+    val dt = s.read.parquet(s"$out/dt")
+    dt.groupBy("doc_id").agg(sum("tf").as("len"))
+      .write.mode("overwrite").parquet(s"$out/dl")
+    dt.groupBy("word").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$out/dfr")
+    out
+  }
+
   private def dtRoot(s: SparkSession, d: String): String =
     dtStores.computeIfAbsent(d, _ => {
       dtBuildCount.incrementAndGet()
-      val out = graft.Scratch.processScoped("graft_bm25",
-        s"x${dtIds.getAndIncrement()}").toString
-      // ONE tokenize pass, ONE postings write (bucket-partitioned);
-      // the sidecars derive from the landed artifact itself
-      TextOps.tokenize(Tables.documents(s, d))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .withColumn("wb",
-          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
-        .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
-      val dt = s.read.parquet(s"$out/dt")
-      dt.groupBy("doc_id").agg(sum("tf").as("len"))
-        .write.mode("overwrite").parquet(s"$out/dl")
-      dt.groupBy("word").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$out/dfr")
-      out
+      landSegment(s, Tables.documents(s, d), "graft_bm25",
+        s"x${dtIds.getAndIncrement()}")
     })
 
   /** The landed (doc_id, word, tf) postings as a fresh store read
@@ -154,22 +158,30 @@ object Retrieval {
   private[graft] val idfBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Land the (df → idfq) integer sidecar from a df relation — the
+    * one place Robertson idf's ln ever runs. Shared by the
+    * full-index sidecar and the segment-sourced twin. */
+  private def landIdf(s: SparkSession, dfr: DataFrame, d: String,
+                      tag: String, rest: String): String = {
+    val out = graft.Scratch.processScoped(tag, rest).toString
+    dfr.select("df").distinct()
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))))
+      .select(col("df"),
+        round(log((col("ndocs").cast("double") - col("df").cast("double")
+          + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * 1e7, 0).cast("long").as("idfq"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   private def idfRoot(s: SparkSession, d: String): String =
     idfStores.computeIfAbsent(d, _ => {
       idfBuildCount.incrementAndGet()
-      val out = graft.Scratch.processScoped("graft_idf",
-        s"f${idfIds.getAndIncrement()}").toString
       // built FROM the landed df sidecar — the raw corpus is
       // tokenized exactly once per dataset, by the postings build
-      dfrStore(s, d).select("df").distinct()
-        .crossJoin(broadcast(
-          Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))))
-        .select(col("df"),
-          round(log((col("ndocs").cast("double") - col("df").cast("double")
-            + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
-            * 1e7, 0).cast("long").as("idfq"))
-        .write.mode("overwrite").parquet(out)
-      out
+      landIdf(s, dfrStore(s, d), d, "graft_idf",
+        s"f${idfIds.getAndIncrement()}")
     })
 
   /** The landed (df, idfq) integers as a fresh store read. */
@@ -184,6 +196,12 @@ object Retrieval {
     (SparkSession, String)](null)
   def noteContext(s: SparkSession, d: String): Unit = lastCtx.set((s, d))
 
+  /** Why the last harvest produced no literals — folded into the
+    * error() oracle so an ORACLE-ERR names its actual cause instead
+    * of sending the operator to a remedy that won't help. */
+  private val lastHarvestErr =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private[graft] def idfValuesSql: Option[String] =
     Option(lastCtx.get())
       // Try: a stopped session / vanished scratch dir must degrade to
@@ -193,9 +211,17 @@ object Retrieval {
       // store would otherwise emit the malformed `VALUES ` form.
       .flatMap { case (s, d) =>
         scala.util.Try(idfStore(s, d).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq).toOption
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq) match {
+          case scala.util.Success(rs) if rs.nonEmpty =>
+            lastHarvestErr.set(null); Some(rs)
+          case scala.util.Success(_) =>
+            lastHarvestErr.set("landed idf store is empty " +
+              "(empty documents corpus?)"); None
+          case scala.util.Failure(e) =>
+            lastHarvestErr.set(
+              s"sidecar read failed: ${e.toString.take(160)}"); None
+        }
       }
-      .filter(_.nonEmpty)
       .map(_.sortBy(_._1).map { case (df, q) => s"($df,$q)" }.mkString(", "))
 
   /** Top-[[TopK]] docs per query by exact-integer BM25:
@@ -225,7 +251,16 @@ object Retrieval {
     val dfr = dfrStore(s, d)
     // the LANDED (df → idfq) sidecar: ln ran once, at land time —
     // this plan (and the oracle) only ever joins stored integers
-    val idf = idfStore(s, d)
+    scoreFrom(s, dt, dl, dfr, idfStore(s, d), st)
+  }
+
+  /** The ONE scoring chain (query join → per-term exact-integer BM25
+    * contribution → doc sum → per-query rank), shared by the
+    * full-index and incremental queries so the formula cannot drift
+    * between the two hash gates. */
+  private def scoreFrom(s: SparkSession, dt: DataFrame, dl: DataFrame,
+                        dfr: DataFrame, idf: DataFrame,
+                        st: DataFrame): DataFrame = {
     val contrib = queryTerms(s).join(dt, "word")
       .join(dl, "doc_id")
       .join(dfr, "word")
@@ -264,20 +299,9 @@ object Retrieval {
   private def baseRoot(s: SparkSession, d: String): String =
     baseStores.computeIfAbsent(d, _ => {
       baseBuildCount.incrementAndGet()
-      val out = graft.Scratch.processScoped("graft_bm25b",
-        s"b${baseIds.getAndIncrement()}").toString
-      TextOps.tokenize(Tables.documents(s, d)
-          .filter(col("doc_id") % IncrEvery =!= IncrSlot))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .withColumn("wb",
-          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
-        .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
-      val dt = s.read.parquet(s"$out/dt")
-      dt.groupBy("doc_id").agg(sum("tf").as("len"))
-        .write.mode("overwrite").parquet(s"$out/dl")
-      dt.groupBy("word").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$out/dfr")
-      out
+      landSegment(s, Tables.documents(s, d)
+          .filter(col("doc_id") % IncrEvery =!= IncrSlot),
+        "graft_bm25b", s"b${baseIds.getAndIncrement()}")
     })
 
   /** The arriving batch's DELTA artifacts, landed once per dataset:
@@ -295,21 +319,34 @@ object Retrieval {
   private def incrRoot(s: SparkSession, d: String): String =
     incrStores.computeIfAbsent(d, _ => {
       incrBuildCount.incrementAndGet()
-      val out = graft.Scratch.processScoped("graft_bm25i",
-        s"i${incrIds.getAndIncrement()}").toString
-      TextOps.tokenize(Tables.documents(s, d)
-          .filter(col("doc_id") % IncrEvery === IncrSlot))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .withColumn("wb",
-          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
-        .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
-      val dt = s.read.parquet(s"$out/dt")
-      dt.groupBy("doc_id").agg(sum("tf").as("len"))
-        .write.mode("overwrite").parquet(s"$out/dl")
-      dt.groupBy("word").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$out/dfr")
-      out
+      landSegment(s, Tables.documents(s, d)
+          .filter(col("doc_id") % IncrEvery === IncrSlot),
+        "graft_bm25i", s"i${incrIds.getAndIncrement()}")
     })
+
+  /** Segment-sourced (df → idfq) sidecar — the SAME landed integers
+    * as [[idfStore]] (identical formula over the identical merged df
+    * domain; RetrievalSpec pins the equality) built WITHOUT touching
+    * the monolithic full index: the incremental query must not
+    * trigger a full-corpus postings build on cold start, or its
+    * "update cost ∝ batch" contract would be false exactly when it
+    * runs standalone. */
+  private val idfSegStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val idfSegIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def idfSegRoot(s: SparkSession, d: String): String =
+    idfSegStores.computeIfAbsent(d, _ => {
+      val merged = s.read.parquet(s"${baseRoot(s, d)}/dfr")
+        .unionByName(s.read.parquet(s"${incrRoot(s, d)}/dfr"))
+        .groupBy("word").agg(sum("df").as("df"))
+      landIdf(s, merged, d, "graft_idfseg",
+        s"g${idfSegIds.getAndIncrement()}")
+    })
+
+  /** The segment-sourced idf integers as a fresh store read. */
+  def idfSegStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(idfSegRoot(s, d))
 
   /** INCREMENTAL BM25 — index maintenance priced ∝ batch: the base
     * index is LANDED over the corpus minus the arriving batch, the
@@ -318,12 +355,14 @@ object Retrieval {
     * with merged stats. Results must be IDENTICAL to the full-index
     * `bm25_retrieve` — the oracle IS the full-corpus replay, so a
     * merge that dropped a posting, double-counted a df, or staled
-    * avgdl hash-fails. The idf integers come from the SAME landed
-    * full-corpus sidecar (the merged df domain equals the full
-    * corpus's by construction), so no ln ever runs here either. At
-    * 100 TB this is nightly index maintenance: tokenize the day's
-    * docs, land their segment, refresh the stats — never re-read the
-    * other petabytes (the incremental-dedup contract applied to the
+    * avgdl hash-fails. The idf integers come from the
+    * SEGMENT-SOURCED sidecar ([[idfSegRoot]] — identical integers to
+    * the full-corpus one, but built from the segments' dfrs, so a
+    * cold-start incremental query never triggers the monolithic
+    * full-index build), and no ln ever runs here either. At 100 TB
+    * this is nightly index maintenance: tokenize the day's docs,
+    * land their segment, refresh the stats — never re-read the other
+    * petabytes (the incremental-dedup contract applied to the
     * retrieval index; a compaction folding segments is
     * `catalog_compact`'s story, same trade). */
   def bm25Incremental(s: SparkSession, d: String): DataFrame = {
@@ -345,24 +384,7 @@ object Retrieval {
     def pruned(dir: String) = s.read.parquet(dir)
       .filter(col("wb").isin(wbs: _*)).drop("wb")
     val dt = pruned(s"$root/dt").unionByName(pruned(s"$delta/dt"))
-    // full-corpus landed idf integers — the merged df domain IS the
-    // full corpus's, so every df resolves to a landed literal
-    val idf = idfStore(s, d)
-    val contrib = queryTerms(s).join(dt, "word")
-      .join(dl, "doc_id")
-      .join(dfr, "word")
-      .join(broadcast(idf), "df")
-      .crossJoin(broadcast(st))
-      .select(col("query_id"), col("doc_id"),
-        expr("(idfq * 22 * avgq * tf) div " +
-          "(10 * avgq * tf + 3 * avgq + 90 * len)").as("c"))
-    val scored = contrib.groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("c").as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "doc_id", "n_terms", "score", "rank")
+    scoreFrom(s, dt, dl, dfr, idfSegStore(s, d), st)
       .transform(Present.sorted(_, col("query_id"), col("rank")))
   }
 
@@ -451,9 +473,14 @@ object Retrieval {
     case Some(vals) =>
       (s"idfv(df, idfq) AS (VALUES $vals)", "JOIN idfv USING (df)")
     case None =>
-      ("idfv(df, idfq) AS (SELECT error('graft: idf sidecar not " +
-        "landed - run a retrieval query or Retrieval.noteContext " +
-        "first'), 0)", "JOIN idfv USING (df)")
+      // name the ACTUAL cause: "not landed" advice is wrong when the
+      // context WAS noted but the harvest itself failed
+      val why = Option(lastHarvestErr.get()).getOrElse(
+        "no context - run a retrieval query or " +
+          "Retrieval.noteContext first")
+      val safe = why.replace("'", "\"").replaceAll("[\r\n]", " ")
+      (s"idfv(df, idfq) AS (SELECT error('graft idf literals " +
+        s"unavailable: $safe'), 0)", "JOIN idfv USING (df)")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -230,6 +230,19 @@ class RetrievalSpec extends SparkSpec {
       "steady-state incremental scoring re-tokenized something:\n" + plan)
     assert(plan.contains("graft_bm25b") && plan.contains("graft_bm25i"),
       "merged scoring does not read both landed segments:\n" + plan)
+    // the incremental path's idf comes from the SEGMENT-SOURCED
+    // sidecar (no cold-start dependency on the monolithic index) and
+    // carries the IDENTICAL integers — same formula, same merged df
+    // domain
+    assert(plan.contains("graft_idfseg"),
+      "incremental scoring did not use the segment-sourced idf:\n" + plan)
+    val fullIdf = Retrieval.idfStore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val segIdf = Retrieval.idfSegStore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(segIdf == fullIdf,
+      s"segment-sourced idf diverged: only-seg=${segIdf -- fullIdf} " +
+        s"only-full=${fullIdf -- segIdf}")
   }
 
   test("hybrid: dense half probes the landed IVF index, not the corpus") {
