@@ -20,11 +20,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // record the retrieval-oracle context UP FRONT: the bm25/hybrid
+    // PIN the retrieval-oracle dump dataset UP FRONT: the bm25/hybrid
     // oracles read the landed idf sidecar unconditionally (no
-    // ln-rederive fallback exists), and this makes that true even for
-    // a SPARK_GRAFT_ONLY subset dump that skips the retrieval queries
-    graft.operators.Retrieval.noteContext(spark, sfDir)
+    // ln-rederive fallback exists), this makes that true even for a
+    // SPARK_GRAFT_ONLY subset dump that skips the retrieval queries,
+    // and the explicit pin means queries noted against OTHER datasets
+    // (staged rehearsal dirs) can never redirect this dump's literals
+    graft.operators.Retrieval.noteDumpContext(spark, sfDir)
     // SPARK_GRAFT_ONLY=a,b — dump a subset (local iteration; the
     // driver always runs the full map)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -139,11 +139,19 @@ object Retrieval {
         s"x${dtIds.getAndIncrement()}")
     })
 
+  /** A landed postings segment as a fresh store read. Partition-column
+    * inference narrows `wb` to int; pin it back to long (the
+    * Similarity.ivfStore pattern) so the driver-side Long pruning
+    * literals match the attribute type cast-free by construction —
+    * pruning must not depend on Spark's cast-tolerant behavior. */
+  private[graft] def readPostings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).withColumn("wb", col("wb").cast("long"))
+
   /** The landed (doc_id, word, tf) postings as a fresh store read
     * (unpruned — callers wanting the inverted-index lookup filter on
     * `wb` first). */
   def dtStore(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${dtRoot(s, d)}/dt")
+    readPostings(s, s"${dtRoot(s, d)}/dt")
 
   /** The landed (doc_id, len) / (word, df) corpus-stat sidecars. */
   def dlStore(s: SparkSession, d: String): DataFrame =
@@ -188,13 +196,31 @@ object Retrieval {
   def idfStore(s: SparkSession, d: String): DataFrame =
     s.read.parquet(idfRoot(s, d))
 
-  /** Last (session, dataset) a retrieval consumer saw — recorded by
-    * every scoring run AND by [[graft.Verify]] up front, so the
-    * oracle dump reads the LANDED literals unconditionally (even for
-    * a subset dump that skipped the retrieval queries). */
-  private val lastCtx = new java.util.concurrent.atomic.AtomicReference[
-    (SparkSession, String)](null)
-  def noteContext(s: SparkSession, d: String): Unit = lastCtx.set((s, d))
+  /** Harvest contexts KEYED BY DATASET DIR — a retrieval run against
+    * a staged/multiplied dataset (ScaleRehearsal) must not be able to
+    * redirect a later oracle dump for the BASE dataset: the dump
+    * harvests the literals of the dataset it is dumping
+    * ([[dumpDir]]), not whichever dataset ran last. */
+  private val ctxByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+  /** The dataset the next oracle dump is FOR. [[graft.Verify]] pins it
+    * explicitly ([[noteDumpContext]]); absent that, the FIRST noted
+    * dataset stands in (single-dataset JVMs — the spec suite), and a
+    * wrong guess still fails loudly through the error() oracle, never
+    * silently harvests the wrong literals. */
+  private val dumpDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  def noteContext(s: SparkSession, d: String): Unit = {
+    ctxByDir.put(d, s)
+    dumpDir.compareAndSet(null, d)
+  }
+  /** Pin the dataset the oracle dump reads literals for — called by
+    * [[graft.Verify]] up front, so the dump is correct even if other
+    * datasets were noted before (or none were). */
+  def noteDumpContext(s: SparkSession, d: String): Unit = {
+    ctxByDir.put(d, s)
+    dumpDir.set(d)
+  }
 
   /** Why the last harvest produced no literals — folded into the
     * error() oracle so an ORACLE-ERR names its actual cause instead
@@ -203,7 +229,8 @@ object Retrieval {
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   private[graft] def idfValuesSql: Option[String] =
-    Option(lastCtx.get())
+    Option(dumpDir.get())
+      .map(d => (ctxByDir.get(d), d))
       // Try: a stopped session / vanished scratch dir must degrade to
       // the loud error() oracle for the RETRIEVAL queries only, not
       // abort the whole oracle_sql.json dump (Verify assembles the
@@ -381,7 +408,7 @@ object Retrieval {
     // merged postings for SCORING: BOTH segments pruned to the query
     // terms' buckets (the inverted-index lookup applies per segment)
     val wbs = Bm25Queries.flatMap(_._2.split(" ")).map(wbOf).distinct
-    def pruned(dir: String) = s.read.parquet(dir)
+    def pruned(dir: String) = readPostings(s, dir)
       .filter(col("wb").isin(wbs: _*)).drop("wb")
     val dt = pruned(s"$root/dt").unionByName(pruned(s"$delta/dt"))
     scoreFrom(s, dt, dl, dfr, idfSegStore(s, d), st)

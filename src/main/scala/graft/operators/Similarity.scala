@@ -427,8 +427,17 @@ object Similarity {
     * the two oracles from drifting apart. `queries` = (q_id, qv);
     * output = (q_id, rn, vec_id, cos) with self-hits excluded. */
   private[operators] def ivfProbeRanked(s: SparkSession, d: String,
-      queries: DataFrame, topK: Int): DataFrame = {
-    val (idx, cent) = ivfStore(s, d)
+      queries: DataFrame, topK: Int): DataFrame =
+    ivfProbeRankedOn(s, ivfStore(s, d), queries, topK, IvfProbes)
+
+  /** [[ivfProbeRanked]] against an EXPLICIT (inverted file, centroids)
+    * pair with an explicit probe width — the store/knob-parameterized
+    * core shared by the gated K=16 chain and the nprobe ≪ K pruning
+    * twin ([[annIvfPruned]]). */
+  private[operators] def ivfProbeRankedOn(s: SparkSession,
+      store: (DataFrame, DataFrame), queries: DataFrame, topK: Int,
+      nprobe: Int): DataFrame = {
+    val (idx, cent) = store
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("ccos"), col("cid"))
     val probes = queries.crossJoin(broadcast(cent))
@@ -436,14 +445,21 @@ object Similarity {
         graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")),
         9))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= IvfProbes)
+      .filter(col("pr") <= nprobe)
       .select("q_id", "qv", "cid")
-    val cids = probes.select("cid").distinct().collect()
-      .map(_.getLong(0)).toIndexedSeq
+    // the probe job runs ONCE (≤ queries × nprobe rows — probe plan,
+    // not data): the collected rows feed BOTH the cid pruning literals
+    // and, as a LocalRelation, the broadcast probe side of the rank
+    // join — re-deriving `probes` inside the returned plan would run
+    // the K-row centroid sweep a second time per consumer
+    val probeRows = probes.collect()
+    val cids = probeRows.map(_.getLong(2)).distinct.toIndexedSeq
+    val probesLocal = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
     idx.filter(col("cid").isin(cids: _*))
-      .join(broadcast(probes), Seq("cid"))
+      .join(broadcast(probesLocal), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(
         graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
@@ -529,13 +545,17 @@ object Similarity {
       .filter(col("pr") <= IvfProbes)
       .select("q_id", "qq", "cid")
     // probed list ids as literals (≤ IvfClusters by construction):
-    // static partition pruning on both store scans below
-    val cids = probes.select("cid").distinct().collect()
-      .map(_.getLong(0)).toIndexedSeq
+    // static partition pruning on both store scans below. One probe
+    // execution feeds both the literals and the broadcast relation
+    // (the ivfProbeRankedOn pattern — no probe recompute in-plan).
+    val probeRows = probes.collect()
+    val cids = probeRows.map(_.getLong(2)).distinct.toIndexedSeq
+    val probesLocal = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val lists = pq.filter(col("cid").isin(cids: _*))
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("apx"), col("vec_id"))
-    val short = lists.join(broadcast(probes), Seq("cid"))
+    val short = lists.join(broadcast(probesLocal), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         aggregate(zip_with(col("qvec"), col("qq"), (x, y) => x * y),

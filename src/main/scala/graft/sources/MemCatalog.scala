@@ -619,10 +619,18 @@ class MemTable(tableName: String, tableSchema: StructType,
   /** Land the CURRENT merged view as the next version manifest —
     * called at the end of every content-changing commit, under the
     * row lock (reentrant from the commit's own critical section). */
+  private var lastVersionTime = 0L
   private[sources] def commitVersion(): Unit =
     rows.synchronized {
       versionLog.add(snapshot())
-      versionTimes.add(System.currentTimeMillis() * 1000L)
+      // strictly-increasing commit instants: max(prev+1, now) makes
+      // same-millisecond commits distinguishable to TIMESTAMP AS OF
+      // and keeps the recorded history monotonic even under a
+      // non-monotonic wall clock (atTimestamp's last-index-<=-ts scan
+      // tolerated disorder, but the recorded times were misleading)
+      lastVersionTime = math.max(lastVersionTime + 1,
+        System.currentTimeMillis() * 1000L)
+      versionTimes.add(lastVersionTime)
     }
   private[graft] def versionCount: Int = rows.synchronized(versionLog.size)
   /** The read-only table view serving version manifest `version`
@@ -1082,7 +1090,17 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
       // REPLACE WHERE: one atomic delete-matching + append commit
       overwriteFilters.foreach { fs =>
         MemTable.replaceWheres.incrementAndGet()
-        lastRemoved += table.removeWhere(fs)
+        val rest = fs.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+        if (rest.isEmpty) {
+          // overwrite([AlwaysTrue]) reaching the commit directly
+          // (i.e. not rerouted to truncate by the engine) means
+          // overwrite-ALL: clear base AND delta log — removeWhere
+          // would clear only base rows and leave pending deltas to
+          // resurrect on the next snapshot()
+          lastRemoved += table.baseRowCount
+          table.clearData()
+        } else lastRemoved += table.removeWhere(rest)
       }
       // dynamic overwrite: replace exactly the partitions the batch
       // touches (computed from the incoming rows, never declared)
