@@ -61,11 +61,37 @@ object Retrieval {
     (2L, "window agg order"),
     (3L, "fast table scan"))
 
-  private def queryTerms(s: SparkSession): DataFrame = {
+  private def queryTermsOf(s: SparkSession,
+                           workload: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
-    Bm25Queries.flatMap { case (id, q) =>
+    workload.flatMap { case (id, q) =>
       q.split(" ").toSeq.map(w => (id, w))
     }.toDF("query_id", "word")
+  }
+
+  private def queryTerms(s: SparkSession): DataFrame =
+    queryTermsOf(s, Bm25Queries)
+
+  /** Distinct word buckets a workload's terms hash into — the
+    * partition-pruning literals of every postings probe. */
+  private def bucketsOf(workload: Seq[(Long, String)]): Seq[Long] =
+    workload.flatMap(_._2.split(" ")).map(wbOf).distinct
+
+  /** GENERATED workload for the amortization rehearsal: `n` queries of
+    * 3 terms each over the corpus's highest-df words (the worst case
+    * for the probe — hot terms live in the largest postings lists and
+    * the bucket-union saturates fastest). Deterministic given the
+    * landed dfr sidecar; rehearsal-only, so it never needs a DuckDB
+    * twin. */
+  private[graft] def workloadOf(s: SparkSession, d: String,
+                                n: Int): Seq[(Long, String)] = {
+    val pool = dfrStore(s, d).orderBy(desc("df"), col("word"))
+      .limit(math.max(3 * n, 30)).select("word")
+      .collect().map(_.getString(0))
+    (0 until n).map { i =>
+      val terms = (0 until 3).map(j => pool((3 * i + j) % pool.length))
+      (i + 1L, terms.distinct.mkString(" "))
+    }
   }
 
   /** Session-scoped LANDED idf sidecar per dataset dir — the
@@ -124,12 +150,21 @@ object Retrieval {
       .withColumn("wb",
         pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
       .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
-    val dt = s.read.parquet(s"$out/dt")
-    dt.groupBy("doc_id").agg(sum("tf").as("len"))
-      .write.mode("overwrite").parquet(s"$out/dl")
-    dt.groupBy("word").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$out/dfr")
+    deriveSidecars(s, out)
     out
+  }
+
+  /** Re-derive the `dl`/`dfr` corpus-stat sidecars from a root's
+    * landed postings — shared by the tokenize-built segments and the
+    * compaction (whose postings come from a segment MERGE, not a
+    * tokenize): one recipe, so the stats can't drift between build
+    * paths. */
+  private def deriveSidecars(s: SparkSession, root: String): Unit = {
+    val dt = s.read.parquet(s"$root/dt")
+    dt.groupBy("doc_id").agg(sum("tf").as("len"))
+      .write.mode("overwrite").parquet(s"$root/dl")
+    dt.groupBy("word").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/dfr")
   }
 
   private def dtRoot(s: SparkSession, d: String): String =
@@ -260,14 +295,22 @@ object Retrieval {
   /** The pre-presentation ranked relation — shared by the gated query
     * and the hybrid fusion (which must not inherit the 1-partition
     * presentation sort mid-plan). */
-  private[graft] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25Ranked(s: SparkSession, d: String): DataFrame =
+    bm25RankedWith(s, d, Bm25Queries)
+
+  /** [[bm25Ranked]] under an explicit workload — the amortization
+    * rehearsal's entry point (per-query cost vs workload size: the
+    * probe's bucket union and the broadcast query relation both grow
+    * with the workload; everything else is workload-flat). */
+  private[graft] def bm25RankedWith(s: SparkSession, d: String,
+                                    workload: Seq[(Long, String)]): DataFrame = {
     noteContext(s, d)
     // every relation below is a LANDED index artifact — the scoring
     // query never re-tokenizes the corpus, and the postings read is
     // PRUNED to the query terms' word buckets (partition pruning as
     // the inverted-index lookup: at 100 TB the probe reads the
     // matched directories, not the index)
-    val wbs = Bm25Queries.flatMap(_._2.split(" ")).map(wbOf).distinct
+    val wbs = bucketsOf(workload)
     val dt = dtStore(s, d).filter(col("wb").isin(wbs: _*)).drop("wb")
     val dl = dlStore(s, d)
     // 1-row corpus stats; avgdl quantized to tenths of a token by
@@ -278,26 +321,46 @@ object Retrieval {
     val dfr = dfrStore(s, d)
     // the LANDED (df → idfq) sidecar: ln ran once, at land time —
     // this plan (and the oracle) only ever joins stored integers
-    scoreFrom(s, dt, dl, dfr, idfStore(s, d), st)
+    scoreFrom(s, queryTermsOf(s, workload), dt, dl, dfr, idfStore(s, d), st)
   }
+
+  /** The per-term exact-integer BM25 contribution — ONE expression
+    * string, shared by every scoring chain AND the max-score sidecar
+    * build, so the bound-vs-score arithmetic cannot drift. */
+  private val ContribExpr =
+    "(idfq * 22 * avgq * tf) div (10 * avgq * tf + 3 * avgq + 90 * len)"
 
   /** The ONE scoring chain (query join → per-term exact-integer BM25
     * contribution → doc sum → per-query rank), shared by the
-    * full-index and incremental queries so the formula cannot drift
-    * between the two hash gates. */
-  private def scoreFrom(s: SparkSession, dt: DataFrame, dl: DataFrame,
-                        dfr: DataFrame, idf: DataFrame,
-                        st: DataFrame): DataFrame = {
-    val contrib = queryTerms(s).join(dt, "word")
-      .join(dl, "doc_id")
+    * full-index, incremental, and compacted queries so the formula
+    * cannot drift between the hash gates. */
+  private def scoreFrom(s: SparkSession, qt: DataFrame, dt: DataFrame,
+                        dl: DataFrame, dfr: DataFrame, idf: DataFrame,
+                        st: DataFrame): DataFrame =
+    rankTopK(scorePairs(qt.join(dt, "word"), None, dl, dfr, idf, st))
+
+  /** Exact-score a (query_id, word, doc_id, tf) matched relation —
+    * optionally restricted to a candidate (query_id, doc_id) pair set
+    * (the WAND prune's survivors) — into (query_id, doc_id, n_terms,
+    * score). The candidate semi-join is what makes score-pruning REAL
+    * in the plan: pruned docs never reach the dl join, the division,
+    * or the score aggregate. */
+  private def scorePairs(matched: DataFrame, cand: Option[DataFrame],
+                         dl: DataFrame, dfr: DataFrame, idf: DataFrame,
+                         st: DataFrame): DataFrame = {
+    val in = cand.fold(matched)(c =>
+      matched.join(c, Seq("query_id", "doc_id"), "left_semi"))
+    in.join(dl, "doc_id")
       .join(dfr, "word")
       .join(broadcast(idf), "df")
       .crossJoin(broadcast(st))
-      .select(col("query_id"), col("doc_id"),
-        expr("(idfq * 22 * avgq * tf) div " +
-          "(10 * avgq * tf + 3 * avgq + 90 * len)").as("c"))
-    val scored = contrib.groupBy("query_id", "doc_id")
+      .select(col("query_id"), col("doc_id"), expr(ContribExpr).as("c"))
+      .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c").as("score"))
+  }
+
+  /** Per-query rank + top-K cut over a scored relation. */
+  private def rankTopK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -407,13 +470,204 @@ object Retrieval {
       .groupBy("word").agg(sum("df").as("df"))
     // merged postings for SCORING: BOTH segments pruned to the query
     // terms' buckets (the inverted-index lookup applies per segment)
-    val wbs = Bm25Queries.flatMap(_._2.split(" ")).map(wbOf).distinct
+    val wbs = bucketsOf(Bm25Queries)
     def pruned(dir: String) = readPostings(s, dir)
       .filter(col("wb").isin(wbs: _*)).drop("wb")
     val dt = pruned(s"$root/dt").unionByName(pruned(s"$delta/dt"))
-    scoreFrom(s, dt, dl, dfr, idfSegStore(s, d), st)
+    scoreFrom(s, queryTerms(s), dt, dl, dfr, idfSegStore(s, d), st)
       .transform(Present.sorted(_, col("query_id"), col("rank")))
   }
+
+  // ---------------------------------------------------------------
+  // Segment COMPACTION: the maintenance verb that folds base + delta
+  // into ONE segment — the other half of the incremental bargain
+  // (appends keep ingestion cheap; scans pay a per-segment probe +
+  // stat merge until a compaction folds the segments). The
+  // catalog_compact trade, applied to the retrieval index.
+  // ---------------------------------------------------------------
+
+  private val compactStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val compactIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val compactBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fold the landed base + delta segments into one compacted root:
+    * merge postings per (doc_id, word) — a GENERAL segment fold (tf
+    * sums per key; with the holdout's disjoint doc slices the sums
+    * degenerate to pass-through, and the full-corpus oracle would
+    * hash-fail either kind of merge error) — keeping the wb layout,
+    * then re-derive the dl/dfr sidecars from the compacted postings
+    * via the one shared recipe. NO tokenize anywhere: compaction
+    * reads segments, never the corpus — at 100 TB it is an index-
+    * local rewrite scheduled off-peak, priced ∝ index, amortized over
+    * every later probe's single-segment read. */
+  private def compactRoot(s: SparkSession, d: String): String =
+    compactStores.computeIfAbsent(d, _ => {
+      compactBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bm25c",
+        s"c${compactIds.getAndIncrement()}").toString
+      readPostings(s, s"${baseRoot(s, d)}/dt")
+        .unionByName(readPostings(s, s"${incrRoot(s, d)}/dt"))
+        .groupBy("doc_id", "word", "wb").agg(sum("tf").as("tf"))
+        .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
+      deriveSidecars(s, out)
+      out
+    })
+
+  private val idfCmpStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val idfCmpIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (df → idfq) sidecar sourced from the COMPACTED dfr — identical
+    * integers to [[idfStore]]'s (same formula, same df domain), built
+    * without touching the monolithic full index (the idfSegRoot
+    * argument: post-compaction scoring must stand on the compacted
+    * artifacts alone). */
+  private def idfCmpRoot(s: SparkSession, d: String): String =
+    idfCmpStores.computeIfAbsent(d, _ =>
+      landIdf(s, s.read.parquet(s"${compactRoot(s, d)}/dfr"), d,
+        "graft_idfcmp", s"h${idfCmpIds.getAndIncrement()}"))
+
+  /** Post-compaction BM25 — the gated proof that compaction is
+    * INVISIBLE in the answer: one compacted segment (single dt read,
+    * single dl/dfr sidecar pair — no union, no stat merge) must
+    * hash-equal the full-index `bm25_retrieve` against the same
+    * full-corpus oracle. The probe keeps the wb partition pruning:
+    * compaction preserves the layout, so the inverted-index lookup
+    * survives the fold. */
+  def bm25Compact(s: SparkSession, d: String): DataFrame = {
+    noteContext(s, d)
+    val root = compactRoot(s, d)
+    val dl = s.read.parquet(s"$root/dl")
+    val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
+      .select(expr("(10 * t) div nd").as("avgq"))
+    val dfr = s.read.parquet(s"$root/dfr")
+    val wbs = bucketsOf(Bm25Queries)
+    val dt = readPostings(s, s"$root/dt")
+      .filter(col("wb").isin(wbs: _*)).drop("wb")
+    scoreFrom(s, queryTerms(s), dt, dl, dfr,
+      s.read.parquet(idfCmpRoot(s, d)), st)
+      .transform(Present.sorted(_, col("query_id"), col("rank")))
+  }
+
+  // ---------------------------------------------------------------
+  // Score-pruned top-k (WAND family): per-term integer MAX-SCORE
+  // sidecars let the probe skip docs whose score upper bound cannot
+  // reach rank K — the classic search-engine optimization (Broder et
+  // al.'s WAND / the max-score rule), exact here BECAUSE scoring is
+  // integer: the bound is a true ceiling, not a float estimate, so
+  // the pruned query stays hash-gated against the full replay.
+  // ---------------------------------------------------------------
+
+  private val ubStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ubIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val ubBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the per-word MAX-SCORE sidecar next to the postings: for
+    * every word, the maximum exact-integer contribution any of its
+    * postings can add to a score ([[ContribExpr]] maximized over the
+    * word's (tf, len) pairs — computed distributedly from the landed
+    * index artifacts, no tokenize). Same wb layout as the postings,
+    * so a probe reads only the query terms' bucket directories.
+    * Vocabulary-sized, like dfr — index maintenance refreshes it with
+    * the other sidecars. */
+  private def ubRoot(s: SparkSession, d: String): String =
+    ubStores.computeIfAbsent(d, _ => {
+      ubBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bm25ub",
+        s"u${ubIds.getAndIncrement()}").toString
+      val dl = dlStore(s, d)
+      val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
+        .select(expr("(10 * t) div nd").as("avgq"))
+      dtStore(s, d).drop("wb")
+        .join(dl, "doc_id")
+        .join(dfrStore(s, d), "word")
+        .join(broadcast(idfStore(s, d)), "df")
+        .crossJoin(broadcast(st))
+        .select(col("word"), expr(ContribExpr).as("c"))
+        .groupBy("word").agg(max("c").as("ubq"))
+        .withColumn("wb",
+          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("wb").parquet(out)
+      out
+    })
+
+  /** The landed (word, ubq) max-score integers as a fresh store read
+    * (wb pinned back to long, like every bucketed store). */
+  def ubStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ubRoot(s, d)).withColumn("wb", col("wb").cast("long"))
+
+  /** The pruned-probe plan plus the observability relations the spec
+    * counts: (ranked result, matched (query, doc) pairs, exactly-
+    * scored (query, doc) pairs) — skipped = matched − scored. */
+  private[graft] def wandPlan(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    noteContext(s, d)
+    val wbs = bucketsOf(Bm25Queries)
+    val dt = dtStore(s, d).filter(col("wb").isin(wbs: _*)).drop("wb")
+    val dl = dlStore(s, d)
+    val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
+      .select(expr("(10 * t) div nd").as("avgq"))
+    val dfr = dfrStore(s, d)
+    val idf = idfStore(s, d)
+    val qt = queryTerms(s)
+    // (query_id, word, doc_id, tf): every posting in the query terms'
+    // buckets that matches a query term — the same relation the plain
+    // probe scores IN FULL; here only seeds + survivors reach scoring
+    val matched = qt.join(dt, "word")
+    val qub = qt.join(
+      ubStore(s, d).filter(col("wb").isin(wbs: _*)).drop("wb"), "word")
+    // SEED term = the query's highest-upper-bound term: its postings
+    // are guaranteed to contain every doc whose single best term is
+    // the heaviest — the cheapest set that yields a useful threshold
+    val wSeed = Window.partitionBy("query_id")
+      .orderBy(desc("ubq"), col("word"))
+    val seedT = qub.withColumn("sr", row_number().over(wSeed))
+      .filter(col("sr") === 1).select("query_id", "word")
+    val seedPairs = matched
+      .join(broadcast(seedT), Seq("query_id", "word"), "left_semi")
+      .select("query_id", "doc_id").distinct()
+    val seedScored = scorePairs(matched, Some(seedPairs), dl, dfr, idf, st)
+    // θ = the K-th best seed score (strictly fewer than K seeds → no
+    // θ → nothing may be pruned): any doc whose upper bound is below
+    // θ loses to ≥ K seeds outright
+    val wT = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("doc_id"))
+    val theta = seedScored.withColumn("tr", row_number().over(wT))
+      .filter(col("tr") === TopK)
+      .select(col("query_id"), col("score").as("theta"))
+    // non-seed docs: sum the matched terms' upper bounds; survivors
+    // must reach θ. EXACT: score ≤ ubsum < θ ⇒ at least K docs beat
+    // the doc strictly ⇒ it cannot place in the top K, ties included.
+    val ubsum = matched
+      .join(seedPairs, Seq("query_id", "doc_id"), "left_anti")
+      .join(broadcast(qub.select("query_id", "word", "ubq")),
+        Seq("query_id", "word"))
+      .groupBy("query_id", "doc_id").agg(sum("ubq").as("ubsum"))
+    val survivors = ubsum
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("theta").isNull || col("ubsum") >= col("theta"))
+      .select("query_id", "doc_id")
+    val survScored = scorePairs(matched, Some(survivors), dl, dfr, idf, st)
+    val ranked = rankTopK(seedScored.unionByName(survScored))
+    (ranked,
+      matched.select("query_id", "doc_id").distinct(),
+      seedPairs.unionByName(survivors))
+  }
+
+  /** Top-[[TopK]] by exact-integer BM25 through the MAX-SCORE prune —
+    * hash-gated IDENTICAL to `bm25_retrieve` (the oracle is the same
+    * full replay): the sidecar changes what gets SCORED, never what
+    * gets ANSWERED. RetrievalSpec pins that the prune actually skips
+    * docs and that the landed bounds are true per-word maxima. */
+  def bm25TopkPruned(s: SparkSession, d: String): DataFrame =
+    wandPlan(s, d)._1
+      .transform(Present.sorted(_, col("query_id"), col("rank")))
 
   // ---------------------------------------------------------------
   // Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25)
@@ -513,6 +767,8 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_retrieve"    -> bm25Retrieve _,
     "bm25_incremental" -> bm25Incremental _,
+    "bm25_compact"     -> bm25Compact _,
+    "bm25_topk_pruned" -> bm25TopkPruned _,
     "hybrid_retrieve"  -> hybridRetrieve _,
   )
 
@@ -585,6 +841,20 @@ object Retrieval {
     // bm25_retrieve's — a merge that dropped a posting, double-counted
     // a df, or staled avgdl hash-fails against it
     "bm25_incremental" ->
+      s"""WITH $bm25CtesSql
+         |SELECT query_id, doc_id, n_terms, score, rank FROM rk
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // compaction must be INVISIBLE in the answer: same full replay —
+    // a fold that dropped or double-counted a posting, or re-derived
+    // a sidecar wrong, hash-fails here
+    "bm25_compact" ->
+      s"""WITH $bm25CtesSql
+         |SELECT query_id, doc_id, n_terms, score, rank FROM rk
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // the max-score prune changes what gets SCORED, never what gets
+    // ANSWERED: same full replay — an unsound bound (a skipped doc
+    // that belonged in the top K) hash-fails here
+    "bm25_topk_pruned" ->
       s"""WITH $bm25CtesSql
          |SELECT query_id, doc_id, n_terms, score, rank FROM rk
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,

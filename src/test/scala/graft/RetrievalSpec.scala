@@ -245,6 +245,87 @@ class RetrievalSpec extends SparkSpec {
         s"only-full=${fullIdf -- segIdf}")
   }
 
+  test("bm25 compact: fold is invisible, post-compaction reads ONE segment") {
+    // the compacted index must answer EXACTLY like the full one
+    val full = Retrieval.bm25Retrieve(spark, sfDir).collect().toSeq
+    val cmp = Retrieval.bm25Compact(spark, sfDir).collect().toSeq
+    assert(cmp == full,
+      "compacted index answered differently from the full index")
+    // compaction folds base + delta into ONE root; re-running is reads
+    val c0 = Retrieval.compactBuildCount.get()
+    val df = Retrieval.bm25Compact(spark, sfDir)
+    df.collect()
+    assert(Retrieval.compactBuildCount.get() == c0,
+      "compacted segment rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)
+    // post-compaction scoring stands on the compacted artifacts ALONE:
+    // no base/delta segment read, no full-index read, no tokenize
+    assert(plan.contains("graft_bm25c"),
+      "compacted scoring does not read the compacted segment:\n" + plan)
+    assert(!plan.contains("graft_bm25b") && !plan.contains("graft_bm25i"),
+      "compacted scoring still reads the pre-compaction segments:\n" + plan)
+    assert(!plan.contains("graft_bm25/"),
+      "compacted scoring fell back to the monolithic full index:\n" + plan)
+    assert(!plan.contains("Generate"),
+      "compacted scoring re-tokenized the corpus:\n" + plan)
+    // the fold preserves the wb layout — the inverted-index partition
+    // pruning survives compaction
+    assert(plan.contains("PartitionFilters") && plan.contains("wb#"),
+      "compacted postings scan lost the word-bucket pruning:\n" + plan)
+  }
+
+  test("bm25 topk pruned: skips docs, bounds are true maxima, answer exact") {
+    // the pruned probe must answer EXACTLY like the full one
+    val full = Retrieval.bm25Retrieve(spark, sfDir).collect().toSeq
+    val pruned = Retrieval.bm25TopkPruned(spark, sfDir).collect().toSeq
+    assert(pruned == full,
+      "score-pruned probe answered differently from the full probe")
+    // the prune is REAL: strictly fewer docs reach exact scoring than
+    // match the query terms (the measured skipped-docs counter)
+    val (_, matched, scored) = Retrieval.wandPlan(spark, sfDir)
+    val nMatched = matched.count()
+    val nScored = scored.count()
+    assert(nScored < nMatched,
+      s"max-score prune skipped nothing: matched=$nMatched scored=$nScored")
+    // every skipped doc was SAFE to skip is already pinned by the
+    // equality above; additionally pin the sidecar's bounds are true
+    // per-word maxima of the exact contribution
+    val docs = graft.Tables.documents(spark, sfDir)
+    val toks = TextOps.tokenize(docs)
+    val words = Retrieval.Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val tf = toks.filter(col("word").isin(words: _*))
+      .groupBy("doc_id", "word").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lens = toks.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stats = toks.groupBy("doc_id").count()
+      .agg(sum("count"), count(lit(1))).collect().head
+    val avgq = 10 * stats.getLong(0) / stats.getLong(1)
+    val nDocs = docs.count()
+    val dfByWord = toks.select("doc_id", "word").distinct()
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ubs = Retrieval.ubStore(spark, sfDir)
+      .filter(col("word").isin(words: _*)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.filter(dfByWord.contains).foreach { w =>
+      val idfq = math.round(math.log(
+        (nDocs - dfByWord(w) + 0.5) / (dfByWord(w) + 0.5) + 1.0) * 1e7)
+      val expect = tf.collect { case ((doc, word), t) if word == w =>
+        (BigInt(idfq) * 22 * avgq * t /
+          (BigInt(10) * avgq * t + 3 * avgq + 90 * lens(doc))).toLong
+      }.max
+      assert(ubs(w) == expect,
+        s"landed ubq for '$w': ${ubs(w)} != replayed max $expect")
+    }
+    // the sidecar lands once; re-running is pure reads
+    val u0 = Retrieval.ubBuildCount.get()
+    Retrieval.bm25TopkPruned(spark, sfDir).collect()
+    assert(Retrieval.ubBuildCount.get() == u0,
+      "max-score sidecar rebuilt on a second run")
+  }
+
   test("hybrid: dense half probes the landed IVF index, not the corpus") {
     import graft.operators.Similarity
     // the landed index is shared with ann_ivf — running the hybrid
