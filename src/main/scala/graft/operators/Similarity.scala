@@ -242,15 +242,7 @@ object Similarity {
     // tie-break: bit-identical across engines by construction (same
     // fold order), and the rounding makes any residual last-ulp
     // divergence irrelevant to the argmax
-    def assign(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cent))
-        .withColumn("cos", round(
-          graft.functions.GraftFunctions.cosineNative(s, col("v"), col("cv")),
-          9))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-          first(col("v")).as("v"))
-        .select("vec_id", "v", "cid")
+    def assign(cent: DataFrame): DataFrame = assignTo(s, e, cent)
     // Lloyd steps: refined centroid = mean of its assigned vectors.
     // Each intermediate centroid table is persisted (K rows) so the
     // next assign pass doesn't recompute the whole chain, and
@@ -271,6 +263,23 @@ object Similarity {
     cent.unpersist(false)
     (assign(local), local)
   }
+
+  /** Assign a (vec_id, v) relation to its nearest centroid — the ONE
+    * assignment rule (9-rounded cosine, (cos, -cid) argmax) shared by
+    * the Lloyd iterations, the final inverted-file pass, and the
+    * INCREMENTAL delta-segment build, so an arriving batch can never
+    * be assigned under different semantics than the base was. The
+    * centroid table rides a broadcast; cost ∝ |vecs| × K. */
+  private def assignTo(s: SparkSession, vecs: DataFrame,
+                       cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("cv")),
+        9))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+        first(col("v")).as("v"))
+      .select("vec_id", "v", "cid")
 
   /** Two-level (hierarchical) IVF build — the committed scale path
     * past the flat build's cost wall: every flat Lloyd/assignment
@@ -466,6 +475,127 @@ object Similarity {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= topK)
       .select("q_id", "rn", "vec_id", "cos")
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental IVF maintenance: the dense twin of bm25_incremental —
+  // an arriving vector batch assigns to the LANDED centroids and
+  // lands a DELTA cell segment; probes read base ∪ delta. Update
+  // cost ∝ batch × K, never ∝ corpus.
+  // ---------------------------------------------------------------
+
+  /** Every IvfIncrEvery-th vec_id (≡ [[IvfIncrSlot]] mod 10) plays
+    * the ARRIVING batch; queries (vec_id < NumQueries) stay base. */
+  val IvfIncrEvery = 10L
+  val IvfIncrSlot  = 7L
+
+  private val ivfIncStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val ivfIncIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val ivfIncBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the (base segment, delta segment) pair: base = the landed
+    * inverted file MINUS the batch (yesterday's index), delta = the
+    * batch assigned to the SAME landed centroids by a separate
+    * assignment pass whose cost is ∝ batch × K — the nightly
+    * maintenance job's shape (the other "petabytes" of vectors are
+    * never re-read, never re-assigned). Both segments keep the
+    * cid-partitioned layout, so probes prune per segment. */
+  private def ivfIncRoots(s: SparkSession, d: String): (String, String) =
+    ivfIncStores.computeIfAbsent(d, _ => {
+      ivfIncBuildCount.incrementAndGet()
+      val n = ivfIncIds.getAndIncrement()
+      val (idx, cent) = ivfStore(s, d)
+      val baseOut = graft.Scratch.processScoped("graft_ivfb", s"b$n").toString
+      idx.filter(col("vec_id") % IvfIncrEvery =!= IvfIncrSlot)
+        .write.mode("overwrite").partitionBy("cid").parquet(baseOut)
+      val deltaOut = graft.Scratch.processScoped("graft_ivfd", s"d$n").toString
+      val batch = emb(s, d)
+        .filter(col("vec_id") % IvfIncrEvery === IvfIncrSlot)
+        .select("vec_id", "v")
+      assignTo(s, batch, cent)
+        .write.mode("overwrite").partitionBy("cid").parquet(deltaOut)
+      (baseOut, deltaOut)
+    })
+
+  /** The landed delta segment as a fresh read — exposed so the spec
+    * can pin |delta| = |batch| (update cost ∝ batch). */
+  private[graft] def ivfDeltaSegment(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ivfIncRoots(s, d)._2)
+      .withColumn("cid", col("cid").cast("long"))
+
+  /** INCREMENTAL ANN — probes read base ∪ delta through the same
+    * probe chain as `ann_ivf`. Results are IDENTICAL to the full
+    * index by construction (assignment at fixed centroids is
+    * per-vector: base ∪ delta ≡ the full inverted file), and the
+    * DuckDB oracle replays the FULL build → probe → rank — a delta
+    * assignment under drifted semantics, a dropped batch vector, or a
+    * segment read missing a cell hash-fails against it. Completes the
+    * incremental triple: dedup/semdedup/bm25 had maintenance stories,
+    * now the dense index does too. */
+  def annIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val (baseRoot, deltaRoot) = ivfIncRoots(s, d)
+    val (_, cent) = ivfStore(s, d)
+    def seg(dir: String) = s.read.parquet(dir)
+      .withColumn("cid", col("cid").cast("long"))
+    val idx = seg(baseRoot).unionByName(seg(deltaRoot))
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbeRankedOn(s, (idx, cent), q, TopK, IvfProbes)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
+  // ---------------------------------------------------------------
+  // nprobe ≪ K pruning twin: the gated K=16/nprobe=8 workload probes
+  // ~15/16 cells across its three queries, so directory pruning saves
+  // little IN THE GATED TABLE (an honest caveat since round 13); this
+  // twin runs the production regime — K=64 cells, 4 probes — so the
+  // pruned read is visible in the gate itself, not only in rehearsals.
+  // ---------------------------------------------------------------
+
+  val IvfPrunedK      = 64
+  val IvfPrunedProbes = 4
+
+  private val ivfKStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfKIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val ivfKBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[ivfStore]] at an explicit K, keyed by (dataset, K) — the same
+    * deterministic build (md5 seeds, fixed-point Lloyd), the same
+    * cid-partitioned landed layout. */
+  def ivfStoreK(s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
+    val root = ivfKStores.computeIfAbsent(s"$d#k$k", _ => {
+      ivfKBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_ivfk",
+        s"k${ivfKIds.getAndIncrement()}").toString
+      val (idx, cent) = ivfBuild(s, d, k)
+      idx.write.mode("overwrite").partitionBy("cid").parquet(s"$out/idx")
+      cent.write.mode("overwrite").parquet(s"$out/cent")
+      out
+    })
+    (s.read.parquet(s"$root/idx").withColumn("cid", col("cid").cast("long")),
+      s.read.parquet(s"$root/cent"))
+  }
+
+  /** ANN in the nprobe ≪ K regime: [[IvfPrunedProbes]] probes into a
+    * [[IvfPrunedK]]-cell landed index — the three queries' probed-cid
+    * union covers at most queries × nprobe = 20 of 64 cell
+    * directories, so the inverted file's partition pruning does real
+    * work in the gated plan (PlanSpec pins the PartitionFilters and
+    * the probed-cell bound). HASH-GATED like ann_ivf: the K=64 build
+    * replays verbatim in DuckDB. */
+  def annIvfPruned(s: SparkSession, d: String): DataFrame = {
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbeRankedOn(s, ivfStoreK(s, d, IvfPrunedK), q, TopK, IvfPrunedProbes)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
   /** Candidates the rerank keeps per query — the IVF-PQ shortlist
@@ -779,6 +909,8 @@ object Similarity {
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
+    "ann_ivf_incremental" -> annIvfIncremental _,
+    "ann_ivf_pruned"    -> annIvfPruned _,
     "ann_ivf_pq"        -> annIvfPq _,
     "semdedup"          -> semDedup _,
     "semdedup_incremental" -> semDedupIncremental _,
@@ -817,21 +949,48 @@ object Similarity {
        |  GROUP BY cid)""".stripMargin
 
   /** The deterministic IVF index build (seeds → 2 Lloyd rounds →
-    * final assignment `idx`) as a shared CTE prefix — the exact chain
-    * ann_ivf/ann_ivf_pq inline; [[Retrieval]]'s hybrid dense half
-    * replays the same landed index with its own query workload. */
-  private[operators] def ivfIdxSql: String =
+    * final assignment `idx`) at an explicit K, as a shared CTE prefix
+    * — the exact chain the ann_ivf family inlines; [[Retrieval]]'s
+    * hybrid dense half replays the same landed index with its own
+    * query workload. */
+  private[operators] def ivfIdxSqlK(k: Int): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |seeds AS (
        |  SELECT vec_id AS cid, v AS cv FROM e
        |  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
        |    vec_id
-       |  LIMIT $IvfClusters),
+       |  LIMIT $k),
        |${assignSql("a0", "seeds")},
        |${meansSql("c1", "a0")},
        |${assignSql("a1", "c1")},
        |${meansSql("c2", "a1")},
        |${assignSql("idx", "c2")}""".stripMargin
+
+  private[operators] def ivfIdxSql: String = ivfIdxSqlK(IvfClusters)
+
+  /** The full ann oracle (build at `k` → `nprobe` probes → in-cell
+    * exact rank) — ONE builder for ann_ivf, its incremental twin
+    * (base ∪ delta ≡ the full inverted file at fixed centroids, so
+    * the oracle IS the full replay), and the nprobe ≪ K pruned twin. */
+  private def annOracleSql(k: Int, nprobe: Int): String =
+    s"""WITH ${ivfIdxSqlK(k)},
+       |probes AS (
+       |  SELECT q_id, qv, cid FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.cv", 9)} DESC, c.cid) AS pr
+       |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < $NumQueries)
+       |  WHERE pr <= $nprobe),
+       |scored AS (
+       |  SELECT p.q_id, x.vec_id, ${cosSql("x.v", "p.qv", 6)} AS cos
+       |  FROM idx x JOIN probes p ON x.cid = p.cid
+       |  WHERE x.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+       |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin
 
   /** ann_ivf's probe → in-cell score → per-query rank tail as a CTE
     * suffix ending in `hits` — the exact chain ann_ivf's oracle
@@ -887,35 +1046,13 @@ object Similarity {
          |FROM idx i LEFT JOIN dups d ON i.vec_id = d.vec_id
          |WHERE i.vec_id % $SemIncrEvery = 0
          |ORDER BY i.vec_id""".stripMargin,
-    "ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (
-         |  SELECT vec_id AS cid, v AS cv FROM e
-         |  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
-         |    vec_id
-         |  LIMIT $IvfClusters),
-         |${assignSql("a0", "seeds")},
-         |${meansSql("c1", "a0")},
-         |${assignSql("a1", "c1")},
-         |${meansSql("c2", "a1")},
-         |${assignSql("idx", "c2")},
-         |probes AS (
-         |  SELECT q_id, qv, cid FROM (
-         |    SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.v", "c.cv", 9)} DESC, c.cid) AS pr
-         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < $NumQueries)
-         |  WHERE pr <= $IvfProbes),
-         |scored AS (
-         |  SELECT p.q_id, x.vec_id, ${cosSql("x.v", "p.qv", 6)} AS cos
-         |  FROM idx x JOIN probes p ON x.cid = p.cid
-         |  WHERE x.vec_id <> p.q_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY cos DESC, vec_id) AS rn
-         |  FROM scored)
-         |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
-         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+    "ann_ivf" -> annOracleSql(IvfClusters, IvfProbes),
+    // incremental maintenance must be invisible: base ∪ delta at the
+    // landed centroids ≡ the full inverted file, so the oracle is the
+    // full replay — a drifted delta assignment or dropped batch
+    // vector hash-fails
+    "ann_ivf_incremental" -> annOracleSql(IvfClusters, IvfProbes),
+    "ann_ivf_pruned" -> annOracleSql(IvfPrunedK, IvfPrunedProbes),
     "ann_ivf_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (

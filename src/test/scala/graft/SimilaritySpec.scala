@@ -136,6 +136,99 @@ class SimilaritySpec extends SparkSpec {
       s"the inverted-file scan is not pruned on cid:\n$l"))
   }
 
+  test("ann ivf incremental: ≡ full index, delta ∝ batch, reads both segments") {
+    import org.apache.spark.sql.functions._
+    // maintenance must be invisible in the answer: base ∪ delta at
+    // the landed centroids answers exactly like the full inverted file
+    val full = Similarity.annIvf(spark, sfDir).collect().toSeq
+    val incr = Similarity.annIvfIncremental(spark, sfDir).collect().toSeq
+    assert(incr == full,
+      "incremental segments answered differently from the full index")
+    // the delta segment holds EXACTLY the batch (update cost ∝ batch:
+    // the separate assignment pass touched batch vectors only), and
+    // its assignments agree with the full index's for the same ids
+    val batchIds = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % Similarity.IvfIncrEvery ===
+        Similarity.IvfIncrSlot)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val delta = Similarity.ivfDeltaSegment(spark, sfDir)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta.keySet == batchIds,
+      s"delta segment ids != batch ids (delta=${delta.size}, " +
+        s"batch=${batchIds.size})")
+    val fullCells = Similarity.ivfIndex(spark, sfDir)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    delta.foreach { case (id, cid) =>
+      assert(fullCells(id) == cid,
+        s"delta assignment drifted for vec $id: $cid != ${fullCells(id)}")
+    }
+    // segments land once; probes read BOTH landed segments, pruned
+    val b0 = Similarity.ivfIncBuildCount.get()
+    val df = Similarity.annIvfIncremental(spark, sfDir)
+    df.collect()
+    assert(Similarity.ivfIncBuildCount.get() == b0,
+      "incremental segments rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivfb") && plan.contains("graft_ivfd"),
+      "probe does not read both landed segments:\n" + plan)
+    plan.linesIterator
+      .filter(l => l.contains("graft_ivfb") || l.contains("graft_ivfd"))
+      .filter(_.contains("Location")).foreach(l =>
+        assert(l.contains("PartitionFilters: [cid"),
+          s"segment scan not pruned on cid:\n$l"))
+  }
+
+  test("ann ivf pruned: nprobe ≪ K — probed cells ≪ cell count, scan pruned") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.annIvfPruned(spark, sfDir)
+    val rows = df.collect()
+    // shape: k rows per query, self excluded, ranks dense
+    assert(rows.length == Similarity.NumQueries * Similarity.TopK)
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(2), s"self hit: $r"))
+    // the probed-cid union is bounded by queries × nprobe = 20 — a
+    // real fraction of the 64 cells, unlike the K=16/nprobe=8 gate
+    // workload (probes ~15/16 cells): recompute the probe driver-side
+    val (idx, cent) = Similarity.ivfStoreK(spark, sfDir,
+      Similarity.IvfPrunedK)
+    val cents = cent.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probed = vecs.flatMap { case (_, qv) =>
+      cents.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(Similarity.IvfPrunedProbes).map(_._1)
+    }.toSet
+    val nCells = idx.select("cid").distinct().count()
+    assert(probed.size <= Similarity.NumQueries * Similarity.IvfPrunedProbes)
+    assert(probed.size < nCells / 2,
+      s"pruning twin degenerate: probed ${probed.size} of $nCells cells")
+    // the plan's inverted-file scan is partition-pruned to those cells
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val idxScans = plan.linesIterator
+      .filter(l => l.contains("graft_ivfk") && l.contains("/idx")).toList
+    assert(idxScans.nonEmpty, s"no K=64 inverted-file scan found:\n$plan")
+    idxScans.foreach(l => assert(l.contains("PartitionFilters: [cid"),
+      s"the K=64 inverted-file scan is not pruned on cid:\n$l"))
+    // the K-keyed store lands once per (dataset, K)
+    val k0 = Similarity.ivfKBuildCount.get()
+    Similarity.annIvfPruned(spark, sfDir).collect()
+    assert(Similarity.ivfKBuildCount.get() == k0,
+      "K-keyed IVF store rebuilt on a second run")
+  }
+
   test("pq queries read one landed code store per dataset, never rebuilding") {
     Similarity.annIvfPq(spark, sfDir).collect()
     val builds = Similarity.pqBuildCount.get()
