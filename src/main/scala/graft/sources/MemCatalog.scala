@@ -67,20 +67,20 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     // PARTITIONS / dynamic overwrite with no error at create time
     new MemStagedTable(ident, new MemTable(key(ident), schema,
       isMor(properties),
-      MemCatalog.partitionColOf(schema, partitions)), this, replace = false)
+      MemCatalog.partitionColsOf(schema, partitions)), this, replace = false)
   }
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable =
     new MemStagedTable(ident, new MemTable(key(ident), schema,
       isMor(properties),
-      MemCatalog.partitionColOf(schema, partitions)), this, replace = true)
+      MemCatalog.partitionColsOf(schema, partitions)), this, replace = true)
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable =
     new MemStagedTable(ident, new MemTable(key(ident), schema,
       isMor(properties),
-      MemCatalog.partitionColOf(schema, partitions)), this, replace = true)
+      MemCatalog.partitionColsOf(schema, partitions)), this, replace = true)
 
   private[sources] def commitStaged(ident: Identifier, t: MemTable,
                                     replace: Boolean): Unit = {
@@ -145,7 +145,7 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val t = new MemTable(key(ident), schema, isMor(properties),
-      MemCatalog.partitionColOf(schema, partitions))
+      MemCatalog.partitionColsOf(schema, partitions))
     if (tables.putIfAbsent(key(ident), t) != null)
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
     t
@@ -220,7 +220,7 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val t = new MemTable(key(ident), info.schema(),
       isMor(info.properties),
-      MemCatalog.partitionColOf(info.schema(), info.partitions()),
+      MemCatalog.partitionColsOf(info.schema(), info.partitions()),
       info.constraints())
     if (tables.putIfAbsent(key(ident), t) != null)
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
@@ -408,14 +408,16 @@ object MemTable {
 }
 
 object MemCatalog {
-  /** Parse CREATE's PARTITIONED BY: at most ONE identity transform on
-    * an existing BIGINT column (the toy store's partition currency —
-    * the contract, not the type width, is the point). */
-  private[sources] def partitionColOf(schema: StructType,
-                                      partitions: Array[Transform])
-      : Option[String] = partitions.toSeq match {
-    case Seq() => None
-    case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+  /** Parse CREATE's PARTITIONED BY: any number of IDENTITY transforms
+    * on existing BIGINT columns — real tables partition by
+    * (date, region), so the layout metadata, pruning, partition DDL
+    * and dynamic overwrite all carry N columns (the toy store's
+    * partition currency stays BIGINT — the contract, not the type
+    * width, is the point). Non-identity transforms are refused. */
+  private[sources] def partitionColsOf(schema: StructType,
+                                       partitions: Array[Transform])
+      : Seq[String] = partitions.toSeq.map {
+    case t if t.name == "identity" && t.references.length == 1 =>
       val col = t.references()(0).fieldNames.mkString(".")
       val f = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
         throw new IllegalArgumentException(
@@ -423,9 +425,9 @@ object MemCatalog {
       if (f.dataType != LongType)
         throw new UnsupportedOperationException(
           s"mem catalog partitions only BIGINT columns, got ${f.dataType}")
-      Some(f.name)
-    case _ => throw new UnsupportedOperationException(
-      "mem catalog supports at most one identity partition column")
+      f.name
+    case t => throw new UnsupportedOperationException(
+      s"mem catalog supports only identity partition transforms, got $t")
   }
 }
 
@@ -447,7 +449,7 @@ case class MemInsRec(row: MemRow) extends MemDeltaRec
 
 class MemTable(tableName: String, tableSchema: StructType,
                val mor: Boolean = false,
-               val partitionCol: Option[String] = None,
+               val partitionCols: Seq[String] = Nil,
                initialConstraints:
                  Array[org.apache.spark.sql.connector.catalog.constraints
                    .Constraint] = Array.empty)
@@ -476,11 +478,13 @@ class MemTable(tableName: String, tableSchema: StructType,
     tableConstraints = tableConstraints.filterNot(_.name == name)
   }
 
-  /** PARTITIONED BY (identity) — what makes dynamic overwrite
-    * meaningful: the overwrite unit is the partition, not the table. */
+  /** PARTITIONED BY (identity, ...) — what makes dynamic overwrite
+    * meaningful: the overwrite unit is the partition, not the table.
+    * N identity columns are N transforms, in declaration order. */
   override def partitioning(): Array[Transform] =
-    partitionCol.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : Transform)
       .toArray
 
   // ----- partition lifecycle DDL (SupportsPartitionManagement) -----
@@ -489,14 +493,16 @@ class MemTable(tableName: String, tableSchema: StructType,
   // implicitly populated (any stored row carries its value): the Hive
   // metastore contract, where SHOW PARTITIONS is metadata truth, not
   // a data scan promise. DROP drops data + registration; TRUNCATE
-  // PARTITION drops data, keeps the slot.
+  // PARTITION drops data, keeps the slot. Keys are the FULL
+  // partition-value tuple (one Long per partition column).
   private val partMeta =
-    new ConcurrentHashMap[Long, util.Map[String, String]]()
+    new ConcurrentHashMap[Seq[Long], util.Map[String, String]]()
 
-  private def partValue(ident: InternalRow): Long = ident.getLong(0)
+  private def partValue(ident: InternalRow): Seq[Long] =
+    partitionCols.indices.map(ident.getLong)
 
   override def partitionSchema(): StructType =
-    StructType(partitionCol.toSeq.map(c =>
+    StructType(partitionCols.map(c =>
       tableSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
 
   override def partitionExists(ident: InternalRow): Boolean = {
@@ -547,14 +553,22 @@ class MemTable(tableName: String, tableSchema: StructType,
 
   override def listPartitionIdentifiers(
       names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    import scala.math.Ordering.Implicits.seqOrdering
     val implicitVals = rows.synchronized {
       rows.asScala.map(partitionValueOf).toSet
     }
     val all = (implicitVals ++ partMeta.keySet.asScala).toSeq.sorted
-    val filtered =
-      if (names.isEmpty) all
-      else all.filter(_ == ident.getLong(0)) // single partition column
-    filtered.map(v => InternalRow(v): InternalRow).toArray
+    // PARTIAL spec (`SHOW PARTITIONS t PARTITION (p1=5)`): `names`
+    // carries the specified subset of partition columns, `ident` their
+    // values in the same order — a partition matches if it agrees on
+    // every specified position
+    val specified = names.toSeq.zipWithIndex.map { case (n, i) =>
+      val pos = partitionCols.indexWhere(_.equalsIgnoreCase(n))
+      require(pos >= 0, s"$n is not a partition column of $tableName")
+      pos -> ident.getLong(i)
+    }
+    val filtered = all.filter(v => specified.forall { case (p, x) => v(p) == x })
+    filtered.map(v => InternalRow.fromSeq(v): InternalRow).toArray
   }
 
   /** Row-level operations, two shapes:
@@ -692,11 +706,11 @@ class MemTable(tableName: String, tableSchema: StructType,
       if (i < 0) throw new IllegalArgumentException(s"no column $name")
       if (colFields.exists(_.name.equalsIgnoreCase(newName)))
         throw new IllegalArgumentException(s"column $newName already exists")
-      // partitionCol stores the create-time NAME: renaming under it
+      // partitionCols store the create-time NAMES: renaming under one
       // would leave partitionValueOf resolving indexWhere == -1 and
       // crash every later partition operation — refuse, like the MoR
       // row-id guard in dropColumn
-      if (partitionCol.exists(_.equalsIgnoreCase(name)))
+      if (partitionCols.exists(_.equalsIgnoreCase(name)))
         throw new UnsupportedOperationException(
           s"cannot rename the partition column $name")
       // the id — and with it the stored data — survives the rename
@@ -712,7 +726,7 @@ class MemTable(tableName: String, tableSchema: StructType,
       if (mor && i == idOrdinal)
         throw new UnsupportedOperationException(
           "cannot drop the row-id column of a merge-on-read table")
-      if (partitionCol.exists(_.equalsIgnoreCase(name)))
+      if (partitionCols.exists(_.equalsIgnoreCase(name)))
         throw new UnsupportedOperationException(
           s"cannot drop the partition column $name")
       if (colFields.length == 1)
@@ -893,18 +907,20 @@ class MemTable(tableName: String, tableSchema: StructType,
       case f => evaluable(f)
     }
 
-  /** Partition value of a stored row (dynamic overwrite's grouping
-    * key), resolved through field ids like every scan. */
-  private[sources] def partitionValueOf(mr: MemRow): Long = {
-    val name = partitionCol.getOrElse(
-      throw new IllegalStateException("unpartitioned table"))
-    val fid = colIds(colFields.indexWhere(_.name == name))
-    mr.row.getLong(mr.layout.indexOf(fid))
+  /** Partition value TUPLE of a stored row (dynamic overwrite's
+    * grouping key), resolved through field ids like every scan. */
+  private[sources] def partitionValueOf(mr: MemRow): Seq[Long] = {
+    if (partitionCols.isEmpty)
+      throw new IllegalStateException("unpartitioned table")
+    partitionCols.map { name =>
+      val fid = colIds(colFields.indexWhere(_.name == name))
+      mr.row.getLong(mr.layout.indexOf(fid))
+    }
   }
 
-  /** Remove every row whose partition lands in `keys` — the
+  /** Remove every row whose partition tuple lands in `keys` — the
     * dynamic-overwrite delete step. Returns the removed-row count. */
-  private[sources] def removePartitions(keys: Set[Long]): Int =
+  private[sources] def removePartitions(keys: Set[Seq[Long]]): Int =
     rows.synchronized {
       val before = rows.size
       val keep = rows.asScala.filterNot(r =>
@@ -972,7 +988,7 @@ class MemTable(tableName: String, tableSchema: StructType,
             "dynamic partition overwrite on a merge-on-read table is " +
               "not supported (base-row removal would not see pending " +
               "delta records); compact first")
-        if (partitionCol.isEmpty)
+        if (partitionCols.isEmpty)
           throw new UnsupportedOperationException(
             "dynamic overwrite needs a partitioned table")
         dynamic = true
@@ -1106,8 +1122,9 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
       // touches (computed from the incoming rows, never declared)
       if (dynamicPartitions) {
         MemTable.dynamicOverwrites.incrementAndGet()
-        val ord = table.schema().fieldIndex(table.partitionCol.get)
-        val touched = incoming.map(_.getLong(ord)).toSet
+        val ords = table.partitionCols.map(table.schema().fieldIndex)
+        val touched = incoming
+          .map(r => ords.map(r.getLong): Seq[Long]).toSet
         lastRemoved += table.removePartitions(touched)
       }
       table.append(incoming)

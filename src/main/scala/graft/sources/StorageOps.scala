@@ -424,6 +424,85 @@ object StorageOps {
     cs.sql("SELECT part, k, v FROM graft_mem.ns.plc ORDER BY part, k, v")
   }
 
+  /** MULTI-COLUMN identity partitioning — the (date, region) shape
+    * real tables carry: partition identity is the full value TUPLE,
+    * so ADD/DROP/TRUNCATE PARTITION address one (day, region) cell,
+    * and `SHOW PARTITIONS … PARTITION (day=3)` is a PARTIAL spec that
+    * lists exactly day-3's region slots. The gated output folds two
+    * listing counts onto the data (the catalogCompact pattern) so the
+    * metadata surface is hash-checked alongside the rows: `n_parts`
+    * counts the full listing — surviving data cells PLUS the
+    * registered-empty ADD slot and the truncated-but-registered slot
+    * — and `n_day3` counts the partial listing. Oracle replays data
+    * minus the dropped/truncated cells and both counts as CTEs. */
+  def catalogPartitions2(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.plc2
+        |  (day BIGINT, region BIGINT, k BIGINT, v BIGINT)
+        |PARTITIONED BY (day, region)""".stripMargin)
+    cs.sql(
+      """INSERT INTO graft_mem.ns.plc2
+        |SELECT CAST(o_custkey % 4 AS BIGINT) AS day,
+        |  CAST(o_custkey % 3 AS BIGINT) AS region,
+        |  CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin)
+    // a landing slot declared ahead of its data, one dropped cell,
+    // one truncated cell (emptied, slot kept) — all tuple-addressed
+    cs.sql("ALTER TABLE graft_mem.ns.plc2 ADD PARTITION (day=9, region=9)")
+    cs.sql("ALTER TABLE graft_mem.ns.plc2 DROP PARTITION (day=2, region=1)")
+    cs.sql("TRUNCATE TABLE graft_mem.ns.plc2 PARTITION (day=1, region=2)")
+    val summary = cs.sql("SHOW PARTITIONS graft_mem.ns.plc2")
+      .agg(count(lit(1)).cast("long").as("n_parts"))
+      .crossJoin(
+        cs.sql("SHOW PARTITIONS graft_mem.ns.plc2 PARTITION (day=3)")
+          .agg(count(lit(1)).cast("long").as("n_day3")))
+    cs.sql("SELECT day, region, k, v FROM graft_mem.ns.plc2")
+      .crossJoin(broadcast(summary))
+      .orderBy("day", "region", "k", "v")
+  }
+
+  /** DYNAMIC overwrite at partition-TUPLE granularity — the claim a
+    * single-column layout cannot make: the reprocessing batch touches
+    * (day=1, region=0) and (day=1, region=2) ONLY, and
+    * (day=1, region=1) must SURVIVE — a layout partitioned by day
+    * alone would have clobbered it. Same engine path as the
+    * single-column twin (`SupportsDynamicOverwrite`; the touched set
+    * is computed from the incoming rows' full tuples, never
+    * declared); oracle replays untouched ∪ recomputed. */
+  def catalogDynamicOverwrite2(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    cs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.dyn2
+        |  (day BIGINT, region BIGINT, k BIGINT, v BIGINT)
+        |PARTITIONED BY (day, region)""".stripMargin)
+    cs.sql(
+      """INSERT INTO graft_mem.ns.dyn2
+        |SELECT CAST(o_custkey % 4 AS BIGINT) AS day,
+        |  CAST(o_custkey % 3 AS BIGINT) AS region,
+        |  CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin)
+    cs.sql(
+      """INSERT OVERWRITE graft_mem.ns.dyn2
+        |SELECT CAST(o_custkey % 4 AS BIGINT) AS day,
+        |  CAST(o_custkey % 3 AS BIGINT) AS region,
+        |  CAST(o_custkey % 11 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS v
+        |FROM orders
+        |WHERE o_custkey % 4 = 1 AND o_custkey % 3 IN (0, 2)
+        |GROUP BY 1, 2, 3""".stripMargin)
+    cs.sql(
+      """SELECT day, region, k, v FROM graft_mem.ns.dyn2
+        |ORDER BY day, region, k, v""".stripMargin)
+  }
+
   /** Column DEFAULTs through the catalog plugin — the schema-evolution
     * rung's CATALOG-side twin (`schema_evolution` covers the file
     * source): the catalog declares
@@ -1825,7 +1904,9 @@ object StorageOps {
     "catalog_defaults"    -> catalogDefaults _,
     "catalog_replace_where" -> catalogReplaceWhere _,
     "catalog_dynamic_overwrite" -> catalogDynamicOverwrite _,
+    "catalog_dynamic_overwrite2" -> catalogDynamicOverwrite2 _,
     "catalog_partitions" -> catalogPartitions _,
+    "catalog_partitions2" -> catalogPartitions2 _,
     "catalog_constraints" -> catalogConstraints _,
     "catalog_evolution"   -> catalogEvolution _,
     "catalog_compact"     -> catalogCompact _,
@@ -2135,6 +2216,44 @@ object StorageOps {
         |WHERE o_custkey % 7 NOT IN (2, 5)
         |GROUP BY 1, 2
         |ORDER BY part, k, v""".stripMargin,
+    // 2-column partition DDL replayed: data minus the dropped and
+    // truncated CELLS; n_parts = surviving distinct (day, region)
+    // cells + the ADD slot + the truncated-but-registered slot;
+    // n_day3 = day-3's distinct regions (untouched by the DDL)
+    "catalog_partitions2" ->
+      """WITH kept AS (
+        |  SELECT o_custkey % 4 AS day, o_custkey % 3 AS region,
+        |    o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v
+        |  FROM orders
+        |  WHERE NOT (o_custkey % 4 = 2 AND o_custkey % 3 = 1)
+        |    AND NOT (o_custkey % 4 = 1 AND o_custkey % 3 = 2)
+        |  GROUP BY 1, 2, 3),
+        |np AS (
+        |  SELECT (count(*) + 2)::BIGINT AS n_parts FROM
+        |    (SELECT DISTINCT day, region FROM kept)),
+        |nd AS (
+        |  SELECT count(DISTINCT o_custkey % 3)::BIGINT AS n_day3
+        |  FROM orders WHERE o_custkey % 4 = 3)
+        |SELECT day, region, k, v, n_parts, n_day3
+        |FROM kept CROSS JOIN np CROSS JOIN nd
+        |ORDER BY day, region, k, v""".stripMargin,
+    // tuple-granularity dynamic overwrite replayed: untouched cells ∪
+    // recomputed cells — (day=1, region=1) must appear from the SEED
+    "catalog_dynamic_overwrite2" ->
+      """WITH seed AS (
+        |  SELECT o_custkey % 4 AS day, o_custkey % 3 AS region,
+        |    o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v
+        |  FROM orders GROUP BY 1, 2, 3),
+        |redo AS (
+        |  SELECT o_custkey % 4 AS day, o_custkey % 3 AS region,
+        |    o_custkey % 11 AS k, count(*)::BIGINT AS v
+        |  FROM orders
+        |  WHERE o_custkey % 4 = 1 AND o_custkey % 3 IN (0, 2)
+        |  GROUP BY 1, 2, 3)
+        |SELECT day, region, k, v FROM seed
+        |WHERE NOT (day = 1 AND region IN (0, 2))
+        |UNION ALL SELECT day, region, k, v FROM redo
+        |ORDER BY day, region, k, v""".stripMargin,
     // REPLACE WHERE replayed: base minus the slice, plus the
     // recomputation, in one relation
     "catalog_replace_where" ->

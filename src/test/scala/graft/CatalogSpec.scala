@@ -319,10 +319,73 @@ class CatalogSpec extends SparkSpec {
     val stat = cs.sql("SELECT part, v FROM mem.ow.p").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(stat == Seq((5L, 1L)), s"static overwrite must truncate: $stat")
-    // partitioning is limited and loud: two partition columns refuse
+    // partitioning is limited and loud: non-identity transforms and
+    // non-BIGINT partition columns refuse (N identity BIGINT columns
+    // are supported — see the multi-column test below)
     intercept[Exception] {
       cs.sql("CREATE TABLE mem.ow.p2 (a BIGINT, b BIGINT, v BIGINT) " +
-        "PARTITIONED BY (a, b)")
+        "PARTITIONED BY (bucket(4, a))")
+    }
+    intercept[Exception] {
+      cs.sql("CREATE TABLE mem.ow.p3 (a STRING, v BIGINT) " +
+        "PARTITIONED BY (a)")
+    }
+  }
+
+  test("multi-column partitions: tuple DDL, partial SHOW, tuple overwrite") {
+    import graft.sources.MemTable
+    val cs = mounted()
+    cs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cs.sql("CREATE TABLE mem.mc.t (day BIGINT, region BIGINT, v BIGINT) " +
+      "PARTITIONED BY (day, region)")
+    cs.sql("INSERT INTO mem.mc.t VALUES (1, 0, 10), (1, 1, 11), (1, 2, 12), " +
+      "(2, 0, 20), (2, 1, 21)")
+    def shown(spec: String = "") =
+      cs.sql(s"SHOW PARTITIONS mem.mc.t $spec").collect()
+        .map(_.getString(0)).toSet
+    // full listing carries the full tuple; partition identity is the
+    // PAIR, so (1, x) and (2, x) are distinct cells
+    assert(shown() == Set("day=1/region=0", "day=1/region=1",
+      "day=1/region=2", "day=2/region=0", "day=2/region=1"), shown())
+    // PARTIAL spec filters on the specified positions only
+    assert(shown("PARTITION (day=2)") ==
+      Set("day=2/region=0", "day=2/region=1"), shown("PARTITION (day=2)"))
+    assert(shown("PARTITION (region=1)") ==
+      Set("day=1/region=1", "day=2/region=1"),
+      shown("PARTITION (region=1)"))
+    // tuple-addressed DDL: ADD a declared-ahead slot, DROP one cell,
+    // TRUNCATE another (slot survives, data gone)
+    cs.sql("ALTER TABLE mem.mc.t ADD PARTITION (day=9, region=9)")
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.mc.t ADD PARTITION (day=1, region=0)")
+    }
+    cs.sql("ALTER TABLE mem.mc.t DROP PARTITION (day=1, region=1)")
+    cs.sql("TRUNCATE TABLE mem.mc.t PARTITION (day=2, region=0)")
+    assert(shown() == Set("day=1/region=0", "day=1/region=2",
+      "day=2/region=0", "day=2/region=1", "day=9/region=9"), shown())
+    val afterDdl = cs.sql("SELECT day, region, v FROM mem.mc.t " +
+      "ORDER BY day, region").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(afterDdl == Seq((1L, 0L, 10L), (1L, 2L, 12L), (2L, 1L, 21L)),
+      s"tuple DDL touched the wrong cells: $afterDdl")
+    // dynamic overwrite at tuple granularity: the batch touches
+    // (1, 0) only — (1, 2), the cell a day-only layout would have
+    // clobbered, must survive
+    val before = MemTable.dynamicOverwrites.get()
+    cs.sql("INSERT OVERWRITE mem.mc.t VALUES " +
+      "(CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(99 AS BIGINT))")
+    assert(MemTable.dynamicOverwrites.get() == before + 1)
+    val dyn = cs.sql("SELECT day, region, v FROM mem.mc.t " +
+      "ORDER BY day, region").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dyn == Seq((1L, 0L, 99L), (1L, 2L, 12L), (2L, 1L, 21L)),
+      s"tuple-granularity overwrite touched the wrong cells: $dyn")
+    // BOTH partition columns are rename/drop-guarded
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.mc.t RENAME COLUMN region TO r")
+    }
+    intercept[Exception] {
+      cs.sql("ALTER TABLE mem.mc.t DROP COLUMN day")
     }
   }
 
