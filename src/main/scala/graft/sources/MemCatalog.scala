@@ -273,10 +273,12 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     * SCHEDULED (off-peak, amortized), not implied by DML — the
     * catalog exposes the knob, the operator turns it. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "compact"))
+    Array(Identifier.of(namespace, "compact"),
+      Identifier.of(namespace, "changes"))
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name.toLowerCase match {
       case "compact" => new CompactProcedure(this)
+      case "changes" => new ChangesProcedure(this)
       case _ => throw new RuntimeException(
         s"procedure not found: ${key(ident)}")
     }
@@ -664,6 +666,42 @@ class MemTable(tableName: String, tableSchema: StructType,
     new MemVersionTable(s"$tableName@v$v", manifest, effectiveSchema,
       layoutSnapshot, defaultsSnapshot)
   }
+  /** Row-level CDC between two landed version manifests — the
+    * `table_changes(from_v, to_v)` read (Delta's CDF / Iceberg's
+    * changelog shape): for each commit in (fromV, toV], diff the
+    * commit's manifest against its predecessor's and emit the rows
+    * that ENTERED ("insert") and LEFT ("delete") the table view,
+    * stamped with the commit ordinal. The diff is by row REFERENCE —
+    * manifests share row payloads with the base, a commit reuses
+    * every untouched row's reference, and compaction folds the live
+    * base without minting references — so an unchanged row never
+    * appears in any diff, an update surfaces as delete(old) +
+    * insert(new) at its commit, and a compaction between the two
+    * versions contributes NOTHING (maintenance is content-neutral —
+    * the same invariant time travel pins). MoR deltas are already
+    * folded: manifests land post-merge. O(Σ manifest sizes), no
+    * replay of DML. */
+  private[sources] def changesBetween(fromV: Long, toV: Long)
+      : Seq[(Long, String, MemRow)] = rows.synchronized {
+    if (fromV < 1 || toV < fromV || toV > versionLog.size)
+      throw new IllegalArgumentException(
+        s"table_changes range [$fromV, $toV] outside committed " +
+          s"versions [1, ${versionLog.size}] of $tableName")
+    def idSet(a: Array[MemRow]) = {
+      val s = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[MemRow, java.lang.Boolean]())
+      a.foreach(s.add); s
+    }
+    (fromV until toV).flatMap { v =>
+      val prev = versionLog.get(v.toInt - 1)
+      val cur = versionLog.get(v.toInt)
+      val prevSet = idSet(prev)
+      val curSet = idSet(cur)
+      prev.filterNot(curSet.contains).map(r => (v + 1, "delete", r)) ++
+        cur.filterNot(prevSet.contains).map(r => (v + 1, "insert", r))
+    }
+  }
+
   /** Latest manifest committed at or before `tsMicros` (the Iceberg
     * snapshot-log rule); see [[MemCatalog.loadTable(ident,Long)]]. */
   private[sources] def atTimestamp(tsMicros: Long): Table =
@@ -1350,6 +1388,66 @@ class BitXorAggBound
   * procedure-result contract). Binding validates arity/type once at
   * analysis; `isDeterministic = false` because the call mutates table
   * state. */
+/** `changes('ns.tbl', from_v, to_v)` — the CDC read between two
+  * committed versions ([[MemTable.changesBetween]]): one row per
+  * inserted/deleted row reference per commit in (from, to], in the
+  * table's CURRENT schema (per-row field-id layout resolution, like
+  * every scan) plus `_change_type` and `_commit_version` — the
+  * Delta CDF column convention. Surfaced as a procedure because the
+  * engine exposes no TVF hook to V2 catalogs; the result set rides a
+  * [[LocalScan]] like `compact`'s summary. Deterministic given the
+  * commit history, so the CALL itself is the gated query. */
+class ChangesProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "changes"
+  override def description(): String =
+    "changes('ns.tbl', from_v, to_v): row-level insert/delete diff " +
+      "between committed versions"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 3 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != LongType ||
+        inputType.fields(2).dataType != LongType)
+      throw new UnsupportedOperationException(
+        s"changes expects (STRING, BIGINT, BIGINT), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "changes"
+      override def description(): String = ChangesProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("from_v", LongType).build(),
+          procedures.ProcedureParameter.in("to_v", LongType).build())
+      // reads committed state only — deterministic for a fixed history
+      override def isDeterministic: Boolean = true
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val t = cat.tableByName(input.getUTF8String(0).toString)
+        val recs = t.changesBetween(input.getLong(1), input.getLong(2))
+        val schema = t.schema()
+        val ids = t.layoutSnapshot
+        val defaults = t.defaultsSnapshot
+        val outSchema = StructType(schema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false)))
+        val outRows = recs.map { case (v, typ, mr) =>
+          InternalRow.fromSeq(
+            schema.fields.indices.map { j =>
+              val pos = mr.layout.indexOf(ids(j))
+              if (pos < 0) defaults.getOrElse(ids(j), null)
+              else mr.row.get(pos, schema.fields(j).dataType)
+            } ++
+            Seq(org.apache.spark.unsafe.types.UTF8String.fromString(typ),
+              java.lang.Long.valueOf(v)))
+        }.toArray
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = outSchema
+          override def rows(): Array[InternalRow] = outRows
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
 class CompactProcedure(cat: MemCatalog)
     extends procedures.UnboundProcedure {
   override def name(): String = "compact"

@@ -662,6 +662,44 @@ object StorageOps {
       .transform(Present.sorted(_, col("version")))
   }
 
+  /** CDC between committed versions through the catalog plugin —
+    * the storage-maturity rung right after time travel: time travel
+    * answers "what did the table SAY at v?", `changes(from, to)`
+    * answers "what happened BETWEEN v-from and v-to" as row-level
+    * insert/delete records stamped with their commit ordinal (an
+    * update = delete(old) + insert(new) at its commit; MoR deltas
+    * fold into the manifests before diffing). The history here is
+    * CTAS → MoR UPDATE → MoR DELETE → INSERT, and the CALL reads the
+    * full (1, 4] range; a COMPACTION before the read must contribute
+    * nothing (manifests share row references; maintenance is
+    * content-neutral — the same invariant the time-travel gate pins).
+    * At 100 TB this is the incremental-consumer contract: downstream
+    * pipelines sync by reading the diff of two snapshots, never by
+    * re-scanning the table. Oracle replays the version chain as CTEs
+    * and diffs consecutive versions with EXCEPT ALL — multiset
+    * semantics, exactly what the reference-diff emits. */
+  def catalogChanges(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.cdc TBLPROPERTIES('mor'='true') AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)       // v1
+    cs.sql("UPDATE graft_mem.ns.cdc SET v = v + 1000 WHERE k < 10") // v2
+    cs.sql("DELETE FROM graft_mem.ns.cdc WHERE v % 7 = 3")          // v3
+    cs.sql(
+      """INSERT INTO graft_mem.ns.cdc
+        |SELECT CAST(5000 + o_custkey % 9 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 9""".stripMargin)         // v4
+    // fold the delta log mid-history: the diff below must not notice
+    cs.sql("CALL graft_mem.sys.compact('ns.cdc')").collect()
+    cs.sql("CALL graft_mem.sys.changes('ns.cdc', 1L, 4L)")
+      .orderBy("_commit_version", "_change_type", "k", "v")
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and
@@ -1911,6 +1949,7 @@ object StorageOps {
     "catalog_evolution"   -> catalogEvolution _,
     "catalog_compact"     -> catalogCompact _,
     "catalog_time_travel" -> catalogTimeTravel _,
+    "catalog_changes"     -> catalogChanges _,
     "catalog_function"    -> catalogFunction _,
     "catalog_agg_function" -> catalogAggFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
@@ -2310,6 +2349,37 @@ object StorageOps {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM orders GROUP BY 1 ORDER BY tag""".stripMargin,
+    // CDC replayed: the version chain as CTEs, consecutive versions
+    // diffed with EXCEPT ALL (multiset semantics — what the
+    // reference-identity diff emits), each direction tagged with its
+    // change type and commit ordinal
+    "catalog_changes" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey % 97 AS k, CAST(sum(o_orderkey) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k < 10 THEN v + 1000 ELSE v END AS v
+        |  FROM v1),
+        |v3 AS (SELECT k, v FROM v2 WHERE NOT (v % 7 = 3)),
+        |v4 AS (
+        |  SELECT k, v FROM v3
+        |  UNION ALL
+        |  SELECT 5000 + o_custkey % 9 AS k, count(*)::BIGINT AS v
+        |  FROM orders GROUP BY o_custkey % 9),
+        |d2 AS (SELECT k, v FROM v1 EXCEPT ALL SELECT k, v FROM v2),
+        |i2 AS (SELECT k, v FROM v2 EXCEPT ALL SELECT k, v FROM v1),
+        |d3 AS (SELECT k, v FROM v2 EXCEPT ALL SELECT k, v FROM v3),
+        |i3 AS (SELECT k, v FROM v3 EXCEPT ALL SELECT k, v FROM v2),
+        |d4 AS (SELECT k, v FROM v3 EXCEPT ALL SELECT k, v FROM v4),
+        |i4 AS (SELECT k, v FROM v4 EXCEPT ALL SELECT k, v FROM v3)
+        |SELECT k, v, 'delete' AS _change_type,
+        |  CAST(2 AS BIGINT) AS _commit_version FROM d2
+        |UNION ALL SELECT k, v, 'insert', 2 FROM i2
+        |UNION ALL SELECT k, v, 'delete', 3 FROM d3
+        |UNION ALL SELECT k, v, 'insert', 3 FROM i3
+        |UNION ALL SELECT k, v, 'delete', 4 FROM d4
+        |UNION ALL SELECT k, v, 'insert', 4 FROM i4
+        |ORDER BY _commit_version, _change_type, k, v""".stripMargin,
     // the version chain replayed as CTEs: v1 = ingest, v2 = update
     // applied, v3 = delete applied; live == v3 (compaction is
     // content-neutral, and versioned reads ignore it entirely)

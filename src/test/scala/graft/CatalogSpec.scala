@@ -669,6 +669,45 @@ class CatalogSpec extends SparkSpec {
     assert(counts == Map(0L -> 3L, 1L -> 1L, 2L -> 3L), counts)
   }
 
+  test("CDC: update=del+ins pair, compaction invisible, range validated") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.cdc.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.cdc.t VALUES (1, 10), (2, 20), (3, 30)") // v1
+    cs.sql("UPDATE mem.cdc.t SET v = 99 WHERE k = 2")                // v2
+    cs.sql("DELETE FROM mem.cdc.t WHERE k = 3")                      // v3
+    def changes(from: Long, to: Long) =
+      cs.sql(s"CALL mem.sys.changes('cdc.t', ${from}L, ${to}L)")
+        .collect()
+        .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getLong(1)))
+        .toSet
+    // the update is a delete(old)+insert(new) PAIR at its commit; the
+    // untouched rows (1, 10) / (3, 30) appear in NO v2 diff
+    assert(changes(1, 2) == Set(
+      (2L, "delete", 2L, 20L), (2L, "insert", 2L, 99L)), changes(1, 2))
+    assert(changes(2, 3) == Set((3L, "delete", 3L, 30L)), changes(2, 3))
+    // the full range is the concatenation of the per-commit diffs
+    assert(changes(1, 3) == changes(1, 2) ++ changes(2, 3))
+    // an empty range is legal and empty
+    assert(changes(2, 2).isEmpty)
+    // compaction lands no version and mints no row references: the
+    // same diffs replay identically after the fold
+    val beforeCompact = changes(1, 3)
+    cs.sql("CALL mem.sys.compact('cdc.t')").collect()
+    assert(changes(1, 3) == beforeCompact,
+      "compaction perturbed the CDC history")
+    // out-of-range reads fail loudly, naming the committed span
+    val e = intercept[Exception] { changes(1, 9) }
+    assert(e.getMessage != null && e.getMessage.contains("versions"),
+      s"unhelpful range error: ${e.getMessage}")
+    intercept[Exception] { changes(0, 2) }
+    intercept[Exception] { changes(3, 1) }
+    // binding is typed: wrong arity refuses at analysis
+    intercept[Exception] {
+      cs.sql("CALL mem.sys.changes('cdc.t', 1L)").collect()
+    }
+  }
+
   test("time travel: version manifests are immutable under compaction") {
     import graft.sources.{MemCatalog, MemTable}
     import org.apache.spark.sql.connector.catalog.Identifier
