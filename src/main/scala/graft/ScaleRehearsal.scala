@@ -581,6 +581,91 @@ object ScaleRehearsal {
     }
   }
 
+  /** WAND-family max-score prune vs the plain probe, measured — the
+    * round-14 verdict's missing receipt: per multiple, the SAME
+    * ranked answer through (a) the plain bucket-pruned probe that
+    * exact-scores every matched posting and (b) the max-score plan
+    * that exact-scores only seeds ∪ survivors. The extra JSON line
+    * counts matched vs exactly-scored (query, doc) pairs — the
+    * skip ratio that has to grow with corpus depth for the prune to
+    * ever win (per-term postings lists deepen ∝ multiple while the
+    * answer stays top-K). Also prices the segment-lifecycle probes:
+    * the 2-segment incremental read vs the post-compaction
+    * single-segment read (compaction's amortized payoff; its
+    * build cost is pass 1 minus steady-state in the walls array). */
+  def runWand(s: SparkSession, sfDir: String, mults: Seq[Int],
+              passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      measure(s, listener, "wand", "bm25_plain", m, passes)(
+        operators.Retrieval.bm25Retrieve(s, staged))
+      measure(s, listener, "wand", "bm25_wand", m, passes)(
+        operators.Retrieval.bm25TopkPruned(s, staged))
+      val (_, matched, scored) = operators.Retrieval.wandPlan(s, staged)
+      val nm = matched.count(); val ns = scored.count()
+      println(s"""{"family":"wand","query":"wand_skipped","mult":$m,""" +
+        s""""matched_pairs":$nm,"scored_pairs":$ns,""" +
+        s""""skipped_pairs":${nm - ns}}""")
+      measure(s, listener, "wand", "bm25_incr_2seg", m, passes)(
+        operators.Retrieval.bm25Incremental(s, staged))
+      measure(s, listener, "wand", "bm25_compact_1seg", m, passes)(
+        operators.Retrieval.bm25Compact(s, staged))
+    }
+  }
+
+  /** Workload amortization — the batch-inference regime: per-query
+    * cost of the BM25 probe as the WORKLOAD grows (n = 3 → 30 → 100
+    * generated 3-term queries over the corpus's hottest words, the
+    * worst case for bucket-union saturation). The probe's postings
+    * read is pruned to the UNION of the workload's term buckets, so
+    * the read saturates toward the full index as n grows while the
+    * scoring join stays ∝ matched pairs — wall/n falling with n is
+    * the amortization receipt. */
+  def runWorkload(s: SparkSession, sfDir: String, mults: Seq[Int],
+                  passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      Seq(3, 30, 100).foreach { n =>
+        val wl = operators.Retrieval.workloadOf(s, staged, n)
+        val buckets = wl.flatMap(_._2.split(" "))
+          .map(operators.Retrieval.wbOf).distinct.size
+        println(s"""{"family":"workload","query":"wl_shape","mult":$m,""" +
+          s""""n_queries":$n,"distinct_buckets":$buckets,""" +
+          s""""of_buckets":${operators.Retrieval.WordBuckets}}""")
+        measure(s, listener, "workload", s"bm25_wl$n", m, passes)(
+          operators.Retrieval.bm25RankedWith(s, staged, wl))
+      }
+    }
+  }
+
+  /** IVF maintenance lifecycle, measured — full probe vs the
+    * incremental base ∪ delta 2-segment probe vs the post-compaction
+    * single-segment probe, plus the nprobe ≪ K pruned twin
+    * (K=64/nprobe=4: input_records must stay ~probed-cells-sized
+    * while the index grows ∝ multiple). Pass 1 of each walls array
+    * carries that operator's index/segment build; min-of-passes is
+    * the steady-state probe the SCALE.md slopes compare. */
+  def runIvfMaint(s: SparkSession, sfDir: String, mults: Seq[Int],
+                  passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageEmbeddings(s, sfDir, m)
+      measure(s, listener, "ivfmaint", "ann_ivf_full", m, passes)(
+        operators.Similarity.annIvf(s, staged))
+      measure(s, listener, "ivfmaint", "ann_ivf_incr_2seg", m, passes)(
+        operators.Similarity.annIvfIncremental(s, staged))
+      measure(s, listener, "ivfmaint", "ann_ivf_compact_1seg", m, passes)(
+        operators.Similarity.annIvfCompact(s, staged))
+      measure(s, listener, "ivfmaint", "ann_ivf_pruned_k64", m, passes)(
+        operators.Similarity.annIvfPruned(s, staged))
+    }
+  }
+
   /** Join pushdown vs engine join on the SAME body: the pushed form
     * reads the intersection ONCE (no join operator at all); the
     * engine form scans both sides and joins. Broadcast disabled on
@@ -934,6 +1019,12 @@ object ScaleRehearsal {
       runJoinPush(spark, sfDir, mults)
     if (family == "retrieval")
       runRetrieval(spark, sfDir, mults)
+    if (family == "wand")
+      runWand(spark, sfDir, mults)
+    if (family == "workload")
+      runWorkload(spark, sfDir, mults)
+    if (family == "ivfmaint")
+      runIvfMaint(spark, sfDir, mults)
     spark.stop()
   }
 }

@@ -203,13 +203,19 @@ object Retrieval {
 
   /** Land the (df → idfq) integer sidecar from a df relation — the
     * one place Robertson idf's ln ever runs. Shared by the
-    * full-index sidecar and the segment-sourced twin. */
-  private def landIdf(s: SparkSession, dfr: DataFrame, d: String,
+    * full-index sidecar, the segment-sourced twin, and the
+    * post-compaction twin. `ndocs` is a 1-row (ndocs BIGINT) relation
+    * the CALLER derives from its own dl sidecar(s) — N = INDEXED
+    * docs, the count every real engine uses — so each build path
+    * stands on its own landed artifacts and never re-reads the raw
+    * corpus (a doc that tokenizes to zero words is not indexed and
+    * does not count; the oracle's replay aggregates the same
+    * token-derived dl, so the two N's agree by construction). */
+  private def landIdf(s: SparkSession, dfr: DataFrame, ndocs: DataFrame,
                       tag: String, rest: String): String = {
     val out = graft.Scratch.processScoped(tag, rest).toString
     dfr.select("df").distinct()
-      .crossJoin(broadcast(
-        Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))))
+      .crossJoin(broadcast(ndocs))
       .select(col("df"),
         round(log((col("ndocs").cast("double") - col("df").cast("double")
           + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -221,10 +227,11 @@ object Retrieval {
   private def idfRoot(s: SparkSession, d: String): String =
     idfStores.computeIfAbsent(d, _ => {
       idfBuildCount.incrementAndGet()
-      // built FROM the landed df sidecar — the raw corpus is
+      // built FROM the landed df + dl sidecars — the raw corpus is
       // tokenized exactly once per dataset, by the postings build
-      landIdf(s, dfrStore(s, d), d, "graft_idf",
-        s"f${idfIds.getAndIncrement()}")
+      landIdf(s, dfrStore(s, d),
+        dlStore(s, d).agg(count(lit(1)).as("ndocs")),
+        "graft_idf", s"f${idfIds.getAndIncrement()}")
     })
 
   /** The landed (df, idfq) integers as a fresh store read. */
@@ -430,7 +437,12 @@ object Retrieval {
       val merged = s.read.parquet(s"${baseRoot(s, d)}/dfr")
         .unionByName(s.read.parquet(s"${incrRoot(s, d)}/dfr"))
         .groupBy("word").agg(sum("df").as("df"))
-      landIdf(s, merged, d, "graft_idfseg",
+      // ndocs from the SEGMENTS' dl sidecars (doc slices are disjoint
+      // by the holdout) — index-local, like the df merge above
+      val ndocs = s.read.parquet(s"${baseRoot(s, d)}/dl")
+        .unionByName(s.read.parquet(s"${incrRoot(s, d)}/dl"))
+        .agg(count(lit(1)).as("ndocs"))
+      landIdf(s, merged, ndocs, "graft_idfseg",
         s"g${idfSegIds.getAndIncrement()}")
     })
 
@@ -520,15 +532,18 @@ object Retrieval {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val idfCmpIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** (df → idfq) sidecar sourced from the COMPACTED dfr — identical
-    * integers to [[idfStore]]'s (same formula, same df domain), built
-    * without touching the monolithic full index (the idfSegRoot
-    * argument: post-compaction scoring must stand on the compacted
-    * artifacts alone). */
+  /** (df → idfq) sidecar sourced from the COMPACTED dfr + dl —
+    * identical integers to [[idfStore]]'s (same formula, same df
+    * domain, same indexed-doc N), built without touching the
+    * monolithic full index OR the raw corpus: post-compaction scoring
+    * stands on the compacted artifacts alone. */
   private def idfCmpRoot(s: SparkSession, d: String): String =
-    idfCmpStores.computeIfAbsent(d, _ =>
-      landIdf(s, s.read.parquet(s"${compactRoot(s, d)}/dfr"), d,
-        "graft_idfcmp", s"h${idfCmpIds.getAndIncrement()}"))
+    idfCmpStores.computeIfAbsent(d, _ => {
+      val root = compactRoot(s, d)
+      landIdf(s, s.read.parquet(s"$root/dfr"),
+        s.read.parquet(s"$root/dl").agg(count(lit(1)).as("ndocs")),
+        "graft_idfcmp", s"h${idfCmpIds.getAndIncrement()}")
+    })
 
   /** Post-compaction BM25 — the gated proof that compaction is
     * INVISIBLE in the answer: one compacted segment (single dt read,

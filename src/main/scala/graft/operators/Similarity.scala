@@ -598,6 +598,73 @@ object Similarity {
       .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
+  // ---------------------------------------------------------------
+  // IVF segment COMPACTION: the dense twin of bm25_compact — fold the
+  // incremental pair's base ∪ delta into ONE cid-partitioned root
+  // (centroids carried alongside), completing the append/compact
+  // lifecycle for the dense index family: appends keep maintenance
+  // ∝ batch, scans pay a per-segment probe until an off-peak
+  // compaction folds the segments back to one.
+  // ---------------------------------------------------------------
+
+  private val ivfCmpStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfCmpIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val ivfCmpBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fold the landed base + delta segments into one compacted root,
+    * keeping the cid layout (each cell directory is rewritten from
+    * its base + delta slices — vec_ids are disjoint by construction,
+    * so the fold is a per-cell file merge, and the full-index oracle
+    * hash-fails a fold that dropped or duplicated a vector). The
+    * LANDED centroids are copied alongside, so post-compaction
+    * probing stands on the compacted artifacts alone (the idfCmpRoot
+    * argument, dense edition). NO embedding read, NO re-assignment:
+    * compaction is index-local, priced ∝ index, scheduled off-peak,
+    * amortized over every later probe's single-segment read. */
+  private def ivfCmpRoot(s: SparkSession, d: String): String =
+    ivfCmpStores.computeIfAbsent(d, _ => {
+      ivfCmpBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_ivfc",
+        s"c${ivfCmpIds.getAndIncrement()}").toString
+      val (baseRoot, deltaRoot) = ivfIncRoots(s, d)
+      def seg(dir: String) = s.read.parquet(dir)
+        .withColumn("cid", col("cid").cast("long"))
+      seg(baseRoot).unionByName(seg(deltaRoot))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$out/idx")
+      val (_, cent) = ivfStore(s, d)
+      cent.write.mode("overwrite").parquet(s"$out/cent")
+      out
+    })
+
+  /** The compacted (inverted file, centroids) as fresh store reads —
+    * exposed so the spec can pin the single-segment shape. */
+  private[graft] def ivfCompactStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val root = ivfCmpRoot(s, d)
+    (s.read.parquet(s"$root/idx")
+       .withColumn("cid", col("cid").cast("long")),
+      s.read.parquet(s"$root/cent"))
+  }
+
+  /** Post-compaction ANN — the gated proof that the fold is INVISIBLE
+    * in the answer: ONE compacted segment (single idx read, no
+    * base ∪ delta union, no live-index read) probed through the same
+    * chain must hash-equal `ann_ivf` against the same full-build
+    * oracle. The probe keeps the cid partition pruning: compaction
+    * preserves the layout, so the inverted-list lookup survives the
+    * fold. */
+  def annIvfCompact(s: SparkSession, d: String): DataFrame = {
+    val store = ivfCompactStore(s, d)
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbeRankedOn(s, store, q, TopK, IvfProbes)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
   /** Candidates the rerank keeps per query — the IVF-PQ shortlist
     * depth (rerank cost = PqRerankDepth exact cosines per query). */
   val PqRerankDepth = 25
@@ -910,6 +977,7 @@ object Similarity {
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
     "ann_ivf_incremental" -> annIvfIncremental _,
+    "ann_ivf_compact"   -> annIvfCompact _,
     "ann_ivf_pruned"    -> annIvfPruned _,
     "ann_ivf_pq"        -> annIvfPq _,
     "semdedup"          -> semDedup _,
@@ -1052,6 +1120,11 @@ object Similarity {
     // full replay — a drifted delta assignment or dropped batch
     // vector hash-fails
     "ann_ivf_incremental" -> annOracleSql(IvfClusters, IvfProbes),
+    // compaction must be invisible: the folded single segment ≡ the
+    // full inverted file, so the oracle is the same full replay — a
+    // fold that dropped or duplicated a vector, or probed stale
+    // centroids, hash-fails
+    "ann_ivf_compact" -> annOracleSql(IvfClusters, IvfProbes),
     "ann_ivf_pruned" -> annOracleSql(IvfPrunedK, IvfPrunedProbes),
     "ann_ivf_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

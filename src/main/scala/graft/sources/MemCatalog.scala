@@ -407,6 +407,12 @@ object MemTable {
   val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
   val replaceWheres = new java.util.concurrent.atomic.AtomicInteger(0)
   val dynamicOverwrites = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Read-side partition pruning, observable: the LAST pushed-filter
+    * scan build's (partition tuples in the snapshot, partition tuples
+    * actually shipped to tasks). CatalogSpec pins that a
+    * `WHERE day=… AND region=…` read ships ONE tuple of many. */
+  val lastScanPartsTotal = new java.util.concurrent.atomic.AtomicLong(-1)
+  val lastScanPartsKept = new java.util.concurrent.atomic.AtomicLong(-1)
 }
 
 object MemCatalog {
@@ -566,7 +572,14 @@ class MemTable(tableName: String, tableSchema: StructType,
     // every specified position
     val specified = names.toSeq.zipWithIndex.map { case (n, i) =>
       val pos = partitionCols.indexWhere(_.equalsIgnoreCase(n))
-      require(pos >= 0, s"$n is not a partition column of $tableName")
+      // AnalysisException-family, matching the other partition-DDL
+      // error paths (PartitionsAlreadyExist/NoSuchPartition) — a bad
+      // spec is an analysis error, not an IllegalArgumentException
+      if (pos < 0)
+        throw new org.apache.spark.sql.AnalysisException(
+          "NON_PARTITION_COLUMN", Map("columnName" ->
+            (s"$n (partition columns of $tableName: " +
+              s"${partitionCols.mkString(", ")})")))
       pos -> ident.getLong(i)
     }
     val filtered = all.filter(v => specified.forall { case (p, x) => v(p) == x })
@@ -679,8 +692,24 @@ class MemTable(tableName: String, tableSchema: StructType,
     * insert(new) at its commit, and a compaction between the two
     * versions contributes NOTHING (maintenance is content-neutral —
     * the same invariant time travel pins). MoR deltas are already
-    * folded: manifests land post-merge. O(Σ manifest sizes), no
-    * replay of DML. */
+    * folded: manifests land post-merge.
+    *
+    * CONTRACT vs TOY: the diff SEMANTICS are the contract — per-commit
+    * value-multiset delta (EXCEPT ALL in both directions), maintenance
+    * content-neutral, MoR pre-folded. The snapshot-MANIFEST storage is
+    * the toy half: a full row-reference array per version costs
+    * O(versions × rows) driver memory (pointer-sized, payloads shared)
+    * and a full-range read costs O(Σ manifest sizes); a production
+    * store logs per-commit DELTAS and serves `changes` in O(changed)
+    * — same output, different bookkeeping.
+    *
+    * The reference diff finds candidate changes cheaply (a commit
+    * reuses every untouched row's reference), then a VALUE-level
+    * cancellation pass drops delete/insert pairs that are value-equal
+    * under the current schema: a value-preserving rewrite (UPDATE that
+    * sets a column to its existing value) mints a new MemRow but is
+    * CDC-invisible under the value-multiset contract — the DuckDB
+    * oracle's EXCEPT ALL replay emits nothing for it, and so must we. */
   private[sources] def changesBetween(fromV: Long, toV: Long)
       : Seq[(Long, String, MemRow)] = rows.synchronized {
     if (fromV < 1 || toV < fromV || toV > versionLog.size)
@@ -692,13 +721,47 @@ class MemTable(tableName: String, tableSchema: StructType,
         new java.util.IdentityHashMap[MemRow, java.lang.Boolean]())
       a.foreach(s.add); s
     }
+    // a row's value tuple under the CURRENT schema (the same field-id
+    // resolution every scan applies) — value identity, not reference
+    // identity, decides what the CDC read emits
+    val ids = layoutSnapshot
+    val sch = effectiveSchema
+    val defs = defaultsSnapshot
+    def valKey(mr: MemRow): Seq[Any] =
+      sch.fields.indices.map { j =>
+        val pos = mr.layout.indexOf(ids(j))
+        if (pos < 0) defs.getOrElse(ids(j), null)
+        else mr.row.get(pos, sch.fields(j).dataType)
+      }
     (fromV until toV).flatMap { v =>
       val prev = versionLog.get(v.toInt - 1)
       val cur = versionLog.get(v.toInt)
       val prevSet = idSet(prev)
       val curSet = idSet(cur)
-      prev.filterNot(curSet.contains).map(r => (v + 1, "delete", r)) ++
-        cur.filterNot(prevSet.contains).map(r => (v + 1, "insert", r))
+      val dels = prev.filterNot(curSet.contains)
+      val inss = cur.filterNot(prevSet.contains)
+      // cancel value-equal delete/insert pairs (multiset semantics:
+      // each delete consumes at most one value-equal insert). Emitted
+      // rows resolve to values anyway, so WHICH instance survives a
+      // duplicate-value cancellation is unobservable.
+      val insCnt = scala.collection.mutable.Map.empty[Seq[Any], Int]
+      inss.foreach(r => insCnt.updateWith(valKey(r))(
+        c => Some(c.getOrElse(0) + 1)))
+      val cancelled = scala.collection.mutable.Map.empty[Seq[Any], Int]
+      val delKept = dels.filter { r =>
+        val k = valKey(r)
+        val avail = insCnt.getOrElse(k, 0) - cancelled.getOrElse(k, 0)
+        if (avail > 0) { cancelled.updateWith(k)(
+          c => Some(c.getOrElse(0) + 1)); false }
+        else true
+      }
+      val insKept = inss.filter { r =>
+        val k = valKey(r)
+        val left = cancelled.getOrElse(k, 0)
+        if (left > 0) { cancelled.update(k, left - 1); false } else true
+      }
+      delKept.map(r => (v + 1, "delete", r)) ++
+        insKept.map(r => (v + 1, "insert", r))
     }
   }
 
@@ -901,26 +964,27 @@ class MemTable(tableName: String, tableSchema: StructType,
   // 3-valued predicate semantics this exact evaluator deliberately
   // does not carry — those deletes route through the engine's rewrite
   // path instead.
-  private def evaluable(f: Filter): Boolean = rows.synchronized {
-    def ok(a: String): Boolean = {
-      val i = colFields.indexWhere(_.name == a)
-      i >= 0 && colFields(i).dataType == LongType && {
-        val id = colIds(i)
-        var all = true
-        val seen = java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[Array[Int], java.lang.Boolean]())
-        rows.forEach { r =>
-          if (seen.add(r.layout) && !r.layout.contains(id)) all = false
-        }
-        all
+  /** A column the exact evaluator covers: LONG-typed, field id
+    * present in EVERY stored row's layout. */
+  private def evaluableRef(a: String): Boolean = rows.synchronized {
+    val i = colFields.indexWhere(_.name == a)
+    i >= 0 && colFields(i).dataType == LongType && {
+      val id = colIds(i)
+      var all = true
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Array[Int], java.lang.Boolean]())
+      rows.forEach { r =>
+        if (seen.add(r.layout) && !r.layout.contains(id)) all = false
       }
+      all
     }
-    f.references.forall(ok) && (f match {
+  }
+  private def evaluable(f: Filter): Boolean =
+    f.references.forall(evaluableRef) && (f match {
       case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
            _: LessThan | _: LessThanOrEqual | _: In => true
       case _ => false
     })
-  }
 
   // MoR tables refuse the metadata shortcut: deleteWhere mutates the
   // BASE list, which would bypass the delta log's merge semantics —
@@ -975,14 +1039,76 @@ class MemTable(tableName: String, tableSchema: StructType,
     }
   }
 
+  /** PARTITION PRUNING ON READS: a filter is store-evaluable for the
+    * scan when every referenced column is a partition column and the
+    * exact evaluator covers it — the identity-partitioned analogue of
+    * a parquet table's partition-directory pruning, on ANY number of
+    * partition columns (a `WHERE day=3 AND region=1` read ships one
+    * (day, region) tuple's rows, never the table). Accepted filters
+    * are evaluated EXACTLY ([[eval]] through field ids), so the
+    * engine does not re-check them; anything else is returned as a
+    * post-scan filter. At 100 TB this is the difference between a
+    * point read and a table scan on every partition-keyed lookup. */
+  private def partitionPushable(f: Filter): Boolean =
+    f.references.nonEmpty &&
+      f.references.forall(n =>
+        partitionCols.exists(_.equalsIgnoreCase(n))) &&
+      (evaluable(f) || (f match {
+        // the engine derives IsNotNull conjuncts from every pushed
+        // equality — accept them too (exact under evalScan's null
+        // semantics) so a fully-pushed read leaves NO residual Filter
+        case org.apache.spark.sql.sources.IsNotNull(a) => evaluableRef(a)
+        case _ => false
+      }))
+
+  /** Scan-side exact evaluation: [[eval]] plus IsNotNull and SQL null
+    * semantics — a comparison over a NULL slot is not-true (eval's
+    * getLong would read garbage there; the DML paths never see nulls
+    * because [[evaluable]] excludes IsNotNull and metadata deletes on
+    * nullable-with-null data route to the rewrite path via the
+    * engine's own planning, but a scan must be null-correct). */
+  private def evalScan(f: Filter, mr: MemRow): Boolean = {
+    def pos(a: String): Int =
+      mr.layout.indexOf(colIds(colFields.indexWhere(_.name == a)))
+    f match {
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        !mr.row.isNullAt(pos(a))
+      case _ =>
+        f.references.forall(a => !mr.row.isNullAt(pos(a))) && eval(f, mr)
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required = effectiveSchema
+      private var pushed = Array.empty[Filter]
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan =
-        new MemScan(snapshot(), effectiveSchema, layoutSnapshot,
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (ours, engines) = filters.partition(partitionPushable)
+        pushed = ours
+        engines
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = {
+        val snap = snapshot()
+        val data =
+          if (pushed.isEmpty) snap
+          else {
+            val kept = snap.filter(r => pushed.forall(evalScan(_, r)))
+            // observability for the pruning pin: tuples present vs
+            // tuples shipped (partitionCols is non-empty whenever a
+            // filter passed partitionPushable)
+            MemTable.lastScanPartsTotal.set(
+              snap.map(partitionValueOf).distinct.length.toLong)
+            MemTable.lastScanPartsKept.set(
+              kept.map(partitionValueOf).distinct.length.toLong)
+            kept
+          }
+        new MemScan(data, effectiveSchema, layoutSnapshot,
           required, defaultsSnapshot)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1144,17 +1270,11 @@ class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
       // REPLACE WHERE: one atomic delete-matching + append commit
       overwriteFilters.foreach { fs =>
         MemTable.replaceWheres.incrementAndGet()
-        val rest = fs.filterNot(
-          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
-        if (rest.isEmpty) {
-          // overwrite([AlwaysTrue]) reaching the commit directly
-          // (i.e. not rerouted to truncate by the engine) means
-          // overwrite-ALL: clear base AND delta log — removeWhere
-          // would clear only base rows and leave pending deltas to
-          // resurrect on the next snapshot()
-          lastRemoved += table.baseRowCount
-          table.clearData()
-        } else lastRemoved += table.removeWhere(rest)
+        // `fs` is a non-empty conjunction of real filters BY
+        // CONSTRUCTION: WriteBuilder.overwrite reroutes an
+        // all-AlwaysTrue array to truncateFirst and strips AlwaysTrue
+        // from every other one before setting owFilters
+        lastRemoved += table.removeWhere(fs)
       }
       // dynamic overwrite: replace exactly the partitions the batch
       // touches (computed from the incoming rows, never declared)

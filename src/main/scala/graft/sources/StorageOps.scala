@@ -465,6 +465,37 @@ object StorageOps {
       .orderBy("day", "region", "k", "v")
   }
 
+  /** PARTITION PRUNING ON READS, tuple edition — the query the
+    * (day, region) layout exists to serve: `WHERE day = 3 AND
+    * region = 1` ships ONE partition cell's rows through the
+    * connector, never the table. The scan accepts partition-column
+    * filters and evaluates them exactly ([[MemTable]]'s
+    * `SupportsPushDownFilters`); CatalogSpec pins the pruning
+    * counters (1 tuple kept of the 12 present) and that a
+    * non-partition predicate is NOT accepted. At 100 TB this is a
+    * point read vs a table scan on every partition-keyed lookup.
+    * Oracle replays the filtered aggregate. */
+  def catalogPrunedRead(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.plcr
+        |  (day BIGINT, region BIGINT, k BIGINT, v BIGINT)
+        |PARTITIONED BY (day, region)""".stripMargin)
+    cs.sql(
+      """INSERT INTO graft_mem.ns.plcr
+        |SELECT CAST(o_custkey % 4 AS BIGINT) AS day,
+        |  CAST(o_custkey % 3 AS BIGINT) AS region,
+        |  CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin)
+    cs.sql(
+      """SELECT day, region, k, v FROM graft_mem.ns.plcr
+        |WHERE day = 3 AND region = 1
+        |ORDER BY k, v""".stripMargin)
+  }
+
   /** DYNAMIC overwrite at partition-TUPLE granularity — the claim a
     * single-column layout cannot make: the reprocessing batch touches
     * (day=1, region=0) and (day=1, region=2) ONLY, and
@@ -1945,6 +1976,7 @@ object StorageOps {
     "catalog_dynamic_overwrite2" -> catalogDynamicOverwrite2 _,
     "catalog_partitions" -> catalogPartitions _,
     "catalog_partitions2" -> catalogPartitions2 _,
+    "catalog_pruned_read" -> catalogPrunedRead _,
     "catalog_constraints" -> catalogConstraints _,
     "catalog_evolution"   -> catalogEvolution _,
     "catalog_compact"     -> catalogCompact _,
@@ -2276,6 +2308,16 @@ object StorageOps {
         |SELECT day, region, k, v, n_parts, n_day3
         |FROM kept CROSS JOIN np CROSS JOIN nd
         |ORDER BY day, region, k, v""".stripMargin,
+    // tuple-predicate read replayed: the one (day=3, region=1) cell —
+    // the Spark side ships it via connector partition pruning, the
+    // oracle by filtering the seed aggregate
+    "catalog_pruned_read" ->
+      """SELECT o_custkey % 4 AS day, o_custkey % 3 AS region,
+        |  o_custkey % 97 AS k, sum(o_orderkey)::BIGINT AS v
+        |FROM orders
+        |WHERE o_custkey % 4 = 3 AND o_custkey % 3 = 1
+        |GROUP BY 1, 2, 3
+        |ORDER BY k, v""".stripMargin,
     // tuple-granularity dynamic overwrite replayed: untouched cells ∪
     // recomputed cells — (day=1, region=1) must appear from the SEED
     "catalog_dynamic_overwrite2" ->

@@ -708,6 +708,109 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CDC: a value-preserving UPDATE is invisible (value-multiset semantics)") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.cdcnp.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.cdcnp.t VALUES (1, 10), (2, 20)")  // v1
+    // a rewrite that changes nothing: the engine mints a new delta
+    // record (new MemRow reference) but the value multiset is
+    // unchanged — the oracle's EXCEPT ALL replay emits nothing, so
+    // the CDC read must emit nothing either
+    cs.sql("UPDATE mem.cdcnp.t SET v = v WHERE k = 2")          // v2
+    cs.sql("UPDATE mem.cdcnp.t SET v = 99 WHERE k = 1")         // v3
+    def changes(from: Long, to: Long) =
+      cs.sql(s"CALL mem.sys.changes('cdcnp.t', ${from}L, ${to}L)")
+        .collect()
+        .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getLong(1)))
+        .toSet
+    assert(changes(1, 2).isEmpty,
+      s"value-preserving update leaked into CDC: ${changes(1, 2)}")
+    // the real update still surfaces, and the full range ≡ v3 alone
+    assert(changes(1, 3) == Set(
+      (3L, "delete", 1L, 10L), (3L, "insert", 1L, 99L)), changes(1, 3))
+    // MULTISET, not set, semantics — on a CoW table (the MoR store
+    // keys rows by the first column, so duplicate row IDS are out of
+    // its contract): two value-equal rows deleted in one commit must
+    // emit TWO delete records (an EXCEPT ALL replay counts
+    // multiplicity), and a same-commit re-insert of ONE copy cancels
+    // exactly one of them
+    cs.sql("CREATE TABLE mem.cdcnp.u (k BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.cdcnp.u VALUES (2, 20), (2, 20), (9, 90)") // v1
+    cs.sql("DELETE FROM mem.cdcnp.u WHERE k = 2")                      // v2
+    val d12 = cs.sql("CALL mem.sys.changes('cdcnp.u', 1L, 2L)")
+      .collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(d12 == Seq((2L, "delete", 2L, 20L), (2L, "delete", 2L, 20L)),
+      s"multiset delete lost multiplicity: $d12")
+  }
+
+  test("partition-pruned read: tuple predicate ships one cell of many") {
+    import graft.sources.MemTable
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.pr.t (day BIGINT, region BIGINT, v BIGINT) " +
+      "PARTITIONED BY (day, region)")
+    cs.sql("INSERT INTO mem.pr.t SELECT id % 4, id % 3, id FROM " +
+      "(SELECT explode(sequence(0, 119)) AS id)")
+    // tuple predicate: the scan accepts both partition-column filters
+    // and ships exactly ONE of the 12 (day, region) tuples
+    MemTable.lastScanPartsTotal.set(-1)
+    val hit = cs.sql(
+      "SELECT v FROM mem.pr.t WHERE day = 3 AND region = 1 ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit == (0L until 120L).filter(i => i % 4 == 3 && i % 3 == 1),
+      s"pruned read answered wrong: $hit")
+    assert(MemTable.lastScanPartsTotal.get() == 12,
+      s"expected 12 tuples present, saw ${MemTable.lastScanPartsTotal.get()}")
+    assert(MemTable.lastScanPartsKept.get() == 1,
+      s"tuple predicate shipped ${MemTable.lastScanPartsKept.get()} cells")
+    // the pushed filters surface in the scan node (DSv2 shows them)
+    val df = cs.sql("SELECT v FROM mem.pr.t WHERE day = 3 AND region = 1")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("),
+      s"engine re-filters what the scan already evaluated exactly:\n$plan")
+    // a NON-partition predicate is NOT accepted: the engine keeps it
+    // (a Filter node above the scan), and the scan ships every tuple
+    // that survives any partition-column conjuncts (here: all of them)
+    MemTable.lastScanPartsTotal.set(-1)
+    MemTable.lastScanPartsKept.set(-1)
+    val df2 = cs.sql("SELECT v FROM mem.pr.t WHERE v = 7")
+    assert(df2.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(MemTable.lastScanPartsTotal.get() == -1 &&
+      MemTable.lastScanPartsKept.get() == -1,
+      "a non-partition filter was pushed to the store")
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(plan2.contains("Filter"),
+      s"engine dropped the residual non-partition filter:\n$plan2")
+    // mixed predicate: the partition half prunes, the rest stays
+    MemTable.lastScanPartsKept.set(-1)
+    val df3 = cs.sql("SELECT v FROM mem.pr.t WHERE day = 3 AND v >= 0")
+    assert(df3.collect().length == 30)
+    assert(MemTable.lastScanPartsKept.get() == 3,
+      s"day=3 should keep 3 region cells, kept " +
+        s"${MemTable.lastScanPartsKept.get()}")
+    // partial-SHOW with a non-partition column: the ENGINE
+    // pre-validates the spec (AnalysisException before the store is
+    // consulted) — and the store's own guard, reachable only through
+    // the direct API, is AnalysisException-family too, matching the
+    // other partition-DDL error paths
+    intercept[AnalysisException] {
+      cs.sql("SHOW PARTITIONS mem.pr.t PARTITION (v=1)").collect()
+    }
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val t = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("pr"), "t"))
+      .asInstanceOf[graft.sources.MemTable]
+    val e = intercept[AnalysisException] {
+      t.listPartitionIdentifiers(Array("v"),
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(Seq(1L)))
+    }
+    assert(e.getCondition == "NON_PARTITION_COLUMN", e.getCondition)
+  }
+
   test("time travel: version manifests are immutable under compaction") {
     import graft.sources.{MemCatalog, MemTable}
     import org.apache.spark.sql.connector.catalog.Identifier

@@ -180,6 +180,46 @@ class SimilaritySpec extends SparkSpec {
           s"segment scan not pruned on cid:\n$l"))
   }
 
+  test("ann ivf compact: ≡ full index, single-segment probe, builds once") {
+    // compaction must be invisible in the answer: the folded single
+    // segment answers exactly like the full inverted file (and so
+    // like the base ∪ delta pair it folded)
+    val full = Similarity.annIvf(spark, sfDir).collect().toSeq
+    val cmp = Similarity.annIvfCompact(spark, sfDir).collect().toSeq
+    assert(cmp == full,
+      "compacted segment answered differently from the full index")
+    // the compacted store IS the fold: base ∪ delta row-for-row
+    val (cmpIdx, cmpCent) = Similarity.ivfCompactStore(spark, sfDir)
+    val folded = cmpIdx.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullCells = Similarity.ivfIndex(spark, sfDir)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == fullCells,
+      s"fold dropped/duplicated vectors: ${folded.size} vs ${fullCells.size}")
+    // centroids carried alongside — post-compaction probing stands on
+    // the compacted root alone
+    assert(cmpCent.count() == Similarity.IvfClusters)
+    // the fold lands once; the probe reads ONE segment (the compacted
+    // root), never the base/delta pair or the live full index
+    val b0 = Similarity.ivfCmpBuildCount.get()
+    val df = Similarity.annIvfCompact(spark, sfDir)
+    df.collect()
+    assert(Similarity.ivfCmpBuildCount.get() == b0,
+      "compacted segment rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivfc"),
+      "probe does not read the compacted segment:\n" + plan)
+    assert(!plan.contains("graft_ivfb") && !plan.contains("graft_ivfd"),
+      "post-compaction probe still reads the base/delta segments:\n" + plan)
+    // layout survives the fold: the single segment scan stays
+    // partition-pruned on cid
+    plan.linesIterator
+      .filter(l => l.contains("graft_ivfc") && l.contains("Location"))
+      .foreach(l => assert(l.contains("PartitionFilters: [cid"),
+        s"compacted scan not pruned on cid:\n$l"))
+  }
+
   test("ann ivf pruned: nprobe ≪ K — probed cells ≪ cell count, scan pruned") {
     import org.apache.spark.sql.functions._
     val df = Similarity.annIvfPruned(spark, sfDir)
