@@ -383,14 +383,20 @@ object ScaleRehearsal {
     java.nio.file.Files.createDirectories(dir)
     val docRange = 1000000L
     val base = Tables.documents(s, sfDir)
-    val all = (0 until mult).map { k =>
-      base.select(
-        (col("doc_id") + lit(k * docRange)).as("doc_id"),
-        array_join(transform(split(col("text"), "\n"),
-          l => concat(l, lit(s" §$k"))), "\n").as("text"),
-        concat(col("source"), lit(s"_$k")).as("source"))
-    }.reduce(_ union _)
-    all.write.parquet(dir.resolve("documents.parquet").toString)
+    // append batches of ≤ 50 shards (the stageEmbeddings rationale):
+    // a 1000× staging plans 20 modest jobs, not one 1000-branch
+    // union tree
+    val out = dir.resolve("documents.parquet").toString
+    (0 until mult).grouped(50).foreach { chunk =>
+      chunk.map { k =>
+        base.select(
+          (col("doc_id") + lit(k * docRange)).as("doc_id"),
+          array_join(transform(split(col("text"), "\n"),
+            l => concat(l, lit(s" §$k"))), "\n").as("text"),
+          concat(col("source"), lit(s"_$k")).as("source"))
+      }.reduce(_ union _)
+        .write.mode("append").parquet(out)
+    }
     markStaged(dir, fp)
     dir.toString
   }
@@ -981,7 +987,11 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val family = args.headOption.getOrElse("all")
+    // comma-separated families run in ONE JVM, sharing the
+    // process-scoped landed stores (e.g. "wand,workload" tokenizes
+    // each staged corpus once, not once per family)
+    val families = args.headOption.getOrElse("all").split(",").toSet
+    def family(name: String): Boolean = families.contains(name)
     val mults = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 10, 50))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -993,37 +1003,37 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (family == "streaming" || family == "all")
+    if (family("streaming") || family("all"))
       runStreaming(spark, sfDir, mults)
-    if (family == "deepstate")
+    if (family("deepstate"))
       runStreamingDeep(spark, sfDir, mults)
-    if (family == "join" || family == "all")
+    if (family("join") || family("all"))
       runJoin(spark, sfDir, mults)
-    if (family == "bucketed")
+    if (family("bucketed"))
       runBucketed(spark, sfDir, mults)
-    if (family == "pipeline")
+    if (family("pipeline"))
       runPipeline(spark, sfDir, mults)
-    if (family == "layout")
+    if (family("layout"))
       runLayout(spark, sfDir, mults)
-    if (family == "events")
+    if (family("events"))
       runEvents(spark, sfDir, mults)
-    if (family == "topk")
+    if (family("topk"))
       runTopK(spark, sfDir, mults)
-    if (family == "similarity")
+    if (family("similarity"))
       runSimilarity(spark, sfDir, mults)
-    if (family == "spj")
+    if (family("spj"))
       runSpj(spark, sfDir, mults)
-    if (family == "spjskew")
+    if (family("spjskew"))
       runSpjSkew(spark, sfDir, mults)
-    if (family == "joinpush")
+    if (family("joinpush"))
       runJoinPush(spark, sfDir, mults)
-    if (family == "retrieval")
+    if (family("retrieval"))
       runRetrieval(spark, sfDir, mults)
-    if (family == "wand")
+    if (family("wand"))
       runWand(spark, sfDir, mults)
-    if (family == "workload")
+    if (family("workload"))
       runWorkload(spark, sfDir, mults)
-    if (family == "ivfmaint")
+    if (family("ivfmaint"))
       runIvfMaint(spark, sfDir, mults)
     spark.stop()
   }
