@@ -79,6 +79,37 @@ class RehearsalSpec extends SparkSpec {
     assert(crossShard.count() == 0, "a staged line appears in two shards")
   }
 
+  test("workloadOf: deterministic hot-term workloads of the right shape") {
+    // the amortization rehearsal's workload generator is
+    // evidence-generating code: n queries, up to 3 terms each, drawn
+    // from the corpus's HIGHEST-df words (the worst case for the
+    // bucket-union probe), deterministic given the landed dfr sidecar
+    val wl30 = graft.operators.Retrieval.workloadOf(spark, sfDir, 30)
+    assert(wl30.size == 30)
+    assert(wl30.map(_._1) == (1L to 30L), "query ids must be 1..n")
+    wl30.foreach { case (_, q) =>
+      val terms = q.split(" ")
+      assert(terms.nonEmpty && terms.length <= 3 &&
+        terms.distinct.length == terms.length, s"bad query shape: '$q'")
+    }
+    assert(wl30 == graft.operators.Retrieval.workloadOf(spark, sfDir, 30),
+      "workload generator must be deterministic")
+    // the pool really is the df head: every term's df is >= the df of
+    // the (3n)-th ranked word
+    import org.apache.spark.sql.functions._
+    val dfr = graft.operators.Retrieval.dfrStore(spark, sfDir)
+      .orderBy(desc("df"), col("word")).limit(90)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val floor = dfr.values.min
+    wl30.flatMap(_._2.split(" ")).foreach(w =>
+      assert(dfr.contains(w) && dfr(w) >= floor,
+        s"workload term '$w' is not from the df head"))
+    // growing n keeps the prefix: the n=3 workload is wl30's head —
+    // the ladder compares the SAME queries at every size
+    assert(graft.operators.Retrieval.workloadOf(spark, sfDir, 3) ==
+      wl30.take(3))
+  }
+
   test("staged embedding shards preserve norms and same-shard geometry") {
     val mult = 3
     val dir = ScaleRehearsal.stageEmbeddings(spark, sfDir, mult)
