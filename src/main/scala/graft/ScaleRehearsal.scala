@@ -621,6 +621,35 @@ object ScaleRehearsal {
     }
   }
 
+  /** The WAND WIN case, measured — the other half of the `wand`
+    * family's receipt: on the gate's hot-term workload the prune
+    * skips a flat ~20% and never pays; THIS twin runs the selective
+    * workload (one mid-df seed + two hot terms per query —
+    * [[operators.Retrieval.selectiveWorkloadOf]]), where θ lands at
+    * the selective docs' scores and every hot-only doc's upper bound
+    * falls below it. Expectation: skip ratio ~ the hot lists' share
+    * of the candidate set (≫ 90%), and the pruned plan beats the
+    * plain full-scoring plan by roughly that factor's scoring cost. */
+  def runWandMix(s: SparkSession, sfDir: String, mults: Seq[Int],
+                 passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      val wl = operators.Retrieval.selectiveWorkloadOf(s, staged, 3)
+      measure(s, listener, "wandmix", "bm25_plain_sel", m, passes)(
+        operators.Retrieval.bm25RankedWith(s, staged, wl))
+      measure(s, listener, "wandmix", "bm25_wand_sel", m, passes)(
+        operators.Retrieval.wandPlan(s, staged, wl)._1)
+      val (_, matched, scored) =
+        operators.Retrieval.wandPlan(s, staged, wl)
+      val nm = matched.count(); val ns = scored.count()
+      println(s"""{"family":"wandmix","query":"wandmix_skipped","mult":$m,""" +
+        s""""matched_pairs":$nm,"scored_pairs":$ns,""" +
+        s""""skipped_pairs":${nm - ns}}""")
+    }
+  }
+
   /** Workload amortization — the batch-inference regime: per-query
     * cost of the BM25 probe as the WORKLOAD grows (n = 3 → 30 → 100
     * generated 3-term queries over the corpus's hottest words, the
@@ -1031,6 +1060,8 @@ object ScaleRehearsal {
       runRetrieval(spark, sfDir, mults)
     if (family("wand"))
       runWand(spark, sfDir, mults)
+    if (family("wandmix"))
+      runWandMix(spark, sfDir, mults)
     if (family("workload"))
       runWorkload(spark, sfDir, mults)
     if (family("ivfmaint"))

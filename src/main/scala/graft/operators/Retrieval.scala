@@ -94,6 +94,38 @@ object Retrieval {
     }
   }
 
+  /** GENERATED workload for the WAND win-case rehearsal: each query =
+    * one SELECTIVE term (mid-df — rare enough for a high idf and a
+    * high θ, but df ≥ 5×[[TopK]] so the seed yields a full θ) plus
+    * two HOT terms (the largest postings lists). The max-score seed
+    * is the selective term by construction (its per-posting upper
+    * bound dwarfs the hot terms'), θ lands near the selective docs'
+    * scores, and every hot-only doc's ubsum falls below it — the
+    * classic WAND regime where the prune skips the bulk of the
+    * candidate set. Deterministic given the landed dfr sidecar;
+    * rehearsal-only. */
+  private[graft] def selectiveWorkloadOf(s: SparkSession, d: String,
+                                         n: Int): Seq[(Long, String)] = {
+    val hot = dfrStore(s, d).orderBy(desc("df"), col("word"))
+      .limit(2 * n).select("word").collect().map(_.getString(0))
+    // selective = rare enough to be discriminative (≤ a quarter of
+    // the indexed docs) but with at least 2K postings so the seed
+    // pass yields a full θ — both bounds from the landed sidecars
+    val ndocs = dlStore(s, d).count()
+    val rare = dfrStore(s, d)
+      .filter(col("df") >= 2L * TopK && col("df") <= ndocs / 4)
+      .orderBy(col("df"), col("word"))
+      .limit(n).select("word").collect().map(_.getString(0))
+    require(rare.nonEmpty && hot.nonEmpty,
+      s"selectiveWorkloadOf: corpus at $d has no selective word " +
+        s"(df in [${2 * TopK}, ${ndocs / 4}])")
+    (0 until n).map { i =>
+      val terms = Seq(rare(i % rare.length),
+        hot((2 * i) % hot.length), hot((2 * i + 1) % hot.length)).distinct
+      (i + 1L, terms.mkString(" "))
+    }
+  }
+
   /** Session-scoped LANDED idf sidecar per dataset dir — the
     * (df → idfq) integer table as parquet, built once (the lmStore /
     * nllq-sidecar pattern from the perplexity gate): Robertson idf's
@@ -619,18 +651,22 @@ object Retrieval {
 
   /** The pruned-probe plan plus the observability relations the spec
     * counts: (ranked result, matched (query, doc) pairs, exactly-
-    * scored (query, doc) pairs) — skipped = matched − scored. */
-  private[graft] def wandPlan(s: SparkSession, d: String)
+    * scored (query, doc) pairs) — skipped = matched − scored. The
+    * workload parameter serves the rehearsal's win-case twin (a
+    * selective seed makes θ prune the hot terms' postings); the gated
+    * query always runs the fixed [[Bm25Queries]]. */
+  private[graft] def wandPlan(s: SparkSession, d: String,
+      workload: Seq[(Long, String)] = Bm25Queries)
       : (DataFrame, DataFrame, DataFrame) = {
     noteContext(s, d)
-    val wbs = bucketsOf(Bm25Queries)
+    val wbs = bucketsOf(workload)
     val dt = dtStore(s, d).filter(col("wb").isin(wbs: _*)).drop("wb")
     val dl = dlStore(s, d)
     val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
       .select(expr("(10 * t) div nd").as("avgq"))
     val dfr = dfrStore(s, d)
     val idf = idfStore(s, d)
-    val qt = queryTerms(s)
+    val qt = queryTermsOf(s, workload)
     // (query_id, word, doc_id, tf): every posting in the query terms'
     // buckets that matches a query term — the same relation the plain
     // probe scores IN FULL; here only seeds + survivors reach scoring

@@ -326,6 +326,26 @@ class RetrievalSpec extends SparkSpec {
       "max-score sidecar rebuilt on a second run")
   }
 
+  test("wand win regime: selective workload prunes the bulk, stays exact") {
+    // the rehearsal's win-case twin: one mid-df seed + two hot terms
+    // per query — θ lands at the selective docs' scores and hot-only
+    // docs' upper bounds fall below it, so the prune skips the bulk
+    // of the candidate set... and must STILL answer exactly like the
+    // full-scoring plan (the bound is a true ceiling in any regime)
+    val wl = Retrieval.selectiveWorkloadOf(spark, sfDir, 3)
+    assert(wl == Retrieval.selectiveWorkloadOf(spark, sfDir, 3),
+      "selective workload generator must be deterministic")
+    val plain = Retrieval.bm25RankedWith(spark, sfDir, wl)
+      .orderBy("query_id", "rank").collect().toSeq
+    val (ranked, matched, scored) = Retrieval.wandPlan(spark, sfDir, wl)
+    val pruned = ranked.orderBy("query_id", "rank").collect().toSeq
+    assert(pruned == plain,
+      "selective-workload pruned probe diverged from full scoring")
+    val nm = matched.count(); val ns = scored.count()
+    assert(ns < nm / 2,
+      s"selective workload should prune the bulk: matched=$nm scored=$ns")
+  }
+
   test("hybrid: dense half probes the landed IVF index, not the corpus") {
     import graft.operators.Similarity
     // the landed index is shared with ann_ivf — running the hybrid
