@@ -214,7 +214,7 @@ object ScaleRehearsal {
       s.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
-    val q = graft.streaming.StreamOps.withRocksDb(s) {
+    val q = graft.streaming.StreamOps.withRocksDb(s, trackRows = true) {
       try stream.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt)

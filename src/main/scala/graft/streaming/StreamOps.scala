@@ -121,12 +121,19 @@ object StreamOps {
     * work on the shared session never silently inherits it. (The
     * default HDFS-backed provider held every state row on-heap —
     * exactly what breaks first on an unbounded feed at scale.) */
-  private[graft] def withRocksDb[T](s: SparkSession)(body: => T): T = {
+  /** `trackRows = true` keeps RocksDB's per-commit row counting so
+    * `numRowsTotal` stays exact — ScaleRehearsal's drains pass it
+    * because their state-row trails ARE the evidence; the gated
+    * drains don't read the metric and skip the counting cost. */
+  private[graft] def withRocksDb[T](s: SparkSession,
+                                    trackRows: Boolean = false)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val ckey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val tkey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prev = s.conf.getOption(key)
     val prevC = s.conf.getOption(ckey)
+    val prevT = s.conf.getOption(tkey)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // CHANGELOG checkpointing: per-batch commits upload the delta log
@@ -137,11 +144,18 @@ object StreamOps {
     // replay unchanged). Measured on the five heaviest gated drains:
     // 18.05 → 15.05 s for the set (−17%), every query faster.
     s.conf.set(ckey, "true")
+    // row-count tracking off where nothing reads it: each put/delete
+    // otherwise pays a read-before-write just to maintain the
+    // numRowsTotal metric (the documented write-heavy trade). Gated
+    // drains: 15.6 → 14.4 s for the five heaviest (−8%).
+    s.conf.set(tkey, trackRows.toString)
     def restore(k: String, p: Option[String]): Unit = p match {
       case Some(v) => s.conf.set(k, v)
       case None    => s.conf.unset(k)
     }
-    try body finally { restore(key, prev); restore(ckey, prevC) }
+    try body finally {
+      restore(key, prev); restore(ckey, prevC); restore(tkey, prevT)
+    }
   }
 
   /** Run a streaming aggregation TO COMPLETION and land it as a
