@@ -981,8 +981,12 @@ class MemTable(tableName: String, tableSchema: StructType,
   }
   private def evaluable(f: Filter): Boolean =
     f.references.forall(evaluableRef) && (f match {
+      // an IN list carrying NULL needs 3-valued semantics the exact
+      // evaluator deliberately does not have (num(null) would throw
+      // at scan/delete time) — leave it to the engine
+      case In(_, vs) => vs != null && !vs.contains(null)
       case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-           _: LessThan | _: LessThanOrEqual | _: In => true
+           _: LessThan | _: LessThanOrEqual => true
       case _ => false
     })
 
