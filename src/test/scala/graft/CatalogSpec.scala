@@ -791,6 +791,16 @@ class CatalogSpec extends SparkSpec {
     assert(MemTable.lastScanPartsKept.get() == 3,
       s"day=3 should keep 3 region cells, kept " +
         s"${MemTable.lastScanPartsKept.get()}")
+    // the GATED query itself prunes: catalog_pruned_read's read ships
+    // one (day, region) cell of the twelve its seed data populates
+    MemTable.lastScanPartsTotal.set(-1)
+    MemTable.lastScanPartsKept.set(-1)
+    assert(graft.sources.StorageOps.catalogPrunedRead(spark, sfDir)
+      .collect().length > 0)
+    assert(MemTable.lastScanPartsTotal.get() == 12 &&
+      MemTable.lastScanPartsKept.get() == 1,
+      s"gated pruned read shipped ${MemTable.lastScanPartsKept.get()} of " +
+        s"${MemTable.lastScanPartsTotal.get()} cells")
     // partial-SHOW with a non-partition column: the ENGINE
     // pre-validates the spec (AnalysisException before the store is
     // consulted) — and the store's own guard, reachable only through
