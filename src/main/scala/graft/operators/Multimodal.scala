@@ -272,10 +272,34 @@ object Multimodal {
       .transform(Present.sortedUnbounded(_, col("doc_id"), col("frame_no")))
   }
 
+  /** Media dedup by DECODED content signature — the multimodal
+    * pipeline's dedup step (the LAION-style shape: fingerprint every
+    * payload once at ingest, dedup by a GROUP BY on the fingerprint,
+    * never pairwise over binaries): two payloads are duplicates iff
+    * their decoded signatures agree on every field (type, dims, frame
+    * count, probe pixels). The signature comes from the landed
+    * features store (decode-once), so dedup itself is one hash
+    * aggregation over narrow columns — at 100 TB the binary column is
+    * never re-read and nothing quadratic exists. Keep-first rule (the
+    * dedup family's convention): the class's lowest doc_id survives,
+    * every other member reports dup_of = survivor. The Spark side
+    * only knows the signatures by actually DECODING the PNG/WAV/GIF
+    * payloads; the oracle replays the synthesis arithmetic. */
+  def mediaDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      "media_type", "width", "height", "n_frames", "px00", "px_corner")
+    featuresTable(s, d)
+      .withColumn("dup_of", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .select("doc_id", "media_type", "dup_of")
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_resize"   -> multimodalResize _,
     "multimodal_frames"   -> multimodalFrames _,
+    "media_dedup"         -> mediaDedup _,
   )
 
   /** The oracle replicates the synthesis arithmetic from
@@ -326,5 +350,35 @@ object Multimodal {
         |FROM v, unnest(range(0, n_frames,
         |  cast(ceil(n_frames / 8.0) AS INT))) AS f(frame_no)
         |ORDER BY doc_id, frame_no""".stripMargin,
+    // dedup by decoded signature: the synthesis arithmetic rebuilds
+    // every signature field the Spark side recovers by decoding, and
+    // the keep-first rule replays as a window min over the class
+    "media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
+        |    n_chars AS n
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, media_type,
+        |    CASE WHEN media_type = 'audio' THEN 0
+        |      ELSE (n % 64 + 16)::INT END AS width,
+        |    CASE WHEN media_type = 'audio' THEN 0
+        |      ELSE (n % 48 + 16)::INT END AS height,
+        |    CASE media_type WHEN 'image' THEN 1
+        |      WHEN 'audio' THEN (n % 1000 + 1)::INT
+        |      ELSE (n % 240 + 1)::INT END AS n_frames,
+        |    CASE WHEN media_type = 'audio' THEN -1
+        |      ELSE (doc_id % 256)::INT END AS px00,
+        |    CASE WHEN media_type = 'audio' THEN -1
+        |      ELSE ((doc_id % 256 + 7) % 256)::INT END AS px_corner
+        |  FROM m),
+        |dd AS (
+        |  SELECT doc_id, media_type, min(doc_id) OVER (
+        |    PARTITION BY media_type, width, height, n_frames,
+        |      px00, px_corner) AS dup_of
+        |  FROM sig)
+        |SELECT doc_id, media_type, dup_of FROM dd
+        |WHERE doc_id <> dup_of ORDER BY doc_id""".stripMargin,
   )
 }

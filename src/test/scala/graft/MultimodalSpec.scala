@@ -116,4 +116,29 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(5) == (r.getLong(0) % 256).toInt, r) // px00 = doc_id % 256
     }
   }
+
+  test("media dedup: keep-first over decoded signatures, store read only") {
+    import spark.implicits._
+    val dups = Multimodal.mediaDedup(spark, sfDir).collect()
+    assert(dups.nonEmpty, "corpus should contain signature duplicates")
+    // keep-first: every survivor precedes its members, never reported
+    // as a dup itself, and members never cross media types
+    val dupIds = dups.map(_.getLong(0)).toSet
+    dups.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0), s"dup_of not the class min: $r")
+      assert(!dupIds.contains(r.getLong(2)), s"survivor reported as dup: $r")
+    }
+    // replay the rule from the features store: a reported pair's
+    // signatures must be identical field-for-field
+    val sig = Multimodal.featuresTable(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    dups.foreach(r => assert(sig(r.getLong(0)) == sig(r.getLong(2)),
+      s"pair with differing signatures: $r"))
+    // dedup is a store read — never a rebuild, never a binary re-scan
+    val before = Multimodal.featureBuildCount.get()
+    Multimodal.mediaDedup(spark, sfDir).count()
+    assert(Multimodal.featureBuildCount.get() == before,
+      "media_dedup rebuilt the features store")
+  }
 }
