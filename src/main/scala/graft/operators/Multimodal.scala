@@ -295,11 +295,50 @@ object Multimodal {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** Images whose decoded intensities differ by at most this. */
+  val NearDupEps = 1
+  /** Intensity-bucket width for the candidate join — strictly wider
+    * than [[NearDupEps]], so a qualifying pair never spans more than
+    * ADJACENT buckets. */
+  val NearDupBucket = 4
+
+  /** Perceptual near-dup over DECODED image intensity — the
+    * pHash-hamming shape of a multimodal pipeline, on this corpus's
+    * 1-D signature (probe intensity; a richer perceptual hash slots
+    * into the same bucketed frame): pairs of images whose decoded
+    * gray differs by ≤ [[NearDupEps]]. The candidate join is
+    * BUCKET-LOCAL (each image probes its own + both adjacent
+    * intensity buckets — bucket width > ε makes that exhaustive), so
+    * candidates are bounded by bucket occupancy and nothing quadratic
+    * exists; the exact |diff| ≤ ε check runs only on candidates —
+    * the MinHash-LSH band pattern applied to a metric signature. The
+    * signatures come from the landed features store (decode-once);
+    * the oracle replays the synthesis arithmetic through the naive
+    * ground-truth self-join, so a candidate bucket that dropped a
+    * qualifying pair hash-fails. */
+  def mediaNearDup(s: SparkSession, d: String): DataFrame = {
+    val img = featuresTable(s, d)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("px00").as("g"))
+    val a = img.select(col("doc_id").as("doc_a"), col("g").as("g_a"),
+      expr(s"g div $NearDupBucket").as("bk"))
+    val b = img.select(col("doc_id").as("doc_b"), col("g").as("g_b"),
+      explode(array(expr(s"g div $NearDupBucket") - 1,
+        expr(s"g div $NearDupBucket"),
+        expr(s"g div $NearDupBucket") + 1)).as("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("g_a") - col("g_b")) <= NearDupEps)
+      .select("doc_a", "doc_b", "g_a", "g_b")
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_resize"   -> multimodalResize _,
     "multimodal_frames"   -> multimodalFrames _,
     "media_dedup"         -> mediaDedup _,
+    "media_neardup"       -> mediaNearDup _,
   )
 
   /** The oracle replicates the synthesis arithmetic from
@@ -380,5 +419,17 @@ object Multimodal {
         |  FROM sig)
         |SELECT doc_id, media_type, dup_of FROM dd
         |WHERE doc_id <> dup_of ORDER BY doc_id""".stripMargin,
+    // the GROUND-TRUTH naive self-join: the Spark side's bucketed
+    // candidate form is defined equal to it, so a bucket that
+    // dropped a qualifying pair hash-fails
+    "media_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id, (doc_id % 256)::INT AS g
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.g AS g_a, b.g AS g_b
+        |FROM img a JOIN img b
+        |  ON a.doc_id < b.doc_id AND abs(a.g - b.g) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -141,4 +141,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.featureBuildCount.get() == before,
       "media_dedup rebuilt the features store")
   }
+
+  test("media near-dup: bucketed candidates ≡ the naive pair rule, no cartesian") {
+    import spark.implicits._
+    val df = Multimodal.mediaNearDup(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    // plain-Scala ground truth from the decoded store
+    val imgs = Multimodal.featuresTable(spark, sfDir)
+      .filter($"media_type" === "image")
+      .select("doc_id", "px00").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    val want = for {
+      (a, ga) <- imgs; (b, gb) <- imgs
+      if a < b && math.abs(ga - gb) <= Multimodal.NearDupEps
+    } yield (a, b, ga, gb)
+    assert(got.sorted == want.sorted.toSeq,
+      s"bucketed pairs diverge from the naive rule: got ${got.size}, " +
+        s"want ${want.size}")
+    // each pair exactly once, and the plan joins on the bucket key —
+    // never a cartesian over the image set
+    assert(got.distinct.size == got.size, "duplicate candidate pairs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates are not bucket-local:\n$plan")
+  }
 }
