@@ -639,10 +639,12 @@ object ScaleRehearsal {
       val wl = operators.Retrieval.selectiveWorkloadOf(s, staged, 3)
       measure(s, listener, "wandmix", "bm25_plain_sel", m, passes)(
         operators.Retrieval.bm25RankedWith(s, staged, wl))
-      measure(s, listener, "wandmix", "bm25_wand_sel", m, passes)(
-        operators.Retrieval.wandPlan(s, staged, wl)._1)
-      val (_, matched, scored) =
+      // ONE wandPlan derivation: the measured plan and the skip-count
+      // relations come from the same call (re-deriving it per consumer
+      // re-ran the counting jobs outside the measured window)
+      val (pruned, matched, scored) =
         operators.Retrieval.wandPlan(s, staged, wl)
+      measure(s, listener, "wandmix", "bm25_wand_sel", m, passes)(pruned)
       val nm = matched.count(); val ns = scored.count()
       println(s"""{"family":"wandmix","query":"wandmix_skipped","mult":$m,""" +
         s""""matched_pairs":$nm,"scored_pairs":$ns,""" +
@@ -1020,6 +1022,16 @@ object ScaleRehearsal {
     // process-scoped landed stores (e.g. "wand,workload" tokenizes
     // each staged corpus once, not once per family)
     val families = args.headOption.getOrElse("all").split(",").toSet
+    // fail FAST on a typo'd family: a silently-dropped token makes a
+    // comma-list run look complete while skipping a rehearsal
+    val known = Set("all", "streaming", "deepstate", "join", "bucketed",
+      "pipeline", "layout", "events", "topk", "similarity", "spj",
+      "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
+      "ivfmaint", "wandzipf", "workloadzipf", "buckets")
+    val unknown = families -- known
+    require(unknown.isEmpty,
+      s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(known: ${known.toSeq.sorted.mkString(", ")})")
     def family(name: String): Boolean = families.contains(name)
     val mults = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 10, 50))

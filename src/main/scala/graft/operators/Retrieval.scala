@@ -96,7 +96,7 @@ object Retrieval {
 
   /** GENERATED workload for the WAND win-case rehearsal: each query =
     * one SELECTIVE term (mid-df — rare enough for a high idf and a
-    * high θ, but df ≥ 5×[[TopK]] so the seed yields a full θ) plus
+    * high θ, but df ≥ 2×[[TopK]] so the seed yields a full θ) plus
     * two HOT terms (the largest postings lists). The max-score seed
     * is the selective term by construction (its per-posting upper
     * bound dwarfs the hot terms'), θ lands near the selective docs'
@@ -302,7 +302,8 @@ object Retrieval {
   private val lastHarvestErr =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
-  private[graft] def idfValuesSql: Option[String] =
+  private def harvestIdf(read: (SparkSession, String) => DataFrame)
+      : Option[String] =
     Option(dumpDir.get())
       .map(d => (ctxByDir.get(d), d))
       // Try: a stopped session / vanished scratch dir must degrade to
@@ -311,7 +312,7 @@ object Retrieval {
       // map outside its per-query try). nonEmpty: an empty-corpus idf
       // store would otherwise emit the malformed `VALUES ` form.
       .flatMap { case (s, d) =>
-        scala.util.Try(idfStore(s, d).collect()
+        scala.util.Try(read(s, d).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq) match {
           case scala.util.Success(rs) if rs.nonEmpty =>
             lastHarvestErr.set(null); Some(rs)
@@ -324,6 +325,14 @@ object Retrieval {
         }
       }
       .map(_.sortBy(_._1).map { case (df, q) => s"($df,$q)" }.mkString(", "))
+
+  /** The full-index (df → idfq) literals — every non-delete oracle's
+    * idf source. */
+  private[graft] def idfValuesSql: Option[String] = harvestIdf(idfStore)
+  /** The post-delete-compaction literals — N and df both shrank, so
+    * the purged-index oracle replays ITS OWN landed integers. */
+  private[graft] def idfDelValuesSql: Option[String] =
+    harvestIdf(idfDelStore)
 
   /** Top-[[TopK]] docs per query by exact-integer BM25:
     * (query_id, doc_id, n_terms, score, rank). */
@@ -600,6 +609,146 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------
+  // Index DELETE maintenance (tombstones): the lifecycle's REMOVE
+  // verb — a delete request (takedown, dedup-loser purge) lands a
+  // ∝-batch tombstone sidecar; probes MASK tombstoned docs; the next
+  // compaction PURGES their postings and refreshes the sidecars. Two
+  // gated stages with two distinct, honest semantics:
+  //   bm25_delete          — masked probe, STALE stats (Lucene's
+  //                          contract: deleted docs still count in
+  //                          df/avgdl/N until segments merge);
+  //   bm25_delete_compact  — post-purge probe, FRESH stats (the
+  //                          rebuild-equivalent answer).
+  // Each stage has its own oracle; neither inherits the other's.
+  // ---------------------------------------------------------------
+
+  /** Every DelEvery-th doc (doc_id % 10 == 3) plays the DELETE batch
+    * (disjoint from [[IncrSlot]] so the lifecycles don't entangle). */
+  val DelEvery = 10L
+  val DelSlot  = 3L
+
+  private val tombStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val tombIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val tombBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the tombstone sidecar: the deleted doc_ids, nothing else —
+    * the delete REQUEST is an id list, so the landed artifact is
+    * ∝ batch by construction (the spec pins |tombstones| = |batch|).
+    * Derived here from the dl sidecar (index-local — which docs the
+    * index actually holds; never a corpus read): a real pipeline
+    * hands the id list in directly. */
+  private def tombRoot(s: SparkSession, d: String): String =
+    tombStores.computeIfAbsent(d, _ => {
+      tombBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bm25t",
+        s"t${tombIds.getAndIncrement()}").toString
+      dlStore(s, d).filter(col("doc_id") % DelEvery === DelSlot)
+        .select("doc_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The landed tombstone ids as a fresh store read — exposed so the
+    * spec can pin |tombstones| ∝ batch. */
+  private[graft] def tombStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(tombRoot(s, d))
+
+  /** BM25 with tombstone MASKING — the probe-time half of delete
+    * maintenance: the postings read anti-joins the broadcast tombstone
+    * sidecar (∝ batch — at 100 TB the mask is a Bloom-sized side
+    * relation, never an index rewrite), while df/avgdl/N and the idf
+    * integers stay the FULL index's — Lucene's exact contract, where
+    * a deleted doc still counts in every corpus stat until a merge
+    * purges it. The oracle replays precisely that: full-corpus stats,
+    * scoring restricted to surviving docs — so a mask that leaked a
+    * deleted doc into the answer, or an over-eager stat refresh,
+    * hash-fails. */
+  def bm25Delete(s: SparkSession, d: String): DataFrame = {
+    noteContext(s, d)
+    val wbs = bucketsOf(Bm25Queries)
+    val dt = dtStore(s, d).filter(col("wb").isin(wbs: _*)).drop("wb")
+      .join(broadcast(tombStore(s, d)), Seq("doc_id"), "left_anti")
+    val dl = dlStore(s, d)
+    val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
+      .select(expr("(10 * t) div nd").as("avgq"))
+    scoreFrom(s, queryTerms(s), dt, dl, dfrStore(s, d), idfStore(s, d), st)
+      .transform(Present.sorted(_, col("query_id"), col("rank")))
+  }
+
+  private val delCmpStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val delCmpIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val delCmpBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Compaction with tombstone PURGE: rewrite the postings minus the
+    * tombstoned docs (keeping the wb layout) and re-derive the dl/dfr
+    * sidecars from the purged postings via the one shared recipe —
+    * after this the tombstones are dead weight and the stats are
+    * fresh. Index-local: reads segments + the id sidecar, never the
+    * corpus; priced ∝ index, scheduled off-peak like every other
+    * compaction here. */
+  private def delCmpRoot(s: SparkSession, d: String): String =
+    delCmpStores.computeIfAbsent(d, _ => {
+      delCmpBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bm25dc",
+        s"e${delCmpIds.getAndIncrement()}").toString
+      readPostings(s, s"${dtRoot(s, d)}/dt")
+        .join(broadcast(tombStore(s, d)), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
+      deriveSidecars(s, out)
+      out
+    })
+
+  private val idfDelStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val idfDelIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (df → idfq) sidecar from the PURGED dfr + dl — the fresh-stats
+    * integers post-delete-compaction (N and df both shrink), built
+    * from the compacted artifacts alone. */
+  private def idfDelRoot(s: SparkSession, d: String): String =
+    idfDelStores.computeIfAbsent(d, _ => {
+      val root = delCmpRoot(s, d)
+      landIdf(s, s.read.parquet(s"$root/dfr"),
+        s.read.parquet(s"$root/dl").agg(count(lit(1)).as("ndocs")),
+        "graft_idfdel", s"j${idfDelIds.getAndIncrement()}")
+    })
+
+  /** The purged-index idf integers as a fresh store read. */
+  def idfDelStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(idfDelRoot(s, d))
+
+  /** The purged postings as a fresh store read — exposed so the spec
+    * can pin that compaction left ZERO tombstoned rows behind. */
+  private[graft] def delCompactPostings(s: SparkSession, d: String): DataFrame =
+    readPostings(s, s"${delCmpRoot(s, d)}/dt")
+
+  /** Post-purge BM25 — the compaction half of delete maintenance: ONE
+    * purged segment, FRESH stats (df/avgdl/N over the surviving docs,
+    * idf integers re-landed from the purged sidecars). The oracle is
+    * the full replay over the corpus MINUS the deleted docs — the
+    * rebuild-equivalent answer, so a purge that missed a posting,
+    * kept a stale df, or dropped a surviving doc hash-fails. */
+  def bm25DeleteCompact(s: SparkSession, d: String): DataFrame = {
+    noteContext(s, d)
+    val root = delCmpRoot(s, d)
+    val dl = s.read.parquet(s"$root/dl")
+    val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
+      .select(expr("(10 * t) div nd").as("avgq"))
+    val dfr = s.read.parquet(s"$root/dfr")
+    val wbs = bucketsOf(Bm25Queries)
+    val dt = readPostings(s, s"$root/dt")
+      .filter(col("wb").isin(wbs: _*)).drop("wb")
+    scoreFrom(s, queryTerms(s), dt, dl, dfr, idfDelStore(s, d), st)
+      .transform(Present.sorted(_, col("query_id"), col("rank")))
+  }
+
+  // ---------------------------------------------------------------
   // Score-pruned top-k (WAND family): per-term integer MAX-SCORE
   // sidecars let the probe skip docs whose score upper bound cannot
   // reach rank K — the classic search-engine optimization (Broder et
@@ -801,7 +950,10 @@ object Retrieval {
     * SQL FAILS LOUDLY in DuckDB via error() instead of silently
     * re-deriving ln — a wrong protocol becomes an ORACLE-ERR, never
     * a maybe-flipped hash. */
-  private def idfOracleParts: (String, String) = idfValuesSql match {
+  private def idfOracleParts: (String, String) =
+    idfPartsOf(idfValuesSql)
+
+  private def idfPartsOf(vals: Option[String]): (String, String) = vals match {
     case Some(vals) =>
       (s"idfv(df, idfq) AS (VALUES $vals)", "JOIN idfv USING (df)")
     case None =>
@@ -819,19 +971,32 @@ object Retrieval {
     "bm25_retrieve"    -> bm25Retrieve _,
     "bm25_incremental" -> bm25Incremental _,
     "bm25_compact"     -> bm25Compact _,
+    "bm25_delete"      -> bm25Delete _,
+    "bm25_delete_compact" -> bm25DeleteCompact _,
     "bm25_topk_pruned" -> bm25TopkPruned _,
     "hybrid_retrieve"  -> hybridRetrieve _,
   )
 
   /** The BM25 CTE chain ending in `rk` (ranked, un-truncated) —
     * shared by the gated query and the hybrid fusion oracle. */
-  private def bm25CtesSql: String = {
-    val (idfCte, idfJoin) = idfOracleParts
+  private def bm25CtesSql: String =
+    bm25CtesSqlFor("", "TRUE", idfOracleParts)
+
+  /** [[bm25CtesSql]] with three delete-lifecycle knobs: `corpusWhere`
+    * restricts the TOKENIZED corpus (the fresh-stats / post-purge
+    * replay — stats AND scoring see only survivors), `scoreCond`
+    * restricts only the SCORING CTE (the stale-stats / masked-probe
+    * replay — stats see the full corpus, deleted docs just don't
+    * score), and `idfParts` picks which landed integer sidecar the
+    * replay joins. */
+  private def bm25CtesSqlFor(corpusWhere: String, scoreCond: String,
+                             idfParts: (String, String)): String = {
+    val (idfCte, idfJoin) = idfParts
     s"""toks AS (
        |  SELECT doc_id, w AS word FROM (
        |    SELECT doc_id, unnest(string_split_regex(lower(text),
        |      '[^\\p{L}]+')) AS w
-       |    FROM documents) WHERE w <> ''),
+       |    FROM documents$corpusWhere) WHERE w <> ''),
        |dt AS (SELECT doc_id, word, count(*)::BIGINT AS tf
        |       FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*)::BIGINT AS len
@@ -846,7 +1011,8 @@ object Retrieval {
        |    (idfv.idfq * 22 * st.avgq * dt.tf) //
        |      (10 * st.avgq * dt.tf + 3 * st.avgq + 90 * dl.len) AS c
        |  FROM qt JOIN dt USING (word) JOIN dl USING (doc_id)
-       |    JOIN dfr ON dfr.word = qt.word $idfJoin CROSS JOIN st),
+       |    JOIN dfr ON dfr.word = qt.word $idfJoin CROSS JOIN st
+       |  WHERE $scoreCond),
        |sc AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
        |         CAST(sum(c) AS BIGINT) AS score FROM c GROUP BY 1, 2),
        |rk AS (SELECT *, row_number() OVER (
@@ -900,6 +1066,25 @@ object Retrieval {
     // a sidecar wrong, hash-fails here
     "bm25_compact" ->
       s"""WITH $bm25CtesSql
+         |SELECT query_id, doc_id, n_terms, score, rank FROM rk
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // tombstone MASKING with stale stats (the Lucene contract): the
+    // stats CTEs replay the FULL corpus, the scoring CTE drops the
+    // deleted docs — a leaked tombstoned doc or an over-eager stat
+    // refresh hash-fails
+    "bm25_delete" ->
+      s"""WITH ${bm25CtesSqlFor("",
+             s"dt.doc_id % $DelEvery <> $DelSlot", idfOracleParts)}
+         |SELECT query_id, doc_id, n_terms, score, rank FROM rk
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // tombstone PURGE at compaction: the full replay over the corpus
+    // MINUS the deleted docs, with the purged index's own landed idf
+    // integers — the rebuild-equivalent answer; a missed posting, a
+    // stale df, or a dropped survivor hash-fails
+    "bm25_delete_compact" ->
+      s"""WITH ${bm25CtesSqlFor(
+             s" WHERE doc_id % $DelEvery <> $DelSlot", "TRUE",
+             idfPartsOf(idfDelValuesSql))}
          |SELECT query_id, doc_id, n_terms, score, rank FROM rk
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     // the max-score prune changes what gets SCORED, never what gets

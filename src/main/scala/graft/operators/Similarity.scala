@@ -665,6 +665,117 @@ object Similarity {
       .transform(Present.sorted(_, col("q_id"), col("rn")))
   }
 
+  // ---------------------------------------------------------------
+  // IVF DELETE maintenance (tombstones): the dense twin of
+  // bm25_delete — a delete request lands a ∝-batch tombstone sidecar
+  // of vec_ids; probes MASK them (anti-join against the broadcast
+  // sidecar — never an index rewrite); the next compaction PURGES
+  // their postings from the inverted file. Unlike BM25 there are no
+  // corpus stats to go stale: the centroids stay the landed ones
+  // (re-clustering is a REBUILD, not maintenance — the standard
+  // vector-store contract), so the masked probe and the post-purge
+  // probe are answer-identical and share one oracle: the full build
+  // replay with deleted vectors excluded from the probed cells.
+  // ---------------------------------------------------------------
+
+  /** Every [[IvfDelEvery]]-th vec_id (≡ [[IvfDelSlot]] mod 10) plays
+    * the DELETE batch — disjoint from [[IvfIncrSlot]]. */
+  val IvfDelEvery = 10L
+  val IvfDelSlot  = 3L
+
+  private val ivfTombStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfTombIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val ivfTombBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the tombstone sidecar: deleted vec_ids only — the delete
+    * request IS an id list, so the artifact is ∝ batch by
+    * construction. Derived index-locally from the landed inverted
+    * file's id column (never an embedding read); a real pipeline
+    * hands the list in directly. */
+  private def ivfTombRoot(s: SparkSession, d: String): String =
+    ivfTombStores.computeIfAbsent(d, _ => {
+      ivfTombBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_ivft",
+        s"t${ivfTombIds.getAndIncrement()}").toString
+      ivfStore(s, d)._1
+        .filter(col("vec_id") % IvfDelEvery === IvfDelSlot)
+        .select("vec_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The landed tombstone ids as a fresh store read — exposed so the
+    * spec can pin |tombstones| ∝ batch. */
+  private[graft] def ivfTombStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ivfTombRoot(s, d))
+
+  /** ANN with tombstone MASKING: the probe chain runs against the
+    * live index with the broadcast tombstone sidecar anti-joined in —
+    * at 100 TB a Bloom-sized mask over the probed cells, never an
+    * index rewrite. The cid partition pruning is untouched (the mask
+    * composes after the pruned read). */
+  def annIvfDelete(s: SparkSession, d: String): DataFrame = {
+    val (idx, cent) = ivfStore(s, d)
+    val masked = idx.join(broadcast(ivfTombStore(s, d)),
+      Seq("vec_id"), "left_anti")
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbeRankedOn(s, (masked, cent), q, TopK, IvfProbes)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
+  private val ivfDelCmpStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfDelCmpIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val ivfDelCmpBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Compaction with tombstone PURGE: rewrite the inverted file minus
+    * the tombstoned ids (keeping the cid layout), carry the LANDED
+    * centroids alongside — index-local (reads index + id sidecar,
+    * never an embedding), priced ∝ index, after which the tombstones
+    * are dead weight. */
+  private def ivfDelCmpRoot(s: SparkSession, d: String): String =
+    ivfDelCmpStores.computeIfAbsent(d, _ => {
+      ivfDelCmpBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_ivfdc",
+        s"e${ivfDelCmpIds.getAndIncrement()}").toString
+      val (idx, cent) = ivfStore(s, d)
+      idx.join(broadcast(ivfTombStore(s, d)), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$out/idx")
+      cent.write.mode("overwrite").parquet(s"$out/cent")
+      out
+    })
+
+  /** The purged (inverted file, centroids) as fresh store reads —
+    * exposed so the spec can pin zero tombstoned rows survive. */
+  private[graft] def ivfDelCompactStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val root = ivfDelCmpRoot(s, d)
+    (s.read.parquet(s"$root/idx")
+       .withColumn("cid", col("cid").cast("long")),
+      s.read.parquet(s"$root/cent"))
+  }
+
+  /** Post-purge ANN — ONE purged segment, no mask anywhere in the
+    * plan, probed through the same chain: must hash-equal
+    * [[annIvfDelete]] (masking and purging are answer-identical at
+    * fixed centroids), gated against the same full-build-minus-
+    * deleted oracle. */
+  def annIvfDeleteCompact(s: SparkSession, d: String): DataFrame = {
+    val store = ivfDelCompactStore(s, d)
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbeRankedOn(s, store, q, TopK, IvfProbes)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
   /** Candidates the rerank keeps per query — the IVF-PQ shortlist
     * depth (rerank cost = PqRerankDepth exact cosines per query). */
   val PqRerankDepth = 25
@@ -978,6 +1089,8 @@ object Similarity {
     "ann_ivf"           -> annIvf _,
     "ann_ivf_incremental" -> annIvfIncremental _,
     "ann_ivf_compact"   -> annIvfCompact _,
+    "ann_ivf_delete"    -> annIvfDelete _,
+    "ann_ivf_delete_compact" -> annIvfDeleteCompact _,
     "ann_ivf_pruned"    -> annIvfPruned _,
     "ann_ivf_pq"        -> annIvfPq _,
     "semdedup"          -> semDedup _,
@@ -1040,7 +1153,8 @@ object Similarity {
     * exact rank) — ONE builder for ann_ivf, its incremental twin
     * (base ∪ delta ≡ the full inverted file at fixed centroids, so
     * the oracle IS the full replay), and the nprobe ≪ K pruned twin. */
-  private def annOracleSql(k: Int, nprobe: Int): String =
+  private def annOracleSql(k: Int, nprobe: Int,
+                           scoreCond: String = "TRUE"): String =
     s"""WITH ${ivfIdxSqlK(k)},
        |probes AS (
        |  SELECT q_id, qv, cid FROM (
@@ -1052,7 +1166,7 @@ object Similarity {
        |scored AS (
        |  SELECT p.q_id, x.vec_id, ${cosSql("x.v", "p.qv", 6)} AS cos
        |  FROM idx x JOIN probes p ON x.cid = p.cid
-       |  WHERE x.vec_id <> p.q_id),
+       |  WHERE x.vec_id <> p.q_id AND ($scoreCond)),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, vec_id) AS rn
@@ -1125,6 +1239,16 @@ object Similarity {
     // fold that dropped or duplicated a vector, or probed stale
     // centroids, hash-fails
     "ann_ivf_compact" -> annOracleSql(IvfClusters, IvfProbes),
+    // delete maintenance: the full-build replay with the tombstoned
+    // ids excluded from scoring — the centroids are the landed ones
+    // (re-clustering is a rebuild, not maintenance), so a mask leak
+    // OR an accidental re-cluster hash-fails
+    "ann_ivf_delete" -> annOracleSql(IvfClusters, IvfProbes,
+      s"x.vec_id % $IvfDelEvery <> $IvfDelSlot"),
+    // purge ≡ mask at fixed centroids: the same oracle — a purge that
+    // dropped a survivor or kept a tombstoned vector hash-fails
+    "ann_ivf_delete_compact" -> annOracleSql(IvfClusters, IvfProbes,
+      s"x.vec_id % $IvfDelEvery <> $IvfDelSlot"),
     "ann_ivf_pruned" -> annOracleSql(IvfPrunedK, IvfPrunedProbes),
     "ann_ivf_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -575,11 +575,12 @@ class MemTable(tableName: String, tableSchema: StructType,
       // AnalysisException-family, matching the other partition-DDL
       // error paths (PartitionsAlreadyExist/NoSuchPartition) — a bad
       // spec is an analysis error, not an IllegalArgumentException
+      // columnName carries ONLY the offending identifier — Spark's
+      // error-class template quotes it, and getMessageParameters
+      // consumers expect a clean column name, not embedded prose
       if (pos < 0)
         throw new org.apache.spark.sql.AnalysisException(
-          "NON_PARTITION_COLUMN", Map("columnName" ->
-            (s"$n (partition columns of $tableName: " +
-              s"${partitionCols.mkString(", ")})")))
+          "NON_PARTITION_COLUMN", Map("columnName" -> n))
       pos -> ident.getLong(i)
     }
     val filtered = all.filter(v => specified.forall { case (p, x) => v(p) == x })

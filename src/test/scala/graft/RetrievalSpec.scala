@@ -275,6 +275,87 @@ class RetrievalSpec extends SparkSpec {
       "compacted postings scan lost the word-bucket pruning:\n" + plan)
   }
 
+  test("bm25 delete: tombstones ∝ batch, mask leaks nothing, stats stay stale") {
+    // the tombstone sidecar is exactly the delete batch — one row per
+    // deleted indexed doc, nothing else (∝ batch by construction)
+    val expectTomb = Retrieval.dlStore(spark, sfDir)
+      .filter(col("doc_id") % Retrieval.DelEvery === Retrieval.DelSlot)
+      .count()
+    assert(expectTomb > 0, "delete batch empty — the gate is vacuous")
+    assert(Retrieval.tombStore(spark, sfDir).count() == expectTomb,
+      "tombstone sidecar is not batch-shaped")
+    val full = Retrieval.bm25Retrieve(spark, sfDir).collect().toSeq
+    val masked = Retrieval.bm25Delete(spark, sfDir).collect().toSeq
+    // no tombstoned doc may leak into the masked answer
+    assert(masked.nonEmpty && masked.forall(r =>
+      r.getLong(1) % Retrieval.DelEvery != Retrieval.DelSlot),
+      "a deleted doc leaked through the mask")
+    // the Lucene stale-stats contract: a SURVIVING doc's score is
+    // unchanged by the mask (df/avgdl/N still count deleted docs) —
+    // a premature stat refresh would shift every score
+    val fullScore = full.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    masked.foreach { r =>
+      fullScore.get((r.getLong(0), r.getLong(1))).foreach(sc =>
+        assert(sc == r.getLong(3),
+          s"mask changed a surviving doc's score: $r vs $sc"))
+    }
+    // tombstones land once; the probe plan reads sidecar + live index,
+    // never re-tokenizing
+    val t0 = Retrieval.tombBuildCount.get()
+    val df = Retrieval.bm25Delete(spark, sfDir)
+    df.collect()
+    assert(Retrieval.tombBuildCount.get() == t0,
+      "tombstone sidecar rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_bm25t"),
+      "masked probe does not read the tombstone sidecar:\n" + plan)
+    assert(!plan.contains("Generate"),
+      "masked probe re-tokenized the corpus:\n" + plan)
+  }
+
+  test("bm25 delete compact: purge complete, stats fresh, one segment") {
+    val cmp = Retrieval.bm25DeleteCompact(spark, sfDir).collect().toSeq
+    assert(cmp.nonEmpty && cmp.forall(r =>
+      r.getLong(1) % Retrieval.DelEvery != Retrieval.DelSlot),
+      "a deleted doc survived the purge")
+    // the purge is COMPLETE: zero tombstoned postings in the rewritten
+    // segment
+    val leaked = Retrieval.delCompactPostings(spark, sfDir)
+      .filter(col("doc_id") % Retrieval.DelEvery === Retrieval.DelSlot)
+      .count()
+    assert(leaked == 0, s"$leaked tombstoned postings survived compaction")
+    // stats are FRESH post-purge: N shrank, so the landed idf integers
+    // cannot equal the full index's
+    val fullIdf = Retrieval.idfStore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val delIdf = Retrieval.idfDelStore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(delIdf != fullIdf,
+      "purged-index idf identical to the full index's — stats not refreshed")
+    // compaction runs once; post-purge scoring stands on the purged
+    // artifacts alone — no tombstone read, no mask, no monolith, no
+    // tokenize, and the wb partition pruning survives the rewrite
+    val c0 = Retrieval.delCmpBuildCount.get()
+    val df = Retrieval.bm25DeleteCompact(spark, sfDir)
+    df.collect()
+    assert(Retrieval.delCmpBuildCount.get() == c0,
+      "purged segment rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_bm25dc"),
+      "post-purge scoring does not read the purged segment:\n" + plan)
+    assert(!plan.contains("graft_bm25t"),
+      "post-purge scoring still reads tombstones (purge incomplete):\n" + plan)
+    assert(!plan.contains("graft_bm25/"),
+      "post-purge scoring fell back to the monolithic index:\n" + plan)
+    assert(!plan.contains("Generate"),
+      "post-purge scoring re-tokenized the corpus:\n" + plan)
+    assert(plan.contains("PartitionFilters") && plan.contains("wb#"),
+      "purged postings scan lost the word-bucket pruning:\n" + plan)
+  }
+
   test("bm25 topk pruned: skips docs, bounds are true maxima, answer exact") {
     // the pruned probe must answer EXACTLY like the full one
     val full = Retrieval.bm25Retrieve(spark, sfDir).collect().toSeq

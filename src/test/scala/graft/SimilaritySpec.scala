@@ -220,6 +220,62 @@ class SimilaritySpec extends SparkSpec {
         s"compacted scan not pruned on cid:\n$l"))
   }
 
+  test("ann ivf delete: tombstones ∝ batch, mask ≡ purge, purge complete") {
+    import org.apache.spark.sql.functions.col
+    // the tombstone sidecar is exactly the delete batch
+    val idx = Similarity.ivfIndex(spark, sfDir)
+    val expectTomb = idx.filter(
+      col("vec_id") % Similarity.IvfDelEvery === Similarity.IvfDelSlot).count()
+    assert(expectTomb > 0, "delete batch empty — the gate is vacuous")
+    assert(Similarity.ivfTombStore(spark, sfDir).count() == expectTomb,
+      "tombstone sidecar is not batch-shaped")
+    // masked probe leaks no deleted vector; at fixed centroids the
+    // masked answer and the post-purge answer are IDENTICAL
+    val masked = Similarity.annIvfDelete(spark, sfDir).collect().toSeq
+    val purged = Similarity.annIvfDeleteCompact(spark, sfDir).collect().toSeq
+    assert(masked.nonEmpty && masked.forall(r =>
+      r.getLong(2) % Similarity.IvfDelEvery != Similarity.IvfDelSlot),
+      "a deleted vector leaked through the mask")
+    assert(purged == masked,
+      "post-purge probe answered differently from the masked probe")
+    // the purge is COMPLETE and drops nothing else: purged store =
+    // live index minus exactly the tombstoned ids
+    val (delIdx, delCent) = Similarity.ivfDelCompactStore(spark, sfDir)
+    val purgedCells = delIdx.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullCells = idx.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(purgedCells == fullCells.filter(_._1 %
+      Similarity.IvfDelEvery != Similarity.IvfDelSlot),
+      "purged store is not (live index − tombstones)")
+    assert(delCent.count() == Similarity.IvfClusters,
+      "centroids not carried alongside the purged segment")
+    // builds land once; the post-purge probe stands on the purged
+    // root alone — no tombstone read, no mask, cid pruning intact
+    val (t0, c0) = (Similarity.ivfTombBuildCount.get(),
+      Similarity.ivfDelCmpBuildCount.get())
+    val df = Similarity.annIvfDeleteCompact(spark, sfDir)
+    df.collect()
+    assert(Similarity.ivfTombBuildCount.get() == t0 &&
+      Similarity.ivfDelCmpBuildCount.get() == c0,
+      "delete artifacts rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivfdc"),
+      "post-purge probe does not read the purged segment:\n" + plan)
+    assert(!plan.contains("graft_ivft"),
+      "post-purge probe still reads tombstones (purge incomplete):\n" + plan)
+    plan.linesIterator
+      .filter(l => l.contains("graft_ivfdc") && l.contains("Location"))
+      .foreach(l => assert(l.contains("PartitionFilters: [cid"),
+        s"purged scan not pruned on cid:\n$l"))
+    // the MASKED probe, by contrast, reads live index + tombstones
+    val mdf = Similarity.annIvfDelete(spark, sfDir)
+    mdf.collect()
+    val mplan = mdf.queryExecution.executedPlan.toString
+    assert(mplan.contains("graft_ivft"),
+      "masked probe does not read the tombstone sidecar:\n" + mplan)
+  }
+
   test("ann ivf pruned: nprobe ≪ K — probed cells ≪ cell count, scan pruned") {
     import org.apache.spark.sql.functions._
     val df = Similarity.annIvfPruned(spark, sfDir)
