@@ -45,31 +45,66 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
   /** Features recovered by decoding the payload. `px00`/`px_corner`
-    * are gray probe pixels (−1 for audio). */
+    * are gray probe pixels; `ahash_hi`/`ahash_lo` are the two 32-bit
+    * halves of the 8×8 average-hash over the decoded key frame
+    * (−1 for audio). */
   case class MediaFeatures(doc_id: Long, media_type: String,
                            width: Int, height: Int, n_frames: Int,
-                           px00: Int, px_corner: Int)
+                           px00: Int, px_corner: Int,
+                           ahash_hi: Long, ahash_lo: Long)
 
   /** Deterministic synthesis parameters — the contract the oracle
     * replicates. Kept tiny so a 100 TB corpus of real media swaps in
-    * without touching the decode path. */
+    * without touching the decode path. Visual payloads carry an 8×8
+    * BLOCK pattern (cell (bx, by) is a uniform gray — bx = x·8 div w,
+    * by = y·8 div h) so the decoded average-hash has real multi-bit
+    * structure while every probe stays integer-exact: an aHash cell's
+    * pixel region coincides with a pattern block, so its average IS
+    * the block value, no rounding anywhere. */
   object Codec {
     def imageW(n: Long): Int = (n % 64).toInt + 16
     def imageH(n: Long): Int = (n % 48).toInt + 16
     def gray(docId: Long): Int = (docId % 256).toInt
-    def cornerGray(docId: Long): Int = (gray(docId) + 7) % 256
     def audioSamples(n: Long): Int = (n % 1000).toInt + 1
     def videoFrames(n: Long): Int = (n % 240).toInt + 1
+    /** Block (bx, by)'s gray — the one formula the oracle replays.
+      * The x-step varies with the payload (31 + n mod 5) so hashes
+      * differ across documents beyond the base gray alone. */
+    def cellGray(docId: Long, n: Long, bx: Int, by: Int): Int =
+      ((docId % 256) + (31 + n % 5) * bx + 17 * by).toInt % 256
+    def cornerGray(docId: Long, n: Long): Int = cellGray(docId, n, 7, 7)
+
+    /** 256-entry indexed palette, intensity i carried in the RED
+      * channel with green/blue deliberately decorrelated: PNG and GIF
+      * both store indexed rasters LOSSLESSLY (the JDK GIF writer would
+      * quantize a truecolor raster through its own palette builder),
+      * and an ALL-GRAY palette must be avoided too — the JDK PNG
+      * writer detects it and re-encodes as a grayscale PNG, whose
+      * decoded image reads back through a linear-gray color space
+      * conversion that shifts every probe value (measured: 6 → 42). */
+    private[Multimodal] val cmap: Array[Int] = Array.tabulate(256)(i =>
+      (0xFF << 24) | (i << 16) | (((i * 7 + 3) % 256) << 8) |
+        ((i * 11 + 5) % 256))
+    private val palette: java.awt.image.IndexColorModel =
+      new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+        java.awt.image.DataBuffer.TYPE_BYTE)
+    /** Intensity of a decoded pixel = its red channel. */
+    def intensity(rgb: Int): Int = (rgb >> 16) & 0xFF
 
     private def makeImage(docId: Long, n: Long): BufferedImage = {
       val (w, h) = (imageW(n), imageH(n))
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
-      val g = gray(docId)
-      val rgb = (g << 16) | (g << 8) | g
+      val img = new BufferedImage(w, h,
+        BufferedImage.TYPE_BYTE_INDEXED, palette)
       var y = 0
-      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-      val cg = cornerGray(docId)
-      img.setRGB(w - 1, h - 1, (cg << 16) | (cg << 8) | cg)
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, cmap(cellGray(docId, n, x * 8 / w, by)))
+          x += 1
+        }
+        y += 1
+      }
       img
     }
 
@@ -114,9 +149,9 @@ object Multimodal {
         writer.writeToSequence(
           new javax.imageio.IIOImage(makeImage(docId, n), null, null), null)
         if (frames > 1) {
-          val dot = new BufferedImage(1, 1, BufferedImage.TYPE_3BYTE_BGR)
-          val g = gray(docId)
-          dot.setRGB(0, 0, (g << 16) | (g << 8) | g)
+          val dot = new BufferedImage(1, 1,
+            BufferedImage.TYPE_BYTE_INDEXED, palette)
+          dot.setRGB(0, 0, cmap(gray(docId)))
           var i = 1
           while (i < frames) {
             writer.writeToSequence(
@@ -131,6 +166,42 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 8×8 average-hash of a decoded frame, integer-exact: cell
+      * (bx, by) averages the pixels with bx = x·8 div w, by = y·8 div
+      * h (integer floor division — each average is exact here because
+      * synthesis blocks coincide with hash cells; on real media the
+      * floor-average is the standard aHash), the mean is the floor
+      * average of the 64 cell values, and bit p = by·8 + bx is set
+      * iff its cell exceeds the mean. Packed as two unsigned 32-bit
+      * halves (bits 0–31 → lo, 32–63 → hi) so the DuckDB replay never
+      * meets a signed-64 shift overflow. */
+    def aHash(img: BufferedImage): (Long, Long) = {
+      val w = img.getWidth; val h = img.getHeight
+      val sum = new Array[Long](64); val cnt = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val p = by * 8 + x * 8 / w
+          sum(p) += intensity(img.getRGB(x, y)); cnt(p) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val avg = Array.tabulate(64)(i => sum(i) / cnt(i))
+      val mean = avg.sum / 64
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (avg(i) > mean) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (hi, lo)
+    }
+
     /** The genuine decode: parses the container, reads the pixels. */
     def decode(r: MediaRow): MediaFeatures = r.media_type match {
       case "image" =>
@@ -141,7 +212,7 @@ object Multimodal {
         val in = AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(r.payload))
         try MediaFeatures(r.doc_id, r.media_type, 0, 0,
-          in.getFrameLength.toInt, -1, -1)
+          in.getFrameLength.toInt, -1, -1, -1L, -1L)
         finally in.close()
       case _ =>
         require(r.payload.length > 6 &&
@@ -164,18 +235,26 @@ object Multimodal {
     }
 
     private def probe(r: MediaRow, img: BufferedImage,
-                      nFrames: Int): MediaFeatures =
+                      nFrames: Int): MediaFeatures = {
+      val (hi, lo) = aHash(img)
       MediaFeatures(r.doc_id, r.media_type, img.getWidth, img.getHeight,
-        nFrames, img.getRGB(0, 0) & 0xFF,
-        img.getRGB(img.getWidth - 1, img.getHeight - 1) & 0xFF)
+        nFrames, intensity(img.getRGB(0, 0)),
+        intensity(img.getRGB(img.getWidth - 1, img.getHeight - 1)), hi, lo)
+    }
   }
 
   /** Synthesize the media table: real encoded payloads, media type
     * round-robin by doc_id. Encoding runs distributed (mapPartitions)
     * — the driver never holds the corpus. */
-  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] =
+    mediaTableOf(s, Tables.documents(s, d))
+
+  /** [[mediaTable]] over an explicit document slice — the incremental
+    * ingest's entry point (encode/decode ONLY the arriving batch). */
+  private def mediaTableOf(s: SparkSession,
+                           docs: DataFrame): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { rows =>
@@ -237,6 +316,68 @@ object Multimodal {
     Present.sortedUnbounded(featuresTable(s, d),
       org.apache.spark.sql.functions.col("doc_id"))
 
+  // ---------------------------------------------------------------
+  // Incremental media ingest: the ∝-batch append path for the
+  // features store (the dedup_incremental / bm25_incremental pattern
+  // applied to media) — a new media batch decodes and appends its own
+  // delta segment; the landed base is NEVER re-decoded. The gated
+  // union must hash-equal the full-store replay.
+  // ---------------------------------------------------------------
+
+  /** Every MediaIncrEvery-th doc (doc_id % 10 == 7) plays the
+    * ARRIVING media batch — the suite's split convention. */
+  val MediaIncrEvery = 10L
+  val MediaIncrSlot  = 7L
+
+  private val mediaSegStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val mediaSegIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so MultimodalSpec can pin build-once. */
+  private[graft] val mediaSegBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the (base, delta) feature segments: base decodes the corpus
+    * MINUS the batch (yesterday's store), delta decodes ONLY the
+    * batch — each segment's codec pass touches exactly its own docs,
+    * so the append is priced ∝ batch (at 100 TB: the nightly media
+    * drop decodes overnight's uploads, never the archived petabytes). */
+  private def mediaSegRoots(s: SparkSession, d: String): (String, String) =
+    mediaSegStores.computeIfAbsent(d, _ => {
+      mediaSegBuildCount.incrementAndGet()
+      val n = mediaSegIds.getAndIncrement()
+      val docs = Tables.documents(s, d)
+      val baseOut = graft.Scratch.processScoped("graft_mediab", s"b$n").toString
+      extractFeatures(mediaTableOf(s,
+          docs.filter(col("doc_id") % MediaIncrEvery =!= MediaIncrSlot)))
+        .toDF().write.mode("overwrite").parquet(baseOut)
+      val deltaOut = graft.Scratch.processScoped("graft_mediad", s"d$n").toString
+      extractFeatures(mediaTableOf(s,
+          docs.filter(col("doc_id") % MediaIncrEvery === MediaIncrSlot)))
+        .toDF().write.mode("overwrite").parquet(deltaOut)
+      (baseOut, deltaOut)
+    })
+
+  /** The landed delta segment as a fresh read — exposed so the spec
+    * can pin |delta| = |batch|. */
+  private[graft] def mediaDeltaSegment(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(mediaSegRoots(s, d)._2)
+  /** The landed base segment as a fresh read — exposed so the spec
+    * can pin the batch never reaches the base decode. */
+  private[graft] def mediaBaseSegment(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(mediaSegRoots(s, d)._1)
+
+  /** INCREMENTAL features — base ∪ delta, read as landed segments:
+    * must hash-equal the full-store replay (the oracle IS
+    * multimodal_features' arithmetic), so a dropped batch row, a
+    * double-decoded doc, or a drifted codec between the build paths
+    * hash-fails. */
+  def multimodalFeaturesIncremental(s: SparkSession, d: String): DataFrame = {
+    val (baseRoot, deltaRoot) = mediaSegRoots(s, d)
+    Present.sortedUnbounded(
+      s.read.parquet(baseRoot).unionByName(s.read.parquet(deltaRoot)),
+      col("doc_id"))
+  }
+
   val BoxSize = 224
 
   /** Resize plan: fit each visual payload into a BoxSize square
@@ -295,75 +436,206 @@ object Multimodal {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
-  /** Images whose decoded intensities differ by at most this. */
-  val NearDupEps = 1
-  /** Intensity-bucket width for the candidate join — strictly wider
-    * than [[NearDupEps]], so a qualifying pair never spans more than
-    * ADJACENT buckets. */
-  val NearDupBucket = 4
+  /** Image pairs whose 64-bit average-hashes differ in at most this
+    * many bits. */
+  val HamEps = 2
+  /** Hamming LSH bands — [[HamEps]] + 1, the pigeonhole bound: a pair
+    * within ε differing bits has at least one band with ZERO differing
+    * bits, so band-equality candidate generation is EXHAUSTIVE (the
+    * spec pins bands > ε). */
+  val HamBands = HamEps + 1
 
-  /** Perceptual near-dup over DECODED image intensity — the
-    * pHash-hamming shape of a multimodal pipeline, on this corpus's
-    * 1-D signature (probe intensity; a richer perceptual hash slots
-    * into the same bucketed frame): pairs of images whose decoded
-    * gray differs by ≤ [[NearDupEps]]. The candidate join is
-    * BUCKET-LOCAL (each image probes its own + both adjacent
-    * intensity buckets — bucket width > ε makes that exhaustive), so
-    * candidates are bounded by bucket occupancy and nothing quadratic
-    * exists; the exact |diff| ≤ ε check runs only on candidates —
-    * the MinHash-LSH band pattern applied to a metric signature. The
-    * signatures come from the landed features store (decode-once);
-    * the oracle replays the synthesis arithmetic through the naive
-    * ground-truth self-join, so a candidate bucket that dropped a
-    * qualifying pair hash-fails. */
+  /** The three band values of an (ahash_hi, ahash_lo) pair — 64 bits
+    * split 22/22/20 (bit p = by·8+bx; lo holds 0–31, hi 32–63). One
+    * definition shared by the image and video candidate joins. */
+  private def hashBands(hi: org.apache.spark.sql.Column,
+                        lo: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array(
+      lo.bitwiseAND(lit(0x3FFFFFL)),                               // 0–21
+      shiftright(lo, 22).bitwiseOR(
+        shiftleft(hi.bitwiseAND(lit(0xFFFL)), 10)),                // 22–43
+      shiftright(hi, 12))                                          // 44–63
+
+  /** Exact Hamming distance between two landed hashes. */
+  private def hamming(hiA: org.apache.spark.sql.Column,
+                      loA: org.apache.spark.sql.Column,
+                      hiB: org.apache.spark.sql.Column,
+                      loB: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
+
+  /** Perceptual near-dup over the DECODED key frame's 8×8
+    * average-hash — the published pHash-pipeline shape (LAION / CC
+    * image dedup): pairs of images whose 64-bit aHashes are within
+    * [[HamEps]] Hamming bits. Candidates come from BAND EQUALITY —
+    * each hash splits into [[HamBands]] = ε+1 disjoint bands, and by
+    * pigeonhole a qualifying pair matches exactly in at least one
+    * band, so the equality self-join on (band, value) is exhaustive
+    * while nothing quadratic exists (candidates are bounded by band-
+    * bucket occupancy — the MinHash-LSH band pattern applied to
+    * Hamming space). The exact distance check runs only on
+    * candidates; the hashes come from the landed features store
+    * (decode-once, binaries never re-read). The oracle replays the
+    * synthesis arithmetic through the naive ground-truth self-join,
+    * so a band split that dropped a qualifying pair hash-fails. */
   def mediaNearDup(s: SparkSession, d: String): DataFrame = {
     val img = featuresTable(s, d)
       .filter(col("media_type") === "image")
-      .select(col("doc_id"), col("px00").as("g"))
-    val a = img.select(col("doc_id").as("doc_a"), col("g").as("g_a"),
-      expr(s"g div $NearDupBucket").as("bk"))
-    val b = img.select(col("doc_id").as("doc_b"), col("g").as("g_b"),
-      explode(array(expr(s"g div $NearDupBucket") - 1,
-        expr(s"g div $NearDupBucket"),
-        expr(s"g div $NearDupBucket") + 1)).as("bk"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    def banded(tag: String) = img.select(
+      col("doc_id").as(s"doc_$tag"),
+      col("ahash_hi").as(s"hi_$tag"), col("ahash_lo").as(s"lo_$tag"),
+      posexplode(hashBands(col("ahash_hi"), col("ahash_lo")))
+        .as(Seq("band", "bv")))
+    banded("a").join(banded("b"), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+          .as("hamming"))
+      .filter(col("hamming") <= HamEps)
+      // a pair can match in several bands — one row per pair
+      .groupBy("doc_a", "doc_b").agg(max("hamming").as("hamming"))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** Audio near-dup tolerance (decoded sample counts) and its
+    * candidate-bucket width — width > ε makes own+adjacent buckets
+    * exhaustive. */
+  val AudioEps = 2
+  val AudioBucket = 8
+
+  /** Audio near-dup: pairs whose DECODED sample counts differ by at
+    * most [[AudioEps]] — the duration-fingerprint rung of the media
+    * family (a real audio fingerprint — chroma/spectral — lands in
+    * the same bucketed frame; the container-derived sample count is
+    * what this corpus's WAV payloads carry). Bucket-local candidate
+    * join (own + both adjacent buckets, width > ε ⇒ exhaustive);
+    * signatures from the landed store, never a payload re-read. */
+  def mediaNearDupAudio(s: SparkSession, d: String): DataFrame = {
+    val au = featuresTable(s, d)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("n_frames").as("samples"))
+    val a = au.select(col("doc_id").as("doc_a"), col("samples").as("s_a"),
+      expr(s"samples div $AudioBucket").as("bk"))
+    val b = au.select(col("doc_id").as("doc_b"), col("samples").as("s_b"),
+      explode(array(expr(s"samples div $AudioBucket") - 1,
+        expr(s"samples div $AudioBucket"),
+        expr(s"samples div $AudioBucket") + 1)).as("bk"))
     a.join(b, Seq("bk"))
       .filter(col("doc_a") < col("doc_b") &&
-        abs(col("g_a") - col("g_b")) <= NearDupEps)
-      .select("doc_a", "doc_b", "g_a", "g_b")
+        abs(col("s_a") - col("s_b")) <= AudioEps)
+      .select("doc_a", "doc_b", "s_a", "s_b")
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** Video near-dup tolerance (decoded frame counts) and its bucket
+    * width. */
+  val FrameEps = 8
+  val FrameBucket = 16
+
+  /** Video near-dup: pairs with the SAME key-frame average-hash whose
+    * DECODED frame counts differ by at most [[FrameEps]] — the
+    * key-frame + duration signature (a trimmed/re-encoded copy keeps
+    * the key frame and shifts the frame count a little; full
+    * frame-sequence signatures land in the same frame). Candidates
+    * join on (hash, frame-bucket) equality with the own+adjacent
+    * probe — bucket width > ε keeps it exhaustive, and the hash
+    * equality makes buckets tiny. Signatures from the landed store. */
+  def mediaNearDupVideo(s: SparkSession, d: String): DataFrame = {
+    val vid = featuresTable(s, d)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("n_frames"))
+    val a = vid.select(col("doc_id").as("doc_a"), col("ahash_hi"),
+      col("ahash_lo"), col("n_frames").as("f_a"),
+      expr(s"n_frames div $FrameBucket").as("bk"))
+    val b = vid.select(col("doc_id").as("doc_b"), col("ahash_hi"),
+      col("ahash_lo"), col("n_frames").as("f_b"),
+      explode(array(expr(s"n_frames div $FrameBucket") - 1,
+        expr(s"n_frames div $FrameBucket"),
+        expr(s"n_frames div $FrameBucket") + 1)).as("bk"))
+    a.join(b, Seq("ahash_hi", "ahash_lo", "bk"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("f_a") - col("f_b")) <= FrameEps)
+      .select("doc_a", "doc_b", "f_a", "f_b")
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> multimodalFeatures _,
+    "multimodal_features_incremental" -> multimodalFeaturesIncremental _,
     "multimodal_resize"   -> multimodalResize _,
     "multimodal_frames"   -> multimodalFrames _,
     "media_dedup"         -> mediaDedup _,
     "media_neardup"       -> mediaNearDup _,
+    "media_neardup_audio" -> mediaNearDupAudio _,
+    "media_neardup_video" -> mediaNearDupVideo _,
   )
+
+  /** The aHash replay CTEs (`cells` → `hmean` → `hb`) over an `m`
+    * relation carrying (doc_id, n) — the ONE arithmetic twin of
+    * [[Codec.cellGray]] + [[Codec.aHash]], shared by every
+    * hash-consuming oracle so the bit layout cannot drift. */
+  private def ahashCtesSql: String =
+    """cells AS (
+      |  SELECT m.doc_id, byy.by, bxx.bx,
+      |    ((m.doc_id % 256) + (31 + m.n % 5) * bxx.bx + 17 * byy.by) % 256
+      |      AS cv
+      |  FROM m, unnest(range(0, 8)) AS byy(by),
+      |    unnest(range(0, 8)) AS bxx(bx)),
+      |hmean AS (SELECT doc_id, sum(cv) // 64 AS mean
+      |          FROM cells GROUP BY 1),
+      |hb AS (
+      |  SELECT c.doc_id,
+      |    CAST(sum(CASE WHEN c.cv > h.mean AND c.by * 8 + c.bx >= 32
+      |      THEN (1::BIGINT << (c.by * 8 + c.bx - 32)) ELSE 0 END)
+      |      AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN c.cv > h.mean AND c.by * 8 + c.bx < 32
+      |      THEN (1::BIGINT << (c.by * 8 + c.bx)) ELSE 0 END)
+      |      AS BIGINT) AS ahash_lo
+      |  FROM cells c JOIN hmean h USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** The full features replay — ONE builder for the store query and
+    * its incremental (base ∪ delta) twin, whose contract is exactly
+    * "hash-equals the full replay". */
+  private def featuresOracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
+       |    n_chars AS n
+       |  FROM documents),
+       |$ahashCtesSql
+       |SELECT m.doc_id, media_type,
+       |  CASE WHEN media_type = 'audio' THEN 0
+       |    ELSE (n % 64 + 16)::INT END AS width,
+       |  CASE WHEN media_type = 'audio' THEN 0
+       |    ELSE (n % 48 + 16)::INT END AS height,
+       |  CASE media_type WHEN 'image' THEN 1
+       |    WHEN 'audio' THEN (n % 1000 + 1)::INT
+       |    ELSE (n % 240 + 1)::INT END AS n_frames,
+       |  CASE WHEN media_type = 'audio' THEN -1
+       |    ELSE (m.doc_id % 256)::INT END AS px00,
+       |  CASE WHEN media_type = 'audio' THEN -1
+       |    ELSE ((m.doc_id % 256 + 7 * (31 + n % 5) + 119) % 256)::INT
+       |    END AS px_corner,
+       |  CASE WHEN media_type = 'audio' THEN -1
+       |    ELSE hb.ahash_hi END AS ahash_hi,
+       |  CASE WHEN media_type = 'audio' THEN -1
+       |    ELSE hb.ahash_lo END AS ahash_lo
+       |FROM m LEFT JOIN hb ON m.doc_id = hb.doc_id
+       |ORDER BY m.doc_id""".stripMargin
 
   /** The oracle replicates the synthesis arithmetic from
     * (`doc_id`, `n_chars`); Spark only recovers these values by
-    * decoding the PNG/WAV/GFTV payloads. */
+    * decoding the PNG/WAV/GIF payloads. */
   val oracle: Map[String, String] = Map(
-    "multimodal_features" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
-        |    n_chars AS n
-        |  FROM documents)
-        |SELECT doc_id, media_type,
-        |  CASE WHEN media_type = 'audio' THEN 0
-        |    ELSE (n % 64 + 16)::INT END AS width,
-        |  CASE WHEN media_type = 'audio' THEN 0
-        |    ELSE (n % 48 + 16)::INT END AS height,
-        |  CASE media_type WHEN 'image' THEN 1
-        |    WHEN 'audio' THEN (n % 1000 + 1)::INT
-        |    ELSE (n % 240 + 1)::INT END AS n_frames,
-        |  CASE WHEN media_type = 'audio' THEN -1
-        |    ELSE (doc_id % 256)::INT END AS px00,
-        |  CASE WHEN media_type = 'audio' THEN -1
-        |    ELSE ((doc_id % 256 + 7) % 256)::INT END AS px_corner
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "multimodal_features" -> featuresOracleSql,
+    // incremental ingest must be INVISIBLE in the answer: base ∪
+    // delta ≡ the full store, so the oracle is the same full replay —
+    // a dropped batch row, a double-decode, or a codec drift between
+    // the two build paths hash-fails
+    "multimodal_features_incremental" -> featuresOracleSql,
     "multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -410,7 +682,8 @@ object Multimodal {
         |    CASE WHEN media_type = 'audio' THEN -1
         |      ELSE (doc_id % 256)::INT END AS px00,
         |    CASE WHEN media_type = 'audio' THEN -1
-        |      ELSE ((doc_id % 256 + 7) % 256)::INT END AS px_corner
+        |      ELSE ((doc_id % 256 + 7 * (31 + n % 5) + 119) % 256)::INT
+        |      END AS px_corner
         |  FROM m),
         |dd AS (
         |  SELECT doc_id, media_type, min(doc_id) OVER (
@@ -419,17 +692,47 @@ object Multimodal {
         |  FROM sig)
         |SELECT doc_id, media_type, dup_of FROM dd
         |WHERE doc_id <> dup_of ORDER BY doc_id""".stripMargin,
-    // the GROUND-TRUTH naive self-join: the Spark side's bucketed
-    // candidate form is defined equal to it, so a bucket that
-    // dropped a qualifying pair hash-fails
+    // the GROUND-TRUTH naive Hamming self-join over the arithmetic-
+    // replayed hashes: the Spark side's banded candidate form is
+    // defined equal to it, so a band split that dropped a qualifying
+    // pair hash-fails
     "media_neardup" ->
-      """WITH img AS (
-        |  SELECT doc_id, (doc_id % 256)::INT AS g
-        |  FROM documents WHERE doc_id % 3 = 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  a.g AS g_a, b.g AS g_b
-        |FROM img a JOIN img b
-        |  ON a.doc_id < b.doc_id AND abs(a.g - b.g) <= 1
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars AS n FROM documents
+         |  WHERE doc_id % 3 = 0),
+         |$ahashCtesSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  (bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |   bit_count(xor(a.ahash_lo, b.ahash_lo)))::INT AS hamming
+         |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |      bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $HamEps
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // naive ground truth over the decoded-sample-count arithmetic
+    "media_neardup_audio" ->
+      s"""WITH au AS (
+         |  SELECT doc_id, (n_chars % 1000 + 1)::INT AS s
+         |  FROM documents WHERE doc_id % 3 = 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.s AS s_a, b.s AS s_b
+         |FROM au a JOIN au b
+         |  ON a.doc_id < b.doc_id AND abs(a.s - b.s) <= $AudioEps
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // naive ground truth: key-frame hash equality + frame proximity
+    "media_neardup_video" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars AS n FROM documents
+         |  WHERE doc_id % 3 = 2),
+         |$ahashCtesSql,
+         |v AS (
+         |  SELECT m.doc_id, (m.n % 240 + 1)::INT AS f,
+         |    hb.ahash_hi, hb.ahash_lo
+         |  FROM m JOIN hb ON m.doc_id = hb.doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.f AS f_a, b.f AS f_b
+         |FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |  AND a.ahash_hi = b.ahash_hi AND a.ahash_lo = b.ahash_lo
+         |  AND abs(a.f - b.f) <= $FrameEps
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -51,7 +51,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("PNG decode recovers known pixels from a fixture image") {
+  test("PNG decode recovers known pixels and the aHash from a fixture") {
     import Multimodal.{Codec, MediaRow}
     val png = Codec.encodePng(docId = 6L, n = 100L)
     // genuine PNG container, not raw bytes
@@ -59,8 +59,22 @@ class MultimodalSpec extends SparkSpec {
     val f = Codec.decode(MediaRow(6L, "image", png))
     assert(f.width == 100 % 64 + 16 && f.height == 100 % 48 + 16)
     assert(f.n_frames == 1)
-    assert(f.px00 == 6)          // gray fill = doc_id % 256
-    assert(f.px_corner == 13)    // corner marker = (gray + 7) % 256
+    assert(f.px00 == 6)                       // block (0,0) = doc_id % 256
+    assert(f.px_corner == Codec.cornerGray(6L, 100L)) // block (7,7)
+    // the DECODED aHash equals the synthesis-arithmetic hash — the
+    // exact contract the DuckDB oracle replays (cells are uniform, so
+    // integer cell averages are exact)
+    val cells = for (by <- 0 until 8; bx <- 0 until 8)
+      yield (by * 8 + bx, Codec.cellGray(6L, 100L, bx, by).toLong)
+    val mean = cells.map(_._2).sum / 64
+    var (hi, lo) = (0L, 0L)
+    cells.foreach { case (p, cv) =>
+      if (cv > mean) { if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32) }
+    }
+    assert((f.ahash_hi, f.ahash_lo) == ((hi, lo)),
+      s"decoded hash ${(f.ahash_hi, f.ahash_lo)} != arithmetic ${(hi, lo)}")
+    // the hash is genuinely multi-bit (not the 1-D intensity rung)
+    assert(java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo) > 8)
   }
 
   test("WAV decode recovers the frame count from the parsed container") {
@@ -80,7 +94,12 @@ class MultimodalSpec extends SparkSpec {
     val f = Codec.decode(MediaRow(2L, "video", vid))
     assert(f.n_frames == 300 % 240 + 1)
     assert(f.width == 300 % 64 + 16 && f.height == 300 % 48 + 16)
-    assert(f.px00 == 2 && f.px_corner == 9)
+    assert(f.px00 == 2 && f.px_corner == Codec.cornerGray(2L, 300L))
+    // the GIF round trip is LOSSLESS (indexed gray palette): the key
+    // frame's hash equals the PNG twin's
+    val png = Codec.decode(MediaRow(2L, "image", Codec.encodePng(2L, 300L)))
+    assert((f.ahash_hi, f.ahash_lo) == ((png.ahash_hi, png.ahash_lo)),
+      "GIF key frame hash diverged from the PNG twin — palette loss")
     // independent frame count: an ImageIO reader NOT constructed by
     // the codec must agree with the decode's container walk
     val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
@@ -142,29 +161,105 @@ class MultimodalSpec extends SparkSpec {
       "media_dedup rebuilt the features store")
   }
 
-  test("media near-dup: bucketed candidates ≡ the naive pair rule, no cartesian") {
+  test("media near-dup: banded Hamming candidates ≡ the naive rule, no cartesian") {
     import spark.implicits._
+    // pigeonhole exhaustiveness precondition: with bands > ε, a pair
+    // within ε differing bits matches exactly in ≥ 1 band
+    assert(Multimodal.HamBands > Multimodal.HamEps,
+      "band count must exceed ε or band-equality candidates drop pairs")
     val df = Multimodal.mediaNearDup(spark, sfDir)
     val got = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
-    // plain-Scala ground truth from the decoded store
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // plain-Scala ground truth from the decoded store's hashes
     val imgs = Multimodal.featuresTable(spark, sfDir)
       .filter($"media_type" === "image")
-      .select("doc_id", "px00").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+      .select("doc_id", "ahash_hi", "ahash_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val want = for {
-      (a, ga) <- imgs; (b, gb) <- imgs
-      if a < b && math.abs(ga - gb) <= Multimodal.NearDupEps
-    } yield (a, b, ga, gb)
+      (a, hiA, loA) <- imgs; (b, hiB, loB) <- imgs
+      ham = java.lang.Long.bitCount(hiA ^ hiB) +
+        java.lang.Long.bitCount(loA ^ loB)
+      if a < b && ham <= Multimodal.HamEps
+    } yield (a, b, ham)
     assert(got.sorted == want.sorted.toSeq,
-      s"bucketed pairs diverge from the naive rule: got ${got.size}, " +
+      s"banded pairs diverge from the naive rule: got ${got.size}, " +
         s"want ${want.size}")
-    // each pair exactly once, and the plan joins on the bucket key —
+    assert(got.nonEmpty, "corpus yields no near-dup pair — gate vacuous")
+    // each pair exactly once, and the candidate join is band-equality —
     // never a cartesian over the image set
     assert(got.distinct.size == got.size, "duplicate candidate pairs")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      s"near-dup candidates are not bucket-local:\n$plan")
+      s"near-dup candidates are not band-local:\n$plan")
+  }
+
+  test("audio/video near-dup: bucketed candidates ≡ naive, no cartesian") {
+    import spark.implicits._
+    val store = Multimodal.featuresTable(spark, sfDir)
+    // audio: |Δ decoded samples| ≤ ε through the adjacent-bucket probe
+    val adf = Multimodal.mediaNearDupAudio(spark, sfDir)
+    val aGot = adf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val au = store.filter($"media_type" === "audio")
+      .select("doc_id", "n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    val aWant = for {
+      (a, sa) <- au; (b, sb) <- au
+      if a < b && math.abs(sa - sb) <= Multimodal.AudioEps
+    } yield (a, b, sa, sb)
+    assert(aGot.sorted == aWant.sorted.toSeq,
+      s"audio pairs diverge: got ${aGot.size}, want ${aWant.size}")
+    assert(aGot.nonEmpty, "no audio near-dup pair — gate vacuous")
+    // video: key-frame hash equality + |Δ frames| ≤ ε
+    val vdf = Multimodal.mediaNearDupVideo(spark, sfDir)
+    val vGot = vdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val vids = store.filter($"media_type" === "video")
+      .select("doc_id", "ahash_hi", "ahash_lo", "n_frames").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getInt(3)))
+      .sortBy(_._1)
+    val vWant = for {
+      (a, ha, fa) <- vids; (b, hb, fb) <- vids
+      if a < b && ha == hb && math.abs(fa - fb) <= Multimodal.FrameEps
+    } yield (a, b, fa, fb)
+    assert(vGot.sorted == vWant.sorted.toSeq,
+      s"video pairs diverge: got ${vGot.size}, want ${vWant.size}")
+    Seq(adf, vdf).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"near-dup candidates are not bucket-local:\n$plan")
+    }
+  }
+
+  test("incremental media ingest: base ∪ delta ≡ full store, delta ∝ batch") {
+    // the union must answer exactly like the full store
+    val full = Multimodal.multimodalFeatures(spark, sfDir).collect().toSeq
+    val incr = Multimodal.multimodalFeaturesIncremental(spark, sfDir)
+      .collect().toSeq
+    assert(incr == full,
+      "incremental features diverged from the full store replay")
+    // the delta segment holds EXACTLY the batch (decode ∝ batch), and
+    // the batch never reached the base decode
+    val nBatch = graft.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        % Multimodal.MediaIncrEvery === Multimodal.MediaIncrSlot).count()
+    assert(nBatch > 0, "empty media batch — gate vacuous")
+    assert(Multimodal.mediaDeltaSegment(spark, sfDir).count() == nBatch,
+      "delta segment is not batch-shaped")
+    assert(Multimodal.mediaBaseSegment(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        % Multimodal.MediaIncrEvery === Multimodal.MediaIncrSlot)
+      .count() == 0, "batch docs leaked into the base decode")
+    // segments land once; re-running is pure segment reads
+    val b0 = Multimodal.mediaSegBuildCount.get()
+    val df = Multimodal.multimodalFeaturesIncremental(spark, sfDir)
+    df.collect()
+    assert(Multimodal.mediaSegBuildCount.get() == b0,
+      "media segments rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mediab") && plan.contains("graft_mediad"),
+      "incremental read does not stand on the landed segments:\n" + plan)
   }
 }
