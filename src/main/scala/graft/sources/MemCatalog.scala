@@ -643,6 +643,22 @@ class MemTable(tableName: String, tableSchema: StructType,
   // Compaction records NOTHING here: it rewrites the live base without
   // changing content, and landed manifests keep their own references.
   private val versionLog = new java.util.ArrayList[Array[MemRow]]()
+  // PER-COMMIT DELTA LOG, index-aligned with versionLog: the row
+  // references that ENTERED and LEFT the table view at each commit —
+  // landed AT COMMIT TIME (the Delta/Iceberg change-log shape), so a
+  // `table_changes` read touches only the requested commits' deltas,
+  // O(changed), never re-diffing O(Σ manifest sizes). A production
+  // store gets these records from the commit operation itself; this
+  // toy commit path derives them from the manifest pair it already
+  // holds in memory (no asymptotic cost over the snapshot() the
+  // commit pays anyway) — the READ-path contract is what's real.
+  // Caveat, same as the real systems': a COPY-ON-WRITE rewrite mints
+  // references for every rewritten row, so ITS delta is ∝ rewrite
+  // (Delta CDF without CDC files reads the rewritten files too);
+  // MoR/append/metadata-delete commits log ∝ change, and the spec
+  // pins that shape.
+  private val changeLog =
+    new java.util.ArrayList[(Array[MemRow], Array[MemRow])]()
   // wall-clock commit instants (micros), index-aligned with
   // versionLog — what TIMESTAMP AS OF resolves against
   private val versionTimes = new java.util.ArrayList[Long]()
@@ -652,7 +668,19 @@ class MemTable(tableName: String, tableSchema: StructType,
   private var lastVersionTime = 0L
   private[sources] def commitVersion(): Unit =
     rows.synchronized {
-      versionLog.add(snapshot())
+      val prev: Array[MemRow] =
+        if (versionLog.isEmpty) Array.empty
+        else versionLog.get(versionLog.size - 1)
+      val cur = snapshot()
+      // reference diff (a commit reuses every untouched row's
+      // reference, so this finds exactly the touched rows); the
+      // VALUE-level cancellation stays at read time — it must resolve
+      // under the reader's current schema, not the commit-time one
+      val prevSet = idSetOf(prev)
+      val curSet = idSetOf(cur)
+      changeLog.add((prev.filterNot(curSet.contains),
+        cur.filterNot(prevSet.contains)))
+      versionLog.add(cur)
       // strictly-increasing commit instants: max(prev+1, now) makes
       // same-millisecond commits distinguishable to TIMESTAMP AS OF
       // and keeps the recorded history monotonic even under a
@@ -680,48 +708,53 @@ class MemTable(tableName: String, tableSchema: StructType,
     new MemVersionTable(s"$tableName@v$v", manifest, effectiveSchema,
       layoutSnapshot, defaultsSnapshot)
   }
-  /** Row-level CDC between two landed version manifests — the
+  /** Reference-identity set of a manifest — the diff primitive shared
+    * by the commit-time delta landing and nothing else (reads consume
+    * the landed deltas). */
+  private def idSetOf(a: Array[MemRow]): java.util.Set[MemRow] = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[MemRow, java.lang.Boolean]())
+    a.foreach(s.add); s
+  }
+
+  /** Per-commit delta sizes (deletes, inserts) — exposed so the spec
+    * can pin that the landed change log is ∝ CHANGE, not ∝ table
+    * (a 1-row update against a large table logs 2 records). */
+  private[graft] def changeRecCounts: Seq[(Int, Int)] =
+    rows.synchronized {
+      import scala.jdk.CollectionConverters._
+      changeLog.asScala.map(d => (d._1.length, d._2.length)).toSeq
+    }
+
+  /** Row-level CDC between two landed versions — the
     * `table_changes(from_v, to_v)` read (Delta's CDF / Iceberg's
-    * changelog shape): for each commit in (fromV, toV], diff the
-    * commit's manifest against its predecessor's and emit the rows
+    * changelog shape): for each commit in (fromV, toV], emit the rows
     * that ENTERED ("insert") and LEFT ("delete") the table view,
-    * stamped with the commit ordinal. The diff is by row REFERENCE —
-    * manifests share row payloads with the base, a commit reuses
-    * every untouched row's reference, and compaction folds the live
-    * base without minting references — so an unchanged row never
-    * appears in any diff, an update surfaces as delete(old) +
-    * insert(new) at its commit, and a compaction between the two
-    * versions contributes NOTHING (maintenance is content-neutral —
-    * the same invariant time travel pins). MoR deltas are already
-    * folded: manifests land post-merge.
+    * stamped with the commit ordinal. The read consumes the
+    * PER-COMMIT DELTA LOG landed at commit time ([[commitVersion]])
+    * — cost O(changed rows in range), never O(Σ manifest sizes); the
+    * snapshot manifests serve time travel only. Reference-diffed
+    * deltas mean an unchanged row never appears, an update surfaces
+    * as delete(old) + insert(new) at its commit, and a compaction
+    * between the two versions contributes NOTHING (maintenance is
+    * content-neutral — the same invariant time travel pins; it calls
+    * no commitVersion, so it lands no delta). MoR deltas are already
+    * folded: commits land post-merge.
     *
-    * CONTRACT vs TOY: the diff SEMANTICS are the contract — per-commit
-    * value-multiset delta (EXCEPT ALL in both directions), maintenance
-    * content-neutral, MoR pre-folded. The snapshot-MANIFEST storage is
-    * the toy half: a full row-reference array per version costs
-    * O(versions × rows) driver memory (pointer-sized, payloads shared)
-    * and a full-range read costs O(Σ manifest sizes); a production
-    * store logs per-commit DELTAS and serves `changes` in O(changed)
-    * — same output, different bookkeeping.
-    *
-    * The reference diff finds candidate changes cheaply (a commit
-    * reuses every untouched row's reference), then a VALUE-level
-    * cancellation pass drops delete/insert pairs that are value-equal
-    * under the current schema: a value-preserving rewrite (UPDATE that
-    * sets a column to its existing value) mints a new MemRow but is
-    * CDC-invisible under the value-multiset contract — the DuckDB
-    * oracle's EXCEPT ALL replay emits nothing for it, and so must we. */
+    * The landed reference-diff finds the touched rows; a VALUE-level
+    * cancellation pass at READ time (it must resolve under the
+    * reader's CURRENT schema, not the commit-time one) drops
+    * delete/insert pairs that are value-equal: a value-preserving
+    * rewrite (UPDATE that sets a column to its existing value) mints
+    * a new MemRow but is CDC-invisible under the value-multiset
+    * contract — the DuckDB oracle's EXCEPT ALL replay emits nothing
+    * for it, and so must we. */
   private[sources] def changesBetween(fromV: Long, toV: Long)
       : Seq[(Long, String, MemRow)] = rows.synchronized {
-    if (fromV < 1 || toV < fromV || toV > versionLog.size)
+    if (fromV < 1 || toV < fromV || toV > changeLog.size)
       throw new IllegalArgumentException(
         s"table_changes range [$fromV, $toV] outside committed " +
-          s"versions [1, ${versionLog.size}] of $tableName")
-    def idSet(a: Array[MemRow]) = {
-      val s = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[MemRow, java.lang.Boolean]())
-      a.foreach(s.add); s
-    }
+          s"versions [1, ${changeLog.size}] of $tableName")
     // a row's value tuple under the CURRENT schema (the same field-id
     // resolution every scan applies) — value identity, not reference
     // identity, decides what the CDC read emits
@@ -735,12 +768,7 @@ class MemTable(tableName: String, tableSchema: StructType,
         else mr.row.get(pos, sch.fields(j).dataType)
       }
     (fromV until toV).flatMap { v =>
-      val prev = versionLog.get(v.toInt - 1)
-      val cur = versionLog.get(v.toInt)
-      val prevSet = idSet(prev)
-      val curSet = idSet(cur)
-      val dels = prev.filterNot(curSet.contains)
-      val inss = cur.filterNot(prevSet.contains)
+      val (dels, inss) = changeLog.get(v.toInt)
       // cancel value-equal delete/insert pairs (multiset semantics:
       // each delete consumes at most one value-equal insert). Emitted
       // rows resolve to values anyway, so WHICH instance survives a

@@ -708,6 +708,36 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CDC: per-commit delta log ∝ change; reads consume deltas only") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.cdcd.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.cdcd.t SELECT id, id * 10 FROM " +
+      "(SELECT explode(sequence(1, 500)) AS id)")        // v1: 500 inserts
+    cs.sql("UPDATE mem.cdcd.t SET v = -1 WHERE k = 250") // v2: 1-row change
+    cs.sql("DELETE FROM mem.cdcd.t WHERE k = 100")       // v3: 1-row change
+    val cat = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+    val t = cat.loadTable(Identifier.of(Array("cdcd"), "t"))
+      .asInstanceOf[MemTable]
+    // the LANDED change log is ∝ what each commit touched — a 1-row
+    // update against the 500-row table logs 2 records, not 500: this
+    // is what makes the read O(changed) instead of O(Σ manifests)
+    val sizes = t.changeRecCounts
+    assert(sizes == Seq((0, 500), (1, 1), (1, 0)),
+      s"per-commit delta log not ∝ change: $sizes")
+    // and the wide-range read over those deltas answers exactly
+    val got = cs.sql("CALL mem.sys.changes('cdcd.t', 1L, 3L)")
+      .collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set(
+      (2L, "delete", 250L, 2500L), (2L, "insert", 250L, -1L),
+      (3L, "delete", 100L, 1000L)), got)
+  }
+
   test("CDC: a value-preserving UPDATE is invisible (value-multiset semantics)") {
     val cs = mounted()
     cs.sql("CREATE TABLE mem.cdcnp.t (k BIGINT, v BIGINT) " +
