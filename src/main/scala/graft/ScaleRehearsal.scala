@@ -401,6 +401,72 @@ object ScaleRehearsal {
     dir.toString
   }
 
+  /** Zipf vocabulary size for the realistic-corpus retrieval
+    * rehearsals. */
+  val ZipfVocab = 20000
+
+  /** Deterministic alphabetic word for Zipf rank r (letters only —
+    * the tokenizer splits on non-letters, so digits would shear every
+    * word apart). */
+  private def zipfWordOf(r: Int): String = {
+    var x = r; val sb = new StringBuilder("q")
+    while (x > 0) { sb.append(('a' + x % 26).toChar); x /= 26 }
+    sb.toString
+  }
+
+  /** Stage a SYNTHETIC HEAVY-TAILED corpus: `mult` × the base doc
+    * count, each doc 40–80 tokens drawn Zipf(s≈1) from a
+    * [[ZipfVocab]]-word vocabulary — rank = ⌊exp(u·ln V)⌋ under a
+    * per-(doc, pos) xxhash64-derived uniform u, the inverse-CDF of
+    * P(rank ≤ r) ≈ ln r / ln V. This is the round-15 verdict's
+    * missing corpus: the committed WAND default-plan verdict and the
+    * workload saturation point were measured on the driver corpus's
+    * 31-word vocabulary, where every df-distribution-sensitive number
+    * is a degenerate-vocabulary artifact. Deterministic (hash-derived,
+    * no RNG), engine-free, rehearsal-only. */
+  def stageDocsZipf(s: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = stagedDir("docszipf", sfDir, mult)
+    val fp = sourceFingerprint(Seq(
+      java.nio.file.Paths.get(sfDir, "documents.parquet"))) + s"|v$ZipfVocab"
+    if (isStaged(dir, fp)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val nBase = Tables.documents(s, sfDir).count()
+    val ndocs = nBase * mult
+    import scala.jdk.CollectionConverters._
+    val words = s.createDataFrame(
+      (1 to ZipfVocab).map(r =>
+        org.apache.spark.sql.Row(r, zipfWordOf(r))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType))))
+    s.range(ndocs).select(col("id").as("doc_id"))
+      .withColumn("len",
+        pmod(xxhash64(col("doc_id"), lit("len")), lit(41L)) + lit(40L))
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("len"))).as("pos"))
+      .withColumn("u",
+        (pmod(xxhash64(col("doc_id"), col("pos"), lit("w")),
+          lit(1000000L)) + lit(1L)).cast("double") / 1000000.0)
+      .withColumn("rank",
+        least(lit(ZipfVocab),
+          greatest(lit(1),
+            floor(exp(col("u") * log(lit(ZipfVocab.toDouble))))
+              .cast("int"))))
+      .join(broadcast(words), "rank")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          e => e.getField("word")), " ").as("text"))
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        lit("zipf").as("source"), length(col("text")).as("n_chars"))
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    markStaged(dir, fp)
+    dir.toString
+  }
+
   /** line_dedup + pack_sequences over staged doc multiples: wall +
     * shuffle, linear expectation by construction. */
   def runPipeline(s: SparkSession, sfDir: String, mults: Seq[Int],
@@ -661,20 +727,79 @@ object ScaleRehearsal {
     * scoring join stays ∝ matched pairs — wall/n falling with n is
     * the amortization receipt. */
   def runWorkload(s: SparkSession, sfDir: String, mults: Seq[Int],
-                  passes: Int = 3): Unit = {
+                  passes: Int = 3,
+                  stager: (SparkSession, String, Int) => String = stageDocs,
+                  fam: String = "workload"): Unit = {
     val listener = new ShuffleListener
     s.sparkContext.addSparkListener(listener)
     mults.foreach { m =>
-      val staged = stageDocs(s, sfDir, m)
+      val staged = stager(s, sfDir, m)
       Seq(3, 30, 100).foreach { n =>
         val wl = operators.Retrieval.workloadOf(s, staged, n)
         val buckets = wl.flatMap(_._2.split(" "))
           .map(operators.Retrieval.wbOf).distinct.size
-        println(s"""{"family":"workload","query":"wl_shape","mult":$m,""" +
+        println(s"""{"family":"$fam","query":"wl_shape","mult":$m,""" +
           s""""n_queries":$n,"distinct_buckets":$buckets,""" +
           s""""of_buckets":${operators.Retrieval.WordBuckets}}""")
-        measure(s, listener, "workload", s"bm25_wl$n", m, passes)(
+        measure(s, listener, fam, s"bm25_wl$n", m, passes)(
           operators.Retrieval.bm25RankedWith(s, staged, wl))
+      }
+    }
+  }
+
+  /** The WAND receipts on the REALISTIC (Zipf heavy-tailed) corpus —
+    * the round-15 verdict's top item: both regimes re-measured where
+    * the df distribution is no longer a 31-word artifact. Generated
+    * workloads (the gate's fixed English terms don't exist in the
+    * staged vocabulary): `hot` = 3-hottest-term triples (the gate
+    * regime), `sel` = one mid-df seed + two hot terms (the WAND win
+    * regime). Skip-ratio JSON lines ride along per regime. */
+  def runWandZipf(s: SparkSession, sfDir: String, mults: Seq[Int],
+                  passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocsZipf(s, sfDir, m)
+      def receipts(regime: String, wl: Seq[(Long, String)]): Unit = {
+        measure(s, listener, "wandzipf", s"bm25_plain_$regime", m, passes)(
+          operators.Retrieval.bm25RankedWith(s, staged, wl))
+        val (pruned, matched, scored) =
+          operators.Retrieval.wandPlan(s, staged, wl)
+        measure(s, listener, "wandzipf", s"bm25_wand_$regime", m, passes)(
+          pruned)
+        val nm = matched.count(); val ns = scored.count()
+        println(s"""{"family":"wandzipf","query":"wand_skipped_$regime",""" +
+          s""""mult":$m,"matched_pairs":$nm,"scored_pairs":$ns,""" +
+          s""""skipped_pairs":${nm - ns}}""")
+      }
+      receipts("hot", operators.Retrieval.workloadOf(s, staged, 3))
+      receipts("sel", operators.Retrieval.selectiveWorkloadOf(s, staged, 3))
+    }
+  }
+
+  /** Bucket-count knob, measured (round-15 verdict item 6): the same
+    * Zipf corpus indexed at WordBuckets ∈ {64, 256}, probed with the
+    * same hot workload through the same scoring chain — wall +
+    * input_bytes/records per layout. Expectation: probes prune to the
+    * matched buckets at either count (input ∝ matched postings, not
+    * bucket count), converting the "4096 buckets at 100 TB" sizing
+    * rule from claim to receipt. Pass 1 of each walls array carries
+    * that layout's index build. */
+  def runBuckets(s: SparkSession, sfDir: String, mults: Seq[Int],
+                 passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocsZipf(s, sfDir, m)
+      val wl = operators.Retrieval.workloadOf(s, staged, 3)
+      Seq(64, 256).foreach { b =>
+        val root = operators.Retrieval.indexRootAt(s, staged, b)
+        measure(s, listener, "buckets", s"bm25_b$b", m, passes)(
+          operators.Retrieval.bm25RankedAt(s, root, b, wl))
+        val probed = wl.flatMap(_._2.split(" "))
+          .map(operators.Retrieval.wbOfAt(_, b)).distinct.size
+        println(s"""{"family":"buckets","query":"probe_shape","mult":$m,""" +
+          s""""buckets":$b,"probed_buckets":$probed}""")
       }
     }
   }
@@ -1076,6 +1201,13 @@ object ScaleRehearsal {
       runWandMix(spark, sfDir, mults)
     if (family("workload"))
       runWorkload(spark, sfDir, mults)
+    if (family("wandzipf"))
+      runWandZipf(spark, sfDir, mults)
+    if (family("workloadzipf"))
+      runWorkload(spark, sfDir, mults,
+        stager = stageDocsZipf, fam = "workloadzipf")
+    if (family("buckets"))
+      runBuckets(spark, sfDir, mults)
     if (family("ivfmaint"))
       runIvfMaint(spark, sfDir, mults)
     spark.stop()

@@ -150,11 +150,15 @@ object Retrieval {
   /** JVM twin of the Column-side bucket (md5-60 % WordBuckets) — the
     * query's terms are known driver-side, so their buckets become
     * partition-pruning literals on the store read. */
-  private[graft] def wbOf(word: String): Long = {
+  private[graft] def wbOf(word: String): Long = wbOfAt(word, WordBuckets)
+
+  /** [[wbOf]] at an explicit bucket count — the bucket-count
+    * rehearsal's knob ([[indexRootAt]]). */
+  private[graft] def wbOfAt(word: String, buckets: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(word.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(15)
-    java.lang.Long.parseLong(hex, 16) % WordBuckets
+    java.lang.Long.parseLong(hex, 16) % buckets
   }
 
   private val dtStores =
@@ -246,6 +250,15 @@ object Retrieval {
   private def landIdf(s: SparkSession, dfr: DataFrame, ndocs: DataFrame,
                       tag: String, rest: String): String = {
     val out = graft.Scratch.processScoped(tag, rest).toString
+    landIdfTo(s, dfr, ndocs, out)
+    out
+  }
+
+  /** The one idf-landing recipe at an EXPLICIT output path — shared by
+    * every [[landIdf]] sidecar and the bucket-count rehearsal's
+    * root-local twin, so the ln/quantization can never drift. */
+  private def landIdfTo(s: SparkSession, dfr: DataFrame, ndocs: DataFrame,
+                        out: String): Unit =
     dfr.select("df").distinct()
       .crossJoin(broadcast(ndocs))
       .select(col("df"),
@@ -253,8 +266,6 @@ object Retrieval {
           + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
           * 1e7, 0).cast("long").as("idfq"))
       .write.mode("overwrite").parquet(out)
-    out
-  }
 
   private def idfRoot(s: SparkSession, d: String): String =
     idfStores.computeIfAbsent(d, _ => {
@@ -746,6 +757,52 @@ object Retrieval {
       .filter(col("wb").isin(wbs: _*)).drop("wb")
     scoreFrom(s, queryTerms(s), dt, dl, dfr, idfDelStore(s, d), st)
       .transform(Present.sorted(_, col("query_id"), col("rank")))
+  }
+
+  // ---------------------------------------------------------------
+  // Bucket-count rehearsal support: the gated stores are pinned to
+  // WordBuckets = 64; the 100 TB layout guidance ("grow the bucket
+  // count, probes prune identically") needs a MEASURED twin at a
+  // different count. Rehearsal-only — no gate reads these roots.
+  // ---------------------------------------------------------------
+
+  private val idxAtStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val idxAtIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land a full postings index (+ dl/dfr sidecars + root-local idf)
+    * at an EXPLICIT word-bucket count, keyed by (dataset, buckets). */
+  private[graft] def indexRootAt(s: SparkSession, d: String,
+                                 buckets: Int): String =
+    idxAtStores.computeIfAbsent(s"$d#b$buckets", _ => {
+      val out = graft.Scratch.processScoped("graft_bm25kb",
+        s"k${idxAtIds.getAndIncrement()}").toString
+      TextOps.tokenize(Tables.documents(s, d))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .withColumn("wb",
+          pmod(Dedup.md5Hash60(col("word")), lit(buckets.toLong)))
+        .write.mode("overwrite").partitionBy("wb").parquet(s"$out/dt")
+      deriveSidecars(s, out)
+      landIdfTo(s, s.read.parquet(s"$out/dfr"),
+        s.read.parquet(s"$out/dl").agg(count(lit(1)).as("ndocs")),
+        s"$out/idf")
+      out
+    })
+
+  /** The BM25 probe against an explicit root/bucket count — the same
+    * scoring chain as the gate, with the pruning literals hashed at
+    * the root's OWN bucket count. */
+  private[graft] def bm25RankedAt(s: SparkSession, root: String,
+      buckets: Int, workload: Seq[(Long, String)]): DataFrame = {
+    val wbs = workload.flatMap(_._2.split(" "))
+      .map(wbOfAt(_, buckets)).distinct
+    val dt = readPostings(s, s"$root/dt")
+      .filter(col("wb").isin(wbs: _*)).drop("wb")
+    val dl = s.read.parquet(s"$root/dl")
+    val st = dl.agg(sum("len").as("t"), count(lit(1)).as("nd"))
+      .select(expr("(10 * t) div nd").as("avgq"))
+    scoreFrom(s, queryTermsOf(s, workload), dt, dl,
+      s.read.parquet(s"$root/dfr"), s.read.parquet(s"$root/idf"), st)
   }
 
   // ---------------------------------------------------------------
