@@ -31,6 +31,14 @@ object Bench {
     // (observed: a co-tenant burst turned ~1 s queries into ~90 s in
     // BOTH adjacent runs in round 1's driver bench).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // co-tenant load evidence: 1-min system load average sampled at
+    // start and after each pass, recorded in the sidecar — a run whose
+    // numbers land on a loaded host carries its own audit trail (the
+    // r15 closing bench read ~10% high and the load condition had to
+    // be inferred; now it's a field)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loads = scala.collection.mutable.ArrayBuffer(
+      osBean.getSystemLoadAverage)
     // SPARK_GRAFT_ONLY=q1,q2 — standalone re-measurement of specific
     // queries (the honest steady-state number on a loaded shared host
     // is the min over passes of a single query, not of the full suite)
@@ -54,6 +62,7 @@ object Bench {
         val dt = (System.nanoTime() - q0) / 1e9
         times(name) = dt :: times(name)
       }
+      loads += osBean.getSystemLoadAverage
       System.err.println(f"[bench] pass $p/$passes: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val best = times.view.mapValues(_.min).toMap
@@ -111,7 +120,8 @@ object Bench {
     val passTimes = names.map { case (k, _) =>
       "\"" + k + "\":[" + times(k).reverse.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"cpus":"$cpus","sf":"$sfDir"}"""
+    val loadArr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"cpus":"$cpus","loadavg":$loadArr,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (sidecar + "\n").getBytes("UTF-8"))

@@ -146,4 +146,41 @@ class RehearsalSpec extends SparkSpec {
       }
     }
   }
+
+  test("zipf corpus: deterministic, tokenizer-safe, heavy-tailed") {
+    val mult = 2
+    val dir = ScaleRehearsal.stageDocsZipf(spark, sfDir, mult)
+    val staged = spark.read.parquet(s"$dir/documents.parquet")
+    val nBase = Tables.documents(spark, sfDir).count()
+    assert(staged.count() == mult * nBase, "doc count not ∝ multiple")
+    // tokenizer safety: every token survives the [^letter]+ split
+    // intact (a digit in a word would shear it apart and silently
+    // change the df distribution the rehearsal exists to fix)
+    val toks = graft.operators.TextOps.tokenize(staged)
+    val words = toks.groupBy("word").count()
+    assert(words.filter(!col("word").rlike("^[a-z]+$")).count() == 0,
+      "non-alphabetic token leaked into the zipf corpus")
+    // heavy tail: the top-1% head covers a large share of the token
+    // stream while MOST of the vocabulary sits in the df tail — the
+    // two properties a 31-word corpus cannot have
+    val byCount = words.orderBy(desc("count")).collect()
+      .map(_.getLong(1))
+    val total = byCount.sum.toDouble
+    val vocab = byCount.length
+    assert(vocab > 2000, s"vocabulary too small to be heavy-tailed: $vocab")
+    val headShare = byCount.take(math.max(1, vocab / 100)).sum / total
+    assert(headShare > 0.2, f"top-1%% head covers only $headShare%.2f")
+    val tailWords = byCount.count(_ <= 5)
+    assert(tailWords > vocab / 3,
+      s"df tail too thin: $tailWords of $vocab words with ≤5 occurrences")
+    // determinism: restaging from the same source is byte-identical
+    // content (hash of the sorted projection)
+    def corpusHash(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(xxhash64(col("doc_id"), col("text")).as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    val h1 = corpusHash(staged)
+    val again = corpusHash(spark.read.parquet(
+      ScaleRehearsal.stageDocsZipf(spark, sfDir, mult) + "/documents.parquet"))
+    assert(h1 == again, "zipf staging is not deterministic")
+  }
 }
