@@ -777,6 +777,42 @@ object ScaleRehearsal {
     }
   }
 
+  /** DELETE-lifecycle ladder: the plain probe vs the tombstone-MASKED
+    * probe vs the post-PURGE single-segment probe, for both index
+    * families, at corpus multiples. Expectations the numbers should
+    * show: mask ≈ plain + a broadcast anti-join (cost ∝ probe output,
+    * corpus-flat overhead), purge ≈ plain on a slightly smaller
+    * segment, tombstones ∝ batch (the JSON count line). Pass 1 of the
+    * masked/purged walls carries the tombstone/purge builds. */
+  def runDelete(s: SparkSession, sfDir: String, mults: Seq[Int],
+                passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val stagedD = stageDocs(s, sfDir, m)
+      measure(s, listener, "delete", "bm25_plain", m, passes)(
+        operators.Retrieval.bm25Retrieve(s, stagedD))
+      measure(s, listener, "delete", "bm25_masked", m, passes)(
+        operators.Retrieval.bm25Delete(s, stagedD))
+      measure(s, listener, "delete", "bm25_purged", m, passes)(
+        operators.Retrieval.bm25DeleteCompact(s, stagedD))
+      val nTomb = operators.Retrieval.tombStore(s, stagedD).count()
+      val nDocs = operators.Retrieval.dlStore(s, stagedD).count()
+      println(s"""{"family":"delete","query":"bm25_tombstones","mult":$m,""" +
+        s""""tombstones":$nTomb,"indexed_docs":$nDocs}""")
+      val stagedE = stageEmbeddings(s, sfDir, m)
+      measure(s, listener, "delete", "ann_plain", m, passes)(
+        operators.Similarity.annIvf(s, stagedE))
+      measure(s, listener, "delete", "ann_masked", m, passes)(
+        operators.Similarity.annIvfDelete(s, stagedE))
+      measure(s, listener, "delete", "ann_purged", m, passes)(
+        operators.Similarity.annIvfDeleteCompact(s, stagedE))
+      val nTombV = operators.Similarity.ivfTombStore(s, stagedE).count()
+      println(s"""{"family":"delete","query":"ann_tombstones","mult":$m,""" +
+        s""""tombstones":$nTombV}""")
+    }
+  }
+
   /** Bucket-count knob, measured (round-15 verdict item 6): the same
     * Zipf corpus indexed at WordBuckets ∈ {64, 256}, probed with the
     * same hot workload through the same scoring chain — wall +
@@ -1152,7 +1188,7 @@ object ScaleRehearsal {
     val known = Set("all", "streaming", "deepstate", "join", "bucketed",
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
-      "ivfmaint", "wandzipf", "workloadzipf", "buckets")
+      "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1208,6 +1244,8 @@ object ScaleRehearsal {
         stager = stageDocsZipf, fam = "workloadzipf")
     if (family("buckets"))
       runBuckets(spark, sfDir, mults)
+    if (family("delete"))
+      runDelete(spark, sfDir, mults)
     if (family("ivfmaint"))
       runIvfMaint(spark, sfDir, mults)
     spark.stop()
