@@ -336,23 +336,24 @@ object Multimodal {
   private[graft] val mediaSegBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Land the (base, delta) feature segments: base decodes the corpus
-    * MINUS the batch (yesterday's store), delta decodes ONLY the
-    * batch — each segment's codec pass touches exactly its own docs,
-    * so the append is priced ∝ batch (at 100 TB: the nightly media
-    * drop decodes overnight's uploads, never the archived petabytes). */
+  /** Land the (base, delta) feature segments: base = yesterday's
+    * store — a LANDED artifact, so it derives from the existing
+    * features store by a narrow filter (no second corpus decode; in
+    * production it simply already exists on disk); delta DECODES only
+    * the batch — the one codec pass the append actually pays, so
+    * ingest is priced ∝ batch (at 100 TB: the nightly media drop
+    * decodes overnight's uploads, never the archived petabytes). */
   private def mediaSegRoots(s: SparkSession, d: String): (String, String) =
     mediaSegStores.computeIfAbsent(d, _ => {
       mediaSegBuildCount.incrementAndGet()
       val n = mediaSegIds.getAndIncrement()
-      val docs = Tables.documents(s, d)
       val baseOut = graft.Scratch.processScoped("graft_mediab", s"b$n").toString
-      extractFeatures(mediaTableOf(s,
-          docs.filter(col("doc_id") % MediaIncrEvery =!= MediaIncrSlot)))
-        .toDF().write.mode("overwrite").parquet(baseOut)
+      featuresTable(s, d)
+        .filter(col("doc_id") % MediaIncrEvery =!= MediaIncrSlot)
+        .write.mode("overwrite").parquet(baseOut)
       val deltaOut = graft.Scratch.processScoped("graft_mediad", s"d$n").toString
-      extractFeatures(mediaTableOf(s,
-          docs.filter(col("doc_id") % MediaIncrEvery === MediaIncrSlot)))
+      extractFeatures(mediaTableOf(s, Tables.documents(s, d)
+          .filter(col("doc_id") % MediaIncrEvery === MediaIncrSlot)))
         .toDF().write.mode("overwrite").parquet(deltaOut)
       (baseOut, deltaOut)
     })
