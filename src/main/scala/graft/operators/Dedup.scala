@@ -257,6 +257,65 @@ object Dedup {
     SigStore.lshPairs(s, d, minEst, maxBucket)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
 
+  /** Every DelEvery-th doc (doc_id % 10 == 3) plays the DELETE batch —
+    * the suite's delete-slot convention (Retrieval.DelSlot,
+    * Similarity.IvfDelSlot). */
+  val DelEvery = 10L
+  val DelSlot  = 3L
+
+  private val lshTombStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lshTombIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so DedupSpec can pin build-once. */
+  private[graft] val lshTombBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the tombstone sidecar for the signature store: the deleted
+    * doc_ids only (∝ batch by construction), derived index-locally
+    * from the landed sig artifact — never a corpus read. */
+  private def lshTombRoot(s: SparkSession, d: String): String =
+    lshTombStores.computeIfAbsent(d, _ => {
+      lshTombBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_sigtomb",
+        s"t${lshTombIds.getAndIncrement()}").toString
+      SigStore.forDataset(s, d).sig(s)
+        .filter(col("doc_id") % DelEvery === DelSlot)
+        .select("doc_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The landed tombstone ids as a fresh store read — exposed so the
+    * spec can pin |tombstones| ∝ batch. */
+  private[graft] def lshTombStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(lshTombRoot(s, d))
+
+  /** MinHash-LSH candidate pairs with tombstone MASKING — the
+    * signature store's REMOVE verb (the bm25_delete contract applied
+    * to the dedup index): deleted docs' band rows are anti-joined out
+    * BEFORE the bucket self-join (a broadcast ∝-batch mask — the
+    * store is never rewritten at probe time), while the hot-bucket
+    * cap still counts the FULL store (stale caps: production stores
+    * maintain per-bucket counts incrementally; a probe-time mask
+    * doesn't recount them). The oracle replays exactly that — the
+    * full-corpus pipeline with the final pair set restricted to
+    * survivors — so a leaked tombstoned doc, a missed surviving pair,
+    * or an over-eager cap refresh hash-fails. Purge-at-compaction for
+    * this store is the same artifact rewrite the delete ladder
+    * measured for BM25/IVF (anti-join + overwrite of sig/banded);
+    * the masked probe is the verb's probe-time half. */
+  def minhashLshDelete(s: SparkSession, d: String,
+                       minEst: Double = 0.5,
+                       maxBucket: Int = 1000): DataFrame = {
+    val st = SigStore.forDataset(s, d)
+    val full = st.banded(s)
+    val masked = full.join(broadcast(lshTombStore(s, d)),
+      Seq("doc_id"), "left_anti")
+    lshPairsFrom(masked, st.sig(s), minEst, maxBucket,
+      capFrom = Some(full))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
   /** Unsorted form for internal composition (the LSH-verified
     * clustering consumes candidates under joins and aggregates).
     * Both entry points read the session [[SigStore]]: the expensive
@@ -305,11 +364,18 @@ object Dedup {
     * pair; the two 64-element signatures are re-attached AFTER the
     * dedup — a ~64× narrower distinct shuffle than carrying both
     * arrays through it. */
+  /** `capFrom`: the relation the hot-bucket cap COUNTS over — defaults
+    * to the candidate relation itself; the tombstone-masked probe
+    * passes the FULL store here (stale caps: a production store
+    * maintains per-bucket counts incrementally and a probe-time mask
+    * doesn't recount them — the Lucene-stale-stats convention, sig
+    * edition). */
   def lshPairsFrom(banded0: DataFrame, sig: DataFrame,
-                   minEst: Double, maxBucket: Int): DataFrame = {
+                   minEst: Double, maxBucket: Int,
+                   capFrom: Option[DataFrame] = None): DataFrame = {
     val s = banded0.sparkSession
     import s.implicits._
-    val hotRows = banded0.groupBy("band", "bucket")
+    val hotRows = capFrom.getOrElse(banded0).groupBy("band", "bucket")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("band", "bucket")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
@@ -654,6 +720,7 @@ object Dedup {
     "dedup_exact"     -> dedupExact _,
     "neardup_jaccard" -> ((s: SparkSession, d: String) => neardupJaccard(s, d)),
     "minhash_lsh"     -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "minhash_lsh_delete" -> ((s: SparkSession, d: String) => minhashLshDelete(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "simhash64_invariants" -> simhash64Invariants _,
@@ -756,6 +823,17 @@ object Dedup {
       s"""WITH ${lshOracleCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // tombstone masking with STALE caps: the pipeline (shingle df-cap
+    // and hot-bucket cap included) replays over the FULL corpus, and
+    // only the final pair set is restricted to survivors — a mask
+    // leak or an over-eager cap refresh hash-fails
+    "minhash_lsh_delete" ->
+      s"""WITH ${lshOracleCtes()}
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |  AND doc_a % $DelEvery <> $DelSlot
+         |  AND doc_b % $DelEvery <> $DelSlot
          |ORDER BY doc_a, doc_b""".stripMargin,
     // the incremental operator's contract: the full pair set minus
     // pairs internal to the existing store (those were yesterday's)

@@ -988,6 +988,22 @@ object Similarity {
       .transform(Present.sortedUnbounded(_, col("vec_id")))
   }
 
+  /** SemDeDup with tombstone MASKING — the semantic-dedup family's
+    * REMOVE verb, consuming the SAME landed tombstone sidecar as
+    * `ann_ivf_delete` (one delete artifact serves every consumer of
+    * the index — the point of landing it): the within-cell pair pass
+    * runs over the masked inverted file, so a deleted vector neither
+    * survives as a member nor anchors anyone's `dup_of` — a survivor
+    * whose only earlier near-dup was deleted flips back to KEPT,
+    * which is exactly what a takedown must do to the dedup decision.
+    * Oracle: the full deterministic build replayed with both pair
+    * sides and the output restricted to survivors. */
+  def semDedupDelete(s: SparkSession, d: String): DataFrame = {
+    val masked = ivfStore(s, d)._1
+      .join(broadcast(ivfTombStore(s, d)), Seq("vec_id"), "left_anti")
+    semDedupFrom(s, masked)
+  }
+
   /** Every SemIncrEvery-th vec_id plays the "new batch" — the same
     * synthetic-split convention as Dedup.IncrEvery. */
   val SemIncrEvery = 5L
@@ -1095,6 +1111,7 @@ object Similarity {
     "ann_ivf_pq"        -> annIvfPq _,
     "semdedup"          -> semDedup _,
     "semdedup_incremental" -> semDedupIncremental _,
+    "semdedup_delete"   -> semDedupDelete _,
     "rag_retrieve"      -> ragRetrieve _,
     "label_outliers"    -> labelCentroidOutlier _,
     "embed_quantize"    -> embedQuantizeGated _,
@@ -1214,6 +1231,22 @@ object Similarity {
          |  GROUP BY b.vec_id)
          |SELECT i.vec_id, i.cid, d.vec_id IS NULL AS kept, d.dup_of
          |FROM idx i LEFT JOIN dups d ON i.vec_id = d.vec_id
+         |ORDER BY i.vec_id""".stripMargin,
+    // tombstone masking: the full build replayed among SURVIVORS only
+    // — both pair sides and the output exclude the deleted slot, so a
+    // mask leak OR a stale dup_of anchored on a deleted vector
+    // hash-fails
+    "semdedup_delete" ->
+      s"""WITH $ivfIdxSql,
+         |live AS (SELECT vec_id, v, cid FROM idx
+         |         WHERE vec_id % $IvfDelEvery <> $IvfDelSlot),
+         |dups AS (
+         |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM live a JOIN live b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", 6)} >= $SemDedupMinCos
+         |  GROUP BY b.vec_id)
+         |SELECT i.vec_id, i.cid, d.vec_id IS NULL AS kept, d.dup_of
+         |FROM live i LEFT JOIN dups d ON i.vec_id = d.vec_id
          |ORDER BY i.vec_id""".stripMargin,
     // the full rule + one batch filter: incremental ≡ restricted full
     "semdedup_incremental" ->

@@ -244,4 +244,32 @@ class DedupSpec extends SparkSpec {
       .select(levenshtein(col("a"), col("b"))).as[Int].collect().toSeq
     assert(d == Seq(1, 2, 1))
   }
+
+  test("minhash delete: tombstones ∝ batch, masked pairs ≡ full ∖ deleted") {
+    import org.apache.spark.sql.functions.col
+    // the tombstone sidecar is exactly the delete batch (∝ batch)
+    val st = graft.operators.SigStore.forDataset(spark, sfDir)
+    val expectTomb = st.sig(spark)
+      .filter(col("doc_id") % Dedup.DelEvery === Dedup.DelSlot).count()
+    assert(expectTomb > 0, "delete batch empty — the gate is vacuous")
+    assert(Dedup.lshTombStore(spark, sfDir).count() == expectTomb,
+      "tombstone sidecar is not batch-shaped")
+    // stale caps make the masked answer an exact derivation of the
+    // full one: pairs(masked) = pairs(full) restricted to survivors
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = Dedup.minhashLsh(spark, sfDir).collect().map(key).toSet
+    val masked = Dedup.minhashLshDelete(spark, sfDir).collect().map(key).toSet
+    def survives(id: Long) = id % Dedup.DelEvery != Dedup.DelSlot
+    assert(masked == full.filter(p => survives(p._1) && survives(p._2)),
+      s"masked pair set is not full ∖ deleted: ${masked.size} vs " +
+        s"${full.count(p => survives(p._1) && survives(p._2))}")
+    assert(masked.size < full.size,
+      "no pair touched the delete slot — the gate is vacuous")
+    // tombstones land once; re-running is pure reads
+    val t0 = Dedup.lshTombBuildCount.get()
+    Dedup.minhashLshDelete(spark, sfDir).collect()
+    assert(Dedup.lshTombBuildCount.get() == t0,
+      "tombstone sidecar rebuilt on a second run")
+  }
 }

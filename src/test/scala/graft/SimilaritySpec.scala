@@ -276,6 +276,40 @@ class SimilaritySpec extends SparkSpec {
       "masked probe does not read the tombstone sidecar:\n" + mplan)
   }
 
+  test("semdedup delete: survivors only, dup_of re-anchors, one shared sidecar") {
+    def survives(id: Long) =
+      id % Similarity.IvfDelEvery != Similarity.IvfDelSlot
+    val full = Similarity.semDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val del = Similarity.semDedupDelete(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    // output domain = the surviving vectors, exactly
+    assert(del.keySet == full.keySet.filter(survives),
+      "delete output domain is not the survivor set")
+    // no dup_of may anchor on a deleted vector
+    assert(del.values.forall(d => d == -1L || survives(d)),
+      "a dup_of anchors on a deleted vector")
+    del.foreach { case (v, d) =>
+      val fd = full(v)
+      if (fd != -1L && survives(fd))
+        // the full anchor survived: it is still the class minimum
+        assert(d == fd, s"vec $v lost its surviving anchor: $d vs $fd")
+      else if (fd != -1L)
+        // the full anchor was deleted: re-anchor later (or flip KEPT)
+        assert(d == -1L || d > fd,
+          s"vec $v re-anchored non-monotonically: $d vs deleted $fd")
+      else assert(d == -1L, s"vec $v was KEPT in full but duped after delete")
+    }
+    // the delete artifact is SHARED with ann_ivf_delete — consuming it
+    // here must not mint a second sidecar
+    val t0 = Similarity.ivfTombBuildCount.get()
+    Similarity.semDedupDelete(spark, sfDir).collect()
+    assert(Similarity.ivfTombBuildCount.get() == t0,
+      "semdedup_delete rebuilt the tombstone sidecar")
+  }
+
   test("ann ivf pruned: nprobe ≪ K — probed cells ≪ cell count, scan pruned") {
     import org.apache.spark.sql.functions._
     val df = Similarity.annIvfPruned(spark, sfDir)
