@@ -14,7 +14,7 @@ object SparkEntry {
       JoinOps.queries ++ PipelineOps.queries ++ ChangeOps.queries ++
       SaltedAgg.queries ++ graft.streaming.StreamOps.queries ++
       graft.sources.StorageOps.queries ++ TopKOps.queries ++
-      Retrieval.queries
+      Retrieval.queries ++ Governance.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -24,5 +24,5 @@ object SparkEntry {
       JoinOps.oracle ++ PipelineOps.oracle ++ ChangeOps.oracle ++
       SaltedAgg.oracle ++ graft.streaming.StreamOps.oracle ++
       graft.sources.StorageOps.oracle ++ TopKOps.oracle ++
-      Retrieval.oracle
+      Retrieval.oracle ++ Governance.oracle
 }

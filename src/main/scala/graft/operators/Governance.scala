@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-governance / release-engineering operators for a training-data
+  * pipeline: k-anonymity generalization, differentially-private
+  * aggregate release, and deterministic training-shard manifests.
+  *
+  * The reference (milanchheta/mapReduceGCP) has no privacy or release
+  * surface — these are north-star extensions in the same spirit as the
+  * dedup/decontamination families: the operations a 100 TB corpus
+  * needs before data leaves the pipeline (takedown/compliance
+  * aggregation, DP statistics release, reproducible shard layout for
+  * trainer consumption).
+  *
+  * Everything here is exact-arithmetic and md5-keyed so the DuckDB
+  * oracle replays it bit-for-bit (the repo-wide determinism
+  * discipline): no RNG, no floats outside ulp-proof floor(log2(int))
+  * windows, no engine-specific hash.
+  */
+object Governance {
+
+  // ---------------------------------------------------------------- //
+  // k-anonymity                                                      //
+  // ---------------------------------------------------------------- //
+
+  /** Anonymity threshold: no released group may describe fewer than K
+    * individuals. */
+  val K = 5
+
+  /** Account-balance generalization width for the level-1 quasi-id. */
+  val BalBand = 2000.0
+
+  /** K-ANONYMITY with a two-step generalization ladder over the
+    * customer quasi-identifiers (nation, market segment, balance
+    * band):
+    *
+    *   level 1: (nation, segment, floor(acctbal/2000)) — released iff
+    *            the cell holds ≥ K rows;
+    *   level 2: rows from failing level-1 cells generalize up by
+    *            DROPPING the balance band — (nation, segment) cells
+    *            re-tested against K;
+    *   level 3: rows still failing are suppressed into a single
+    *            global residual row (count only).
+    *
+    * Output is the released contingency table: one row per released
+    * cell `(level, nation, segment, band, n)` with band NULL above
+    * level 1 and nation/segment NULL at the suppressed level. Row
+    * mass is conserved: Σ n over the output = |customer| (pinned in
+    * GovernanceSpec).
+    *
+    * Scale shape: two hash aggregates over the quasi-id projection
+    * (the level-2 regroup consumes level-1 CELLS, not rows — its
+    * input is bounded by the quasi-id domain, never by the corpus)
+    * plus a 1-row residual. At 100 TB this is one narrow scan, one
+    * shuffle on the quasi-id, and cell-level post-processing — the
+    * standard Mondrian-style ladder restricted to a fixed
+    * generalization order, which is what keeps it two aggregates
+    * instead of a recursive partitioner.
+    */
+  def kAnonymize(s: SparkSession, d: String): DataFrame = {
+    val g1 = Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / BalBand).as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+    val pass1 = g1.filter(col("n") >= K)
+      .select(lit(1).as("level"), col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band"), col("n"))
+    val g2 = g1.filter(col("n") < K)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("n").as("n"))
+    val pass2 = g2.filter(col("n") >= K)
+      .select(lit(2).as("level"), col("c_nationkey"), col("c_mktsegment"),
+        lit(null).cast("bigint").as("bal_band"), col("n"))
+    val suppressed = g2.filter(col("n") < K)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit(3).as("level"),
+        lit(null).cast("int").as("c_nationkey"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("bigint").as("bal_band"), col("n"))
+    pass1.unionByName(pass2).unionByName(suppressed)
+      .transform(Present.sorted(_, col("level"), col("c_nationkey"),
+        col("c_mktsegment"), col("bal_band")))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Differentially-private release                                   //
+  // ---------------------------------------------------------------- //
+
+  /** 20-bit deterministic uniform from md5(salt ++ key): 5 hex chars
+    * → [0, 2^20). Same expression the DuckDB oracle uses. */
+  private def h20(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 5), 16, 10)
+      .cast("bigint")
+
+  /** Geometric(1/2) depth of a 20-bit uniform, computed ULP-PROOF:
+    * G = max(0, 19 - floor(log2(h + 1.5))). The +1.5 keeps the log2
+    * argument ≥ 0.5 away from every power of two, so floor() cannot
+    * straddle a boundary on a 1-ulp libm disagreement between the JVM
+    * and DuckDB — the gate's cross-engine float discipline. G ∈
+    * [0, 19]; P(G = g) ≈ 2^-(g+1). */
+  private def geomDepth(h: Column): Column =
+    greatest(lit(0L), lit(19L) - floor(log2(h + lit(1.5d))))
+
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE over events by event_type:
+    * the released count is `n + (G1 − G2)` clamped at 0, where G1, G2
+    * are independent geometric(1/2) draws — their difference is the
+    * two-sided (discrete-Laplace) geometric mechanism with ε = ln 2
+    * for the unit-sensitivity count. Post-processing (the max(0, ·)
+    * clamp) preserves DP.
+    *
+    * The "randomness" is an md5-keyed PRF of the group key (a fixed
+    * release seed), so the release is reproducible AND the DuckDB
+    * oracle replays the mechanism exactly — the noise itself is part
+    * of the hash gate, not bracket-checked around it. That exactness
+    * is what the integer-log2 construction in [[geomDepth]] buys.
+    *
+    * Output: (event_type, n_exact, noise, n_dp). n_exact rides along
+    * as the audit companion (this is a correctness harness, not a
+    * production release — a real release ships n_dp only).
+    *
+    * Scale shape: one hash aggregate; the mechanism is a scalar
+    * expression over the |groups|-row result. Noise cost is zero at
+    * any corpus size.
+    */
+  def dpRelease(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("noise",
+        geomDepth(h20(col("event_type"), "dpa")) -
+          geomDepth(h20(col("event_type"), "dpb")))
+      .withColumn("n_dp", greatest(lit(0L), col("n_exact") + col("noise")))
+      .transform(Present.sorted(_, col("event_type")))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Training-shard manifest                                          //
+  // ---------------------------------------------------------------- //
+
+  /** Number of output shards for the manifest rung. At 100 TB this is
+    * O(10^5) (one shard ≙ one trainer file of ~256 MB–1 GB); the
+    * mechanism below is shard-count-free. */
+  val NumShards = 16
+
+  /** Modulus for the order-sensitive checksum (2^31 − 1, prime).
+    * contrib = (h·rank) mod P < 2^31 and ranks < 2^23 at any tested
+    * sf, so every intermediate fits comfortably in a BIGINT. */
+  val ChecksumMod = 2147483647L
+
+  /** DETERMINISTIC TRAINING-SHARD MANIFEST over documents: the
+    * "global shuffle + shard" step every trainer consumes, made
+    * reproducible and auditable.
+    *
+    *   shard   = md5-bucket(doc_id) mod NumShards — assignment is a
+    *             PRF of the id, NOT a global row_number: no global
+    *             sort, fully parallel, stable under corpus appends
+    *             (an existing doc never changes shard).
+    *   order   = within a shard, docs sort by md5('shard'‖doc_id) —
+    *             the seeded shuffle order the shard file is written
+    *             in (a per-shard parallel sort, ≙ the shard writer).
+    *   checksum= Σ (h52(doc_id)·rank mod P) mod P — ORDER-SENSITIVE
+    *             (swapping two docs changes it), computable as a
+    *             plain aggregate over the ranked rows, so the
+    *             manifest never materializes a shard's id list on one
+    *             node (the collect_list checksum alternative is the
+    *             skew hazard SURVEY §7.4 bans).
+    *
+    * Output: one manifest row per shard — (shard, n_docs,
+    * total_chars, checksum). Trainer-side, the manifest is the
+    * receipt that a re-produced shard byte-order matches the release.
+    *
+    * Scale shape: one narrow projection, one shuffle on shard, one
+    * per-shard sort (the window), one aggregate. Shards are
+    * hash-uniform by construction so the per-shard sort has no skew;
+    * GovernanceSpec pins mass conservation and the
+    * order-sensitivity of the checksum.
+    */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("sortkey"), col("doc_id"))
+    val h52 = conv(substring(md5(concat(lit("ck"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("bigint")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        PipelineOps.hashBucket(col("doc_id"), NumShards, "shard").as("shard"),
+        md5(concat(lit("shard"), col("doc_id").cast("string"))).as("sortkey"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("contrib", (h52 % ChecksumMod) * col("rnk") % ChecksumMod)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("contrib").%(ChecksumMod).as("checksum"))
+      .transform(Present.sorted(_, col("shard")))
+  }
+
+  // ---------------------------------------------------------------- //
+  // registry                                                         //
+  // ---------------------------------------------------------------- //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anonymize"    -> kAnonymize _,
+    "dp_release"     -> dpRelease _,
+    "shard_manifest" -> shardManifest _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k_anonymize" ->
+      s"""WITH g1 AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / $BalBand) AS BIGINT) AS bal_band,
+         |    count(*) AS n
+         |  FROM customer GROUP BY 1, 2, 3),
+         |g2 AS (
+         |  SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS n
+         |  FROM g1 WHERE n < $K GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT 1 AS level, c_nationkey, c_mktsegment, bal_band, n
+         |  FROM g1 WHERE n >= $K
+         |  UNION ALL
+         |  SELECT 2, c_nationkey, c_mktsegment, NULL, n
+         |  FROM g2 WHERE n >= $K
+         |  UNION ALL
+         |  SELECT 3, NULL, NULL, NULL, CAST(sum(n) AS BIGINT)
+         |  FROM g2 WHERE n < $K HAVING sum(n) > 0)
+         |ORDER BY level, c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    "dp_release" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT event_type, n_exact,
+        |    greatest(0, 19 - CAST(floor(log2(
+        |      ('0x' || substring(md5('dpa' || event_type), 1, 5))::BIGINT
+        |      + 1.5)) AS BIGINT))
+        |    - greatest(0, 19 - CAST(floor(log2(
+        |      ('0x' || substring(md5('dpb' || event_type), 1, 5))::BIGINT
+        |      + 1.5)) AS BIGINT)) AS noise
+        |  FROM g)
+        |SELECT event_type, n_exact, noise,
+        |  greatest(0, n_exact + noise) AS n_dp
+        |FROM z ORDER BY event_type""".stripMargin,
+    "shard_manifest" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    ('0x' || substring(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % $NumShards AS shard,
+         |    md5('shard' || doc_id::VARCHAR) AS sortkey,
+         |    ('0x' || substring(md5('ck' || doc_id::VARCHAR), 1, 13))::BIGINT
+         |      AS h52
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY shard ORDER BY sortkey, doc_id) AS rnk
+         |  FROM base)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum((h52 % ${ChecksumMod}) * rnk % ${ChecksumMod})
+         |    % ${ChecksumMod} AS BIGINT) AS checksum
+         |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin,
+  )
+}

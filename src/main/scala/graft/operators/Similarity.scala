@@ -1098,8 +1098,53 @@ object Similarity {
         array_join(transform(col("qvec"), _.cast("string")), ",")
           .as("qvec_csv"))
 
+  /** Anchor-batch size for contrastive triplet mining. In production
+    * this is the mining mini-batch (10³–10⁴ anchors per job), never
+    * the corpus. */
+  val MiningAnchors = 32
+
+  /** CONTRASTIVE TRIPLET MINING (hard negatives): for each anchor
+    * vector, the most-similar SAME-label neighbor (the positive) and
+    * the most-similar DIFFERENT-label neighbor (the hard negative) —
+    * the (anchor, positive, negative) triplets that contrastive /
+    * metric-learning fine-tuning consumes, mined from the corpus.
+    *
+    * Gated form is the exact ground truth over a bounded anchor batch
+    * (same shape as [[knnBruteForce]]: anchors broadcast, one streamed
+    * pass over the corpus, native fused cosine, per-anchor top-1 via
+    * window). At 100 TB the candidate generation composes with the
+    * landed IVF index instead of the full scan — probe the anchor's
+    * nprobe cells (ann_ivf), score only cell members, then apply the
+    * same same/different-label top-1; the label split is a residual
+    * predicate either way. Ties are broken (cos DESC, vec_id) on the
+    * 6-dp rounded cosine, the family's cross-engine determinism rule.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < MiningAnchors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "same").orderBy(desc("cos"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
+      .withColumn("same", col("label") === col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("q_id")
+      .agg(
+        max(when(col("same"), col("vec_id"))).as("pos_id"),
+        max(when(col("same"), col("cos"))).as("pos_cos"),
+        max(when(!col("same"), col("vec_id"))).as("neg_id"),
+        max(when(!col("same"), col("cos"))).as("neg_cos"))
+      .transform(Present.sorted(_, col("q_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce"    -> knnBruteForce _,
+    "hard_negatives"    -> hardNegatives _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
@@ -1349,6 +1394,27 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
          |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+         |      FROM e WHERE vec_id < $MiningAnchors),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, (e.label = q.q_label) AS same,
+         |    round(list_dot_product(e.v, q.qv) /
+         |      sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)),
+         |      6) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id, same
+         |    ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id,
+         |  max(CASE WHEN same THEN vec_id END) AS pos_id,
+         |  max(CASE WHEN same THEN cos END) AS pos_cos,
+         |  max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+         |  max(CASE WHEN NOT same THEN cos END) AS neg_cos
+         |FROM ranked WHERE rn = 1 GROUP BY q_id ORDER BY q_id""".stripMargin,
     "neardup_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v

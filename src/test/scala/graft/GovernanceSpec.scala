@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Governance, Similarity}
+
+class GovernanceSpec extends SparkSpec {
+
+  test("k_anonymize: every released cell meets K and row mass is conserved") {
+    val out = Governance.kAnonymize(spark, sfDir).collect()
+    val total = Tables.customer(spark, sfDir).count()
+    // anonymity invariant: no released (non-suppressed) cell below K
+    out.filter(_.getInt(0) < 3).foreach { r =>
+      assert(r.getLong(4) >= Governance.K, s"cell under K: $r")
+    }
+    // generalization ladder shape: band only at level 1, quasi-ids
+    // null only at the suppressed level
+    out.foreach { r =>
+      r.getInt(0) match {
+        case 1 => assert(!r.isNullAt(3) && !r.isNullAt(1))
+        case 2 => assert(r.isNullAt(3) && !r.isNullAt(1))
+        case 3 => assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+    // mass conservation: released + suppressed = corpus
+    assert(out.map(_.getLong(4)).sum == total)
+  }
+
+  test("dp_release: mechanism is deterministic, bounded, and clamped") {
+    val a = Governance.dpRelease(spark, sfDir).collect()
+    val b = Governance.dpRelease(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq) // PRF noise: a release is reproducible
+    a.foreach { r =>
+      val (n, noise, ndp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(noise >= -19 && noise <= 19, s"noise outside support: $r")
+      assert(ndp == math.max(0L, n + noise), s"clamp violated: $r")
+    }
+    // the mechanism actually perturbs: not every group's noise is 0
+    // (P(all zero) ≈ (1/3)^|groups| for the two-sided geometric; the
+    // md5 PRF is fixed, so this is a deterministic property of the
+    // release, not a flaky draw)
+    assert(a.exists(_.getLong(2) != 0L))
+  }
+
+  test("shard_manifest: mass conservation, hash-uniform shards, " +
+    "order-sensitive checksum") {
+    val m = Governance.shardManifest(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val chars = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(m.length == Governance.NumShards)
+    assert(m.map(_.getLong(1)).sum == total)
+    assert(m.map(_.getLong(2)).sum == chars)
+    // hash-uniformity: no shard more than 3x the mean (binomial tail
+    // at n=500/16 makes this deterministic-safe by a wide margin)
+    val mean = total.toDouble / Governance.NumShards
+    m.foreach(r => assert(r.getLong(1) < 3 * mean, s"skewed shard: $r"))
+    // checksums are position-weighted: distinct across shards (equal
+    // checksums for different doc sets would be a 1/2^31 accident)
+    assert(m.map(_.getLong(3)).distinct.length == m.length)
+  }
+
+  test("hard_negatives: positive shares the anchor's label, " +
+    "negative does not, similarities are top-1") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val t = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(t.nonEmpty && t.length <= Similarity.MiningAnchors)
+    t.foreach { r =>
+      val (q, pos, neg) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(e(pos) == e(q), s"positive label mismatch: $r")
+      assert(e(neg) != e(q), s"negative shares label: $r")
+      assert(pos != q && neg != q)
+      // the positive is at least as similar as the hard negative is
+      // NOT guaranteed in general — but both cosines are in [-1, 1]
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -39,7 +39,8 @@ class RegistrySpec extends AnyFunSuite {
       "StreamOps" -> graft.streaming.StreamOps.queries.keySet,
       "StorageOps" -> graft.sources.StorageOps.queries.keySet,
       "TopKOps" -> graft.operators.TopKOps.queries.keySet,
-      "Retrieval" -> graft.operators.Retrieval.queries.keySet)
+      "Retrieval" -> graft.operators.Retrieval.queries.keySet,
+      "Governance" -> graft.operators.Governance.queries.keySet)
     val collisions = maps.combinations(2).flatMap {
       case Seq((an, as), (bn, bs)) =>
         (as & bs).map(k => s"$k ($an vs $bn)")
