@@ -813,6 +813,85 @@ object ScaleRehearsal {
     }
   }
 
+  /** Stage `mult` media-document shards: doc_id offset per shard,
+    * (lang, source, n_chars) carried through, text DROPPED — media
+    * synthesis consumes only (doc_id, n_chars), so the staged table
+    * is the narrow projection and staging cost is numeric, not
+    * textual.
+    *
+    * DECORRELATION, deliberately: the decoded signature space is a
+    * function of (doc_id mod 256, n_chars mod 5) — naive isomorphic
+    * shards replicate those residues, every duplicate class grows ∝
+    * mult, and the TRUE pair count grows ∝ mult² (measured: 60 k →
+    * 6.1 M pairs at 1→10× — output-quadratic by construction, which
+    * rehearses the staging artifact, not the operator). A PRIME
+    * doc_id stride (999983 ≢ 0 mod 256) and a per-shard n_chars
+    * shift (+3k, cycling the mod-5 x-step) rotate both residues so
+    * duplicate classes stay shard-local — the realistic "corpus
+    * grows, dup-rate stays" shape where pairs grow ∝ mult. */
+  def stageMediaDocs(s: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = stagedDir("mediadocs", sfDir, mult)
+    val fp = sourceFingerprint(Seq(
+      java.nio.file.Paths.get(sfDir, "documents.parquet")))
+    if (isStaged(dir, fp)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val docStride = 999983L // prime; 999983 mod 256 = 47
+    val base = Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val out = dir.resolve("documents.parquet").toString
+    (0 until mult).grouped(50).foreach { chunk =>
+      chunk.map { k =>
+        base.select(
+          (col("doc_id") + lit(k * docStride)).as("doc_id"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(3L * k)).as("n_chars"))
+      }.reduce(_ union _)
+        .write.mode("append").parquet(out)
+    }
+    markStaged(dir, fp)
+    dir.toString
+  }
+
+  /** Media-family lifecycle, measured (the round-15 verdict accepted
+    * an inheritance NOTE for this family; this is the receipt): at
+    * each multiple,
+    *   - media_features — pass 1 carries the full encode+decode store
+    *     build (the decode-once head, cost ∝ corpus); min-of-passes is
+    *     the landed-store read every downstream query actually pays,
+    *   - media_incremental — pass 1 carries the (base, delta) segment
+    *     land where base is a FILTER of the landed store and only the
+    *     10% arriving batch decodes (∝ batch); its build must track
+    *     ~10% of the features build, not the corpus,
+    *   - media_dedup — one hash aggregation over the narrow signature
+    *     columns of the store (corpus-linear, no codec, no pairs),
+    *   - media_neardup — banded-Hamming candidate join over the
+    *     landed aHashes (ε+1 bands): wall and shuffle must scale with
+    *     corpus + band-collision pairs, never quadratically (the
+    *     naive all-pairs twin is the GATE's oracle at sf0.01; at 50×
+    *     its image side alone is ~3.5e9 pairs — the rehearsal exists
+    *     to show the banded plan never needs it). */
+  def runMedia(s: SparkSession, sfDir: String, mults: Seq[Int],
+               passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageMediaDocs(s, sfDir, m)
+      measure(s, listener, "media", "media_features", m, passes)(
+        operators.Multimodal.multimodalFeatures(s, staged))
+      measure(s, listener, "media", "media_incremental", m, passes)(
+        operators.Multimodal.multimodalFeaturesIncremental(s, staged))
+      measure(s, listener, "media", "media_dedup", m, passes)(
+        operators.Multimodal.mediaDedup(s, staged))
+      measure(s, listener, "media", "media_neardup", m, passes)(
+        operators.Multimodal.mediaNearDup(s, staged))
+      val nImgs = operators.Multimodal.featuresTable(s, staged)
+        .filter(col("media_type") === "image").count()
+      println(s"""{"family":"media","query":"corpus_shape","mult":$m,""" +
+        s""""images":$nImgs}""")
+    }
+  }
+
   /** Bucket-count knob, measured (round-15 verdict item 6): the same
     * Zipf corpus indexed at WordBuckets ∈ {64, 256}, probed with the
     * same hot workload through the same scoring chain — wall +
@@ -1188,7 +1267,7 @@ object ScaleRehearsal {
     val known = Set("all", "streaming", "deepstate", "join", "bucketed",
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
-      "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete")
+      "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1246,6 +1325,8 @@ object ScaleRehearsal {
       runBuckets(spark, sfDir, mults)
     if (family("delete"))
       runDelete(spark, sfDir, mults)
+    if (family("media"))
+      runMedia(spark, sfDir, mults)
     if (family("ivfmaint"))
       runIvfMaint(spark, sfDir, mults)
     spark.stop()

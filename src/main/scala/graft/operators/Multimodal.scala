@@ -427,15 +427,108 @@ object Multimodal {
     * every other member reports dup_of = survivor. The Spark side
     * only knows the signatures by actually DECODING the PNG/WAV/GIF
     * payloads; the oracle replays the synthesis arithmetic. */
-  def mediaDedup(s: SparkSession, d: String): DataFrame = {
+  def mediaDedup(s: SparkSession, d: String): DataFrame =
+    dedupOver(featuresTable(s, d))
+
+  /** The dedup rule over an arbitrary features relation — shared by
+    * the full, masked (delete), and purged (delete-compact) forms so
+    * the three can never drift. */
+  private def dedupOver(feats: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(
       "media_type", "width", "height", "n_frames", "px00", "px_corner")
-    featuresTable(s, d)
+    feats
       .withColumn("dup_of", min("doc_id").over(w))
       .filter(col("doc_id") =!= col("dup_of"))
       .select("doc_id", "media_type", "dup_of")
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
+
+  // ---------------------------------------------------------------
+  // Media delete lifecycle: the REMOVE verb for the features store
+  // (the index-family tombstone contract applied to media). A
+  // takedown lands a ∝-batch tombstone sidecar; probes mask by a
+  // broadcast anti-join; compaction purges the store. At 100 TB a
+  // media takedown must neither re-decode the archive nor rewrite it
+  // synchronously — the mask is immediate, the purge is the next
+  // scheduled compaction's rewrite (priced ∝ store, off-peak, no
+  // codec pass: the purge reads SIGNATURES, never payloads).
+  // ---------------------------------------------------------------
+
+  /** Every MediaDelEvery-th doc (doc_id % 10 == 3) plays the deleted
+    * batch — disjoint from the incremental slot (7), so lifecycle
+    * queries compose without aliasing. */
+  val MediaDelEvery = 10L
+  val MediaDelSlot  = 3L
+
+  private val mediaTombStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mediaTombIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so MultimodalSpec can pin build-once. */
+  private[graft] val mediaTombBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Landed tombstone sidecar: the deleted doc_ids ONLY, derived
+    * index-locally from the features store's narrow id column (a real
+    * takedown arrives as an id list; deriving it here keeps the
+    * rehearsal deterministic). ∝ batch by construction. */
+  private[graft] def mediaTombStore(s: SparkSession, d: String): DataFrame = {
+    val path = mediaTombStores.computeIfAbsent(d, _ => {
+      mediaTombBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_mediatomb",
+        s"t${mediaTombIds.getAndIncrement()}").toString
+      featuresTable(s, d)
+        .filter(col("doc_id") % MediaDelEvery === MediaDelSlot)
+        .select("doc_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  private val mediaPurgeStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mediaPurgeIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so MultimodalSpec can pin build-once. */
+  private[graft] val mediaPurgeBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The purged single segment: the features store rewritten minus
+    * the tombstoned docs — signatures only, NO codec pass (the store
+    * already decoded them once), the compaction that turns the
+    * probe-time mask into a storage saving. */
+  private[graft] def mediaPurgedSegment(s: SparkSession, d: String)
+      : DataFrame = {
+    val path = mediaPurgeStores.computeIfAbsent(d, _ => {
+      mediaPurgeBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_mediapurge",
+        s"p${mediaPurgeIds.getAndIncrement()}").toString
+      featuresTable(s, d)
+        .join(broadcast(mediaTombStore(s, d)), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** MASKED media dedup (the delete's probe half): the dedup decision
+    * AFTER a takedown — deleted docs neither survive nor anchor any
+    * class, so a class whose keep-first survivor was deleted
+    * re-anchors to its next-lowest member (what a takedown must do to
+    * the dedup decision — the semdedup_delete contract). Mask = one
+    * broadcast anti-join of the ∝-batch tombstone sidecar against the
+    * store's narrow signature columns; payloads are never touched. */
+  def mediaDelete(s: SparkSession, d: String): DataFrame =
+    dedupOver(featuresTable(s, d)
+      .join(broadcast(mediaTombStore(s, d)), Seq("doc_id"), "left_anti"))
+
+  /** PURGED media dedup (the delete's compaction half): the same
+    * answer computed from the purged single segment alone — no
+    * tombstone read, no mask, the post-compaction steady state.
+    * Answer-identical to [[mediaDelete]] by construction; both gate
+    * against the one oracle that replays the rule over the
+    * survivors. */
+  def mediaDeleteCompact(s: SparkSession, d: String): DataFrame =
+    dedupOver(mediaPurgedSegment(s, d))
 
   /** Image pairs whose 64-bit average-hashes differ in at most this
     * many bits. */
@@ -569,6 +662,8 @@ object Multimodal {
     "multimodal_resize"   -> multimodalResize _,
     "multimodal_frames"   -> multimodalFrames _,
     "media_dedup"         -> mediaDedup _,
+    "media_delete"        -> mediaDelete _,
+    "media_delete_compact" -> mediaDeleteCompact _,
     "media_neardup"       -> mediaNearDup _,
     "media_neardup_audio" -> mediaNearDupAudio _,
     "media_neardup_video" -> mediaNearDupVideo _,
@@ -627,6 +722,40 @@ object Multimodal {
        |FROM m LEFT JOIN hb ON m.doc_id = hb.doc_id
        |ORDER BY m.doc_id""".stripMargin
 
+  /** The media_dedup rule replayed from the synthesis arithmetic —
+    * `where` restricts the document domain ("" = the full corpus; the
+    * delete lifecycle passes the survivor predicate). One builder so
+    * the full, masked, and purged forms share the signature fields
+    * and the keep-first window verbatim. */
+  private def mediaDedupOracleSql(where: String): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
+       |    n_chars AS n
+       |  FROM documents $where),
+       |sig AS (
+       |  SELECT doc_id, media_type,
+       |    CASE WHEN media_type = 'audio' THEN 0
+       |      ELSE (n % 64 + 16)::INT END AS width,
+       |    CASE WHEN media_type = 'audio' THEN 0
+       |      ELSE (n % 48 + 16)::INT END AS height,
+       |    CASE media_type WHEN 'image' THEN 1
+       |      WHEN 'audio' THEN (n % 1000 + 1)::INT
+       |      ELSE (n % 240 + 1)::INT END AS n_frames,
+       |    CASE WHEN media_type = 'audio' THEN -1
+       |      ELSE (doc_id % 256)::INT END AS px00,
+       |    CASE WHEN media_type = 'audio' THEN -1
+       |      ELSE ((doc_id % 256 + 7 * (31 + n % 5) + 119) % 256)::INT
+       |      END AS px_corner
+       |  FROM m),
+       |dd AS (
+       |  SELECT doc_id, media_type, min(doc_id) OVER (
+       |    PARTITION BY media_type, width, height, n_frames,
+       |      px00, px_corner) AS dup_of
+       |  FROM sig)
+       |SELECT doc_id, media_type, dup_of FROM dd
+       |WHERE doc_id <> dup_of ORDER BY doc_id""".stripMargin
+
   /** The oracle replicates the synthesis arithmetic from
     * (`doc_id`, `n_chars`); Spark only recovers these values by
     * decoding the PNG/WAV/GIF payloads. */
@@ -665,34 +794,15 @@ object Multimodal {
     // dedup by decoded signature: the synthesis arithmetic rebuilds
     // every signature field the Spark side recovers by decoding, and
     // the keep-first rule replays as a window min over the class
-    "media_dedup" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
-        |    n_chars AS n
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id, media_type,
-        |    CASE WHEN media_type = 'audio' THEN 0
-        |      ELSE (n % 64 + 16)::INT END AS width,
-        |    CASE WHEN media_type = 'audio' THEN 0
-        |      ELSE (n % 48 + 16)::INT END AS height,
-        |    CASE media_type WHEN 'image' THEN 1
-        |      WHEN 'audio' THEN (n % 1000 + 1)::INT
-        |      ELSE (n % 240 + 1)::INT END AS n_frames,
-        |    CASE WHEN media_type = 'audio' THEN -1
-        |      ELSE (doc_id % 256)::INT END AS px00,
-        |    CASE WHEN media_type = 'audio' THEN -1
-        |      ELSE ((doc_id % 256 + 7 * (31 + n % 5) + 119) % 256)::INT
-        |      END AS px_corner
-        |  FROM m),
-        |dd AS (
-        |  SELECT doc_id, media_type, min(doc_id) OVER (
-        |    PARTITION BY media_type, width, height, n_frames,
-        |      px00, px_corner) AS dup_of
-        |  FROM sig)
-        |SELECT doc_id, media_type, dup_of FROM dd
-        |WHERE doc_id <> dup_of ORDER BY doc_id""".stripMargin,
+    "media_dedup" -> mediaDedupOracleSql(""),
+    // the delete lifecycle's one oracle: the rule replayed over the
+    // SURVIVORS — a mask leak (deleted doc surviving or anchoring) or
+    // a purge that dropped a survivor hash-fails; mask and purge are
+    // answer-identical so they share it
+    "media_delete" ->
+      mediaDedupOracleSql(s"WHERE doc_id % $MediaDelEvery <> $MediaDelSlot"),
+    "media_delete_compact" ->
+      mediaDedupOracleSql(s"WHERE doc_id % $MediaDelEvery <> $MediaDelSlot"),
     // the GROUND-TRUTH naive Hamming self-join over the arithmetic-
     // replayed hashes: the Spark side's banded candidate form is
     // defined equal to it, so a band split that dropped a qualifying

@@ -262,4 +262,64 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("graft_mediab") && plan.contains("graft_mediad"),
       "incremental read does not stand on the landed segments:\n" + plan)
   }
+
+  test("media delete: tombstone ∝ batch, zero leak, mask ≡ purge, " +
+    "re-anchoring, build-once") {
+    import org.apache.spark.sql.functions.col
+    val deleted = Multimodal.mediaTombStore(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // tombstone sidecar is exactly the batch
+    val nBatch = Multimodal.featuresTable(spark, sfDir)
+      .filter(col("doc_id") % Multimodal.MediaDelEvery
+        === Multimodal.MediaDelSlot).count()
+    assert(nBatch > 0 && deleted.size == nBatch.toInt,
+      "tombstone sidecar is not batch-shaped")
+    // zero leak: a deleted doc neither survives nor anchors
+    val masked = Multimodal.mediaDelete(spark, sfDir).collect().toSeq
+    masked.foreach { r =>
+      assert(!deleted.contains(r.getLong(0)), s"deleted doc survives: $r")
+      assert(!deleted.contains(r.getLong(2)), s"deleted doc anchors: $r")
+    }
+    // mask ≡ purge (the compaction half answers identically)
+    val purged = Multimodal.mediaDeleteCompact(spark, sfDir).collect().toSeq
+    assert(masked == purged, "mask and purge diverge")
+    // the masked answer IS the rule replayed over the survivors
+    // (plain-Scala replay from the landed store: keep-first by
+    // signature among non-deleted docs)
+    val feats = Multimodal.featuresTable(spark, sfDir)
+      .collect().filterNot(r => deleted.contains(r.getLong(0)))
+    val want = feats
+      .groupBy(r => (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+      .values.flatMap { grp =>
+        val anchor = grp.map(_.getLong(0)).min
+        grp.filter(_.getLong(0) != anchor)
+          .map(r => (r.getLong(0), r.getString(1), anchor))
+      }.toSeq.sortBy(_._1)
+    assert(masked.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))) == want,
+      "masked dedup diverges from the survivor-rule replay")
+    // re-anchoring is EXERCISED: some class lost its full-dedup
+    // survivor to the delete and re-anchored (non-vacuous takedown)
+    val fullAnchors = Multimodal.mediaDedup(spark, sfDir)
+      .collect().map(_.getLong(2)).toSet
+    assert(fullAnchors.exists(deleted.contains),
+      "no deleted doc ever anchored — re-anchoring untested")
+    // the purged segment is store − tombstones exactly
+    assert(Multimodal.mediaPurgedSegment(spark, sfDir).count()
+      == Multimodal.featuresTable(spark, sfDir).count() - deleted.size)
+    // sidecar and purge land once; the purged probe reads ONLY the
+    // purged segment (no tombstone path, no mask)
+    val t0 = Multimodal.mediaTombBuildCount.get()
+    val p0 = Multimodal.mediaPurgeBuildCount.get()
+    val df = Multimodal.mediaDeleteCompact(spark, sfDir)
+    df.collect()
+    assert(Multimodal.mediaTombBuildCount.get() == t0 &&
+      Multimodal.mediaPurgeBuildCount.get() == p0,
+      "delete artifacts rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mediapurge") &&
+      !plan.contains("graft_mediatomb"),
+      "purged probe does not stand on the purged segment alone:\n" + plan)
+  }
 }
