@@ -819,18 +819,25 @@ object ScaleRehearsal {
     * is the narrow projection and staging cost is numeric, not
     * textual.
     *
-    * DECORRELATION, deliberately: the decoded signature space is a
-    * function of (doc_id mod 256, n_chars mod 5) — naive isomorphic
-    * shards replicate those residues, every duplicate class grows ∝
-    * mult, and the TRUE pair count grows ∝ mult² (measured: 60 k →
-    * 6.1 M pairs at 1→10× — output-quadratic by construction, which
-    * rehearses the staging artifact, not the operator). A PRIME
-    * doc_id stride (999983 ≢ 0 mod 256) and a per-shard n_chars
-    * shift (+3k, cycling the mod-5 x-step) rotate both residues so
-    * duplicate classes stay shard-local — the realistic "corpus
-    * grows, dup-rate stays" shape where pairs grow ∝ mult. */
+    * Duplicate structure, stated up front: the decoded signature is a
+    * function of (doc_id mod 256, n_chars mod 5) ONLY — a 1280-class
+    * ceiling baked into the synthesis contract (the gate's oracle
+    * replays it), so as the corpus grows every class grows ∝ mult and
+    * the TRUE near-dup pair count grows ∝ mult² NO MATTER how shards
+    * are staged (measured: a prime doc_id stride + per-shard n_chars
+    * shift rotated both residues and changed nothing — 6.1 M pairs at
+    * 10× → exactly 25× = 152.6 M at 50×, because the base corpus
+    * already covers all 1280 residue combinations). The rehearsal's
+    * near-dup receipt is therefore CANDIDATE EFFICIENCY against that
+    * output-quadratic floor, not output linearity: the banded join's
+    * shuffle must track the true pair count (band-bucket occupancy),
+    * never the all-pairs candidate count. The stride/shift staging is
+    * kept — ids must be unique and the shards payload-distinct. */
   def stageMediaDocs(s: SparkSession, sfDir: String, mult: Int): String = {
-    val dir = stagedDir("mediadocs", sfDir, mult)
+    // "mediadocs2": the v1 dirs were staged by the pre-stride recipe;
+    // a version bump is the cache invalidation (fingerprints cover the
+    // SOURCE table, deliberately not the staging code)
+    val dir = stagedDir("mediadocs2", sfDir, mult)
     val fp = sourceFingerprint(Seq(
       java.nio.file.Paths.get(sfDir, "documents.parquet")))
     if (isStaged(dir, fp)) return dir.toString
@@ -885,10 +892,15 @@ object ScaleRehearsal {
         operators.Multimodal.mediaDedup(s, staged))
       measure(s, listener, "media", "media_neardup", m, passes)(
         operators.Multimodal.mediaNearDup(s, staged))
+      measure(s, listener, "media", "media_dedup_masked", m, passes)(
+        operators.Multimodal.mediaDelete(s, staged))
+      measure(s, listener, "media", "media_dedup_purged", m, passes)(
+        operators.Multimodal.mediaDeleteCompact(s, staged))
       val nImgs = operators.Multimodal.featuresTable(s, staged)
         .filter(col("media_type") === "image").count()
+      val nTomb = operators.Multimodal.mediaTombStore(s, staged).count()
       println(s"""{"family":"media","query":"corpus_shape","mult":$m,""" +
-        s""""images":$nImgs}""")
+        s""""images":$nImgs,"tombstones":$nTomb}""")
     }
   }
 

@@ -573,16 +573,20 @@ object Multimodal {
     * (decode-once, binaries never re-read). The oracle replays the
     * synthesis arithmetic through the naive ground-truth self-join,
     * so a band split that dropped a qualifying pair hash-fails. */
+  /** Band-exploded image hashes of a features relation, columns
+    * tagged — one definition shared by the full self-join and the
+    * incremental delta-vs-all probe. */
+  private def bandedOf(feats: DataFrame, tag: String): DataFrame =
+    feats.filter(col("media_type") === "image")
+      .select(
+        col("doc_id").as(s"doc_$tag"),
+        col("ahash_hi").as(s"hi_$tag"), col("ahash_lo").as(s"lo_$tag"),
+        posexplode(hashBands(col("ahash_hi"), col("ahash_lo")))
+          .as(Seq("band", "bv")))
+
   def mediaNearDup(s: SparkSession, d: String): DataFrame = {
     val img = featuresTable(s, d)
-      .filter(col("media_type") === "image")
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
-    def banded(tag: String) = img.select(
-      col("doc_id").as(s"doc_$tag"),
-      col("ahash_hi").as(s"hi_$tag"), col("ahash_lo").as(s"lo_$tag"),
-      posexplode(hashBands(col("ahash_hi"), col("ahash_lo")))
-        .as(Seq("band", "bv")))
-    banded("a").join(banded("b"), Seq("band", "bv"))
+    bandedOf(img, "a").join(bandedOf(img, "b"), Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         hamming(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
@@ -590,6 +594,35 @@ object Multimodal {
       .filter(col("hamming") <= HamEps)
       // a pair can match in several bands — one row per pair
       .groupBy("doc_a", "doc_b").agg(max("hamming").as("hamming"))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** INCREMENTAL banded near-dup — the arriving batch's probe (the
+    * dedup_incremental contract applied to the perceptual-hash
+    * family): only pairs TOUCHING a batch member are the answer, and
+    * only the batch's bands drive the candidate join — one side of
+    * the band join is the ∝-batch delta segment, the other the landed
+    * base ∪ delta hash index (narrow signature columns; neither side
+    * re-decodes a payload — both are landed-segment reads, see
+    * [[mediaSegRoots]]). Exhaustive by the same pigeonhole: a
+    * qualifying pair with a batch member matches in ≥ 1 band, and
+    * that band's (value) row exists on both sides. Defined ≡ the full
+    * [[mediaNearDup]] restricted to batch-touching pairs, so the
+    * oracle is the naive ground truth + one filter — a dropped
+    * cross-segment pair hash-fails. */
+  def mediaNearDupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = mediaBaseSegment(s, d).unionByName(mediaDeltaSegment(s, d))
+    bandedOf(mediaDeltaSegment(s, d), "a")
+      .join(bandedOf(all, "b"), Seq("band", "bv"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(
+        least(col("doc_a"), col("doc_b")).as("pa"),
+        greatest(col("doc_a"), col("doc_b")).as("pb"),
+        hamming(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+          .as("hamming"))
+      .filter(col("hamming") <= HamEps)
+      .groupBy(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      .agg(max("hamming").as("hamming"))
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
@@ -665,6 +698,7 @@ object Multimodal {
     "media_delete"        -> mediaDelete _,
     "media_delete_compact" -> mediaDeleteCompact _,
     "media_neardup"       -> mediaNearDup _,
+    "media_neardup_incremental" -> mediaNearDupIncremental _,
     "media_neardup_audio" -> mediaNearDupAudio _,
     "media_neardup_video" -> mediaNearDupVideo _,
   )
@@ -818,6 +852,23 @@ object Multimodal {
          |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
          |      bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $HamEps
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental probe is DEFINED ≡ the full answer restricted
+    // to batch-touching pairs: same naive ground truth + one filter —
+    // a dropped cross-segment (batch × base) pair hash-fails
+    "media_neardup_incremental" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars AS n FROM documents
+         |  WHERE doc_id % 3 = 0),
+         |$ahashCtesSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  (bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |   bit_count(xor(a.ahash_lo, b.ahash_lo)))::INT AS hamming
+         |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |      bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $HamEps
+         |  AND (a.doc_id % $MediaIncrEvery = $MediaIncrSlot
+         |       OR b.doc_id % $MediaIncrEvery = $MediaIncrSlot)
          |ORDER BY doc_a, doc_b""".stripMargin,
     // naive ground truth over the decoded-sample-count arithmetic
     "media_neardup_audio" ->

@@ -263,6 +263,32 @@ class MultimodalSpec extends SparkSpec {
       "incremental read does not stand on the landed segments:\n" + plan)
   }
 
+  test("incremental near-dup: ≡ full answer restricted to batch-touching " +
+    "pairs, probe reads landed segments, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val isBatch = (id: Long) =>
+      id % Multimodal.MediaIncrEvery == Multimodal.MediaIncrSlot
+    val full = Multimodal.mediaNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val want = full.filter(p => isBatch(p._1) || isBatch(p._2)).toSeq
+    val df = Multimodal.mediaNearDupIncremental(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq
+    assert(got == want, s"incremental pairs diverge: got ${got.size}, " +
+      s"want ${want.size}")
+    // non-vacuous BOTH ways: batch-internal and batch × base pairs
+    assert(got.exists(p => isBatch(p._1) && isBatch(p._2)),
+      "no batch-internal pair — cross-check vacuous")
+    assert(got.exists(p => isBatch(p._1) ^ isBatch(p._2)),
+      "no batch × base pair — the cross-segment band join is untested")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mediad") && plan.contains("graft_mediab"),
+      "incremental probe does not stand on the landed segments:\n" + plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "incremental candidates are not band-local:\n" + plan)
+  }
+
   test("media delete: tombstone ∝ batch, zero leak, mask ≡ purge, " +
     "re-anchoring, build-once") {
     import org.apache.spark.sql.functions.col
