@@ -181,23 +181,54 @@ object Governance {
     * GovernanceSpec pins mass conservation and the
     * order-sensitivity of the checksum.
     */
-  def shardManifest(s: SparkSession, d: String): DataFrame = {
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    manifestOf(Tables.documents(s, d), "n_chars", "total_chars")
+
+  /** The manifest mechanism over ANY (doc_id, weight) relation — one
+    * definition shared by the raw-corpus manifest and the
+    * [[PipelineOps]] release capstone so the two cannot drift. */
+  private[operators] def manifestOf(docs: DataFrame, weightCol: String,
+                                    weightName: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("sortkey"), col("doc_id"))
     val h52 = conv(substring(md5(concat(lit("ck"),
       col("doc_id").cast("string"))), 1, 13), 16, 10).cast("bigint")
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"),
+    docs
+      .select(col("doc_id"), col(weightCol),
         PipelineOps.hashBucket(col("doc_id"), NumShards, "shard").as("shard"),
         md5(concat(lit("shard"), col("doc_id").cast("string"))).as("sortkey"))
       .withColumn("rnk", row_number().over(w))
       .withColumn("contrib", (h52 % ChecksumMod) * col("rnk") % ChecksumMod)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
-        sum("n_chars").as("total_chars"),
+        sum(weightCol).as(weightName),
         sum("contrib").%(ChecksumMod).as("checksum"))
       .transform(Present.sorted(_, col("shard")))
   }
+
+  /** The manifest replay over a relation named `rel` carrying
+    * (doc_id, weight) — the SQL twin of [[manifestOf]], exposed so
+    * the release capstone's oracle composes it over the pipeline's
+    * survivor CTE. */
+  private[operators] def manifestSqlOver(rel: String, weightExpr: String,
+                                         weightName: String): String =
+    s"""mbase AS (
+       |  SELECT doc_id, $weightExpr AS mweight,
+       |    ('0x' || substring(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      % $NumShards AS shard,
+       |    md5('shard' || doc_id::VARCHAR) AS sortkey,
+       |    ('0x' || substring(md5('ck' || doc_id::VARCHAR), 1, 13))::BIGINT
+       |      AS h52
+       |  FROM $rel),
+       |mranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY shard ORDER BY sortkey, doc_id) AS rnk
+       |  FROM mbase)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(mweight) AS BIGINT) AS $weightName,
+       |  CAST(sum((h52 % ${ChecksumMod}) * rnk % ${ChecksumMod})
+       |    % ${ChecksumMod} AS BIGINT) AS checksum
+       |FROM mranked GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---------------------------------------------------------------- //
   // registry                                                         //
@@ -245,22 +276,6 @@ object Governance {
         |  greatest(0, n_exact + noise) AS n_dp
         |FROM z ORDER BY event_type""".stripMargin,
     "shard_manifest" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, n_chars,
-         |    ('0x' || substring(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT
-         |      % $NumShards AS shard,
-         |    md5('shard' || doc_id::VARCHAR) AS sortkey,
-         |    ('0x' || substring(md5('ck' || doc_id::VARCHAR), 1, 13))::BIGINT
-         |      AS h52
-         |  FROM documents),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY shard ORDER BY sortkey, doc_id) AS rnk
-         |  FROM base)
-         |SELECT shard, count(*) AS n_docs,
-         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         |  CAST(sum((h52 % ${ChecksumMod}) * rnk % ${ChecksumMod})
-         |    % ${ChecksumMod} AS BIGINT) AS checksum
-         |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin,
+      s"WITH ${manifestSqlOver("documents", "n_chars", "total_chars")}",
   )
 }

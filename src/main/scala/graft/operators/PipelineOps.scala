@@ -853,7 +853,23 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** The RELEASE capstone — what actually leaves the pipeline for the
+    * trainer: [[corpusBuildFull]]'s gated survivors, restricted to the
+    * train split, laid out as reproducible shards with the
+    * [[Governance.manifestOf]] mechanism (PRF shard assignment, seeded
+    * within-shard order, order-sensitive checksum). One composition,
+    * hash-gated end to end: a survivor leaking past a gate, a split
+    * drift, OR a shard/order/checksum drift all fail the same oracle.
+    * Scale shape = corpus_build_full's ∪ shard_manifest's (the
+    * manifest adds one narrow shuffle over the release set). */
+  def corpusRelease(s: SparkSession, d: String): DataFrame =
+    Governance.manifestOf(
+      corpusBuildFull(s, d).filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens")),
+      "n_tokens", "total_tokens")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_release" -> corpusRelease _,
     "corpus_build"     -> corpusBuild _,
     "corpus_build_full" -> corpusBuildFull _,
     "train_test_split" -> trainTestSplit _,
@@ -885,6 +901,63 @@ object PipelineOps {
   // a def, not a val: corpus_build_full's perplexity gate embeds the
   // landed nllq integers harvested at oracle-dump time (see
   // TextAnalysis.nllqOracleParts — the boundary-proof replay)
+  /** The corpus_build_full replay — a lazy val so the release
+    * capstone's oracle can wrap the SAME text as a subquery
+    * (composition by construction: the two cannot drift). */
+  private lazy val corpusBuildFullSql: String = {
+      val (nqCte, nqJoin, nqExpr) = TextAnalysis.nllqOracleParts
+      s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
+         |tok AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |scores AS (
+         |  SELECT doc_id, lex_lang, count(*) AS score
+         |  FROM tok JOIN lex ON word = lex_word GROUP BY 1, 2),
+         |lang AS (
+         |  SELECT doc_id, lex_lang AS lang FROM (
+         |    SELECT doc_id, lex_lang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lex_lang) AS rn
+         |    FROM scores)
+         |  WHERE rn = 1 AND lex_lang = 'en'),
+         |q AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(trim(lower(text)),
+         |      '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS n_tokens,
+         |    round((length(text) - length(regexp_replace(text,
+         |      '[a-zA-Z]', '', 'g')))::DOUBLE / length(text), 6) AS alpha_ratio,
+         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |filt AS (
+         |  SELECT q.doc_id, lang, n_tokens, fp
+         |  FROM q JOIN lang ON q.doc_id = lang.doc_id
+         |  WHERE n_tokens >= $BuildMinTokens AND alpha_ratio >= $BuildMinAlpha),
+         |surv AS (
+         |  SELECT * FROM filt
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+         |ptok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(
+         |    trim(lower(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |dt AS (SELECT doc_id, word, count(*) AS tf FROM ptok GROUP BY 1, 2),
+         |lm AS (SELECT word, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1),
+         |$nqCte,
+         |sc AS (
+         |  SELECT dt.doc_id,
+         |    round(sum(dt.tf * $nqExpr)::DOUBLE
+         |      / (sum(dt.tf)::DOUBLE * 10000000.0), 6) AS avg_nll
+         |  FROM dt JOIN lm USING (word) $nqJoin
+         |  GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.n_tokens, sc.avg_nll,
+         |  CASE WHEN ${bucketSql("s.doc_id::VARCHAR", 100, "split")} < 80 THEN 'train'
+         |       WHEN ${bucketSql("s.doc_id::VARCHAR", 100, "split")} < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM surv s JOIN sc ON s.doc_id = sc.doc_id
+         |WHERE sc.avg_nll <= ${TextAnalysis.PplMaxAvgNll}
+         |ORDER BY s.doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     // the identical removal rule replayed verbatim: same whitespace
     // tokens, same 60-bit gram hash, same (doc_id, pos) first-
@@ -999,59 +1072,16 @@ object PipelineOps {
     // corpus_build's CTE chain + the perplexity gate joined on the
     // survivors (LM trained corpus-wide, as CCNet does); the gate's
     // nllq integers replay the landed sidecar, not a re-derived ln
-    "corpus_build_full" -> {
-      val (nqCte, nqJoin, nqExpr) = TextAnalysis.nllqOracleParts
-      s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
-         |tok AS (
-         |  SELECT doc_id, w AS word FROM (
-         |    SELECT doc_id,
-         |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
-         |    FROM documents) WHERE w <> ''),
-         |scores AS (
-         |  SELECT doc_id, lex_lang, count(*) AS score
-         |  FROM tok JOIN lex ON word = lex_word GROUP BY 1, 2),
-         |lang AS (
-         |  SELECT doc_id, lex_lang AS lang FROM (
-         |    SELECT doc_id, lex_lang, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, lex_lang) AS rn
-         |    FROM scores)
-         |  WHERE rn = 1 AND lex_lang = 'en'),
-         |q AS (
-         |  SELECT doc_id,
-         |    len(list_filter(string_split_regex(trim(lower(text)),
-         |      '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS n_tokens,
-         |    round((length(text) - length(regexp_replace(text,
-         |      '[a-zA-Z]', '', 'g')))::DOUBLE / length(text), 6) AS alpha_ratio,
-         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-         |  FROM documents),
-         |filt AS (
-         |  SELECT q.doc_id, lang, n_tokens, fp
-         |  FROM q JOIN lang ON q.doc_id = lang.doc_id
-         |  WHERE n_tokens >= $BuildMinTokens AND alpha_ratio >= $BuildMinAlpha),
-         |surv AS (
-         |  SELECT * FROM filt
-         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
-         |ptok AS (
-         |  SELECT doc_id, unnest(list_filter(string_split_regex(
-         |    trim(lower(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS word
-         |  FROM documents),
-         |dt AS (SELECT doc_id, word, count(*) AS tf FROM ptok GROUP BY 1, 2),
-         |lm AS (SELECT word, sum(tf)::BIGINT AS cf FROM dt GROUP BY 1),
-         |$nqCte,
-         |sc AS (
-         |  SELECT dt.doc_id,
-         |    round(sum(dt.tf * $nqExpr)::DOUBLE
-         |      / (sum(dt.tf)::DOUBLE * 10000000.0), 6) AS avg_nll
-         |  FROM dt JOIN lm USING (word) $nqJoin
-         |  GROUP BY 1)
-         |SELECT s.doc_id, s.lang, s.n_tokens, sc.avg_nll,
-         |  CASE WHEN ${bucketSql("s.doc_id::VARCHAR", 100, "split")} < 80 THEN 'train'
-         |       WHEN ${bucketSql("s.doc_id::VARCHAR", 100, "split")} < 90 THEN 'valid'
-         |       ELSE 'test' END AS split
-         |FROM surv s JOIN sc ON s.doc_id = sc.doc_id
-         |WHERE sc.avg_nll <= ${TextAnalysis.PplMaxAvgNll}
-         |ORDER BY s.doc_id""".stripMargin
-    },
+    "corpus_build_full" -> corpusBuildFullSql,
+    // the release capstone: the full-pipeline survivors (as a
+    // subquery — DuckDB scopes its CTEs locally) restricted to the
+    // train split, replayed through the ONE manifest SQL twin
+    "corpus_release" ->
+      s"""WITH rel AS (
+         |  SELECT doc_id, n_tokens
+         |  FROM ($corpusBuildFullSql) WHERE split = 'train'),
+         |${Governance.manifestSqlOver("rel", "n_tokens", "total_tokens")}"""
+        .stripMargin,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  ${bucketSql("doc_id::VARCHAR", 100, "split")} AS bucket,
