@@ -1142,9 +1142,64 @@ object Similarity {
       .transform(Present.sorted(_, col("q_id")))
   }
 
+  /** [[hardNegatives]]'s committed SCALE PATH, gated: candidate
+    * generation through the LANDED IVF index instead of the full
+    * corpus scan — each anchor probes its [[IvfProbes]] nearest
+    * centroids (the ann_ivf probe rule verbatim: 9-rounded centroid
+    * cosine, cid tie-break, probed cids pruned as partition literals)
+    * and the same/different-label top-1 runs over probed-cell members
+    * only. The label column joins in AFTER the cell prune, so it is
+    * candidate-bounded (at 100 TB: labels live as an index column and
+    * the join disappears). Approximate exactly like ann_ivf is —
+    * the oracle replays build → probe → in-cell label-split rank
+    * verbatim, so the gate pins the INDEX-path answer, and the spec
+    * measures agreement with the exact [[hardNegatives]] ground
+    * truth. */
+  def hardNegativesIvf(s: SparkSession, d: String): DataFrame = {
+    val (idx, cent) = ivfStore(s, d)
+    val q = emb(s, d).filter(col("vec_id") < MiningAnchors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("ccos"), col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("qv"), col("cv")),
+        9))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbes)
+      .select("q_id", "qv", "q_label", "cid")
+    // probe job runs once (≤ anchors × nprobe rows — plan, not data);
+    // see ivfProbeRankedOn for the collect-once rationale
+    val probeRows = probes.collect()
+    val cids = probeRows.map(_.getLong(3)).distinct.toIndexedSeq
+    val probesLocal = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val labels = emb(s, d).select(col("vec_id"), col("label"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "same").orderBy(desc("cos"), col("vec_id"))
+    idx.filter(col("cid").isin(cids: _*))
+      .join(broadcast(probesLocal), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
+      .join(labels, "vec_id")
+      .withColumn("same", col("label") === col("q_label"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .groupBy("q_id")
+      .agg(
+        max(when(col("same"), col("vec_id"))).as("pos_id"),
+        max(when(col("same"), col("cos"))).as("pos_cos"),
+        max(when(!col("same"), col("vec_id"))).as("neg_id"),
+        max(when(!col("same"), col("cos"))).as("neg_cos"))
+      .transform(Present.sorted(_, col("q_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce"    -> knnBruteForce _,
     "hard_negatives"    -> hardNegatives _,
+    "hard_negatives_ivf" -> hardNegativesIvf _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
@@ -1405,6 +1460,36 @@ object Similarity {
          |      sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)),
          |      6) AS cos
          |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id, same
+         |    ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id,
+         |  max(CASE WHEN same THEN vec_id END) AS pos_id,
+         |  max(CASE WHEN same THEN cos END) AS pos_cos,
+         |  max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+         |  max(CASE WHEN NOT same THEN cos END) AS neg_cos
+         |FROM ranked WHERE rn = 1 GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // the index-path replay: build → anchor probes → in-cell
+    // label-split top-1, verbatim (the ann_ivf oracle's chain with a
+    // label join and the same/different pools)
+    "hard_negatives_ivf" ->
+      s"""WITH $ivfIdxSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |probes AS (
+         |  SELECT q_id, qv, q_label, cid FROM (
+         |    SELECT q.vec_id AS q_id, q.v AS qv, l.label AS q_label, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.cv", 9)} DESC, c.cid) AS pr
+         |    FROM e q JOIN lab l ON l.vec_id = q.vec_id
+         |    CROSS JOIN c2 c WHERE q.vec_id < $MiningAnchors)
+         |  WHERE pr <= $IvfProbes),
+         |scored AS (
+         |  SELECT p.q_id, x.vec_id, (xl.label = p.q_label) AS same,
+         |    ${cosSql("x.v", "p.qv", 6)} AS cos
+         |  FROM idx x JOIN probes p ON x.cid = p.cid
+         |  JOIN lab xl ON xl.vec_id = x.vec_id
+         |  WHERE x.vec_id <> p.q_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY q_id, same
          |    ORDER BY cos DESC, vec_id) AS rn

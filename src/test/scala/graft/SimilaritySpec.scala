@@ -577,4 +577,39 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
     assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
   }
+
+  test("hard negatives via IVF: label pools honored, probe pruned on cid, " +
+    "agreement with the exact miner measured") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivfT = Similarity.hardNegativesIvf(spark, sfDir).collect()
+    assert(ivfT.length == Similarity.MiningAnchors.toInt)
+    ivfT.foreach { r =>
+      val q = r.getLong(0)
+      if (!r.isNullAt(1)) assert(labels(r.getLong(1)) == labels(q), s"pos: $r")
+      if (!r.isNullAt(3)) assert(labels(r.getLong(3)) != labels(q), s"neg: $r")
+    }
+    // agreement with the exact (full-scan) miner: the probed cells
+    // cover the true top-1 for most anchors — an IVF recall floor,
+    // measured (0.72–0.80 for ann_ivf at this K/nprobe; the label
+    // split only partitions the candidate set, so mining inherits it)
+    val exact = Similarity.hardNegatives(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val agree = ivfT.count { r =>
+      val (p, n) = exact(r.getLong(0))
+      !r.isNullAt(1) && r.getLong(1) == p && !r.isNullAt(3) && r.getLong(3) == n
+    }
+    assert(agree >= ivfT.length / 2,
+      s"IVF mining agrees with exact on only $agree/${ivfT.length} anchors")
+    // the inverted-file scan is partition-pruned to the probed cells
+    val plan = Similarity.hardNegativesIvf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val idxScans = plan.linesIterator
+      .filter(l => l.contains("graft_ivf") && l.contains("/idx")).toList
+    assert(idxScans.nonEmpty, s"no inverted-file scan in:\n$plan")
+    idxScans.foreach(l => assert(l.contains("PartitionFilters: [cid"),
+      s"the mining probe is not pruned on cid:\n$l"))
+  }
 }
