@@ -139,6 +139,36 @@ object Governance {
       .transform(Present.sorted(_, col("event_type")))
   }
 
+  /** Per-record clip bound for the DP sum, in exact integer cents —
+    * the mechanism's SENSITIVITY: one customer can move the clipped
+    * sum by at most this. */
+  val DpClipCents = 500000L
+
+  /** DIFFERENTIALLY-PRIVATE SUM with clipping — the sensitivity-C
+    * generalization of [[dpRelease]] (counts are the C = 1 case):
+    * each account balance is clipped to [0, C] in exact integer cents
+    * (the Money-family fixed-point rule, so both engines agree
+    * bit-for-bit), and the release adds C × (G1 − G2) — the discrete
+    * Laplace scaled to the sensitivity grid, ε = ln 2 for the clipped
+    * sum. Clipping before summation is what BOUNDS the sensitivity; an
+    * unclipped sum has none and cannot be released. Same md5-PRF
+    * noise, same exact cross-engine replay, same zero marginal cost
+    * at any corpus size. */
+  def dpSum(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("bigint")
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"),
+        least(greatest(cents, lit(0L)), lit(DpClipCents)).as("clipped"))
+      .groupBy("c_mktsegment")
+      .agg(sum("clipped").as("sum_clipped"))
+      .withColumn("noise_units",
+        geomDepth(h20(col("c_mktsegment"), "dsa")) -
+          geomDepth(h20(col("c_mktsegment"), "dsb")))
+      .withColumn("dp_sum", greatest(lit(0L),
+        col("sum_clipped") + lit(DpClipCents) * col("noise_units")))
+      .transform(Present.sorted(_, col("c_mktsegment")))
+  }
+
   // ---------------------------------------------------------------- //
   // Training-shard manifest                                          //
   // ---------------------------------------------------------------- //
@@ -237,8 +267,21 @@ object Governance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymize"    -> kAnonymize _,
     "dp_release"     -> dpRelease _,
+    "dp_sum"         -> dpSum _,
     "shard_manifest" -> shardManifest _,
   )
+
+  /** The geometric-difference noise expression over an md5-PRF of
+    * `keyExpr` — the SQL twin of [[geomDepth]]∘[[h20]], shared by the
+    * count and sum releases. */
+  private def noiseSql(keyExpr: String, saltA: String, saltB: String)
+      : String = {
+    def g(salt: String) =
+      s"""greatest(0, 19 - CAST(floor(log2(
+         |      ('0x' || substring(md5('$salt' || $keyExpr), 1, 5))::BIGINT
+         |      + 1.5)) AS BIGINT))""".stripMargin
+    s"${g(saltA)}\n    - ${g(saltB)}"
+  }
 
   val oracle: Map[String, String] = Map(
     "k_anonymize" ->
@@ -261,20 +304,29 @@ object Governance {
          |  FROM g2 WHERE n < $K HAVING sum(n) > 0)
          |ORDER BY level, c_nationkey, c_mktsegment, bal_band""".stripMargin,
     "dp_release" ->
-      """WITH g AS (
-        |  SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1),
-        |z AS (
-        |  SELECT event_type, n_exact,
-        |    greatest(0, 19 - CAST(floor(log2(
-        |      ('0x' || substring(md5('dpa' || event_type), 1, 5))::BIGINT
-        |      + 1.5)) AS BIGINT))
-        |    - greatest(0, 19 - CAST(floor(log2(
-        |      ('0x' || substring(md5('dpb' || event_type), 1, 5))::BIGINT
-        |      + 1.5)) AS BIGINT)) AS noise
-        |  FROM g)
-        |SELECT event_type, n_exact, noise,
-        |  greatest(0, n_exact + noise) AS n_dp
-        |FROM z ORDER BY event_type""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1),
+         |z AS (
+         |  SELECT event_type, n_exact,
+         |    ${noiseSql("event_type", "dpa", "dpb")} AS noise
+         |  FROM g)
+         |SELECT event_type, n_exact, noise,
+         |  greatest(0, n_exact + noise) AS n_dp
+         |FROM z ORDER BY event_type""".stripMargin,
+    "dp_sum" ->
+      s"""WITH g AS (
+         |  SELECT c_mktsegment,
+         |    CAST(sum(least(greatest(
+         |      CAST(round(c_acctbal * 100) AS BIGINT), 0), $DpClipCents))
+         |      AS BIGINT) AS sum_clipped
+         |  FROM customer GROUP BY 1),
+         |z AS (
+         |  SELECT c_mktsegment, sum_clipped,
+         |    ${noiseSql("c_mktsegment", "dsa", "dsb")} AS noise_units
+         |  FROM g)
+         |SELECT c_mktsegment, sum_clipped, noise_units,
+         |  greatest(0, sum_clipped + $DpClipCents * noise_units) AS dp_sum
+         |FROM z ORDER BY c_mktsegment""".stripMargin,
     "shard_manifest" ->
       s"WITH ${manifestSqlOver("documents", "n_chars", "total_chars")}",
   )

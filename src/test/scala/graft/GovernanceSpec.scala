@@ -41,6 +41,21 @@ class GovernanceSpec extends SparkSpec {
     assert(a.exists(_.getLong(2) != 0L))
   }
 
+  test("dp_sum: clipping bounds the sensitivity, noise on the C grid, " +
+    "clamped post-processing") {
+    val out = Governance.dpSum(spark, sfDir).collect()
+    val n = Tables.customer(spark, sfDir).count()
+    out.foreach { r =>
+      val (sc, units, dps) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // a clipped sum is bounded by rows × C — the sensitivity story
+      assert(sc >= 0 && sc <= n * Governance.DpClipCents, s"clip leak: $r")
+      assert(units >= -19 && units <= 19, s"noise outside support: $r")
+      assert(dps == math.max(0L, sc + Governance.DpClipCents * units),
+        s"grid/clamp violated: $r")
+    }
+    assert(out.exists(_.getLong(2) != 0L), "mechanism never perturbed")
+  }
+
   test("shard_manifest: mass conservation, hash-uniform shards, " +
     "order-sensitive checksum") {
     val m = Governance.shardManifest(spark, sfDir).collect()
