@@ -834,16 +834,19 @@ object ScaleRehearsal {
     * never the all-pairs candidate count. The stride/shift staging is
     * kept — ids must be unique and the shards payload-distinct. */
   def stageMediaDocs(s: SparkSession, sfDir: String, mult: Int): String = {
-    // "mediadocs2": the v1 dirs were staged by the pre-stride recipe;
-    // a version bump is the cache invalidation (fingerprints cover the
-    // SOURCE table, deliberately not the staging code)
-    val dir = stagedDir("mediadocs2", sfDir, mult)
+    // "mediadocs3": staged-dir version bumps are the cache
+    // invalidation when the staging recipe changes (fingerprints
+    // cover the SOURCE table, deliberately not the staging code)
+    val dir = stagedDir("mediadocs3", sfDir, mult)
     val fp = sourceFingerprint(Seq(
       java.nio.file.Paths.get(sfDir, "documents.parquet")))
     if (isStaged(dir, fp)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
-    val docStride = 999983L // prime; 999983 mod 256 = 47
+    // prime AND above the 1 M id range the sibling stagers reserve —
+    // a sub-range stride would collide shard k's ids with shard k+1's
+    // once the base corpus reaches the stride (1000003 mod 256 = 67)
+    val docStride = 1000003L
     val base = Tables.documents(s, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     val out = dir.resolve("documents.parquet").toString

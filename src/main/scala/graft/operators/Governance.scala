@@ -244,8 +244,8 @@ object Governance {
                                          weightName: String): String =
     s"""mbase AS (
        |  SELECT doc_id, $weightExpr AS mweight,
-       |    ('0x' || substring(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT
-       |      % $NumShards AS shard,
+       |    ${PipelineOps.bucketSql("doc_id::VARCHAR", NumShards, "shard")}
+       |      AS shard,
        |    md5('shard' || doc_id::VARCHAR) AS sortkey,
        |    ('0x' || substring(md5('ck' || doc_id::VARCHAR), 1, 13))::BIGINT
        |      AS h52

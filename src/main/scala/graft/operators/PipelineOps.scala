@@ -32,7 +32,8 @@ object PipelineOps {
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("bigint") % mod
 
-  private def bucketSql(keyExpr: String, mod: Int, salt: String): String =
+  private[operators] def bucketSql(keyExpr: String, mod: Int,
+                                   salt: String): String =
     s"('0x' || substring(md5('$salt' || $keyExpr), 1, 15))::BIGINT % $mod"
 
   /** Train/valid/test assignment, 80/10/10 by hash bucket. One narrow
@@ -901,10 +902,15 @@ object PipelineOps {
   // a def, not a val: corpus_build_full's perplexity gate embeds the
   // landed nllq integers harvested at oracle-dump time (see
   // TextAnalysis.nllqOracleParts — the boundary-proof replay)
-  /** The corpus_build_full replay — a lazy val so the release
-    * capstone's oracle can wrap the SAME text as a subquery
-    * (composition by construction: the two cannot drift). */
-  private lazy val corpusBuildFullSql: String = {
+  /** The corpus_build_full replay, shared so the release capstone's
+    * oracle wraps the SAME text as a subquery (composition by
+    * construction: the two cannot drift). A DEF, deliberately — it
+    * embeds TextAnalysis.nllqOracleParts, whose landed-integer VALUES
+    * literal is harvested from the per-dataset stash at ORACLE-DUMP
+    * time (Verify runs every query before dumping oracle_sql.json); a
+    * lazy val would freeze whichever dataset's literals — or the
+    * ln-rederiving fallback — happened to be live at first touch. */
+  private def corpusBuildFullSql: String = {
       val (nqCte, nqJoin, nqExpr) = TextAnalysis.nllqOracleParts
       s"""WITH lex(lex_lang, lex_word) AS (VALUES $lexValues),
          |tok AS (

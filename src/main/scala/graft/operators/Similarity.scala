@@ -1124,13 +1124,25 @@ object Similarity {
     val q = e.filter(col("vec_id") < MiningAnchors)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("label").as("q_label"))
+    labelSplitTop1(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          graft.functions.GraftFunctions.cosineNative(s,
+            col("v"), col("qv")), 6))
+        .withColumn("same", col("label") === col("q_label")))
+  }
+
+  /** The mining tail shared by the exact and IVF-path miners: per
+    * (anchor, pool) top-1 on the 6-dp rounded cosine with the
+    * vec_id tie-break (the family's cross-engine determinism rule),
+    * pivoted to one triplet row per anchor. Input needs (q_id,
+    * vec_id, cos, same); ONE definition so a tie-break or rounding
+    * tweak can never split the two miners. */
+  private def labelSplitTop1(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id", "same").orderBy(desc("cos"), col("vec_id"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(
-        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
-      .withColumn("same", col("label") === col("q_label"))
+    scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy("q_id")
@@ -1176,24 +1188,15 @@ object Similarity {
     val probesLocal = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)
     val labels = emb(s, d).select(col("vec_id"), col("label"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id", "same").orderBy(desc("cos"), col("vec_id"))
-    idx.filter(col("cid").isin(cids: _*))
-      .join(broadcast(probesLocal), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(
-        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("qv")), 6))
-      .join(labels, "vec_id")
-      .withColumn("same", col("label") === col("q_label"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") === 1)
-      .groupBy("q_id")
-      .agg(
-        max(when(col("same"), col("vec_id"))).as("pos_id"),
-        max(when(col("same"), col("cos"))).as("pos_cos"),
-        max(when(!col("same"), col("vec_id"))).as("neg_id"),
-        max(when(!col("same"), col("cos"))).as("neg_cos"))
-      .transform(Present.sorted(_, col("q_id")))
+    labelSplitTop1(
+      idx.filter(col("cid").isin(cids: _*))
+        .join(broadcast(probesLocal), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          graft.functions.GraftFunctions.cosineNative(s,
+            col("v"), col("qv")), 6))
+        .join(labels, "vec_id")
+        .withColumn("same", col("label") === col("q_label")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

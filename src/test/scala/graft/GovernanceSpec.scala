@@ -82,14 +82,21 @@ class GovernanceSpec extends SparkSpec {
     val t = Similarity.hardNegatives(spark, sfDir).collect()
     assert(t.nonEmpty && t.length <= Similarity.MiningAnchors)
     t.foreach { r =>
-      val (q, pos, neg) = (r.getLong(0), r.getLong(1), r.getLong(3))
-      assert(e(pos) == e(q), s"positive label mismatch: $r")
-      assert(e(neg) != e(q), s"negative shares label: $r")
-      assert(pos != q && neg != q)
-      // the positive is at least as similar as the hard negative is
-      // NOT guaranteed in general — but both cosines are in [-1, 1]
-      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
-      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9)
+      val q = r.getLong(0)
+      // pos/neg are nullable by construction (a singleton label class
+      // leaves its pool empty) — guard like the IVF twin's spec
+      if (!r.isNullAt(1)) {
+        val pos = r.getLong(1)
+        assert(e(pos) == e(q) && pos != q, s"positive pool violated: $r")
+        assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      }
+      if (!r.isNullAt(3)) {
+        val neg = r.getLong(3)
+        assert(e(neg) != e(q) && neg != q, s"negative pool violated: $r")
+        assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9)
+      }
     }
+    // the corpus has multi-member label classes — pools non-vacuous
+    assert(t.exists(r => !r.isNullAt(1)) && t.exists(r => !r.isNullAt(3)))
   }
 }
