@@ -489,6 +489,63 @@ object ScaleRehearsal {
     }
   }
 
+  /** Stage `mult` VERBATIM document replicas (doc_id offset only,
+    * text untouched) — the governance rehearsal's corpus. Two
+    * properties the tag-suffixing stageDocs cannot give:
+    * (1) the unigram LM is replica-invariant (every cf and N scale by
+    * the same mult, so cf/N — and every avg_nll — is bit-identical to
+    * 1×; the suffix stager's injected tokens grow N without growing
+    * content cfs, which pushed EVERY staged doc over the fixed
+    * perplexity gate and zeroed the pipeline — found when the first
+    * governance rehearsal reported out_rows = 0 at all multiples),
+    * and (2) exact-dedup collapses the replicas (fp ignores doc_id),
+    * so the release output is bounded by UNIQUE content while the
+    * scan/LM cost grows ∝ corpus — the replicated-crawl shape real
+    * release pipelines actually face. */
+  def stageGovDocs(s: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = stagedDir("govdocs", sfDir, mult)
+    val fp = sourceFingerprint(Seq(
+      java.nio.file.Paths.get(sfDir, "documents.parquet")))
+    if (isStaged(dir, fp)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val docRange = 1000000L
+    val base = Tables.documents(s, sfDir)
+    val out = dir.resolve("documents.parquet").toString
+    (0 until mult).grouped(50).foreach { chunk =>
+      chunk.map(k => base.withColumn("doc_id", col("doc_id") + lit(k * docRange)))
+        .reduce(_ union _)
+        .write.mode("append").parquet(out)
+    }
+    markStaged(dir, fp)
+    dir.toString
+  }
+
+  /** Governance/release rung (round 16): the manifest must stay ONE
+    * narrow shuffle + a per-shard window as the corpus grows (fixed
+    * shard count ⇒ per-shard sort grows ∝ mult — the shard-file
+    * writer's own cost), and the release capstone must price as
+    * corpus_build_full + a marginal manifest tail — the layout step
+    * must never become the pipeline's bottleneck. The corpus is the
+    * verbatim-replica stage (see [[stageGovDocs]]): gates behave
+    * exactly as at 1×, dedup collapses the replicas, so out_rows
+    * stays the unique-content release while cost grows ∝ corpus. */
+  def runGovernance(s: SparkSession, sfDir: String, mults: Seq[Int],
+                    passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val stagedM = stageMediaDocs(s, sfDir, m) // (doc_id, n_chars)
+      measure(s, listener, "governance", "shard_manifest", m, passes)(
+        operators.Governance.shardManifest(s, stagedM))
+      val stagedT = stageGovDocs(s, sfDir, m)   // verbatim replicas
+      measure(s, listener, "governance", "corpus_build_full", m, passes)(
+        operators.PipelineOps.corpusBuildFull(s, stagedT))
+      measure(s, listener, "governance", "corpus_release", m, passes)(
+        operators.PipelineOps.corpusRelease(s, stagedT))
+    }
+  }
+
   // embeddings sf0.1: vec_id < 2 000
   private val VecRange = 1000000L
 
@@ -1282,7 +1339,8 @@ object ScaleRehearsal {
     val known = Set("all", "streaming", "deepstate", "join", "bucketed",
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
-      "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media")
+      "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media",
+      "governance")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1342,6 +1400,8 @@ object ScaleRehearsal {
       runDelete(spark, sfDir, mults)
     if (family("media"))
       runMedia(spark, sfDir, mults)
+    if (family("governance"))
+      runGovernance(spark, sfDir, mults)
     if (family("ivfmaint"))
       runIvfMaint(spark, sfDir, mults)
     spark.stop()

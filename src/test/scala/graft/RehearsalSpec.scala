@@ -183,4 +183,45 @@ class RehearsalSpec extends SparkSpec {
       ScaleRehearsal.stageDocsZipf(spark, sfDir, mult) + "/documents.parquet"))
     assert(h1 == again, "zipf staging is not deterministic")
   }
+
+  test("gov replicas: LM replica-invariance and dedup collapse") {
+    val mult = 2
+    val dir = ScaleRehearsal.stageGovDocs(spark, sfDir, mult)
+    val staged = spark.read.parquet(s"$dir/documents.parquet")
+    val base = Tables.documents(spark, sfDir)
+    assert(staged.count() == mult * base.count())
+    // ids unique after offsetting, text VERBATIM (no tag suffixes)
+    assert(staged.select("doc_id").distinct().count() == staged.count())
+    assert(staged.select("text").distinct().count()
+      == base.select("text").distinct().count(),
+      "replica staging altered document text")
+    // the load-bearing invariance: every cf and N scale by the SAME
+    // multiple, and IEEE division is exactly rounded, so cf/N — and
+    // every per-doc avg_nll — is BIT-IDENTICAL to the base corpus
+    // (this is what keeps the fixed perplexity gate meaningful on the
+    // staged corpus; the tag-suffix stager broke it — see
+    // stageGovDocs scaladoc)
+    import org.apache.spark.sql.functions.col
+    val baseNll = graft.operators.TextAnalysis.perplexityFilter(spark, sfDir)
+      .select("doc_id", "avg_nll", "kept").collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.getBoolean(2))).toMap
+    val stagedNll = graft.operators.TextAnalysis.perplexityFilter(spark, dir)
+      .filter(col("doc_id") < 1000000L)
+      .select("doc_id", "avg_nll", "kept").collect()
+    assert(stagedNll.nonEmpty)
+    stagedNll.foreach { r =>
+      val (nll, kept) = baseNll(r.getLong(0))
+      assert(r.get(1) == nll && r.getBoolean(2) == kept,
+        s"replica corpus shifted avg_nll for doc ${r.getLong(0)}: " +
+          s"${r.get(1)} vs base $nll")
+    }
+    // dedup collapse: corpus_build survivors on the replica corpus =
+    // the base survivors (fp ignores doc_id; min-id keeps shard 0)
+    val survStaged = graft.operators.PipelineOps.corpusBuild(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survBase = graft.operators.PipelineOps.corpusBuild(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survStaged == survBase,
+      "replica corpus changed the unique-content survivor set")
+  }
 }
