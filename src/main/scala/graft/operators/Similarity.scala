@@ -1199,10 +1199,50 @@ object Similarity {
         .withColumn("same", col("label") === col("q_label")))
   }
 
+  /** Eval-benchmark slice for semantic decontamination (vec_id below
+    * this plays the held-out benchmark's embeddings). */
+  val DecontamEvalVecs = 16
+  /** Flag threshold — same scale as the near-dup family's. */
+  val DecontamMinCos = 0.35
+
+  /** SEMANTIC DECONTAMINATION — the embedding rung of the decontam
+    * family (n-gram overlap and Bloom-prefiltered exact matching live
+    * in [[PipelineOps]]): training vectors whose cosine to ANY
+    * held-out eval vector reaches the threshold are flagged, each
+    * with its nearest eval item (6-dp rounded cosine, eval_id
+    * tie-break — the family's determinism rule). Paraphrased or
+    * re-encoded contamination that shares no n-grams is exactly what
+    * this catches and the lexical rungs cannot.
+    *
+    * Scale shape: the eval set is a BENCHMARK — bounded by
+    * construction — so it broadcasts and the corpus streams through
+    * one pass, no corpus shuffle (the decontam_bloom economics with
+    * cosine instead of membership). Against a landed IVF index the
+    * same query runs index-first: each eval vector probes its nprobe
+    * cells and only cell members score — the [[hardNegativesIvf]]
+    * composition with the roles reversed. */
+  def decontamSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ev = e.filter(col("vec_id") < DecontamEvalVecs)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cos"), col("eval_id"))
+    e.filter(col("vec_id") >= DecontamEvalVecs)
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s, col("v"), col("ev")), 6))
+      .filter(col("cos") >= DecontamMinCos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id").as("nearest_eval"), col("cos"))
+      .transform(Present.sortedUnbounded(_, col("vec_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce"    -> knnBruteForce _,
     "hard_negatives"    -> hardNegatives _,
     "hard_negatives_ivf" -> hardNegativesIvf _,
+    "decontam_semantic" -> decontamSemantic _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
@@ -1473,6 +1513,25 @@ object Similarity {
          |  max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
          |  max(CASE WHEN NOT same THEN cos END) AS neg_cos
          |FROM ranked WHERE rn = 1 GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // flag → nearest-eval argmax, replayed naively (the eval slice is
+    // 16 vectors; the oracle's cross join is the gate-scale form)
+    "decontam_semantic" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e
+         |       WHERE vec_id < $DecontamEvalVecs),
+         |scored AS (
+         |  SELECT c.vec_id, ev.eval_id,
+         |    round(list_dot_product(c.v, ev.evv) /
+         |      sqrt(list_dot_product(c.v, c.v) *
+         |           list_dot_product(ev.evv, ev.evv)), 6) AS cos
+         |  FROM e c CROSS JOIN ev WHERE c.vec_id >= $DecontamEvalVecs),
+         |flagged AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, eval_id) AS rn
+         |  FROM scored WHERE cos >= $DecontamMinCos)
+         |SELECT vec_id, eval_id AS nearest_eval, cos
+         |FROM flagged WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // the index-path replay: build → anchor probes → in-cell
     // label-split top-1, verbatim (the ann_ivf oracle's chain with a
     // label join and the same/different pools)

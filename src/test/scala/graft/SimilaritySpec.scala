@@ -578,6 +578,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
   }
 
+  test("semantic decontam: flags only above-threshold corpus vectors " +
+    "against the eval slice, argmax is the true nearest eval") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.decontamSemantic(spark, sfDir).collect()
+    assert(out.nonEmpty, "no flagged vectors — gate vacuous")
+    // role separation + threshold
+    out.foreach { r =>
+      assert(r.getLong(0) >= Similarity.DecontamEvalVecs)
+      assert(r.getLong(1) < Similarity.DecontamEvalVecs)
+      assert(r.getDouble(2) >= Similarity.DecontamMinCos - 1e-9, s"$r")
+    }
+    // the reported eval is the argmax: no OTHER eval vector scores
+    // higher for a sampled flagged vec (plain-Scala replay)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / math.sqrt(
+        a.map(x => x * x).sum * b.map(x => x * x).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.take(10).foreach { r =>
+      val (vid, got, gcos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val best = (0L until Similarity.DecontamEvalVecs)
+        .map(e => (e, cos(vecs(vid), vecs(e))))
+        .maxBy { case (e, c) => (c, -e) }
+      assert(best._1 == got && math.abs(best._2 - gcos) < 2e-6,
+        s"argmax mismatch for $vid: got ($got, $gcos), want $best")
+    }
+  }
+
   test("hard negatives via IVF: label pools honored, probe pruned on cid, " +
     "agreement with the exact miner measured") {
     import org.apache.spark.sql.functions.col
