@@ -169,6 +169,40 @@ object Governance {
       .transform(Present.sorted(_, col("c_mktsegment")))
   }
 
+  /** Per-user contribution cap for the user-level DP count. */
+  val DpUserCap = 8L
+
+  /** USER-LEVEL differentially-private count — the distinction that
+    * makes DP releases meaningful on event data: [[dpRelease]]
+    * protects single EVENTS, but one user contributes many events, so
+    * event-level ε says nothing about a person. The standard fix
+    * (DP-SQL / Wilson et al., public) is CONTRIBUTION BOUNDING: keep
+    * at most [[DpUserCap]] events per (user, group) — a deterministic
+    * window rank, so the bound is exact and replayable — then the
+    * capped count's user-sensitivity is DpUserCap, and the release
+    * adds DpUserCap × (G1 − G2), the discrete Laplace on the
+    * sensitivity grid (ε = ln 2 per USER now, not per event).
+    *
+    * Scale shape: one window over (user, group) — the same shuffle a
+    * sessionize pays — then a |groups|-row scalar mechanism. The cap
+    * rank is the only corpus-wide work; nothing new materializes. */
+  def dpUserCount(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DpUserCap)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_capped"))
+      .withColumn("noise_units",
+        geomDepth(h20(col("event_type"), "dua")) -
+          geomDepth(h20(col("event_type"), "dub")))
+      .withColumn("n_dp", greatest(lit(0L),
+        col("n_capped") + lit(DpUserCap) * col("noise_units")))
+      .transform(Present.sorted(_, col("event_type")))
+  }
+
   // ---------------------------------------------------------------- //
   // Training-shard manifest                                          //
   // ---------------------------------------------------------------- //
@@ -268,6 +302,7 @@ object Governance {
     "k_anonymize"    -> kAnonymize _,
     "dp_release"     -> dpRelease _,
     "dp_sum"         -> dpSum _,
+    "dp_user_count"  -> dpUserCount _,
     "shard_manifest" -> shardManifest _,
   )
 
@@ -312,6 +347,23 @@ object Governance {
          |  FROM g)
          |SELECT event_type, n_exact, noise,
          |  greatest(0, n_exact + noise) AS n_dp
+         |FROM z ORDER BY event_type""".stripMargin,
+    "dp_user_count" ->
+      s"""WITH capped AS (
+         |  SELECT event_type FROM (
+         |    SELECT event_type, row_number() OVER (
+         |      PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id) AS rk
+         |    FROM events)
+         |  WHERE rk <= $DpUserCap),
+         |g AS (
+         |  SELECT event_type, count(*) AS n_capped FROM capped GROUP BY 1),
+         |z AS (
+         |  SELECT event_type, n_capped,
+         |    ${noiseSql("event_type", "dua", "dub")} AS noise_units
+         |  FROM g)
+         |SELECT event_type, n_capped, noise_units,
+         |  greatest(0, n_capped + $DpUserCap * noise_units) AS n_dp
          |FROM z ORDER BY event_type""".stripMargin,
     "dp_sum" ->
       s"""WITH g AS (

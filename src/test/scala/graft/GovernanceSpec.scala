@@ -56,6 +56,34 @@ class GovernanceSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) != 0L), "mechanism never perturbed")
   }
 
+  test("dp_user_count: contribution bounding is exact, noise on the " +
+    "user-sensitivity grid") {
+    import org.apache.spark.sql.functions.{col, count, lit, least}
+    val out = Governance.dpUserCount(spark, sfDir).collect()
+    // plain-Scala replay of the cap: sum over users of min(events, cap)
+    val want = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.sum(
+        least(col("n"), lit(Governance.DpUserCap))).as("n_capped"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t, nc, units, ndp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nc == want(t), s"cap replay mismatch: $r vs ${want(t)}")
+      assert(units >= -19 && units <= 19)
+      assert(ndp == math.max(0L, nc + Governance.DpUserCap * units))
+    }
+    // the cap BINDS somewhere (otherwise user-level = event-level and
+    // the rung is vacuous)
+    val uncapped = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.exists(r => r.getLong(1) < uncapped(r.getString(0))),
+      "contribution cap never bound — rung vacuous")
+  }
+
   test("shard_manifest: mass conservation, hash-uniform shards, " +
     "order-sensitive checksum") {
     val m = Governance.shardManifest(spark, sfDir).collect()
