@@ -111,6 +111,10 @@ object ScaleRehearsal {
   // 2024-01-01..31. Offsets clear the key range so shards are disjoint.
   private val UserRange = 1500L
   private val EventRange = 100000L
+  /** Per-shard doc_id offset for the doc stagers (docs/govdocs) and
+    * the replica-slice filter RehearsalSpec applies — ONE definition
+    * so an offset change can't strand the test on the wrong slice. */
+  private[graft] val DocRange = 1000000L
 
   /** Stage `mult` isomorphic events shards as `batches` time-ordered
     * single files (b0 < b1 < … by both event time and mtime, so the
@@ -381,7 +385,6 @@ object ScaleRehearsal {
     if (isStaged(dir, fp)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
-    val docRange = 1000000L
     val base = Tables.documents(s, sfDir)
     // append batches of ≤ 50 shards (the stageEmbeddings rationale):
     // a 1000× staging plans 20 modest jobs, not one 1000-branch
@@ -390,7 +393,7 @@ object ScaleRehearsal {
     (0 until mult).grouped(50).foreach { chunk =>
       chunk.map { k =>
         base.select(
-          (col("doc_id") + lit(k * docRange)).as("doc_id"),
+          (col("doc_id") + lit(k * DocRange)).as("doc_id"),
           array_join(transform(split(col("text"), "\n"),
             l => concat(l, lit(s" §$k"))), "\n").as("text"),
           concat(col("source"), lit(s"_$k")).as("source"))
@@ -509,11 +512,10 @@ object ScaleRehearsal {
     if (isStaged(dir, fp)) return dir.toString
     wipeDir(dir)
     java.nio.file.Files.createDirectories(dir)
-    val docRange = 1000000L
     val base = Tables.documents(s, sfDir)
     val out = dir.resolve("documents.parquet").toString
     (0 until mult).grouped(50).foreach { chunk =>
-      chunk.map(k => base.withColumn("doc_id", col("doc_id") + lit(k * docRange)))
+      chunk.map(k => base.withColumn("doc_id", col("doc_id") + lit(k * DocRange)))
         .reduce(_ union _)
         .write.mode("append").parquet(out)
     }

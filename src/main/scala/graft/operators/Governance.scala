@@ -169,37 +169,55 @@ object Governance {
       .transform(Present.sorted(_, col("c_mktsegment")))
   }
 
-  /** Per-user contribution cap for the user-level DP count. */
+  /** Per-user contribution cap within one group for the user-level DP
+    * count. */
   val DpUserCap = 8L
+  /** Per-user GROUP bound: a user counts toward at most this many
+    * groups (deterministic rank by group name). */
+  val DpMaxGroups = 3L
 
   /** USER-LEVEL differentially-private count — the distinction that
     * makes DP releases meaningful on event data: [[dpRelease]]
-    * protects single EVENTS, but one user contributes many events, so
-    * event-level ε says nothing about a person. The standard fix
-    * (DP-SQL / Wilson et al., public) is CONTRIBUTION BOUNDING: keep
-    * at most [[DpUserCap]] events per (user, group) — a deterministic
-    * window rank, so the bound is exact and replayable — then the
-    * capped count's user-sensitivity is DpUserCap, and the release
-    * adds DpUserCap × (G1 − G2), the discrete Laplace on the
-    * sensitivity grid (ε = ln 2 per USER now, not per event).
+    * protects single EVENTS, but one user contributes many events
+    * across many groups, so event-level ε says nothing about a
+    * person. The DP-SQL shape (Wilson et al., public) bounds BOTH
+    * dimensions: each user counts toward at most [[DpMaxGroups]]
+    * groups (deterministic rank by group name — exact, replayable)
+    * and at most [[DpUserCap]] events within each, so removing one
+    * user moves the release vector by at most L1 = MaxGroups × Cap.
+    * Each group's noise is the discrete Laplace on THAT grid
+    * (MaxGroups × Cap × (G1 − G2)) — ε = ln 2 per USER for the whole
+    * release. Bounding per group alone (the tempting shortcut) leaks
+    * ε × |groups touched| per user — the composition mistake the
+    * group bound exists to prevent.
     *
-    * Scale shape: one window over (user, group) — the same shuffle a
-    * sessionize pays — then a |groups|-row scalar mechanism. The cap
-    * rank is the only corpus-wide work; nothing new materializes. */
+    * Scale shape: one hash aggregate to (user, group) counts, a
+    * window over each user's ≤|groups| rows (tiny — it runs on the
+    * aggregate, never the raw events), one more aggregate, then a
+    * |groups|-row scalar mechanism. No corpus-wide sort anywhere. */
   def dpUserCount(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    // group choice per user = md5 rank, not name rank: a name rank
+    // starves every late-alphabet group of ALL contributions (each
+    // user keeps the same 3 types), while the PRF rank spreads kept
+    // groups uniformly — same privacy, released vector covers the
+    // domain. Deterministic and oracle-replayable like every md5 rule.
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(md5(concat(col("user_id").cast("string"), lit(":"),
+        col("event_type"))), col("event_type"))
+    val grid = DpMaxGroups * DpUserCap
     Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= DpUserCap)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("grank", row_number().over(wg))
+      .filter(col("grank") <= DpMaxGroups)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_capped"))
+      .agg(sum(least(col("n"), lit(DpUserCap))).as("n_capped"))
       .withColumn("noise_units",
         geomDepth(h20(col("event_type"), "dua")) -
           geomDepth(h20(col("event_type"), "dub")))
       .withColumn("n_dp", greatest(lit(0L),
-        col("n_capped") + lit(DpUserCap) * col("noise_units")))
+        col("n_capped") + lit(grid) * col("noise_units")))
       .transform(Present.sorted(_, col("event_type")))
   }
 
@@ -349,21 +367,27 @@ object Governance {
          |  greatest(0, n_exact + noise) AS n_dp
          |FROM z ORDER BY event_type""".stripMargin,
     "dp_user_count" ->
-      s"""WITH capped AS (
-         |  SELECT event_type FROM (
-         |    SELECT event_type, row_number() OVER (
-         |      PARTITION BY user_id, event_type
-         |      ORDER BY ts, event_id) AS rk
-         |    FROM events)
-         |  WHERE rk <= $DpUserCap),
+      s"""WITH ug AS (
+         |  SELECT user_id, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |bounded AS (
+         |  SELECT event_type, least(n, $DpUserCap) AS nc FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY user_id
+         |      ORDER BY md5(user_id::VARCHAR || ':' || event_type),
+         |        event_type) AS grank
+         |    FROM ug)
+         |  WHERE grank <= $DpMaxGroups),
          |g AS (
-         |  SELECT event_type, count(*) AS n_capped FROM capped GROUP BY 1),
+         |  SELECT event_type, CAST(sum(nc) AS BIGINT) AS n_capped
+         |  FROM bounded GROUP BY 1),
          |z AS (
          |  SELECT event_type, n_capped,
          |    ${noiseSql("event_type", "dua", "dub")} AS noise_units
          |  FROM g)
          |SELECT event_type, n_capped, noise_units,
-         |  greatest(0, n_capped + $DpUserCap * noise_units) AS n_dp
+         |  greatest(0, n_capped + ${DpMaxGroups * DpUserCap} * noise_units)
+         |    AS n_dp
          |FROM z ORDER BY event_type""".stripMargin,
     "dp_sum" ->
       s"""WITH g AS (

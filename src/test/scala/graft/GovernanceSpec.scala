@@ -56,32 +56,44 @@ class GovernanceSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) != 0L), "mechanism never perturbed")
   }
 
-  test("dp_user_count: contribution bounding is exact, noise on the " +
-    "user-sensitivity grid") {
-    import org.apache.spark.sql.functions.{col, count, lit, least}
+  test("dp_user_count: two-level contribution bounding is exact, " +
+    "noise on the L1 user-sensitivity grid, both bounds bind") {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val out = Governance.dpUserCount(spark, sfDir).collect()
-    // plain-Scala replay of the cap: sum over users of min(events, cap)
-    val want = Tables.events(spark, sfDir)
+    // plain-Scala replay: per user keep the first DpMaxGroups groups
+    // by name, cap each kept group's events at DpUserCap, sum per type
+    val perUser = Tables.events(spark, sfDir)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
-      .groupBy("event_type")
-      .agg(org.apache.spark.sql.functions.sum(
-        least(col("n"), lit(Governance.DpUserCap))).as("n_capped"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val want = perUser.values.flatMap { rows =>
+      rows.sortBy(r => (md5hex(s"${r._1}:${r._2}"), r._2))
+        .take(Governance.DpMaxGroups.toInt)
+        .map(r => r._2 -> math.min(r._3, Governance.DpUserCap))
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val grid = Governance.DpMaxGroups * Governance.DpUserCap
     assert(out.nonEmpty)
     out.foreach { r =>
       val (t, nc, units, ndp) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(nc == want(t), s"cap replay mismatch: $r vs ${want(t)}")
+      assert(nc == want(t), s"bound replay mismatch: $r vs ${want(t)}")
       assert(units >= -19 && units <= 19)
-      assert(ndp == math.max(0L, nc + Governance.DpUserCap * units))
+      assert(ndp == math.max(0L, nc + grid * units), s"grid violated: $r")
     }
-    // the cap BINDS somewhere (otherwise user-level = event-level and
-    // the rung is vacuous)
-    val uncapped = Tables.events(spark, sfDir)
-      .groupBy("event_type").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(out.exists(r => r.getLong(1) < uncapped(r.getString(0))),
-      "contribution cap never bound — rung vacuous")
+    // BOTH bounds bind on this corpus (else the rung is vacuous):
+    // some user exceeds the group bound, some kept group exceeds the cap
+    assert(perUser.values.exists(_.size > Governance.DpMaxGroups.toInt),
+      "group bound never bound")
+    assert(perUser.values.exists(
+      _.sortBy(r => (md5hex(s"${r._1}:${r._2}"), r._2))
+        .take(Governance.DpMaxGroups.toInt)
+        .exists(_._3 > Governance.DpUserCap)),
+      "event cap never bound")
   }
 
   test("shard_manifest: mass conservation, hash-uniform shards, " +

@@ -206,7 +206,7 @@ class RehearsalSpec extends SparkSpec {
       .select("doc_id", "avg_nll", "kept").collect()
       .map(r => r.getLong(0) -> (r.get(1), r.getBoolean(2))).toMap
     val stagedNll = graft.operators.TextAnalysis.perplexityFilter(spark, dir)
-      .filter(col("doc_id") < 1000000L)
+      .filter(col("doc_id") < ScaleRehearsal.DocRange)
       .select("doc_id", "avg_nll", "kept").collect()
     assert(stagedNll.nonEmpty)
     stagedNll.foreach { r =>
