@@ -952,8 +952,18 @@ object ScaleRehearsal {
         operators.Multimodal.multimodalFeaturesIncremental(s, staged))
       measure(s, listener, "media", "media_dedup", m, passes)(
         operators.Multimodal.mediaDedup(s, staged))
-      measure(s, listener, "media", "media_neardup", m, passes)(
-        operators.Multimodal.mediaNearDup(s, staged))
+      // the 1280-class signature ceiling (stageMediaDocs scaladoc)
+      // makes TRUE pairs ∝ mult² — at 200× that is ~2.4 G output rows,
+      // rehearsing nothing the 50× rung didn't already prove (shuffle
+      // tracks output at a constant 11.4× under the all-pairs floor),
+      // so the quadratic rung stops at 50× and says so
+      if (m <= 50)
+        measure(s, listener, "media", "media_neardup", m, passes)(
+          operators.Multimodal.mediaNearDup(s, staged))
+      else
+        println(s"""{"family":"media","query":"media_neardup","mult":$m,""" +
+          s""""skipped":"output-quadratic by the synthesis signature """ +
+          s"""ceiling; measured through 50x"}""")
       measure(s, listener, "media", "media_dedup_masked", m, passes)(
         operators.Multimodal.mediaDelete(s, staged))
       measure(s, listener, "media", "media_dedup_purged", m, passes)(

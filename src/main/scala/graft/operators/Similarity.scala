@@ -1199,6 +1199,41 @@ object Similarity {
         .withColumn("same", col("label") === col("q_label")))
   }
 
+  /** Output dimensionality of the random projection. */
+  val ProjDims = 16
+  /** Source dimensionality (the embeddings table's contract). */
+  val SrcDims = 64
+
+  /** The ±1 sign matrix for [[embedProject]] — an md5-PRF of
+    * (out-dim, in-dim), so both engines share it as literals and a
+    * re-run regenerates it bit-identically (no RNG, the repo rule). */
+  private[graft] lazy val projSigns: Array[Array[Double]] =
+    Array.tabulate(ProjDims, SrcDims) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"proj:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** RANDOM-PROJECTION dimensionality reduction (Achlioptas ±1 / JL
+    * sketch, public): 64-dim embeddings fold to [[ProjDims]] signed
+    * sums — the cheap storage reducer and ANN prefilter an embedding
+    * pipeline runs before the exact index (4× fewer bytes per vector;
+    * E‖Pv‖² = ProjDims·‖v‖², so distances survive up to the JL
+    * distortion the spec measures). Projection = 16 declarative dot
+    * products against PRF sign literals — codegen'd, no UDF, no
+    * shuffle (a pure map over the corpus); 6-dp rounding is the
+    * family's cross-engine determinism rule (both engines fold the
+    * identical products left-to-right). */
+  def embedProject(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cols = (0 until ProjDims).map { j =>
+      round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)
+        .as(f"p$j%02d")
+    }
+    e.select(col("vec_id") +: cols: _*)
+      .transform(Present.sortedUnbounded(_, col("vec_id")))
+  }
+
   /** Eval-benchmark slice for semantic decontamination (vec_id below
     * this plays the held-out benchmark's embeddings). */
   val DecontamEvalVecs = 16
@@ -1243,6 +1278,7 @@ object Similarity {
     "hard_negatives"    -> hardNegatives _,
     "hard_negatives_ivf" -> hardNegativesIvf _,
     "decontam_semantic" -> decontamSemantic _,
+    "embed_project"     -> embedProject _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
@@ -1513,6 +1549,19 @@ object Similarity {
          |  max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
          |  max(CASE WHEN NOT same THEN cos END) AS neg_cos
          |FROM ranked WHERE rn = 1 GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // the PRF sign matrix interpolates as literals — both engines
+    // compute the identical left-to-right product fold
+    "embed_project" -> {
+      val projCols = (0 until ProjDims).map { j =>
+        val lits = projSigns(j).map(x =>
+          if (x > 0) "1.0" else "-1.0").mkString(", ")
+        f"  round(list_dot_product(v, [$lits]), 6) AS p$j%02d"
+      }.mkString(",\n")
+      s"""SELECT vec_id,
+         |$projCols
+         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |ORDER BY vec_id""".stripMargin
+    },
     // flag → nearest-eval argmax, replayed naively (the eval slice is
     // 16 vectors; the oracle's cross join is the gate-scale form)
     "decontam_semantic" ->

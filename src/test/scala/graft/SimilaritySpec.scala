@@ -578,6 +578,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
   }
 
+  test("embed_project: exact PRF replay and JL norm preservation") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.embedProject(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.length == vecs.size)
+    // plain-Scala replay of a sample: projection = signed sums
+    out.take(5).foreach { r =>
+      val v = vecs(r.getLong(0))
+      (0 until Similarity.ProjDims).foreach { j =>
+        val want = BigDecimal(
+          v.zip(Similarity.projSigns(j)).map { case (x, s) => x * s }.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(1 + j) - want) < 2e-6,
+          s"dim $j replay mismatch for vec ${r.getLong(0)}")
+      }
+    }
+    // JL norm preservation: E‖Pv‖² = ProjDims·‖v‖² — the corpus mean
+    // ratio sits near ProjDims (fixed PRF signs, deterministic bound)
+    val ratios = out.map { r =>
+      val v = vecs(r.getLong(0))
+      val pn = (0 until Similarity.ProjDims)
+        .map(j => r.getDouble(1 + j)).map(x => x * x).sum
+      pn / v.map(x => x * x).sum
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > Similarity.ProjDims * 0.5 &&
+      mean < Similarity.ProjDims * 1.5,
+      s"norm ratio $mean far from ${Similarity.ProjDims}")
+  }
+
   test("semantic decontam: flags only above-threshold corpus vectors " +
     "against the eval slice, argmax is the true nearest eval") {
     import org.apache.spark.sql.functions.col
