@@ -540,11 +540,19 @@ object ScaleRehearsal {
       val stagedM = stageMediaDocs(s, sfDir, m) // (doc_id, n_chars)
       measure(s, listener, "governance", "shard_manifest", m, passes)(
         operators.Governance.shardManifest(s, stagedM))
-      val stagedT = stageGovDocs(s, sfDir, m)   // verbatim replicas
-      measure(s, listener, "governance", "corpus_build_full", m, passes)(
-        operators.PipelineOps.corpusBuildFull(s, stagedT))
-      measure(s, listener, "governance", "corpus_release", m, passes)(
-        operators.PipelineOps.corpusRelease(s, stagedT))
+      // the full-pipeline pair needs TEXT replicas (GBs past 200×) and
+      // its 1–200× slopes are already measured; the manifest alone
+      // scales to the 1000× tier on the narrow (doc_id, n_chars) stage
+      if (m <= 200) {
+        val stagedT = stageGovDocs(s, sfDir, m) // verbatim replicas
+        measure(s, listener, "governance", "corpus_build_full", m, passes)(
+          operators.PipelineOps.corpusBuildFull(s, stagedT))
+        measure(s, listener, "governance", "corpus_release", m, passes)(
+          operators.PipelineOps.corpusRelease(s, stagedT))
+      } else
+        println(s"""{"family":"governance","query":"corpus_pipeline",""" +
+          s""""mult":$m,"skipped":"text-replica staging past 200x; """ +
+          s"""pipeline slopes measured through 200x"}""")
     }
   }
 
