@@ -321,6 +321,14 @@ object ScaleRehearsal {
 
   /** min-of-passes wall + shuffle totals for one measured query,
     * printed as one JSON line — shared by every batch family. */
+  /** One skip record per SKIPPED registered query — keyed by the same
+    * query name the measured lines use, so a consumer keying on query
+    * never sees a rung silently vanish. */
+  private def skipLine(family: String, query: String, mult: Int,
+                       reason: String): Unit =
+    println(s"""{"family":"$family","query":"$query","mult":$mult,""" +
+      s""""skipped":"$reason"}""")
+
   private def measure(s: SparkSession, listener: ShuffleListener,
                       family: String, name: String, mult: Int,
                       passes: Int)(mk: => DataFrame): Unit = {
@@ -550,9 +558,9 @@ object ScaleRehearsal {
         measure(s, listener, "governance", "corpus_release", m, passes)(
           operators.PipelineOps.corpusRelease(s, stagedT))
       } else
-        println(s"""{"family":"governance","query":"corpus_pipeline",""" +
-          s""""mult":$m,"skipped":"text-replica staging past 200x; """ +
-          s"""pipeline slopes measured through 200x"}""")
+        Seq("corpus_build_full", "corpus_release").foreach(q =>
+          skipLine("governance", q, m, "text-replica staging past 200x; " +
+            "pipeline slopes measured through 200x"))
     }
   }
 
@@ -969,9 +977,8 @@ object ScaleRehearsal {
         measure(s, listener, "media", "media_neardup", m, passes)(
           operators.Multimodal.mediaNearDup(s, staged))
       else
-        println(s"""{"family":"media","query":"media_neardup","mult":$m,""" +
-          s""""skipped":"output-quadratic by the synthesis signature """ +
-          s"""ceiling; measured through 50x"}""")
+        skipLine("media", "media_neardup", m, "output-quadratic by the " +
+          "synthesis signature ceiling; measured through 50x")
       measure(s, listener, "media", "media_dedup_masked", m, passes)(
         operators.Multimodal.mediaDelete(s, staged))
       measure(s, listener, "media", "media_dedup_purged", m, passes)(

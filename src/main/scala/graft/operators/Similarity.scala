@@ -1204,9 +1204,11 @@ object Similarity {
   /** Source dimensionality (the embeddings table's contract). */
   val SrcDims = 64
 
-  /** The ±1 sign matrix for [[embedProject]] — an md5-PRF of
-    * (out-dim, in-dim), so both engines share it as literals and a
-    * re-run regenerates it bit-identically (no RNG, the repo rule). */
+  /** The ±1 sign matrix for [[embedProject]] — sign(j)(i) for output
+    * dim j and input dim i is the low bit of md5("proj:<in-dim i>:
+    * <out-dim j>") (note the key order: in-dim FIRST), so both
+    * engines share it as literals and a re-run regenerates it
+    * bit-identically (no RNG, the repo rule). */
   private[graft] lazy val projSigns: Array[Array[Double]] =
     Array.tabulate(ProjDims, SrcDims) { (j, i) =>
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -1217,7 +1219,10 @@ object Similarity {
   /** RANDOM-PROJECTION dimensionality reduction (Achlioptas ±1 / JL
     * sketch, public): 64-dim embeddings fold to [[ProjDims]] signed
     * sums — the cheap storage reducer and ANN prefilter an embedding
-    * pipeline runs before the exact index (4× fewer bytes per vector;
+    * pipeline runs before the exact index (4× fewer VALUES per
+    * vector — 2× fewer bytes as emitted, since the 64 float32 inputs
+    * project to 16 doubles; narrow to float32 at write time for the
+    * full 4×;
     * E‖Pv‖² = ProjDims·‖v‖², so distances survive up to the JL
     * distortion the spec measures). Projection = 16 declarative dot
     * products against PRF sign literals — codegen'd, no UDF, no
