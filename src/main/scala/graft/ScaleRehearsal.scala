@@ -319,8 +319,6 @@ object ScaleRehearsal {
     }
   }
 
-  /** min-of-passes wall + shuffle totals for one measured query,
-    * printed as one JSON line — shared by every batch family. */
   /** One skip record per SKIPPED registered query — keyed by the same
     * query name the measured lines use, so a consumer keying on query
     * never sees a rung silently vanish. */
@@ -329,6 +327,8 @@ object ScaleRehearsal {
     println(s"""{"family":"$family","query":"$query","mult":$mult,""" +
       s""""skipped":"$reason"}""")
 
+  /** min-of-passes wall + shuffle totals for one measured query,
+    * printed as one JSON line — shared by every batch family. */
   private def measure(s: SparkSession, listener: ShuffleListener,
                       family: String, name: String, mult: Int,
                       passes: Int)(mk: => DataFrame): Unit = {

@@ -19,6 +19,17 @@ import graft.Tables
   * oracle replays it bit-for-bit (the repo-wide determinism
   * discipline): no RNG, no floats outside ulp-proof floor(log2(int))
   * windows, no engine-specific hash.
+  *
+  * PRIVACY CAVEAT (applies to every dp_* operator below): the md5-PRF
+  * noise is keyed on the PUBLIC group key with a fixed salt so the
+  * released noise itself hash-gates across engines — that makes this
+  * a gate/replay DEVICE, not a private release. The stated ε only
+  * holds for a deployment that (a) swaps the fixed salts for a secret
+  * per-release seed, (b) ships the n_dp column ONLY (n_exact/noise
+  * ride along here as audit companions), and (c) accepts the
+  * truncation of the geometric depth at 19 (a 2^-20 total-variation
+  * distance from the untruncated discrete Laplace — negligible but
+  * formally (ε, δ≈1e-6)-DP, not pure ε-DP).
   */
 object Governance {
 
@@ -243,9 +254,13 @@ object Governance {
     *             PRF of the id, NOT a global row_number: no global
     *             sort, fully parallel, stable under corpus appends
     *             (an existing doc never changes shard).
-    *   order   = within a shard, docs sort by md5('shard'‖doc_id) —
+    *   order   = within a shard, docs sort by md5('order'‖doc_id) —
     *             the seeded shuffle order the shard file is written
     *             in (a per-shard parallel sort, ≙ the shard writer).
+    *             The 'order' salt is DISTINCT from the assignment's
+    *             'shard' salt, so order and assignment derive from
+    *             independent PRFs (with a shared salt the shard was
+    *             literally a prefix function of the sort key).
     *   checksum= Σ (h52(doc_id)·rank mod P) mod P — ORDER-SENSITIVE
     *             (swapping two docs changes it), computable as a
     *             plain aggregate over the ranked rows, so the
@@ -278,7 +293,7 @@ object Governance {
     docs
       .select(col("doc_id"), col(weightCol),
         PipelineOps.hashBucket(col("doc_id"), NumShards, "shard").as("shard"),
-        md5(concat(lit("shard"), col("doc_id").cast("string"))).as("sortkey"))
+        md5(concat(lit("order"), col("doc_id").cast("string"))).as("sortkey"))
       .withColumn("rnk", row_number().over(w))
       .withColumn("contrib", (h52 % ChecksumMod) * col("rnk") % ChecksumMod)
       .groupBy("shard")
@@ -298,7 +313,7 @@ object Governance {
        |  SELECT doc_id, $weightExpr AS mweight,
        |    ${PipelineOps.bucketSql("doc_id::VARCHAR", NumShards, "shard")}
        |      AS shard,
-       |    md5('shard' || doc_id::VARCHAR) AS sortkey,
+       |    md5('order' || doc_id::VARCHAR) AS sortkey,
        |    ('0x' || substring(md5('ck' || doc_id::VARCHAR), 1, 13))::BIGINT
        |      AS h52
        |  FROM $rel),

@@ -61,7 +61,8 @@ class GovernanceSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, count, lit}
     val out = Governance.dpUserCount(spark, sfDir).collect()
     // plain-Scala replay: per user keep the first DpMaxGroups groups
-    // by name, cap each kept group's events at DpUserCap, sum per type
+    // by md5-PRF rank (name only as tie-break), cap each kept group's
+    // events at DpUserCap, sum per type
     val perUser = Tables.events(spark, sfDir)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
