@@ -316,6 +316,63 @@ object Dedup {
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
+  private val lshPurgeStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lshPurgeIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so DedupSpec can pin build-once. */
+  private[graft] val lshPurgeBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Compaction with tombstone PURGE for the signature store — the
+    * twin [[minhashLshDelete]]'s scaladoc names: rewrite the landed
+    * sig AND banded artifacts minus the tombstoned docs (signatures
+    * are per-doc, so the purge is an anti-join + overwrite — no
+    * shingle pass, no df recount: the df-cap was baked into the
+    * LANDED signatures at build time and a purge never re-tokenizes),
+    * after which probes re-derive bucket caps over the survivors —
+    * the compaction that refreshes the stale per-bucket counts the
+    * masked probe lives with. Index-local, priced ∝ store. */
+  private def lshPurgeRoot(s: SparkSession, d: String): String =
+    lshPurgeStores.computeIfAbsent(d, _ => {
+      lshPurgeBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_sigpurge",
+        s"p${lshPurgeIds.getAndIncrement()}").toString
+      val st = SigStore.forDataset(s, d)
+      val tomb = lshTombStore(s, d)
+      st.sig(s).join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$out/sig")
+      st.banded(s).join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$out/banded")
+      out
+    })
+
+  /** The purged (sig, banded) artifacts as fresh store reads —
+    * exposed so the spec can pin purged = store − tombstones. */
+  private[graft] def lshPurgedStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val root = lshPurgeRoot(s, d)
+    (s.read.parquet(s"$root/sig"), s.read.parquet(s"$root/banded"))
+  }
+
+  /** MinHash-LSH pairs from the PURGED signature store — the delete
+    * verb's compaction half (the bm25_delete_compact contract, sig
+    * edition): ONE purged segment, no tombstone read, no mask
+    * anywhere in the plan, and the hot-bucket cap counts the
+    * SURVIVORS (the compaction re-derives the per-bucket counts the
+    * mask left stale). Answer-identical to [[minhashLshDelete]]
+    * whenever no bucket straddles the cap across the purge (true at
+    * gate scale — DedupSpec pins the precondition and the equality);
+    * the oracle replays the survivors-first pipeline: landed
+    * signatures restricted to survivors, caps over survivors,
+    * pairs among survivors. */
+  def minhashLshDeleteCompact(s: SparkSession, d: String,
+                              minEst: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame = {
+    val (sig, banded) = lshPurgedStore(s, d)
+    lshPairsFrom(banded, sig, minEst, maxBucket)
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
   /** Unsorted form for internal composition (the LSH-verified
     * clustering consumes candidates under joins and aggregates).
     * Both entry points read the session [[SigStore]]: the expensive
@@ -721,6 +778,8 @@ object Dedup {
     "neardup_jaccard" -> ((s: SparkSession, d: String) => neardupJaccard(s, d)),
     "minhash_lsh"     -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "minhash_lsh_delete" -> ((s: SparkSession, d: String) => minhashLshDelete(s, d)),
+    "minhash_lsh_delete_compact" ->
+      ((s: SparkSession, d: String) => minhashLshDeleteCompact(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "simhash64_invariants" -> simhash64Invariants _,
@@ -736,7 +795,13 @@ object Dedup {
     * the minhash_lsh and dedup_clusters_lsh oracles; every constant is
     * interpolated from the same Scala values the Spark plan uses, so
     * the two engines cannot drift. */
-  def lshOracleCtes(maxBucket: Int = 1000): String = {
+  /** `survive`: predicate applied to banded rows BEFORE the
+    * hot-bucket cap — "TRUE" replays the live store (caps over the
+    * full corpus, the masked probe's stale-cap contract); the purge
+    * twin passes the survivor predicate so caps re-derive over the
+    * purged store, exactly what its compaction does. */
+  def lshOracleCtes(maxBucket: Int = 1000,
+                    survive: String = "TRUE"): String = {
     val rows = NumHashes / Bands
     val seeds = (0 until NumHashes)
       .map(i => s"($i, ${mhA(i)}, ${mhB(i)})").mkString(", ")
@@ -767,6 +832,7 @@ object Dedup {
        |  FROM sigrows GROUP BY doc_id, i // $rows),
        |capped AS (
        |  SELECT doc_id, band, bucket FROM banded
+       |  WHERE $survive
        |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -834,6 +900,17 @@ object Dedup {
          |WHERE est_jaccard >= 0.5
          |  AND doc_a % $DelEvery <> $DelSlot
          |  AND doc_b % $DelEvery <> $DelSlot
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // tombstone purge with RE-DERIVED caps: the landed per-doc
+    // signatures replay unchanged (a purge never re-tokenizes, so the
+    // df-cap stays the build-time one), but banded rows restrict to
+    // survivors BEFORE the hot-bucket cap — the compaction refreshed
+    // the bucket counts the mask left stale
+    "minhash_lsh_delete_compact" ->
+      s"""WITH ${lshOracleCtes(
+              survive = s"doc_id % $DelEvery <> $DelSlot")}
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     // the incremental operator's contract: the full pair set minus
     // pairs internal to the existing store (those were yesterday's)

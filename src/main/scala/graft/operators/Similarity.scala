@@ -1004,6 +1004,18 @@ object Similarity {
     semDedupFrom(s, masked)
   }
 
+  /** SemDeDup over the PURGED index — the delete verb's compaction
+    * half: the within-cell pair pass runs on the single purged
+    * segment [[ivfDelCompactStore]] already landed for
+    * `ann_ivf_delete_compact` (ONE compaction artifact serves every
+    * index consumer, exactly as the tombstone sidecar did for the
+    * masks), so the plan reads no tombstones and applies no mask
+    * anywhere. Answer-identical to [[semDedupDelete]] by
+    * construction — purge ≡ mask at fixed cells — and gated against
+    * the same survivors-only oracle. */
+  def semDedupDeleteCompact(s: SparkSession, d: String): DataFrame =
+    semDedupFrom(s, ivfDelCompactStore(s, d)._1)
+
   /** Every SemIncrEvery-th vec_id plays the "new batch" — the same
     * synthetic-split convention as Dedup.IncrEvery. */
   val SemIncrEvery = 5L
@@ -1296,6 +1308,7 @@ object Similarity {
     "semdedup"          -> semDedup _,
     "semdedup_incremental" -> semDedupIncremental _,
     "semdedup_delete"   -> semDedupDelete _,
+    "semdedup_delete_compact" -> semDedupDeleteCompact _,
     "rag_retrieve"      -> ragRetrieve _,
     "label_outliers"    -> labelCentroidOutlier _,
     "embed_quantize"    -> embedQuantizeGated _,
@@ -1398,6 +1411,21 @@ object Similarity {
        |  SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
        |  WHERE rn <= $TopK)""".stripMargin
 
+  /** The survivors-only SemDeDup replay — ONE builder shared by the
+    * mask and purge twins (answer-identical at fixed cells). */
+  private def semDedupDeleteOracleSql: String =
+    s"""WITH $ivfIdxSql,
+       |live AS (SELECT vec_id, v, cid FROM idx
+       |         WHERE vec_id % $IvfDelEvery <> $IvfDelSlot),
+       |dups AS (
+       |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+       |  FROM live a JOIN live b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v", 6)} >= $SemDedupMinCos
+       |  GROUP BY b.vec_id)
+       |SELECT i.vec_id, i.cid, d.vec_id IS NULL AS kept, d.dup_of
+       |FROM live i LEFT JOIN dups d ON i.vec_id = d.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "rag_retrieve" ->
       s"""WITH $ivfIdxSql,
@@ -1420,18 +1448,11 @@ object Similarity {
     // — both pair sides and the output exclude the deleted slot, so a
     // mask leak OR a stale dup_of anchored on a deleted vector
     // hash-fails
-    "semdedup_delete" ->
-      s"""WITH $ivfIdxSql,
-         |live AS (SELECT vec_id, v, cid FROM idx
-         |         WHERE vec_id % $IvfDelEvery <> $IvfDelSlot),
-         |dups AS (
-         |  SELECT b.vec_id, min(a.vec_id) AS dup_of
-         |  FROM live a JOIN live b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.v", "b.v", 6)} >= $SemDedupMinCos
-         |  GROUP BY b.vec_id)
-         |SELECT i.vec_id, i.cid, d.vec_id IS NULL AS kept, d.dup_of
-         |FROM live i LEFT JOIN dups d ON i.vec_id = d.vec_id
-         |ORDER BY i.vec_id""".stripMargin,
+    "semdedup_delete" -> semDedupDeleteOracleSql,
+    // purge ≡ mask at fixed cells: the same survivors-only replay —
+    // a purge that dropped a survivor or kept a tombstoned vector
+    // hash-fails
+    "semdedup_delete_compact" -> semDedupDeleteOracleSql,
     // the full rule + one batch filter: incremental ≡ restricted full
     "semdedup_incremental" ->
       s"""WITH $ivfIdxSql,

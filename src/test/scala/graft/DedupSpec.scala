@@ -272,4 +272,47 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshTombBuildCount.get() == t0,
       "tombstone sidecar rebuilt on a second run")
   }
+
+  test("minhash delete compact: purge ≡ mask, purged store = sig − " +
+    "tombstones exactly, purged-segment-only plan") {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val st = graft.operators.SigStore.forDataset(spark, sfDir)
+    // precondition that makes mask ≡ purge PROVABLE (not accidental):
+    // no band bucket exceeds the cap in the full store, so the mask's
+    // stale caps and the purge's re-derived caps drop nothing either
+    // way — the two twins must then agree exactly
+    val hottest = st.banded(spark).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0)
+    assert(hottest <= 1000,
+      s"gate corpus has a hot bucket ($hottest) — mask/purge cap " +
+        "behavior diverges and this equality is no longer structural")
+    val masked = Dedup.minhashLshDelete(spark, sfDir).collect().toSeq
+    val purged = Dedup.minhashLshDeleteCompact(spark, sfDir).collect().toSeq
+    assert(purged == masked,
+      "post-purge pairs differ from the masked pairs")
+    // the purge is complete and drops nothing else: purged sig =
+    // landed sig − tombstones, banded shrinks by the same doc set
+    def survives(id: Long) = id % Dedup.DelEvery != Dedup.DelSlot
+    val (psig, pbanded) = Dedup.lshPurgedStore(spark, sfDir)
+    val sigIds = st.sig(spark).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val psigIds = psig.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(psigIds == sigIds.filter(survives),
+      "purged sig store is not (landed sig − tombstones)")
+    assert(pbanded.count() == st.banded(spark)
+        .filter(col("doc_id") % Dedup.DelEvery =!= Dedup.DelSlot).count(),
+      "purged banded store row count drifted from the survivor slice")
+    // artifacts land once; the purge twin's plan reads the purged
+    // root only — no tombstone read, no mask anywhere
+    val p0 = Dedup.lshPurgeBuildCount.get()
+    val df = Dedup.minhashLshDeleteCompact(spark, sfDir)
+    df.collect()
+    assert(Dedup.lshPurgeBuildCount.get() == p0,
+      "purged store rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sigpurge"),
+      "purge twin does not read the purged store:\n" + plan)
+    assert(!plan.contains("graft_sigtomb"),
+      "purge twin still reads tombstones (purge incomplete):\n" + plan)
+  }
 }

@@ -310,6 +310,30 @@ class SimilaritySpec extends SparkSpec {
       "semdedup_delete rebuilt the tombstone sidecar")
   }
 
+  test("semdedup delete compact: purge ≡ mask, purged-segment-only plan, " +
+    "shared compaction artifact") {
+    val masked = Similarity.semDedupDelete(spark, sfDir).collect().toSeq
+    val compacted = Similarity.semDedupDeleteCompact(spark, sfDir)
+      .collect().toSeq
+    assert(compacted == masked,
+      "post-purge semdedup differs from the masked twin")
+    // the purged segment is the SAME artifact ann_ivf_delete_compact
+    // landed — consuming it here must not mint a second compaction,
+    // nor re-touch the tombstone sidecar
+    val (t0, c0) = (Similarity.ivfTombBuildCount.get(),
+      Similarity.ivfDelCmpBuildCount.get())
+    val df = Similarity.semDedupDeleteCompact(spark, sfDir)
+    df.collect()
+    assert(Similarity.ivfTombBuildCount.get() == t0 &&
+      Similarity.ivfDelCmpBuildCount.get() == c0,
+      "delete-compaction artifacts rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivfdc"),
+      "purge twin does not read the purged segment:\n" + plan)
+    assert(!plan.contains("graft_ivft"),
+      "purge twin still reads tombstones (purge incomplete):\n" + plan)
+  }
+
   test("ann ivf pruned: nprobe ≪ K — probed cells ≪ cell count, scan pruned") {
     import org.apache.spark.sql.functions._
     val df = Similarity.annIvfPruned(spark, sfDir)
