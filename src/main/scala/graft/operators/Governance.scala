@@ -233,6 +233,105 @@ object Governance {
   }
 
   // ---------------------------------------------------------------- //
+  // Privacy-budget ledger                                            //
+  // ---------------------------------------------------------------- //
+
+  /** Total ε budget for the release family, in units of ln 2 (every
+    * mechanism above spends exactly one unit per release — integer
+    * accounting, so the ledger hash-gates). */
+  val DpBudgetUnits = 3L
+
+  /** The release schedule the ledger accounts: seq order is the
+    * order releases were requested; the fourth entry is a REFRESH of
+    * the count release — a real pipeline's "monthly re-publish" —
+    * which is exactly the request a budget must refuse: composition
+    * is additive (each release spends its ε whether or not earlier
+    * ones were on the same statistic), so the refresh would take the
+    * family past [[DpBudgetUnits]]. */
+  private[graft] val DpSchedule: Seq[(Long, String)] = Seq(
+    1L -> "dp_release", 2L -> "dp_sum", 3L -> "dp_user_count",
+    4L -> "dp_release_refresh")
+
+  private val dpLedgerStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dpLedgerIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so GovernanceSpec can pin build-once. */
+  private[graft] val dpLedgerBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the per-release ε sidecar (seq, release, eps_units) — the
+    * idf/nll-sidecar pattern applied to privacy accounting: the spend
+    * is recorded WHERE the releases live, so every later release
+    * request reads the ledger instead of trusting its caller. Tiny by
+    * construction (one row per release ever made). */
+  private def dpLedgerRoot(s: SparkSession, d: String): String =
+    dpLedgerStores.computeIfAbsent(d, _ => {
+      dpLedgerBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_dpledger",
+        s"l${dpLedgerIds.getAndIncrement()}").toString
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        DpSchedule.map { case (seq, rel) =>
+          org.apache.spark.sql.Row(seq, rel, 1L) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("release",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("eps_units",
+            org.apache.spark.sql.types.LongType))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The landed ledger as a fresh store read — exposed so the spec
+    * can pin one row per release. */
+  private[graft] def dpLedger(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(dpLedgerRoot(s, d))
+
+  /** PRIVACY-BUDGET ACCOUNTING across the DP release family: the
+    * landed ε ledger composed against the declared [[DpBudgetUnits]]
+    * budget — cumulative spend in seq order, and the release whose
+    * spend would exceed the budget is REFUSED (released = false,
+    * released vector withheld as a NULL n_rows). Composition is the
+    * basic DP theorem: ε's add across releases on the same data, so
+    * a refresh of an earlier statistic still spends a full unit —
+    * the ledger is what stops the quiet fourth release that would
+    * otherwise double the count mechanism's ε.
+    *
+    * Output: (seq, release, eps_units, cum_units, budget_units,
+    * released, n_rows) — n_rows is each RELEASED mechanism's group
+    * count (the released vector's size, from the same tables the
+    * mechanisms aggregate), NULL for the refused release.
+    *
+    * Scale shape: the ledger is |releases| rows by construction, so
+    * the cumulative window is a constant-size single-partition sort —
+    * the one place in the repo where a global window is the honest
+    * shape, not a skew hazard; the group counts are one narrow
+    * distinct-aggregate per released table. */
+  def dpBudget(s: SparkSession, d: String): DataFrame = {
+    val led = dpLedger(s, d)
+    def sized(rel: String, df: DataFrame, k: Column): DataFrame =
+      df.agg(countDistinct(k).as("n")).select(lit(rel).as("release"),
+        col("n").cast("bigint").as("n"))
+    val ev = Tables.events(s, d)
+    val sizes = sized("dp_release", ev, col("event_type"))
+      .unionByName(sized("dp_sum", Tables.customer(s, d),
+        col("c_mktsegment")))
+      .unionByName(sized("dp_user_count", ev, col("event_type")))
+      .unionByName(sized("dp_release_refresh", ev, col("event_type")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("seq")
+    led.join(sizes, "release")
+      .withColumn("cum_units", sum("eps_units").over(w))
+      .withColumn("budget_units", lit(DpBudgetUnits))
+      .withColumn("released", col("cum_units") <= col("budget_units"))
+      .select(col("seq"), col("release"), col("eps_units"),
+        col("cum_units"), col("budget_units"), col("released"),
+        when(col("released"), col("n")).as("n_rows"))
+      .transform(Present.sorted(_, col("seq")))
+  }
+
+  // ---------------------------------------------------------------- //
   // Training-shard manifest                                          //
   // ---------------------------------------------------------------- //
 
@@ -336,6 +435,7 @@ object Governance {
     "dp_release"     -> dpRelease _,
     "dp_sum"         -> dpSum _,
     "dp_user_count"  -> dpUserCount _,
+    "dp_budget"      -> dpBudget _,
     "shard_manifest" -> shardManifest _,
   )
 
@@ -420,5 +520,33 @@ object Governance {
          |FROM z ORDER BY c_mktsegment""".stripMargin,
     "shard_manifest" ->
       s"WITH ${manifestSqlOver("documents", "n_chars", "total_chars")}",
+    // the ledger replays as literals (the landed sidecar IS the
+    // schedule), the sizes from the released tables, the cumulative
+    // spend and the over-budget refusal as plain window arithmetic
+    "dp_budget" -> {
+      val vals = DpSchedule.map { case (q, r) => s"($q, '$r', 1)" }
+        .mkString(", ")
+      s"""WITH led(seq, release, eps_units) AS (VALUES $vals),
+         |sizes AS (
+         |  SELECT 'dp_release' AS release,
+         |    count(DISTINCT event_type)::BIGINT AS n FROM events
+         |  UNION ALL SELECT 'dp_sum',
+         |    count(DISTINCT c_mktsegment)::BIGINT FROM customer
+         |  UNION ALL SELECT 'dp_user_count',
+         |    count(DISTINCT event_type)::BIGINT FROM events
+         |  UNION ALL SELECT 'dp_release_refresh',
+         |    count(DISTINCT event_type)::BIGINT FROM events),
+         |c AS (
+         |  SELECT l.seq::BIGINT AS seq, l.release,
+         |    l.eps_units::BIGINT AS eps_units,
+         |    CAST(sum(l.eps_units) OVER (ORDER BY l.seq) AS BIGINT)
+         |      AS cum_units,
+         |    $DpBudgetUnits::BIGINT AS budget_units, s.n
+         |  FROM led l JOIN sizes s USING (release))
+         |SELECT seq, release, eps_units, cum_units, budget_units,
+         |  cum_units <= budget_units AS released,
+         |  CASE WHEN cum_units <= budget_units THEN n END AS n_rows
+         |FROM c ORDER BY seq""".stripMargin
+    },
   )
 }

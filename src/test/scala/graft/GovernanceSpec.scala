@@ -97,6 +97,38 @@ class GovernanceSpec extends SparkSpec {
       "event cap never bound")
   }
 
+  test("dp_budget: cumulative spend is exact, the over-budget release " +
+    "is refused, ledger sidecar lands once") {
+    val out = Governance.dpBudget(spark, sfDir).collect()
+    assert(out.length == Governance.DpSchedule.length)
+    // seq order, one ε unit per release, exact cumulative accounting
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1, s"seq order broken: $r")
+      assert(r.getLong(2) == 1L && r.getLong(3) == i + 1,
+        s"cumulative spend drifted: $r")
+      assert(r.getLong(4) == Governance.DpBudgetUnits)
+    }
+    // within budget → released with a non-empty vector; the refresh
+    // that would exceed the budget → refused, vector withheld
+    val (in, over) = out.partition(_.getLong(3) <= Governance.DpBudgetUnits)
+    assert(in.length == Governance.DpBudgetUnits &&
+      in.forall(r => r.getBoolean(5) && !r.isNullAt(6) && r.getLong(6) > 0),
+      s"an in-budget release was refused or empty: ${in.toSeq}")
+    assert(over.nonEmpty && over.forall(r =>
+      !r.getBoolean(5) && r.isNullAt(6)),
+      s"the over-budget release was not refused: ${over.toSeq}")
+    // the refused row is the REFRESH — composition spends a full unit
+    // even on a repeated statistic
+    assert(over.head.getString(1) == "dp_release_refresh")
+    // the ε sidecar lands once; a second accounting is a pure read
+    val b0 = Governance.dpLedgerBuildCount.get()
+    Governance.dpBudget(spark, sfDir).collect()
+    assert(Governance.dpLedgerBuildCount.get() == b0,
+      "ledger sidecar rebuilt on a second run")
+    assert(Governance.dpLedger(spark, sfDir).count() ==
+      Governance.DpSchedule.length)
+  }
+
   test("shard_manifest: mass conservation, hash-uniform shards, " +
     "order-sensitive checksum") {
     val m = Governance.shardManifest(spark, sfDir).collect()
