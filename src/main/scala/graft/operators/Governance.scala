@@ -402,6 +402,74 @@ object Governance {
       .transform(Present.sorted(_, col("shard")))
   }
 
+  /** Every [[ManifestIncrEvery]]-th doc plays the APPENDED batch for
+    * the incremental manifest — deliberately sparse (≈0.2% of gate
+    * corpora) so a meaningful set of shards receives NO batch doc and
+    * the append-stability receipt is non-vacuous. */
+  val ManifestIncrEvery = 100L
+  val ManifestIncrSlot  = 97L
+
+  private val manifestBaseStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val manifestBaseIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so GovernanceSpec can pin build-once. */
+  private[graft] val manifestBaseBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land yesterday's manifest: [[manifestOf]] over the corpus minus
+    * the arriving batch — the artifact a production release already
+    * has on disk when the append lands. */
+  private def manifestBaseRoot(s: SparkSession, d: String): String =
+    manifestBaseStores.computeIfAbsent(d, _ => {
+      manifestBaseBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_manifbase",
+        s"b${manifestBaseIds.getAndIncrement()}").toString
+      manifestOf(Tables.documents(s, d)
+          .filter(col("doc_id") % ManifestIncrEvery =!= ManifestIncrSlot),
+        "n_chars", "total_chars")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The landed base manifest as a fresh store read — exposed so the
+    * spec can pin byte-stability of the untouched shards. */
+  private[graft] def manifestBase(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(manifestBaseRoot(s, d))
+
+  /** INCREMENTAL shard manifest — the append-stability receipt the
+    * PRF assignment was designed for: appending a doc batch touches
+    * ONLY the shards the batch's ids hash into (assignment is a pure
+    * function of doc_id — an existing doc never moves), so the
+    * refresh recomputes those shards over their full membership and
+    * every untouched shard's manifest row is read back from the
+    * LANDED base artifact byte-identically (n_docs, total_chars, AND
+    * the order-sensitive checksum — the within-shard sort key is a
+    * doc-id PRF too, so old docs' ranks only change in shards that
+    * actually received an insertion).
+    *
+    * Result is DEFINED ≡ the full [[shardManifest]], so the oracle is
+    * the same full replay — a stale untouched row, a missed touched
+    * shard, or a rank drift in the recompute hash-fails.
+    *
+    * Scale shape: touched shards are a ≤ NumShards literal set (the
+    * collect is the refresh plan, not data); the recompute's window
+    * runs over touched membership only — at 100 TB the corpus is
+    * stored shard-partitioned, so the membership filter IS partition
+    * pruning and refresh cost is ∝ touched shards, never ∝ corpus. */
+  def shardManifestIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val shardOf = PipelineOps.hashBucket(col("doc_id"), NumShards, "shard")
+    val touched = docs
+      .filter(col("doc_id") % ManifestIncrEvery === ManifestIncrSlot)
+      .select(shardOf.as("shard")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq // ≤ NumShards by construction
+    val recomputed = manifestOf(docs.filter(shardOf.isin(touched: _*)),
+      "n_chars", "total_chars")
+    manifestBase(s, d).filter(!col("shard").isin(touched: _*))
+      .unionByName(recomputed)
+      .transform(Present.sorted(_, col("shard")))
+  }
+
   /** The manifest replay over a relation named `rel` carrying
     * (doc_id, weight) — the SQL twin of [[manifestOf]], exposed so
     * the release capstone's oracle composes it over the pipeline's
@@ -437,6 +505,7 @@ object Governance {
     "dp_user_count"  -> dpUserCount _,
     "dp_budget"      -> dpBudget _,
     "shard_manifest" -> shardManifest _,
+    "shard_manifest_incremental" -> shardManifestIncremental _,
   )
 
   /** The geometric-difference noise expression over an md5-PRF of
@@ -519,6 +588,12 @@ object Governance {
          |  greatest(0, sum_clipped + $DpClipCents * noise_units) AS dp_sum
          |FROM z ORDER BY c_mktsegment""".stripMargin,
     "shard_manifest" ->
+      s"WITH ${manifestSqlOver("documents", "n_chars", "total_chars")}",
+    // incremental maintenance must be invisible: untouched-from-base ∪
+    // recomputed-touched ≡ the full manifest, so the oracle is the
+    // same full replay — a stale untouched row, a missed touched
+    // shard, or a rank drift in the recompute hash-fails
+    "shard_manifest_incremental" ->
       s"WITH ${manifestSqlOver("documents", "n_chars", "total_chars")}",
     // the ledger replays as literals (the landed sidecar IS the
     // schedule), the sizes from the released tables, the cumulative

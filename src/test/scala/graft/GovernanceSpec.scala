@@ -147,6 +147,55 @@ class GovernanceSpec extends SparkSpec {
     assert(m.map(_.getLong(3)).distinct.length == m.length)
   }
 
+  test("shard_manifest_incremental: ≡ full manifest, untouched shards " +
+    "byte-stable from the landed base, refresh ∝ touched") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val full = Governance.shardManifest(spark, sfDir).collect().map(key)
+    val incr = Governance.shardManifestIncremental(spark, sfDir)
+      .collect().map(key)
+    assert(incr.toSeq == full.toSeq,
+      "incremental manifest drifted from the full manifest")
+    // the touched set is a strict subset of the shards — the
+    // append-stability receipt is non-vacuous BOTH ways
+    val docs = Tables.documents(spark, sfDir)
+    val shardOf = graft.operators.PipelineOps.hashBucket(
+      col("doc_id"), Governance.NumShards, "shard")
+    val touched = docs
+      .filter(col("doc_id") % Governance.ManifestIncrEvery ===
+        Governance.ManifestIncrSlot)
+      .select(shardOf.as("shard")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(touched.nonEmpty, "append batch empty — receipt vacuous")
+    assert(touched.size < Governance.NumShards,
+      "every shard touched — stability receipt vacuous")
+    // untouched shards: the BASE artifact's rows are byte-identical
+    // to the full manifest's (n_docs, weight, AND checksum) — the
+    // append-stability property itself
+    val base = Governance.manifestBase(spark, sfDir).collect().map(key)
+      .map(r => r._1 -> r).toMap
+    full.filter(r => !touched.contains(r._1)).foreach { r =>
+      assert(base(r._1) == r,
+        s"untouched shard ${r._1} not byte-stable across the append: " +
+          s"base=${base(r._1)} full=$r")
+    }
+    // and touched shards genuinely changed (else the slot aliased)
+    assert(full.filter(r => touched.contains(r._1))
+        .exists(r => base(r._1) != r),
+      "no touched shard changed — the batch aliased into the base")
+    // refresh cost ∝ touched: the recomputed window's input is the
+    // touched shards' membership, a strict subset of the corpus
+    val touchedDocs = docs.filter(shardOf.isin(touched.toSeq: _*)).count()
+    assert(touchedDocs < docs.count(),
+      "touched membership is the whole corpus — nothing was pruned")
+    // base artifact lands once; a second refresh is a pure read
+    val b0 = Governance.manifestBaseBuildCount.get()
+    Governance.shardManifestIncremental(spark, sfDir).collect()
+    assert(Governance.manifestBaseBuildCount.get() == b0,
+      "base manifest rebuilt on a second run")
+  }
+
   test("hard_negatives: positive shares the anchor's label, " +
     "negative does not, similarities are top-1") {
     val e = Tables.embeddings(spark, sfDir)
