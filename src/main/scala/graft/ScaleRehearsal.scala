@@ -1114,6 +1114,13 @@ object ScaleRehearsal {
         operators.Similarity.annLsh(s, staged))
       measure(s, listener, "similarity", "ann_ivf", m, passes)(
         operators.Similarity.annIvf(s, staged))
+      // the projected-prefilter twin of knn_bruteforce: same query
+      // set, same exact final cosines on the shortlist, but the
+      // corpus-wide pass reads the LANDED 16-dim sketch store (pass 1
+      // carries the store build) — input_bytes vs knn_bruteforce is
+      // the ~4×-fewer-values receipt for the JL rung
+      measure(s, listener, "similarity", "ann_project_rerank", m, passes)(
+        operators.Similarity.annProjectRerank(s, staged))
     }
   }
 

@@ -1251,6 +1251,87 @@ object Similarity {
       .transform(Present.sortedUnbounded(_, col("vec_id")))
   }
 
+  /** Candidates the coarse sketch pass keeps per query for
+    * [[annProjectRerank]] — the exact-rerank depth. */
+  val ProjShortlist = 50
+
+  private val sketchStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sketchIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val sketchBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Session-scoped landed SKETCH STORE: [[embedProject]]'s 16-dim JL
+    * sketches as one array column (vec_id, sp) — the narrow artifact
+    * the projection exists to produce (16 doubles/vector vs 64: the
+    * coarse scan reads ~4× fewer values than the full-vector scan).
+    * Built once per dataset from the same PRF sign matrix, so the
+    * gated `embed_project` and this consumer can never drift. */
+  def sketchStore(s: SparkSession, d: String): DataFrame = {
+    val root = sketchStores.computeIfAbsent(d, _ => {
+      sketchBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_sketch",
+        s"s${sketchIds.getAndIncrement()}").toString
+      val sp = array((0 until ProjDims).map(j =>
+        round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)): _*)
+      emb(s, d).select(col("vec_id"), sp.as("sp"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(root)
+  }
+
+  /** PROJECTED-PREFILTER ANN — the composed consumer of
+    * [[embedProject]] (the round-16 sketch finally earning its keep):
+    * coarse top-[[ProjShortlist]] per query on the LANDED 16-dim
+    * sketches, exact cosine rerank of the survivors on the full
+    * 64-dim vectors — the `ann_ivf_pq` memory-bound pattern with the
+    * JL sketch in place of int8 codes (sketches shrink the DIMENSION,
+    * codes the element width; both make the corpus-wide scan cheap
+    * and bound the exact fetch to shortlist × queries rows).
+    *
+    * Scale shape: queries broadcast (bounded by construction), the
+    * sketch store streams through ONE narrow pass (~4× fewer values
+    * than the full-vector scan — measured in the scale rehearsal);
+    * only (q_id, vec_id) shortlist pairs enter an exchange; the
+    * rerank joins the broadcast shortlist against the embedding scan,
+    * so full vectors are read once and never shuffled. Approximate
+    * exactly as ann_ivf is: HASH-GATED against a DuckDB replay of
+    * sketch → coarse rank → exact rerank (the JL distortion is part
+    * of the gated definition, not an error term), with recall vs
+    * brute force measured in the spec. Coarse scores rank at 9 dp
+    * (the probe convention), final cosines at 6 (the family rule). */
+  def annProjectRerank(s: SparkSession, d: String): DataFrame = {
+    val sk = sketchStore(s, d)
+    val q = sk.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("sp").as("qsp"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("sc"), col("vec_id"))
+    val short = sk.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sc", round(
+        graft.functions.GraftFunctions.cosineNative(s,
+          col("sp"), col("qsp")), 9))
+      .withColumn("cr", row_number().over(wC))
+      .filter(col("cr") <= ProjShortlist)
+      .select("q_id", "vec_id")
+    val e = emb(s, d)
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    e.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(s,
+          col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+      .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
   /** Eval-benchmark slice for semantic decontamination (vec_id below
     * this plays the held-out benchmark's embeddings). */
   val DecontamEvalVecs = 16
@@ -1296,6 +1377,7 @@ object Similarity {
     "hard_negatives_ivf" -> hardNegativesIvf _,
     "decontam_semantic" -> decontamSemantic _,
     "embed_project"     -> embedProject _,
+    "ann_project_rerank" -> annProjectRerank _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
@@ -1587,6 +1669,44 @@ object Similarity {
          |$projCols
          |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |ORDER BY vec_id""".stripMargin
+    },
+    // sketch → coarse rank → exact rerank, replayed verbatim: the PRF
+    // sign matrix interpolates as literals (the embed_project rule),
+    // coarse cosines rank at 9 dp, final at 6 — the gate pins the
+    // projected-prefilter ANSWER including its JL distortion
+    "ann_project_rerank" -> {
+      val skCols = (0 until ProjDims).map { j =>
+        val lits = projSigns(j).map(x =>
+          if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"round(list_dot_product(v, [$lits]), 6)"
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sk AS (
+         |  SELECT vec_id, [
+         |    $skCols] AS sp
+         |  FROM e),
+         |q AS (SELECT vec_id AS q_id, sp AS qsp FROM sk
+         |      WHERE vec_id < $NumQueries),
+         |coarse AS (
+         |  SELECT q.q_id, s.vec_id, ${cosSql("s.sp", "q.qsp", 9)} AS sc
+         |  FROM sk s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sc DESC, vec_id) AS cr
+         |    FROM coarse)
+         |  WHERE cr <= $ProjShortlist),
+         |rer AS (
+         |  SELECT sh.q_id, sh.vec_id, ${cosSql("x.v", "qe.v", 6)} AS cos
+         |  FROM short sh
+         |  JOIN e x ON x.vec_id = sh.vec_id
+         |  JOIN e qe ON qe.vec_id = sh.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rn
+         |  FROM rer)
+         |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin
     },
     // flag → nearest-eval argmax, replayed naively (the eval slice is
     // 16 vectors; the oracle's cross join is the gate-scale form)

@@ -334,6 +334,55 @@ class SimilaritySpec extends SparkSpec {
       "purge twin still reads tombstones (purge incomplete):\n" + plan)
   }
 
+  test("ann_project_rerank: sketch shortlist carries signal, rerank " +
+    "cosines are exact, sketch store lands once and is the scanned side") {
+    val bf = Similarity.knnBruteForce(spark, sfDir).collect()
+    val bfSets = bf.map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bfCos = bf.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val pr = Similarity.annProjectRerank(spark, sfDir).collect()
+    // structure: ≤ TopK ranked rows per query, self excluded
+    pr.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= Similarity.TopK)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      assert(rows.forall(_.getLong(2) != q))
+    }
+    // the rerank is EXACT on the shortlist: every returned cosine is
+    // the brute-force cosine of that (query, neighbor) pair — the
+    // approximation lives only in which candidates the sketch kept
+    pr.filter(r => bfCos.contains((r.getLong(0), r.getLong(2))))
+      .foreach(r => assert(r.getDouble(3) ==
+        bfCos((r.getLong(0), r.getLong(2))),
+        s"rerank cosine drifted from exact: $r"))
+    // recall vs brute force: the 16-dim sketch keeps ProjShortlist
+    // (10% of this corpus) and recovers ~52% of the true top-K —
+    // far above the ~10% a random shortlist of that size would give,
+    // on a synthetic corpus whose neighbors are near-noise (max cos
+    // ~0.35; real embedding corpora separate much harder). Floor
+    // pinned under the measured 0.52.
+    val prSets = pr.map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bfSets.keys.toSeq.map(q =>
+      (prSets.getOrElse(q, Set.empty) & bfSets(q)).size.toDouble /
+        bfSets(q).size)
+    assert(recall.sum / recall.size >= 0.4,
+      s"sketch shortlist lost the signal: recall=${recall.sum / recall.size}")
+    // sketch store lands once; the coarse pass reads IT (the 4×
+    // narrower artifact), and the full-vector side enters the rerank
+    // via broadcast joins only — vectors are never shuffled
+    val b0 = Similarity.sketchBuildCount.get()
+    val df = Similarity.annProjectRerank(spark, sfDir)
+    df.collect()
+    assert(Similarity.sketchBuildCount.get() == b0,
+      "sketch store rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sketch"),
+      "coarse pass does not read the landed sketch store:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "a corpus-side join shuffled instead of broadcasting:\n" + plan)
+  }
+
   test("ann ivf pruned: nprobe ≪ K — probed cells ≪ cell count, scan pruned") {
     import org.apache.spark.sql.functions._
     val df = Similarity.annIvfPruned(spark, sfDir)
