@@ -233,6 +233,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio spectral fingerprint: decoded PCM ≡ synthesis arithmetic, " +
+    "spectral pairs reach past the duration rung and reject inside it") {
+    import Multimodal.{Codec, MediaRow}
+    import spark.implicits._
+    // the decoded fingerprint equals a plain-Scala replay of the
+    // synthesis contract — the decode genuinely read every sample
+    for ((id, n) <- Seq((1L, 250L), (7L, 999L), (13L, 3L), (4L, 31L))) {
+      val f = Codec.decode(MediaRow(id, "audio", Codec.encodeWav(id, n)))
+      val samples = Array.tabulate((n % 1000 + 1).toInt)(i =>
+        ((id + i) % 32768).toInt)
+      assert(f.pcm_sig == Codec.pcmSig(samples),
+        s"decoded fingerprint drifted for doc $id n=$n")
+      assert(f.pcm_sig >= 0 && f.pcm_sig < (1L << 48),
+        s"fingerprint outside the 8×6-bit pack: ${f.pcm_sig}")
+    }
+    // visual rows carry the -1 sentinel
+    val store = Multimodal.featuresTable(spark, sfDir)
+    assert(store.filter($"media_type" =!= "audio")
+      .filter($"pcm_sig" =!= -1L).count() == 0)
+    // the spectral rung ≡ the naive rule over the landed store
+    val df = Multimodal.mediaNearDupAudioSpectral(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSeq
+    val au = store.filter($"media_type" === "audio")
+      .select("doc_id", "n_frames", "pcm_sig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val want = for {
+      (a, sa, ga) <- au; (b, sb, gb) <- au
+      if a < b && ga == gb && math.abs(sa - sb) <= Multimodal.AudioSpecEps
+    } yield (a, b, ga, sa, sb)
+    assert(got.sorted == want.sorted.toSeq,
+      s"spectral pairs diverge: got ${got.size}, want ${want.size}")
+    // CONTENT, not duration: the rung finds pairs the duration rung's
+    // ε cannot reach, and rejects duration-close pairs whose decoded
+    // spectra disagree — both must be non-vacuous for the fingerprint
+    // to be doing any work
+    assert(got.exists(p => math.abs(p._4 - p._5) > Multimodal.AudioEps),
+      "no pair beyond the duration rung's reach — fingerprint vacuous")
+    val rejected = for {
+      (a, sa, ga) <- au; (b, sb, gb) <- au
+      if a < b && ga != gb && math.abs(sa - sb) <= Multimodal.AudioEps
+    } yield (a, b)
+    assert(rejected.nonEmpty,
+      "every duration-close pair matched spectrally — rejection vacuous")
+    // bucket-local candidates, exhaustive by width > ε
+    assert(Multimodal.AudioSpecBucket > Multimodal.AudioSpecEps)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spectral candidates are not bucket-local:\n$plan")
+  }
+
   test("incremental media ingest: base ∪ delta ≡ full store, delta ∝ batch") {
     // the union must answer exactly like the full store
     val full = Multimodal.multimodalFeatures(spark, sfDir).collect().toSeq
