@@ -991,6 +991,59 @@ object ScaleRehearsal {
     }
   }
 
+  /** Signature-DIVERSE media near-dup ladder (round-17 verdict item
+    * 1): the gate synthesis's 1280-class signature ceiling makes true
+    * pairs ∝ mult² on any staged corpus, so [[runMedia]]'s near-dup
+    * rung could only prove shuffle-tracks-output under saturation.
+    * This family runs the SAME banded plan over the diverse twin
+    * (splitmix64 cell patterns → ~64-bit-diverse aHashes, ~1.6%
+    * planted duplicate classes — the rare-duplicate crawl shape) and
+    * measures the claim that actually matters at 100 TB: shuffle and
+    * input grow ∝ corpus, output ∝ planted pairs (∝ corpus, never
+    * N²), and the planted pairs are recovered EXACTLY (the extra
+    * JSON line counts found vs planted vs non-planted finds). Pass 1
+    * of the features walls carries the diverse store's encode+decode
+    * build. */
+  def runMediaDiverse(s: SparkSession, sfDir: String, mults: Seq[Int],
+                      passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageMediaDocs(s, sfDir, m)
+      measure(s, listener, "mediadiverse", "media_features_div", m, passes)(
+        operators.Present.sortedUnbounded(
+          operators.Multimodal.featuresTableDiverse(s, staged),
+          col("doc_id")))
+      measure(s, listener, "mediadiverse", "media_neardup_div", m, passes)(
+        operators.Multimodal.mediaNearDupDiverse(s, staged))
+      // corpus shape + planted-recovery receipt: planted pairs are
+      // (image d−3, image d) at ordinal ≡ 1 (mod DivDupEvery) with
+      // both ends present; found must equal planted EXACTLY (the
+      // diverse hash space makes accidental ≤ε collisions ~2^-48
+      // per pair — any non-planted find is a real signal, counted)
+      val imgs = operators.Multimodal.featuresTableDiverse(s, staged)
+        .filter(col("media_type") === "image")
+      val nImg = imgs.count()
+      val nHash = imgs.select("ahash_hi", "ahash_lo").distinct().count()
+      val ids = Tables.documents(s, staged).select("doc_id")
+        .filter(col("doc_id") % 3 === 0)
+      val planted = ids
+        .filter((col("doc_id") / 3) % operators.Multimodal.Codec.DivDupEvery
+          === 1)
+        .select((col("doc_id") - 3).as("doc_a"), col("doc_id").as("doc_b"))
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      val nPlanted = planted.count()
+      val found = operators.Multimodal.mediaNearDupDiverse(s, staged)
+      val nFound = found.count()
+      val nonPlanted = found.join(planted, Seq("doc_a", "doc_b"),
+        "left_anti").count()
+      println(s"""{"family":"mediadiverse","query":"planted_recovery",""" +
+        s""""mult":$m,"images":$nImg,"distinct_hashes":$nHash,""" +
+        s""""planted_pairs":$nPlanted,"found_pairs":$nFound,""" +
+        s""""non_planted_finds":$nonPlanted}""")
+    }
+  }
+
   /** Bucket-count knob, measured (round-15 verdict item 6): the same
     * Zipf corpus indexed at WordBuckets ∈ {64, 256}, probed with the
     * same hot workload through the same scoring chain — wall +
@@ -1374,7 +1427,7 @@ object ScaleRehearsal {
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
       "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media",
-      "governance")
+      "mediadiverse", "governance")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1434,6 +1487,8 @@ object ScaleRehearsal {
       runDelete(spark, sfDir, mults)
     if (family("media"))
       runMedia(spark, sfDir, mults)
+    if (family("mediadiverse"))
+      runMediaDiverse(spark, sfDir, mults)
     if (family("governance"))
       runGovernance(spark, sfDir, mults)
     if (family("ivfmaint"))

@@ -224,4 +224,47 @@ class RehearsalSpec extends SparkSpec {
     assert(survStaged == survBase,
       "replica corpus changed the unique-content survivor set")
   }
+
+  test("diverse media corpus: ~64-bit-diverse decoded hashes, planted " +
+    "pairs recovered exactly through the banded plan") {
+    import org.apache.spark.sql.functions.col
+    val M = graft.operators.Multimodal
+    // the staged diversity: every non-planted image decodes to its
+    // own aHash — distinct hashes = images − planted copies (an
+    // accidental collision between splitmix64 patterns would be a
+    // ~2^-64 event; equality here IS the diversity pin, against the
+    // gate synthesis's 1280-class ceiling)
+    val imgs = M.featuresTableDiverse(spark, sfDir)
+      .filter(col("media_type") === "image")
+    val nImg = imgs.count()
+    val nHash = imgs.select("ahash_hi", "ahash_lo").distinct().count()
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") % 3 === 0).collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(d =>
+      (d / 3) % M.Codec.DivDupEvery == 1 && ids.contains(d - 3))
+      .map(d => (d - 3, d))
+    assert(planted.nonEmpty, "no planted pair at this scale — vacuous")
+    assert(nHash == nImg - planted.size,
+      s"diversity ceiling: $nHash distinct hashes over $nImg images " +
+        s"(expected ${nImg - planted.size})")
+    // the planted copy is a REAL decode-level duplicate (same pattern
+    // key → identical decoded aHash regardless of dims)
+    val (pa, pb) = planted.head
+    val h = imgs.filter(col("doc_id").isin(pa, pb))
+      .select("ahash_hi", "ahash_lo").distinct().count()
+    assert(h == 1, s"planted pair ($pa, $pb) decoded to distinct hashes")
+    // exact recovery: the banded plan finds the planted pairs and
+    // NOTHING else — corpus-linear output on realistic diversity
+    val found = M.mediaNearDupDiverse(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == planted,
+      s"banded recovery drifted: found ${found.size}, " +
+        s"planted ${planted.size}, extras ${(found -- planted).take(3)}, " +
+        s"missed ${(planted -- found).take(3)}")
+    // the diverse store lands once
+    val b0 = M.divFeatureBuildCount.get()
+    M.mediaNearDupDiverse(spark, sfDir).collect()
+    assert(M.divFeatureBuildCount.get() == b0,
+      "diverse features store rebuilt on a second run")
+  }
 }
