@@ -1177,6 +1177,33 @@ object ScaleRehearsal {
     }
   }
 
+  /** Focused JL-sketch receipt (round-17): the projected-prefilter
+    * ANN vs the exact brute-force twin over staged embedding
+    * multiples — input_bytes is the evidence that the coarse pass
+    * reads the narrow sketch store (16 of 64 dims) while answering
+    * with exact reranked cosines; pass 1 of the rerank walls carries
+    * the sketch-store build. Split from the `similarity` family so
+    * the receipt doesn't pay the semdedup K ∝ N index builds. */
+  def runSketch(s: SparkSession, sfDir: String, mults: Seq[Int],
+                passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageEmbeddings(s, sfDir, m)
+      measure(s, listener, "sketch", "knn_bruteforce", m, passes)(
+        operators.Similarity.knnBruteForce(s, staged))
+      measure(s, listener, "sketch", "ann_project_rerank", m, passes)(
+        operators.Similarity.annProjectRerank(s, staged))
+      // the storage claim in isolation: a full pass over each store —
+      // input_bytes(sketch_scan) / input_bytes(embedding_scan) is the
+      // 4× (16 float32 vs 64 float32 values/vector, same metadata)
+      measure(s, listener, "sketch", "sketch_scan", m, passes)(
+        operators.Similarity.sketchStore(s, staged))
+      measure(s, listener, "sketch", "embedding_scan", m, passes)(
+        Tables.embeddings(s, staged))
+    }
+  }
+
   /** The q18 body over PRE-BUCKETED facts — the layout SCALE.md's
     * fact⋈fact note claims removes the join shuffles entirely. Both
     * facts land bucketed+sorted on orderkey once per multiple (the
@@ -1427,7 +1454,7 @@ object ScaleRehearsal {
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
       "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media",
-      "mediadiverse", "governance")
+      "mediadiverse", "governance", "sketch")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1489,6 +1516,8 @@ object ScaleRehearsal {
       runMedia(spark, sfDir, mults)
     if (family("mediadiverse"))
       runMediaDiverse(spark, sfDir, mults)
+    if (family("sketch"))
+      runSketch(spark, sfDir, mults)
     if (family("governance"))
       runGovernance(spark, sfDir, mults)
     if (family("ivfmaint"))

@@ -1263,18 +1263,22 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Session-scoped landed SKETCH STORE: [[embedProject]]'s 16-dim JL
-    * sketches as one array column (vec_id, sp) — the narrow artifact
-    * the projection exists to produce (16 doubles/vector vs 64: the
-    * coarse scan reads ~4× fewer values than the full-vector scan).
-    * Built once per dataset from the same PRF sign matrix, so the
-    * gated `embed_project` and this consumer can never drift. */
+    * sketches as one array column (vec_id, sp), NARROWED TO FLOAT32
+    * at write time — 16 float32 values/vector vs the source's 64:
+    * the full 4× storage reduction the embed_project scaladoc names.
+    * The narrowing is IEEE round-to-nearest in both engines (JVM
+    * double→float ≡ DuckDB ::REAL), so the float32-rounded sketch is
+    * itself hash-gateable; compute widens back to double. Built once
+    * per dataset from the same PRF sign matrix, so the gated
+    * `embed_project` and this consumer can never drift. */
   def sketchStore(s: SparkSession, d: String): DataFrame = {
     val root = sketchStores.computeIfAbsent(d, _ => {
       sketchBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_sketch",
         s"s${sketchIds.getAndIncrement()}").toString
       val sp = array((0 until ProjDims).map(j =>
-        round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)): _*)
+        round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)
+          .cast("float")): _*)
       emb(s, d).select(col("vec_id"), sp.as("sp"))
         .write.mode("overwrite").parquet(out)
       out
@@ -1303,7 +1307,9 @@ object Similarity {
     * brute force measured in the spec. Coarse scores rank at 9 dp
     * (the probe convention), final cosines at 6 (the family rule). */
   def annProjectRerank(s: SparkSession, d: String): DataFrame = {
-    val sk = sketchStore(s, d)
+    // widen the stored float32 sketches back to double for compute
+    val sk = sketchStore(s, d).select(col("vec_id"),
+      transform(col("sp"), x => x.cast("double")).as("sp"))
     val q = sk.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("sp").as("qsp"))
     val wC = org.apache.spark.sql.expressions.Window
@@ -1675,10 +1681,12 @@ object Similarity {
     // coarse cosines rank at 9 dp, final at 6 — the gate pins the
     // projected-prefilter ANSWER including its JL distortion
     "ann_project_rerank" -> {
+      // the ::REAL::DOUBLE round-trip replays the store's float32
+      // narrowing (IEEE round-to-nearest in both engines)
       val skCols = (0 until ProjDims).map { j =>
         val lits = projSigns(j).map(x =>
           if (x > 0) "1.0" else "-1.0").mkString(", ")
-        s"round(list_dot_product(v, [$lits]), 6)"
+        s"CAST(CAST(round(list_dot_product(v, [$lits]), 6) AS REAL) AS DOUBLE)"
       }.mkString(",\n    ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sk AS (
