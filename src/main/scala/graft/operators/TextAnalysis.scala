@@ -835,6 +835,156 @@ object TextAnalysis {
       .transform(Present.sortedUnbounded(_, col("doc_id")))
   }
 
+  /** Bigram-table count cutoff — bigrams below it are PRUNED from the
+    * landed table (the KenLM-style cutoff that keeps the table
+    * vocab-shaped instead of corpus-shaped), which is also what makes
+    * the backoff path non-vacuous on the training corpus itself:
+    * singleton bigrams score through the unigram backoff. */
+  val MinBigramCount = 2L
+  /** Stupid-backoff discount (Brants et al. 2007, public): a pruned
+    * bigram backs off to α · cf(w2)/N. */
+  val BackoffAlpha = 0.4
+  /** Keep gate for the bigram scorer — at this corpus's ~p90 (3.444
+    * at both gate scales), like the unigram gate's 3.41. Bigram NLLs
+    * run slightly ABOVE unigram here: the 31-word synthetic corpus
+    * has near-uniform bigram structure, so context buys little while
+    * the backoff discount adds −ln(α) to every pruned event. */
+  val BgMaxAvgNll = 3.45
+
+  /** The BIGRAM upgrade of [[perplexityFilter]] — one LM order up the
+    * CCNet ladder (their production filter is a 5-gram KenLM; the
+    * bigram is the smallest model where CONTEXT matters): each
+    * adjacent token pair scores −ln(c(w1 w2)/c(w1)) from the landed
+    * pruned bigram table, and pairs pruned below [[MinBigramCount]]
+    * back off to −ln([[BackoffAlpha]] · cf(w2)/N) — stupid backoff,
+    * the published large-corpus choice precisely because it needs no
+    * normalization pass. Per-doc score = avg over the doc's
+    * (len − 1) bigram events, emitted as `avg_nll`.
+    *
+    * Cross-engine exactness is the unigram sidecar discipline one
+    * order up: −ln is evaluated ONCE per distinct (c12, c1) count
+    * pair (and once per distinct cf for the backoff) when the LM
+    * lands, quantized to 10⁻⁷ fixed point; the scoring plan and the
+    * DuckDB oracle both consume the stored integers (VALUES literals,
+    * harvested at dump time like [[nllqValuesSql]]), so no ln runs in
+    * any distributed plan and a last-ulp libm divergence cannot flip
+    * a rounding boundary.
+    *
+    * Scale shape: ONE tokenize pass; adjacency via lead() over a
+    * doc_id window (the one corpus shuffle — at 100 TB documents are
+    * the partition grain, so this window never crosses machines);
+    * per-doc (w1, w2) partial agg; the bigram table is vocab²-bounded
+    * post-prune and joins as a dim; the two nllq sidecars broadcast;
+    * one final doc_id integer aggregate. */
+  def perplexityBigram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bg = bgStore(s, d)
+    val nb = bgNllqStore(s, d)
+    val bo = boNllqStore(s, d)
+    val uni = lmStore(s, d)
+    bgStash.set(() =>
+      nb.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq)
+    boStash.set(() =>
+      bo.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val ev = docs
+      .select(col("doc_id"),
+        posexplode(cleanTokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val scored = ev
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(broadcast(nb.withColumnRenamed("nllq", "nllq12")),
+        Seq("c12", "c1"), "left")
+      .join(uni.select(col("word").as("w2"), col("cf").as("cf2")), "w2")
+      .join(broadcast(bo.select(col("cf").as("cf2"),
+        col("nllq").as("nllqbo"))), Seq("cf2"))
+      .withColumn("q", coalesce(col("nllq12"), col("nllqbo")))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("q")).as("sumq"),
+        sum("tf").as("n_bigrams"))
+      .withColumn("avg_nll", round(
+        col("sumq").cast("double") / (col("n_bigrams").cast("double") * 1e7),
+        6))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"),
+        coalesce(col("avg_nll") <= BgMaxAvgNll, lit(false)).as("kept"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
+  /** Session-scoped landed PRUNED BIGRAM TABLE per dataset —
+    * (w1, w2, c12, c1) parquet plus the two quantized-NLL sidecars
+    * (the lmRoot pattern one order up). */
+  private val bgStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bgIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so PipelineSpec can pin build-once. */
+  private[graft] val bgBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def bgRoot(s: SparkSession, d: String): String =
+    bgStores.computeIfAbsent(d, _ => {
+      bgBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bglm",
+        s"b${bgIds.getAndIncrement()}").toString
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val uni = lmStore(s, d)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(cleanTokens(col("text"))).as(Seq("pos", "w1")))
+        .withColumn("w2", lead("w1", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= MinBigramCount)
+        .join(uni.select(col("word").as("w1"), col("cf").as("c1")), "w1")
+        .write.mode("overwrite").parquet(out)
+      // −ln ONCE per distinct (c12, c1), at land time (the dimMeans
+      // trick one order up); ditto the backoff's distinct cfs
+      s.read.parquet(out).select("c12", "c1").distinct()
+        .select(col("c12"), col("c1"),
+          round(-log(col("c12").cast("double") / col("c1").cast("double"))
+            * 1e7, 0).cast("long").as("nllq"))
+        .write.mode("overwrite").parquet(out + "_nllq")
+      uni.select("cf").distinct()
+        .crossJoin(broadcast(uni.agg(sum("cf").as("n"))))
+        .select(col("cf"),
+          round(-log(lit(BackoffAlpha) * col("cf").cast("double")
+            / col("n").cast("double")) * 1e7, 0).cast("long").as("nllq"))
+        .write.mode("overwrite").parquet(out + "_bo")
+      out
+    })
+
+  def bgStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(bgRoot(s, d))
+  /** Landed (c12, c1) → quantized-NLL integers. */
+  def bgNllqStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(bgRoot(s, d) + "_nllq")
+  /** Landed backoff cf → quantized-NLL integers (α folded in). */
+  def boNllqStore(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(bgRoot(s, d) + "_bo")
+
+  private val bgStash = new java.util.concurrent.atomic.AtomicReference[
+    () => Seq[(Long, Long, Long)]](null)
+  private val boStash = new java.util.concurrent.atomic.AtomicReference[
+    () => Seq[(Long, Long)]](null)
+
+  private[graft] def bgValuesSql: Option[String] =
+    Option(bgStash.get())
+      .flatMap(t => scala.util.Try(t()).toOption)
+      .filter(rs => rs.nonEmpty && rs.size <= NllqLiteralCap)
+      .map(_.sorted.map { case (a, b, q) => s"($a,$b,$q)" }.mkString(", "))
+  private[graft] def boValuesSql: Option[String] =
+    Option(boStash.get())
+      .flatMap(t => scala.util.Try(t()).toOption)
+      .filter(rs => rs.nonEmpty && rs.size <= NllqLiteralCap)
+      .map(_.sorted.map { case (c, q) => s"($c,$q)" }.mkString(", "))
+
   /** Corpus trigram counts through the native [[graft.functions
     * .NGramsGen]] GENERATOR (the UDTF rung): the expansion streams
     * through the same `GenerateExec` as the built-in explode — one
@@ -854,6 +1004,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngrams_udtf"  -> ngramsUdtf _,
     "perplexity_filter" -> perplexityFilter _,
+    "perplexity_bigram" -> perplexityBigram _,
     "lang_id"      -> langId _,
     "text_quality" -> textQuality _,
     "repetition_stats" -> repetitionStats _,
@@ -931,6 +1082,66 @@ object TextAnalysis {
          |    AS avg_nll,
          |  coalesce(round(sc.sumq::DOUBLE
          |    / (sc.n_tokens::DOUBLE * 10000000.0), 6) <= $PplMaxAvgNll,
+         |    FALSE) AS kept
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // bigram stupid-backoff replay: counts recomputed in SQL, the
+    // −ln integers consumed from the landed sidecars as VALUES
+    // literals (one order up from perplexity_filter's boundary-proof
+    // path; same ln-rederiving fallback past the literal cap)
+    "perplexity_bigram" -> {
+      val (nbCte, nbJoin, nbExpr) = bgValuesSql match {
+        case Some(v) => (s"nb(c12, c1, q) AS (VALUES $v),",
+          "LEFT JOIN nb ON nb.c12 = bg.c12 AND nb.c1 = bg.c1", "nb.q")
+        case None => ("",
+          "", "round(-ln(bg.c12::DOUBLE / bg.c1::DOUBLE) " +
+            "* 10000000)::BIGINT")
+      }
+      val (boCte, boJoin, boExpr) = boValuesSql match {
+        case Some(v) => (s"bo(cf, q) AS (VALUES $v),",
+          "LEFT JOIN bo ON bo.cf = u2.cf", "bo.q")
+        case None => ("",
+          "", s"round(-ln($BackoffAlpha * u2.cf::DOUBLE / tot.n::DOUBLE) " +
+            "* 10000000)::BIGINT")
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(
+         |    trim(lower(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+         |  FROM documents),
+         |allw AS (SELECT doc_id, unnest(t) AS word FROM toks),
+         |lmw AS (SELECT word, count(*)::BIGINT AS cf FROM allw GROUP BY 1),
+         |tot AS (SELECT sum(cf)::BIGINT AS n FROM lmw),
+         |ev AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM toks, unnest(range(1, len(t))) AS r(i)
+         |  WHERE len(t) >= 2),
+         |det AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+         |        FROM ev GROUP BY 1, 2, 3),
+         |bgc AS (SELECT w1, w2, count(*)::BIGINT AS c12
+         |        FROM ev GROUP BY 1, 2),
+         |bg AS (SELECT b.w1, b.w2, b.c12, u.cf AS c1
+         |       FROM bgc b JOIN lmw u ON u.word = b.w1
+         |       WHERE b.c12 >= $MinBigramCount),
+         |$nbCte
+         |$boCte
+         |sc AS (
+         |  SELECT e.doc_id,
+         |    sum(e.tf * coalesce($nbExpr, $boExpr))::BIGINT AS sumq,
+         |    sum(e.tf)::BIGINT AS n_bigrams
+         |  FROM det e
+         |  LEFT JOIN bg ON bg.w1 = e.w1 AND bg.w2 = e.w2
+         |  $nbJoin
+         |  JOIN lmw u2 ON u2.word = e.w2
+         |  $boJoin
+         |  CROSS JOIN tot
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  round(sc.sumq::DOUBLE / (sc.n_bigrams::DOUBLE * 10000000.0), 6)
+         |    AS avg_nll,
+         |  coalesce(round(sc.sumq::DOUBLE
+         |    / (sc.n_bigrams::DOUBLE * 10000000.0), 6) <= $BgMaxAvgNll,
          |    FALSE) AS kept
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin

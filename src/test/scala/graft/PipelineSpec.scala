@@ -76,6 +76,72 @@ class PipelineSpec extends SparkSpec {
       "a repeat perplexity scoring re-built the landed LM")
   }
 
+  test("perplexity_bigram: stupid-backoff scoring replayed exactly, " +
+    "prune and backoff both bind, LM lands once") {
+    import graft.operators.TextAnalysis
+    def sqlTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def toks(text: String): Seq[String] =
+      sqlTrim(text.toLowerCase(java.util.Locale.ROOT))
+        .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docToks = docs.view.mapValues(toks).toMap
+    val cf = docToks.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cf.values.sum.toDouble
+    // corpus bigram counts, pruned at the cutoff
+    val c12 = docToks.values.toSeq
+      .flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= TextAnalysis.MinBigramCount).toMap
+    def q12(c: Long, c1: Long): Long =
+      math.round(-math.log(c.toDouble / c1.toDouble) * 1e7)
+    def qbo(c: Long): Long =
+      math.round(-math.log(TextAnalysis.BackoffAlpha * c / n) * 1e7)
+    val out = TextAnalysis.perplexityBigram(spark, sfDir).collect()
+    assert(out.length == docs.size, "one row per document")
+    var hits = 0L; var backoffs = 0L
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ev = docToks(id).zip(docToks(id).drop(1))
+      assert(r.getLong(1) == ev.length, s"doc $id bigram-event count")
+      if (ev.isEmpty) {
+        assert(r.isNullAt(2) && !r.getBoolean(3),
+          s"sub-2-token doc $id must score null and be dropped")
+      } else {
+        val sumq = ev.map { case (w1, w2) =>
+          c12.get((w1, w2)) match {
+            case Some(c) => hits += 1; q12(c, cf(w1))
+            case None    => backoffs += 1; qbo(cf(w2))
+          }
+        }.sum
+        val expect = BigDecimal(sumq.toDouble / (ev.length * 1e7))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+          s"doc $id avg_nll ${r.getDouble(2)} vs $expect")
+        assert(r.getBoolean(3) == (expect <= TextAnalysis.BgMaxAvgNll),
+          s"doc $id kept flag")
+      }
+    }
+    // both scoring paths exercised: most events hit the pruned table,
+    // and the singleton-pruned tail genuinely backs off (thin on this
+    // 31-word corpus by construction, but it must be non-zero or the
+    // backoff arm is dead code)
+    assert(hits > 0 && backoffs > 0,
+      s"degenerate scoring paths: hits=$hits backoffs=$backoffs")
+    // the gate removes a real tail but not everything
+    val keptN = out.count(_.getBoolean(3))
+    assert(keptN > 0 && keptN < out.length,
+      s"degenerate filter: kept $keptN of ${out.length}")
+    // train-once/score-many
+    val builds = TextAnalysis.bgBuildCount.get()
+    TextAnalysis.perplexityBigram(spark, sfDir).collect()
+    assert(TextAnalysis.bgBuildCount.get() == builds,
+      "a repeat bigram scoring re-built the landed bigram table")
+  }
+
   test("perplexity nllq: landed-integer replay is immune to ln ulp flips") {
     import graft.operators.TextAnalysis
     // 1. The risk being closed, demonstrated on a CRAFTED near-boundary
