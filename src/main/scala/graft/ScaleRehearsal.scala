@@ -875,6 +875,24 @@ object ScaleRehearsal {
       val nDocs = operators.Retrieval.dlStore(s, stagedD).count()
       println(s"""{"family":"delete","query":"bm25_tombstones","mult":$m,""" +
         s""""tombstones":$nTomb,"indexed_docs":$nDocs}""")
+      // the signature store's delete verbs (r17): mask = broadcast
+      // anti-join against the ∝-batch tombstones with stale caps;
+      // purge = sig+banded rewrite minus tombstones with caps
+      // re-derived over survivors (pass 1 of the purged walls carries
+      // the rewrite). semdedup's delete twins are deliberately NOT
+      // re-measured here: they consume the SAME ivf tombstone/purged
+      // artifacts as ann_masked/ann_purged below, so their marginal
+      // cost over semdedup is exactly the anti-join those rungs price.
+      measure(s, listener, "delete", "lsh_plain", m, passes)(
+        operators.Dedup.minhashLsh(s, stagedD))
+      measure(s, listener, "delete", "lsh_masked", m, passes)(
+        operators.Dedup.minhashLshDelete(s, stagedD))
+      measure(s, listener, "delete", "lsh_purged", m, passes)(
+        operators.Dedup.minhashLshDeleteCompact(s, stagedD))
+      val nTombL = operators.Dedup.lshTombStore(s, stagedD).count()
+      val nSig = operators.SigStore.forDataset(s, stagedD).sig(s).count()
+      println(s"""{"family":"delete","query":"lsh_tombstones","mult":$m,""" +
+        s""""tombstones":$nTombL,"signatures":$nSig}""")
       val stagedE = stageEmbeddings(s, sfDir, m)
       measure(s, listener, "delete", "ann_plain", m, passes)(
         operators.Similarity.annIvf(s, stagedE))

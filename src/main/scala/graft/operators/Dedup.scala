@@ -683,6 +683,45 @@ object Dedup {
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
+  /** NEAR-DUP ENSEMBLE — consensus over the family's three LANDED
+    * pair artifacts: the MinHash-LSH estimated pairs, the SimHash
+    * Hamming pairs, and the exact-Jaccard verified pairs. One row per
+    * pair any signal found, with per-signal provenance flags and a
+    * vote count — the routing table a production dedup pipeline acts
+    * on (all three agree → auto-remove; one lexical signal alone →
+    * human review / fuzzy verify). The three detectors see different
+    * things by construction (LSH estimates set overlap, SimHash
+    * weights token frequency, exact Jaccard is the ground truth on
+    * its capped shingle universe), so the ensemble is strictly more
+    * informative than any member.
+    *
+    * Scale shape: all three inputs are LANDED artifacts (SigStore
+    * pairs, the simhash banded self-join, the exact pair store) —
+    * pair-bounded relations, never corpus scans; the union + one
+    * (doc_a, doc_b) hash aggregate is the only new work. HASH-GATED:
+    * every leg's CTE chain already replays in DuckDB; the ensemble
+    * oracle composes them with the same union + flag-max aggregate. */
+  def dedupEnsemble(s: SparkSession, d: String): DataFrame = {
+    val mh = SigStore.lshPairs(s, d).select("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        lit(1).as("m"), lit(0).as("sm"), lit(0).as("e"))
+    val sp = simhashPairs(s, d).select("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        lit(0).as("m"), lit(1).as("sm"), lit(0).as("e"))
+    val ex = SigStore.exactPairs(s, d).select("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        lit(0).as("m"), lit(0).as("sm"), lit(1).as("e"))
+    mh.unionByName(sp).unionByName(ex)
+      .groupBy("doc_a", "doc_b")
+      .agg(max("m").as("m"), max("sm").as("sm"), max("e").as("e"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("m") === 1).as("in_minhash"),
+        (col("sm") === 1).as("in_simhash"),
+        (col("e") === 1).as("in_exact"),
+        (col("m") + col("sm") + col("e")).as("votes"))
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
   val IncrEvery = 10
 
   /** Incremental near-dup: a NEW BATCH (doc_id % IncrEvery == 0 —
@@ -782,6 +821,7 @@ object Dedup {
       ((s: SparkSession, d: String) => minhashLshDeleteCompact(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "dedup_ensemble"  -> dedupEnsemble _,
     "simhash64_invariants" -> simhash64Invariants _,
     "fuzzy_pairs"     -> ((s: SparkSession, d: String) => fuzzyPairs(s, d)),
     "fuzzy_pairs_unicode" -> ((s: SparkSession, d: String) => fuzzyPairsUnicode(s, d)),
@@ -849,41 +889,51 @@ object Dedup {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The md5 SimHash pipeline as a CTE chain (no leading WITH) ending
+    * in `simp(doc_a, doc_b, hamming)` — names prefixed `sm_` so the
+    * chain composes next to [[lshOracleCtes]] (whose `sh`/`banded`
+    * names it would otherwise shadow). Shared by the simhash_pairs
+    * oracle and the ensemble's simhash leg. */
+  def simhashOracleCtes: String =
+    s"""sm_tok AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |sm_tf AS (SELECT doc_id, word, count(*) AS w FROM sm_tok GROUP BY 1, 2),
+       |sm_hashed AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(word), 1, 15))::BIGINT AS h, w
+       |  FROM sm_tf),
+       |sm_votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+       |  FROM sm_hashed, unnest(range(0, $SimHashBits)) AS r(b)
+       |  GROUP BY 1, 2),
+       |sm_sh AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+       |      AS simhash
+       |  FROM sm_votes GROUP BY 1),
+       |sm_banded AS (
+       |  SELECT doc_id, simhash, b AS band,
+       |    (simhash >> (b * ${SimHashBits / SimHashBands}))
+       |      & ${(1L << (SimHashBits / SimHashBands)) - 1} AS bucket
+       |  FROM sm_sh, unnest(range(0, $SimHashBands)) AS r(b)),
+       |sm_cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS ha, y.simhash AS hb
+       |  FROM sm_banded x JOIN sm_banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id),
+       |simp AS (
+       |  SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
+       |  FROM sm_cand WHERE bit_count(xor(ha, hb)) <= 3)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "simhash_pairs" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, w AS word FROM (
-         |    SELECT doc_id,
-         |      unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
-         |    FROM documents) WHERE w <> ''),
-         |tf AS (SELECT doc_id, word, count(*) AS w FROM tok GROUP BY 1, 2),
-         |hashed AS (
-         |  SELECT doc_id,
-         |    ('0x' || substring(md5(word), 1, 15))::BIGINT AS h, w
-         |  FROM tf),
-         |votes AS (
-         |  SELECT doc_id, b,
-         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
-         |  FROM hashed, unnest(range(0, $SimHashBits)) AS r(b)
-         |  GROUP BY 1, 2),
-         |sh AS (
-         |  SELECT doc_id,
-         |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
-         |      AS simhash
-         |  FROM votes GROUP BY 1),
-         |banded AS (
-         |  SELECT doc_id, simhash, b AS band,
-         |    (simhash >> (b * ${SimHashBits / SimHashBands}))
-         |      & ${(1L << (SimHashBits / SimHashBands)) - 1} AS bucket
-         |  FROM sh, unnest(range(0, $SimHashBands)) AS r(b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |    x.simhash AS ha, y.simhash AS hb
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.bucket = y.bucket
-         |    AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      s"""WITH $simhashOracleCtes
+         |SELECT doc_a, doc_b, hamming FROM simp
          |ORDER BY doc_a, doc_b""".stripMargin,
     "minhash_lsh" ->
       s"""WITH ${lshOracleCtes()}
@@ -961,6 +1011,35 @@ object Dedup {
         |FROM documents
         |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
         |ORDER BY keep_id""".stripMargin,
+    // the three legs' CTE chains composed verbatim (LSH est over the
+    // shared capped-shingle sh, SimHash under sm_ prefixes, exact
+    // Jaccard re-deriving from the same sh), then the identical
+    // union + flag-max aggregate
+    "dedup_ensemble" ->
+      s"""WITH ${lshOracleCtes()},
+         |$simhashOracleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5),
+         |tagged AS (
+         |  SELECT doc_a, doc_b, 1 AS m, 0 AS sm, 0 AS e FROM est
+         |  WHERE est_jaccard >= 0.5
+         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM simp
+         |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM exact)
+         |SELECT doc_a, doc_b,
+         |  max(m) = 1 AS in_minhash,
+         |  max(sm) = 1 AS in_simhash,
+         |  max(e) = 1 AS in_exact,
+         |  (max(m) + max(sm) + max(e))::INT AS votes
+         |FROM tagged GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "neardup_jaccard" ->
       s"""WITH toks AS (
         |  SELECT doc_id,

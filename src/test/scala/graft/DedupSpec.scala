@@ -273,6 +273,31 @@ class DedupSpec extends SparkSpec {
       "tombstone sidecar rebuilt on a second run")
   }
 
+  test("dedup_ensemble: exact union of the three landed legs with " +
+    "faithful provenance, detectors genuinely disagree") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = pairs(Dedup.minhashLsh(spark, sfDir))
+    val sp = pairs(Dedup.simhashPairs(spark, sfDir))
+    val ex = pairs(graft.operators.SigStore.exactPairs(spark, sfDir))
+    val out = Dedup.dedupEnsemble(spark, sfDir).collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (mh | sp | ex), "ensemble domain is not the union")
+    out.foreach { r =>
+      val p = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(2) == mh(p) && r.getBoolean(3) == sp(p) &&
+        r.getBoolean(4) == ex(p), s"provenance flags drifted for $p")
+      assert(r.getInt(5) ==
+        Seq(mh(p), sp(p), ex(p)).count(identity), s"vote count for $p")
+    }
+    // the ensemble must be non-trivial: full-consensus pairs exist
+    // AND at least one detector disagrees somewhere (else one leg
+    // subsumes the others and the routing table is dead weight)
+    assert(out.exists(_.getInt(5) == 3), "no full-consensus pair")
+    assert(out.exists(_.getInt(5) < 3), "detectors never disagree")
+  }
+
   test("minhash delete compact: purge ≡ mask, purged store = sig − " +
     "tombstones exactly, purged-segment-only plan") {
     import org.apache.spark.sql.functions.{col, count, lit, max}
