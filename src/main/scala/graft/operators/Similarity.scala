@@ -1310,6 +1310,14 @@ object Similarity {
     // widen the stored float32 sketches back to double for compute
     val sk = sketchStore(s, d).select(col("vec_id"),
       transform(col("sp"), x => x.cast("double")).as("sp"))
+    annProjectRerankFrom(s, d, sk)
+  }
+
+  /** The coarse-rank + exact-rerank chain over an explicit sketch
+    * relation — ONE definition shared by the single-store and
+    * 2-segment incremental forms so the probes cannot drift. */
+  private def annProjectRerankFrom(s: SparkSession, d: String,
+                                   sk: DataFrame): DataFrame = {
     val q = sk.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("sp").as("qsp"))
     val wC = org.apache.spark.sql.expressions.Window
@@ -1336,6 +1344,66 @@ object Similarity {
       .filter(col("rn") <= TopK)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
       .transform(Present.sorted(_, col("q_id"), col("rn")))
+  }
+
+  /** Every SketchIncrEvery-th vec_id plays the ARRIVING batch for the
+    * sketch store's append verb (the suite's incremental-slot
+    * convention; distinct from the semdedup/delete slots). */
+  val SketchIncrEvery = 5L
+  val SketchIncrSlot  = 2L
+
+  private val sketchSegStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val sketchSegIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so SimilaritySpec can pin build-once. */
+  private[graft] val sketchSegBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the (base, delta) sketch segments: base = the store minus
+    * the batch (a landed artifact in production); delta PROJECTS only
+    * the arriving batch — the one JL pass the append pays, ∝ batch
+    * (the multimodal_features_incremental contract applied to the
+    * sketch store: a pure-map artifact appends by mapping the batch,
+    * never re-projecting the archive). */
+  private def sketchSegRoots(s: SparkSession, d: String): (String, String) =
+    sketchSegStores.computeIfAbsent(d, _ => {
+      sketchSegBuildCount.incrementAndGet()
+      val n = sketchSegIds.getAndIncrement()
+      val baseOut = graft.Scratch.processScoped("graft_sketchb", s"b$n").toString
+      sketchStore(s, d)
+        .filter(col("vec_id") % SketchIncrEvery =!= SketchIncrSlot)
+        .write.mode("overwrite").parquet(baseOut)
+      val deltaOut = graft.Scratch.processScoped("graft_sketchd", s"d$n").toString
+      val sp = array((0 until ProjDims).map(j =>
+        round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)
+          .cast("float")): _*)
+      emb(s, d).filter(col("vec_id") % SketchIncrEvery === SketchIncrSlot)
+        .select(col("vec_id"), sp.as("sp"))
+        .write.mode("overwrite").parquet(deltaOut)
+      (baseOut, deltaOut)
+    })
+
+  /** The landed delta segment as a fresh read — exposed so the spec
+    * can pin |delta| = |batch|. */
+  private[graft] def sketchDeltaSegment(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sketchSegRoots(s, d)._2)
+  /** The landed base segment as a fresh read. */
+  private[graft] def sketchBaseSegment(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sketchSegRoots(s, d)._1)
+
+  /** [[annProjectRerank]] over the 2-segment (base ∪ delta) sketch
+    * store — the append verb's probe: incremental maintenance must be
+    * INVISIBLE in the answer, so this hash-equals the single-store
+    * form against the same oracle (a dropped batch sketch, a
+    * double-projection, or a drifted sign matrix between the build
+    * paths hash-fails). */
+  def annProjectRerankIncremental(s: SparkSession, d: String): DataFrame = {
+    val (baseRoot, deltaRoot) = sketchSegRoots(s, d)
+    val sk = s.read.parquet(baseRoot)
+      .unionByName(s.read.parquet(deltaRoot))
+      .select(col("vec_id"),
+        transform(col("sp"), x => x.cast("double")).as("sp"))
+    annProjectRerankFrom(s, d, sk)
   }
 
   /** Eval-benchmark slice for semantic decontamination (vec_id below
@@ -1384,6 +1452,7 @@ object Similarity {
     "decontam_semantic" -> decontamSemantic _,
     "embed_project"     -> embedProject _,
     "ann_project_rerank" -> annProjectRerank _,
+    "ann_project_rerank_incremental" -> annProjectRerankIncremental _,
     "neardup_embedding" -> ((s: SparkSession, d: String) => neardupEmbedding(s, d)),
     "ann_lsh"           -> annLsh _,
     "ann_ivf"           -> annIvf _,
@@ -1498,6 +1567,48 @@ object Similarity {
        |hits AS (
        |  SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
        |  WHERE rn <= $TopK)""".stripMargin
+
+  /** Sketch → coarse rank → exact rerank, replayed verbatim: the PRF
+    * sign matrix interpolates as literals (the embed_project rule)
+    * with a ::REAL::DOUBLE round-trip replaying the store's float32
+    * narrowing (IEEE round-to-nearest in both engines); coarse
+    * cosines rank at 9 dp, final at 6. ONE builder shared by the
+    * single-store and 2-segment incremental forms — the gate pins the
+    * projected-prefilter ANSWER including its JL distortion. */
+  private def oracleProjRerank: String = {
+    val skCols = (0 until ProjDims).map { j =>
+      val lits = projSigns(j).map(x =>
+        if (x > 0) "1.0" else "-1.0").mkString(", ")
+      s"CAST(CAST(round(list_dot_product(v, [$lits]), 6) AS REAL) AS DOUBLE)"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sk AS (
+       |  SELECT vec_id, [
+       |    $skCols] AS sp
+       |  FROM e),
+       |q AS (SELECT vec_id AS q_id, sp AS qsp FROM sk
+       |      WHERE vec_id < $NumQueries),
+       |coarse AS (
+       |  SELECT q.q_id, s.vec_id, ${cosSql("s.sp", "q.qsp", 9)} AS sc
+       |  FROM sk s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sc DESC, vec_id) AS cr
+       |    FROM coarse)
+       |  WHERE cr <= $ProjShortlist),
+       |rer AS (
+       |  SELECT sh.q_id, sh.vec_id, ${cosSql("x.v", "qe.v", 6)} AS cos
+       |  FROM short sh
+       |  JOIN e x ON x.vec_id = sh.vec_id
+       |  JOIN e qe ON qe.vec_id = sh.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rn
+       |  FROM rer)
+       |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
+       |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin
+  }
 
   /** The survivors-only SemDeDup replay — ONE builder shared by the
     * mask and purge twins (answer-identical at fixed cells). */
@@ -1680,42 +1791,10 @@ object Similarity {
     // sign matrix interpolates as literals (the embed_project rule),
     // coarse cosines rank at 9 dp, final at 6 — the gate pins the
     // projected-prefilter ANSWER including its JL distortion
-    "ann_project_rerank" -> {
-      // the ::REAL::DOUBLE round-trip replays the store's float32
-      // narrowing (IEEE round-to-nearest in both engines)
-      val skCols = (0 until ProjDims).map { j =>
-        val lits = projSigns(j).map(x =>
-          if (x > 0) "1.0" else "-1.0").mkString(", ")
-        s"CAST(CAST(round(list_dot_product(v, [$lits]), 6) AS REAL) AS DOUBLE)"
-      }.mkString(",\n    ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sk AS (
-         |  SELECT vec_id, [
-         |    $skCols] AS sp
-         |  FROM e),
-         |q AS (SELECT vec_id AS q_id, sp AS qsp FROM sk
-         |      WHERE vec_id < $NumQueries),
-         |coarse AS (
-         |  SELECT q.q_id, s.vec_id, ${cosSql("s.sp", "q.qsp", 9)} AS sc
-         |  FROM sk s CROSS JOIN q WHERE s.vec_id <> q.q_id),
-         |short AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY sc DESC, vec_id) AS cr
-         |    FROM coarse)
-         |  WHERE cr <= $ProjShortlist),
-         |rer AS (
-         |  SELECT sh.q_id, sh.vec_id, ${cosSql("x.v", "qe.v", 6)} AS cos
-         |  FROM short sh
-         |  JOIN e x ON x.vec_id = sh.vec_id
-         |  JOIN e qe ON qe.vec_id = sh.q_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY cos DESC, vec_id) AS rn
-         |  FROM rer)
-         |SELECT q_id, rn, vec_id AS neighbor, cos FROM ranked
-         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin
-    },
+    "ann_project_rerank" -> oracleProjRerank,
+    // incremental maintenance must be invisible: base ∪ delta ≡ the
+    // full sketch store, so the oracle is the same full replay
+    "ann_project_rerank_incremental" -> oracleProjRerank,
     // flag → nearest-eval argmax, replayed naively (the eval slice is
     // 16 vectors; the oracle's cross join is the gate-scale form)
     "decontam_semantic" ->

@@ -383,6 +383,31 @@ class SimilaritySpec extends SparkSpec {
       "a corpus-side join shuffled instead of broadcasting:\n" + plan)
   }
 
+  test("ann_project_rerank incremental: ≡ single store, delta ∝ batch, " +
+    "segments land once") {
+    val full = Similarity.annProjectRerank(spark, sfDir).collect().toSeq
+    val incr = Similarity.annProjectRerankIncremental(spark, sfDir)
+      .collect().toSeq
+    assert(incr == full,
+      "2-segment sketch probe diverged from the single-store answer")
+    // the delta holds exactly the batch (projection ∝ batch), and the
+    // batch never reached the base segment
+    val nBatch = Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id")
+        % Similarity.SketchIncrEvery === Similarity.SketchIncrSlot).count()
+    assert(nBatch > 0, "empty sketch batch — gate vacuous")
+    assert(Similarity.sketchDeltaSegment(spark, sfDir).count() == nBatch,
+      "delta segment is not batch-shaped")
+    assert(Similarity.sketchBaseSegment(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id")
+        % Similarity.SketchIncrEvery === Similarity.SketchIncrSlot)
+      .count() == 0, "batch sketches leaked into the base segment")
+    val b0 = Similarity.sketchSegBuildCount.get()
+    Similarity.annProjectRerankIncremental(spark, sfDir).collect()
+    assert(Similarity.sketchSegBuildCount.get() == b0,
+      "sketch segments rebuilt on a second run")
+  }
+
   test("ann ivf pruned: nprobe ≪ K — probed cells ≪ cell count, scan pruned") {
     import org.apache.spark.sql.functions._
     val df = Similarity.annIvfPruned(spark, sfDir)
