@@ -1024,8 +1024,85 @@ object Retrieval {
         s"unavailable: $safe'), 0)", "JOIN idfv USING (df)")
   }
 
+  /** Fixed 2-term PHRASE workload (query_id, w1, w2) — adjacent pairs
+    * drawn from the corpus vocabulary so matches exist at gate
+    * scales. */
+  val PhraseQueries: Seq[(Long, String, String)] = Seq(
+    (1L, "table", "hash"),
+    (2L, "part", "filter"),
+    (3L, "customer", "join"))
+
+  private val ppStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ppIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val ppBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the POSITIONAL postings — (doc_id, pos, word) one row per
+    * token occurrence, PARTITIONED BY the same md5 word bucket as the
+    * tf postings (a probe reads only the phrase terms' buckets).
+    * This is the index upgrade phrase/proximity queries require:
+    * Lucene's prx file, here as a bucket-partitioned parquet. The
+    * empties are filtered BEFORE positions are assigned so both
+    * engines number the same filtered token sequence. */
+  private def ppRoot(s: SparkSession, d: String): String =
+    ppStores.computeIfAbsent(d, _ => {
+      ppBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bm25pos",
+        s"p${ppIds.getAndIncrement()}").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(filter(TextOps.tokens(col("text")),
+            w => length(w) > 0)).as(Seq("pos", "word")))
+        .withColumn("wb",
+          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("wb").parquet(out)
+      out
+    })
+
+  /** The landed positional postings as a fresh store read. */
+  def ppStore(s: SparkSession, d: String): DataFrame =
+    readPostings(s, ppRoot(s, d))
+
+  /** PHRASE RETRIEVAL over the landed positional index: documents
+    * where the query's two terms occur ADJACENTLY (pos₂ = pos₁ + 1),
+    * ranked per query by occurrence count — the exact-phrase lookup
+    * BM25's bag-of-words scoring cannot express (it would rank a doc
+    * containing both words anywhere), and the index capability
+    * (positions) that separates a phrase-aware engine from a tf one.
+    *
+    * Scale shape: the probe reads ONLY the phrase terms' word-bucket
+    * directories (partition-pruning literals, the inverted-index
+    * lookup); the adjacency join keys on (doc_id, word, pos+1)
+    * between two matched-postings relations — each ∝ the terms' df,
+    * never the corpus; one (query, doc) count aggregate and a top-K
+    * window close it out. HASH-GATED: the oracle replays tokenize →
+    * positions → adjacency join → rank verbatim. */
+  def phraseRetrieve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = PhraseQueries.flatMap(q => Seq(q._2, q._3))
+      .map(wbOf).distinct
+    val pp = ppStore(s, d).filter(col("wb").isin(buckets: _*))
+    val q = PhraseQueries.toDF("query_id", "w1", "w2")
+    val first = pp.join(broadcast(q), pp("word") === q("w1"))
+      .select(col("query_id"), col("w2"), col("doc_id"),
+        (col("pos") + 1).as("pos"))
+    val second = pp.select(col("doc_id"), col("word").as("w2"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("n_occ"), col("doc_id"))
+    first.join(second, Seq("doc_id", "w2", "pos"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("n_occ"))
+      .transform(Present.sorted(_, col("query_id"), col("rn")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_retrieve"    -> bm25Retrieve _,
+    "phrase_retrieve"  -> phraseRetrieve _,
     "bm25_incremental" -> bm25Incremental _,
     "bm25_compact"     -> bm25Compact _,
     "bm25_delete"      -> bm25Delete _,
@@ -1110,6 +1187,35 @@ object Retrieval {
       s"""WITH $bm25CtesSql
          |SELECT query_id, doc_id, n_terms, score, rank FROM rk
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // tokenize → positions over the FILTERED token sequence →
+    // adjacency join → per-query occurrence rank, replayed verbatim
+    // (positions are 1-based here, 0-based on the Spark side —
+    // adjacency is shift-invariant, so the numbering origin cancels)
+    "phrase_retrieve" -> {
+      val vals = PhraseQueries.map { case (id, w1, w2) =>
+        s"($id, '$w1', '$w2')" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |    '[^\\p{L}]+'), x -> x <> '') AS t
+         |  FROM documents),
+         |pp AS (
+         |  SELECT doc_id, i AS pos, t[i] AS word
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+         |q(query_id, w1, w2) AS (VALUES $vals),
+         |m AS (
+         |  SELECT q.query_id, a.doc_id, count(*)::BIGINT AS n_occ
+         |  FROM q
+         |  JOIN pp a ON a.word = q.w1
+         |  JOIN pp b ON b.doc_id = a.doc_id AND b.word = q.w2
+         |    AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY n_occ DESC, doc_id) AS rn
+         |  FROM m)
+         |SELECT query_id, rn, doc_id, n_occ FROM ranked
+         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+    },
     // incremental index maintenance must be INVISIBLE in the answer:
     // the oracle is the full-corpus replay, identical to
     // bm25_retrieve's — a merge that dropped a posting, double-counted

@@ -445,4 +445,54 @@ class RetrievalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "hybrid planned a cartesian product:\n" + p)
   }
+
+  test("phrase retrieve: adjacency replayed exactly, phrase ≠ AND, " +
+    "probe pruned to the terms' buckets, positions land once") {
+    import org.apache.spark.sql.functions.col
+    // plain-Scala ground truth over the filtered token sequences
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .split("[^\\p{L}]+").toSeq.filter(_.nonEmpty))
+      .toMap
+    def phraseOcc(w1: String, w2: String): Map[Long, Long] =
+      docs.view.mapValues(t =>
+        t.zip(t.drop(1)).count(p => p._1 == w1 && p._2 == w2).toLong)
+        .filter(_._2 > 0).toMap
+    val out = Retrieval.phraseRetrieve(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    Retrieval.PhraseQueries.foreach { case (qid, w1, w2) =>
+      val truth = phraseOcc(w1, w2)
+      assert(truth.nonEmpty, s"phrase '$w1 $w2' absent — gate vacuous")
+      val want = truth.toSeq.sortBy(p => (-p._2, p._1))
+        .take(Retrieval.TopK)
+      val got = out.filter(_.getLong(0) == qid)
+        .sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"phrase '$w1 $w2' rank drifted: $got vs $want")
+      // phrase ≠ AND: some doc contains both words but never
+      // adjacently — the positional index answers a question the tf
+      // postings cannot
+      assert(docs.exists { case (id, t) =>
+        t.contains(w1) && t.contains(w2) && !truth.contains(id) },
+        s"'$w1 $w2': every co-occurrence is adjacent — AND would do")
+    }
+    // positional store lands once; the probe's scan is pruned to the
+    // phrase terms' word buckets
+    val b0 = Retrieval.ppBuildCount.get()
+    val df = Retrieval.phraseRetrieve(spark, sfDir)
+    df.collect()
+    assert(Retrieval.ppBuildCount.get() == b0,
+      "positional postings rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bm25pos"),
+      "probe does not read the landed positional store:\n" + plan)
+    plan.linesIterator
+      .filter(l => l.contains("graft_bm25pos") && l.contains("Location"))
+      .foreach(l => assert(l.contains("PartitionFilters: [wb"),
+        s"positional scan not pruned on wb:\n$l"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "phrase candidates are not bucket-local:\n" + plan)
+  }
 }
