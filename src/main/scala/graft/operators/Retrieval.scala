@@ -1065,6 +1065,59 @@ object Retrieval {
   def ppStore(s: SparkSession, d: String): DataFrame =
     readPostings(s, ppRoot(s, d))
 
+  private val ppSegStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val ppSegIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val ppSegBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Land the (base, delta) positional segments — the append verb for
+    * the positional index (the [[bm25Incremental]] contract: base =
+    * the landed store minus the batch, an artifact production already
+    * has; delta tokenizes ONLY the arriving batch, so the append is
+    * priced ∝ batch). Positions are per-document, so segments union
+    * without renumbering — the property that makes a positional index
+    * append-friendly. */
+  private def ppSegRoots(s: SparkSession, d: String): (String, String) =
+    ppSegStores.computeIfAbsent(d, _ => {
+      ppSegBuildCount.incrementAndGet()
+      val n = ppSegIds.getAndIncrement()
+      val baseOut = graft.Scratch.processScoped("graft_bm25posb", s"b$n").toString
+      ppStore(s, d)
+        .filter(col("doc_id") % IncrEvery =!= IncrSlot)
+        .write.mode("overwrite").partitionBy("wb").parquet(baseOut)
+      val deltaOut = graft.Scratch.processScoped("graft_bm25posd", s"d$n").toString
+      Tables.documents(s, d)
+        .filter(col("doc_id") % IncrEvery === IncrSlot)
+        .select(col("doc_id"),
+          posexplode(filter(TextOps.tokens(col("text")),
+            w => length(w) > 0)).as(Seq("pos", "word")))
+        .withColumn("wb",
+          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("wb").parquet(deltaOut)
+      (baseOut, deltaOut)
+    })
+
+  /** The landed delta segment as a fresh read — exposed so the spec
+    * can pin |delta docs| = |batch|. */
+  private[graft] def ppDeltaSegment(s: SparkSession, d: String): DataFrame =
+    readPostings(s, ppSegRoots(s, d)._2)
+  /** The landed base segment as a fresh read. */
+  private[graft] def ppBaseSegment(s: SparkSession, d: String): DataFrame =
+    readPostings(s, ppSegRoots(s, d)._1)
+
+  /** [[phraseRetrieve]] over the 2-segment (base ∪ delta) positional
+    * index — incremental maintenance must be INVISIBLE in the answer,
+    * so this hash-equals the single-store form against the same
+    * oracle (a dropped batch posting or a renumbered position
+    * hash-fails). */
+  def phraseRetrieveIncremental(s: SparkSession, d: String): DataFrame = {
+    val (baseRoot, deltaRoot) = ppSegRoots(s, d)
+    phraseRetrieveFrom(s,
+      readPostings(s, baseRoot).unionByName(readPostings(s, deltaRoot)))
+  }
+
   /** PHRASE RETRIEVAL over the landed positional index: documents
     * where the query's two terms occur ADJACENTLY (pos₂ = pos₁ + 1),
     * ranked per query by occurrence count — the exact-phrase lookup
@@ -1079,11 +1132,17 @@ object Retrieval {
     * never the corpus; one (query, doc) count aggregate and a top-K
     * window close it out. HASH-GATED: the oracle replays tokenize →
     * positions → adjacency join → rank verbatim. */
-  def phraseRetrieve(s: SparkSession, d: String): DataFrame = {
+  def phraseRetrieve(s: SparkSession, d: String): DataFrame =
+    phraseRetrieveFrom(s, ppStore(s, d))
+
+  /** The probe chain over an explicit positional relation — ONE
+    * definition shared by the single-store and 2-segment forms. */
+  private def phraseRetrieveFrom(s: SparkSession,
+                                 pp0: DataFrame): DataFrame = {
     import s.implicits._
     val buckets = PhraseQueries.flatMap(q => Seq(q._2, q._3))
       .map(wbOf).distinct
-    val pp = ppStore(s, d).filter(col("wb").isin(buckets: _*))
+    val pp = pp0.filter(col("wb").isin(buckets: _*))
     val q = PhraseQueries.toDF("query_id", "w1", "w2")
     val first = pp.join(broadcast(q), pp("word") === q("w1"))
       .select(col("query_id"), col("w2"), col("doc_id"),
@@ -1103,6 +1162,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_retrieve"    -> bm25Retrieve _,
     "phrase_retrieve"  -> phraseRetrieve _,
+    "phrase_retrieve_incremental" -> phraseRetrieveIncremental _,
     "bm25_incremental" -> bm25Incremental _,
     "bm25_compact"     -> bm25Compact _,
     "bm25_delete"      -> bm25Delete _,
@@ -1181,6 +1241,34 @@ object Retrieval {
        |  WHERE drank <= $TopK)""".stripMargin
   }
 
+  /** The phrase replay — ONE builder shared by the single-store and
+    * 2-segment incremental forms. */
+  private def oraclePhrase: String = {
+    val vals = PhraseQueries.map { case (id, w1, w2) =>
+      s"($id, '$w1', '$w2')" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^\\p{L}]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |pp AS (
+       |  SELECT doc_id, i AS pos, t[i] AS word
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+       |q(query_id, w1, w2) AS (VALUES $vals),
+       |m AS (
+       |  SELECT q.query_id, a.doc_id, count(*)::BIGINT AS n_occ
+       |  FROM q
+       |  JOIN pp a ON a.word = q.w1
+       |  JOIN pp b ON b.doc_id = a.doc_id AND b.word = q.w2
+       |    AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_occ DESC, doc_id) AS rn
+       |  FROM m)
+       |SELECT query_id, rn, doc_id, n_occ FROM ranked
+       |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+  }
+
   // a def, not a val: embeds the idf integers harvested at dump time
   def oracle: Map[String, String] = Map(
     "bm25_retrieve" ->
@@ -1191,31 +1279,10 @@ object Retrieval {
     // adjacency join → per-query occurrence rank, replayed verbatim
     // (positions are 1-based here, 0-based on the Spark side —
     // adjacency is shift-invariant, so the numbering origin cancels)
-    "phrase_retrieve" -> {
-      val vals = PhraseQueries.map { case (id, w1, w2) =>
-        s"($id, '$w1', '$w2')" }.mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-         |    '[^\\p{L}]+'), x -> x <> '') AS t
-         |  FROM documents),
-         |pp AS (
-         |  SELECT doc_id, i AS pos, t[i] AS word
-         |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
-         |q(query_id, w1, w2) AS (VALUES $vals),
-         |m AS (
-         |  SELECT q.query_id, a.doc_id, count(*)::BIGINT AS n_occ
-         |  FROM q
-         |  JOIN pp a ON a.word = q.w1
-         |  JOIN pp b ON b.doc_id = a.doc_id AND b.word = q.w2
-         |    AND b.pos = a.pos + 1
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY n_occ DESC, doc_id) AS rn
-         |  FROM m)
-         |SELECT query_id, rn, doc_id, n_occ FROM ranked
-         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
-    },
+    "phrase_retrieve" -> oraclePhrase,
+    // incremental maintenance must be invisible: base ∪ delta ≡ the
+    // full positional store, so the oracle is the same full replay
+    "phrase_retrieve_incremental" -> oraclePhrase,
     // incremental index maintenance must be INVISIBLE in the answer:
     // the oracle is the full-corpus replay, identical to
     // bm25_retrieve's — a merge that dropped a posting, double-counted

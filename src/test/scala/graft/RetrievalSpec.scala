@@ -495,4 +495,29 @@ class RetrievalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "phrase candidates are not bucket-local:\n" + plan)
   }
+
+  test("phrase retrieve incremental: ≡ single store, delta tokenizes " +
+    "only the batch, segments land once") {
+    import org.apache.spark.sql.functions.col
+    val full = Retrieval.phraseRetrieve(spark, sfDir).collect().toSeq
+    val incr = Retrieval.phraseRetrieveIncremental(spark, sfDir)
+      .collect().toSeq
+    assert(incr == full,
+      "2-segment phrase probe diverged from the single-store answer")
+    // the delta holds exactly the batch's docs; none leak into base
+    val batchDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % Retrieval.IncrEvery === Retrieval.IncrSlot)
+      .count()
+    assert(batchDocs > 0, "empty batch — gate vacuous")
+    assert(Retrieval.ppDeltaSegment(spark, sfDir)
+      .select("doc_id").distinct().count() == batchDocs,
+      "delta segment docs ≠ batch docs")
+    assert(Retrieval.ppBaseSegment(spark, sfDir)
+      .filter(col("doc_id") % Retrieval.IncrEvery === Retrieval.IncrSlot)
+      .count() == 0, "batch postings leaked into the base segment")
+    val b0 = Retrieval.ppSegBuildCount.get()
+    Retrieval.phraseRetrieveIncremental(spark, sfDir).collect()
+    assert(Retrieval.ppSegBuildCount.get() == b0,
+      "positional segments rebuilt on a second run")
+  }
 }
