@@ -495,6 +495,42 @@ object Governance {
        |FROM mranked GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // Takedown audit                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** TAKEDOWN AUDIT — the compliance capstone over the suite's delete
+    * verbs: one row per landed index family reporting the takedown
+    * batch's footprint (tombstone sidecar size, live rows before, live
+    * rows after the purge) — the evidence table a data-protection
+    * review asks for ("show me every store the deleted ids lived in,
+    * and that each purge removed exactly them"). Every number comes
+    * from a LANDED artifact (the store and its tombstone sidecar —
+    * counts only, nothing corpus-shaped moves), so the audit is four
+    * 1-row aggregates unioned: zero marginal cost at any corpus size.
+    *
+    * live_after is DERIVED (before − tombstones) rather than read
+    * from the purged stores so the oracle can replay it from the raw
+    * tables; the per-family specs already pin purged = store −
+    * tombstones exactly, which is what licenses the derivation. */
+  def takedownAudit(s: SparkSession, d: String): DataFrame = {
+    def rowOf(name: String, live: DataFrame, tomb: DataFrame): DataFrame =
+      live.agg(count(lit(1)).as("live_before"))
+        .crossJoin(broadcast(tomb.agg(count(lit(1)).as("tombstones"))))
+        .select(lit(name).as("store"), col("tombstones"),
+          col("live_before"),
+          (col("live_before") - col("tombstones")).as("live_after"))
+    rowOf("ann_ivf", Similarity.ivfStore(s, d)._1,
+        Similarity.ivfTombStore(s, d))
+      .unionByName(rowOf("bm25_postings", Retrieval.dlStore(s, d),
+        Retrieval.tombStore(s, d)))
+      .unionByName(rowOf("media_features", Multimodal.featuresTable(s, d),
+        Multimodal.mediaTombStore(s, d)))
+      .unionByName(rowOf("minhash_signatures",
+        SigStore.forDataset(s, d).sig(s), Dedup.lshTombStore(s, d)))
+      .transform(Present.sorted(_, col("store")))
+  }
+
+  // ---------------------------------------------------------------- //
   // registry                                                         //
   // ---------------------------------------------------------------- //
 
@@ -506,6 +542,7 @@ object Governance {
     "dp_budget"      -> dpBudget _,
     "shard_manifest" -> shardManifest _,
     "shard_manifest_incremental" -> shardManifestIncremental _,
+    "takedown_audit" -> takedownAudit _,
   )
 
   /** The geometric-difference noise expression over an md5-PRF of
@@ -589,6 +626,59 @@ object Governance {
          |FROM z ORDER BY c_mktsegment""".stripMargin,
     "shard_manifest" ->
       s"WITH ${manifestSqlOver("documents", "n_chars", "total_chars")}",
+    // each family's live set replayed from the raw tables with its
+    // own membership rule (bm25 indexes docs with ≥1 token; the sig
+    // store docs with ≥1 df-capped shingle; media every doc; ivf
+    // every vector) and its delete slot — a tombstone sidecar that
+    // drifted from its slot, or a store that indexed a different
+    // membership, hash-fails the audit
+    "takedown_audit" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text),
+         |      '[^\\p{L}]+')) AS w FROM documents) WHERE w <> ''),
+         |bmdocs AS (SELECT DISTINCT doc_id FROM toks),
+         |lt AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(t[i:i+2], ' ') AS shingle
+         |  FROM lt, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)),
+         |shc AS (
+         |  SELECT doc_id, shingle FROM sh0
+         |  QUALIFY count(*) OVER (PARTITION BY shingle)
+         |    <= ${Dedup.MaxShingleDf}),
+         |sigdocs AS (SELECT DISTINCT doc_id FROM shc),
+         |rows AS (
+         |  SELECT 'ann_ivf' AS store,
+         |    count(*) FILTER (vec_id % ${Similarity.IvfDelEvery}
+         |      = ${Similarity.IvfDelSlot})::BIGINT AS tombstones,
+         |    count(*)::BIGINT AS live_before
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT 'bm25_postings',
+         |    count(*) FILTER (doc_id % ${Retrieval.DelEvery}
+         |      = ${Retrieval.DelSlot})::BIGINT,
+         |    count(*)::BIGINT
+         |  FROM bmdocs
+         |  UNION ALL
+         |  SELECT 'media_features',
+         |    count(*) FILTER (doc_id % ${Multimodal.MediaDelEvery}
+         |      = ${Multimodal.MediaDelSlot})::BIGINT,
+         |    count(*)::BIGINT
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'minhash_signatures',
+         |    count(*) FILTER (doc_id % ${Dedup.DelEvery}
+         |      = ${Dedup.DelSlot})::BIGINT,
+         |    count(*)::BIGINT
+         |  FROM sigdocs)
+         |SELECT store, tombstones, live_before,
+         |  live_before - tombstones AS live_after
+         |FROM rows ORDER BY store""".stripMargin,
     // incremental maintenance must be invisible: untouched-from-base ∪
     // recomputed-touched ≡ the full manifest, so the oracle is the
     // same full replay — a stale untouched row, a missed touched

@@ -196,6 +196,41 @@ class GovernanceSpec extends SparkSpec {
       "base manifest rebuilt on a second run")
   }
 
+  test("takedown_audit: every family's live_after equals its PURGED " +
+    "artifact, tombstones equal the sidecars") {
+    import graft.operators.{Dedup, Multimodal, Retrieval}
+    val audit = Governance.takedownAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit.keySet == Set("ann_ivf", "bm25_postings",
+      "media_features", "minhash_signatures"))
+    // derived arithmetic holds on every row, and nothing is vacuous
+    audit.values.foreach { case (t, before, after) =>
+      assert(t > 0 && after == before - t && after > 0)
+    }
+    // the audit's numbers are the REAL artifacts': tombstones match
+    // each family's landed sidecar, live_after matches each family's
+    // landed PURGED store (the cross-store consistency the audit
+    // certifies)
+    assert(audit("ann_ivf")._1 ==
+      Similarity.ivfTombStore(spark, sfDir).count())
+    assert(audit("ann_ivf")._3 ==
+      Similarity.ivfDelCompactStore(spark, sfDir)._1.count())
+    assert(audit("bm25_postings")._1 ==
+      Retrieval.tombStore(spark, sfDir).count())
+    assert(audit("bm25_postings")._3 ==
+      Retrieval.delCompactPostings(spark, sfDir)
+        .select("doc_id").distinct().count())
+    assert(audit("minhash_signatures")._1 ==
+      Dedup.lshTombStore(spark, sfDir).count())
+    assert(audit("minhash_signatures")._3 ==
+      Dedup.lshPurgedStore(spark, sfDir)._1.count())
+    assert(audit("media_features")._1 ==
+      Multimodal.mediaTombStore(spark, sfDir).count())
+    assert(audit("media_features")._3 ==
+      Multimodal.mediaPurgedSegment(spark, sfDir).count())
+  }
+
   test("hard_negatives: positive shares the anchor's label, " +
     "negative does not, similarities are top-1") {
     val e = Tables.embeddings(spark, sfDir)
