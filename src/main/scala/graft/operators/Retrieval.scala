@@ -1118,6 +1118,86 @@ object Retrieval {
       readPostings(s, baseRoot).unionByName(readPostings(s, deltaRoot)))
   }
 
+  /** PHRASE with tombstone MASKING — the positional index's REMOVE
+    * verb, consuming the SAME landed tombstone sidecar as
+    * `bm25_delete` (one delete artifact serves every index that
+    * shares the doc id space — the ivf/semdedup sharing pattern,
+    * retrieval edition): deleted docs' positional rows anti-join out
+    * before the adjacency join, a broadcast ∝-batch mask, never a
+    * store rewrite at probe time. Oracle replays the phrase rule
+    * among survivors. */
+  def phraseRetrieveDelete(s: SparkSession, d: String): DataFrame =
+    phraseRetrieveFrom(s, ppStore(s, d)
+      .join(broadcast(tombStore(s, d)), Seq("doc_id"), "left_anti"))
+
+  private val ppPurgeStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ppPurgeIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Build counter — exposed so RetrievalSpec can pin build-once. */
+  private[graft] val ppPurgeBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The purged positional store: rewritten minus the tombstoned
+    * docs' rows, wb layout kept (the probe's bucket pruning survives
+    * the purge) — index-local, no tokenize, priced ∝ store. */
+  private def ppPurgeRoot(s: SparkSession, d: String): String =
+    ppPurgeStores.computeIfAbsent(d, _ => {
+      ppPurgeBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_bm25pospurge",
+        s"p${ppPurgeIds.getAndIncrement()}").toString
+      ppStore(s, d)
+        .join(broadcast(tombStore(s, d)), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("wb").parquet(out)
+      out
+    })
+
+  /** The purged positional store as a fresh read — exposed so the
+    * spec can pin purged = store − tombstoned rows. */
+  private[graft] def ppPurgedStore(s: SparkSession, d: String): DataFrame =
+    readPostings(s, ppPurgeRoot(s, d))
+
+  /** Post-purge phrase probe — ONE purged segment, no tombstone read,
+    * no mask; answer-identical to [[phraseRetrieveDelete]] (positions
+    * are per-document, so the purge cannot shift a surviving doc's
+    * adjacency), gated against the same survivors-only oracle. */
+  def phraseRetrieveDeleteCompact(s: SparkSession, d: String): DataFrame =
+    phraseRetrieveFrom(s, ppPurgedStore(s, d))
+
+  /** Proximity slop for the NEAR operator — w2 within this many
+    * positions AFTER w1 (slop 1 ≡ the exact phrase). */
+  val PhraseSlop = 3
+
+  /** PROXIMITY (sloppy-phrase / NEAR) retrieval: docs where w2 occurs
+    * within [[PhraseSlop]] positions after w1, ranked by the number of
+    * such (pos₁, pos₂) occurrences — Lucene's ordered sloppy phrase,
+    * the relevance middle ground between the bag-of-words AND and the
+    * exact phrase. The candidate join stays an EQUI-join (each w1
+    * posting explodes to its [[PhraseSlop]] admissible w2 positions —
+    * a bounded fan-out — instead of a range join the planner would
+    * nest-loop), so the plan shape is phrase_retrieve's with a 3×
+    * wider probe side. */
+  def phraseRetrieveSlop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = PhraseQueries.flatMap(q => Seq(q._2, q._3))
+      .map(wbOf).distinct
+    val pp = ppStore(s, d).filter(col("wb").isin(buckets: _*))
+    val q = PhraseQueries.toDF("query_id", "w1", "w2")
+    val first = pp.join(broadcast(q), pp("word") === q("w1"))
+      .select(col("query_id"), col("w2"), col("doc_id"),
+        explode(sequence(col("pos") + 1, col("pos") + PhraseSlop))
+          .as("pos"))
+    val second = pp.select(col("doc_id"), col("word").as("w2"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("n_occ"), col("doc_id"))
+    first.join(second, Seq("doc_id", "w2", "pos"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("n_occ"))
+      .transform(Present.sorted(_, col("query_id"), col("rn")))
+  }
+
   /** PHRASE RETRIEVAL over the landed positional index: documents
     * where the query's two terms occur ADJACENTLY (pos₂ = pos₁ + 1),
     * ranked per query by occurrence count — the exact-phrase lookup
@@ -1163,6 +1243,9 @@ object Retrieval {
     "bm25_retrieve"    -> bm25Retrieve _,
     "phrase_retrieve"  -> phraseRetrieve _,
     "phrase_retrieve_incremental" -> phraseRetrieveIncremental _,
+    "phrase_retrieve_slop" -> phraseRetrieveSlop _,
+    "phrase_retrieve_delete" -> phraseRetrieveDelete _,
+    "phrase_retrieve_delete_compact" -> phraseRetrieveDeleteCompact _,
     "bm25_incremental" -> bm25Incremental _,
     "bm25_compact"     -> bm25Compact _,
     "bm25_delete"      -> bm25Delete _,
@@ -1241,9 +1324,14 @@ object Retrieval {
        |  WHERE drank <= $TopK)""".stripMargin
   }
 
-  /** The phrase replay — ONE builder shared by the single-store and
-    * 2-segment incremental forms. */
-  private def oraclePhrase: String = {
+  /** The phrase replay — ONE builder parameterized by the proximity
+    * condition (exact adjacency vs the slop window) and the survivor
+    * predicate (the delete twins), shared by all five phrase
+    * oracles. */
+  private def oraclePhrase: String =
+    oraclePhraseFor("b.pos = a.pos + 1", "TRUE")
+
+  private def oraclePhraseFor(adj: String, survive: String): String = {
     val vals = PhraseQueries.map { case (id, w1, w2) =>
       s"($id, '$w1', '$w2')" }.mkString(", ")
     s"""WITH toks AS (
@@ -1252,14 +1340,15 @@ object Retrieval {
        |  FROM documents),
        |pp AS (
        |  SELECT doc_id, i AS pos, t[i] AS word
-       |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+       |  WHERE $survive),
        |q(query_id, w1, w2) AS (VALUES $vals),
        |m AS (
        |  SELECT q.query_id, a.doc_id, count(*)::BIGINT AS n_occ
        |  FROM q
        |  JOIN pp a ON a.word = q.w1
        |  JOIN pp b ON b.doc_id = a.doc_id AND b.word = q.w2
-       |    AND b.pos = a.pos + 1
+       |    AND $adj
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1283,6 +1372,17 @@ object Retrieval {
     // incremental maintenance must be invisible: base ∪ delta ≡ the
     // full positional store, so the oracle is the same full replay
     "phrase_retrieve_incremental" -> oraclePhrase,
+    // the NEAR operator: same replay, proximity window instead of
+    // exact adjacency
+    "phrase_retrieve_slop" -> oraclePhraseFor(
+      s"b.pos - a.pos BETWEEN 1 AND $PhraseSlop", "TRUE"),
+    // the delete twins: the phrase rule among SURVIVORS (positions
+    // are per-document, so the purge cannot shift adjacency) — one
+    // oracle for mask and purge
+    "phrase_retrieve_delete" -> oraclePhraseFor(
+      "b.pos = a.pos + 1", s"doc_id % $DelEvery <> $DelSlot"),
+    "phrase_retrieve_delete_compact" -> oraclePhraseFor(
+      "b.pos = a.pos + 1", s"doc_id % $DelEvery <> $DelSlot"),
     // incremental index maintenance must be INVISIBLE in the answer:
     // the oracle is the full-corpus replay, identical to
     // bm25_retrieve's — a merge that dropped a posting, double-counted

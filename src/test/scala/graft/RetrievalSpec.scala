@@ -520,4 +520,71 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.ppSegBuildCount.get() == b0,
       "positional segments rebuilt on a second run")
   }
+
+  test("phrase slop + delete twins: NEAR ⊇ exact phrase, mask ≡ purge, " +
+    "shared tombstone sidecar, purged-segment-only plan") {
+    import org.apache.spark.sql.functions.col
+    // the slop window subsumes exact adjacency: every doc the exact
+    // phrase ranks must appear in the slop ranking with n_occ ≥ the
+    // exact count (replayed at the occurrence level in plain Scala)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .split("[^\\p{L}]+").toSeq.filter(_.nonEmpty))
+      .toMap
+    def occ(w1: String, w2: String, maxGap: Int): Map[Long, Long] =
+      docs.view.mapValues { t =>
+        val idx = t.zipWithIndex
+        idx.filter(_._1 == w1).map { case (_, i) =>
+          idx.count(p => p._1 == w2 && p._2 > i && p._2 <= i + maxGap)
+            .toLong
+        }.sum
+      }.filter(_._2 > 0).toMap
+    val slop = Retrieval.phraseRetrieveSlop(spark, sfDir).collect()
+    Retrieval.PhraseQueries.foreach { case (qid, w1, w2) =>
+      val truth = occ(w1, w2, Retrieval.PhraseSlop)
+      val exact = occ(w1, w2, 1)
+      val want = truth.toSeq.sortBy(p => (-p._2, p._1))
+        .take(Retrieval.TopK)
+      val got = slop.filter(_.getLong(0) == qid)
+        .sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"slop '$w1 $w2' rank drifted")
+      // the window genuinely widens: some doc gains occurrences (or
+      // membership) over the exact phrase
+      assert(truth.exists { case (id, n) => n > exact.getOrElse(id, 0L) },
+        s"slop '$w1 $w2' ≡ exact phrase — the window is dead weight")
+    }
+    // delete twins: mask ≡ purge, nothing tombstoned survives, the
+    // sidecar is bm25_delete's (shared — no second artifact)
+    val t0 = Retrieval.tombBuildCount.get()
+    val masked = Retrieval.phraseRetrieveDelete(spark, sfDir).collect().toSeq
+    val purged = Retrieval.phraseRetrieveDeleteCompact(spark, sfDir)
+      .collect().toSeq
+    assert(Retrieval.tombBuildCount.get() == t0 ||
+      Retrieval.tombBuildCount.get() == t0 + 1,
+      "phrase delete minted repeated tombstone sidecars")
+    assert(purged == masked, "post-purge phrase ≠ masked phrase")
+    assert(masked.nonEmpty && masked.forall(r =>
+      r.getLong(2) % Retrieval.DelEvery != Retrieval.DelSlot),
+      "a deleted doc leaked through the phrase mask")
+    // the purge is complete: purged store = positional store minus
+    // exactly the tombstoned docs' rows
+    val store = Retrieval.ppStore(spark, sfDir)
+    assert(Retrieval.ppPurgedStore(spark, sfDir).count() ==
+      store.filter(col("doc_id") % Retrieval.DelEvery =!=
+        Retrieval.DelSlot).count(),
+      "purged positional store drifted from the survivor slice")
+    // purge lands once; its probe reads the purged root, no tombstones
+    val p0 = Retrieval.ppPurgeBuildCount.get()
+    val df = Retrieval.phraseRetrieveDeleteCompact(spark, sfDir)
+    df.collect()
+    assert(Retrieval.ppPurgeBuildCount.get() == p0,
+      "purged positional store rebuilt on a second run")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bm25pospurge"),
+      "purge twin does not read the purged store:\n" + plan)
+    assert(!plan.contains("graft_bm25t"),
+      "purge twin still reads tombstones:\n" + plan)
+  }
 }
