@@ -1222,6 +1222,31 @@ object ScaleRehearsal {
     }
   }
 
+  /** Positional-index receipt (round-17): phrase probes over staged
+    * doc multiples — the positional store is the corpus's token
+    * stream (∝ corpus; pass 1 of the first walls array carries its
+    * land), while every probe must stay bounded by the PHRASE TERMS'
+    * bucket reads + df-bounded adjacency joins, never the corpus.
+    * The gate phrases survive staging: stageDocs suffixes per LINE,
+    * so within-line adjacency is untouched and matches replicate
+    * with the multiple. */
+  def runPhrase(s: SparkSession, sfDir: String, mults: Seq[Int],
+                passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      measure(s, listener, "phrase", "phrase_retrieve", m, passes)(
+        operators.Retrieval.phraseRetrieve(s, staged))
+      measure(s, listener, "phrase", "phrase_slop", m, passes)(
+        operators.Retrieval.phraseRetrieveSlop(s, staged))
+      measure(s, listener, "phrase", "phrase_masked", m, passes)(
+        operators.Retrieval.phraseRetrieveDelete(s, staged))
+      measure(s, listener, "phrase", "phrase_purged", m, passes)(
+        operators.Retrieval.phraseRetrieveDeleteCompact(s, staged))
+    }
+  }
+
   /** The q18 body over PRE-BUCKETED facts — the layout SCALE.md's
     * fact⋈fact note claims removes the join shuffles entirely. Both
     * facts land bucketed+sorted on orderkey once per multiple (the
@@ -1472,7 +1497,7 @@ object ScaleRehearsal {
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
       "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media",
-      "mediadiverse", "governance", "sketch")
+      "mediadiverse", "governance", "sketch", "phrase")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1536,6 +1561,8 @@ object ScaleRehearsal {
       runMediaDiverse(spark, sfDir, mults)
     if (family("sketch"))
       runSketch(spark, sfDir, mults)
+    if (family("phrase"))
+      runPhrase(spark, sfDir, mults)
     if (family("governance"))
       runGovernance(spark, sfDir, mults)
     if (family("ivfmaint"))
