@@ -99,6 +99,70 @@ object Governance {
         col("c_mktsegment"), col("bal_band")))
   }
 
+  /** Diversity threshold: no released cell may have fewer than this
+    * many DISTINCT sensitive values. */
+  val LDiv = 3
+  /** The demo sensitive attribute: balance cents mod 4 — deliberately
+    * moderate-entropy so the diversity gate genuinely binds on cells
+    * the count gate passes (7 of 45 k-passing level-1 cells at
+    * sf0.01). */
+  val SensMod = 4L
+
+  /** DISTINCT l-DIVERSITY over the same generalization ladder as
+    * [[kAnonymize]] (Machanavajjhala et al. 2007, public — the
+    * published fix for k-anonymity's homogeneity attack: a cell of
+    * ≥ K people who all share the sensitive value still discloses
+    * it): a cell releases only if it holds ≥ [[K]] rows AND ≥
+    * [[LDiv]] distinct sensitive values; failing rows generalize up
+    * (band dropped) and re-test; the residue suppresses. Output adds
+    * `n_sens` (the released cell's diversity) and conserves row mass.
+    *
+    * Scale shape: the extra gate costs ONE finer pre-aggregate — the
+    * (quasi-id, sensitive) level, bounded by quasi-domain ×
+    * [[SensMod]] — from which both n (sum) and n_sens (count) fold;
+    * the level-2 regroup consumes those CELLS, never rows, so the
+    * ladder stays two hash aggregates + cell-level post-processing
+    * exactly like the k-only form. */
+  def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val sens = (round(col("c_acctbal") * 100).cast("bigint") % SensMod)
+      .as("sval")
+    val g0 = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / BalBand).as("bal_band"), sens)
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band", "sval")
+      .agg(count(lit(1)).as("nv"))
+    val g1 = g0.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(sum("nv").as("n"), count(lit(1)).as("n_sens"))
+    val pass1 = g1.filter(col("n") >= K && col("n_sens") >= LDiv)
+      .select(lit(1).as("level"), col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band"), col("n"), col("n_sens"))
+    // failing LEVEL-1 cells regroup at the (quasi, sval) grain so the
+    // level-2 diversity recounts distinct values, not distinct counts
+    val fail0 = g0.join(
+      g1.filter(col("n") < K || col("n_sens") < LDiv)
+        .select("c_nationkey", "c_mktsegment", "bal_band"),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"))
+    val g2 = fail0
+      .groupBy("c_nationkey", "c_mktsegment", "sval")
+      .agg(sum("nv").as("nv"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("nv").as("n"), count(lit(1)).as("n_sens"))
+    val pass2 = g2.filter(col("n") >= K && col("n_sens") >= LDiv)
+      .select(lit(2).as("level"), col("c_nationkey"), col("c_mktsegment"),
+        lit(null).cast("bigint").as("bal_band"), col("n"), col("n_sens"))
+    val suppressed = g2.filter(col("n") < K || col("n_sens") < LDiv)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit(3).as("level"),
+        lit(null).cast("int").as("c_nationkey"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("bigint").as("bal_band"), col("n"),
+        lit(null).cast("bigint").as("n_sens"))
+    pass1.unionByName(pass2).unionByName(suppressed)
+      .transform(Present.sorted(_, col("level"), col("c_nationkey"),
+        col("c_mktsegment"), col("bal_band")))
+  }
+
   // ---------------------------------------------------------------- //
   // Differentially-private release                                   //
   // ---------------------------------------------------------------- //
@@ -536,6 +600,7 @@ object Governance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymize"    -> kAnonymize _,
+    "l_diversity"    -> lDiversity _,
     "dp_release"     -> dpRelease _,
     "dp_sum"         -> dpSum _,
     "dp_user_count"  -> dpUserCount _,
@@ -576,6 +641,43 @@ object Governance {
          |  UNION ALL
          |  SELECT 3, NULL, NULL, NULL, CAST(sum(n) AS BIGINT)
          |  FROM g2 WHERE n < $K HAVING sum(n) > 0)
+         |ORDER BY level, c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    // the ladder replayed at the (quasi, sensitive) grain so both
+    // gates re-derive at each level — a level-2 diversity computed
+    // from level-1 DISTINCT COUNTS (instead of values) hash-fails
+    "l_diversity" ->
+      s"""WITH g0 AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / $BalBand) AS BIGINT) AS bal_band,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) % $SensMod AS sval,
+         |    count(*) AS nv
+         |  FROM customer GROUP BY 1, 2, 3, 4),
+         |g1 AS (
+         |  SELECT c_nationkey, c_mktsegment, bal_band,
+         |    CAST(sum(nv) AS BIGINT) AS n, count(*)::BIGINT AS n_sens
+         |  FROM g0 GROUP BY 1, 2, 3),
+         |fail0 AS (
+         |  SELECT g0.* FROM g0
+         |  JOIN g1 USING (c_nationkey, c_mktsegment, bal_band)
+         |  WHERE g1.n < $K OR g1.n_sens < $LDiv),
+         |g2a AS (
+         |  SELECT c_nationkey, c_mktsegment, sval,
+         |    CAST(sum(nv) AS BIGINT) AS nv
+         |  FROM fail0 GROUP BY 1, 2, 3),
+         |g2 AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(sum(nv) AS BIGINT) AS n, count(*)::BIGINT AS n_sens
+         |  FROM g2a GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT 1 AS level, c_nationkey, c_mktsegment, bal_band,
+         |    n, n_sens
+         |  FROM g1 WHERE n >= $K AND n_sens >= $LDiv
+         |  UNION ALL
+         |  SELECT 2, c_nationkey, c_mktsegment, NULL, n, n_sens
+         |  FROM g2 WHERE n >= $K AND n_sens >= $LDiv
+         |  UNION ALL
+         |  SELECT 3, NULL, NULL, NULL, CAST(sum(n) AS BIGINT), NULL
+         |  FROM g2 WHERE n < $K OR n_sens < $LDiv HAVING sum(n) > 0)
          |ORDER BY level, c_nationkey, c_mktsegment, bal_band""".stripMargin,
     "dp_release" ->
       s"""WITH g AS (

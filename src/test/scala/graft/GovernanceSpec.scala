@@ -25,6 +25,42 @@ class GovernanceSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).sum == total)
   }
 
+  test("l_diversity: every released cell meets BOTH gates, mass " +
+    "conserved, and the diversity gate genuinely binds") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      floor, lit, round}
+    // binding assertions need a corpus where level-1 cells pass K at
+    // all — sf0.001's customer table is too small (all cells under
+    // K), so this test reads sf0.01 directly
+    val dir = "/root/testdata/sf0.01"
+    val out = Governance.lDiversity(spark, dir).collect()
+    val total = Tables.customer(spark, dir).count()
+    out.filter(_.getInt(0) < 3).foreach { r =>
+      assert(r.getLong(4) >= Governance.K, s"cell under K: $r")
+      assert(r.getLong(5) >= Governance.LDiv, s"cell under L: $r")
+    }
+    assert(out.map(_.getLong(4)).sum == total, "row mass not conserved")
+    // the DIVERSITY gate does work the count gate doesn't: some
+    // level-1 cell passes K but fails L (else l_diversity ≡
+    // k_anonymize and the rung is dead weight)
+    val g1 = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / Governance.BalBand).as("b"),
+        (round(col("c_acctbal") * 100).cast("bigint")
+          % Governance.SensMod).as("sv"))
+      .groupBy("c_nationkey", "c_mktsegment", "b")
+      .agg(count(lit(1)).as("n"), countDistinct("sv").as("ns"))
+      .collect()
+    assert(g1.exists(r => r.getLong(3) >= Governance.K &&
+      r.getLong(4) < Governance.LDiv),
+      "no k-passing cell fails the diversity gate — L never binds")
+    // and the released level-1 set is exactly the both-gates pass
+    val wantL1 = g1.filter(r => r.getLong(3) >= Governance.K &&
+      r.getLong(4) >= Governance.LDiv).length
+    assert(out.count(_.getInt(0) == 1) == wantL1,
+      "level-1 release drifted from the both-gates rule")
+  }
+
   test("dp_release: mechanism is deterministic, bounded, and clamped") {
     val a = Governance.dpRelease(spark, sfDir).collect()
     val b = Governance.dpRelease(spark, sfDir).collect()
