@@ -591,6 +591,12 @@ object Governance {
         Multimodal.mediaTombStore(s, d)))
       .unionByName(rowOf("minhash_signatures",
         SigStore.forDataset(s, d).sig(s), Dedup.lshTombStore(s, d)))
+      // the positional store shares bm25's doc id space AND its
+      // tombstone sidecar (one delete artifact per id space); its
+      // live set is the docs owning ≥ 1 positional row
+      .unionByName(rowOf("positional_postings",
+        Retrieval.ppStore(s, d).select("doc_id").distinct(),
+        Retrieval.tombStore(s, d)))
       .transform(Present.sorted(_, col("store")))
   }
 
@@ -777,7 +783,13 @@ object Governance {
          |    count(*) FILTER (doc_id % ${Dedup.DelEvery}
          |      = ${Dedup.DelSlot})::BIGINT,
          |    count(*)::BIGINT
-         |  FROM sigdocs)
+         |  FROM sigdocs
+         |  UNION ALL
+         |  SELECT 'positional_postings',
+         |    count(*) FILTER (doc_id % ${Retrieval.DelEvery}
+         |      = ${Retrieval.DelSlot})::BIGINT,
+         |    count(*)::BIGINT
+         |  FROM bmdocs)
          |SELECT store, tombstones, live_before,
          |  live_before - tombstones AS live_after
          |FROM rows ORDER BY store""".stripMargin,

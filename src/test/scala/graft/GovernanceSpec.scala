@@ -239,7 +239,7 @@ class GovernanceSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(audit.keySet == Set("ann_ivf", "bm25_postings",
-      "media_features", "minhash_signatures"))
+      "media_features", "minhash_signatures", "positional_postings"))
     // derived arithmetic holds on every row, and nothing is vacuous
     audit.values.foreach { case (t, before, after) =>
       assert(t > 0 && after == before - t && after > 0)
@@ -265,6 +265,11 @@ class GovernanceSpec extends SparkSpec {
       Multimodal.mediaTombStore(spark, sfDir).count())
     assert(audit("media_features")._3 ==
       Multimodal.mediaPurgedSegment(spark, sfDir).count())
+    assert(audit("positional_postings")._1 ==
+      Retrieval.tombStore(spark, sfDir).count())
+    assert(audit("positional_postings")._3 ==
+      Retrieval.ppPurgedStore(spark, sfDir)
+        .select("doc_id").distinct().count())
   }
 
   test("hard_negatives: positive shares the anchor's label, " +
