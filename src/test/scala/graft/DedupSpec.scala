@@ -296,6 +296,13 @@ class DedupSpec extends SparkSpec {
     // subsumes the others and the routing table is dead weight)
     assert(out.exists(_.getInt(5) == 3), "no full-consensus pair")
     assert(out.exists(_.getInt(5) < 3), "detectors never disagree")
+    // all three legs are landed artifacts: a second ensemble run
+    // rebuilds none of them (r17 — the simhash pipe was the last
+    // recompute-per-run leg)
+    val s0 = Dedup.simhashPairBuildCount.get()
+    Dedup.dedupEnsemble(spark, sfDir).collect()
+    assert(Dedup.simhashPairBuildCount.get() == s0,
+      "ensemble re-ran the simhash pipeline")
   }
 
   test("minhash delete compact: purge ≡ mask, purged store = sig − " +
