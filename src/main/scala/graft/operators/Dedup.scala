@@ -707,31 +707,38 @@ object Dedup {
       val root = graft.Scratch.processScoped("graft_simhash",
         s"s${simhashPairIds.getAndIncrement()}").toString
       simhash(s, d).write.mode("overwrite").parquet(s"$root/sig")
-      val bandBits = SimHashBits / SimHashBands
-      val mask = (1L << bandBits) - 1
-      val sh = s.read.parquet(s"$root/sig")
-      val banded = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until SimHashBands).map(b =>
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
-      // (band, bucket) self-join → ReuseExchange, as in minhashLsh
-      banded.as("x")
-        .join(banded.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .filter(col("hamming") <= maxHam)
-        .select("doc_a", "doc_b", "hamming")
+      simhashPairsFrom(s.read.parquet(s"$root/sig"), maxHam)
         .write.mode("overwrite").parquet(s"$root/pairs")
       s"$root/pairs"
     })
     s.read.parquet(path)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** The banded-candidate self-join over a signature relation — the
+    * land-time body, exposed so PlanSpec can pin its exchange-reuse
+    * shape (both join sides must serve from ONE signature shuffle). */
+  private[graft] def simhashPairsFrom(sh: DataFrame,
+                                      maxHam: Int = 3): DataFrame = {
+    val bandBits = SimHashBits / SimHashBands
+    val mask = (1L << bandBits) - 1
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimHashBands).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    // (band, bucket) self-join → ReuseExchange, as in minhashLsh
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHam)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** NEAR-DUP ENSEMBLE — consensus over the family's three LANDED

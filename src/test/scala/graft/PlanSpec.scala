@@ -291,13 +291,16 @@ class PlanSpec extends SparkSpec {
 
   test("simhash self-join reuses one shuffle when not broadcastable") {
     // At 100 TB the banded signature table is too big to broadcast;
-    // the join must then compute the signature pipeline ONCE and
-    // serve both sides from the same shuffle (ReuseExchange), not
-    // re-run the 64-agg per side. Simulate by disabling broadcast.
+    // the LAND-TIME join must then compute the signature pipeline
+    // ONCE and serve both sides from the same shuffle (ReuseExchange)
+    // — the body runs when the pair artifact lands (r17), so the pin
+    // targets simhashPairsFrom directly. Simulate by disabling
+    // broadcast.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = graft.operators.Dedup.simhashPairs(spark, sfDir)
+      val df = graft.operators.Dedup.simhashPairsFrom(
+        graft.operators.Dedup.simhash(spark, sfDir))
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
@@ -307,6 +310,15 @@ class PlanSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+    // the REGISTERED query's steady state is the landed pair read —
+    // no self-join, no tokenize at probe time
+    val probe = graft.operators.Dedup.simhashPairs(spark, sfDir)
+    probe.collect()
+    val pp = probe.queryExecution.executedPlan.toString
+    assert(pp.contains("graft_simhash"),
+      "simhash_pairs does not read its landed pair artifact:\n" + pp)
+    assert(!pp.contains("Generate"),
+      "simhash_pairs re-tokenized at probe time:\n" + pp)
   }
 
   test("bucketed join is exchange-free even when broadcast is off") {
