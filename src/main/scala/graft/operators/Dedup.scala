@@ -153,6 +153,10 @@ object Dedup {
 
   val NumHashes = 64
   val Bands     = 16 // 16 bands x 4 rows: catches J >= ~0.5 reliably
+  /** Default hot-bucket cap for the LSH pair families — the ONE
+    * definition every default parameter and spec precondition
+    * references. */
+  val LshMaxBucket = 1000
 
   /** Carter–Wegman universal-hash family for the md5-seeded MinHash:
     * h_i(g) = (a_i·g + b_i) mod p over g = md5Hash60(shingle) mod p,
@@ -253,7 +257,7 @@ object Dedup {
     * against a full DuckDB re-implementation, not rows-only; the spec
     * additionally cross-checks recall against neardupJaccard. */
   def minhashLsh(s: SparkSession, d: String,
-                 minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+                 minEst: Double = 0.5, maxBucket: Int = LshMaxBucket): DataFrame =
     SigStore.lshPairs(s, d, minEst, maxBucket)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
 
@@ -310,7 +314,7 @@ object Dedup {
 
   def minhashLshDelete(s: SparkSession, d: String,
                        minEst: Double = 0.5,
-                       maxBucket: Int = 1000): DataFrame = {
+                       maxBucket: Int = LshMaxBucket): DataFrame = {
     // the masked pair set LANDS like SigStore.lshPairs' (the pair
     // artifact is the family's product — the candidate join runs once
     // per delete batch, every later read is artifact-sized); in
@@ -386,7 +390,7 @@ object Dedup {
 
   def minhashLshDeleteCompact(s: SparkSession, d: String,
                               minEst: Double = 0.5,
-                              maxBucket: Int = 1000): DataFrame = {
+                              maxBucket: Int = LshMaxBucket): DataFrame = {
     // pairs land UNDER the purge root (so the read provably stands on
     // the purged artifacts — DedupSpec pins the path), once per
     // compaction; reads are artifact-sized thereafter
@@ -409,7 +413,7 @@ object Dedup {
     * every dedup-family query after the first pays only a parquet
     * scan of the landed artifacts. */
   def minhashLshRaw(s: SparkSession, d: String,
-                    minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+                    minEst: Double = 0.5, maxBucket: Int = LshMaxBucket): DataFrame =
     SigStore.lshPairs(s, d, minEst, maxBucket)
 
   // monotonically unique scratch slots — never recycled (a modulo
@@ -509,7 +513,7 @@ object Dedup {
     * consumers (fuzzy verification, clustering) never re-execute the
     * candidate generator. */
   def minhashLshFrom(sh: DataFrame,
-                     minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                     minEst: Double = 0.5, maxBucket: Int = LshMaxBucket): DataFrame = {
     val s = sh.sparkSession
     val sig = minhashSignaturesMd5From(sh).persist()
     try {
@@ -683,12 +687,26 @@ object Dedup {
     // and an internal sort would cost a range exchange per side
   }
 
+  private val simhashSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val simhashPairStores =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
   private val simhashPairIds = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Build counter — exposed so DedupSpec can pin build-once. */
   private[graft] val simhashPairBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The signature relation is maxHam-INDEPENDENT, so it lands keyed
+    * by dataset alone (the SigStore split: store per dataset, pairs
+    * per (dataset, params)) — a second threshold never re-pays the
+    * corpus tokenize + 64-bit vote head. */
+  private def simhashSigRoot(s: SparkSession, d: String): String =
+    simhashSigStores.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.processScoped("graft_simhash",
+        s"sig${simhashPairIds.getAndIncrement()}").toString
+      simhash(s, d).write.mode("overwrite").parquet(out)
+      out
+    })
 
   /** SimHash near-dup pairs at Hamming distance <= maxHam, blocked by
     * 15-bit band equality (any pair within distance 3 must agree on
@@ -704,12 +722,11 @@ object Dedup {
                    maxHam: Int = 3): DataFrame = {
     val path = simhashPairStores.computeIfAbsent((d, maxHam), _ => {
       simhashPairBuildCount.incrementAndGet()
-      val root = graft.Scratch.processScoped("graft_simhash",
-        s"s${simhashPairIds.getAndIncrement()}").toString
-      simhash(s, d).write.mode("overwrite").parquet(s"$root/sig")
-      simhashPairsFrom(s.read.parquet(s"$root/sig"), maxHam)
-        .write.mode("overwrite").parquet(s"$root/pairs")
-      s"$root/pairs"
+      val out = graft.Scratch.processScoped("graft_simhash",
+        s"p${simhashPairIds.getAndIncrement()}_h$maxHam").toString
+      simhashPairsFrom(s.read.parquet(simhashSigRoot(s, d)), maxHam)
+        .write.mode("overwrite").parquet(out)
+      out
     })
     s.read.parquet(path)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
@@ -803,7 +820,7 @@ object Dedup {
     * cap; a production store maintains the per-bucket counts
     * incrementally (they are exactly the store's bucket sizes). */
   def dedupIncremental(s: SparkSession, d: String,
-                       minEst: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                       minEst: Double = 0.5, maxBucket: Int = LshMaxBucket): DataFrame = {
     val root = graft.Scratch.processScoped("graft_incr",
       s"store_${lshEpoch.getAndIncrement()}").toString
     // derive both halves from the session SigStore — the corpus was
@@ -898,7 +915,7 @@ object Dedup {
     * full corpus, the masked probe's stale-cap contract); the purge
     * twin passes the survivor predicate so caps re-derive over the
     * purged store, exactly what its compaction does. */
-  def lshOracleCtes(maxBucket: Int = 1000,
+  def lshOracleCtes(maxBucket: Int = LshMaxBucket,
                     survive: String = "TRUE"): String = {
     val rows = NumHashes / Bands
     val seeds = (0 until NumHashes)

@@ -568,9 +568,10 @@ object Governance {
     * rows after the purge) — the evidence table a data-protection
     * review asks for ("show me every store the deleted ids lived in,
     * and that each purge removed exactly them"). Every number comes
-    * from a LANDED artifact (the store and its tombstone sidecar —
-    * counts only, nothing corpus-shaped moves), so the audit is four
-    * 1-row aggregates unioned: zero marginal cost at any corpus size.
+    * from a LANDED doc-grain artifact (the store's doc registry and
+    * its tombstone sidecar — counts only, nothing corpus-shaped
+    * moves), so the audit is five 1-row aggregates unioned: zero
+    * marginal cost at any corpus size.
     *
     * live_after is DERIVED (before − tombstones) rather than read
     * from the purged stores so the oracle can replay it from the raw
@@ -591,11 +592,13 @@ object Governance {
         Multimodal.mediaTombStore(s, d)))
       .unionByName(rowOf("minhash_signatures",
         SigStore.forDataset(s, d).sig(s), Dedup.lshTombStore(s, d)))
-      // the positional store shares bm25's doc id space AND its
-      // tombstone sidecar (one delete artifact per id space); its
-      // live set is the docs owning ≥ 1 positional row
-      .unionByName(rowOf("positional_postings",
-        Retrieval.ppStore(s, d).select("doc_id").distinct(),
+      // the positional store shares bm25's doc id space, its
+      // tombstone sidecar, AND its doc registry (a doc owns ≥ 1
+      // positional row iff it owns ≥ 1 token — the dl sidecar's
+      // membership exactly), so the row counts the doc-grain artifact
+      // instead of distinct-aggregating the token-grain store (which
+      // would be the one corpus-shaped read in the audit)
+      .unionByName(rowOf("positional_postings", Retrieval.dlStore(s, d),
         Retrieval.tombStore(s, d)))
       .transform(Present.sorted(_, col("store")))
   }

@@ -1046,17 +1046,23 @@ object Retrieval {
     * Lucene's prx file, here as a bucket-partitioned parquet. The
     * empties are filtered BEFORE positions are assigned so both
     * engines number the same filtered token sequence. */
+  /** (doc_id, pos, word, wb) positional postings of a document
+    * relation — ONE build expression shared by the full store and the
+    * incremental delta segment, so a tokenizer or bucketing change
+    * can never split the two build paths. */
+  private def positionalPostingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(filter(TextOps.tokens(col("text")),
+          w => length(w) > 0)).as(Seq("pos", "word")))
+      .withColumn("wb",
+        pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+
   private def ppRoot(s: SparkSession, d: String): String =
     ppStores.computeIfAbsent(d, _ => {
       ppBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_bm25pos",
         s"p${ppIds.getAndIncrement()}").toString
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(filter(TextOps.tokens(col("text")),
-            w => length(w) > 0)).as(Seq("pos", "word")))
-        .withColumn("wb",
-          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+      positionalPostingsOf(Tables.documents(s, d))
         .write.mode("overwrite").partitionBy("wb").parquet(out)
       out
     })
@@ -1088,13 +1094,8 @@ object Retrieval {
         .filter(col("doc_id") % IncrEvery =!= IncrSlot)
         .write.mode("overwrite").partitionBy("wb").parquet(baseOut)
       val deltaOut = graft.Scratch.processScoped("graft_bm25posd", s"d$n").toString
-      Tables.documents(s, d)
-        .filter(col("doc_id") % IncrEvery === IncrSlot)
-        .select(col("doc_id"),
-          posexplode(filter(TextOps.tokens(col("text")),
-            w => length(w) > 0)).as(Seq("pos", "word")))
-        .withColumn("wb",
-          pmod(Dedup.md5Hash60(col("word")), lit(WordBuckets.toLong)))
+      positionalPostingsOf(Tables.documents(s, d)
+          .filter(col("doc_id") % IncrEvery === IncrSlot))
         .write.mode("overwrite").partitionBy("wb").parquet(deltaOut)
       (baseOut, deltaOut)
     })
@@ -1176,27 +1177,8 @@ object Retrieval {
     * a bounded fan-out — instead of a range join the planner would
     * nest-loop), so the plan shape is phrase_retrieve's with a 3×
     * wider probe side. */
-  def phraseRetrieveSlop(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val buckets = PhraseQueries.flatMap(q => Seq(q._2, q._3))
-      .map(wbOf).distinct
-    val pp = ppStore(s, d).filter(col("wb").isin(buckets: _*))
-    val q = PhraseQueries.toDF("query_id", "w1", "w2")
-    val first = pp.join(broadcast(q), pp("word") === q("w1"))
-      .select(col("query_id"), col("w2"), col("doc_id"),
-        explode(sequence(col("pos") + 1, col("pos") + PhraseSlop))
-          .as("pos"))
-    val second = pp.select(col("doc_id"), col("word").as("w2"), col("pos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("n_occ"), col("doc_id"))
-    first.join(second, Seq("doc_id", "w2", "pos"))
-      .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_occ"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .select(col("query_id"), col("rn"), col("doc_id"), col("n_occ"))
-      .transform(Present.sorted(_, col("query_id"), col("rn")))
-  }
+  def phraseRetrieveSlop(s: SparkSession, d: String): DataFrame =
+    phraseRetrieveFrom(s, ppStore(s, d), slop = PhraseSlop)
 
   /** PHRASE RETRIEVAL over the landed positional index: documents
     * where the query's two terms occur ADJACENTLY (pos₂ = pos₁ + 1),
@@ -1216,17 +1198,23 @@ object Retrieval {
     phraseRetrieveFrom(s, ppStore(s, d))
 
   /** The probe chain over an explicit positional relation — ONE
-    * definition shared by the single-store and 2-segment forms. */
-  private def phraseRetrieveFrom(s: SparkSession,
-                                 pp0: DataFrame): DataFrame = {
+    * definition shared by the single-store, 2-segment, delete, and
+    * slop forms (the oracle side mirrors with oraclePhraseFor).
+    * `slop` = 1 is the exact phrase (a plain pos+1 projection); wider
+    * slops explode each w1 posting to its admissible w2 positions —
+    * an equi-join with bounded fan-out, never a range join. */
+  private def phraseRetrieveFrom(s: SparkSession, pp0: DataFrame,
+                                 slop: Int = 1): DataFrame = {
     import s.implicits._
     val buckets = PhraseQueries.flatMap(q => Seq(q._2, q._3))
       .map(wbOf).distinct
     val pp = pp0.filter(col("wb").isin(buckets: _*))
     val q = PhraseQueries.toDF("query_id", "w1", "w2")
+    val firstPos =
+      if (slop == 1) (col("pos") + 1).as("pos")
+      else explode(sequence(col("pos") + 1, col("pos") + slop)).as("pos")
     val first = pp.join(broadcast(q), pp("word") === q("w1"))
-      .select(col("query_id"), col("w2"), col("doc_id"),
-        (col("pos") + 1).as("pos"))
+      .select(col("query_id"), col("w2"), col("doc_id"), firstPos)
     val second = pp.select(col("doc_id"), col("word").as("w2"), col("pos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("n_occ"), col("doc_id"))

@@ -83,7 +83,7 @@ object SigStore {
     * pair set `minhash_lsh` already wrote instead of re-running the
     * band self-join. */
   def lshPairs(s: SparkSession, d: String,
-               minEst: Double = 0.5, maxBucket: Int = 1000,
+               minEst: Double = 0.5, maxBucket: Int = Dedup.LshMaxBucket,
                maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
     val key = (Key(d, maxDf, Dedup.NumHashes, Dedup.Bands), minEst, maxBucket)
     val path = pairs.computeIfAbsent(key, _ => {

@@ -1271,15 +1271,21 @@ object Similarity {
     * itself hash-gateable; compute widens back to double. Built once
     * per dataset from the same PRF sign matrix, so the gated
     * `embed_project` and this consumer can never drift. */
+  /** The float32-narrowed JL sketch column — ONE definition shared by
+    * the full store and the incremental delta build, so a
+    * quantization or sign-matrix tweak can never split the two build
+    * paths. */
+  private def sketchCol: Column =
+    array((0 until ProjDims).map(j =>
+      round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)
+        .cast("float")): _*)
+
   def sketchStore(s: SparkSession, d: String): DataFrame = {
     val root = sketchStores.computeIfAbsent(d, _ => {
       sketchBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_sketch",
         s"s${sketchIds.getAndIncrement()}").toString
-      val sp = array((0 until ProjDims).map(j =>
-        round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)
-          .cast("float")): _*)
-      emb(s, d).select(col("vec_id"), sp.as("sp"))
+      emb(s, d).select(col("vec_id"), sketchCol.as("sp"))
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -1374,11 +1380,8 @@ object Similarity {
         .filter(col("vec_id") % SketchIncrEvery =!= SketchIncrSlot)
         .write.mode("overwrite").parquet(baseOut)
       val deltaOut = graft.Scratch.processScoped("graft_sketchd", s"d$n").toString
-      val sp = array((0 until ProjDims).map(j =>
-        round(dot(col("v"), typedLit(projSigns(j).toSeq)), 6)
-          .cast("float")): _*)
       emb(s, d).filter(col("vec_id") % SketchIncrEvery === SketchIncrSlot)
-        .select(col("vec_id"), sp.as("sp"))
+        .select(col("vec_id"), sketchCol.as("sp"))
         .write.mode("overwrite").parquet(deltaOut)
       (baseOut, deltaOut)
     })

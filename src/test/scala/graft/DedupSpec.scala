@@ -315,7 +315,7 @@ class DedupSpec extends SparkSpec {
     // way — the two twins must then agree exactly
     val hottest = st.banded(spark).groupBy("band", "bucket")
       .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0)
-    assert(hottest <= 1000,
+    assert(hottest <= Dedup.LshMaxBucket,
       s"gate corpus has a hot bucket ($hottest) — mask/purge cap " +
         "behavior diverges and this equality is no longer structural")
     val masked = Dedup.minhashLshDelete(spark, sfDir).collect().toSeq
