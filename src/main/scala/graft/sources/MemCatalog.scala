@@ -274,11 +274,13 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     * catalog exposes the knob, the operator turns it. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "compact"),
-      Identifier.of(namespace, "changes"))
+      Identifier.of(namespace, "changes"),
+      Identifier.of(namespace, "expire"))
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name.toLowerCase match {
       case "compact" => new CompactProcedure(this)
       case "changes" => new ChangesProcedure(this)
+      case "expire"  => new ExpireProcedure(this)
       case _ => throw new RuntimeException(
         s"procedure not found: ${key(ident)}")
     }
@@ -691,6 +693,41 @@ class MemTable(tableName: String, tableSchema: StructType,
       versionTimes.add(lastVersionTime)
     }
   private[graft] def versionCount: Int = rows.synchronized(versionLog.size)
+  // VERSION RETENTION (`CALL sys.expire`): versions 1..expiredThrough
+  // have been expired — their manifest and change-log slots are nulled
+  // (dropping the row references, the toy analogue of deleting
+  // unreferenced data files), and any read that needs them fails
+  // LOUDLY (the Delta/Iceberg expire-snapshots contract: retention is
+  // a compliance verb, so a resurrected read must be an error, never
+  // a silent fallback to some other version).
+  private var expiredThrough: Int = 0
+  /** Expire all but the newest `keepN` version manifests. Refuses to
+    * break the live chain (`keepN >= 1`) and is idempotent/monotonic:
+    * re-expiring with a larger keepN never un-expires. Returns
+    * (newly expired, retained, first live version). */
+  private[sources] def expire(keepN: Int): (Int, Int, Int) =
+    rows.synchronized {
+      if (keepN < 1) throw new IllegalArgumentException(
+        s"expire must retain at least the live version of $tableName " +
+          s"(keep_n >= 1, got $keepN)")
+      if (versionLog.isEmpty) throw new IllegalStateException(
+        s"$tableName has no committed versions to expire")
+      val total = versionLog.size
+      val cut = math.max(expiredThrough, total - keepN)
+      val newly = cut - expiredThrough
+      // null the slots (ordinals must stay stable — an expired
+      // version is an ERROR, not a renumbering) so the manifests'
+      // row references and the commits' delta pre-images are
+      // unreachable and collectable
+      for (i <- expiredThrough until cut) {
+        versionLog.set(i, null)
+        changeLog.set(i, null)
+      }
+      expiredThrough = cut
+      (newly, total - cut, cut + 1)
+    }
+  private[graft] def expiredVersionCount: Int =
+    rows.synchronized(expiredThrough)
   /** The read-only table view serving version manifest `version`
     * (1-based commit ordinals, the store's snapshot-id scheme). */
   private[sources] def atVersion(version: String): Table = {
@@ -703,6 +740,10 @@ class MemTable(tableName: String, tableSchema: StructType,
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchTableException(Seq(tableName, s"version $v of " +
             s"${versionLog.size}"))
+      if (v <= expiredThrough)
+        throw new IllegalStateException(
+          s"version $v of $tableName has been expired (retention keeps " +
+            s"versions ${expiredThrough + 1}..${versionLog.size})")
       versionLog.get(v.toInt - 1)
     }
     new MemVersionTable(s"$tableName@v$v", manifest, effectiveSchema,
@@ -755,6 +796,16 @@ class MemTable(tableName: String, tableSchema: StructType,
       throw new IllegalArgumentException(
         s"table_changes range [$fromV, $toV] outside committed " +
           s"versions [1, ${changeLog.size}] of $tableName")
+    // (fromV, toV] consumes the deltas of commits fromV+1..toV, so the
+    // earliest readable baseline after an expiry is exactly
+    // expiredThrough (its own delta is gone, but a baseline needs no
+    // delta). A range that reaches into expired commits must fail
+    // loudly — serving a partial diff would silently drop changes.
+    if (fromV < expiredThrough)
+      throw new IllegalStateException(
+        s"table_changes range ($fromV, $toV] of $tableName covers " +
+          s"expired commits (versions 1..$expiredThrough are expired; " +
+          s"earliest readable baseline is $expiredThrough)")
     // a row's value tuple under the CURRENT schema (the same field-id
     // resolution every scan applies) — value identity, not reference
     // identity, decides what the CDC read emits
@@ -805,6 +856,10 @@ class MemTable(tableName: String, tableSchema: StructType,
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchTableException(Seq(tableName,
             s"no commit at or before timestamp $tsMicros"))
+      // a timestamp landing on an expired version surfaces atVersion's
+      // loud retention error — never a silent snap to the first live
+      // version (Iceberg: timestamps older than the oldest retained
+      // snapshot are unanswerable)
       atVersion(v.toString)
     }
   // FIELD-ID schema (the Iceberg evolution model): every column gets
@@ -1594,6 +1649,55 @@ class ChangesProcedure(cat: MemCatalog)
         val out: Scan = new LocalScan {
           override def readSchema(): StructType = outSchema
           override def rows(): Array[InternalRow] = outRows
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
+/** `expire('ns.tbl', keep_n)` — VERSION RETENTION, the
+  * expire-snapshots verb every production table format ships
+  * (Iceberg `expire_snapshots`, Delta VACUUM + log retention): all
+  * but the newest `keep_n` version manifests are dropped, their row
+  * references and commit deltas released, and every read that needs
+  * them (`VERSION AS OF`, `TIMESTAMP AS OF`, `changes` ranges) fails
+  * loudly from then on ([[MemTable.expire]]). This is what makes a
+  * takedown DELETE actually stick: without it, purged content is one
+  * `VERSION AS OF n-1` away forever. Summary row
+  * `(expired_versions, retained_versions, first_live_version)` rides
+  * a [[LocalScan]] like `compact`'s. */
+class ExpireProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "expire"
+  override def description(): String =
+    "expire('ns.tbl', keep_n): drop all but the newest keep_n version " +
+      "manifests; expired versions become unreadable"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != LongType)
+      throw new UnsupportedOperationException(
+        s"expire expects (STRING, BIGINT), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "expire"
+      override def description(): String = ExpireProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("keep_n", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val (expired, retained, firstLive) =
+          cat.tableByName(input.getUTF8String(0).toString)
+            .expire(input.getLong(1).toInt)
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("expired_versions", LongType, nullable = false),
+            StructField("retained_versions", LongType, nullable = false),
+            StructField("first_live_version", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] = Array(
+            InternalRow.fromSeq(Seq(expired.toLong, retained.toLong,
+              firstLive.toLong)))
         }
         util.List.of(out).iterator()
       }

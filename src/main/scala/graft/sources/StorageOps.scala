@@ -30,32 +30,20 @@ object StorageOps {
     * sorted by the join key, so the join plans as a zero-exchange,
     * zero-sort sort-merge join — the layout a 100 TB warehouse keeps
     * its biggest fact tables in, where re-shuffling either side per
-    * query is the cost that kills you. The write pays one shuffle per
-    * table ONCE; every subsequent co-located join is free (PlanSpec
-    * asserts no exchange above the bucketed scans with broadcast off).
+    * query is the cost that kills you. The layout is the SHARED
+    * warehouse ([[ensureWarehouse]] — same tables q3/q9/q18_bucketed
+    * read), built once per dataset per JVM: the write-time shuffle is
+    * priced in SCALE.md, not re-paid on every execution (a per-run
+    * rebuild made this the most expensive non-streaming query in the
+    * suite at ~4× the mean, for zero semantic content). PlanSpec
+    * asserts no exchange above the bucketed scans with broadcast off.
     *
     * Output: revenue by order priority over the joined layout —
     * hash-checked against DuckDB running the same join on the source
     * parquet, which proves the bucketed round trip loses nothing. */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val li = stageDir("bucketed_lineitem", d)
-    val or = stageDir("bucketed_orders", d)
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", li).format("parquet").saveAsTable("graft_bkt_lineitem")
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", or).format("parquet").saveAsTable("graft_bkt_orders")
-    s.table("graft_bkt_lineitem")
-      .join(s.table("graft_bkt_orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(Money.money2(sum(Money.revCents4)).as("revenue"),
-        count(lit(1)).as("n_items"))
+    ensureWarehouse(s, d)
+    bucketedJoinRead(s)
       .transform(Present.sorted(_, col("o_orderpriority")))
   }
 
@@ -731,6 +719,104 @@ object StorageOps {
       .orderBy("_commit_version", "_change_type", "k", "v")
   }
 
+  /** True iff any throwable in the cause chain mentions `needle` —
+    * the expired-read detector (the engine may surface the store's
+    * IllegalStateException raw or wrapped in an analysis error). */
+  private def causeChainHas(e: Throwable, needle: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(_.contains(needle)))
+
+  /** VERSION RETENTION / EXPIRE-SNAPSHOTS (`CALL sys.expire`) — the
+    * compliance closer of the version-chain story: without it a
+    * takedown DELETE is cosmetic, because the purged rows remain one
+    * `VERSION AS OF n-1` away forever (every production table format
+    * ships this verb: Iceberg `expire_snapshots`, Delta `VACUUM` +
+    * log retention). The chain here is CTAS → UPDATE → takedown
+    * DELETE → INSERT → UPDATE (five versions), compacted
+    * (content-neutral), then expired to the newest TWO. The result
+    * pins all four contract faces at once:
+    *   - expired version reads FAIL LOUDLY (`v1..v3` rows carry
+    *     status `expired` — emitted only when the read actually threw
+    *     the retention error; a silently-readable regression would
+    *     surface real aggregates and hash-fail);
+    *   - retained reads are byte-identical to the chain replay
+    *     (`v4`/`v5`/`live` rows, oracle CTEs);
+    *   - CDC stays consistent: `(3,5]` — baseline at the expiry
+    *     boundary — still serves, `(2,5]` (needs an expired commit's
+    *     delta) is REFUSED, never a partial diff;
+    *   - no readable version or CDC record contains takedown content
+    *     (`n_takedown` = rows matching the purge predicate = 0
+    *     everywhere readable; the v5 update adds multiples of 7, so
+    *     the residue the takedown removed cannot re-enter by
+    *     arithmetic accident).
+    * The `expire` summary row reuses the numeric columns as
+    * (expired_versions, retained_versions, first_live_version) — the
+    * union schema is fixed, the reuse is documented here and in the
+    * oracle. CatalogSpec drives the same lifecycle at the API grain
+    * (timestamp reads, idempotence, keep_n floor). */
+  def catalogExpire(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.exp TBLPROPERTIES('mor'='true') AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)         // v1
+    cs.sql("UPDATE graft_mem.ns.exp SET v = v + 1000 WHERE k < 10")  // v2
+    cs.sql("DELETE FROM graft_mem.ns.exp WHERE v % 7 = 3")     // v3 takedown
+    cs.sql("INSERT INTO graft_mem.ns.exp VALUES " +
+      "(CAST(9001 AS BIGINT), CAST(77 AS BIGINT))")                  // v4
+    cs.sql("UPDATE graft_mem.ns.exp SET v = v + 7000 WHERE k >= 50") // v5
+    // maintenance before retention: neither changes content
+    cs.sql("CALL graft_mem.sys.compact('ns.exp')").collect()
+    val summary = cs.sql("CALL graft_mem.sys.expire('ns.exp', 2L)")
+      .selectExpr("'expire' AS step", "'summary' AS status",
+        "expired_versions AS n_rows", "retained_versions AS sum_v",
+        "first_live_version AS n_takedown")
+    def agg(step: String, from: String): DataFrame =
+      cs.sql(
+        s"""SELECT '$step' AS step, 'readable' AS status,
+           |  count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v,
+           |  CAST(sum(CASE WHEN v % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_takedown
+           |FROM $from""".stripMargin)
+    def refused(step: String): DataFrame =
+      cs.sql(
+        s"""SELECT '$step' AS step,
+           |  '${if (step.startsWith("cdc")) "refused" else "expired"}'
+           |    AS status,
+           |  CAST(-1 AS BIGINT) AS n_rows, CAST(-1 AS BIGINT) AS sum_v,
+           |  CAST(-1 AS BIGINT) AS n_takedown""".stripMargin)
+    def versionRead(v: Int): DataFrame =
+      try agg(s"v$v", s"graft_mem.ns.exp VERSION AS OF $v")
+      catch {
+        case e: Throwable if causeChainHas(e, "has been expired") =>
+          refused(s"v$v")
+      }
+    def cdcRead(from: Int, to: Int): DataFrame =
+      try {
+        cs.sql(s"CALL graft_mem.sys.changes('ns.exp', ${from}L, ${to}L)")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v") % 7 === 3, 1L).otherwise(0L))
+              .cast("long").as("n_takedown"))
+          .select(lit(s"cdc_${from}_$to").as("step"),
+            lit("readable").as("status"), col("n_rows"),
+            lit(-1L).as("sum_v"), col("n_takedown"))
+      } catch {
+        case e: Throwable if causeChainHas(e, "covers expired commits") =>
+          refused(s"cdc_${from}_$to")
+      }
+    summary
+      .unionByName(versionRead(1)).unionByName(versionRead(2))
+      .unionByName(versionRead(3)).unionByName(versionRead(4))
+      .unionByName(versionRead(5))
+      .unionByName(agg("live", "graft_mem.ns.exp"))
+      .unionByName(cdcRead(3, 5))
+      .unionByName(cdcRead(2, 5))
+      .transform(Present.sorted(_, col("step")))
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and
@@ -1343,12 +1429,12 @@ object StorageOps {
       .transform(Present.sorted(_, col("nation"), desc("o_year")))
   }
 
-  /** The join body alone over already-staged bucketed tables — the
-    * spec's hook for asserting the exchange-free plan shape without
-    * re-timing the writes. */
+  /** The join body alone over the landed warehouse tables — shared by
+    * [[bucketedJoin]] and the spec's exchange-free plan assertion
+    * (which wants the shape without re-timing the build). */
   def bucketedJoinRead(s: SparkSession): DataFrame =
-    s.table("graft_bkt_lineitem")
-      .join(s.table("graft_bkt_orders"),
+    s.table("graft_wh_lineitem")
+      .join(s.table("graft_wh_orders"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(Money.money2(sum(Money.revCents4)).as("revenue"),
@@ -1982,6 +2068,7 @@ object StorageOps {
     "catalog_compact"     -> catalogCompact _,
     "catalog_time_travel" -> catalogTimeTravel _,
     "catalog_changes"     -> catalogChanges _,
+    "catalog_expire"      -> catalogExpire _,
     "catalog_function"    -> catalogFunction _,
     "catalog_agg_function" -> catalogAggFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
@@ -2451,6 +2538,51 @@ object StorageOps {
         |    CAST(min(v) AS BIGINT) FROM v3)
         |SELECT version, n_rows, sum_v, min_v FROM allv
         |ORDER BY version""".stripMargin,
+    // the five-version chain replayed as CTEs; expired/refused reads
+    // are LITERAL rows — the Scala side emits them only when the read
+    // actually threw the retention error, so a resurrected version or
+    // a partially-served CDC range surfaces real aggregates under
+    // status 'readable' and hash-fails. cdc_3_5 = 1 insert (commit 4)
+    // + delete/insert per k>=50 row of v4 (commit 5's update); the
+    // expire summary row is (expired=3, retained=2, first_live=4) in
+    // the shared numeric columns (documented column reuse).
+    "catalog_expire" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey % 97 AS k, CAST(sum(o_orderkey) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k < 10 THEN v + 1000 ELSE v END AS v
+        |  FROM v1),
+        |v3 AS (SELECT k, v FROM v2 WHERE NOT (v % 7 = 3)),
+        |v4 AS (SELECT k, v FROM v3
+        |  UNION ALL SELECT 9001::BIGINT, 77::BIGINT),
+        |v5 AS (
+        |  SELECT k, CASE WHEN k >= 50 THEN v + 7000 ELSE v END AS v
+        |  FROM v4),
+        |allv AS (
+        |  SELECT 'expire' AS step, 'summary' AS status,
+        |    3::BIGINT AS n_rows, 2::BIGINT AS sum_v, 4::BIGINT AS n_takedown
+        |  UNION ALL SELECT 'v1', 'expired', -1, -1, -1
+        |  UNION ALL SELECT 'v2', 'expired', -1, -1, -1
+        |  UNION ALL SELECT 'v3', 'expired', -1, -1, -1
+        |  UNION ALL SELECT 'v4', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT),
+        |    CAST(sum(CASE WHEN v % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM v4
+        |  UNION ALL SELECT 'v5', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT),
+        |    CAST(sum(CASE WHEN v % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM v5
+        |  UNION ALL SELECT 'live', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT),
+        |    CAST(sum(CASE WHEN v % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM v5
+        |  UNION ALL SELECT 'cdc_3_5', 'readable',
+        |    (SELECT 1 + 2 * count(*) FROM v4 WHERE k >= 50)::BIGINT,
+        |    -1, 0
+        |  UNION ALL SELECT 'cdc_2_5', 'refused', -1, -1, -1)
+        |SELECT step, status, n_rows, sum_v, n_takedown FROM allv
+        |ORDER BY step""".stripMargin,
     // the layout changes the plan (bloom-skipped row groups), never
     // the answer: the point lookup replays as scalar-subquery probes
     "bloom_skip_layout" ->

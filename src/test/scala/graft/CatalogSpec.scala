@@ -941,4 +941,81 @@ class CatalogSpec extends SparkSpec {
     cs.sql("ALTER TABLE mem.pc.t RENAME COLUMN v TO w")
     assert(cs.sql("SELECT sum(w) FROM mem.pc.t").head().getLong(0) == 30L)
   }
+
+  test("CALL expire: retention drops versions, reads + CDC refuse loudly") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.ex.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.ex.t VALUES (1, 10), (2, 20), (3, 30)") // v1
+    Thread.sleep(5)
+    val afterV1 = java.time.Instant.now()                 // v1 < t < v2
+    Thread.sleep(5)
+    cs.sql("UPDATE mem.ex.t SET v = v + 5 WHERE k = 2")             // v2
+    cs.sql("DELETE FROM mem.ex.t WHERE k = 3")                      // v3 purge
+    cs.sql("INSERT INTO mem.ex.t VALUES (4, 40)")                   // v4
+    def at(v: Int) = cs.sql(
+      s"SELECT k, v FROM mem.ex.t VERSION AS OF $v ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def chainHas(e: Throwable, needle: String): Boolean = {
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains(needle)))
+    }
+    // keep_n floor: retention may never break the live chain
+    val floor = intercept[Exception] {
+      cs.sql("CALL mem.sys.expire('ex.t', 0L)").collect()
+    }
+    assert(chainHas(floor, "keep_n >= 1"), floor.getMessage)
+    // expire all but the newest two → v1, v2 gone; summary accounts
+    val sum1 = cs.sql("CALL mem.sys.expire('ex.t', 2L)").head()
+    assert((sum1.getLong(0), sum1.getLong(1), sum1.getLong(2)) ==
+      ((2L, 2L, 3L)), sum1.toString)
+    // retained versions and live read serve exactly the chain replay
+    assert(at(3) == Seq((1L, 10L), (2L, 25L)), at(3))
+    assert(at(4) == Seq((1L, 10L), (2L, 25L), (4L, 40L)), at(4))
+    // purged row (k=3) is unreachable at EVERY readable version
+    assert(!(at(3) ++ at(4)).exists(_._1 == 3L))
+    // expired VERSION AS OF reads fail loudly, not silently re-serve
+    for (v <- Seq(1, 2)) {
+      val e = intercept[Exception] { at(v) }
+      assert(chainHas(e, "has been expired"), s"v$v: $e")
+    }
+    // TIMESTAMP AS OF landing on an expired version refuses too —
+    // never a silent snap to the first live version
+    def fmt(i: java.time.Instant): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+    val ts = intercept[Exception] {
+      cs.sql(s"SELECT k FROM mem.ex.t TIMESTAMP AS OF '${fmt(afterV1)}'")
+        .collect()
+    }
+    assert(chainHas(ts, "has been expired"), ts.getMessage)
+    // CDC: a range whose baseline is the expiry boundary still serves
+    // (needs only live deltas); one reaching further back refuses —
+    // a partial diff would silently drop changes
+    val ok = cs.sql("CALL mem.sys.changes('ex.t', 2L, 4L)")
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(ok == Seq((3L, "delete"), (4L, "insert")), ok.toString)
+    val cdc = intercept[Exception] {
+      cs.sql("CALL mem.sys.changes('ex.t', 1L, 4L)").collect()
+    }
+    assert(chainHas(cdc, "covers expired commits"), cdc.getMessage)
+    // idempotent / monotonic: same keep_n again expires nothing new,
+    // and a LARGER keep_n never un-expires
+    val sum2 = cs.sql("CALL mem.sys.expire('ex.t', 2L)").head()
+    assert(sum2.getLong(0) == 0L && sum2.getLong(2) == 3L, sum2.toString)
+    val sum3 = cs.sql("CALL mem.sys.expire('ex.t', 10L)").head()
+    assert(sum3.getLong(0) == 0L && sum3.getLong(2) == 3L, sum3.toString)
+    intercept[Exception] { at(1) }
+    // later commits append fresh ordinals; the new version is readable
+    cs.sql("INSERT INTO mem.ex.t VALUES (9, 90)")                   // v5
+    assert(at(5).contains((9L, 90L)))
+    val t = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+      .loadTable(Identifier.of(Array("ex"), "t")).asInstanceOf[MemTable]
+    assert(t.versionCount == 5 && t.expiredVersionCount == 2)
+  }
 }
