@@ -267,6 +267,13 @@ object Dedup {
   val DelEvery = 10L
   val DelSlot  = 3L
 
+  // SINGLE-EPOCH tombstone contract: the batch is a fixed function of
+  // the dataset (the DelEvery/DelSlot rule), so every downstream pair
+  // artifact keyed only by (dataset, minEst, maxBucket) — the
+  // lshDelPairStores / lshDelCompact caches — is valid for exactly
+  // this one epoch. A future DYNAMIC tombstone feed must fold a
+  // tombstone-epoch into those cache keys (and this root's), or a
+  // newer batch would silently serve the older batch's landed pairs.
   private val lshTombStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val lshTombIds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -968,8 +975,11 @@ object Dedup {
     * in `simp(doc_a, doc_b, hamming)` — names prefixed `sm_` so the
     * chain composes next to [[lshOracleCtes]] (whose `sh`/`banded`
     * names it would otherwise shadow). Shared by the simhash_pairs
-    * oracle and the ensemble's simhash leg. */
-  def simhashOracleCtes: String =
+    * oracle and the ensemble's simhash leg. Parameterized by the same
+    * `maxHam` as [[simhashPairsFrom]] and the landed pair-store key —
+    * a caller or default change on the Scala side cannot silently
+    * diverge from the oracle replay. */
+  def simhashOracleCtes(maxHam: Int = 3): String =
     s"""sm_tok AS (
        |  SELECT doc_id, w AS word FROM (
        |    SELECT doc_id,
@@ -1003,11 +1013,11 @@ object Dedup {
        |    AND x.doc_id < y.doc_id),
        |simp AS (
        |  SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
-       |  FROM sm_cand WHERE bit_count(xor(ha, hb)) <= 3)""".stripMargin
+       |  FROM sm_cand WHERE bit_count(xor(ha, hb)) <= $maxHam)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "simhash_pairs" ->
-      s"""WITH $simhashOracleCtes
+      s"""WITH ${simhashOracleCtes()}
          |SELECT doc_a, doc_b, hamming FROM simp
          |ORDER BY doc_a, doc_b""".stripMargin,
     "minhash_lsh" ->
@@ -1092,7 +1102,7 @@ object Dedup {
     // union + flag-max aggregate
     "dedup_ensemble" ->
       s"""WITH ${lshOracleCtes()},
-         |$simhashOracleCtes,
+         |${simhashOracleCtes()},
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

@@ -368,11 +368,19 @@ object Governance {
     * count (the released vector's size, from the same tables the
     * mechanisms aggregate), NULL for the refused release.
     *
-    * Scale shape: the ledger is |releases| rows by construction, so
-    * the cumulative window is a constant-size single-partition sort —
-    * the one place in the repo where a global window is the honest
-    * shape, not a skew hazard; the group counts are one narrow
-    * distinct-aggregate per released table. */
+    * Admission is GREEDY: a refused release spends NO privacy budget
+    * (nothing was published, so no ε left the system), so the
+    * cumulative spend advances only on accepted rows and a later,
+    * smaller release can still be admitted after a refusal. (A
+    * refused-rows-too prefix sum was harmless while the only refusal
+    * sat last in the schedule; greedy is the rule that stays correct
+    * if the schedule grows past it.)
+    *
+    * Scale shape: the admission fold is inherently sequential (each
+    * decision conditions on the accepted prefix) and the ledger is
+    * |releases| rows by construction — the documented bounded collect;
+    * the group counts stay one narrow distinct-aggregate per released
+    * table. */
   def dpBudget(s: SparkSession, d: String): DataFrame = {
     val led = dpLedger(s, d)
     def sized(rel: String, df: DataFrame, k: Column): DataFrame =
@@ -384,11 +392,20 @@ object Governance {
         col("c_mktsegment")))
       .unionByName(sized("dp_user_count", ev, col("event_type")))
       .unionByName(sized("dp_release_refresh", ev, col("event_type")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("seq")
-    led.join(sizes, "release")
-      .withColumn("cum_units", sum("eps_units").over(w))
+    // greedy admission over the LANDED ledger (decisions derive from
+    // the sidecar artifact, not the schedule constant)
+    val entries = led.orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    var cum = 0L
+    val decided = entries.map { case (seq, rel, eps) =>
+      val ok = cum + eps <= DpBudgetUnits
+      if (ok) cum += eps
+      (seq, rel, eps, cum, ok)
+    }
+    import s.implicits._
+    decided.toDF("seq", "release", "eps_units", "cum_units", "released")
+      .join(sizes, "release")
       .withColumn("budget_units", lit(DpBudgetUnits))
-      .withColumn("released", col("cum_units") <= col("budget_units"))
       .select(col("seq"), col("release"), col("eps_units"),
         col("cum_units"), col("budget_units"), col("released"),
         when(col("released"), col("n")).as("n_rows"))
@@ -570,7 +587,7 @@ object Governance {
     * and that each purge removed exactly them"). Every number comes
     * from a LANDED doc-grain artifact (the store's doc registry and
     * its tombstone sidecar — counts only, nothing corpus-shaped
-    * moves), so the audit is five 1-row aggregates unioned: zero
+    * moves), so the audit is six 1-row aggregates unioned: zero
     * marginal cost at any corpus size.
     *
     * live_after is DERIVED (before − tombstones) rather than read
@@ -600,6 +617,13 @@ object Governance {
       // would be the one corpus-shaped read in the audit)
       .unionByName(rowOf("positional_postings", Retrieval.dlStore(s, d),
         Retrieval.tombStore(s, d)))
+      // the VERSION-HISTORY face of the delete story: a takedown
+      // against a versioned catalog table is only real once expired
+      // versions can no longer resurrect it — this row's live_after
+      // embeds a reachable-purged-rows addend (provably 0) summed
+      // over every still-readable version
+      // ([[graft.sources.StorageOps.expireAuditRow]])
+      .unionByName(graft.sources.StorageOps.expireAuditRow(s, d))
       .transform(Present.sorted(_, col("store")))
   }
 
@@ -763,6 +787,9 @@ object Governance {
          |  QUALIFY count(*) OVER (PARTITION BY shingle)
          |    <= ${Dedup.MaxShingleDf}),
          |sigdocs AS (SELECT DISTINCT doc_id FROM shc),
+         |tda AS (
+         |  SELECT CAST(sum(o_orderkey) AS BIGINT) AS v
+         |  FROM orders GROUP BY o_custkey % 89),
          |rows AS (
          |  SELECT 'ann_ivf' AS store,
          |    count(*) FILTER (vec_id % ${Similarity.IvfDelEvery}
@@ -792,7 +819,11 @@ object Governance {
          |    count(*) FILTER (doc_id % ${Retrieval.DelEvery}
          |      = ${Retrieval.DelSlot})::BIGINT,
          |    count(*)::BIGINT
-         |  FROM bmdocs)
+         |  FROM bmdocs
+         |  UNION ALL
+         |  SELECT 'catalog_versions',
+         |    (SELECT count(*) FILTER (v % 5 = 4) FROM tda)::BIGINT,
+         |    (SELECT count(*) FROM tda)::BIGINT)
          |SELECT store, tombstones, live_before,
          |  live_before - tombstones AS live_after
          |FROM rows ORDER BY store""".stripMargin,
@@ -803,12 +834,19 @@ object Governance {
     "shard_manifest_incremental" ->
       s"WITH ${manifestSqlOver("documents", "n_chars", "total_chars")}",
     // the ledger replays as literals (the landed sidecar IS the
-    // schedule), the sizes from the released tables, the cumulative
-    // spend and the over-budget refusal as plain window arithmetic
+    // schedule), INCLUDING the greedy-admission fold — the same
+    // sequential rule the operator applies (refused releases spend
+    // nothing), replayed here at SQL-generation time over the same
+    // schedule; the sizes come from the released tables
     "dp_budget" -> {
-      val vals = DpSchedule.map { case (q, r) => s"($q, '$r', 1)" }
-        .mkString(", ")
-      s"""WITH led(seq, release, eps_units) AS (VALUES $vals),
+      var cum = 0L
+      val vals = DpSchedule.map { case (q, r) =>
+        val ok = cum + 1L <= DpBudgetUnits
+        if (ok) cum += 1L
+        s"($q, '$r', 1, $cum, $ok)"
+      }.mkString(", ")
+      s"""WITH led(seq, release, eps_units, cum_units, released)
+         |  AS (VALUES $vals),
          |sizes AS (
          |  SELECT 'dp_release' AS release,
          |    count(DISTINCT event_type)::BIGINT AS n FROM events
@@ -817,18 +855,14 @@ object Governance {
          |  UNION ALL SELECT 'dp_user_count',
          |    count(DISTINCT event_type)::BIGINT FROM events
          |  UNION ALL SELECT 'dp_release_refresh',
-         |    count(DISTINCT event_type)::BIGINT FROM events),
-         |c AS (
-         |  SELECT l.seq::BIGINT AS seq, l.release,
-         |    l.eps_units::BIGINT AS eps_units,
-         |    CAST(sum(l.eps_units) OVER (ORDER BY l.seq) AS BIGINT)
-         |      AS cum_units,
-         |    $DpBudgetUnits::BIGINT AS budget_units, s.n
-         |  FROM led l JOIN sizes s USING (release))
-         |SELECT seq, release, eps_units, cum_units, budget_units,
-         |  cum_units <= budget_units AS released,
-         |  CASE WHEN cum_units <= budget_units THEN n END AS n_rows
-         |FROM c ORDER BY seq""".stripMargin
+         |    count(DISTINCT event_type)::BIGINT FROM events)
+         |SELECT l.seq::BIGINT AS seq, l.release,
+         |  l.eps_units::BIGINT AS eps_units,
+         |  l.cum_units::BIGINT AS cum_units,
+         |  $DpBudgetUnits::BIGINT AS budget_units, l.released,
+         |  CASE WHEN l.released THEN s.n END AS n_rows
+         |FROM led l JOIN sizes s USING (release)
+         |ORDER BY seq""".stripMargin
     },
   )
 }

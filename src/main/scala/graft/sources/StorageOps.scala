@@ -817,6 +817,63 @@ object StorageOps {
       .transform(Present.sorted(_, col("step")))
   }
 
+  /** The takedown-audit's CATALOG-VERSIONS row: proof that a takedown
+    * DELETE against a versioned catalog table actually sticks — i.e.
+    * after `CALL sys.expire`, the purged rows are unreachable at
+    * EVERY still-readable version, not just the live one (the gap the
+    * per-store tombstone rows can't see: they audit landed index
+    * stores, not version history). Scenario: CTAS (v1) → takedown
+    * DELETE of the v%5=4 slice (v2) → count-preserving maintenance
+    * UPDATE (+500 ≡ 0 mod 5, so the purged residue cannot re-enter by
+    * arithmetic; v3) → expire to the newest two, which drops v1, the
+    * only version that ever held the purged rows.
+    *
+    * `live_after` is the live count PLUS the number of purge-predicate
+    * rows still reachable at ANY readable version (v2, v3, live) — a
+    * provably-zero addend, so a resurrected row shifts the value and
+    * hash-fails the audit. Numbers are landed once per dataset per
+    * JVM (the scenario is deterministic; the audit row re-emits
+    * literals, keeping takedown_audit's zero-marginal-cost shape). */
+  private val expireAuditLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  def expireAuditRow(s: SparkSession, d: String): DataFrame = {
+    val (tomb, before, after) = expireAuditLanded.computeIfAbsent(d, _ => {
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+      Tables.orders(cs, d).createOrReplaceTempView("orders")
+      cs.sql(
+        """CREATE TABLE graft_mem.ns.tda TBLPROPERTIES('mor'='true') AS
+          |SELECT CAST(o_custkey % 89 AS BIGINT) AS k,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS v
+          |FROM orders GROUP BY o_custkey % 89""".stripMargin)       // v1
+      val n1 = cs.sql("SELECT count(*) FROM graft_mem.ns.tda")
+        .head().getLong(0)
+      cs.sql("DELETE FROM graft_mem.ns.tda WHERE v % 5 = 4") // v2 takedown
+      cs.sql("UPDATE graft_mem.ns.tda SET v = v + 500 WHERE k < 20") // v3
+      cs.sql("CALL graft_mem.sys.expire('ns.tda', 2L)").collect()
+      val r = cs.sql(
+        s"""SELECT
+           |  CAST($n1 AS BIGINT) -
+           |    (SELECT count(*) FROM graft_mem.ns.tda VERSION AS OF 2)
+           |    AS tombstones,
+           |  CAST($n1 AS BIGINT) AS live_before,
+           |  count(*) +
+           |    (SELECT CAST(sum(CASE WHEN v % 5 = 4 THEN 1 ELSE 0 END)
+           |       AS BIGINT)
+           |     FROM (SELECT v FROM graft_mem.ns.tda VERSION AS OF 2
+           |           UNION ALL
+           |           SELECT v FROM graft_mem.ns.tda VERSION AS OF 3
+           |           UNION ALL
+           |           SELECT v FROM graft_mem.ns.tda)) AS live_after
+           |FROM graft_mem.ns.tda""".stripMargin).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    })
+    s.range(1).select(lit("catalog_versions").as("store"),
+      lit(tomb).as("tombstones"), lit(before).as("live_before"),
+      lit(after).as("live_after"))
+  }
+
   /** Catalog-registered V2 FUNCTION ([[Hamming64Fn]] through
     * [[MemCatalog]]'s FunctionCatalog): `graft_mem.ns.hamming64(a,b)`
     * resolves through the connector, binds on (BIGINT, BIGINT), and

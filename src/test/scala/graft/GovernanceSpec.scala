@@ -31,8 +31,13 @@ class GovernanceSpec extends SparkSpec {
       floor, lit, round}
     // binding assertions need a corpus where level-1 cells pass K at
     // all — sf0.001's customer table is too small (all cells under
-    // K), so this test reads sf0.01 directly
-    val dir = "/root/testdata/sf0.01"
+    // K), so this test reads the sf0.01 SIBLING of the suite's data
+    // dir (derived, not hardcoded), and skips with a clear message
+    // where that fixture isn't staged
+    val dir = new java.io.File(sfDir).getParentFile
+      .toPath.resolve("sf0.01").toString
+    assume(new java.io.File(dir, "customer.parquet").exists(),
+      s"sf0.01 fixture absent at $dir — the binding assertions need it")
     val out = Governance.lDiversity(spark, dir).collect()
     val total = Tables.customer(spark, dir).count()
     out.filter(_.getInt(0) < 3).foreach { r =>
@@ -137,16 +142,24 @@ class GovernanceSpec extends SparkSpec {
     "is refused, ledger sidecar lands once") {
     val out = Governance.dpBudget(spark, sfDir).collect()
     assert(out.length == Governance.DpSchedule.length)
-    // seq order, one ε unit per release, exact cumulative accounting
+    // seq order, one ε unit per release; cumulative spend advances on
+    // ACCEPTED rows only (greedy admission: a refused release
+    // publishes nothing, so it spends nothing — its cum_units equals
+    // the accepted prefix, and a later affordable release would still
+    // be admitted)
+    var cum = 0L
     out.zipWithIndex.foreach { case (r, i) =>
       assert(r.getLong(0) == i + 1, s"seq order broken: $r")
-      assert(r.getLong(2) == 1L && r.getLong(3) == i + 1,
-        s"cumulative spend drifted: $r")
+      assert(r.getLong(2) == 1L, s"eps drifted: $r")
+      val ok = cum + 1 <= Governance.DpBudgetUnits
+      if (ok) cum += 1
+      assert(r.getLong(3) == cum, s"cumulative spend drifted: $r")
       assert(r.getLong(4) == Governance.DpBudgetUnits)
+      assert(r.getBoolean(5) == ok, s"admission drifted: $r")
     }
     // within budget → released with a non-empty vector; the refresh
     // that would exceed the budget → refused, vector withheld
-    val (in, over) = out.partition(_.getLong(3) <= Governance.DpBudgetUnits)
+    val (in, over) = out.partition(_.getBoolean(5))
     assert(in.length == Governance.DpBudgetUnits &&
       in.forall(r => r.getBoolean(5) && !r.isNullAt(6) && r.getLong(6) > 0),
       s"an in-budget release was refused or empty: ${in.toSeq}")
@@ -239,7 +252,8 @@ class GovernanceSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(audit.keySet == Set("ann_ivf", "bm25_postings",
-      "media_features", "minhash_signatures", "positional_postings"))
+      "media_features", "minhash_signatures", "positional_postings",
+      "catalog_versions"))
     // derived arithmetic holds on every row, and nothing is vacuous
     audit.values.foreach { case (t, before, after) =>
       assert(t > 0 && after == before - t && after > 0)
