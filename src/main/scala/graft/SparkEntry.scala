@@ -13,7 +13,8 @@ object SparkEntry {
       Multimodal.queries ++ SqlSurface.queries ++ FuncOps.queries ++
       JoinOps.queries ++ PipelineOps.queries ++ ChangeOps.queries ++
       SaltedAgg.queries ++ graft.streaming.StreamOps.queries ++
-      graft.sources.StorageOps.queries ++ TopKOps.queries ++
+      graft.sources.StorageOps.queries ++ graft.sources.AvroIO.queries ++
+      TopKOps.queries ++
       Retrieval.queries ++ Governance.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,6 +24,7 @@ object SparkEntry {
       Multimodal.oracle ++ SqlSurface.oracle ++ FuncOps.oracle ++
       JoinOps.oracle ++ PipelineOps.oracle ++ ChangeOps.oracle ++
       SaltedAgg.oracle ++ graft.streaming.StreamOps.oracle ++
-      graft.sources.StorageOps.oracle ++ TopKOps.oracle ++
+      graft.sources.StorageOps.oracle ++ graft.sources.AvroIO.oracle ++
+      TopKOps.oracle ++
       Retrieval.oracle ++ Governance.oracle
 }

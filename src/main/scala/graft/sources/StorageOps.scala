@@ -1809,6 +1809,76 @@ object StorageOps {
       .transform(Present.sorted(_, col("l_returnflag")))
   }
 
+  /** JDBC ROUNDTRIP over an EMBEDDED Derby database (the Derby jars
+    * ship with the Spark distribution, so this exercises the plain
+    * `spark.read/write.jdbc` path — the second most common enterprise
+    * source after parquet — with zero extra dependencies and no
+    * network). Write side: the customer slice lands via the JDBC sink
+    * (dialect DDL + batched inserts; `createTableColumnTypes` pins
+    * VARCHAR over Derby's default CLOB, which can't GROUP BY). Read
+    * side: a PARTITIONED JDBC scan (partitionColumn/numPartitions —
+    * the shape a 100 TB ingest uses: N executors each pulling a key
+    * range) with the filter pushed into the database as SQL
+    * (PlanSpec pins `PushedFilters` + pruned ReadSchema on the scan)
+    * and the aggregate running in Spark on top. Monetary values land
+    * as BIGINT cents so nothing depends on DOUBLE round-tripping
+    * through the database's types.
+    *
+    * The database lands once per dataset per JVM (the ensureWarehouse
+    * pattern, process-scoped so a concurrent suite and Verify run
+    * can't fight over Derby's db lock); the registered query is the
+    * partitioned, pushed-down read. Oracle replays filter + aggregate
+    * from the source parquet — proving values survive the dialect's
+    * type mapping exactly. */
+  private val jdbcLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jdbcOpts(r: org.apache.spark.sql.DataFrameReader,
+                       url: String) =
+    r.format("jdbc").option("url", url)
+      .option("dbtable", "graft_customer")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+  private[graft] def jdbcUrl(s: SparkSession, d: String): String =
+    jdbcLanded.computeIfAbsent(d, _ => {
+      // Derby's engine log goes to scratch, not the process cwd
+      System.setProperty("derby.stream.error.file",
+        graft.Scratch.path("graft_derby.log").toString)
+      val dir = graft.Scratch.processScoped("graft_derby",
+        d.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      val url = s"jdbc:derby:$dir;create=true"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .write.mode("overwrite")
+        .format("jdbc").option("url", url)
+        .option("dbtable", "graft_customer")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "c_mktsegment VARCHAR(16)")
+        .option("batchsize", "10000")
+        .save()
+      url
+    })
+
+  /** The read body over the landed database — the spec's hook for the
+    * pushdown assertion. Fixed partition bounds: correctness never
+    * depends on them (out-of-range keys all land in the edge
+    * partitions), and a fixed stride keeps the plan deterministic
+    * across scale factors. */
+  def jdbcRoundtripRead(s: SparkSession, d: String): DataFrame =
+    jdbcOpts(s.read, jdbcUrl(s, d))
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", "1").option("upperBound", "1000000")
+      .option("numPartitions", "8")
+      .load()
+      .filter(col("c_nationkey") < 10)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("bal_cents").as("bal_cents"))
+
+  def jdbcRoundtrip(s: SparkSession, d: String): DataFrame =
+    jdbcRoundtripRead(s, d)
+      .transform(Present.sorted(_, col("c_mktsegment")))
+
   val CompactTarget = 4
 
   /** Small-file compaction — the table-maintenance op every streaming
@@ -2140,6 +2210,7 @@ object StorageOps {
     "nested_prune"     -> nestedPrune _,
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
+    "jdbc_roundtrip"   -> jdbcRoundtrip _,
     "compact_files"    -> compactFiles _,
     "csv_roundtrip"    -> csvRoundtrip _,
     "jsonl_roundtrip"  -> jsonlRoundtrip _,
@@ -2804,6 +2875,16 @@ object StorageOps {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // filter + aggregate replayed from the source parquet: the JDBC
+    // round trip (dialect DDL, batched insert, partitioned pushed-down
+    // read) must lose nothing; cents are BIGINT end-to-end
+    "jdbc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+        |    AS bal_cents
+        |FROM customer WHERE c_nationkey < 10
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal

@@ -321,6 +321,25 @@ class PlanSpec extends SparkSpec {
       "simhash_pairs re-tokenized at probe time:\n" + pp)
   }
 
+  test("jdbc read: filter pushed into the database, projection pruned, " +
+    "scan partitioned") {
+    val df = graft.sources.StorageOps.jdbcRoundtripRead(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("JDBCRelation"))
+      .getOrElse(fail(s"no JDBC scan in plan:\n$p"))
+    // the filter must run INSIDE the database (shipped as SQL), not as
+    // a post-scan Spark Filter over a full-table pull
+    assert(scan.contains("LessThan(c_nationkey,10)"),
+      s"nationkey filter not pushed to the JDBC source: $scan")
+    // only the aggregate's columns cross the wire
+    assert(scan.contains("c_mktsegment") && scan.contains("bal_cents") &&
+      !scan.contains("c_custkey#"),
+      s"JDBC projection not pruned: $scan")
+    // the scan is range-partitioned for parallel pull
+    assert(scan.contains("numPartitions=8"), scan)
+  }
+
   test("bucketed join is exchange-free even when broadcast is off") {
     // The point of the bucketed layout: a fact-to-fact join on the
     // bucket key must not re-shuffle EITHER side — at 100 TB that
