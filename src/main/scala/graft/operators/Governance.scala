@@ -108,6 +108,91 @@ object Governance {
     * sf0.01). */
   val SensMod = 4L
 
+  /** t-closeness threshold as an exact rational: a cell releases only
+    * if TVD(cell's sensitive distribution, corpus's) ≤
+    * [[TCloseNum]]/[[TCloseDen]] (t = 0.3 — measured to bind both
+    * ways on sf0.01: 15 of 45 k-passing level-1 cells pass it). */
+  val TCloseNum = 3L
+  val TCloseDen = 10L
+
+  /** T-CLOSENESS over the same generalization ladder as
+    * [[kAnonymize]]/[[lDiversity]] (Li, Li & Venkatasubramanian 2007,
+    * public — the published fix for l-diversity's skewness/similarity
+    * attacks: a cell can hold ≥ L distinct sensitive values whose
+    * DISTRIBUTION still discloses, e.g. 99% of one value): a cell
+    * releases only if it holds ≥ [[K]] rows AND the total-variation
+    * distance between its sensitive-value distribution and the
+    * CORPUS distribution is ≤ t; failing cells generalize up (band
+    * dropped, TVD re-derived at the coarser grain against the same
+    * corpus reference) and re-test; the residue suppresses. Output
+    * adds `tvd_milli` (the released cell's distance in exact
+    * milli-units).
+    *
+    * ALL arithmetic is integer-exact: with X = Σ_v |nv·N − gn·n| −
+    * gn·n over the cell's PRESENT values, plus n·N (the absent
+    * values' mass), TVD = X/(2nN), so the gate is X·den ≤ 2·num·n·N
+    * and the reported distance ⌊500·X/(nN)⌋ — no floating point
+    * anywhere, so the DuckDB replay is bit-exact regardless of
+    * summation order. (The n·N products cap at ~N², BIGINT-safe past
+    * sf100; a 10¹²-row corpus would move the ratio to DECIMAL.)
+    *
+    * Scale shape: same two hash aggregates as the sibling ladders
+    * plus one broadcast of the ≤[[SensMod]]-row corpus distribution
+    * and a 1-row scalar broadcast (N); the per-cell TVD folds
+    * map-side over (cell, sval) rows — absent values never
+    * materialize (their mass enters via the closed-form n·N term),
+    * so there is no cell×domain cross anywhere. */
+  def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val sensC = (round(col("c_acctbal") * 100).cast("bigint") % SensMod)
+      .as("sval")
+    val base = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / BalBand).as("bal_band"), sensC)
+    val g0 = base
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band", "sval")
+      .agg(count(lit(1)).as("nv"))
+    val gd = broadcast(base.groupBy("sval").agg(count(lit(1)).as("gn")))
+    val nt = broadcast(base.agg(count(lit(1)).as("n_tot")))
+    // X and ⌊500·X/(nN)⌋ for each cell of `cells` at grain `keys`
+    def xOf(cells: DataFrame, keys: Seq[String]): DataFrame = {
+      val tot = cells.groupBy(keys.map(col): _*).agg(sum("nv").as("n"))
+      cells.join(tot, keys).join(gd, "sval").crossJoin(nt)
+        .groupBy(keys.map(col) :+ col("n") :+ col("n_tot"): _*)
+        .agg(sum(abs(col("nv") * col("n_tot") - col("gn") * col("n"))
+          - col("gn") * col("n")).as("xpart"))
+        .withColumn("x", col("xpart") + col("n") * col("n_tot"))
+        .withColumn("tvd_milli", expr("(500 * x) div (n * n_tot)"))
+    }
+    val passC = col("n") >= K &&
+      col("x") * TCloseDen <= lit(2L) * TCloseNum * col("n") * col("n_tot")
+    val x1 = xOf(g0, Seq("c_nationkey", "c_mktsegment", "bal_band"))
+    val pass1 = x1.filter(passC)
+      .select(lit(1).as("level"), col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band"), col("n"), col("tvd_milli"))
+    // failing LEVEL-1 cells regroup at the (quasi, sval) grain so the
+    // level-2 distance re-derives from values, not from level-1 X's
+    val fail0 = g0.join(
+      x1.filter(!passC).select("c_nationkey", "c_mktsegment", "bal_band"),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "sval")
+      .agg(sum("nv").as("nv"))
+    val x2 = xOf(fail0, Seq("c_nationkey", "c_mktsegment"))
+    val pass2 = x2.filter(passC)
+      .select(lit(2).as("level"), col("c_nationkey"), col("c_mktsegment"),
+        lit(null).cast("bigint").as("bal_band"), col("n"), col("tvd_milli"))
+    val suppressed = x2.filter(!passC)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit(3).as("level"),
+        lit(null).cast("int").as("c_nationkey"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("bigint").as("bal_band"), col("n"),
+        lit(null).cast("bigint").as("tvd_milli"))
+    pass1.unionByName(pass2).unionByName(suppressed)
+      .transform(Present.sorted(_, col("level"), col("c_nationkey"),
+        col("c_mktsegment"), col("bal_band")))
+  }
+
   /** DISTINCT l-DIVERSITY over the same generalization ladder as
     * [[kAnonymize]] (Machanavajjhala et al. 2007, public — the
     * published fix for k-anonymity's homogeneity attack: a cell of
@@ -634,6 +719,7 @@ object Governance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymize"    -> kAnonymize _,
     "l_diversity"    -> lDiversity _,
+    "t_closeness"    -> tCloseness _,
     "dp_release"     -> dpRelease _,
     "dp_sum"         -> dpSum _,
     "dp_user_count"  -> dpUserCount _,
@@ -711,6 +797,66 @@ object Governance {
          |  UNION ALL
          |  SELECT 3, NULL, NULL, NULL, CAST(sum(n) AS BIGINT), NULL
          |  FROM g2 WHERE n < $K OR n_sens < $LDiv HAVING sum(n) > 0)
+         |ORDER BY level, c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    // the ladder replayed with the SAME integer-exact TVD algebra
+    // (X = Σ|nv·N − gn·n| − gn·n + n·N; gate X·den ≤ 2·num·n·N;
+    // report ⌊500X/(nN)⌋) — no floats, so summation order is moot
+    "t_closeness" ->
+      s"""WITH base AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / $BalBand) AS BIGINT) AS bal_band,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) % $SensMod AS sval
+         |  FROM customer),
+         |g0 AS (
+         |  SELECT c_nationkey, c_mktsegment, bal_band, sval,
+         |    count(*)::BIGINT AS nv
+         |  FROM base GROUP BY 1, 2, 3, 4),
+         |g1 AS (
+         |  SELECT c_nationkey, c_mktsegment, bal_band,
+         |    CAST(sum(nv) AS BIGINT) AS n
+         |  FROM g0 GROUP BY 1, 2, 3),
+         |gd AS (SELECT sval, count(*)::BIGINT AS gn FROM base GROUP BY 1),
+         |nt AS (SELECT count(*)::BIGINT AS n_tot FROM base),
+         |x1 AS (
+         |  SELECT g0.c_nationkey, g0.c_mktsegment, g0.bal_band, g1.n,
+         |    nt.n_tot,
+         |    CAST(sum(abs(g0.nv * nt.n_tot - gd.gn * g1.n) - gd.gn * g1.n)
+         |      + g1.n * nt.n_tot AS BIGINT) AS x
+         |  FROM g0 JOIN g1 USING (c_nationkey, c_mktsegment, bal_band)
+         |  JOIN gd USING (sval) CROSS JOIN nt
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |f0 AS (
+         |  SELECT g0.c_nationkey, g0.c_mktsegment, g0.sval,
+         |    CAST(sum(g0.nv) AS BIGINT) AS nv
+         |  FROM g0 JOIN x1 USING (c_nationkey, c_mktsegment, bal_band)
+         |  WHERE NOT (x1.n >= $K AND
+         |    x1.x * $TCloseDen <= 2 * $TCloseNum * x1.n * x1.n_tot)
+         |  GROUP BY 1, 2, 3),
+         |g2 AS (
+         |  SELECT c_nationkey, c_mktsegment, CAST(sum(nv) AS BIGINT) AS n
+         |  FROM f0 GROUP BY 1, 2),
+         |x2 AS (
+         |  SELECT f0.c_nationkey, f0.c_mktsegment, g2.n, nt.n_tot,
+         |    CAST(sum(abs(f0.nv * nt.n_tot - gd.gn * g2.n) - gd.gn * g2.n)
+         |      + g2.n * nt.n_tot AS BIGINT) AS x
+         |  FROM f0 JOIN g2 USING (c_nationkey, c_mktsegment)
+         |  JOIN gd USING (sval) CROSS JOIN nt
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT * FROM (
+         |  SELECT 1 AS level, c_nationkey, c_mktsegment, bal_band, n,
+         |    (500 * x) // (n * n_tot) AS tvd_milli
+         |  FROM x1 WHERE n >= $K
+         |    AND x * $TCloseDen <= 2 * $TCloseNum * n * n_tot
+         |  UNION ALL
+         |  SELECT 2, c_nationkey, c_mktsegment, NULL, n,
+         |    (500 * x) // (n * n_tot)
+         |  FROM x2 WHERE n >= $K
+         |    AND x * $TCloseDen <= 2 * $TCloseNum * n * n_tot
+         |  UNION ALL
+         |  SELECT 3, NULL, NULL, NULL, CAST(sum(n) AS BIGINT), NULL
+         |  FROM x2 WHERE NOT (n >= $K
+         |    AND x * $TCloseDen <= 2 * $TCloseNum * n * n_tot)
+         |  HAVING sum(n) > 0)
          |ORDER BY level, c_nationkey, c_mktsegment, bal_band""".stripMargin,
     "dp_release" ->
       s"""WITH g AS (

@@ -66,6 +66,53 @@ class GovernanceSpec extends SparkSpec {
       "level-1 release drifted from the both-gates rule")
   }
 
+  test("t_closeness: released cells meet K and the distance gate, mass " +
+    "conserved, and the distance gate catches what l-diversity passes") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      floor, lit, round}
+    // same sibling-fixture rule as the l_diversity test: binding
+    // assertions need cells that pass K at all
+    val dir = new java.io.File(sfDir).getParentFile
+      .toPath.resolve("sf0.01").toString
+    assume(new java.io.File(dir, "customer.parquet").exists(),
+      s"sf0.01 fixture absent at $dir — the binding assertions need it")
+    val out = Governance.tCloseness(spark, dir).collect()
+    val total = Tables.customer(spark, dir).count()
+    val tMilli = 1000L * Governance.TCloseNum / Governance.TCloseDen
+    out.filter(_.getInt(0) < 3).foreach { r =>
+      assert(r.getLong(4) >= Governance.K, s"cell under K: $r")
+      val tvd = r.getLong(5)
+      // floor(500X/nN) ≤ 1000t is EXACTLY the release gate's algebra
+      assert(tvd >= 0 && tvd <= tMilli, s"released cell over t: $r")
+    }
+    assert(out.map(_.getLong(4)).sum == total, "row mass not conserved")
+    assert(out.count(_.getInt(0) == 1) > 0 &&
+      out.count(_.getInt(0) == 2) > 0 && out.count(_.getInt(0) == 3) > 0,
+      "a ladder level is vacuous")
+    // the DISTANCE gate does work the diversity gate doesn't: some
+    // level-1 cell passes K AND l-diversity yet fails t-closeness
+    // (the skewness attack t-closeness was published to close)
+    val g1 = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / Governance.BalBand).as("b"),
+        (round(col("c_acctbal") * 100).cast("bigint")
+          % Governance.SensMod).as("sv"))
+      .groupBy("c_nationkey", "c_mktsegment", "b")
+      .agg(count(lit(1)).as("n"), countDistinct("sv").as("ns"))
+      .collect()
+    val ldivPass = g1.filter(r => r.getLong(3) >= Governance.K &&
+      r.getLong(4) >= Governance.LDiv)
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val rel1 = out.filter(_.getInt(0) == 1)
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(rel1.subsetOf(ldivPass.union(g1.filter(
+      _.getLong(3) >= Governance.K)
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet)))
+    assert((ldivPass -- rel1).nonEmpty,
+      "no l-diversity-passing cell fails t-closeness — t never binds " +
+        "past l-diversity")
+  }
+
   test("dp_release: mechanism is deterministic, bounded, and clamped") {
     val a = Governance.dpRelease(spark, sfDir).collect()
     val b = Governance.dpRelease(spark, sfDir).collect()
