@@ -47,7 +47,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    (1 to passes).foreach { p =>
+    def runPass(label: String): Unit = {
       val t0 = System.nanoTime()
       names.foreach { case (name, fn) =>
         // per-query isolation: no query may serve from (or pay the
@@ -63,8 +63,20 @@ object Bench {
         times(name) = dt :: times(name)
       }
       loads += osBean.getSystemLoadAverage
-      System.err.println(f"[bench] pass $p/$passes: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      System.err.println(f"[bench] pass $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    (1 to passes).foreach(p => runPass(s"$p/$passes"))
+    // co-tenant gate (round-18): when the host was loaded during any
+    // pass (loadavg > cpus/4 — an otherwise-idle box running this
+    // bench sits well under it), the per-query min may still carry
+    // contention from every pass; ONE extra pass minutes later gives
+    // the min a shot at a calmer window. This is what kept the r17
+    // committed board (158 s, idle) and the driver re-run (186 s,
+    // loadavg 13) from telling the same story. Skipped for quick
+    // single-pass iteration runs.
+    val loadGate = cpus.toDouble / 4.0
+    val extraPasses = if (passes >= 3 && loads.max > loadGate) 1 else 0
+    (1 to extraPasses).foreach(_ => runPass("extra (loadavg gate)"))
     val best = times.view.mapValues(_.min).toMap
     val total = best.values.sum
     def qmap(prec: Int): String = names.map { case (k, _) =>
@@ -121,7 +133,7 @@ object Bench {
       "\"" + k + "\":[" + times(k).reverse.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val loadArr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"cpus":"$cpus","loadavg":$loadArr,"sf":"$sfDir"}"""
+    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"extra_passes":$extraPasses,"cpus":"$cpus","loadavg":$loadArr,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (sidecar + "\n").getBytes("UTF-8"))

@@ -1247,6 +1247,41 @@ object ScaleRehearsal {
     }
   }
 
+  /** Dedup-ensemble receipt (round-18): the consensus operator over
+    * the THREE landed pair stores (MinHash-LSH, SimHash, df-capped
+    * exact Jaccard). Pass 1 of each leg carries its store land; the
+    * claim under measurement is that the ensemble itself is a
+    * three-artifact read + one pair-grain aggregate — its steady
+    * state must track Σ pairs, never the corpus. NOTE the staged
+    * shards share every shingle (the per-line "§k" tag tokenizes
+    * away), so cross-shard TRUE pairs grow ∝ mult² by construction —
+    * per the signature-ceiling rule this ladder reads as
+    * consensus-cost-vs-pair-count tracking, not output linearity
+    * (the r7 isomorphic-shard ladder already pinned the candidate
+    * pipeline's corpus-linearity). */
+  def runEnsemble(s: SparkSession, sfDir: String, mults: Seq[Int],
+                  passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      measure(s, listener, "ensemble", "lsh_pairs", m, passes)(
+        operators.Dedup.minhashLsh(s, staged))
+      measure(s, listener, "ensemble", "simhash_pairs", m, passes)(
+        operators.Dedup.simhashPairs(s, staged))
+      measure(s, listener, "ensemble", "exact_pairs", m, passes)(
+        operators.SigStore.exactPairs(s, staged))
+      measure(s, listener, "ensemble", "dedup_ensemble", m, passes)(
+        operators.Dedup.dedupEnsemble(s, staged))
+      // the receipt's denominators: per-store pair counts
+      val nl = operators.SigStore.lshPairs(s, staged).count()
+      val ns = operators.Dedup.simhashPairs(s, staged).count()
+      val ne = operators.SigStore.exactPairs(s, staged).count()
+      println(s"""{"family":"ensemble","query":"pair_counts","mult":$m,""" +
+        s""""lsh_pairs":$nl,"simhash_pairs":$ns,"exact_pairs":$ne}""")
+    }
+  }
+
   /** The q18 body over PRE-BUCKETED facts — the layout SCALE.md's
     * fact⋈fact note claims removes the join shuffles entirely. Both
     * facts land bucketed+sorted on orderkey once per multiple (the
@@ -1497,7 +1532,7 @@ object ScaleRehearsal {
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
       "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media",
-      "mediadiverse", "governance", "sketch", "phrase")
+      "mediadiverse", "governance", "sketch", "phrase", "ensemble")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1563,6 +1598,8 @@ object ScaleRehearsal {
       runSketch(spark, sfDir, mults)
     if (family("phrase"))
       runPhrase(spark, sfDir, mults)
+    if (family("ensemble"))
+      runEnsemble(spark, sfDir, mults)
     if (family("governance"))
       runGovernance(spark, sfDir, mults)
     if (family("ivfmaint"))
