@@ -157,6 +157,19 @@ object Dedup {
     * definition every default parameter and spec precondition
     * references. */
   val LshMaxBucket = 1000
+  /** Hot-bucket cap for the SimHash band buckets — added after the
+    * round-18 ensemble rehearsal caught the family UNCAPPED: at a
+    * 200×-replicated corpus LSH and exact-Jaccard collapsed to zero
+    * candidates (their caps binding, by design) while SimHash emitted
+    * 120 M quadratic pairs from 200-deep identical-signature buckets
+    * (193 s land, 3.1 GB consensus shuffle). Same contract as
+    * [[LshMaxBucket]]: a bucket holding > cap signatures is a
+    * degenerate near-identical cluster whose pairs are O(n²) noise —
+    * production routes those to exact clustering, never pairwise.
+    * Non-binding at the gate scales (max bucket 20 at sf0.01, 170 at
+    * sf0.1), so gated outputs are unchanged; the oracle applies the
+    * identical cap. */
+  val SimHashMaxBucket = 1000
 
   /** Carter–Wegman universal-hash family for the md5-seeded MinHash:
     * h_i(g) = (a_i·g + b_i) mod p over g = md5Hash60(shingle) mod p,
@@ -697,7 +710,7 @@ object Dedup {
   private val simhashSigStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val simhashPairStores =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
   private val simhashPairIds = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Build counter — exposed so DedupSpec can pin build-once. */
   private[graft] val simhashPairBuildCount =
@@ -726,13 +739,16 @@ object Dedup {
     * per execution: measured ~2 s/run at sf0.1, and dedup_ensemble
     * paid it again); steady state is a pair-artifact read. */
   def simhashPairs(s: SparkSession, d: String,
-                   maxHam: Int = 3): DataFrame = {
-    val path = simhashPairStores.computeIfAbsent((d, maxHam), _ => {
+                   maxHam: Int = 3,
+                   maxBucket: Int = SimHashMaxBucket): DataFrame = {
+    val path = simhashPairStores.computeIfAbsent((d, maxHam, maxBucket),
+      _ => {
       simhashPairBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_simhash",
-        s"p${simhashPairIds.getAndIncrement()}_h$maxHam").toString
-      simhashPairsFrom(s.read.parquet(simhashSigRoot(s, d)), maxHam)
-        .write.mode("overwrite").parquet(out)
+        s"p${simhashPairIds.getAndIncrement()}_h${maxHam}_b$maxBucket")
+        .toString
+      simhashPairsFrom(s.read.parquet(simhashSigRoot(s, d)), maxHam,
+        maxBucket).write.mode("overwrite").parquet(out)
       out
     })
     s.read.parquet(path)
@@ -741,16 +757,31 @@ object Dedup {
 
   /** The banded-candidate self-join over a signature relation — the
     * land-time body, exposed so PlanSpec can pin its exchange-reuse
-    * shape (both join sides must serve from ONE signature shuffle). */
+    * shape (both join sides must serve from ONE signature shuffle).
+    * Hot buckets (> maxBucket signatures — degenerate near-identical
+    * clusters whose pairwise expansion is O(n²)) are collected once
+    * (bounded: ≤ corpus/maxBucket of them by counting) and re-enter
+    * as a broadcast anti-join, the [[lshPairsFrom]] contract. */
   private[graft] def simhashPairsFrom(sh: DataFrame,
-                                      maxHam: Int = 3): DataFrame = {
+                                      maxHam: Int = 3,
+                                      maxBucket: Int = SimHashMaxBucket)
+      : DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
     val bandBits = SimHashBits / SimHashBands
     val mask = (1L << bandBits) - 1
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded0 = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimHashBands).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    val hotRows = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("band", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val banded = if (hotRows.isEmpty) banded0
+      else banded0.join(broadcast(hotRows.toDF("band", "bucket")),
+        Seq("band", "bucket"), "left_anti")
     // (band, bucket) self-join → ReuseExchange, as in minhashLsh
     banded.as("x")
       .join(banded.as("y"),
@@ -976,10 +1007,11 @@ object Dedup {
     * chain composes next to [[lshOracleCtes]] (whose `sh`/`banded`
     * names it would otherwise shadow). Shared by the simhash_pairs
     * oracle and the ensemble's simhash leg. Parameterized by the same
-    * `maxHam` as [[simhashPairsFrom]] and the landed pair-store key —
-    * a caller or default change on the Scala side cannot silently
-    * diverge from the oracle replay. */
-  def simhashOracleCtes(maxHam: Int = 3): String =
+    * `maxHam`/`maxBucket` as [[simhashPairsFrom]] and the landed
+    * pair-store key — a caller or default change on the Scala side
+    * cannot silently diverge from the oracle replay. */
+  def simhashOracleCtes(maxHam: Int = 3,
+                        maxBucket: Int = SimHashMaxBucket): String =
     s"""sm_tok AS (
        |  SELECT doc_id, w AS word FROM (
        |    SELECT doc_id,
@@ -1005,10 +1037,14 @@ object Dedup {
        |    (simhash >> (b * ${SimHashBits / SimHashBands}))
        |      & ${(1L << (SimHashBits / SimHashBands)) - 1} AS bucket
        |  FROM sm_sh, unnest(range(0, $SimHashBands)) AS r(b)),
+       |sm_capped AS (
+       |  SELECT doc_id, simhash, band, bucket FROM sm_banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket)
+       |    <= $maxBucket),
        |sm_cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.simhash AS ha, y.simhash AS hb
-       |  FROM sm_banded x JOIN sm_banded y
+       |  FROM sm_capped x JOIN sm_capped y
        |    ON x.band = y.band AND x.bucket = y.bucket
        |    AND x.doc_id < y.doc_id),
        |simp AS (

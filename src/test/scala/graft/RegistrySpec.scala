@@ -38,6 +38,7 @@ class RegistrySpec extends AnyFunSuite {
       "SaltedAgg" -> graft.operators.SaltedAgg.queries.keySet,
       "StreamOps" -> graft.streaming.StreamOps.queries.keySet,
       "StorageOps" -> graft.sources.StorageOps.queries.keySet,
+      "AvroIO" -> graft.sources.AvroIO.queries.keySet,
       "TopKOps" -> graft.operators.TopKOps.queries.keySet,
       "Retrieval" -> graft.operators.Retrieval.queries.keySet,
       "Governance" -> graft.operators.Governance.queries.keySet)
