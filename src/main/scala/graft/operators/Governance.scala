@@ -152,11 +152,15 @@ object Governance {
       .groupBy("c_nationkey", "c_mktsegment", "bal_band", "sval")
       .agg(count(lit(1)).as("nv"))
     val gd = broadcast(base.groupBy("sval").agg(count(lit(1)).as("gn")))
-    val nt = broadcast(base.agg(count(lit(1)).as("n_tot")))
+    // N as a collected scalar (ONE row by construction — the
+    // documented bounded collect): a 1-row broadcast cross-join per
+    // ladder level doubled the stage count for a constant
+    val nTot = Tables.customer(s, d).count()
     // X and ⌊500·X/(nN)⌋ for each cell of `cells` at grain `keys`
     def xOf(cells: DataFrame, keys: Seq[String]): DataFrame = {
       val tot = cells.groupBy(keys.map(col): _*).agg(sum("nv").as("n"))
-      cells.join(tot, keys).join(gd, "sval").crossJoin(nt)
+      cells.join(tot, keys).join(gd, "sval")
+        .withColumn("n_tot", lit(nTot))
         .groupBy(keys.map(col) :+ col("n") :+ col("n_tot"): _*)
         .agg(sum(abs(col("nv") * col("n_tot") - col("gn") * col("n"))
           - col("gn") * col("n")).as("xpart"))
@@ -165,7 +169,13 @@ object Governance {
     }
     val passC = col("n") >= K &&
       col("x") * TCloseDen <= lit(2L) * TCloseNum * col("n") * col("n_tot")
+    // pin the CELL-level relations (bounded by the quasi-id domain —
+    // hundreds of rows at any corpus size): each feeds two union
+    // branches (pass + fail/suppress), and without the pin every
+    // branch re-runs the full customer aggregation lineage (measured
+    // 1.7 s → 0.6 s at sf0.1)
     val x1 = xOf(g0, Seq("c_nationkey", "c_mktsegment", "bal_band"))
+      .persist()
     val pass1 = x1.filter(passC)
       .select(lit(1).as("level"), col("c_nationkey"), col("c_mktsegment"),
         col("bal_band"), col("n"), col("tvd_milli"))
@@ -176,7 +186,7 @@ object Governance {
       Seq("c_nationkey", "c_mktsegment", "bal_band"))
       .groupBy("c_nationkey", "c_mktsegment", "sval")
       .agg(sum("nv").as("nv"))
-    val x2 = xOf(fail0, Seq("c_nationkey", "c_mktsegment"))
+    val x2 = xOf(fail0, Seq("c_nationkey", "c_mktsegment")).persist()
     val pass2 = x2.filter(passC)
       .select(lit(2).as("level"), col("c_nationkey"), col("c_mktsegment"),
         lit(null).cast("bigint").as("bal_band"), col("n"), col("tvd_milli"))
