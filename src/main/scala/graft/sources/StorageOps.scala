@@ -1879,6 +1879,49 @@ object StorageOps {
     jdbcRoundtripRead(s, d)
       .transform(Present.sorted(_, col("c_mktsegment")))
 
+  /** A session with the landed Derby database mounted as a V2
+    * JDBCTableCatalog, aggregate + limit pushdown enabled — the
+    * enterprise-federation surface on top of [[jdbcUrl]]'s land. */
+  private def jdbcCatalogSession(s: SparkSession, d: String): SparkSession = {
+    val url = jdbcUrl(s, d)
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.dby",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    cs.conf.set("spark.sql.catalog.dby.url", url)
+    cs.conf.set("spark.sql.catalog.dby.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    cs.conf.set("spark.sql.catalog.dby.pushDownAggregate", "true")
+    cs.conf.set("spark.sql.catalog.dby.pushDownLimit", "true")
+    cs
+  }
+
+  /** JDBC AGGREGATE pushdown through the V2 JDBCTableCatalog: the
+    * whole COUNT/SUM + GROUP BY + filter ships into the database as
+    * SQL — the scan returns GROUPS, not rows (PlanSpec pins
+    * `PushedAggregates`/`PushedGroupByExpressions` on the scan). This
+    * is the federation shape that matters at scale: against a large
+    * operational store, pulling rows to aggregate in Spark moves the
+    * table; pushing the aggregate moves the ANSWER. Same landed Derby
+    * database as [[jdbcRoundtrip]]; oracle replays from parquet. */
+  def jdbcAggPushdown(s: SparkSession, d: String): DataFrame =
+    jdbcCatalogSession(s, d).sql(
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(bal_cents) AS BIGINT) AS cents
+        |FROM dby.APP.GRAFT_CUSTOMER WHERE c_nationkey < 10
+        |GROUP BY c_nationkey""".stripMargin)
+      .transform(Present.sorted(_, col("c_nationkey")))
+
+  // JDBC TOP-N pushdown is deliberately NOT a registered rung:
+  // measured on Spark 4.1 + Derby, the scan claims complete TopN
+  // pushdown (`PushedTopN: ... LIMIT 10` in the plan, Spark removes
+  // its own TopN) but the SQL the Derby dialect emits carries the
+  // ORDER BY without any row-bound clause — the query silently
+  // returns the WHOLE sorted table (1 500 rows for a LIMIT 10 at
+  // sf0.01). An upstream dialect inconsistency (supportsTopN
+  // without a limit clause), not something to gate a result on;
+  // `dsv2_topn_pushdown` covers the operator against the custom
+  // connector where the contract is honored.
+
   val CompactTarget = 4
 
   /** Small-file compaction — the table-maintenance op every streaming
@@ -2211,6 +2254,7 @@ object StorageOps {
     "merge_upsert"     -> mergeUpsert _,
     "orc_roundtrip"    -> orcRoundtrip _,
     "jdbc_roundtrip"   -> jdbcRoundtrip _,
+    "jdbc_agg_pushdown" -> jdbcAggPushdown _,
     "compact_files"    -> compactFiles _,
     "csv_roundtrip"    -> csvRoundtrip _,
     "jsonl_roundtrip"  -> jsonlRoundtrip _,
@@ -2885,6 +2929,15 @@ object StorageOps {
         |FROM customer WHERE c_nationkey < 10
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // the DATABASE computes this aggregate (PushedAggregates); the
+    // oracle recomputes it from parquet — pushdown must change where
+    // the work runs, never the answer
+    "jdbc_agg_pushdown" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS cents
+        |FROM customer WHERE c_nationkey < 10
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal

@@ -340,6 +340,23 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("numPartitions=8"), scan)
   }
 
+  test("jdbc v2 catalog: aggregate + group-by push into the database") {
+    val agg = graft.sources.StorageOps.jdbcAggPushdown(spark, sfDir)
+    agg.collect()
+    val ap = agg.queryExecution.executedPlan.toString
+    val ascan = ap.linesIterator.find(_.contains("JDBC"))
+      .getOrElse(fail(s"no JDBC scan:\n$ap"))
+    // the scan returns GROUPS, not rows: the database ran the agg
+    assert(ascan.contains("PushedAggregates: [COUNT(*), SUM(bal_cents)]") ||
+      ascan.contains("PushedAggregates: [COUNT(*),SUM(bal_cents)]"), ascan)
+    assert(ascan.contains("PushedGroupByExpressions: [c_nationkey]"), ascan)
+    assert(ascan.contains("c_nationkey < 10"), ascan)
+    // TopN pushdown against Derby is deliberately not asserted or
+    // registered: the plan claims complete pushdown while the emitted
+    // SQL drops the row bound (see the StorageOps note) — the
+    // contract-honoring coverage lives in dsv2_topn_pushdown.
+  }
+
   test("bucketed join is exchange-free even when broadcast is off") {
     // The point of the bucketed layout: a fact-to-fact join on the
     // bucket key must not re-shuffle EITHER side — at 100 TB that
