@@ -540,11 +540,48 @@ object ScaleRehearsal {
     * verbatim-replica stage (see [[stageGovDocs]]): gates behave
     * exactly as at 1×, dedup collapses the replicas, so out_rows
     * stays the unique-content release while cost grows ∝ corpus. */
+  /** Stage `mult` verbatim customer replicas (c_custkey offset only):
+    * every cell's nv, n, N multiply by m. The t-closeness gate and
+    * reported distance are pure RATIO algebra (X ∝ m², n·N ∝ m²), so
+    * its release decisions replay bit-exactly at every multiple —
+    * measured: out_rows 611 at 1/10/50×. The k/l COUNT gates loosen
+    * monotonically instead (fixed K over scaled counts), so those
+    * rungs measure cost shape, with decisions near-saturated at
+    * sf0.1 (749→750 / 746 released cells). */
+  def stageCustomers(s: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = stagedDir("cust", sfDir, mult)
+    val fp = sourceFingerprint(Seq(
+      java.nio.file.Paths.get(sfDir, "customer.parquet")))
+    if (isStaged(dir, fp)) return dir.toString
+    wipeDir(dir)
+    java.nio.file.Files.createDirectories(dir)
+    val base = Tables.customer(s, sfDir)
+    val out = dir.resolve("customer.parquet").toString
+    (0 until mult).grouped(50).foreach { chunk =>
+      chunk.map(k => base.withColumn("c_custkey",
+          col("c_custkey") + lit(k * 10000000L)))
+        .reduce(_ union _)
+        .write.mode("append").parquet(out)
+    }
+    markStaged(dir, fp)
+    dir.toString
+  }
+
   def runGovernance(s: SparkSession, sfDir: String, mults: Seq[Int],
                     passes: Int = 3): Unit = {
     val listener = new ShuffleListener
     s.sparkContext.addSparkListener(listener)
     mults.foreach { m =>
+      // anonymization ladders over verbatim customer replicas — the
+      // claim is corpus-linear cost (two hash aggregates + cell-grain
+      // post-processing) with bit-identical release decisions
+      val stagedC = stageCustomers(s, sfDir, m)
+      measure(s, listener, "governance", "k_anonymize", m, passes)(
+        operators.Governance.kAnonymize(s, stagedC))
+      measure(s, listener, "governance", "l_diversity", m, passes)(
+        operators.Governance.lDiversity(s, stagedC))
+      measure(s, listener, "governance", "t_closeness", m, passes)(
+        operators.Governance.tCloseness(s, stagedC))
       val stagedM = stageMediaDocs(s, sfDir, m) // (doc_id, n_chars)
       measure(s, listener, "governance", "shard_manifest", m, passes)(
         operators.Governance.shardManifest(s, stagedM))
