@@ -39,6 +39,28 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loads = scala.collection.mutable.ArrayBuffer(
       osBean.getSystemLoadAverage)
+    // HOST-SPEED CALIBRATION (round-18): loadavg only sees runnable
+    // threads INSIDE this VM — host-level contention (CPU steal,
+    // frequency) shows up as every query uniformly slower on an
+    // "idle" box (observed: two identical boards 36% apart, loadavg
+    // low in both). A fixed single-thread integer loop makes that
+    // drift auditable: compare probe_ms across boards before
+    // comparing totals. Min of 3, measured before pass 1 and after
+    // the last pass.
+    def cpuProbeMs(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= x >>> 33
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (x == 42L) System.err.println("") // defeat dead-code elim
+      dt
+    }.min
+    val probeBefore = cpuProbeMs()
     // SPARK_GRAFT_ONLY=q1,q2 — standalone re-measurement of specific
     // queries (the honest steady-state number on a loaded shared host
     // is the min over passes of a single query, not of the full suite)
@@ -133,7 +155,8 @@ object Bench {
       "\"" + k + "\":[" + times(k).reverse.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val loadArr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"extra_passes":$extraPasses,"cpus":"$cpus","loadavg":$loadArr,"sf":"$sfDir"}"""
+    val probeAfter = cpuProbeMs()
+    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"extra_passes":$extraPasses,"cpus":"$cpus","loadavg":$loadArr,"probe_ms":[$probeBefore%.1f,$probeAfter%.1f],"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (sidecar + "\n").getBytes("UTF-8"))
