@@ -275,12 +275,16 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "compact"),
       Identifier.of(namespace, "changes"),
-      Identifier.of(namespace, "expire"))
+      Identifier.of(namespace, "expire"),
+      Identifier.of(namespace, "tag"),
+      Identifier.of(namespace, "untag"))
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name.toLowerCase match {
       case "compact" => new CompactProcedure(this)
       case "changes" => new ChangesProcedure(this)
       case "expire"  => new ExpireProcedure(this)
+      case "tag"     => new TagProcedure(this)
+      case "untag"   => new UntagProcedure(this)
       case _ => throw new RuntimeException(
         s"procedure not found: ${key(ident)}")
     }
@@ -701,10 +705,48 @@ class MemTable(tableName: String, tableSchema: StructType,
   // a compliance verb, so a resurrected read must be an error, never
   // a silent fallback to some other version).
   private var expiredThrough: Int = 0
+  // NAMED REFS (Iceberg tags): immutable name → version-ordinal
+  // pointers. A tagged version is retention-PROTECTED — expire clamps
+  // its cut below the oldest tag (the expire_snapshots contract:
+  // refs pin their snapshots), and versioned reads accept a tag name
+  // wherever they accept an ordinal.
+  // java.lang.Integer, NOT scala Int: `get` on a missing key must
+  // return a null the lookup can see (a primitive value type would
+  // silently unbox null to 0 and turn "no such tag" into "version 0")
+  private val versionTags =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  /** Create an immutable tag at a committed, unexpired version.
+    * Returns the tagged ordinal. */
+  private[sources] def createTag(name: String, v: Long): Int =
+    rows.synchronized {
+      if (versionTags.containsKey(name))
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists on $tableName (tags are " +
+            "immutable; untag first)")
+      if (v < 1 || v > versionLog.size)
+        throw new IllegalArgumentException(
+          s"tag '$name': version $v outside committed versions " +
+            s"[1, ${versionLog.size}] of $tableName")
+      if (v <= expiredThrough)
+        throw new IllegalStateException(
+          s"tag '$name': version $v of $tableName has been expired")
+      versionTags.put(name, v.toInt)
+      v.toInt
+    }
+  /** Drop a tag; its version becomes expirable again. Returns the
+    * ordinal the tag pointed at. */
+  private[sources] def dropTag(name: String): Int = rows.synchronized {
+    val v = versionTags.remove(name)
+    if (v == null) throw new IllegalArgumentException(
+      s"no such tag '$name' on $tableName")
+    v.intValue()
+  }
   /** Expire all but the newest `keepN` version manifests. Refuses to
-    * break the live chain (`keepN >= 1`) and is idempotent/monotonic:
-    * re-expiring with a larger keepN never un-expires. Returns
-    * (newly expired, retained, first live version). */
+    * break the live chain (`keepN >= 1`), never expires a TAGGED
+    * version (the cut clamps below the oldest tag), and is
+    * idempotent/monotonic: re-expiring with a larger keepN never
+    * un-expires. Returns (newly expired, retained, first live
+    * version). */
   private[sources] def expire(keepN: Int): (Int, Int, Int) =
     rows.synchronized {
       if (keepN < 1) throw new IllegalArgumentException(
@@ -713,7 +755,16 @@ class MemTable(tableName: String, tableSchema: StructType,
       if (versionLog.isEmpty) throw new IllegalStateException(
         s"$tableName has no committed versions to expire")
       val total = versionLog.size
-      val cut = math.max(expiredThrough, total - keepN)
+      val wanted = math.max(expiredThrough, total - keepN)
+      // a tagged version (and everything after it — ordinal holes
+      // would renumber nothing but complicate the chain contract)
+      // survives retention
+      val oldestTag = {
+        var m = Int.MaxValue
+        versionTags.values.forEach(v => m = math.min(m, v))
+        m
+      }
+      val cut = math.min(wanted, oldestTag - 1)
       val newly = cut - expiredThrough
       // null the slots (ordinals must stay stable — an expired
       // version is an ERROR, not a renumbering) so the manifests'
@@ -728,12 +779,22 @@ class MemTable(tableName: String, tableSchema: StructType,
     }
   private[graft] def expiredVersionCount: Int =
     rows.synchronized(expiredThrough)
-  /** The read-only table view serving version manifest `version`
-    * (1-based commit ordinals, the store's snapshot-id scheme). */
+  /** The read-only table view serving version manifest `version` —
+    * a 1-based commit ordinal (the store's snapshot-id scheme) or a
+    * TAG name ([[createTag]]). */
   private[sources] def atVersion(version: String): Table = {
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"version must be a commit ordinal, got '$version'")
+      case _: NumberFormatException =>
+        val tagged = versionTags.get(version)
+        // IllegalState, not IllegalArgument: the engine's relation
+        // resolution swallows some exception types from loadTable
+        // into a generic TABLE_OR_VIEW_NOT_FOUND (observed on
+        // Spark 4.1); ISE propagates raw, keeping the refusal loud
+        // and attributable (the retention errors' contract)
+        if (tagged == null) throw new IllegalStateException(
+          s"version must be a commit ordinal or a tag name; " +
+            s"'$version' is neither on $tableName")
+        tagged.longValue()
     }
     val manifest = rows.synchronized {
       if (v < 1 || v > versionLog.size)
@@ -1698,6 +1759,83 @@ class ExpireProcedure(cat: MemCatalog)
           override def rows(): Array[InternalRow] = Array(
             InternalRow.fromSeq(Seq(expired.toLong, retained.toLong,
               firstLive.toLong)))
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
+/** `tag('ns.tbl', 'name', v)` / `untag('ns.tbl', 'name')` — NAMED
+  * VERSION REFS (Iceberg tags): an immutable pointer at a committed
+  * version, readable via `VERSION AS OF 'name'` and PROTECTED from
+  * retention (`expire` clamps its cut below the oldest tag — the
+  * expire_snapshots refs contract). The audit/rollback handle a
+  * compliance review pins BEFORE a retention sweep runs. Summary row
+  * carries the (re)solved ordinal. */
+class TagProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "tag"
+  override def description(): String =
+    "tag('ns.tbl', 'name', v): immutable named ref to version v; " +
+      "tagged versions survive expire"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 3 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != StringType ||
+        inputType.fields(2).dataType != LongType)
+      throw new UnsupportedOperationException(
+        s"tag expects (STRING, STRING, BIGINT), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "tag"
+      override def description(): String = TagProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("name", StringType).build(),
+          procedures.ProcedureParameter.in("v", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val v = cat.tableByName(input.getUTF8String(0).toString)
+          .createTag(input.getUTF8String(1).toString, input.getLong(2))
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("tagged_version", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow.fromSeq(Seq(v.toLong)))
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
+class UntagProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "untag"
+  override def description(): String =
+    "untag('ns.tbl', 'name'): drop a named ref; its version becomes " +
+      "expirable again"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != StringType)
+      throw new UnsupportedOperationException(
+        s"untag expects (STRING, STRING), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "untag"
+      override def description(): String = UntagProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val v = cat.tableByName(input.getUTF8String(0).toString)
+          .dropTag(input.getUTF8String(1).toString)
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("untagged_version", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow.fromSeq(Seq(v.toLong)))
         }
         util.List.of(out).iterator()
       }

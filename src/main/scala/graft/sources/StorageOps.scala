@@ -817,6 +817,106 @@ object StorageOps {
       .transform(Present.sorted(_, col("step")))
   }
 
+  /** NAMED VERSION TAGS with retention protection (`CALL sys.tag` /
+    * `sys.untag` + the `expire` clamp) — the Iceberg refs contract
+    * completing the retention story: a compliance review PINS a
+    * version by name before the retention sweep runs, reads it as
+    * `VERSION AS OF 'audit'`, and `expire` must not take it (the cut
+    * clamps below the oldest tag); dropping the tag releases the
+    * version to the next sweep. The chain is the expire scenario's
+    * (CTAS → UPDATE → takedown DELETE → INSERT); the result pins:
+    *   - tag resolution ≡ ordinal resolution (the 'audit' row and
+    *     the v2-by-number row carry identical aggregates);
+    *   - protection: expire keep_n=1 with 'audit'@v2 expires ONLY v1
+    *     (summary row 1/3), not the wanted three;
+    *   - tagging an expired version is refused;
+    *   - untag releases: the second keep_n=1 sweep takes v2 and v3
+    *     (summary 2/1), after which both the ordinal and the tag
+    *     name fail loudly.
+    * Statuses follow catalog_expire's convention (a regression that
+    * silently serves an expired/untagged read surfaces real
+    * aggregates under the wrong status and hash-fails). */
+  def catalogTag(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.tg TBLPROPERTIES('mor'='true') AS
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)         // v1
+    cs.sql("UPDATE graft_mem.ns.tg SET v = v + 1000 WHERE k < 10")   // v2
+    cs.sql("DELETE FROM graft_mem.ns.tg WHERE v % 7 = 3")      // v3 takedown
+    cs.sql("INSERT INTO graft_mem.ns.tg VALUES " +
+      "(CAST(9001 AS BIGINT), CAST(77 AS BIGINT))")                  // v4
+    def agg(step: String, from: String): DataFrame =
+      cs.sql(
+        s"""SELECT '$step' AS step, 'readable' AS status,
+           |  count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v
+           |FROM $from""".stripMargin)
+    def lits(step: String, status: String, a: Long, b: Long): DataFrame =
+      cs.sql(s"""SELECT '$step' AS step, '$status' AS status,
+                |  CAST($a AS BIGINT) AS n_rows,
+                |  CAST($b AS BIGINT) AS sum_v""".stripMargin)
+    def summary(step: String, call: String): DataFrame = {
+      val r = cs.sql(call).head()
+      lits(step, "summary", r.getLong(0), r.getLong(1))
+    }
+    val tagged = cs.sql("CALL graft_mem.sys.tag('ns.tg', 'audit', 2L)")
+      .head().getLong(0)
+    val tagRow = lits("tag", "summary", tagged, -1L)
+    // keep_n = 1 WANTS v1..v3 gone; the tag at v2 clamps the sweep
+    val expire1 = summary("expire1",
+      "CALL graft_mem.sys.expire('ns.tg', 1L)")
+    def readOr(step: String, from: String, failStatus: String,
+               needles: Seq[String]): DataFrame =
+      try agg(step, from)
+      catch {
+        case e: Throwable if needles.exists(causeChainHas(e, _)) =>
+          lits(step, failStatus, -1L, -1L)
+      }
+    val v1Row = readOr("v1", "graft_mem.ns.tg VERSION AS OF 1",
+      "expired", Seq("has been expired"))
+    val v2Num = readOr("v2_num", "graft_mem.ns.tg VERSION AS OF 2",
+      "expired", Seq("has been expired"))
+    val v2Tag = readOr("v2_tag", "graft_mem.ns.tg VERSION AS OF 'audit'",
+      "expired", Seq("has been expired"))
+    val staleTag =
+      try { cs.sql("CALL graft_mem.sys.tag('ns.tg', 'stale', 1L)").collect()
+            lits("tag_stale", "tagged", 1L, -1L) }
+      catch {
+        case e: Throwable if causeChainHas(e, "has been expired") =>
+          lits("tag_stale", "refused", -1L, -1L)
+      }
+    val untag = {
+      val v = cs.sql("CALL graft_mem.sys.untag('ns.tg', 'audit')")
+        .head().getLong(0)
+      lits("untag", "summary", v, -1L)
+    }
+    val expire2 = summary("expire2",
+      "CALL graft_mem.sys.expire('ns.tg', 1L)")
+    val v2After = readOr("v2_after", "graft_mem.ns.tg VERSION AS OF 2",
+      "expired", Seq("has been expired"))
+    // a dropped ref surfaces as the engine's standard unresolvable-
+    // relation error (the resolver swallows the store's "is neither"
+    // exception on the string-version path — observed on Spark 4.1;
+    // numeric-version errors propagate raw). Semantically defensible:
+    // a named ref IS a table-version address, and a missing one is an
+    // unresolvable relation. Attribution holds because the SAME table
+    // resolves one line below (live read) and one step above (v2 by
+    // ordinal) — only the ref is gone; CatalogSpec pins the store's
+    // own message at the API grain where no engine sits in between.
+    val auditAfter = readOr("audit_after",
+      "graft_mem.ns.tg VERSION AS OF 'audit'",
+      "no_such_tag", Seq("is neither on", "TABLE_OR_VIEW_NOT_FOUND"))
+    tagRow.unionByName(expire1).unionByName(v1Row)
+      .unionByName(v2Num).unionByName(v2Tag).unionByName(staleTag)
+      .unionByName(untag).unionByName(expire2)
+      .unionByName(v2After).unionByName(auditAfter)
+      .unionByName(agg("live", "graft_mem.ns.tg"))
+      .transform(Present.sorted(_, col("step")))
+  }
+
   /** The takedown-audit's CATALOG-VERSIONS row: proof that a takedown
     * DELETE against a versioned catalog table actually sticks — i.e.
     * after `CALL sys.expire`, the purged rows are unreachable at
@@ -2239,6 +2339,7 @@ object StorageOps {
     "catalog_time_travel" -> catalogTimeTravel _,
     "catalog_changes"     -> catalogChanges _,
     "catalog_expire"      -> catalogExpire _,
+    "catalog_tag"         -> catalogTag _,
     "catalog_function"    -> catalogFunction _,
     "catalog_agg_function" -> catalogAggFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
@@ -2754,6 +2855,38 @@ object StorageOps {
         |    -1, 0
         |  UNION ALL SELECT 'cdc_2_5', 'refused', -1, -1, -1)
         |SELECT step, status, n_rows, sum_v, n_takedown FROM allv
+        |ORDER BY step""".stripMargin,
+    // tag resolution ≡ ordinal resolution (the two v2 rows must carry
+    // identical chain-replay aggregates); every summary/refusal row
+    // is a literal the Scala side only emits when the catalog action
+    // actually took/failed that way
+    "catalog_tag" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey % 97 AS k, CAST(sum(o_orderkey) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k < 10 THEN v + 1000 ELSE v END AS v
+        |  FROM v1),
+        |v3 AS (SELECT k, v FROM v2 WHERE NOT (v % 7 = 3)),
+        |v4 AS (SELECT k, v FROM v3
+        |  UNION ALL SELECT 9001::BIGINT, 77::BIGINT),
+        |allv AS (
+        |  SELECT 'tag' AS step, 'summary' AS status,
+        |    2::BIGINT AS n_rows, CAST(-1 AS BIGINT) AS sum_v
+        |  UNION ALL SELECT 'expire1', 'summary', 1, 3
+        |  UNION ALL SELECT 'v1', 'expired', -1, -1
+        |  UNION ALL SELECT 'v2_num', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM v2
+        |  UNION ALL SELECT 'v2_tag', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM v2
+        |  UNION ALL SELECT 'tag_stale', 'refused', -1, -1
+        |  UNION ALL SELECT 'untag', 'summary', 2, -1
+        |  UNION ALL SELECT 'expire2', 'summary', 2, 1
+        |  UNION ALL SELECT 'v2_after', 'expired', -1, -1
+        |  UNION ALL SELECT 'audit_after', 'no_such_tag', -1, -1
+        |  UNION ALL SELECT 'live', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM v4)
+        |SELECT step, status, n_rows, sum_v FROM allv
         |ORDER BY step""".stripMargin,
     // the layout changes the plan (bloom-skipped row groups), never
     // the answer: the point lookup replays as scalar-subquery probes

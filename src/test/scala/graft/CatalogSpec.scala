@@ -1018,4 +1018,63 @@ class CatalogSpec extends SparkSpec {
       .loadTable(Identifier.of(Array("ex"), "t")).asInstanceOf[MemTable]
     assert(t.versionCount == 5 && t.expiredVersionCount == 2)
   }
+
+  test("CALL tag/untag: named refs resolve, protect from expire, and " +
+    "release on drop") {
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.tg.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('mor'='true')")
+    cs.sql("INSERT INTO mem.tg.t VALUES (1, 10), (2, 20)")         // v1
+    cs.sql("UPDATE mem.tg.t SET v = v + 5 WHERE k = 2")            // v2
+    cs.sql("INSERT INTO mem.tg.t VALUES (3, 30)")                  // v3
+    def chainHas(e: Throwable, needle: String): Boolean = {
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains(needle)))
+    }
+    // tag v1; reads by name ≡ reads by ordinal
+    assert(cs.sql("CALL mem.sys.tag('tg.t', 'audit', 1L)")
+      .head().getLong(0) == 1L)
+    def at(v: String) = cs.sql(
+      s"SELECT k, v FROM mem.tg.t VERSION AS OF $v ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(at("'audit'") == at("1"))
+    // tags are immutable: re-tagging the name refuses
+    val dup = intercept[Exception] {
+      cs.sql("CALL mem.sys.tag('tg.t', 'audit', 2L)").collect()
+    }
+    assert(chainHas(dup, "already exists"), dup.getMessage)
+    // retention clamps below the oldest tag: keep_n=1 wants v1..v2
+    // gone but 'audit'@v1 pins everything — nothing expires
+    val s1 = cs.sql("CALL mem.sys.expire('tg.t', 1L)").head()
+    assert(s1.getLong(0) == 0L && s1.getLong(2) == 1L, s1.toString)
+    assert(at("'audit'") == at("1")) // still readable
+    // drop the tag → the same sweep now takes v1 and v2
+    assert(cs.sql("CALL mem.sys.untag('tg.t', 'audit')")
+      .head().getLong(0) == 1L)
+    val s2 = cs.sql("CALL mem.sys.expire('tg.t', 1L)").head()
+    assert(s2.getLong(0) == 2L && s2.getLong(2) == 3L, s2.toString)
+    intercept[Exception] { at("1") }
+    // tagging an expired version refuses; unknown tag at the API
+    // grain carries the store's own message (the engine path maps a
+    // missing ref to its unresolvable-relation error — pinned in the
+    // catalog_tag gate; here no engine sits in between)
+    val stale = intercept[Exception] {
+      cs.sql("CALL mem.sys.tag('tg.t', 'stale', 1L)").collect()
+    }
+    assert(chainHas(stale, "has been expired"), stale.getMessage)
+    val cat = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+    val miss = intercept[Exception] {
+      cat.loadTable(Identifier.of(Array("tg"), "t"), "ghost")
+    }
+    assert(chainHas(miss, "is neither on"), miss.getMessage)
+    // unknown tag on untag refuses too
+    val missDrop = intercept[Exception] {
+      cs.sql("CALL mem.sys.untag('tg.t', 'ghost')").collect()
+    }
+    assert(chainHas(missDrop, "no such tag"), missDrop.getMessage)
+  }
 }
