@@ -60,7 +60,28 @@ object Bench {
       if (x == 42L) System.err.println("") // defeat dead-code elim
       dt
     }.min
+    // parallel twin: the same loop on `cpus` threads at once. The
+    // single-thread probe pins per-core latency; THIS one inflates
+    // under host-level core steal / SMT contention — the dimension
+    // that actually moves bench totals between "idle" boards.
+    def cpuProbeMtMs(): Double = {
+      val body: Runnable = () => {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 200000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x ^= x >>> 33
+          i += 1
+        }
+        if (x == 42L) System.err.println("")
+      }
+      val t0 = System.nanoTime()
+      val ts = (1 to cpus.toInt).map(_ => new Thread(body))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
     val probeBefore = cpuProbeMs()
+    val probeMtBefore = cpuProbeMtMs()
     // SPARK_GRAFT_ONLY=q1,q2 — standalone re-measurement of specific
     // queries (the honest steady-state number on a loaded shared host
     // is the min over passes of a single query, not of the full suite)
@@ -156,7 +177,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val loadArr = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val probeAfter = cpuProbeMs()
-    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"extra_passes":$extraPasses,"cpus":"$cpus","loadavg":$loadArr,"probe_ms":[$probeBefore%.1f,$probeAfter%.1f],"sf":"$sfDir"}"""
+    val probeMtAfter = cpuProbeMtMs()
+    val sidecar = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(3)},"spread":$spreads,"pass_times":$passTimes,"passes":$passes,"extra_passes":$extraPasses,"cpus":"$cpus","loadavg":$loadArr,"probe_ms":[$probeBefore%.1f,$probeAfter%.1f],"probe_mt_ms":[$probeMtBefore%.1f,$probeMtAfter%.1f],"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (sidecar + "\n").getBytes("UTF-8"))
