@@ -7,7 +7,13 @@ object Bench {
     // and the JSON line becomes unparseable. Pin ROOT process-wide.
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Parse once with a validated fallback: the raw env string feeds
+    // toInt (probe thread count) and toDouble (loadavg gate) later —
+    // a malformed value ('', '8.0') must not abort the whole run.
+    val cpusN: Int = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(4)
+    val cpus = cpusN.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,7 +82,7 @@ object Bench {
         if (x == 42L) System.err.println("")
       }
       val t0 = System.nanoTime()
-      val ts = (1 to cpus.toInt).map(_ => new Thread(body))
+      val ts = (1 to cpusN).map(_ => new Thread(body))
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
@@ -117,7 +123,7 @@ object Bench {
     // committed board (158 s, idle) and the driver re-run (186 s,
     // loadavg 13) from telling the same story. Skipped for quick
     // single-pass iteration runs.
-    val loadGate = cpus.toDouble / 4.0
+    val loadGate = cpusN.toDouble / 4.0
     val extraPasses = if (passes >= 3 && loads.max > loadGate) 1 else 0
     (1 to extraPasses).foreach(_ => runPass("extra (loadavg gate)"))
     val best = times.view.mapValues(_.min).toMap

@@ -762,19 +762,26 @@ object Dedup {
     * clusters whose pairwise expansion is O(n²)) are collected once
     * (bounded: ≤ corpus/maxBucket of them by counting) and re-enter
     * as a broadcast anti-join, the [[lshPairsFrom]] contract. */
+  /** The SimHash banded relation (doc_id, simhash, band, bucket) from
+    * a signature relation — shared by the pair self-join and the
+    * degenerate-bucket clustering path. */
+  private[graft] def simhashBandedFrom(sh: DataFrame): DataFrame = {
+    val bandBits = SimHashBits / SimHashBands
+    val mask = (1L << bandBits) - 1
+    sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimHashBands).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
   private[graft] def simhashPairsFrom(sh: DataFrame,
                                       maxHam: Int = 3,
                                       maxBucket: Int = SimHashMaxBucket)
       : DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
-    val bandBits = SimHashBits / SimHashBands
-    val mask = (1L << bandBits) - 1
-    val banded0 = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimHashBands).map(b =>
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded0 = simhashBandedFrom(sh)
     val hotRows = banded0.groupBy("band", "bucket")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("band", "bucket")
@@ -815,23 +822,131 @@ object Dedup {
     * every leg's CTE chain already replays in DuckDB; the ensemble
     * oracle composes them with the same union + flag-max aggregate. */
   def dedupEnsemble(s: SparkSession, d: String): DataFrame = {
-    val mh = SigStore.lshPairs(s, d).select("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        lit(1).as("m"), lit(0).as("sm"), lit(0).as("e"))
-    val sp = simhashPairs(s, d).select("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        lit(0).as("m"), lit(1).as("sm"), lit(0).as("e"))
-    val ex = SigStore.exactPairs(s, d).select("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        lit(0).as("m"), lit(0).as("sm"), lit(1).as("e"))
-    mh.unionByName(sp).unionByName(ex)
-      .groupBy("doc_a", "doc_b")
-      .agg(max("m").as("m"), max("sm").as("sm"), max("e").as("e"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("m") === 1).as("in_minhash"),
-        (col("sm") === 1).as("in_simhash"),
-        (col("e") === 1).as("in_exact"),
-        (col("m") + col("sm") + col("e")).as("votes"))
+    // r19: the consensus relation itself LANDS per dataset — the
+    // union + flag-max aggregate over the three pair stores was the
+    // suite's last per-run recomputation in the family (BENCH_SELF
+    // pass-1 3.8 s vs 0.45 s min); steady state is now a store read
+    // like every other pair artifact.
+    val path = ensembleStores.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.processScoped("graft_ensemble",
+        s"e${ensembleIds.getAndIncrement()}").toString
+      val mh = SigStore.lshPairs(s, d).select("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          lit(1).as("m"), lit(0).as("sm"), lit(0).as("e"))
+      val sp = simhashPairs(s, d).select("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          lit(0).as("m"), lit(1).as("sm"), lit(0).as("e"))
+      val ex = SigStore.exactPairs(s, d).select("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          lit(0).as("m"), lit(0).as("sm"), lit(1).as("e"))
+      mh.unionByName(sp).unionByName(ex)
+        .groupBy("doc_a", "doc_b")
+        .agg(max("m").as("m"), max("sm").as("sm"), max("e").as("e"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("m") === 1).as("in_minhash"),
+          (col("sm") === 1).as("in_simhash"),
+          (col("e") === 1).as("in_exact"),
+          (col("m") + col("sm") + col("e")).as("votes"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+      .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
+  }
+
+  private val ensembleStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Degenerate-bucket threshold for the CLUSTERED ensemble: band
+    * buckets holding more than this many signatures route to O(n)
+    * cluster rows instead of O(n²) pairwise expansion. Deliberately
+    * tiny (2) for the registered gate so sf0.01 exercises both paths
+    * (minhash max bucket there is 3, simhash 27); production runs the
+    * same operator at the [[LshMaxBucket]]/[[SimHashMaxBucket]] scale,
+    * where the round-18 rehearsal measured 84.9 M residual pairs from
+    * 200-deep identical buckets that clustering collapses to 255 k
+    * membership rows. */
+  val EnsembleClusterBucket = 2
+
+  private val ensembleClusteredStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private val ensembleIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STAR EDGES of the degenerate band buckets of a banded signature
+    * relation: every bucket deeper than `t` becomes (rep, member)
+    * rows, rep = the bucket's minimum doc_id; a member in several
+    * degenerate buckets keeps its smallest rep. O(members) output and
+    * two key-shuffles (one on (band, bucket) for the windowed
+    * count/min, one on doc_id for the per-member min) — NEVER the
+    * bucket self-join, which is the entire point: a 10⁵-deep
+    * near-identical cluster at 100 TB costs 10⁵ rows here vs 10¹⁰
+    * pairs under pairwise expansion. Memberships are emitted
+    * UNVERIFIED (the depth of the bucket is the signal; production
+    * verifies a sample per cluster, not every pair). */
+  private[graft] def degenerateStars(banded: DataFrame, t: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "bucket")
+    banded
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .filter(col("n") > t)
+      .groupBy(col("doc_id"))
+      .agg(min(col("rep")).as("rep"))
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+  }
+
+  /** CLUSTERED NEAR-DUP ENSEMBLE — the round-18 rehearsal's answer to
+    * degenerate buckets made a first-class operator. Band buckets
+    * deeper than `t` are near-identical clusters; expanding them
+    * pairwise is contract-quadratic waste (measured: 255 M-record
+    * consensus shuffle at 200×). Here each family routes them to
+    * [[degenerateStars]] star edges (O(members), `clustered = true`)
+    * and keeps pairwise expansion — with its signature verification —
+    * only for buckets ≤ t (the landed pair stores at maxBucket = t).
+    * The exact-Jaccard leg stays pairwise (it has no buckets; its
+    * shingle universe is df-capped). Consensus is the same
+    * (doc_a, doc_b) flag-max aggregate as [[dedupEnsemble]], now over
+    * star edges + residual pairs, and the whole routing table LANDS
+    * per (dataset, t) — steady state is an artifact read.
+    * HASH-GATED: every leg replays in DuckDB (the star legs are a
+    * QUALIFY-count window + per-member min over the same banded
+    * CTEs). */
+  def dedupEnsembleClustered(s: SparkSession, d: String,
+                             t: Int = EnsembleClusterBucket): DataFrame = {
+    val path = ensembleClusteredStores.computeIfAbsent((d, t), _ => {
+      val out = graft.Scratch.processScoped("graft_ensemble",
+        s"c${ensembleIds.getAndIncrement()}_t$t").toString
+      val st = SigStore.forDataset(s, d)
+      def tag(df: DataFrame, m: Int, sm: Int, e: Int, c: Int): DataFrame =
+        df.select(col("doc_a"), col("doc_b"), lit(m).as("m"),
+          lit(sm).as("sm"), lit(e).as("e"), lit(c).as("c"))
+      val mhStar = tag(degenerateStars(
+        st.banded(s).select("doc_id", "band", "bucket"), t), 1, 0, 0, 1)
+      val smStar = tag(degenerateStars(
+        simhashBandedFrom(s.read.parquet(simhashSigRoot(s, d)))
+          .select("doc_id", "band", "bucket"), t), 0, 1, 0, 1)
+      val mhPairs = tag(SigStore.lshPairs(s, d, maxBucket = t)
+        .select("doc_a", "doc_b"), 1, 0, 0, 0)
+      val smPairs = tag(simhashPairs(s, d, maxBucket = t)
+        .select("doc_a", "doc_b"), 0, 1, 0, 0)
+      val ex = tag(SigStore.exactPairs(s, d)
+        .select("doc_a", "doc_b"), 0, 0, 1, 0)
+      mhStar.unionByName(smStar).unionByName(mhPairs)
+        .unionByName(smPairs).unionByName(ex)
+        .groupBy("doc_a", "doc_b")
+        .agg(max("m").as("m"), max("sm").as("sm"),
+          max("e").as("e"), max("c").as("c"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("m") === 1).as("in_minhash"),
+          (col("sm") === 1).as("in_simhash"),
+          (col("e") === 1).as("in_exact"),
+          (col("c") === 1).as("clustered"),
+          (col("m") + col("sm") + col("e")).as("votes"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }
 
@@ -935,6 +1050,8 @@ object Dedup {
     "dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "simhash_pairs"   -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_ensemble"  -> dedupEnsemble _,
+    "dedup_ensemble_clustered" ->
+      ((s: SparkSession, d: String) => dedupEnsembleClustered(s, d)),
     "simhash64_invariants" -> simhash64Invariants _,
     "fuzzy_pairs"     -> ((s: SparkSession, d: String) => fuzzyPairs(s, d)),
     "fuzzy_pairs_unicode" -> ((s: SparkSession, d: String) => fuzzyPairsUnicode(s, d)),
@@ -1158,6 +1275,55 @@ object Dedup {
          |  max(m) = 1 AS in_minhash,
          |  max(sm) = 1 AS in_simhash,
          |  max(e) = 1 AS in_exact,
+         |  (max(m) + max(sm) + max(e))::INT AS votes
+         |FROM tagged GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the clustered ensemble: both banded chains replay at
+    // maxBucket = t (residual pairs), and the star legs are a
+    // QUALIFY-count window + per-member min over the SAME banded
+    // CTEs — a routing drift between "cluster row" and "pair" on
+    // either side hash-fails
+    "dedup_ensemble_clustered" ->
+      s"""WITH ${lshOracleCtes(maxBucket = EnsembleClusterBucket)},
+         |${simhashOracleCtes(maxBucket = EnsembleClusterBucket)},
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5),
+         |mh_deg AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+         |  FROM banded
+         |  QUALIFY count(*) OVER (PARTITION BY band, bucket)
+         |    > $EnsembleClusterBucket),
+         |mh_star AS (
+         |  SELECT min(rep) AS doc_a, doc_id AS doc_b FROM mh_deg
+         |  GROUP BY doc_id HAVING min(rep) < doc_id),
+         |sm_deg AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+         |  FROM sm_banded
+         |  QUALIFY count(*) OVER (PARTITION BY band, bucket)
+         |    > $EnsembleClusterBucket),
+         |sm_star AS (
+         |  SELECT min(rep) AS doc_a, doc_id AS doc_b FROM sm_deg
+         |  GROUP BY doc_id HAVING min(rep) < doc_id),
+         |tagged AS (
+         |  SELECT doc_a, doc_b, 1 AS m, 0 AS sm, 0 AS e, 1 AS c FROM mh_star
+         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0, 1 FROM sm_star
+         |  UNION ALL SELECT doc_a, doc_b, 1, 0, 0, 0 FROM est
+         |  WHERE est_jaccard >= 0.5
+         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0, 0 FROM simp
+         |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1, 0 FROM exact)
+         |SELECT doc_a, doc_b,
+         |  max(m) = 1 AS in_minhash,
+         |  max(sm) = 1 AS in_simhash,
+         |  max(e) = 1 AS in_exact,
+         |  max(c) = 1 AS clustered,
          |  (max(m) + max(sm) + max(e))::INT AS votes
          |FROM tagged GROUP BY 1, 2
          |ORDER BY doc_a, doc_b""".stripMargin,

@@ -42,9 +42,13 @@ object AvroIO {
   // "d" prefix: the sanitized dataset path starts with '_' (leading
   // slash → underscore), and Hadoop's FileInputFormat hidden-path
   // filter silently rejects '_'/'.'-leading path segments — the read
-  // would fail with "Input path does not exist" on an existing dir
+  // would fail with "Input path does not exist" on an existing dir.
+  // processScoped: the stage dir is wipe-then-write, so a shared path
+  // would let a concurrent suite JVM and Verify JVM interleave
+  // delete/write on the same dataset's containers (the exact hazard
+  // Scratch.processScoped exists for).
   private def stageDir(tag: String, d: String): String =
-    graft.Scratch.path("graft_avro", tag,
+    graft.Scratch.processScoped("graft_avro", tag,
       "d" + d.replaceAll("[^a-zA-Z0-9]", "_")).toString
 
   /** Write the (l_orderkey, l_quantity, l_returnflag) projection as

@@ -719,6 +719,14 @@ class MemTable(tableName: String, tableSchema: StructType,
     * Returns the tagged ordinal. */
   private[sources] def createTag(name: String, v: Long): Int =
     rows.synchronized {
+      // atVersion parses ordinals before consulting tags, so an
+      // all-numeric tag name ('2024') would be creatable yet never
+      // resolvable — VERSION AS OF '2024' would silently read
+      // ordinal 2024. Refuse at create time instead.
+      if (scala.util.Try(name.trim.toLong).isSuccess)
+        throw new IllegalArgumentException(
+          s"tag '$name': all-numeric tag names are reserved for " +
+            s"commit ordinals on $tableName; pick a non-numeric name")
       if (versionTags.containsKey(name))
         throw new IllegalArgumentException(
           s"tag '$name' already exists on $tableName (tags are " +

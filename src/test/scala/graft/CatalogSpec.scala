@@ -1076,5 +1076,13 @@ class CatalogSpec extends SparkSpec {
       cs.sql("CALL mem.sys.untag('tg.t', 'ghost')").collect()
     }
     assert(chainHas(missDrop, "no such tag"), missDrop.getMessage)
+    // all-numeric tag names refuse at create time: atVersion parses
+    // ordinals before tags, so '2024' would be creatable but never
+    // resolvable (VERSION AS OF '2024' reads ordinal 2024 instead)
+    val numeric = intercept[Exception] {
+      cs.sql("CALL mem.sys.tag('tg.t', '2024', 2L)").collect()
+    }
+    assert(chainHas(numeric, "all-numeric tag names are reserved"),
+      numeric.getMessage)
   }
 }

@@ -305,6 +305,68 @@ class DedupSpec extends SparkSpec {
       "ensemble re-ran the simhash pipeline")
   }
 
+  test("dedup_ensemble_clustered: degenerate buckets route to O(n) star " +
+    "edges, residual pairs keep verification, provenance faithful") {
+    import org.apache.spark.sql.DataFrame
+    val t = Dedup.EnsembleClusterBucket
+    // ground-truth star edges recomputed scala-side from the banded
+    // relation: buckets deeper than t, rep = bucket min, per-member
+    // smallest rep, edge (rep, member) for rep < member
+    def starExpect(banded: DataFrame): (Set[(Long, Long)], Int) = {
+      val rows = banded.select("band", "bucket", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val deg = rows.groupBy(r => (r._1, r._2)).values
+        .filter(_.length > t).toSeq
+      val repPerDoc = deg.flatMap { g =>
+        val rep = g.map(_._3).min
+        g.map(m => (m._3, rep))
+      }.groupBy(_._1).map { case (doc, rs) => (doc, rs.map(_._2).min) }
+      // .toSeq first: collect on a Map would re-key by rep and
+      // collapse every edge sharing a representative to one entry
+      val edges = repPerDoc.toSeq.collect {
+        case (doc, rep) if rep < doc => (rep, doc)
+      }.toSet
+      (edges, deg.map(_.length).sum)
+    }
+    val st = graft.operators.SigStore.forDataset(spark, sfDir)
+    val (mhStar, mhMembers) = starExpect(st.banded(spark))
+    val (smStar, _) = starExpect(
+      Dedup.simhashBandedFrom(Dedup.simhash(spark, sfDir)))
+    // the gate corpus must exercise the cluster path in BOTH families
+    assert(mhStar.nonEmpty && smStar.nonEmpty,
+      s"no degenerate buckets at t=$t — the gate is not exercising " +
+        "the cluster routing")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhP = pairs(graft.operators.SigStore.lshPairs(spark, sfDir, maxBucket = t))
+    val smP = pairs(Dedup.simhashPairs(spark, sfDir, maxBucket = t))
+    val exP = pairs(graft.operators.SigStore.exactPairs(spark, sfDir))
+    val out = Dedup.dedupEnsembleClustered(spark, sfDir).collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (mhStar | smStar | mhP | smP | exP),
+      "clustered ensemble domain is not the union of stars + residuals")
+    out.foreach { r =>
+      val p = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(2) == (mhStar(p) || mhP(p)), s"in_minhash $p")
+      assert(r.getBoolean(3) == (smStar(p) || smP(p)), s"in_simhash $p")
+      assert(r.getBoolean(4) == exP(p), s"in_exact $p")
+      assert(r.getBoolean(5) == (mhStar(p) || smStar(p)), s"clustered $p")
+    }
+    // the O(n) contract: star edges never exceed degenerate-bucket
+    // membership (pairwise expansion would be quadratic in bucket
+    // depth — the exact failure the operator exists to avoid)
+    assert(mhStar.size <= mhMembers,
+      s"minhash star edges ${mhStar.size} exceed members $mhMembers")
+    // the routing table LANDS per (dataset, t): a second run rebuilds
+    // no leg (the simhash build counter is the canary, as in
+    // dedup_ensemble)
+    val s0 = Dedup.simhashPairBuildCount.get()
+    Dedup.dedupEnsembleClustered(spark, sfDir).collect()
+    assert(Dedup.simhashPairBuildCount.get() == s0,
+      "clustered ensemble re-ran the simhash pipeline")
+  }
+
   test("minhash delete compact: purge ≡ mask, purged store = sig − " +
     "tombstones exactly, purged-segment-only plan") {
     import org.apache.spark.sql.functions.{col, count, lit, max}
