@@ -109,8 +109,17 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val t = tables.get(key(ident))
-    if (t == null) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
-    t
+    if (t != null) return t
+    // the WRITABLE BRANCH ADDRESS `ns.t.branch_<name>` (Iceberg's
+    // branch-suffix convention): resolves to a table whose reads see
+    // base + staged appends and whose writes APPEND to the branch
+    if (ident.name.startsWith("branch_") && ident.namespace.nonEmpty) {
+      val pt = tables.get(ident.namespace.mkString("."))
+      val branch = ident.name.stripPrefix("branch_")
+      if (pt != null && pt.hasBranch(branch))
+        return new MemBranchTable(pt, branch)
+    }
+    throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
   }
 
   /** TIME TRAVEL through the catalog (`VERSION AS OF n`): every
@@ -277,7 +286,10 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "changes"),
       Identifier.of(namespace, "expire"),
       Identifier.of(namespace, "tag"),
-      Identifier.of(namespace, "untag"))
+      Identifier.of(namespace, "untag"),
+      Identifier.of(namespace, "branch"),
+      Identifier.of(namespace, "publish"),
+      Identifier.of(namespace, "drop_branch"))
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name.toLowerCase match {
       case "compact" => new CompactProcedure(this)
@@ -285,6 +297,9 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
       case "expire"  => new ExpireProcedure(this)
       case "tag"     => new TagProcedure(this)
       case "untag"   => new UntagProcedure(this)
+      case "branch"  => new BranchProcedure(this)
+      case "publish" => new PublishProcedure(this)
+      case "drop_branch" => new DropBranchProcedure(this)
       case _ => throw new RuntimeException(
         s"procedure not found: ${key(ident)}")
     }
@@ -749,6 +764,95 @@ class MemTable(tableName: String, tableSchema: StructType,
       s"no such tag '$name' on $tableName")
     v.intValue()
   }
+  // WRITABLE BRANCH REFS (write-audit-publish): a branch is a named
+  // ref created at a committed version whose staged appends are
+  // invisible to main until `CALL sys.publish` fast-forwards it —
+  // the other half of the Iceberg refs contract begun by tags
+  // (ref: mapReduceGCP keeps no version chain at all; this is the
+  // lakehouse-maturity surface a production ingest workflow needs).
+  // Branch writes are deliberately UNCHECKED (the WAP point: stage
+  // first, audit the staged state, publish only what passes); the
+  // CHECK-constraint audit runs engine-side in PublishProcedure.
+  private final class BranchState(val baseV: Int) {
+    val pending = new java.util.ArrayList[MemRow]()
+  }
+  private val branchRefs =
+    new java.util.concurrent.ConcurrentHashMap[String, BranchState]()
+  private[sources] def createBranch(name: String, v: Long): Int =
+    rows.synchronized {
+      // same reservation as tags: ordinals parse first in atVersion
+      if (scala.util.Try(name.trim.toLong).isSuccess)
+        throw new IllegalArgumentException(
+          s"branch '$name': all-numeric ref names are reserved for " +
+            s"commit ordinals on $tableName")
+      if (versionTags.containsKey(name) || branchRefs.containsKey(name))
+        throw new IllegalArgumentException(
+          s"ref '$name' already exists on $tableName")
+      if (v < 1 || v > versionLog.size)
+        throw new IllegalArgumentException(
+          s"branch '$name': version $v outside committed versions " +
+            s"[1, ${versionLog.size}] of $tableName")
+      if (v <= expiredThrough)
+        throw new IllegalStateException(
+          s"branch '$name': version $v of $tableName has been expired")
+      branchRefs.put(name, new BranchState(v.toInt))
+      v.toInt
+    }
+  /** Drop a branch and its staged appends (the WAP repair verb for a
+    * failed audit). Returns the base version it pointed at. */
+  private[sources] def dropBranch(name: String): Int = rows.synchronized {
+    val b = branchRefs.remove(name)
+    if (b == null) throw new IllegalArgumentException(
+      s"no such branch '$name' on $tableName")
+    b.baseV
+  }
+  private def branchOrThrow(name: String): BranchState = {
+    val b = branchRefs.get(name)
+    if (b == null) throw new IllegalArgumentException(
+      s"no such branch '$name' on $tableName")
+    b
+  }
+  private[sources] def hasBranch(name: String): Boolean =
+    branchRefs.containsKey(name)
+  /** The branch view: base manifest + staged appends, in order. */
+  private[sources] def branchManifest(name: String): Array[MemRow] =
+    rows.synchronized {
+      val b = branchOrThrow(name)
+      import scala.jdk.CollectionConverters._
+      versionLog.get(b.baseV - 1) ++ b.pending.asScala
+    }
+  /** Stage an append on the branch — main's manifests are untouched
+    * and no version lands (publish commits the whole batch as ONE
+    * version, the WAP commit grain). */
+  private[sources] def branchAppend(name: String,
+                                    batch: Seq[InternalRow]): Unit =
+    rows.synchronized {
+      val b = branchOrThrow(name)
+      val layout = curLayout
+      batch.foreach(r => b.pending.add(MemRow(layout, r)))
+    }
+  /** FAST-FORWARD main to the branch: refuses unless main's head is
+    * still the branch base (the Iceberg fast_forward contract — a
+    * diverged main needs a merge, which this store does not offer);
+    * commits the staged appends as ONE new version and drops the
+    * branch. The caller (PublishProcedure) has already audited.
+    * Returns (published version, rows published). */
+  private[sources] def publishBranch(name: String): (Int, Int) =
+    rows.synchronized {
+      val b = branchOrThrow(name)
+      if (versionLog.size != b.baseV)
+        throw new IllegalStateException(
+          s"publish '$name': main of $tableName advanced to version " +
+            s"${versionLog.size} past branch base ${b.baseV}; " +
+            "not a fast-forward")
+      import scala.jdk.CollectionConverters._
+      val n = b.pending.size
+      b.pending.asScala.foreach(rows.add)
+      commitVersion()
+      branchRefs.remove(name)
+      (versionLog.size, n)
+    }
+
   /** Expire all but the newest `keepN` version manifests. Refuses to
     * break the live chain (`keepN >= 1`), never expires a TAGGED
     * version (the cut clamps below the oldest tag), and is
@@ -770,6 +874,10 @@ class MemTable(tableName: String, tableSchema: StructType,
       val oldestTag = {
         var m = Int.MaxValue
         versionTags.values.forEach(v => m = math.min(m, v))
+        // a branch's base manifest must survive too: its view is
+        // base + staged appends, and expiring the base would orphan
+        // every unpublished write on it
+        branchRefs.values.forEach(b => m = math.min(m, b.baseV))
         m
       }
       val cut = math.min(wanted, oldestTag - 1)
@@ -799,9 +907,17 @@ class MemTable(tableName: String, tableSchema: StructType,
         // into a generic TABLE_OR_VIEW_NOT_FOUND (observed on
         // Spark 4.1); ISE propagates raw, keeping the refusal loud
         // and attributable (the retention errors' contract)
-        if (tagged == null) throw new IllegalStateException(
-          s"version must be a commit ordinal or a tag name; " +
-            s"'$version' is neither on $tableName")
+        if (tagged == null) {
+          // a branch name is a named ref too (Iceberg: VERSION AS OF
+          // resolves branches): serve base + staged appends read-only
+          if (hasBranch(version))
+            return new MemVersionTable(s"$tableName@branch_$version",
+              branchManifest(version), effectiveSchema, layoutSnapshot,
+              defaultsSnapshot)
+          throw new IllegalStateException(
+            s"version must be a commit ordinal or a tag name; " +
+              s"'$version' is neither on $tableName")
+        }
         tagged.longValue()
     }
     val manifest = rows.synchronized {
@@ -1360,6 +1476,46 @@ class MemVersionTable(versionName: String, manifest: Array[MemRow],
     }
 }
 
+/** The WRITABLE BRANCH ADDRESS `ns.t.branch_<name>`: reads serve the
+  * branch view (base manifest + staged appends); writes APPEND to the
+  * branch staging area only — main's manifests never move until
+  * `CALL sys.publish`. The table deliberately reports NO constraints:
+  * WAP stages data first and audits before publishing (the engine
+  * would otherwise fail the branch write itself, defeating the
+  * workflow). Append-only by capability: no truncate, overwrite, or
+  * row-level surface — a branch is an ingest staging area, not a
+  * second live table. */
+class MemBranchTable(parent: MemTable, branch: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"${parent.name()}@branch_$branch"
+  override def schema(): StructType = parent.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = parent.schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new MemScan(parent.branchManifest(branch), parent.schema(),
+          parent.layoutSnapshot, required, parent.defaultsSnapshot)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              i: PhysicalWriteInfo): DataWriterFactory =
+            new MemWriterFactory(parent.schema(), rowLevel = false)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            parent.branchAppend(branch, messages.toSeq.flatMap(
+              _.asInstanceOf[MemRowsMsg].rows.toSeq))
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
 /** Scan over a snapshot: rows ride the serialized partitions to the
   * tasks (the toy data plane); column pruning applies in the reader.
   * Each requested column is a FIELD ID (`fullIds` aligns with `full`),
@@ -1842,6 +1998,136 @@ class UntagProcedure(cat: MemCatalog)
         val out: Scan = new LocalScan {
           override def readSchema(): StructType = StructType(Seq(
             StructField("untagged_version", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow.fromSeq(Seq(v.toLong)))
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
+class BranchProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "branch"
+  override def description(): String =
+    "branch('ns.tbl', 'name'): writable branch ref at the current " +
+      "head; write via ns.tbl.branch_<name>, then sys.publish"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != StringType)
+      throw new UnsupportedOperationException(
+        s"branch expects (STRING, STRING), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "branch"
+      override def description(): String = BranchProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val t = cat.tableByName(input.getUTF8String(0).toString)
+        val v = t.createBranch(input.getUTF8String(1).toString,
+          t.versionCount.toLong)
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("branched_at_version", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow.fromSeq(Seq(v.toLong)))
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
+class PublishProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "publish"
+  override def description(): String =
+    "publish('ns.tbl', 'name'): audit the branch against the table's " +
+      "CHECK constraints, then fast-forward main to it; a failing " +
+      "audit refuses and leaves main untouched"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != StringType)
+      throw new UnsupportedOperationException(
+        s"publish expects (STRING, STRING), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "publish"
+      override def description(): String = PublishProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val branch = input.getUTF8String(1).toString
+        val t = cat.tableByName(tbl)
+        if (!t.hasBranch(branch)) throw new IllegalArgumentException(
+          s"no such branch '$branch' on $tbl")
+        // THE AUDIT: every CHECK constraint must hold over the branch
+        // view before main moves. Branch writes were deliberately
+        // unchecked (WAP stages first); this is where the contract is
+        // enforced — engine-evaluated over the branch address, so the
+        // predicate semantics are exactly the write-path ones. NULL
+        // passes CHECK (the SQL standard), hence the coalesce shape.
+        val spark = org.apache.spark.sql.SparkSession.active
+        val addr = s"${cat.name()}.$tbl.branch_$branch"
+        t.constraints().foreach {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val bad = spark.sql(
+              s"""SELECT count(*) FROM $addr
+                 |WHERE coalesce(NOT (${c.predicateSql()}), false)"""
+                .stripMargin).head().getLong(0)
+            if (bad > 0) throw new IllegalStateException(
+              s"publish '$branch': audit failed on ${c.name()} " +
+                s"(${c.predicateSql()}) — $bad violating rows; " +
+                "branch kept, main untouched")
+          case _ => ()
+        }
+        val (v, n) = t.publishBranch(branch)
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("published_version", LongType, nullable = false),
+            StructField("rows_published", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow.fromSeq(Seq(v.toLong, n.toLong)))
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
+class DropBranchProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "drop_branch('ns.tbl', 'name'): discard a branch and its staged " +
+      "appends (the repair verb for a failed audit)"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != StringType)
+      throw new UnsupportedOperationException(
+        s"drop_branch expects (STRING, STRING), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String =
+        DropBranchProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val v = cat.tableByName(input.getUTF8String(0).toString)
+          .dropBranch(input.getUTF8String(1).toString)
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("was_based_on_version", LongType, nullable = false)))
           override def rows(): Array[InternalRow] =
             Array(InternalRow.fromSeq(Seq(v.toLong)))
         }

@@ -917,6 +917,106 @@ object StorageOps {
       .transform(Present.sorted(_, col("step")))
   }
 
+  /** WRITE-AUDIT-PUBLISH over a writable branch ref — the production
+    * lakehouse ingest workflow (Iceberg WAP / Delta staging) on top
+    * of the catalog's version chain: stage a batch on a branch (main
+    * never sees it), audit the branch, and publish fast-forwards main
+    * only when the audit passes. The scenario pins every leg:
+    *   - a branch write is readable at BOTH branch addresses
+    *     (`ns.wap.branch_ingest` and `VERSION AS OF 'ingest'`) and
+    *     invisible at main (`main_staged` ≡ seed);
+    *   - branch writes are UNCHECKED (the violating row lands), and
+    *     `CALL sys.publish` audits the table's CHECK constraints over
+    *     the branch view: the bad batch refuses (`publish_bad`,
+    *     status refused) and main is untouched (`main_after_refused`);
+    *   - the repair path (drop_branch → re-branch → clean batch →
+    *     publish) commits ONE version (`publish_ok`: v2, row count),
+    *     after which live ≡ v2 ≡ seed + good batch and the published
+    *     branch ref is gone (`ref_after`, no_such_ref).
+    * Statuses follow catalog_expire's convention: a regression that
+    * publishes unaudited data or leaks staged rows into main surfaces
+    * real aggregates under the wrong step/status and hash-fails. */
+  def catalogBranchWap(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql(
+      """CREATE TABLE graft_mem.ns.wap (k BIGINT, v BIGINT,
+        |  CONSTRAINT v_pos CHECK (v > 0))""".stripMargin)
+    cs.sql(
+      """INSERT INTO graft_mem.ns.wap
+        |SELECT CAST(o_custkey % 97 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 97""".stripMargin)          // v1
+    def lits(step: String, status: String, a: Long, b: Long): DataFrame =
+      cs.sql(s"""SELECT '$step' AS step, '$status' AS status,
+                |  CAST($a AS BIGINT) AS n_rows,
+                |  CAST($b AS BIGINT) AS sum_v""".stripMargin)
+    // EAGER per step: the scenario mutates the same live table and
+    // branch between steps, so a lazy aggregate would read the
+    // END-state when the union finally executes (branch addresses
+    // resolve their staged rows at physical planning, live reads at
+    // execution) — each step must land its numbers AT its point in
+    // the protocol
+    def agg(step: String, from: String): DataFrame = {
+      val r = cs.sql(
+        s"""SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+           |FROM $from""".stripMargin).head()
+      lits(step, "readable", r.getLong(0), r.getLong(1))
+    }
+    val branched = cs.sql("CALL graft_mem.sys.branch('ns.wap', 'ingest')")
+      .head().getLong(0)
+    val branchRow = lits("branch", "summary", branched, -1L)
+    val goodBatch =
+      """SELECT CAST(2000 + o_custkey % 9 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey % 9""".stripMargin
+    cs.sql(s"INSERT INTO graft_mem.ns.wap.branch_ingest $goodBatch")
+    // the violating row LANDS on the branch — WAP stages unchecked
+    cs.sql("INSERT INTO graft_mem.ns.wap.branch_ingest VALUES " +
+      "(CAST(9999 AS BIGINT), CAST(-5 AS BIGINT))")
+    val mainStaged = agg("main_staged", "graft_mem.ns.wap")
+    val branchStaged = agg("branch_staged", "graft_mem.ns.wap.branch_ingest")
+    val branchRef = agg("branch_ref",
+      "graft_mem.ns.wap VERSION AS OF 'ingest'")
+    val publishBad =
+      try { cs.sql("CALL graft_mem.sys.publish('ns.wap', 'ingest')")
+              .collect()
+            lits("publish_bad", "published", -1L, -1L) }
+      catch {
+        case e: Throwable if causeChainHas(e, "audit failed") =>
+          lits("publish_bad", "refused", -1L, -1L)
+      }
+    val mainAfterRefused = agg("main_after_refused", "graft_mem.ns.wap")
+    // repair: discard the poisoned branch, stage only the clean batch
+    val dropped = cs.sql("CALL graft_mem.sys.drop_branch('ns.wap', 'ingest')")
+      .head().getLong(0)
+    val dropRow = lits("drop", "summary", dropped, -1L)
+    cs.sql("CALL graft_mem.sys.branch('ns.wap', 'ingest2')").collect()
+    cs.sql(s"INSERT INTO graft_mem.ns.wap.branch_ingest2 $goodBatch")
+    val pub = cs.sql("CALL graft_mem.sys.publish('ns.wap', 'ingest2')")
+      .head()
+    val publishOk = lits("publish_ok", "summary", pub.getLong(0),
+      pub.getLong(1))
+    val live = agg("live", "graft_mem.ns.wap")
+    val v2 = agg("v2", "graft_mem.ns.wap VERSION AS OF 2")
+    // a published branch ref is GONE (same resolver behavior as a
+    // dropped tag — see catalogTag's audit_after note)
+    val refAfter =
+      try agg("ref_after", "graft_mem.ns.wap VERSION AS OF 'ingest2'")
+      catch {
+        case e: Throwable if Seq("is neither on", "TABLE_OR_VIEW_NOT_FOUND")
+            .exists(causeChainHas(e, _)) =>
+          lits("ref_after", "no_such_ref", -1L, -1L)
+      }
+    branchRow.unionByName(mainStaged).unionByName(branchStaged)
+      .unionByName(branchRef).unionByName(publishBad)
+      .unionByName(mainAfterRefused).unionByName(dropRow)
+      .unionByName(publishOk).unionByName(live).unionByName(v2)
+      .unionByName(refAfter)
+      .transform(Present.sorted(_, col("step")))
+  }
+
   /** The takedown-audit's CATALOG-VERSIONS row: proof that a takedown
     * DELETE against a versioned catalog table actually sticks — i.e.
     * after `CALL sys.expire`, the purged rows are unreachable at
@@ -2340,6 +2440,7 @@ object StorageOps {
     "catalog_changes"     -> catalogChanges _,
     "catalog_expire"      -> catalogExpire _,
     "catalog_tag"         -> catalogTag _,
+    "catalog_branch_wap"  -> catalogBranchWap _,
     "catalog_function"    -> catalogFunction _,
     "catalog_agg_function" -> catalogAggFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
@@ -2886,6 +2987,43 @@ object StorageOps {
         |  UNION ALL SELECT 'audit_after', 'no_such_tag', -1, -1
         |  UNION ALL SELECT 'live', 'readable', count(*)::BIGINT,
         |    CAST(sum(v) AS BIGINT) FROM v4)
+        |SELECT step, status, n_rows, sum_v FROM allv
+        |ORDER BY step""".stripMargin,
+    // WAP replay: seed = v1, good = the clean batch, staged = seed +
+    // good + the violating row (branch view), live = seed + good
+    // (published v2). Summary/refused rows are protocol literals.
+    "catalog_branch_wap" ->
+      """WITH seed AS (
+        |  SELECT o_custkey % 97 AS k, count(*)::BIGINT AS v
+        |  FROM orders GROUP BY 1),
+        |good AS (
+        |  SELECT 2000 + o_custkey % 9 AS k, count(*)::BIGINT AS v
+        |  FROM orders GROUP BY o_custkey % 9),
+        |staged AS (
+        |  SELECT k, v FROM seed UNION ALL SELECT k, v FROM good
+        |  UNION ALL SELECT 9999::BIGINT, -5::BIGINT),
+        |published AS (
+        |  SELECT k, v FROM seed UNION ALL SELECT k, v FROM good),
+        |allv AS (
+        |  SELECT 'branch' AS step, 'summary' AS status,
+        |    1::BIGINT AS n_rows, CAST(-1 AS BIGINT) AS sum_v
+        |  UNION ALL SELECT 'main_staged', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM seed
+        |  UNION ALL SELECT 'branch_staged', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM staged
+        |  UNION ALL SELECT 'branch_ref', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM staged
+        |  UNION ALL SELECT 'publish_bad', 'refused', -1, -1
+        |  UNION ALL SELECT 'main_after_refused', 'readable',
+        |    count(*)::BIGINT, CAST(sum(v) AS BIGINT) FROM seed
+        |  UNION ALL SELECT 'drop', 'summary', 1, -1
+        |  UNION ALL SELECT 'publish_ok', 'summary', 2,
+        |    (SELECT count(*) FROM good)
+        |  UNION ALL SELECT 'live', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM published
+        |  UNION ALL SELECT 'v2', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM published
+        |  UNION ALL SELECT 'ref_after', 'no_such_ref', -1, -1)
         |SELECT step, status, n_rows, sum_v FROM allv
         |ORDER BY step""".stripMargin,
     // the layout changes the plan (bloom-skipped row groups), never

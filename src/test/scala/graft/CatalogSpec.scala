@@ -1085,4 +1085,84 @@ class CatalogSpec extends SparkSpec {
     assert(chainHas(numeric, "all-numeric tag names are reserved"),
       numeric.getMessage)
   }
+
+  test("branch/publish: write-audit-publish lifecycle — staged writes " +
+    "invisible at main, audit gates publish, fast-forward only") {
+    val cs = mounted()
+    cs.sql("CREATE TABLE mem.br.t (k BIGINT, v BIGINT, " +
+      "CONSTRAINT v_pos CHECK (v > 0))")
+    cs.sql("INSERT INTO mem.br.t VALUES (1, 10), (2, 20)")          // v1
+    def chainHas(e: Throwable, needle: String): Boolean = {
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains(needle)))
+    }
+    def rowsOf(from: String): Set[(Long, Long)] =
+      cs.sql(s"SELECT k, v FROM $from").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cs.sql("CALL mem.sys.branch('br.t', 'wap')")
+      .head().getLong(0) == 1L)
+    // numeric branch names and ref collisions refuse at create
+    val num = intercept[Exception] {
+      cs.sql("CALL mem.sys.branch('br.t', '7')").collect() }
+    assert(chainHas(num, "reserved for"), num.getMessage)
+    val dup = intercept[Exception] {
+      cs.sql("CALL mem.sys.branch('br.t', 'wap')").collect() }
+    assert(chainHas(dup, "already exists"), dup.getMessage)
+    // branch writes are UNCHECKED (WAP stages first) and invisible
+    // at main; both branch addresses serve base + staged
+    cs.sql("INSERT INTO mem.br.t.branch_wap VALUES (3, 30), (4, -4)")
+    assert(rowsOf("mem.br.t") == Set((1L, 10L), (2L, 20L)),
+      "staged rows leaked into main")
+    val staged = Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, -4L))
+    assert(rowsOf("mem.br.t.branch_wap") == staged)
+    assert(rowsOf("mem.br.t VERSION AS OF 'wap'") == staged)
+    // the audit refuses the publish (v = -4 violates v_pos) and main
+    // is untouched; the branch survives for repair
+    val bad = intercept[Exception] {
+      cs.sql("CALL mem.sys.publish('br.t', 'wap')").collect() }
+    assert(chainHas(bad, "audit failed"), bad.getMessage)
+    assert(rowsOf("mem.br.t") == Set((1L, 10L), (2L, 20L)))
+    assert(rowsOf("mem.br.t.branch_wap") == staged)
+    // repair: drop, re-branch, stage only clean rows, publish — ONE
+    // new version lands and the ref is gone
+    assert(cs.sql("CALL mem.sys.drop_branch('br.t', 'wap')")
+      .head().getLong(0) == 1L)
+    cs.sql("CALL mem.sys.branch('br.t', 'wap2')").collect()
+    cs.sql("INSERT INTO mem.br.t.branch_wap2 VALUES (3, 30)")
+    val pub = cs.sql("CALL mem.sys.publish('br.t', 'wap2')").head()
+    assert(pub.getLong(0) == 2L && pub.getLong(1) == 1L, pub.toString)
+    assert(rowsOf("mem.br.t") == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(rowsOf("mem.br.t VERSION AS OF 2") ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    val gone = intercept[Exception] {
+      cs.sql("SELECT * FROM mem.br.t VERSION AS OF 'wap2'").collect() }
+    assert(chainHas(gone, "is neither on") ||
+      chainHas(gone, "TABLE_OR_VIEW_NOT_FOUND"), gone.getMessage)
+    // fast-forward contract: main advancing past the branch base
+    // makes the branch unpublishable (a diverged main needs a merge)
+    cs.sql("CALL mem.sys.branch('br.t', 'slow')").collect()
+    cs.sql("INSERT INTO mem.br.t.branch_slow VALUES (5, 50)")
+    cs.sql("INSERT INTO mem.br.t VALUES (6, 60)")                   // v3
+    val ff = intercept[Exception] {
+      cs.sql("CALL mem.sys.publish('br.t', 'slow')").collect() }
+    assert(chainHas(ff, "not a fast-forward"), ff.getMessage)
+    // expire clamps below the branch base: keep_n=1 on a 3-version
+    // chain with a live branch based at v2 expires only v1
+    import graft.sources.{MemCatalog, MemTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    cs.sql("CALL mem.sys.drop_branch('br.t', 'slow')").collect()
+    cs.sql("CALL mem.sys.branch('br.t', 'keep2')").collect()        // base v3
+    cs.sql("INSERT INTO mem.br.t VALUES (7, 70)")                   // v4
+    val t = cs.sessionState.catalogManager.catalog("mem")
+      .asInstanceOf[MemCatalog]
+      .loadTable(Identifier.of(Array("br"), "t")).asInstanceOf[MemTable]
+    val r = cs.sql("CALL mem.sys.expire('br.t', 1L)").head()
+    assert(r.getLong(0) == 2L, s"expire took ${r.getLong(0)}, wanted 2 " +
+      "(clamp below branch base v3)")
+    assert(t.expiredVersionCount == 2)
+    // the branch view still reads (its base manifest survived)
+    assert(rowsOf("mem.br.t VERSION AS OF 'keep2'") ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (6L, 60L)))
+  }
 }
