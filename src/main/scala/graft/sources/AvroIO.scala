@@ -170,9 +170,139 @@ object AvroIO {
       .transform(Present.sorted(_, col("l_returnflag")))
   }
 
+  /** LOGICAL TYPES schema for [[avroDecimal]]: decimal(12,2) as
+    * scaled bytes + timestamp-micros as long — the two logical types
+    * enterprise Avro data actually carries (money and instants).
+    * The conversions are hand-rolled at the record boundary (unscaled
+    * big-endian bytes ⇄ BigDecimal, epoch micros ⇄ timestamp) — the
+    * exact mapping `spark-avro`'s conversions implement. */
+  private val OrderDecSchemaJson: String =
+    """{"type":"record","name":"ord","fields":[
+      |{"name":"o_orderkey","type":"long"},
+      |{"name":"price","type":{"type":"bytes","logicalType":"decimal",
+      |  "precision":12,"scale":2}},
+      |{"name":"ts","type":{"type":"long",
+      |  "logicalType":"timestamp-micros"}}]}""".stripMargin
+
+  /** Lands the orders slice under [[OrderDecSchemaJson]] once per
+    * dataset: price as decimal bytes, o_orderdate as epoch micros. */
+  private val avroDecLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureAvroDec(s: SparkSession, d: String): String =
+    avroDecLanded.computeIfAbsent(d, _ => {
+      val dir = stageDir("orders_dec", d)
+      val schemaJson = OrderDecSchemaJson
+      val rows = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"),
+          // o_orderdate is TIMESTAMP_NTZ in the parquet; epoch micros
+          // derive engine-side (session tz is pinned UTC everywhere)
+          // so the record boundary ships a plain long
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts"))
+        .rdd.mapPartitions { it =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          it.map { r =>
+            val rec: GenericRecord = new GenericData.Record(schema)
+            rec.put("o_orderkey", r.getLong(0))
+            val bd = r.getDecimal(1).setScale(2)
+            rec.put("price",
+              java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray))
+            rec.put("ts", r.getLong(2))
+            (new AvroKey[GenericRecord](rec), NullWritable.get())
+          }
+        }
+      val job = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(job.getConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      rows.saveAsNewAPIHadoopFile(dir,
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+      dir
+    })
+
+  private def decOf(rec: GenericRecord, field: String): java.math.BigDecimal = {
+    val buf = rec.get(field).asInstanceOf[java.nio.ByteBuffer]
+    val bytes = new Array[Byte](buf.remaining()); buf.duplicate().get(bytes)
+    new java.math.BigDecimal(new java.math.BigInteger(bytes), 2)
+  }
+
+  /** Avro LOGICAL TYPES roundtrip: decimal(12,2) survives as exact
+    * scaled bytes (the sum-of-cents gate would drift under any
+    * binary-float detour) and timestamp-micros as exact epoch micros
+    * (min/max gate). Aggregated per order year — year derives from
+    * the roundtripped micros, so a timezone or epoch-unit slip
+    * hash-fails. */
+  def avroDecimal(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureAvroDec(s, d)
+    val schemaJson = OrderDecSchemaJson
+    val job = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(schemaJson))
+    val rdd = s.sparkContext.newAPIHadoopFile(dir,
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      job.getConfiguration)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row(rec.get("o_orderkey").asInstanceOf[Long],
+          decOf(rec, "price"),
+          rec.get("ts").asInstanceOf[Long])
+      }
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("price", DecimalType(12, 2), nullable = false),
+      StructField("ts_micros", LongType, nullable = false))))
+      .groupBy(year(timestamp_micros(col("ts_micros"))).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price") * 100).cast("long").as("cents"),
+        min("ts_micros").as("ts_min"), max("ts_micros").as("ts_max"))
+      .transform(Present.sorted(_, col("yr")))
+  }
+
+  /** READER schema for [[avroDecimalEvolution]]: the decimal WIDENS
+    * to precision 14 (same scale — the bytes resolve unchanged under
+    * Avro's schema resolution), timestamp dropped, `adj_cents` added
+    * with a default — logical types composed with the evolution moves
+    * the plain-type twin proves. */
+  private val OrderDecV2Json: String =
+    """{"type":"record","name":"ord","fields":[
+      |{"name":"o_orderkey","type":"long"},
+      |{"name":"price","type":{"type":"bytes","logicalType":"decimal",
+      |  "precision":14,"scale":2}},
+      |{"name":"adj_cents","type":"long","default":25}]}""".stripMargin
+
+  /** v1 logical-type containers read under the v2 reader schema: row
+    * mass and the exact decimal sum survive the widened precision,
+    * and every legacy row surfaces the reader default. */
+  def avroDecimalEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureAvroDec(s, d)
+    val job = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(OrderDecV2Json))
+    val rdd = s.sparkContext.newAPIHadoopFile(dir,
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      job.getConfiguration)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row(rec.get("o_orderkey").asInstanceOf[Long],
+          decOf(rec, "price"),
+          rec.get("adj_cents").asInstanceOf[Long])
+      }
+    s.createDataFrame(rdd, StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("price", DecimalType(14, 2), nullable = false),
+      StructField("adj_cents", LongType, nullable = false))))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price") * 100).cast("long").as("cents"),
+        min("adj_cents").as("adj_min"), max("adj_cents").as("adj_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "avro_roundtrip" -> avroRoundtrip _,
     "avro_evolution" -> avroEvolution _,
+    "avro_decimal" -> avroDecimal _,
+    "avro_decimal_evolution" -> avroDecimalEvolution _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +320,21 @@ object AvroIO {
         |  7::BIGINT AS tier_min, 7::BIGINT AS tier_max
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the decimal sum replays exactly (both engines sum a scale-2
+    // decimal — any float detour in the bytes mapping drifts), and
+    // the min/max micros pin the timestamp-micros epoch/unit mapping
+    "avro_decimal" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+        |    AS cents,
+        |  min(epoch_us(o_orderdate)) AS ts_min,
+        |  max(epoch_us(o_orderdate)) AS ts_max
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "avro_decimal_evolution" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+        |    AS cents,
+        |  25::BIGINT AS adj_min, 25::BIGINT AS adj_max
+        |FROM orders""".stripMargin,
   )
 }

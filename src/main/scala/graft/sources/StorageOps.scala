@@ -2031,7 +2031,7 @@ object StorageOps {
     * from the source parquet — proving values survive the dialect's
     * type mapping exactly. */
   private val jdbcLanded =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
 
   private def jdbcOpts(r: org.apache.spark.sql.DataFrameReader,
                        url: String) =
@@ -2039,7 +2039,14 @@ object StorageOps {
       .option("dbtable", "graft_customer")
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
 
-  private[graft] def jdbcUrl(s: SparkSession, d: String): String =
+  /** Lands the database once per (dataset, JVM) and returns
+    * (url, key min, key max) — the bounds are computed from the
+    * source at land time (one cheap agg over the slice being landed)
+    * so the partitioned read's strides track the dataset instead of a
+    * hardcoded keyspace: at sf10+ a fixed upper bound would funnel
+    * every key past it into the top stride (a straggler partition),
+    * while derived bounds stay deterministic per dataset. */
+  private[graft] def jdbcLand(s: SparkSession, d: String): (String, Long, Long) =
     jdbcLanded.computeIfAbsent(d, _ => {
       // Derby's engine log goes to scratch, not the process cwd
       System.setProperty("derby.stream.error.file",
@@ -2047,33 +2054,40 @@ object StorageOps {
       val dir = graft.Scratch.processScoped("graft_derby",
         d.replaceAll("[^a-zA-Z0-9]", "_")).toString
       val url = s"jdbc:derby:$dir;create=true"
-      Tables.customer(s, d)
+      val src = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
           round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
-        .write.mode("overwrite")
+      val mm = src.agg(min("c_custkey"), max("c_custkey")).head()
+      src.write.mode("overwrite")
         .format("jdbc").option("url", url)
         .option("dbtable", "graft_customer")
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("createTableColumnTypes", "c_mktsegment VARCHAR(16)")
         .option("batchsize", "10000")
         .save()
-      url
+      (url, mm.getLong(0), mm.getLong(1))
     })
 
+  private[graft] def jdbcUrl(s: SparkSession, d: String): String =
+    jdbcLand(s, d)._1
+
   /** The read body over the landed database — the spec's hook for the
-    * pushdown assertion. Fixed partition bounds: correctness never
-    * depends on them (out-of-range keys all land in the edge
-    * partitions), and a fixed stride keeps the plan deterministic
-    * across scale factors. */
-  def jdbcRoundtripRead(s: SparkSession, d: String): DataFrame =
-    jdbcOpts(s.read, jdbcUrl(s, d))
+    * pushdown assertion. Partition bounds come from the landed
+    * table's key min/max ([[jdbcLand]]): deterministic per dataset,
+    * and every stride carries real keys at any scale factor (fixed
+    * bounds left the top stride a straggler once the keyspace
+    * outgrew them). */
+  def jdbcRoundtripRead(s: SparkSession, d: String): DataFrame = {
+    val (url, lo, hi) = jdbcLand(s, d)
+    jdbcOpts(s.read, url)
       .option("partitionColumn", "c_custkey")
-      .option("lowerBound", "1").option("upperBound", "1000000")
+      .option("lowerBound", lo.toString).option("upperBound", hi.toString)
       .option("numPartitions", "8")
       .load()
       .filter(col("c_nationkey") < 10)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), sum("bal_cents").as("bal_cents"))
+  }
 
   def jdbcRoundtrip(s: SparkSession, d: String): DataFrame =
     jdbcRoundtripRead(s, d)

@@ -36,4 +36,34 @@ class AvroSpec extends SparkSpec {
         s"reader default not applied: $r")
     }
   }
+
+  test("avro logical types: decimal cents exact to the source, " +
+    "timestamp micros exact, evolution widens precision + defaults") {
+    import org.apache.spark.sql.functions._
+    val out = graft.sources.AvroIO.avroDecimal(spark, sfDir).collect()
+    val src = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"),
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("ts_min"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("ts_max"))
+      .orderBy("yr").collect()
+    assert(out.length == src.length && out.nonEmpty)
+    out.zip(src).foreach { case (a, b) =>
+      // cents equality is the decimal-bytes exactness proof: any
+      // binary-float detour in the mapping drifts the sum
+      assert(a.getInt(0) == b.getInt(0) && a.getLong(1) == b.getLong(1) &&
+        a.getLong(2) == b.getLong(2) && a.getLong(3) == b.getLong(3) &&
+        a.getLong(4) == b.getLong(4), s"logical-type drift: $a vs $b")
+    }
+    val ev = graft.sources.AvroIO.avroDecimalEvolution(spark, sfDir).head()
+    val totalN = src.map(_.getLong(1)).sum
+    val totalCents = src.map(_.getLong(2)).sum
+    assert(ev.getLong(0) == totalN, "row mass changed under evolution")
+    assert(ev.getLong(1) == totalCents,
+      "decimal sum drifted under widened precision")
+    assert(ev.getLong(2) == 25L && ev.getLong(3) == 25L,
+      s"reader default not applied: $ev")
+  }
 }
