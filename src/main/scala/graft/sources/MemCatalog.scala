@@ -1193,7 +1193,31 @@ class MemTable(tableName: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ)
+
+  /** STREAMING read of the commit log ([[MemChangeStream]]): `fromV` =
+    * last SEEN commit ordinal (0 = nothing seen), returns the rows
+    * that ENTERED at commits fromV+1..toV. REFUSES a resume whose
+    * gap covers expired commits (fromV < expiredThrough — their
+    * deltas are nulled): the stream must FAIL LOUDLY and demand a
+    * fresh start, never silently skip the hole (the Delta/Iceberg
+    * streaming-after-VACUUM contract; catalog_expire pins the batch
+    * CDC twin of this refusal). Inserts-only by contract: this is
+    * the append-stream shape `readStream.table` serves — the
+    * row-level before/after feed is the CDC procedure's job. */
+  private[sources] def streamInserts(fromV: Long, toV: Long): Array[MemRow] =
+    rows.synchronized {
+      if (fromV < expiredThrough)
+        throw new IllegalStateException(
+          s"stream resume at version $fromV of $tableName covers " +
+            s"expired commits (versions 1..$expiredThrough are " +
+            "expired); restart the stream from a fresh checkpoint")
+      if (toV > changeLog.size || fromV < 0)
+        throw new IllegalArgumentException(
+          s"stream range ($fromV, $toV] outside committed versions " +
+            s"[1, ${changeLog.size}] of $tableName")
+      (fromV + 1 to toV).flatMap(v => changeLog.get(v.toInt - 1)._2).toArray
+    }
 
   /** Clear base + delta log WITHOUT landing a version — the building
     * block for commits that clear-then-append atomically (their ONE
@@ -1340,7 +1364,7 @@ class MemTable(tableName: String, tableSchema: StructType,
     * because [[evaluable]] excludes IsNotNull and metadata deletes on
     * nullable-with-null data route to the rewrite path via the
     * engine's own planning, but a scan must be null-correct). */
-  private def evalScan(f: Filter, mr: MemRow): Boolean = {
+  private[sources] def evalScan(f: Filter, mr: MemRow): Boolean = {
     def pos(a: String): Int =
       mr.layout.indexOf(colIds(colFields.indexWhere(_.name == a)))
     f match {
@@ -1379,8 +1403,19 @@ class MemTable(tableName: String, tableSchema: StructType,
               kept.map(partitionValueOf).distinct.length.toLong)
             kept
           }
-        new MemScan(data, effectiveSchema, layoutSnapshot,
+        val batch = new MemScan(data, effectiveSchema, layoutSnapshot,
           required, defaultsSnapshot)
+        // the live scan doubles as the streaming entry point
+        // (readStream.table): batch reads delegate unchanged, the
+        // stream walks the commit log
+        new Scan {
+          override def readSchema(): StructType = batch.readSchema()
+          override def toBatch: Batch = batch
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming
+                .MicroBatchStream =
+            new MemChangeStream(MemTable.this, required, pushed)
+        }
       }
     }
 
@@ -1558,6 +1593,52 @@ class MemScan(data: Array[MemRow], full: StructType, fullIds: Array[Int],
 }
 
 case class MemPartition(rows: Array[MemRow]) extends InputPartition
+
+/** Offset = last seen commit ordinal; json round-trips the number. */
+case class MemStreamOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = v.toString
+}
+
+/** STREAMING over the catalog table's commit log (`readStream
+  * .table("cat.ns.t")`): offsets are commit ordinals, each
+  * micro-batch ships the rows that ENTERED at commits (start, end]
+  * (the landed per-commit deltas — cost ∝ change, never a snapshot
+  * diff). The RESUME CONTRACT is the point: a checkpoint whose next
+  * commit has been expired by retention fails loudly in
+  * [[MemTable.streamInserts]] — silently skipping the hole would
+  * serve a stream missing committed data (the Delta/Iceberg
+  * stream-after-VACUUM semantics; `catalog_stream_expire` gates it).
+  * Pushed filters and column pruning arrive through the same live
+  * ScanBuilder as the batch path. */
+class MemChangeStream(table: MemTable, required: StructType,
+                      pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+  override def initialOffset(): SOffset = MemStreamOffset(0L)
+  override def latestOffset(): SOffset =
+    MemStreamOffset(table.versionCount.toLong)
+  override def deserializeOffset(json: String): SOffset =
+    MemStreamOffset(json.toLong)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: SOffset,
+                                   end: SOffset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[MemStreamOffset].v
+    val e0 = end.asInstanceOf[MemStreamOffset].v
+    if (e0 <= s0) return Array(MemPartition(Array.empty))
+    val ins = table.streamInserts(s0, e0)
+    val kept = if (pushed.isEmpty) ins
+               else ins.filter(r => pushed.forall(table.evalScan(_, r)))
+    Array(MemPartition(kept))
+  }
+  // partitions are MemPartitions, so the batch reader factory (layout
+  // resolution + defaults, bound to the required columns) serves the
+  // stream verbatim
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemScan(Array.empty, table.schema(), table.layoutSnapshot,
+      required, table.defaultsSnapshot).createReaderFactory()
+}
 
 class MemBatchWrite(table: MemTable, truncateFirst: Boolean = false,
                     rowLevel: Boolean = false,

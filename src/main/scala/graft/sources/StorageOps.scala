@@ -1017,6 +1017,80 @@ object StorageOps {
       .transform(Present.sorted(_, col("step")))
   }
 
+  private val streamExpireIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAM RESTART AFTER RETENTION — the streaming twin of
+    * catalog_expire's refused CDC range: a `readStream.table` over
+    * the catalog table drains the commit log through a CHECKPOINT,
+    * retention expires commits PAST the checkpointed offset, and the
+    * resume must FAIL LOUDLY (the Delta/Iceberg stream-after-VACUUM
+    * contract) — silently skipping the expired gap would serve a
+    * stream that is missing committed data forever. Protocol:
+    * v1+v2 committed → stream drains both through ckpt (`drain1`) →
+    * v3+v4 committed with the stream down → expire keep_n=1 takes
+    * v1..v3 (`expire`) → the resume's (2, 4] gap covers expired v3 →
+    * refused (`resume`), while a fresh BATCH read of the live table
+    * (`live`) is the documented recovery. A regression that silently
+    * resumes surfaces real aggregates under the refused step and
+    * hash-fails. */
+  def catalogStreamExpire(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    Tables.orders(cs, d).createOrReplaceTempView("orders")
+    cs.sql("CREATE TABLE graft_mem.ns.se (k BIGINT, v BIGINT)")
+    def ins(base: Int, mod: Int): Unit = cs.sql(
+      s"""INSERT INTO graft_mem.ns.se
+         |SELECT CAST($base + o_custkey % $mod AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS v
+         |FROM orders GROUP BY o_custkey % $mod""".stripMargin)
+    ins(0, 97)                                                       // v1
+    ins(1000, 9)                                                     // v2
+    def lits(step: String, status: String, a: Long, b: Long): DataFrame =
+      cs.sql(s"""SELECT '$step' AS step, '$status' AS status,
+                |  CAST($a AS BIGINT) AS n_rows,
+                |  CAST($b AS BIGINT) AS sum_v""".stripMargin)
+    val ckpt = graft.Scratch.processScoped("graft_stream_expire",
+      s"ckpt${streamExpireIds.getAndIncrement()}").toString
+    // driver-side drain buffer — bounded by construction (the commit
+    // batches are small grouped aggregates, ≤ 97 + 9 + 7 + 5 rows)
+    val drained = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runStream(): Unit = {
+      val q = cs.readStream.table("graft_mem.ns.se")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => drained.add(r.getLong(1)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    runStream()
+    import scala.jdk.CollectionConverters._
+    val drain1 = lits("drain1", "readable", drained.size.toLong,
+      drained.asScala.sum)
+    ins(2000, 7)                                                     // v3
+    ins(3000, 5)                                                     // v4
+    val ex = cs.sql("CALL graft_mem.sys.expire('ns.se', 1L)").head()
+    val expireRow = lits("expire", "summary", ex.getLong(0), ex.getLong(2))
+    drained.clear()
+    val resume =
+      try { runStream()
+            lits("resume", "resumed", drained.size.toLong,
+              drained.asScala.sum) }
+      catch {
+        case e: Throwable if causeChainHas(e, "covers expired commits") =>
+          lits("resume", "refused", -1L, -1L)
+      }
+    val liveRow = {
+      val r = cs.sql(
+        """SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+          |FROM graft_mem.ns.se""".stripMargin).head()
+      lits("live", "readable", r.getLong(0), r.getLong(1))
+    }
+    drain1.unionByName(expireRow).unionByName(resume).unionByName(liveRow)
+      .transform(Present.sorted(_, col("step")))
+  }
+
   /** The takedown-audit's CATALOG-VERSIONS row: proof that a takedown
     * DELETE against a versioned catalog table actually sticks — i.e.
     * after `CALL sys.expire`, the purged rows are unreachable at
@@ -2455,6 +2529,7 @@ object StorageOps {
     "catalog_expire"      -> catalogExpire _,
     "catalog_tag"         -> catalogTag _,
     "catalog_branch_wap"  -> catalogBranchWap _,
+    "catalog_stream_expire" -> catalogStreamExpire _,
     "catalog_function"    -> catalogFunction _,
     "catalog_agg_function" -> catalogAggFunction _,
     "cbo_join_reorder" -> cboJoinReorder _,
@@ -3001,6 +3076,38 @@ object StorageOps {
         |  UNION ALL SELECT 'audit_after', 'no_such_tag', -1, -1
         |  UNION ALL SELECT 'live', 'readable', count(*)::BIGINT,
         |    CAST(sum(v) AS BIGINT) FROM v4)
+        |SELECT step, status, n_rows, sum_v FROM allv
+        |ORDER BY step""".stripMargin,
+    // stream-after-expire replay: drain1 = the two commits the
+    // checkpointed stream saw; expire = protocol literals (3 expired,
+    // first live 4); the resume is REFUSED (literals — a silent
+    // resume surfaces real aggregates here and hash-fails); live =
+    // all four batches (the fresh-batch-read recovery)
+    "catalog_stream_expire" ->
+      """WITH b1 AS (
+        |  SELECT o_custkey % 97 AS k, count(*)::BIGINT AS v
+        |  FROM orders GROUP BY 1),
+        |b2 AS (
+        |  SELECT 1000 + o_custkey % 9 AS k, count(*)::BIGINT AS v
+        |  FROM orders GROUP BY o_custkey % 9),
+        |b3 AS (
+        |  SELECT 2000 + o_custkey % 7 AS k, count(*)::BIGINT AS v
+        |  FROM orders GROUP BY o_custkey % 7),
+        |b4 AS (
+        |  SELECT 3000 + o_custkey % 5 AS k, count(*)::BIGINT AS v
+        |  FROM orders GROUP BY o_custkey % 5),
+        |first2 AS (SELECT v FROM b1 UNION ALL SELECT v FROM b2),
+        |all4 AS (
+        |  SELECT v FROM first2 UNION ALL SELECT v FROM b3
+        |  UNION ALL SELECT v FROM b4),
+        |allv AS (
+        |  SELECT 'drain1' AS step, 'readable' AS status,
+        |    count(*)::BIGINT AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v
+        |  FROM first2
+        |  UNION ALL SELECT 'expire', 'summary', 3, 4
+        |  UNION ALL SELECT 'resume', 'refused', -1, -1
+        |  UNION ALL SELECT 'live', 'readable', count(*)::BIGINT,
+        |    CAST(sum(v) AS BIGINT) FROM all4)
         |SELECT step, status, n_rows, sum_v FROM allv
         |ORDER BY step""".stripMargin,
     // WAP replay: seed = v1, good = the clean batch, staged = seed +

@@ -720,4 +720,51 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(stream == batch)
   }
+
+  test("catalog stream: incremental commit-log drains; resume across " +
+    "an expired gap fails loudly, never silently skips") {
+    import org.apache.spark.sql.DataFrame
+    val cs = spark.newSession()
+    cs.conf.set("spark.sql.catalog.mem", "graft.sources.MemCatalog")
+    cs.sql("CREATE TABLE mem.st.t (k BIGINT, v BIGINT)")
+    cs.sql("INSERT INTO mem.st.t VALUES (1, 10), (2, 20)")          // v1
+    cs.sql("INSERT INTO mem.st.t VALUES (3, 30)")                   // v2
+    val ckpt = Scratch.processScoped("graft_stream_spec",
+      s"ckpt${System.nanoTime()}").toString
+    val drained =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runStream(): Unit = {
+      val q = cs.readStream.table("mem.st.t")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => drained.add((r.getLong(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    import scala.jdk.CollectionConverters._
+    runStream()
+    assert(drained.asScala.toSet == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // restart drains ONLY the new commit — offsets are commit
+    // ordinals, not snapshots
+    drained.clear()
+    cs.sql("INSERT INTO mem.st.t VALUES (4, 40)")                   // v3
+    runStream()
+    assert(drained.asScala.toSet == Set((4L, 40L)),
+      s"resume re-read old commits: ${drained.asScala.toSet}")
+    // expire past the checkpointed offset (ckpt at v3; expire to
+    // keep_n=1 on a 5-version chain puts the cut at v4 > 3)
+    cs.sql("INSERT INTO mem.st.t VALUES (5, 50)")                   // v4
+    cs.sql("INSERT INTO mem.st.t VALUES (6, 60)")                   // v5
+    cs.sql("CALL mem.sys.expire('st.t', 1L)").collect()
+    drained.clear()
+    val e = intercept[Exception] { runStream() }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("covers expired commits"))), e.getMessage)
+    assert(drained.isEmpty, "refused resume still emitted rows")
+    // batch reads are the documented recovery — unaffected
+    assert(cs.sql("SELECT count(*) FROM mem.st.t").head().getLong(0) == 6L)
+  }
 }
