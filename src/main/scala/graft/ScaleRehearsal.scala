@@ -1310,12 +1310,21 @@ object ScaleRehearsal {
         operators.SigStore.exactPairs(s, staged))
       measure(s, listener, "ensemble", "dedup_ensemble", m, passes)(
         operators.Dedup.dedupEnsemble(s, staged))
-      // the receipt's denominators: per-store pair counts
+      // the CLUSTERED routing (r19): degenerate buckets become O(n)
+      // star edges instead of pairwise expansion — its consensus
+      // shuffle must track docs-in-degenerate-buckets, not pairs
+      measure(s, listener, "ensemble", "dedup_ensemble_clustered", m,
+        passes)(operators.Dedup.dedupEnsembleClustered(s, staged))
+      // the receipt's denominators: per-store pair counts + the two
+      // output cardinalities the routing claim compares
       val nl = operators.SigStore.lshPairs(s, staged).count()
       val ns = operators.Dedup.simhashPairs(s, staged).count()
       val ne = operators.SigStore.exactPairs(s, staged).count()
+      val np = operators.Dedup.dedupEnsemble(s, staged).count()
+      val nc = operators.Dedup.dedupEnsembleClustered(s, staged).count()
       println(s"""{"family":"ensemble","query":"pair_counts","mult":$m,""" +
-        s""""lsh_pairs":$nl,"simhash_pairs":$ns,"exact_pairs":$ne}""")
+        s""""lsh_pairs":$nl,"simhash_pairs":$ns,"exact_pairs":$ne,""" +
+        s""""ensemble_rows":$np,"clustered_rows":$nc}""")
     }
   }
 

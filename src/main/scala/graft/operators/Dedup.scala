@@ -171,6 +171,18 @@ object Dedup {
     * identical cap. */
   val SimHashMaxBucket = 1000
 
+  /** Below this cap the hot-bucket list is NOT collected to the
+    * driver: the collect-and-broadcast shape is bounded by
+    * docs×bands/maxBucket entries — tiny at the production caps
+    * (1000), but at the clustered ensemble's degenerate threshold
+    * (2) it is O(corpus), an unbounded driver materialization. Small
+    * caps anti-join the hot relation as a PLAN SUBTREE instead; the
+    * pair builders only ever see landed parquet inputs there, so the
+    * extra reference re-reads a store, never re-executes the corpus
+    * pipeline head (the hazard the collect path was built to avoid
+    * on unlanded inputs). */
+  val CapCollectMin = 64
+
   /** Carter–Wegman universal-hash family for the md5-seeded MinHash:
     * h_i(g) = (a_i·g + b_i) mod p over g = md5Hash60(shingle) mod p,
     * p = 2³¹−1 (Mersenne prime). Products stay under 2⁶² so the same
@@ -485,13 +497,22 @@ object Dedup {
                    capFrom: Option[DataFrame] = None): DataFrame = {
     val s = banded0.sparkSession
     import s.implicits._
-    val hotRows = capFrom.getOrElse(banded0).groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).select("band", "bucket")
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val banded = if (hotRows.isEmpty) banded0
+    val banded = if (maxBucket < CapCollectMin) {
+      // degenerate-threshold regime: hot buckets are O(corpus) — keep
+      // them as a plan subtree, never a driver collect
+      val hot = capFrom.getOrElse(banded0).groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).select("band", "bucket")
+      banded0.join(hot, Seq("band", "bucket"), "left_anti")
+    } else {
+      val hotRows = capFrom.getOrElse(banded0).groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).select("band", "bucket")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      if (hotRows.isEmpty) banded0
       else banded0.join(broadcast(hotRows.toDF("band", "bucket")),
         Seq("band", "bucket"), "left_anti")
+    }
     val pairIds = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -782,13 +803,22 @@ object Dedup {
     val s = sh.sparkSession
     import s.implicits._
     val banded0 = simhashBandedFrom(sh)
-    val hotRows = banded0.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).select("band", "bucket")
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val banded = if (hotRows.isEmpty) banded0
+    val banded = if (maxBucket < CapCollectMin) {
+      // see CapCollectMin: at the clustered ensemble's degenerate
+      // threshold the hot list is O(corpus) — plan subtree, no collect
+      val hot = banded0.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).select("band", "bucket")
+      banded0.join(hot, Seq("band", "bucket"), "left_anti")
+    } else {
+      val hotRows = banded0.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).select("band", "bucket")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      if (hotRows.isEmpty) banded0
       else banded0.join(broadcast(hotRows.toDF("band", "bucket")),
         Seq("band", "bucket"), "left_anti")
+    }
     // (band, bucket) self-join → ReuseExchange, as in minhashLsh
     banded.as("x")
       .join(banded.as("y"),
