@@ -1630,7 +1630,12 @@ class MemChangeStream(table: MemTable, required: StructType,
     val ins = table.streamInserts(s0, e0)
     val kept = if (pushed.isEmpty) ins
                else ins.filter(r => pushed.forall(table.evalScan(_, r)))
-    Array(MemPartition(kept))
+    // split like the batch scan (≤4 partitions): a commit batch is a
+    // parallel read, not a single-task funnel
+    if (kept.isEmpty) return Array(MemPartition(Array.empty))
+    val parts = math.max(1, math.min(4, kept.length))
+    val step = (kept.length + parts - 1) / parts
+    kept.grouped(step).map(g => MemPartition(g): InputPartition).toArray
   }
   // partitions are MemPartitions, so the batch reader factory (layout
   // resolution + defaults, bound to the required columns) serves the
