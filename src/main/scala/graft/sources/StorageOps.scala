@@ -979,6 +979,15 @@ object StorageOps {
     val branchStaged = agg("branch_staged", "graft_mem.ns.wap.branch_ingest")
     val branchRef = agg("branch_ref",
       "graft_mem.ns.wap VERSION AS OF 'ingest'")
+    // the DQ check a WAP pipeline runs against the staged branch
+    // BEFORE asking to publish — here it finds the violating row
+    // (the same predicate sys.publish will enforce)
+    val dqRow = {
+      val r = cs.sql(
+        """SELECT count(*) AS bad FROM graft_mem.ns.wap.branch_ingest
+          |WHERE NOT (v > 0)""".stripMargin).head()
+      lits("audit_dq", "readable", r.getLong(0), -1L)
+    }
     val publishBad =
       try { cs.sql("CALL graft_mem.sys.publish('ns.wap', 'ingest')")
               .collect()
@@ -1010,7 +1019,7 @@ object StorageOps {
           lits("ref_after", "no_such_ref", -1L, -1L)
       }
     branchRow.unionByName(mainStaged).unionByName(branchStaged)
-      .unionByName(branchRef).unionByName(publishBad)
+      .unionByName(branchRef).unionByName(dqRow).unionByName(publishBad)
       .unionByName(mainAfterRefused).unionByName(dropRow)
       .unionByName(publishOk).unionByName(live).unionByName(v2)
       .unionByName(refAfter)
@@ -3134,6 +3143,8 @@ object StorageOps {
         |    CAST(sum(v) AS BIGINT) FROM staged
         |  UNION ALL SELECT 'branch_ref', 'readable', count(*)::BIGINT,
         |    CAST(sum(v) AS BIGINT) FROM staged
+        |  UNION ALL SELECT 'audit_dq', 'readable',
+        |    (SELECT count(*) FROM staged WHERE NOT (v > 0)), -1
         |  UNION ALL SELECT 'publish_bad', 'refused', -1, -1
         |  UNION ALL SELECT 'main_after_refused', 'readable',
         |    count(*)::BIGINT, CAST(sum(v) AS BIGINT) FROM seed
