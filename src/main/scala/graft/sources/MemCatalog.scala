@@ -289,6 +289,7 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "untag"),
       Identifier.of(namespace, "branch"),
       Identifier.of(namespace, "publish"),
+      Identifier.of(namespace, "rebase"),
       Identifier.of(namespace, "drop_branch"))
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name.toLowerCase match {
@@ -299,6 +300,7 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
       case "untag"   => new UntagProcedure(this)
       case "branch"  => new BranchProcedure(this)
       case "publish" => new PublishProcedure(this)
+      case "rebase"  => new RebaseProcedure(this)
       case "drop_branch" => new DropBranchProcedure(this)
       case _ => throw new RuntimeException(
         s"procedure not found: ${key(ident)}")
@@ -831,12 +833,27 @@ class MemTable(tableName: String, tableSchema: StructType,
       val layout = curLayout
       batch.foreach(r => b.pending.add(MemRow(layout, r)))
     }
+  /** REBASE a branch onto the current head — the recovery verb for a
+    * refused fast-forward. Append-only branches rebase WITHOUT
+    * conflicts by construction: staged rows reference no base state,
+    * so moving the base replays them unchanged over whatever main
+    * now holds (the property a general merge cannot promise). Returns
+    * the new base version. */
+  private[sources] def rebaseBranch(name: String): Int =
+    rows.synchronized {
+      val b = branchOrThrow(name)
+      val nb = new BranchState(versionLog.size)
+      nb.pending.addAll(b.pending)
+      branchRefs.put(name, nb)
+      versionLog.size
+    }
+
   /** FAST-FORWARD main to the branch: refuses unless main's head is
     * still the branch base (the Iceberg fast_forward contract — a
-    * diverged main needs a merge, which this store does not offer);
-    * commits the staged appends as ONE new version and drops the
-    * branch. The caller (PublishProcedure) has already audited.
-    * Returns (published version, rows published). */
+    * diverged main needs [[rebaseBranch]] first; appends-only staging
+    * makes that always safe); commits the staged appends as ONE new
+    * version and drops the branch. The caller (PublishProcedure) has
+    * already audited. Returns (published version, rows published). */
   private[sources] def publishBranch(name: String): (Int, Int) =
     rows.synchronized {
       val b = branchOrThrow(name)
@@ -2181,6 +2198,41 @@ class PublishProcedure(cat: MemCatalog)
             StructField("rows_published", LongType, nullable = false)))
           override def rows(): Array[InternalRow] =
             Array(InternalRow.fromSeq(Seq(v.toLong, n.toLong)))
+        }
+        util.List.of(out).iterator()
+      }
+    }
+  }
+}
+
+class RebaseProcedure(cat: MemCatalog)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "rebase"
+  override def description(): String =
+    "rebase('ns.tbl', 'name'): move a branch's base to the current " +
+      "head (conflict-free for append-only staging) so a refused " +
+      "fast-forward publish can retry"
+  override def bind(inputType: StructType): procedures.BoundProcedure = {
+    if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != StringType ||
+        inputType.fields(1).dataType != StringType)
+      throw new UnsupportedOperationException(
+        s"rebase expects (STRING, STRING), got $inputType")
+    new procedures.BoundProcedure {
+      override def name(): String = "rebase"
+      override def description(): String = RebaseProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("tbl", StringType).build(),
+          procedures.ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val v = cat.tableByName(input.getUTF8String(0).toString)
+          .rebaseBranch(input.getUTF8String(1).toString)
+        val out: Scan = new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("rebased_to_version", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow.fromSeq(Seq(v.toLong)))
         }
         util.List.of(out).iterator()
       }

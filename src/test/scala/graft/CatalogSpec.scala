@@ -1140,29 +1140,39 @@ class CatalogSpec extends SparkSpec {
     assert(chainHas(gone, "is neither on") ||
       chainHas(gone, "TABLE_OR_VIEW_NOT_FOUND"), gone.getMessage)
     // fast-forward contract: main advancing past the branch base
-    // makes the branch unpublishable (a diverged main needs a merge)
+    // makes the branch unpublishable (a diverged main needs a rebase)
     cs.sql("CALL mem.sys.branch('br.t', 'slow')").collect()
     cs.sql("INSERT INTO mem.br.t.branch_slow VALUES (5, 50)")
     cs.sql("INSERT INTO mem.br.t VALUES (6, 60)")                   // v3
     val ff = intercept[Exception] {
       cs.sql("CALL mem.sys.publish('br.t', 'slow')").collect() }
     assert(chainHas(ff, "not a fast-forward"), ff.getMessage)
-    // expire clamps below the branch base: keep_n=1 on a 3-version
-    // chain with a live branch based at v2 expires only v1
+    // the recovery verb: rebase moves the base to the current head
+    // (conflict-free for append-only staging) and the publish retries
+    assert(cs.sql("CALL mem.sys.rebase('br.t', 'slow')")
+      .head().getLong(0) == 3L)
+    assert(rowsOf("mem.br.t VERSION AS OF 'slow'") ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (6L, 60L), (5L, 50L)),
+      "rebased branch view must be new head + staged appends")
+    val pub2 = cs.sql("CALL mem.sys.publish('br.t', 'slow')").head()
+    assert(pub2.getLong(0) == 4L && pub2.getLong(1) == 1L, pub2.toString)
+    assert(rowsOf("mem.br.t") ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (6L, 60L), (5L, 50L)))
+    // expire clamps below the branch base: keep_n=1 on a 4-version
+    // chain with a live branch based at v4 expires only v1..v3
     import graft.sources.{MemCatalog, MemTable}
     import org.apache.spark.sql.connector.catalog.Identifier
-    cs.sql("CALL mem.sys.drop_branch('br.t', 'slow')").collect()
-    cs.sql("CALL mem.sys.branch('br.t', 'keep2')").collect()        // base v3
-    cs.sql("INSERT INTO mem.br.t VALUES (7, 70)")                   // v4
+    cs.sql("CALL mem.sys.branch('br.t', 'keep2')").collect()        // base v4
+    cs.sql("INSERT INTO mem.br.t VALUES (7, 70)")                   // v5
     val t = cs.sessionState.catalogManager.catalog("mem")
       .asInstanceOf[MemCatalog]
       .loadTable(Identifier.of(Array("br"), "t")).asInstanceOf[MemTable]
     val r = cs.sql("CALL mem.sys.expire('br.t', 1L)").head()
-    assert(r.getLong(0) == 2L, s"expire took ${r.getLong(0)}, wanted 2 " +
-      "(clamp below branch base v3)")
-    assert(t.expiredVersionCount == 2)
+    assert(r.getLong(0) == 3L, s"expire took ${r.getLong(0)}, wanted 3 " +
+      "(clamp below branch base v4)")
+    assert(t.expiredVersionCount == 3)
     // the branch view still reads (its base manifest survived)
     assert(rowsOf("mem.br.t VERSION AS OF 'keep2'") ==
-      Set((1L, 10L), (2L, 20L), (3L, 30L), (6L, 60L)))
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (6L, 60L), (5L, 50L)))
   }
 }
