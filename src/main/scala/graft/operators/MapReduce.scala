@@ -210,7 +210,10 @@ object MapReduce {
     val marker = staged.resolve("_STAGED")
     if (!Files.exists(marker)) {
       Files.createDirectories(staged)
-      val tmp = staged.resolve("_txt")
+      // per-process tmp: the _STAGED marker guards the final file,
+      // but two JVMs racing the FIRST staging must not share the
+      // intermediate dir (one deletes while the other enumerates)
+      val tmp = staged.resolve(s"_txt_${ProcessHandle.current().pid()}")
       Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .repartition(1).sortWithinPartitions("doc_id")
         .select("text")

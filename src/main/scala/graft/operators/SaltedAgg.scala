@@ -119,7 +119,10 @@ object SaltedAgg {
       // 25 collected rows — no second distributed pass.
       val rows = joined.collect()
       lastSkewJoinPlan = joined.queryExecution.executedPlan.toString
-      val out = graft.Scratch.path("graft_skew", "skew_join_aqe").toString
+      // processScoped: parquet overwrite = delete-then-write, so a
+      // shared path lets a concurrent JVM's reader see the gap
+      val out = graft.Scratch.processScoped("graft_skew",
+        "skew_join_aqe").toString
       s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)

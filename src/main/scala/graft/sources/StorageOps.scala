@@ -19,9 +19,12 @@ import graft.operators.{Money, Present}
 object StorageOps {
 
   /** Deterministic per-dataset staging dir under one fixed root —
-    * reruns overwrite instead of accumulating. */
+    * reruns overwrite instead of accumulating. processScoped (r19):
+    * every consumer is wipe/overwrite-then-read, so a path shared
+    * with a concurrent suite/Verify JVM can serve a mid-overwrite
+    * gap (the AvroIO hazard class). */
   private def stageDir(tag: String, d: String): String =
-    graft.Scratch.path("graft_storage", tag,
+    graft.Scratch.processScoped("graft_storage", tag,
       d.replaceAll("[^a-zA-Z0-9]", "_")).toString
 
   val Buckets = 8

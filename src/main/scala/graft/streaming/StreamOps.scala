@@ -88,9 +88,13 @@ object StreamOps {
 
   /** Deterministic per-tag scratch dir, wiped on every use — repeated
     * gate/bench runs reuse ONE sink + ONE checkpoint path per query
-    * instead of accumulating createTempDirectory droppings in /tmp. */
+    * instead of accumulating createTempDirectory droppings in /tmp.
+    * processScoped (r19): wipe-on-use over a path shared with a
+    * concurrent suite/Verify JVM would wipe a LIVE stream's sink or
+    * checkpoint mid-run — the AvroIO hazard class, wider here because
+    * streams hold the path for the whole drain. */
   private def freshDir(tag: String, kind: String): String = {
-    val p = graft.Scratch.path("graft_stream_out", kind, tag)
+    val p = graft.Scratch.processScoped("graft_stream_out", kind, tag)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
