@@ -1198,6 +1198,55 @@ object Dedup {
        |  SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
        |  FROM sm_cand WHERE bit_count(xor(ha, hb)) <= $maxHam)""".stripMargin
 
+  /** The clustered-ensemble routing table as a CTE chain ending in
+    * `ens(doc_a, doc_b, in_minhash, in_simhash, in_exact, clustered,
+    * votes)` — shared by the dedup_ensemble_clustered oracle and the
+    * connected-components consumer in PipelineOps. */
+  def ensembleClusteredCtes(): String =
+    s"""${lshOracleCtes(maxBucket = EnsembleClusterBucket)},
+       |${simhashOracleCtes(maxBucket = EnsembleClusterBucket)},
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5),
+       |mh_deg AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+       |  FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket)
+       |    > $EnsembleClusterBucket),
+       |mh_star AS (
+       |  SELECT min(rep) AS doc_a, doc_id AS doc_b FROM mh_deg
+       |  GROUP BY doc_id HAVING min(rep) < doc_id),
+       |sm_deg AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+       |  FROM sm_banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket)
+       |    > $EnsembleClusterBucket),
+       |sm_star AS (
+       |  SELECT min(rep) AS doc_a, doc_id AS doc_b FROM sm_deg
+       |  GROUP BY doc_id HAVING min(rep) < doc_id),
+       |tagged AS (
+       |  SELECT doc_a, doc_b, 1 AS m, 0 AS sm, 0 AS e, 1 AS c FROM mh_star
+       |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0, 1 FROM sm_star
+       |  UNION ALL SELECT doc_a, doc_b, 1, 0, 0, 0 FROM est
+       |  WHERE est_jaccard >= 0.5
+       |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0, 0 FROM simp
+       |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1, 0 FROM exact),
+       |ens AS (
+       |  SELECT doc_a, doc_b,
+       |    max(m) = 1 AS in_minhash,
+       |    max(sm) = 1 AS in_simhash,
+       |    max(e) = 1 AS in_exact,
+       |    max(c) = 1 AS clustered,
+       |    (max(m) + max(sm) + max(e))::INT AS votes
+       |  FROM tagged GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "simhash_pairs" ->
       s"""WITH ${simhashOracleCtes()}
@@ -1314,49 +1363,10 @@ object Dedup {
     // CTEs — a routing drift between "cluster row" and "pair" on
     // either side hash-fails
     "dedup_ensemble_clustered" ->
-      s"""WITH ${lshOracleCtes(maxBucket = EnsembleClusterBucket)},
-         |${simhashOracleCtes(maxBucket = EnsembleClusterBucket)},
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |exact AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = doc_a
-         |  JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5),
-         |mh_deg AS (
-         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
-         |  FROM banded
-         |  QUALIFY count(*) OVER (PARTITION BY band, bucket)
-         |    > $EnsembleClusterBucket),
-         |mh_star AS (
-         |  SELECT min(rep) AS doc_a, doc_id AS doc_b FROM mh_deg
-         |  GROUP BY doc_id HAVING min(rep) < doc_id),
-         |sm_deg AS (
-         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
-         |  FROM sm_banded
-         |  QUALIFY count(*) OVER (PARTITION BY band, bucket)
-         |    > $EnsembleClusterBucket),
-         |sm_star AS (
-         |  SELECT min(rep) AS doc_a, doc_id AS doc_b FROM sm_deg
-         |  GROUP BY doc_id HAVING min(rep) < doc_id),
-         |tagged AS (
-         |  SELECT doc_a, doc_b, 1 AS m, 0 AS sm, 0 AS e, 1 AS c FROM mh_star
-         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0, 1 FROM sm_star
-         |  UNION ALL SELECT doc_a, doc_b, 1, 0, 0, 0 FROM est
-         |  WHERE est_jaccard >= 0.5
-         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0, 0 FROM simp
-         |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1, 0 FROM exact)
-         |SELECT doc_a, doc_b,
-         |  max(m) = 1 AS in_minhash,
-         |  max(sm) = 1 AS in_simhash,
-         |  max(e) = 1 AS in_exact,
-         |  max(c) = 1 AS clustered,
-         |  (max(m) + max(sm) + max(e))::INT AS votes
-         |FROM tagged GROUP BY 1, 2
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH ${ensembleClusteredCtes()}
+         |SELECT doc_a, doc_b, in_minhash, in_simhash, in_exact,
+         |  clustered, votes
+         |FROM ens ORDER BY doc_a, doc_b""".stripMargin,
     "neardup_jaccard" ->
       s"""WITH toks AS (
         |  SELECT doc_id,

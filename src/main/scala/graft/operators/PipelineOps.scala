@@ -158,6 +158,23 @@ object PipelineOps {
     connectedComponents(
       SigStore.exactPairs(s, d).select("doc_a", "doc_b"), maxIter)
 
+  /** ROUTING TABLE → ACTION: connected components over the clustered
+    * ensemble's actionable relations — residual pairs confirmed by
+    * ≥ 2 independent detectors, plus every degenerate-bucket star
+    * edge (a membership in a > t-deep identical-signature bucket is
+    * near-identity by construction; requiring a second vote there
+    * would re-pay the pairwise expansion the routing exists to
+    * avoid). This is the final per-doc cluster assignment a dedup
+    * pipeline feeds to keep-one selection. Edge set is the LANDED
+    * routing artifact filtered — near-dup-rate-bounded, never a
+    * corpus scan; CC cost is diameter × one edge-set shuffle. */
+  def dedupClustersEnsemble(s: SparkSession, d: String,
+                            maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      Dedup.dedupEnsembleClustered(s, d)
+        .filter(col("votes") >= 2 || col("clustered"))
+        .select("doc_a", "doc_b"), maxIter)
+
   /** Min-label propagation over an undirected pair graph. Converges in
     * graph-diameter rounds; each round is one shuffle over the EDGE
     * set. Throws on hitting maxIter un-converged — a silently partial
@@ -879,6 +896,8 @@ object PipelineOps {
     "ngram_counts"     -> ngramCounts _,
     "text_clean"       -> textClean _,
     "dedup_clusters"   -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "dedup_clusters_ensemble" ->
+      ((s: SparkSession, d: String) => dedupClustersEnsemble(s, d)),
     "dedup_clusters_lsh" -> ((s: SparkSession, d: String) => dedupClustersLsh(s, d)),
     "decontam_ngrams"  -> decontamNgrams _,
     "decontam_bloom"   -> decontamBloom _,
@@ -1144,6 +1163,25 @@ object PipelineOps {
         |    '\s+', ' ', 'g'))) AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
+    // CC replay over the clustered-ensemble routing: WITH RECURSIVE
+    // over the shared ens chain, actionable edges = votes >= 2 OR
+    // clustered (star edges are near-identity by construction)
+    "dedup_clusters_ensemble" ->
+      s"""WITH RECURSIVE ${graft.operators.Dedup.ensembleClusteredCtes()},
+         |act AS (
+         |  SELECT doc_a, doc_b FROM ens
+         |  WHERE votes >= 2 OR clustered),
+         |cedges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM act
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM act),
+         |cnodes AS (SELECT DISTINCT a AS id FROM cedges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM cnodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM cedges e JOIN reach ON reach.id = e.b)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "triangle_count" ->
       s"""WITH pairs AS (
          |${Dedup.oracle("neardup_jaccard").linesIterator.map("  " + _).mkString("\n")}

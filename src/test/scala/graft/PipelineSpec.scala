@@ -310,6 +310,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters_ensemble equals union-find over the actionable " +
+    "routing edges (votes >= 2 or clustered)") {
+    val edges = Dedup.dedupEnsembleClustered(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.expr("votes >= 2 OR clustered"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "no actionable relations at test scale")
+    // ground truth: plain union-find with min-label canonicalization
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).toMap
+    val got = PipelineOps.dedupClustersEnsemble(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect,
+      s"CC labels diverge from union-find (${got.size} vs ${expect.size})")
+  }
+
   test("vocab_build is the exact frequency-ranked coverage prefix") {
     import graft.operators.{TextAnalysis, TextOps}
     val wc = TextOps.wordcount(spark, sfDir).collect()
