@@ -1315,6 +1315,10 @@ object ScaleRehearsal {
       // shuffle must track docs-in-degenerate-buckets, not pairs
       measure(s, listener, "ensemble", "dedup_ensemble_clustered", m,
         passes)(operators.Dedup.dedupEnsembleClustered(s, staged))
+      // the action stage: CC over the actionable routing relations —
+      // cost must be diameter × one edge-set shuffle, edge-bounded
+      measure(s, listener, "ensemble", "dedup_clusters_ensemble", m,
+        passes)(operators.PipelineOps.dedupClustersEnsemble(s, staged))
       // the receipt's denominators: per-store pair counts + the two
       // output cardinalities the routing claim compares
       val nl = operators.SigStore.lshPairs(s, staged).count()

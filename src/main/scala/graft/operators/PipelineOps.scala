@@ -169,11 +169,28 @@ object PipelineOps {
     * routing artifact filtered — near-dup-rate-bounded, never a
     * corpus scan; CC cost is diameter × one edge-set shuffle. */
   def dedupClustersEnsemble(s: SparkSession, d: String,
-                            maxIter: Int = 20): DataFrame =
-    connectedComponents(
-      Dedup.dedupEnsembleClustered(s, d)
-        .filter(col("votes") >= 2 || col("clustered"))
-        .select("doc_a", "doc_b"), maxIter)
+                            maxIter: Int = 20): DataFrame = {
+    // LANDS per dataset like the routing artifact it consumes: the
+    // assignment is what production persists (keep-one reads it), and
+    // the CC loop — O(log diameter) rounds with pointer doubling, but
+    // still a driver-looped iteration — should price once, not per
+    // read
+    val path = ccEnsembleStores.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.processScoped("graft_cc",
+        s"ens_${ccEpoch.getAndIncrement()}").toString
+      connectedComponents(
+        Dedup.dedupEnsembleClustered(s, d)
+          .filter(col("votes") >= 2 || col("clustered"))
+          .select("doc_a", "doc_b"), maxIter)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
+  private val ccEnsembleStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Min-label propagation over an undirected pair graph. Converges in
     * graph-diameter rounds; each round is one shuffle over the EDGE
@@ -236,26 +253,50 @@ object PipelineOps {
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
             (col("nlbl") < col("lbl")).as("chg"))
       }
+      // POINTER DOUBLING (r19): lbl(x) ← min(lbl(x), lbl(lbl(x))).
+      // Plain propagation needs DIAMETER rounds — fine for the
+      // near-clique exact/LSH cluster graphs (diameter 2-3), but the
+      // clustered-ensemble action graph measured diameter 31 at sf0.1
+      // (weak transitive links chain 90% of clustered docs into one
+      // component), blowing past maxIter at ~1 s/round. The jump is
+      // sound because labels are always component-member ids, and it
+      // turns convergence into O(log diameter) rounds — the standard
+      // MapReduce-CC acceleration (Kiveris et al.'s star contraction
+      // solves the same problem; one self-join is enough here).
+      // carries the propagation's chg flag through the jump so the
+      // round still needs ONE persist + ONE blocking count (a
+      // separately-persisted jump would either add an action per
+      // round or — unpersisted-before-materialized — silently rebuild
+      // the whole unrolled lineage every round)
+      def jump(lbl: DataFrame): DataFrame =
+        lbl.as("a").join(
+          lbl.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
+          col("a.lbl") === col("b.jid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl")))
+              .as("lbl"),
+            col("a.chg").as("chg"))
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
-        // two lazily-chained rounds, ONE blocking count; converged iff
-        // the second round changed nothing (round 2 of a settled graph
-        // is a no-op, so checking only its flag is sound)
-        val next = step(step(labels).select("id", "lbl")).persist()
-        changed = next.filter(col("chg")).count()
+        // two propagation rounds + one pointer jump per iteration;
+        // converged iff the second propagation changed nothing
+        // (round 2 of a settled graph is a no-op, so checking only
+        // its flag is sound — the jump only accelerates, it cannot
+        // create a premature fixed point: chg = 0 means every edge
+        // has equal labels on both ends). Lineage is truncated EVERY
+        // round, not every 8: the jump's self-join references the
+        // round's plan twice, so an unrolled lineage doubles per
+        // round — exponential plan size (measured: OOM in plan
+        // stringification by round ~8 on the diameter-31 graph); the
+        // labels relation is node-count-bounded, so an eager
+        // checkpoint per round is the cheap side of that trade.
+        val t = Checkpoints.truncate(
+          jump(step(step(labels).select("id", "lbl"))))
+        changed = t.filter(col("chg")).count()
         labels.unpersist(false)
-        labels = next
+        labels = t
         iter += 2
-        // cut the unrolled join lineage on the configured rung every 8
-        // rounds — persist pins the DATA but the logical plan still
-        // deepens per round, and a deep-diameter graph would pay
-        // growing analysis cost (same rung as pagerankRanks)
-        if (changed > 0 && iter % 8 == 0) {
-          val t = Checkpoints.truncate(labels)
-          labels.unpersist(false)
-          labels = t
-        }
       }
       require(changed == 0,
         s"connectedComponents did not converge in $maxIter iterations")
