@@ -276,6 +276,20 @@ object PipelineOps {
             least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl")))
               .as("lbl"),
             col("a.chg").as("chg"))
+      // per-round label landing: the labels relation is node-count-
+      // bounded, and landing it to scratch parquet each round (a) cuts
+      // the unrolled lineage, which the jump's self-join would
+      // otherwise DOUBLE per round — exponential plan size, measured
+      // as an OOM in plan stringification by round ~8 on the
+      // diameter-31 graph — and (b) leaves NO persistent RDDs behind
+      // (localCheckpoint blocks are not released by DataFrame
+      // .unpersist, which InvariantSpec's cache-release pin catches).
+      val roundSlot = freshCcDir()
+      def land(df: DataFrame, round: Int): DataFrame = {
+        val p = s"$roundSlot/r$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
@@ -284,15 +298,8 @@ object PipelineOps {
         // (round 2 of a settled graph is a no-op, so checking only
         // its flag is sound — the jump only accelerates, it cannot
         // create a premature fixed point: chg = 0 means every edge
-        // has equal labels on both ends). Lineage is truncated EVERY
-        // round, not every 8: the jump's self-join references the
-        // round's plan twice, so an unrolled lineage doubles per
-        // round — exponential plan size (measured: OOM in plan
-        // stringification by round ~8 on the diameter-31 graph); the
-        // labels relation is node-count-bounded, so an eager
-        // checkpoint per round is the cheap side of that trade.
-        val t = Checkpoints.truncate(
-          jump(step(step(labels).select("id", "lbl"))))
+        // has equal labels on both ends)
+        val t = land(jump(step(step(labels).select("id", "lbl"))), iter)
         changed = t.filter(col("chg")).count()
         labels.unpersist(false)
         labels = t
