@@ -859,4 +859,40 @@ class PipelineSpec extends SparkSpec {
       assert(reliableDepth == localDepth)
     } finally Checkpoints.reliable = prev
   }
+
+  test("quality_train: violations decay, trajectory deterministic, " +
+    "weights find the hidden concept direction") {
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.qualityTrain(spark, sfDir).collect()
+    assert(a.length == TextAnalysis.QcIters)
+    val nTrain = TextAnalysis.qcFeatures(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("is_train")).count()
+    // epoch 1 evaluates w=0: every train row violates the margin
+    assert(a.head.getLong(1) == nTrain)
+    // the optimizer genuinely descends: final violations are a small
+    // fraction of the initial count
+    assert(a.last.getLong(1) * 4 < nTrain,
+      s"violations did not decay: ${a.last.getLong(1)} of $nTrain")
+    // trajectory is cached per dataset AND bit-identical on re-run
+    val b = TextAnalysis.qualityTrain(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // learned direction: the hidden rule is 2·stop + ttr > thresh, so
+    // w_stop and w_ttr must both come out positive
+    assert(a.last.getLong(3) > 0 && a.last.getLong(4) > 0,
+      s"concept direction not found: ${a.last}")
+  }
+
+  test("quality_train_eval: confusion partitions the held-out slice, " +
+    "accuracy beats chance by a wide margin") {
+    import graft.operators.TextAnalysis
+    val r = TextAnalysis.qualityTrainEval(spark, sfDir).collect()(0)
+    val Seq(nEval, tp, fp, tn, fn) = (0 to 4).map(r.getLong)
+    val nHeld = TextAnalysis.qcFeatures(spark, sfDir)
+      .filter(!org.apache.spark.sql.functions.col("is_train")).count()
+    assert(nEval == nHeld && nEval > 0)
+    assert(tp + fp + tn + fn == nEval, "confusion cells must partition")
+    // measured 916666 ppm at sf0.001 / 902777 at sf0.01; 750000 is a
+    // wide determinism-safe floor far above the ~500000 chance line
+    assert(r.getLong(5) > 750000L, s"accuracy_ppm=${r.getLong(5)}")
+  }
 }
