@@ -349,15 +349,17 @@ object PipelineOps {
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
 
   /** Unsorted form for internal composition (see
-    * Dedup.neardupJaccardRaw). Reads the session [[SigStore]]: LSH
-    * candidates come from the cached pair artifact and the verify
-    * joins scan the landed shingle parquet — after the first
-    * dedup-family query of the session, no corpus re-scan. */
+    * Dedup.neardupJaccardRaw). Reads the session [[SigStore]]'s
+    * landed VERIFIED pair artifact (r19): the candidate generation
+    * AND the exact-Jaccard verify joins run once per (dataset, minJ,
+    * minEst) and land — every later consumer (the CC clustering
+    * included) is a scan of a pair-bounded parquet, the same
+    * amortization `SigStore.exactPairs` gives the exact-graph
+    * family. */
   def neardupJaccardLshRaw(s: SparkSession, d: String,
                            minJ: Double = 0.5,
                            minEst: Double = 0.35): DataFrame =
-    lshVerify(SigStore.forDataset(s, d).shingles(s),
-      SigStore.lshPairs(s, d, minEst).select("doc_a", "doc_b"), minJ)
+    SigStore.verifiedLshPairs(s, d, minJ, minEst)
 
   /** Core over a caller-supplied (possibly persisted) capped-shingle
     * relation: the SAME `sh` feeds the LSH candidate generator and the
@@ -371,9 +373,9 @@ object PipelineOps {
 
   /** Exact-Jaccard verification of candidate pairs against a shingle
     * relation — shared by the store-backed and caller-supplied
-    * entry points. */
-  private def lshVerify(sh: DataFrame, cand: DataFrame,
-                        minJ: Double): DataFrame = {
+    * entry points ([[SigStore.verifiedLshPairs]] lands its output). */
+  private[operators] def lshVerify(sh: DataFrame, cand: DataFrame,
+                                   minJ: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -399,15 +401,14 @@ object PipelineOps {
     * md5-seeded MinHash family is engine-neutral, so the DuckDB oracle
     * replays candidates → verify → reachability verbatim.
     *
-    * Reads the session SigStore: candidates come from the cached LSH
-    * pair artifact and the verify/size branches scan the landed
-    * shingle parquet — the corpus-scanning pipeline head runs once
-    * per session, not once per query. (This is the "caller lands the
-    * shingle relation in cluster storage once" deployment shape the
-    * pre-store version of this comment promised; the in-memory
-    * alternative — persisting `sh` inside a one-shot composition —
-    * measured 2.3× SLOWER at sf0.1 because the columnar cache build
-    * serializes the pipeline head, and is still avoided.) */
+    * Reads the session SigStore's landed VERIFIED pair artifact
+    * (r19, [[SigStore.verifiedLshPairs]]): the corpus-scanning
+    * pipeline head AND the exact-Jaccard verify joins run once per
+    * session — this query's steady-state is the CC loop over one
+    * pair-bounded parquet scan. (The in-memory alternative —
+    * persisting `sh` inside a one-shot composition — measured 2.3×
+    * SLOWER at sf0.1 because the columnar cache build serializes the
+    * pipeline head, and is still avoided.) */
   def dedupClustersLsh(s: SparkSession, d: String,
                        maxIter: Int = 20): DataFrame =
     connectedComponents(

@@ -96,6 +96,30 @@ object SigStore {
     s.read.parquet(path)
   }
 
+  private val lshVerified =
+    new ConcurrentHashMap[(Key, Double, Double), String]()
+
+  /** Landed LSH-VERIFIED pair graph (r19): candidate generation from
+    * the banded artifact + exact-Jaccard verification against the
+    * landed shingles, run once per (dataset, minJ, minEst) and landed
+    * — the scale-path twin of [[exactPairs]]. `dedup_clusters_lsh`'s
+    * steady-state is then the CC loop over a pair-bounded parquet
+    * scan; the verify joins never re-run within a deployment epoch. */
+  def verifiedLshPairs(s: SparkSession, d: String, minJ: Double = 0.5,
+                       minEst: Double = 0.35,
+                       maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
+    val key = (Key(d, maxDf, Dedup.NumHashes, Dedup.Bands), minJ, minEst)
+    val path = lshVerified.computeIfAbsent(key, _ => {
+      val st = forDataset(s, d, maxDf)
+      val out = s"${st.root}/lshverified_${ids.getAndIncrement()}"
+      PipelineOps.lshVerify(st.shingles(s),
+          lshPairs(s, d, minEst).select("doc_a", "doc_b"), minJ)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** Landed EXACT-Jaccard near-dup pair graph — the verified pair set
     * a production dedup pipeline persists before anything consumes it.
     * Five registered queries read this one artifact (`neardup_jaccard`,
