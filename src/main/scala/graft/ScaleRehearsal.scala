@@ -601,6 +601,28 @@ object ScaleRehearsal {
     }
   }
 
+  /** In-engine classifier training over verbatim-replica corpora: the
+    * claim is (a) per-epoch cost ∝ corpus (one pass over the landed
+    * feature relation with map-side partial gradient aggregation),
+    * (b) driver traffic CONSTANT in corpus size (5 longs per
+    * partition per epoch), (c) the violator-averaged step makes the
+    * optimization itself scale-stable — violations decay at every
+    * multiple. Pass 1 includes the one-time feature land; later
+    * passes price the 30-epoch loop via the cache-bypassing fresh
+    * entry (the registered query memoizes per dataset). */
+  def runQualityTrain(s: SparkSession, sfDir: String, mults: Seq[Int],
+                      passes: Int = 3): Unit = {
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      measure(s, listener, "qualitytrain", "quality_train", m, passes)(
+        operators.TextAnalysis.qualityTrainFresh(s, staged))
+      measure(s, listener, "qualitytrain", "quality_train_eval", m, passes)(
+        operators.TextAnalysis.qualityTrainEval(s, staged))
+    }
+  }
+
   // embeddings sf0.1: vec_id < 2 000
   private val VecRange = 1000000L
 
@@ -1582,7 +1604,8 @@ object ScaleRehearsal {
       "pipeline", "layout", "events", "topk", "similarity", "spj",
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
       "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media",
-      "mediadiverse", "governance", "sketch", "phrase", "ensemble")
+      "mediadiverse", "governance", "sketch", "phrase", "ensemble",
+      "qualitytrain")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1652,6 +1675,8 @@ object ScaleRehearsal {
       runEnsemble(spark, sfDir, mults)
     if (family("governance"))
       runGovernance(spark, sfDir, mults)
+    if (family("qualitytrain"))
+      runQualityTrain(spark, sfDir, mults)
     if (family("ivfmaint"))
       runIvfMaint(spark, sfDir, mults)
     spark.stop()

@@ -1105,7 +1105,12 @@ object TextAnalysis {
     * 10-epoch trajectory hash-gates. Weights cache per dataset: the
     * eval rung reuses the trained model instead of re-training. */
   private[graft] def qcTrajectory(s: SparkSession, d: String): Seq[QcIterRow] =
-    qcTrajCache.computeIfAbsent(d, _ => {
+    qcTrajCache.computeIfAbsent(d, _ => qcTrainLoop(s, d))
+
+  /** The uncached epoch loop (the memoizing wrapper above is the
+    * query path; the scale rehearsal calls THIS so pass 2+ prices the
+    * training loop, not a cache read). */
+  private[graft] def qcTrainLoop(s: SparkSession, d: String): Seq[QcIterRow] = {
       val feats = qcFeatures(s, d).filter(col("is_train"))
       var w = Array(0L, 0L, 0L, 0L)
       val rows = Seq.newBuilder[QcIterRow]
@@ -1130,7 +1135,13 @@ object TextAnalysis {
         rows += QcIterRow(t, nv, w(0), w(1), w(2), w(3))
       }
       rows.result()
-    })
+  }
+
+  /** Uncached DataFrame form of the loop, for the rehearsal. */
+  private[graft] def qualityTrainFresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    qcTrainLoop(s, d).toDF()
+  }
 
   /** The training trajectory as a relation: one row per epoch with
     * the violation count under the incoming weights and the updated
