@@ -1107,14 +1107,16 @@ object TextAnalysis {
   private[graft] def qcTrajectory(s: SparkSession, d: String): Seq[QcIterRow] =
     qcTrajCache.computeIfAbsent(d, _ => qcTrainLoop(s, d))
 
-  /** The uncached epoch loop (the memoizing wrapper above is the
-    * query path; the scale rehearsal calls THIS so pass 2+ prices the
-    * training loop, not a cache read). */
-  private[graft] def qcTrainLoop(s: SparkSession, d: String): Seq[QcIterRow] = {
-      val feats = qcFeatures(s, d).filter(col("is_train"))
-      var w = Array(0L, 0L, 0L, 0L)
+  /** The epoch-loop CORE over any feature slice, warm-startable: runs
+    * epochs `from..to` with GLOBAL step damping (the divisor is the
+    * absolute epoch index, so a continued run takes the small
+    * fine-tuning steps a 1/t schedule prescribes, not a restart's
+    * large ones). Returns (per-epoch rows, final weights). */
+  private def qcLoopRange(feats: DataFrame, w0: Array[Long],
+                          from: Int, to: Int): (Seq[QcIterRow], Array[Long]) = {
+      var w = w0.clone()
       val rows = Seq.newBuilder[QcIterRow]
-      for (t <- 1 to QcIters) {
+      for (t <- from to to) {
         val margin = expr(
           s"y * ((${w(0)}L) * f_len + (${w(1)}L) * f_stop + " +
             s"(${w(2)}L) * f_ttr + (${w(3)}L) * f_bias)")
@@ -1134,8 +1136,15 @@ object TextAnalysis {
         }
         rows += QcIterRow(t, nv, w(0), w(1), w(2), w(3))
       }
-      rows.result()
+      (rows.result(), w)
   }
+
+  /** The uncached epoch loop (the memoizing wrapper above is the
+    * query path; the scale rehearsal calls THIS so pass 2+ prices the
+    * training loop, not a cache read). */
+  private[graft] def qcTrainLoop(s: SparkSession, d: String): Seq[QcIterRow] =
+    qcLoopRange(qcFeatures(s, d).filter(col("is_train")),
+      Array(0L, 0L, 0L, 0L), 1, QcIters)._1
 
   /** Uncached DataFrame form of the loop, for the rehearsal. */
   private[graft] def qualityTrainFresh(s: SparkSession, d: String): DataFrame = {
@@ -1150,6 +1159,46 @@ object TextAnalysis {
   def qualityTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     qcTrajectory(s, d).toDF()
+      .transform(Present.sortedUnbounded(_, col("iter")))
+  }
+
+  /** Arriving-batch slice for the incremental rung: docs with
+    * doc_id % QcBatchEvery == 0 (disjoint from nothing — it overlaps
+    * the train/eval split orthogonally; the BASE model trains on
+    * train-minus-batch, the continued model on all of train). */
+  val QcBatchEvery = 11
+  /** Continued-training epochs after warm start. */
+  val QcIncrEpochs = 5
+
+  private val qcIncrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[QcIterRow]]()
+
+  /** Continual training — the `_incremental` verb the other artifact
+    * families carry (bm25/semdedup/ann/shard_manifest), applied to
+    * the MODEL: when a batch arrives, the production pipeline does
+    * not retrain from scratch — it warm-starts from the landed
+    * weights and fine-tunes a few epochs over base ∪ batch. Here the
+    * base model trains [[QcIters]] epochs on train-minus-batch, then
+    * continues [[QcIncrEpochs]] epochs (global epoch indices
+    * [[QcIters]]+1.., so the 1/t schedule keeps prescribing
+    * fine-tuning-sized steps) on the full train slice. Output = the
+    * continued epochs' rows; the warm-start receipt is epoch 31's
+    * violation count — a small fraction of the train slice, where a
+    * cold start violates ALL of it (the spec pins both). Cost:
+    * QcIncrEpochs extra passes — never a from-scratch retrain. */
+  private[graft] def qcIncrTrajectory(s: SparkSession, d: String): Seq[QcIterRow] =
+    qcIncrCache.computeIfAbsent(d, _ => {
+      val feats = qcFeatures(s, d)
+      val base = feats.filter(
+        col("is_train") && col("doc_id") % QcBatchEvery =!= 0)
+      val (_, wBase) = qcLoopRange(base, Array(0L, 0L, 0L, 0L), 1, QcIters)
+      qcLoopRange(feats.filter(col("is_train")), wBase,
+        QcIters + 1, QcIters + QcIncrEpochs)._1
+    })
+
+  def qualityTrainIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    qcIncrTrajectory(s, d).toDF()
       .transform(Present.sortedUnbounded(_, col("iter")))
   }
 
@@ -1177,6 +1226,7 @@ object TextAnalysis {
     "ngrams_udtf"  -> ngramsUdtf _,
     "quality_train" -> qualityTrain _,
     "quality_train_eval" -> qualityTrainEval _,
+    "quality_train_incremental" -> qualityTrainIncremental _,
     "perplexity_filter" -> perplexityFilter _,
     "perplexity_bigram" -> perplexityBigram _,
     "lang_id"      -> langId _,
@@ -1251,29 +1301,41 @@ object TextAnalysis {
     * per level (by g(T+1) and w(T+1)), so DuckDB's default CTE
     * inlining expands the chain 2^epochs times — the un-hinted form
     * never finishes at 30 epochs. */
-  private def qcIterCtes: String = {
-    val sb = new StringBuilder(
-      "w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS wl, CAST(0 AS BIGINT) AS ws, " +
-        "CAST(0 AS BIGINT) AS wt, CAST(0 AS BIGINT) AS wb)")
-    for (t <- 1 to QcIters) {
-      val p = t - 1
+  /** A zero-weights CTE named `name`. */
+  private def qcZeroW(name: String): String =
+    s"$name AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS wl, CAST(0 AS BIGINT) AS ws, " +
+      "CAST(0 AS BIGINT) AS wt, CAST(0 AS BIGINT) AS wb)"
+
+  /** Epoch links `${prefix}g$t`/`${prefix}w$t` for epochs from..to,
+    * training on `f` rows satisfying `pred`, chained from the weight
+    * CTE `init` — the oracle twin of [[qcLoopRange]] (global epoch
+    * index in the damping divisor, so warm-started chains fine-tune). */
+  private def qcChainLinks(prefix: String, pred: String,
+                           from: Int, to: Int, init: String): String = {
+    val sb = new StringBuilder
+    var prev = init
+    for (t <- from to to) {
       sb.append(s""",
-         |g$t AS MATERIALIZED (SELECT count(*) AS nv,
+         |${prefix}g$t AS MATERIALIZED (SELECT count(*) AS nv,
          |  CAST(coalesce(sum(y * f_len), 0) AS BIGINT) AS gl,
          |  CAST(coalesce(sum(y * f_stop), 0) AS BIGINT) AS gs,
          |  CAST(coalesce(sum(y * f_ttr), 0) AS BIGINT) AS gt,
          |  CAST(coalesce(sum(y * f_bias), 0) AS BIGINT) AS gb
-         |  FROM f, w$p
-         |  WHERE is_train AND y * (wl * f_len + ws * f_stop + wt * f_ttr + wb * f_bias) <= 0),
-         |w$t AS MATERIALIZED (SELECT
+         |  FROM f, $prev
+         |  WHERE $pred AND y * (wl * f_len + ws * f_stop + wt * f_ttr + wb * f_bias) <= 0),
+         |${prefix}w$t AS MATERIALIZED (SELECT
          |  CASE WHEN nv = 0 THEN wl ELSE wl + ($QcGain * gl) // (nv * $t) END AS wl,
          |  CASE WHEN nv = 0 THEN ws ELSE ws + ($QcGain * gs) // (nv * $t) END AS ws,
          |  CASE WHEN nv = 0 THEN wt ELSE wt + ($QcGain * gt) // (nv * $t) END AS wt,
          |  CASE WHEN nv = 0 THEN wb ELSE wb + ($QcGain * gb) // (nv * $t) END AS wb
-         |  FROM w$p, g$t)""".stripMargin)
+         |  FROM $prev, ${prefix}g$t)""".stripMargin)
+      prev = s"${prefix}w$t"
     }
     sb.toString
   }
+
+  private def qcIterCtes: String =
+    qcZeroW("w0") + qcChainLinks("", "is_train", 1, QcIters, "w0")
 
   private def qcTrainSql: String = {
     val arms = (1 to QcIters).map(t =>
@@ -1282,6 +1344,21 @@ object TextAnalysis {
         s"FROM g$t, w$t").mkString("\n  UNION ALL ")
     s"""WITH $qcFeatSql,
        |$qcIterCtes
+       |SELECT * FROM (
+       |  $arms
+       |) ORDER BY iter""".stripMargin
+  }
+
+  private def qcIncrSql: String = {
+    val basePred = s"is_train AND doc_id % $QcBatchEvery <> 0"
+    val arms = (QcIters + 1 to QcIters + QcIncrEpochs).map(t =>
+      s"SELECT $t AS iter, cg$t.nv AS n_viol, cw$t.wl AS w_len, " +
+        s"cw$t.ws AS w_stop, cw$t.wt AS w_ttr, cw$t.wb AS w_bias " +
+        s"FROM cg$t, cw$t").mkString("\n  UNION ALL ")
+    s"""WITH $qcFeatSql,
+       |${qcZeroW("bw0")}${qcChainLinks("b", basePred, 1, QcIters, "bw0")}${
+         qcChainLinks("c", "is_train",
+           QcIters + 1, QcIters + QcIncrEpochs, s"bw$QcIters")}
        |SELECT * FROM (
        |  $arms
        |) ORDER BY iter""".stripMargin
@@ -1309,6 +1386,7 @@ object TextAnalysis {
   def oracle: Map[String, String] = Map(
     "quality_train" -> qcTrainSql,
     "quality_train_eval" -> qcEvalSql,
+    "quality_train_incremental" -> qcIncrSql,
     // the generator's tokenize + slide replayed with the established
     // regex twin; 1-based list indexing, i up to len-2
     "ngrams_udtf" ->

@@ -882,6 +882,26 @@ class PipelineSpec extends SparkSpec {
       s"concept direction not found: ${a.last}")
   }
 
+  test("quality_train_incremental: warm start fine-tunes, cold start " +
+    "re-pays the corpus") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.qualityTrainIncremental(spark, sfDir).collect()
+    assert(rows.length == TextAnalysis.QcIncrEpochs)
+    // epochs carry GLOBAL indices: the continued run is a continuation,
+    // not a restart (the 1/t schedule depends on it)
+    assert(rows.map(_.getInt(0)).toSeq ==
+      (TextAnalysis.QcIters + 1 to
+        TextAnalysis.QcIters + TextAnalysis.QcIncrEpochs))
+    // warm-start receipt: the base model already classifies most of
+    // the full train slice (batch included) — first continued epoch
+    // violates a small fraction of what a cold start would (all of it)
+    val nTrain = TextAnalysis.qcFeatures(spark, sfDir)
+      .filter(col("is_train")).count()
+    assert(rows.head.getLong(1) * 3 < nTrain,
+      s"warm start lost: ${rows.head.getLong(1)} of $nTrain violate")
+  }
+
   test("quality_train_eval: confusion partitions the held-out slice, " +
     "accuracy beats chance by a wide margin") {
     import graft.operators.TextAnalysis
