@@ -609,13 +609,21 @@ object ScaleRehearsal {
     * optimization itself scale-stable — violations decay at every
     * multiple. Pass 1 includes the one-time feature land; later
     * passes price the 30-epoch loop via the cache-bypassing fresh
-    * entry (the registered query memoizes per dataset). */
+    * entry (the registered query memoizes per dataset). The corpus is
+    * the VERBATIM-replica stage ([[stageGovDocs]], doc_id offset
+    * only): each replica's features and label are identical to the
+    * base doc's, so the label threshold keeps its class balance and
+    * the violator-average step sees the same geometry at every
+    * multiple — stageDocs' per-shard line tags would shift exactly
+    * the token statistics the hidden rule thresholds (the
+    * rehearsal-corpus rule the perplexity family established). Only
+    * split membership varies (doc_id % splits see offset ids). */
   def runQualityTrain(s: SparkSession, sfDir: String, mults: Seq[Int],
                       passes: Int = 3): Unit = {
     val listener = new ShuffleListener
     s.sparkContext.addSparkListener(listener)
     mults.foreach { m =>
-      val staged = stageDocs(s, sfDir, m)
+      val staged = stageGovDocs(s, sfDir, m)
       measure(s, listener, "qualitytrain", "quality_train", m, passes)(
         operators.TextAnalysis.qualityTrainFresh(s, staged))
       measure(s, listener, "qualitytrain", "quality_train_eval", m, passes)(

@@ -97,7 +97,7 @@ object SigStore {
   }
 
   private val lshVerified =
-    new ConcurrentHashMap[(Key, Double, Double), String]()
+    new ConcurrentHashMap[(Key, Double, Double, Int), String]()
 
   /** Landed LSH-VERIFIED pair graph (r19): candidate generation from
     * the banded artifact + exact-Jaccard verification against the
@@ -107,13 +107,19 @@ object SigStore {
     * scan; the verify joins never re-run within a deployment epoch. */
   def verifiedLshPairs(s: SparkSession, d: String, minJ: Double = 0.5,
                        minEst: Double = 0.35,
+                       maxBucket: Int = Dedup.LshMaxBucket,
                        maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
-    val key = (Key(d, maxDf, Dedup.NumHashes, Dedup.Bands), minJ, minEst)
+    val key = (Key(d, maxDf, Dedup.NumHashes, Dedup.Bands),
+      minJ, minEst, maxBucket)
     val path = lshVerified.computeIfAbsent(key, _ => {
       val st = forDataset(s, d, maxDf)
       val out = s"${st.root}/lshverified_${ids.getAndIncrement()}"
+      // maxDf/maxBucket forwarded: candidates and verify shingles must
+      // come from the SAME parameterization or the landed artifact
+      // matches neither
       PipelineOps.lshVerify(st.shingles(s),
-          lshPairs(s, d, minEst).select("doc_a", "doc_b"), minJ)
+          lshPairs(s, d, minEst, maxBucket, maxDf)
+            .select("doc_a", "doc_b"), minJ)
         .write.mode("overwrite").parquet(out)
       out
     })

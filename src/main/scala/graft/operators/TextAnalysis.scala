@@ -1069,16 +1069,22 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         cleanTokens(col("text")).as("toks"))
+      // raw counts once per row: Spark does not reliably CSE
+      // higher-order-function calls across select expressions, and the
+      // stopword filter / distinct would otherwise run twice each per
+      // document (label + feature) in the one corpus-sized pass
+      .selectExpr("doc_id", "text",
+        "size(toks) AS n_tok",
+        s"size(filter(toks, t -> t IN ($enStopList))) AS n_stop",
+        "size(array_distinct(toks)) AS n_types")
       .selectExpr(
         "doc_id",
-        s"CAST(CASE WHEN 2000 * size(filter(toks, t -> t IN ($qcStopIn))) + 1000 * size(array_distinct(toks)) > $QcLabelThresh * size(toks) THEN 1 ELSE -1 END AS BIGINT) AS y",
+        s"CAST(CASE WHEN 2000 * n_stop + 1000 * n_types > $QcLabelThresh * n_tok THEN 1 ELSE -1 END AS BIGINT) AS y",
         s"doc_id % $QcHoldEvery <> 0 AS is_train",
         s"CAST(least(length(text), $QcMaxLen) AS BIGINT) * 1000 div $QcMaxLen - ${QcCenter(0)} AS f_len",
-        s"(CASE WHEN size(toks) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(size(filter(toks, t -> t IN ($qcStopIn))) AS BIGINT) * 1000 div size(toks) END) - ${QcCenter(1)} AS f_stop",
-        s"(CASE WHEN size(toks) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(size(array_distinct(toks)) AS BIGINT) * 1000 div size(toks) END) - ${QcCenter(2)} AS f_ttr",
+        s"(CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT) ELSE CAST(n_stop AS BIGINT) * 1000 div n_tok END) - ${QcCenter(1)} AS f_stop",
+        s"(CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT) ELSE CAST(n_types AS BIGINT) * 1000 div n_tok END) - ${QcCenter(2)} AS f_ttr",
         "CAST(1000 AS BIGINT) AS f_bias")
-
-  private def qcStopIn: String = enStop.map(w => s"'$w'").mkString(", ")
 
   private[graft] def qcFeatures(s: SparkSession, d: String): DataFrame = {
     val path = qcFeatPaths.computeIfAbsent(d, _ => {
@@ -1102,8 +1108,9 @@ object TextAnalysis {
     * feature arity, never the corpus). The update w += g div n_viol
     * is truncating integer division — identical semantics in Spark
     * (`div`), Scala (`Long./`), and DuckDB (`//`), so the whole
-    * 10-epoch trajectory hash-gates. Weights cache per dataset: the
-    * eval rung reuses the trained model instead of re-training. */
+    * [[QcIters]]-epoch trajectory hash-gates. Weights cache per
+    * dataset: the eval rung reuses the trained model instead of
+    * re-training. */
   private[graft] def qcTrajectory(s: SparkSession, d: String): Seq[QcIterRow] =
     qcTrajCache.computeIfAbsent(d, _ => qcTrainLoop(s, d))
 

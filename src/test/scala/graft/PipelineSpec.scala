@@ -873,8 +873,10 @@ class PipelineSpec extends SparkSpec {
     // fraction of the initial count
     assert(a.last.getLong(1) * 4 < nTrain,
       s"violations did not decay: ${a.last.getLong(1)} of $nTrain")
-    // trajectory is cached per dataset AND bit-identical on re-run
-    val b = TextAnalysis.qualityTrain(spark, sfDir).collect()
+    // bit-identical on a genuinely fresh re-run: the UNCACHED loop
+    // (the registered query memoizes per dataset, so comparing it to
+    // itself would be vacuous)
+    val b = TextAnalysis.qualityTrainFresh(spark, sfDir).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     // learned direction: the hidden rule is 2·stop + ttr > thresh, so
     // w_stop and w_ttr must both come out positive
