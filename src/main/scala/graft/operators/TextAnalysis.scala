@@ -1209,6 +1209,23 @@ object TextAnalysis {
       .transform(Present.sortedUnbounded(_, col("iter")))
   }
 
+  /** The APPLY step — what training exists for: score EVERY doc with
+    * the final weights and emit the keep/drop decision. The weights
+    * ride the plan as literals, so this is one narrow map-only pass
+    * over the landed feature relation (no join, no broadcast, no
+    * shuffle but the presentation sort) — at 100 TB the filter prices
+    * as a columnar scan, exactly like the hand-thresholded
+    * text_quality filters it upgrades. */
+  def qualityFilterTrained(s: SparkSession, d: String): DataFrame = {
+    val wf = qcTrajectory(s, d).last
+    val score = expr(
+      s"(${wf.w_len}L) * f_len + (${wf.w_stop}L) * f_stop + " +
+        s"(${wf.w_ttr}L) * f_ttr + (${wf.w_bias}L) * f_bias")
+    qcFeatures(s, d)
+      .select(col("doc_id"), score.as("score"), (score > 0).as("keep"))
+      .transform(Present.sortedUnbounded(_, col("doc_id")))
+  }
+
   /** Held-out confusion matrix of the trained model: one distributed
     * aggregation over the eval slice (docs the training loop never
     * saw), scored with the final weights as literals. */
@@ -1234,6 +1251,7 @@ object TextAnalysis {
     "quality_train" -> qualityTrain _,
     "quality_train_eval" -> qualityTrainEval _,
     "quality_train_incremental" -> qualityTrainIncremental _,
+    "quality_filter_trained" -> qualityFilterTrained _,
     "perplexity_filter" -> perplexityFilter _,
     "perplexity_bigram" -> perplexityBigram _,
     "lang_id"      -> langId _,
@@ -1371,6 +1389,14 @@ object TextAnalysis {
        |) ORDER BY iter""".stripMargin
   }
 
+  private def qcFilterSql: String =
+    s"""WITH $qcFeatSql,
+       |$qcIterCtes
+       |SELECT doc_id,
+       |  wl * f_len + ws * f_stop + wt * f_ttr + wb * f_bias AS score,
+       |  (wl * f_len + ws * f_stop + wt * f_ttr + wb * f_bias) > 0 AS keep
+       |FROM f, w$QcIters ORDER BY doc_id""".stripMargin
+
   private def qcEvalSql: String =
     s"""WITH $qcFeatSql,
        |$qcIterCtes,
@@ -1394,6 +1420,7 @@ object TextAnalysis {
     "quality_train" -> qcTrainSql,
     "quality_train_eval" -> qcEvalSql,
     "quality_train_incremental" -> qcIncrSql,
+    "quality_filter_trained" -> qcFilterSql,
     // the generator's tokenize + slide replayed with the established
     // regex twin; 1-based list indexing, i up to len-2
     "ngrams_udtf" ->

@@ -904,6 +904,31 @@ class PipelineSpec extends SparkSpec {
       s"warm start lost: ${rows.head.getLong(1)} of $nTrain violate")
   }
 
+  test("quality_filter_trained: apply step agrees with the confusion " +
+    "matrix and plans joinless") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val filt = TextAnalysis.qualityFilterTrained(spark, sfDir)
+    val rows = filt.collect()
+    val nDocs = TextAnalysis.qcFeatures(spark, sfDir).count()
+    assert(rows.length == nDocs, "apply must score every doc")
+    val kept = rows.count(_.getBoolean(2))
+    assert(kept > 0 && kept < rows.length, "degenerate filter")
+    // same decision rule as the eval rung: kept docs in the held-out
+    // slice are exactly the confusion matrix's positive predictions
+    val ev = TextAnalysis.qualityTrainEval(spark, sfDir).collect()(0)
+    val keptHeld = TextAnalysis.qcFeatures(spark, sfDir)
+      .filter(!col("is_train")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+      .intersect(rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet)
+      .size
+    assert(keptHeld == ev.getLong(1) + ev.getLong(2), // tp + fp
+      s"apply/eval drift: kept $keptHeld vs tp+fp ${ev.getLong(1) + ev.getLong(2)}")
+    // weights are literals: the scoring pass joins nothing
+    val plan = filt.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in apply plan:\n$plan")
+  }
+
   test("quality_train_eval: confusion partitions the held-out slice, " +
     "accuracy beats chance by a wide margin") {
     import graft.operators.TextAnalysis
