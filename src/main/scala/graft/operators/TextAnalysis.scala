@@ -1066,7 +1066,15 @@ object TextAnalysis {
     * vs 63.6 permil across classes — so a "predict lang" label would
     * gate nothing but chance.) */
   private def qcFeaturesBuilt(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    qcFeaturize(Tables.documents(s, d))
+
+  /** The feature/label pipeline over ANY (doc_id, text) frame — all
+    * narrow column ops, so it applies unchanged to a STREAMING frame
+    * (quality_filter_stream featurizes arriving docs inline; the
+    * landed store is the batch corpus's amortization, not a
+    * dependency). */
+  private[graft] def qcFeaturize(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         cleanTokens(col("text")).as("toks"))
       // raw counts once per row: Spark does not reliably CSE
@@ -1216,11 +1224,15 @@ object TextAnalysis {
     * shuffle but the presentation sort) — at 100 TB the filter prices
     * as a columnar scan, exactly like the hand-thresholded
     * text_quality filters it upgrades. */
+  /** w·x with the weights as plan literals — shared by the eval,
+    * batch-apply, and streaming-apply rungs so the decision rule
+    * cannot drift between them. */
+  private[graft] def qcScore(w: QcIterRow): org.apache.spark.sql.Column = expr(
+    s"(${w.w_len}L) * f_len + (${w.w_stop}L) * f_stop + " +
+      s"(${w.w_ttr}L) * f_ttr + (${w.w_bias}L) * f_bias")
+
   def qualityFilterTrained(s: SparkSession, d: String): DataFrame = {
-    val wf = qcTrajectory(s, d).last
-    val score = expr(
-      s"(${wf.w_len}L) * f_len + (${wf.w_stop}L) * f_stop + " +
-        s"(${wf.w_ttr}L) * f_ttr + (${wf.w_bias}L) * f_bias")
+    val score = qcScore(qcTrajectory(s, d).last)
     qcFeatures(s, d)
       .select(col("doc_id"), score.as("score"), (score > 0).as("keep"))
       .transform(Present.sortedUnbounded(_, col("doc_id")))
@@ -1230,10 +1242,7 @@ object TextAnalysis {
     * aggregation over the eval slice (docs the training loop never
     * saw), scored with the final weights as literals. */
   def qualityTrainEval(s: SparkSession, d: String): DataFrame = {
-    val wf = qcTrajectory(s, d).last
-    val score = expr(
-      s"(${wf.w_len}L) * f_len + (${wf.w_stop}L) * f_stop + " +
-        s"(${wf.w_ttr}L) * f_ttr + (${wf.w_bias}L) * f_bias")
+    val score = qcScore(qcTrajectory(s, d).last)
     qcFeatures(s, d).filter(!col("is_train"))
       .select(col("y"), (score > 0).as("pos"))
       .agg(
@@ -1389,7 +1398,9 @@ object TextAnalysis {
        |) ORDER BY iter""".stripMargin
   }
 
-  private def qcFilterSql: String =
+  // private[graft]: quality_filter_stream's oracle IS this SQL — one
+  // decision rule, one oracle, two execution modes
+  private[graft] def qcFilterSql: String =
     s"""WITH $qcFeatSql,
        |$qcIterCtes
        |SELECT doc_id,

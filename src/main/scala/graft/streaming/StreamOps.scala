@@ -36,21 +36,33 @@ object StreamOps {
     * source requires a DIRECTORY; production data is a directory of
     * part files, but the testdata ships a single file, so stage a
     * symlink dir next to /tmp when needed. */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val raw = java.nio.file.Paths.get(dir, "events.parquet")
-    val src =
-      if (java.nio.file.Files.isDirectory(raw)) raw.toString
-      else {
-        val staged = java.nio.file.Paths.get(
-          graft.Scratch.root, "graft_stream",
-          raw.toString.replaceAll("[^a-zA-Z0-9]", "_"))
-        java.nio.file.Files.createDirectories(staged)
-        val link = staged.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, raw)
-        staged.toString
-      }
-    eventsStreamFromDir(s, src)
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    eventsStreamFromDir(s, streamableDir(dir, "events.parquet"))
+
+  /** The file stream source requires a DIRECTORY; production data is
+    * a directory of part files, but the testdata ships single files —
+    * stage a symlink dir under scratch when needed. */
+  private def streamableDir(dir: String, file: String): String = {
+    val raw = java.nio.file.Paths.get(dir, file)
+    if (java.nio.file.Files.isDirectory(raw)) raw.toString
+    else {
+      val staged = java.nio.file.Paths.get(
+        graft.Scratch.root, "graft_stream",
+        raw.toString.replaceAll("[^a-zA-Z0-9]", "_"))
+      java.nio.file.Files.createDirectories(staged)
+      val link = staged.resolve(file)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, raw)
+      staged.toString
+    }
+  }
+
+  /** Streaming source over the documents parquet — the ingest feed
+    * the trained quality filter serves on. No ts column, so no
+    * normalization; schema probed from the footers like events. */
+  private[graft] def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val src = streamableDir(dir, "documents.parquet")
+    s.readStream.schema(s.read.parquet(src).schema).parquet(src)
   }
 
   /** The raw-schema events file stream over an explicit directory.
@@ -493,6 +505,29 @@ object StreamOps {
   def dedupStreamGated(s: SparkSession, dir: String): DataFrame =
     runToTableAppend(s, dedupStream(s, dir), "dedup_stream",
       col("user_id"), col("event_type"))
+
+  /** Streaming apply of the TRAINED quality filter — the production
+    * serving shape: the model trains offline (batch, oracle-gated
+    * `quality_train`), then its weights ride the ingest stream's plan
+    * as literals and every arriving doc is featurized + scored
+    * map-side. STATELESS (no watermark, no state store): the filter
+    * is a narrow projection, so at 100 TB/day it prices as the scan.
+    * Featurization runs inline on the stream ([[graft.operators
+    * .TextAnalysis.qcFeaturize]] — the same narrow column pipeline as
+    * batch, so the decision rule provably cannot drift), and the
+    * drained result equals `quality_filter_trained` row-for-row (the
+    * shared oracle). */
+  def qualityFilterStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val score = TextAnalysis.qcScore(TextAnalysis.qcTrajectory(s, dir).last)
+    TextAnalysis.qcFeaturize(docsStream(s, dir))
+      .select(col("doc_id"), score.as("score"), (score > 0).as("keep"))
+  }
+
+  /** `qualityFilterStream` driver-gated: equals the batch apply. */
+  def qualityFilterStreamGated(s: SparkSession, dir: String): DataFrame =
+    runToTableAppend(s, qualityFilterStream(s, dir),
+      "quality_filter_stream", col("doc_id"))
 
   /** Stream-static enrichment: the streaming fact side joins a
     * broadcast dimension snapshot inside each micro-batch — the
@@ -1096,6 +1131,7 @@ object StreamOps {
     "stream_full_join"     -> clickPurchaseFullGated _,
     "stream_join_window"   -> joinWindowGated _,
     "dedup_stream"         -> dedupStreamGated _,
+    "quality_filter_stream" -> qualityFilterStreamGated _,
     "stream_enrich"        -> streamEnrichGated _,
     "running_totals_stream" -> runningUserTotalsGated _,
     "user_max_stream"      -> userMaxStreamGated _,
@@ -1195,6 +1231,8 @@ object StreamOps {
     "dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // the batch apply's oracle verbatim: stream ≡ batch is the gate
+    "quality_filter_stream" -> graft.operators.TextAnalysis.qcFilterSql,
     "stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
         |  e.event_type, e.value

@@ -767,4 +767,21 @@ class StreamingSpec extends SparkSpec {
     // batch reads are the documented recovery — unaffected
     assert(cs.sql("SELECT count(*) FROM mem.st.t").head().getLong(0) == 6L)
   }
+
+  test("trained quality filter serves on the stream ≡ batch apply, " +
+    "stateless plan") {
+    import graft.operators.TextAnalysis
+    val streamed = StreamOps.qualityFilterStreamGated(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = TextAnalysis.qualityFilterTrained(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "stream and batch apply diverged")
+    // stateless contract: the streaming plan carries no aggregation /
+    // dedup / join state — a pure projection over the source
+    val plan = StreamOps.qualityFilterStream(spark, sfDir)
+      .queryExecution.analyzed.toString
+    Seq("Aggregate", "Join", "Deduplicate").foreach(op =>
+      assert(!plan.contains(op), s"unexpected $op in stream plan"))
+  }
 }
