@@ -79,15 +79,23 @@ object Similarity {
       .filter(col("vec_id") < MaxExactIds)
       // no persist: the pair join broadcasts one side; re-scanning the
       // filtered parquet for the other is cheaper than pinning memory
+    val cos = round(graft.functions.GraftFunctions.cosineNative(s,
+      col("va"), col("vb")), 6)
+    // The id window is one parquet split, so the BroadcastNestedLoop
+    // streamed side would otherwise be a SINGLE task running every
+    // MaxExactIds²/2 cosine serially (measured 2.5 s of a 2.9 s query
+    // at sf0.1) — spread it across the session's cores; the pair work
+    // is constant in corpus size either way. The cosine sits AFTER the
+    // id guard in ONE short-circuit join conjunction: as a separate
+    // post-join filter Catalyst pushed it in FRONT of the id test,
+    // paying the dot product on all n² ordered pairs instead of half.
     e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")),
-        col("id_a") < col("id_b"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))),
+        col("id_a") < col("id_b") && cos >= minCos)
       // fused-loop native dot (same fold order as the declarative
       // form; see CosineSim scaladoc) — the pair loop is the hot path
-      .withColumn("cos",
-        round(graft.functions.GraftFunctions.cosineNative(s,
-          col("va"), col("vb")), 6))
-      .filter(col("cos") >= minCos)
+      .withColumn("cos", cos)
       .select("id_a", "id_b", "cos")
       .transform(Present.sorted(_, col("id_a"), col("id_b")))
   }
