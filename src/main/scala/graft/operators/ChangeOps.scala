@@ -75,6 +75,19 @@ object ChangeOps {
     val grid = hourly
       .groupBy("user_id")
       .agg(min("hour").as("h0"), max("hour").as("h1"))
+      // spread the per-user bounds BEFORE the explode: the bounds
+      // relation is key-count-sized (KBs), so AQE's byte-based
+      // coalescing collapses the agg's exchange to ONE partition —
+      // and the explode then fans the whole hour grid (rows ∝ Σ user
+      // spans, 1M+ at sf0.1) out of a SINGLE task, serializing the
+      // join+fill downstream too (measured 1.4 s of this query's
+      // 2.1 s). The spread must be a keyless round-robin with an
+      // explicit width: a user_id-keyed repartition is partitioning-
+      // equal to the agg's requirement, so Catalyst collapses it into
+      // the same AQE-coalescible exchange (verified in the plan) —
+      // byte-based coalescing cannot see that the stage's real cost
+      // is the generate's OUTPUT, not its input bytes.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
           .as("hour"))

@@ -617,12 +617,15 @@ object PipelineOps {
     * bit array. PlanSpec pins both properties. */
   def decontamBloom(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingles(s, d)
-    val evalOut = graft.Scratch.processScoped("graft_bloom",
-      s"eval_${ccEpoch.getAndIncrement()}").toString
-    sh.filter(col("doc_id") % EvalEvery === 0)
-      .select("shingle").distinct()
-      .write.mode("overwrite").parquet(evalOut)
-    val evalSh = s.read.parquet(evalOut)
+    // landed once per dataset (r19): this previously wrote a fresh
+    // eval dir per CALL, re-paying the corpus shingle scan + distinct
+    // on every bench pass (~0.9 s of the query's 1.9 s at sf0.1) —
+    // the scaladoc promised triangle_count's land-once pattern; now
+    // the code delivers it
+    val evalOut = landedGraph(s, "bloom_eval", d)(
+      sh.filter(col("doc_id") % EvalEvery === 0)
+        .select("shingle").distinct())
+    val evalSh = evalOut
     val n = math.max(evalSh.count(), 1000L)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(n, 0.01)
