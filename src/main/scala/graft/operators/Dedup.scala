@@ -709,14 +709,22 @@ object Dedup {
   }
 
   /** Core over any (doc_id, text) frame — also the spec's hook for
-    * feeding synthetic duplicate corpora. */
+    * feeding synthetic duplicate corpora.
+    *
+    * Votes fold per token OCCURRENCE (±1 each) instead of per distinct
+    * (doc_id, word) with tf weights: Σ±tf over distinct words ≡ Σ±1
+    * over occurrences — the same exact integer sums, bit-identical
+    * signatures — and the old groupBy(doc_id, word) pre-aggregate
+    * shuffled the whole token stream just to weight the votes the
+    * occurrence rows already carry (guide §2.4: one exchange per
+    * signature instead of two; measured on the 4-signature invariants
+    * gate below). The per-doc groupBy still partial-aggregates
+    * map-side, so nothing extra crosses the shuffle. */
   def simhashFromHash(docs: DataFrame, hash: Column, bits: Int): DataFrame = {
-    val tok = TextOps.tokenize(docs)
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("w"))
-      .withColumn("h", hash)
+    val tok = TextOps.tokenize(docs).withColumn("h", hash)
     val votes = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"v$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$b")
     }
     tok.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
@@ -1002,22 +1010,37 @@ object Dedup {
     * store-∪-batch bucket counts — identical semantics to the full
     * cap; a production store maintains the per-bucket counts
     * incrementally (they are exactly the store's bucket sizes). */
+  private val incrStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Build counter — exposed so DedupSpec can pin build-once. */
+  private[graft] val incrBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def dedupIncremental(s: SparkSession, d: String,
                        minEst: Double = 0.5, maxBucket: Int = LshMaxBucket): DataFrame = {
-    val root = graft.Scratch.processScoped("graft_incr",
-      s"store_${lshEpoch.getAndIncrement()}").toString
-    // derive both halves from the session SigStore — the corpus was
-    // already minhashed for the store; the split is two metadata-cheap
-    // parquet rewrites partitioned by is_batch (ONE pass per artifact,
-    // not one filtered pass per half)
-    val st = SigStore.forDataset(s, d)
-    val isBatch = col("doc_id") % IncrEvery === 0
-    st.banded(s).withColumn("is_batch", isBatch)
-      .write.mode("overwrite").partitionBy("is_batch")
-      .parquet(s"$root/banded")
-    st.sig(s).withColumn("is_batch", isBatch)
-      .write.mode("overwrite").partitionBy("is_batch")
-      .parquet(s"$root/sig")
+    // The split store lands ONCE per dataset (it depends only on d —
+    // minEst/maxBucket apply at probe time), like every other pair
+    // family's artifacts: the previous form re-wrote both parquet
+    // halves on EVERY call, paying the store build in what is supposed
+    // to be the recurrent-cost measurement (1.54 s → store-read shape).
+    val root = incrStores.computeIfAbsent(d, _ => {
+      incrBuildCount.incrementAndGet()
+      val out = graft.Scratch.processScoped("graft_incr",
+        s"store_${lshEpoch.getAndIncrement()}").toString
+      // derive both halves from the session SigStore — the corpus was
+      // already minhashed for the store; the split is two metadata-cheap
+      // parquet rewrites partitioned by is_batch (ONE pass per artifact,
+      // not one filtered pass per half)
+      val st = SigStore.forDataset(s, d)
+      val isBatch = col("doc_id") % IncrEvery === 0
+      st.banded(s).withColumn("is_batch", isBatch)
+        .write.mode("overwrite").partitionBy("is_batch")
+        .parquet(s"$out/banded")
+      st.sig(s).withColumn("is_batch", isBatch)
+        .write.mode("overwrite").partitionBy("is_batch")
+        .parquet(s"$out/sig")
+      out
+    })
     dedupIncrementalProbe(s, root, minEst, maxBucket)
       .transform(Present.sortedUnbounded(_, col("doc_a"), col("doc_b")))
   }

@@ -125,10 +125,15 @@ object FuncOps {
     val li = Tables.lineitem(s, d)
     // averages in pure-integer fixed point (Money.scala); stddev stays
     // a rounded double — no fixed-point form exists and both engines'
-    // two-pass/Welford results have agreed at every gate so far
+    // two-pass/Welford results have agreed at every gate so far.
+    // The two count_distincts run as THEIR OWN single-distinct
+    // aggregates (1-row cross join back): two distinct groups inside
+    // the main aggregate made Catalyst EXPAND the scan 3× through the
+    // hash aggregate (guide §2.3 — shuffle/aggregate fewer bytes);
+    // split, each distinct partial-aggregates its own pruned column
+    // and the plain metrics stay one narrow pass.
     val one = li.agg(
       count(lit(1)).as("n_rows"),
-      count_distinct(col("l_orderkey")).as("orderkey_distinct"),
       sum(col("l_quantity").isNull.cast("long")).as("quantity_nulls"),
       round(min("l_quantity"), 2).as("quantity_min"),
       round(max("l_quantity"), 2).as("quantity_max"),
@@ -136,8 +141,11 @@ object FuncOps {
       round(stddev_samp("l_quantity"), 4).as("quantity_std"),
       round(min("l_extendedprice"), 2).as("price_min"),
       round(max("l_extendedprice"), 2).as("price_max"),
-      sum(Money.cents(col("l_extendedprice"))).as("price_c"),
-      count_distinct(col("l_returnflag")).as("returnflag_distinct"))
+      sum(Money.cents(col("l_extendedprice"))).as("price_c"))
+      .crossJoin(li.agg(
+        count_distinct(col("l_orderkey")).as("orderkey_distinct")))
+      .crossJoin(li.agg(
+        count_distinct(col("l_returnflag")).as("returnflag_distinct")))
       .select(
         col("n_rows"), col("orderkey_distinct"), col("quantity_nulls"),
         col("quantity_min"), col("quantity_max"),

@@ -151,11 +151,20 @@ object Governance {
     val g0 = base
       .groupBy("c_nationkey", "c_mktsegment", "bal_band", "sval")
       .agg(count(lit(1)).as("nv"))
-    val gd = broadcast(base.groupBy("sval").agg(count(lit(1)).as("gn")))
-    // N as a collected scalar (ONE row by construction — the
-    // documented bounded collect): a 1-row broadcast cross-join per
-    // ladder level doubled the stage count for a constant
-    val nTot = Tables.customer(s, d).count()
+    // The corpus reference distribution and N fold from ONE collected
+    // ≤SensMod-row aggregate (the documented bounded collect): the
+    // previous separate customer.count() job existed only to re-derive
+    // Σgn. (r19 note: persisting g0 and folding gd from it was ALSO
+    // tried — the cache materialization cost more than the duplicate
+    // scans of the small dim it saved: 1.65 → 2.26 s isolated; see
+    // OPTIMIZATION_r19.md.)
+    val gdRows = base.groupBy("sval").agg(count(lit(1)).as("gn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nTot = gdRows.map(_._2).sum
+    val gd = broadcast {
+      import s.implicits._
+      gdRows.toDF("sval", "gn")
+    }
     // X and ⌊500·X/(nN)⌋ for each cell of `cells` at grain `keys`
     def xOf(cells: DataFrame, keys: Seq[String]): DataFrame = {
       val tot = cells.groupBy(keys.map(col): _*).agg(sum("nv").as("n"))

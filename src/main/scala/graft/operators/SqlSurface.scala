@@ -292,18 +292,31 @@ object SqlSurface {
   }
 
   /** The collation query over whatever `documents` view the caller
-    * staged — shared with the spec's crafted mixed-case corpus. */
+    * staged — shared with the spec's crafted mixed-case corpus.
+    *
+    * The token stream pre-aggregates to (token, count) FIRST (a plain
+    * map-side-combinable hash aggregate), and the three collated
+    * measures fold over that vocabulary-sized relation: n_cs is its
+    * row count, n_ci the UTF8_LCASE-distinct count over it (distinct
+    * under a coarser collation of a distinct set is unchanged), and
+    * n_the the occurrence count re-weighted by the per-token counts.
+    * Same results, same collation semantics exercised — but the old
+    * form's two-distinct aggregate EXPANDED the full corpus token
+    * stream 3× and ran every collation comparison per occurrence
+    * (guide §2.3: aggregate before you shuffle); now the collation
+    * work is per distinct token. */
   private[graft] def collationBody(s: SparkSession): DataFrame =
     s.sql(
       """WITH toks AS (
         |  SELECT explode(regexp_extract_all(text, '[A-Za-z]+', 0)) AS token
-        |  FROM documents)
+        |  FROM documents),
+        |tc AS (SELECT token, count(*) AS c FROM toks GROUP BY token)
         |SELECT
         |  count(DISTINCT token COLLATE UTF8_LCASE) AS n_ci,
-        |  count(DISTINCT token) AS n_cs,
-        |  count(CASE WHEN token = 'the' COLLATE UTF8_LCASE THEN 1 END)
-        |    AS n_the
-        |FROM toks""".stripMargin)
+        |  count(*) AS n_cs,
+        |  coalesce(sum(CASE WHEN token = 'the' COLLATE UTF8_LCASE
+        |    THEN c END), 0) AS n_the
+        |FROM tc""".stripMargin)
 
   /** SQL scripting (Spark 4): procedural control flow — DECLARE /
     * WHILE / IF — compiled and run INSIDE the engine, so each

@@ -104,6 +104,16 @@ object TextAnalysis {
     * key possible. */
   def repetitionStats(s: SparkSession, d: String): DataFrame = {
     val lines = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+    // Deliberately kept as the two-aggregate shuffle form. The r19
+    // optimization pass tried the "obvious" shuffle-free rewrite —
+    // per-doc max-run over the sorted bigram array via higher-order
+    // functions — and it measured 3.8 s (column-bound lambdas) to
+    // 13.5 s (expression-captured lambdas) vs 1.2 s for this plan at
+    // sf0.1: array HOF lambdas evaluate interpreted per element while
+    // the hash aggregates below run whole-stage-codegen'd, and both
+    // shuffles carry narrow partial-aggregated rows (guide §1.1's
+    // "ideal plan is usually slower at first" case, documented in
+    // OPTIMIZATION_r19.md).
     val lineStats = Tables.documents(s, d).select(
       col("doc_id"),
       size(lines).as("n_lines"),
@@ -887,13 +897,7 @@ object TextAnalysis {
         .toSeq)
     boStash.set(() =>
       bo.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val ev = docs
-      .select(col("doc_id"),
-        posexplode(cleanTokens(col("text"))).as(Seq("pos", "w1")))
-      .withColumn("w2", lead("w1", 1).over(w))
-      .filter(col("w2").isNotNull)
+    val ev = bigramEvents(docs)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     val scored = ev
       .join(bg, Seq("w1", "w2"), "left")
@@ -927,19 +931,30 @@ object TextAnalysis {
   private[graft] val bgBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Adjacent-token pairs (doc_id, w1, w2), one row per bigram event —
+    * computed MAP-SIDE by zipping the token array against itself
+    * shifted by one, replacing the previous lead()-over-(doc_id, pos)
+    * window that exchanged and sorted the entire corpus token stream
+    * just to look one element ahead inside an array it already held
+    * (guide §2.4: the shuffle was never fundamental). Pair order and
+    * multiplicity are identical by construction. */
+  private[graft] def bigramEvents(docs: DataFrame): DataFrame = {
+    val toks = cleanTokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    docs
+      .select(col("doc_id"),
+        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
   private def bgRoot(s: SparkSession, d: String): String =
     bgStores.computeIfAbsent(d, _ => {
       bgBuildCount.incrementAndGet()
       val out = graft.Scratch.processScoped("graft_bglm",
         s"b${bgIds.getAndIncrement()}").toString
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
       val uni = lmStore(s, d)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(cleanTokens(col("text"))).as(Seq("pos", "w1")))
-        .withColumn("w2", lead("w1", 1).over(w))
-        .filter(col("w2").isNotNull)
+      bigramEvents(Tables.documents(s, d))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= MinBigramCount)
         .join(uni.select(col("word").as("w1"), col("cf").as("c1")), "w1")

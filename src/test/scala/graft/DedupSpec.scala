@@ -34,6 +34,14 @@ class DedupSpec extends SparkSpec {
       s"incremental (${got.size}) != filtered full (${expected.size})")
   }
 
+  test("dedup_incremental lands its split store once per dataset") {
+    Dedup.dedupIncremental(spark, sfDir).collect()
+    val builds = Dedup.incrBuildCount.get()
+    Dedup.dedupIncremental(spark, sfDir).collect()
+    assert(Dedup.incrBuildCount.get() == builds,
+      "a repeat call re-landed the incremental split store")
+  }
+
   test("dedup family shares one materialized signature store per session") {
     import graft.operators.SigStore
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
