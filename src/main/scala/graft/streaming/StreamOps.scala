@@ -27,9 +27,15 @@ object StreamOps {
     * (driver-side metadata only — no data scan). `Tables.normalizeTs`
     * then maps whatever physical layout arrived onto TimestampType,
     * failing loud on an unknown one. */
+  private val probedSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   private[graft] def probeRawSchema(s: SparkSession, srcDir: String): StructType = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(srcDir).schema
+    // footer metadata is immutable per staged dir — probe once per
+    // JVM; the 4 join gates each build TWO event streams, so the
+    // driver otherwise re-reads the same footers ~20× per bench pass
+    probedSchemas.computeIfAbsent(srcDir, d => s.read.parquet(d).schema)
   }
 
   /** Streaming source over the events parquet data. The file stream
@@ -942,9 +948,13 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
         timers: TimerValues): Iterator[(Long, Long, Long, Long, Long, Double)] = {
       var mxUs = Long.MinValue
+      // ONE state-store put per (user, batch) via appendList instead
+      // of a JNI round-trip per event — same buffered state
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       rows.foreach { case (_, tsUs, v) =>
-        evs.appendValue((tsUs, v)); mxUs = math.max(mxUs, tsUs)
+        buf += ((tsUs, v)); mxUs = math.max(mxUs, tsUs)
       }
+      if (buf.nonEmpty) evs.appendList(buf.toArray)
       // one sliding timer per user: (last event + gap), ms-ceiling
       val want = (mxUs + GapUs + 999L) / 1000L
       val cur = if (timerAt.exists()) timerAt.get() else Long.MinValue
