@@ -349,10 +349,12 @@ object StreamOps {
     val landed = runToTableAppend(s, clickPurchaseLeftJoin(s, dir),
       "stream_left_join", col("click_id"), col("purchase_id"))
     val ev = Tables.events(s, dir)
+    // both side maxima in ONE conditional aggregate (one scan, one
+    // job) instead of two filtered agg subtrees cross-joined
     val horizon = broadcast(
-      ev.filter(col("event_type") === "click").agg(max("ts").as("mc"))
-        .crossJoin(ev.filter(col("event_type") === "purchase")
-          .agg(max("ts").as("mp")))
+      ev.agg(
+        max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp"))
         .select((least(col("mc"), col("mp")) -
           expr("interval 120 minutes")).as("h")))
     landed.crossJoin(horizon)
@@ -407,10 +409,12 @@ object StreamOps {
     val landed = runToTableAppend(s, clickPurchaseFullJoin(s, dir),
       "stream_full_join", col("click_id"), col("purchase_id"))
     val ev = Tables.events(s, dir)
+    // one conditional aggregate for both side maxima (see
+    // clickPurchaseLeftGated)
     val horizon = broadcast(
-      ev.filter(col("event_type") === "click").agg(max("ts").as("mc"))
-        .crossJoin(ev.filter(col("event_type") === "purchase")
-          .agg(max("ts").as("mp")))
+      ev.agg(
+        max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp"))
         .select(least(col("mc"), col("mp")).as("wm0")))
     landed.crossJoin(horizon)
       .filter(
@@ -479,10 +483,12 @@ object StreamOps {
       joinWindowOf(eventsStream(s, dir), eventsStream(s, dir)),
       "stream_join_window", col("w_start"), col("cohort"))
     val ev = Tables.events(s, dir)
+    // one conditional aggregate for both side maxima (see
+    // clickPurchaseLeftGated)
     val horizon = broadcast(
-      ev.filter(col("event_type") === "click").agg(max("ts").as("mc"))
-        .crossJoin(ev.filter(col("event_type") === "purchase")
-          .agg(max("ts").as("mp")))
+      ev.agg(
+        max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp"))
         .select(least(col("mc"), col("mp")).as("wm0")))
     landed.crossJoin(horizon)
       .filter(col("w_start") + expr("interval 3 hours") <
