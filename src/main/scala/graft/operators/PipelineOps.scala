@@ -572,8 +572,13 @@ object PipelineOps {
   val EvalEvery = 97
   def decontamNgrams(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingles(s, d)
-    val evalSh = sh.filter(col("doc_id") % EvalEvery === 0)
-      .select(col("shingle")).distinct()
+    // the eval-shingle relation is the SAME landed artifact the bloom
+    // twin uses (one store key, one build): the exact operator was
+    // re-paying the eval slice's corpus shingle scan + distinct per
+    // call while its scale twin read the landed parquet
+    val evalSh = landedGraph(s, "bloom_eval", d)(
+      sh.filter(col("doc_id") % EvalEvery === 0)
+        .select(col("shingle")).distinct())
     val train = sh.filter(col("doc_id") % EvalEvery =!= 0)
     train
       .join(broadcast(evalSh), Seq("shingle"), "left_semi")
