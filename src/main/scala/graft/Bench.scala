@@ -148,35 +148,45 @@ object Bench {
     // The consumer scrapes only the LAST ~2000 chars of stdout and
     // json-parses line by line, so the line must fit that window
     // ENTIRELY or every head-truncated entry is lost (round-5 bench
-    // lost 7 queries this way). Degradation ladder until it fits:
-    // per-query precision 3→0 decimals, sf path → basename, drop the
-    // "unit" field, and as a last resort keep only the entries that
-    // fit plus an explicit "omitted" count — a SHORT parseable map
-    // beats a complete unparseable one. Full 3-decimal detail, spread,
-    // and raw pass times always go to the sidecar file below.
+    // lost 7 queries this way). Full 3-decimal detail goes first; when
+    // the full map cannot fit (the 288-query suite), the budget is
+    // spent on the SLOWEST queries at 1-decimal precision, sorted
+    // descending — the r19 ladder kept an alphabetical prefix at
+    // INTEGER seconds, which quantized every kept entry to 0/1/2 s,
+    // made sub-0.5 s queries read as dropped, and left the per-query
+    // comparison blind exactly where the time goes (VERDICT r19 #1).
+    // The omitted remainder is all fast queries; its count and summed
+    // seconds ride along so the line still accounts for the total.
+    // Full 3-decimal detail, spread, and raw pass times always go to
+    // the sidecar file below.
     val Budget = 1995 // window 2000 minus the trailing newline, minus slack
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val ladder =
-      Seq(3, 2, 1, 0).map(mainLine(_, sfDir, unit = true)) ++
-        Seq(1, 0).map(mainLine(_, sfShort, unit = true)) :+
-        mainLine(0, sfShort, unit = false)
-    val stdoutLine = ladder.find(_.length <= Budget).getOrElse {
-      // bounded-entries last resort: fill the budget, count the rest.
-      // The fixed-part estimate reserves as many digits as the WORST
-      // CASE omitted count (= entries.size) can need, and the first
-      // kept entry carries no comma — exact accounting, no reliance
-      // on slack.
-      val entries = names.map { case (k, _) =>
-        "\"" + k + "\":" + Math.round(best(k)) }
+    val stdoutLine = Seq(mainLine(3, sfDir, unit = true))
+      .find(_.length <= Budget).getOrElse {
+      // slowest-first fill: reserve worst-case digits for the omitted
+      // count and a fixed-width omitted sum, then pack entries while
+      // they fit (the first kept entry carries no comma — exact
+      // accounting, no reliance on slack)
+      val bySlowest = names.map(_._1).sortBy(k => (-best(k), k))
+      val entries = bySlowest.map { k =>
+        "\"" + k + f"""\":${best(k)}%.1f""" }
       val omittedPad = "0" * entries.size.toString.length
-      val fixed = f"""{"metric":"total","value":$total%.2f,"queries":{},"omitted":$omittedPad,"sf":"$sfShort"}""".length
+      val sumPad = f"${total}%.1f".length
+      val fixed = (f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},""" +
+        s""""omitted":$omittedPad,"omitted_sum_s":${"0" * sumPad},"sf":"$sfShort"}""").length
       val keep = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = fixed
-      entries.foreach { e =>
+      var full = false // stop at the FIRST non-fit so kept = a strict
+      entries.foreach { e => // slowest-prefix (take(size) below is exact)
         val sep = if (keep.isEmpty) 0 else 1
-        if (used + e.length + sep <= Budget) { keep += e; used += e.length + sep }
+        if (!full && used + e.length + sep <= Budget) {
+          keep += e; used += e.length + sep
+        } else full = true
       }
-      f"""{"metric":"total","value":$total%.2f,"queries":${keep.mkString("{", ",", "}")},"omitted":${entries.size - keep.size},"sf":"$sfShort"}"""
+      val keptSet = bySlowest.take(keep.size).toSet
+      val omittedSum = names.collect {
+        case (k, _) if !keptSet.contains(k) => best(k) }.sum
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${keep.mkString("{", ",", "}")},"omitted":${entries.size - keep.size},"omitted_sum_s":$omittedSum%.1f,"sf":"$sfShort"}"""
     }
     val passTimes = names.map { case (k, _) =>
       "\"" + k + "\":[" + times(k).reverse.map(t => f"$t%.3f").mkString(",") + "]"

@@ -2139,7 +2139,16 @@ object StorageOps {
         graft.Scratch.path("graft_derby.log").toString)
       val dir = graft.Scratch.processScoped("graft_derby",
         d.replaceAll("[^a-zA-Z0-9]", "_")).toString
-      val url = s"jdbc:derby:$dir;create=true"
+      // explicit territory: Derby otherwise derives the new database's
+      // locale from Locale.getDefault(), and a JVM pinned to
+      // Locale.ROOT (Bench does, for parseable JSON numbers) makes
+      // createDatabase FAIL with XBM0X "Supplied locale description ''
+      // is invalid" — observed as jdbc_roundtrip/jdbc_agg_pushdown
+      // silently fast-failing in every r19 bench pass. Pinning the
+      // territory also makes the landed database host-locale-
+      // independent; table collation stays UCS_BASIC, so no query
+      // result depends on it.
+      val url = s"jdbc:derby:$dir;create=true;territory=en_US"
       val src = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
           round(col("c_acctbal") * 100).cast("long").as("bal_cents"))

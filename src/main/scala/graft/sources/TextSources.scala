@@ -52,6 +52,12 @@ object TextSources {
         val conf = confB.value.value
         it.map { case (p, len) =>
           val hp = new org.apache.hadoop.fs.Path(p)
+          // one row per file caps a file at one Array[Byte]; a silent
+          // toInt truncation past 2 GB would CORRUPT instead of fail
+          require(len <= Int.MaxValue,
+            s"TextSources.directory: $p is $len bytes — single-row-per-file " +
+              "reads cap at 2 GB (Array[Byte]); split the file or use a " +
+              "line-granularity source")
           val in = hp.getFileSystem(conf).open(hp)
           val buf = new Array[Byte](len.toInt)
           try in.readFully(0, buf) finally in.close()

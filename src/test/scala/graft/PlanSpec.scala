@@ -747,6 +747,76 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FullOuter")) == 1, p)
   }
 
+  test("neardup_embedding: cosine stays inside the BNLJ condition, after the id guard") {
+    // r19 win: the cosine rides the join condition's short-circuit AND
+    // BEHIND the id guard — as a separate post-join filter Catalyst
+    // pushed it in FRONT of the id test (all n² dot products, 2.5 s of
+    // a 2.9 s query). The placement relies on Catalyst preserving And
+    // ordering inside the BNLJ condition, which a Spark upgrade could
+    // silently re-order — this pin makes that regression loud.
+    val df = graft.operators.Similarity.neardupEmbedding(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bnlj = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+      .getOrElse(fail(s"no BNLJ in plan:\n$p"))
+    // the cosine is evaluated IN the condition, id guard first
+    assert(bnlj.contains("graft_cosine"),
+      s"cosine left the join condition: $bnlj")
+    assert(bnlj.indexOf("id_a") >= 0 &&
+      bnlj.indexOf("id_a") < bnlj.indexOf("graft_cosine"),
+      s"id guard no longer precedes the cosine in the condition: $bnlj")
+    // and no pre-join Filter re-acquired it (the n²-dot-product shape)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("graft_cosine")),
+      s"cosine pushed into a pre-join filter:\n$p")
+    // the streamed side is spread, not one serial task
+    assert(p.toLowerCase.contains("roundrobinpartitioning"),
+      s"streamed side no longer spread over the cores:\n$p")
+  }
+
+  test("resample_events: round-robin spread survives between agg and explode") {
+    // r19 win: a keyless round-robin with explicit width sits between
+    // the KB-sized per-user bounds aggregate and the hour-grid explode
+    // — without it AQE byte-coalescing collapses the exchange to ONE
+    // task that then fans out 1M+ rows. AQE must not re-coalesce it.
+    val df = graft.operators.ChangeOps.resampleEvents(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val gi = p.indexOf("Generate explode")
+    val ri = p.toLowerCase.indexOf("roundrobinpartitioning")
+    assert(gi >= 0 && ri >= 0,
+      s"explode or round-robin exchange missing:\n$p")
+    // plan prints parent-above-child: the explode must CONSUME the
+    // round-robin exchange, not feed it
+    assert(gi < ri, s"explode no longer sits above the spread:\n$p")
+  }
+
+  test("winnow/window_frames: the sampler barrier sits between projection and sort") {
+    // r19 win: a narrow hash exchange between the expensive projection
+    // (md5 loop / seven-window chain) and the presentation range sort —
+    // the range partitioner SAMPLES its child, so without the barrier
+    // the projection executes twice (sample pass + shuffle pass).
+    def planOf(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val pw = planOf(graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir))
+    val wRange = pw.indexOf("Exchange rangepartitioning")
+    val wHash = pw.indexOf("Exchange hashpartitioning(doc_id")
+    assert(wRange >= 0 && wHash >= 0 && wRange < wHash,
+      s"winnow barrier gone (range sort samples the md5 loop directly):\n$pw")
+    // the md5 projection must sit BELOW the barrier exchange
+    assert(pw.substring(wHash).contains("md5"),
+      s"md5 loop no longer below the barrier:\n$pw")
+    val pf = planOf(graft.operators.RelOps.windowFrames(spark, sfDir))
+    val fRange = pf.indexOf("Exchange rangepartitioning")
+    val fHash = pf.indexOf("Exchange hashpartitioning(o_orderkey")
+    assert(fRange >= 0 && fHash >= 0 && fRange < fHash,
+      s"window_frames barrier gone:\n$pf")
+  }
+
   test("parquet variant extraction is SHREDDED into the scan") {
     // PushVariantIntoScan (file-source rule, on by default) rewrites
     // variant_get over the parquet scan into a struct read: the scan's
