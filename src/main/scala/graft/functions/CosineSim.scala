@@ -125,6 +125,7 @@ object GraftFunctions {
   val mightContainIdent = FunctionIdentifier("graft_might_contain")
   val bloomAggIdent = FunctionIdentifier("graft_bloom_agg")
   val ngramsIdent = FunctionIdentifier("graft_ngrams")
+  val lshSigsIdent = FunctionIdentifier("graft_lsh_sigs")
 
   def ensureRegistered(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -133,6 +134,12 @@ object GraftFunctions {
         cosineIdent,
         new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
         (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+    }
+    if (!reg.functionExists(lshSigsIdent)) {
+      reg.registerFunction(
+        lshSigsIdent,
+        new ExpressionInfo(classOf[LshSigs].getName, "graft_lsh_sigs"),
+        (children: Seq[Expression]) => LshSigs(children(0)))
     }
     if (!reg.functionExists(mightContainIdent)) {
       reg.registerFunction(
@@ -166,6 +173,12 @@ object GraftFunctions {
   def cosineNative(s: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(s)
     call_function("graft_cosine", a, b)
+  }
+
+  /** banded LSH signatures via the native fused-loop expression. */
+  def lshSigsNative(s: SparkSession, v: Column): Column = {
+    ensureRegistered(s)
+    call_function("graft_lsh_sigs", v)
   }
 
   /** Codegen'd Bloom-filter probe — the same expression Spark's own

@@ -161,18 +161,28 @@ object Governance {
     val gdRows = base.groupBy("sval").agg(count(lit(1)).as("gn"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val nTot = gdRows.map(_._2).sum
-    val gd = broadcast {
-      import s.implicits._
-      gdRows.toDF("sval", "gn")
-    }
-    // X and ⌊500·X/(nN)⌋ for each cell of `cells` at grain `keys`
+    // the ≤SensMod-row corpus distribution as a literal MAP: the r19
+    // shape joined a broadcast gd relation per grain and needed a
+    // separate per-cell total (groupBy + join + groupBy = 3 exchanges
+    // per xOf, ~28 tiny AQE stage rounds for a 15 k-row dim); with gn
+    // as element_at(map, sval) each grain folds in ONE aggregate —
+    // collect the (sval, nv) pairs per cell and evaluate X over the
+    // ≤SensMod-element array. Same exact integer arithmetic, order-
+    // independent (commutative sum of per-value terms).
+    val gnMap = map(gdRows.flatMap(t => Seq(lit(t._1), lit(t._2))): _*)
+    // X and ⌊500·X/(nN)⌋ for each cell of `cells` at grain `keys` —
+    // one hash aggregate per grain; the interpreted array fold runs
+    // over cell-count × ≤SensMod elements (hundreds of rows at ANY
+    // corpus size — the quasi-id domain bounds it)
     def xOf(cells: DataFrame, keys: Seq[String]): DataFrame = {
-      val tot = cells.groupBy(keys.map(col): _*).agg(sum("nv").as("n"))
-      cells.join(tot, keys).join(gd, "sval")
+      val gnOf = (e: Column) => element_at(gnMap, e.getField("sval"))
+      cells.groupBy(keys.map(col): _*)
+        .agg(sum("nv").as("n"),
+          collect_list(struct(col("sval"), col("nv"))).as("vs"))
         .withColumn("n_tot", lit(nTot))
-        .groupBy(keys.map(col) :+ col("n") :+ col("n_tot"): _*)
-        .agg(sum(abs(col("nv") * col("n_tot") - col("gn") * col("n"))
-          - col("gn") * col("n")).as("xpart"))
+        .withColumn("xpart", aggregate(col("vs"), lit(0L), (acc, e) =>
+          acc + abs(e.getField("nv") * col("n_tot") - gnOf(e) * col("n"))
+            - gnOf(e) * col("n")))
         .withColumn("x", col("xpart") + col("n") * col("n_tot"))
         .withColumn("tvd_milli", expr("(500 * x) div (n * n_tot)"))
     }
@@ -189,10 +199,15 @@ object Governance {
       .select(lit(1).as("level"), col("c_nationkey"), col("c_mktsegment"),
         col("bal_band"), col("n"), col("tvd_milli"))
     // failing LEVEL-1 cells regroup at the (quasi, sval) grain so the
-    // level-2 distance re-derives from values, not from level-1 X's
-    val fail0 = g0.join(
-      x1.filter(!passC).select("c_nationkey", "c_mktsegment", "bal_band"),
-      Seq("c_nationkey", "c_mktsegment", "bal_band"))
+    // level-2 distance re-derives from values, not from level-1 X's —
+    // the (sval, nv) pairs ride x1's own collected array, so no
+    // re-join against g0 (r19 re-ran the customer aggregation lineage
+    // here) and no second scan
+    val fail0 = x1.filter(!passC)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        explode(col("vs")).as("e"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("e.sval").as("sval"), col("e.nv").as("nv"))
       .groupBy("c_nationkey", "c_mktsegment", "sval")
       .agg(sum("nv").as("nv"))
     val x2 = xOf(fail0, Seq("c_nationkey", "c_mktsegment")).persist()

@@ -778,6 +778,20 @@ object PipelineOps {
     * (singleton windows) instead of forcing a second corpus scan for
     * a token/gram join. */
   val SubstrK = 8
+
+  /** The gram-hash combine as DuckDB SQL over the per-token hash list
+    * `th` at gram start `i` (1-based): token hash at offset j rotates
+    * left by 7·j within 60 bits, all XOR-folded — the literal mirror
+    * of the Spark-side expression in [[substringDedup]] so the two
+    * engines collide (or not) identically. */
+  private[graft] lazy val substrGhSql: String =
+    (0 until SubstrK).map { j =>
+      val r = 7 * j
+      if (r == 0) "th[i]"
+      else s"(((th[i+$j] & ((1::BIGINT<<${60 - r})-1)) << $r) | " +
+        s"(th[i+$j] >> ${60 - r}))"
+    }.reduce((a, b) => s"xor($a, $b)")
+
   def substringDedup(s: SparkSession, d: String): DataFrame = {
     val K = SubstrK
     import org.apache.spark.sql.expressions.Window
@@ -792,9 +806,27 @@ object PipelineOps {
       // decouple the md5-per-token hash loop from input-byte task
       // sizing, exactly as winnowFingerprintsOf does
       .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+      // one md5 per distinct token POSITION (th), not per gram: the
+      // r19 shape md5-hashed each 8-token gram STRING (a concat_ws +
+      // slice + md5 of ~50 bytes per gram — 11 s of task CPU in this
+      // stage at sf0.1). A gram's hash now combines its 8 token hashes
+      // with offset-distinct 60-bit rotations folded by XOR —
+      // order-sensitive (each offset gets its own rotation), stays in
+      // the same 60-bit domain, pure bitwise ops both engines compute
+      // exactly, and the oracle mirrors it verbatim so collisions (if
+      // ever) stay engine-identical. md5 stays the only hash
+      // primitive. Probe receipt: hash-stage task CPU 11.4 s → ~3 s,
+      // same plan shape (plans/r20/substring_dedup_{before,after}.txt).
+      .withColumn("th", transform(col("t"), x => Dedup.md5Hash60(x)))
       .withColumn("gh", when(size(col("t")) >= K,
         transform(sequence(lit(1), size(col("t")) - (K - 1)),
-          p => Dedup.md5Hash60(concat_ws(" ", slice(col("t"), p, lit(K))))))
+          p => (0 until K).map { i =>
+            val e = element_at(col("th"), p + lit(i))
+            val r = 7 * i
+            if (r == 0) e
+            else shiftleft(e.bitwiseAND(lit((1L << (60 - r)) - 1)), r)
+              .bitwiseOR(shiftright(e, 60 - r))
+          }.reduce(_.bitwiseXOR(_))))
         .otherwise(array().cast("array<bigint>")))
       .select(col("doc_id"),
         posexplode(arrays_zip(col("t"), col("gh"))).as(Seq("pos", "z")))
@@ -1084,12 +1116,15 @@ object PipelineOps {
       s"""WITH d AS (SELECT doc_id,
          |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
          |  FROM documents),
+         |d2 AS (SELECT doc_id, t,
+         |    list_transform(t,
+         |      x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS th
+         |  FROM d),
          |tok AS (
          |  SELECT doc_id, i - 1 AS pos, t[i] AS tok,
          |    CASE WHEN i + ${SubstrK - 1} <= len(t)
-         |      THEN ('0x' || substring(md5(array_to_string(
-         |        t[i:i+${SubstrK - 1}], ' ')), 1, 15))::BIGINT END AS gh
-         |  FROM d, unnest(range(1, len(t) + 1)) AS r(i)),
+         |      THEN ${substrGhSql} END AS gh
+         |  FROM d2, unnest(range(1, len(t) + 1)) AS r(i)),
          |m AS (
          |  SELECT doc_id, pos, tok,
          |    CASE WHEN gh IS NOT NULL AND row_number() OVER (

@@ -180,8 +180,16 @@ object Similarity {
     * additionally asserts recall vs brute force. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
+    // native fused-loop signatures (graft.functions.LshSigs) — the
+    // declarative zip_with/aggregate form above evaluates 40
+    // interpreted lambda folds per vector (probed: 388 ms task CPU on
+    // the sf0.1 corpus in one scan task, plus a ~0.6 s planning gap
+    // for the 40-literal expression tree). Bit-identical left-to-right
+    // fold (SimilaritySpec pins native ≡ declarative row-for-row), so
+    // the hash oracle replays unchanged.
     val banded = e.select(col("vec_id"), col("v"),
-      posexplode(lshBandSignatures(col("v"))).as(Seq("band", "bsig")))
+      posexplode(graft.functions.GraftFunctions.lshSigsNative(s, col("v")))
+        .as(Seq("band", "bsig")))
     val qBanded = banded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("band"), col("bsig"),
         col("v").as("qv"))

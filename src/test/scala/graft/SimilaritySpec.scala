@@ -20,6 +20,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native lsh signatures are bit-identical to the declarative form") {
+    // the fused-loop LshSigs expression must reproduce the
+    // zip_with/aggregate fold EXACTLY (same left-to-right adds, same
+    // null-poisoned all-zero bands) — the hash oracle depends on even
+    // the sign of a near-zero projection agreeing
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cmp = e.select(col("vec_id"),
+        Similarity.lshBandSignatures(col("v")).as("decl"),
+        graft.functions.GraftFunctions.lshSigsNative(spark, col("v")).as("nat"))
+      .filter(not(col("decl") <=> col("nat")))
+    assert(cmp.count() == 0, cmp.take(3).mkString("\n"))
+  }
+
   test("ann lsh returns a subset of plausible neighbors with decent top-1") {
     // With random-hyperplane buckets the exact top-1 may fall in a
     // different bucket; assert structure, not exact recall: every ANN
