@@ -500,6 +500,69 @@ object ScaleRehearsal {
     }
   }
 
+  /** SCALE receipt for the r19 §2.4 structural rewrites that are
+    * invisible at sf0.1 (VERDICT r19 #9): the bigram adjacency
+    * (zip_with map-side vs the old lead()-over-(doc_id, pos) window
+    * that exchanged AND sorted the whole corpus token stream) and the
+    * simhash vote fold (±1 per occurrence vs the old per-distinct
+    * (doc, word) pre-aggregate that shuffled the token stream twice).
+    * Each old shape lives HERE as a measurement twin only — the query
+    * paths carry the new forms. Expectation: the removed
+    * exchange+sort's cost grows superlinearly with the multiple
+    * (sort + quadratic shuffle-block growth), the map-side twin's
+    * linearly; the printed shuffle_bytes make the removed exchange
+    * directly visible. */
+  def runTextScale(s: SparkSession, sfDir: String, mults: Seq[Int],
+                   passes: Int = 3): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val listener = new ShuffleListener
+    s.sparkContext.addSparkListener(listener)
+    def bigramCounts(ev: DataFrame): DataFrame =
+      ev.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= operators.TextAnalysis.MinBigramCount)
+    // the r19-removed shape: corpus-wide (doc_id, pos) window
+    def bigramEventsWindow(docs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      docs.select(col("doc_id"),
+          posexplode(operators.TextAnalysis.cleanTokens(col("text")))
+            .as(Seq("pos", "w1")))
+        .withColumn("w2", lead("w1", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2")
+    }
+    // the r19-removed shape: tf-weighted votes over a distinct
+    // (doc, word) pre-aggregate (one extra token-stream shuffle)
+    def simhashPreDistinct(docs: DataFrame, bits: Int): DataFrame = {
+      val tok = operators.TextOps.tokenize(docs)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("w"))
+        .withColumn("h", operators.Dedup.md5Hash60(col("word")))
+      val votes = (0 until bits).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
+          .otherwise(-col("w"))).as(s"v$b")
+      }
+      tok.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b =>
+            when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
+    }
+    mults.foreach { m =>
+      val staged = stageDocs(s, sfDir, m)
+      val docs = Tables.documents(s, staged)
+      measure(s, listener, "textscale", "bigrams_zipwith", m, passes)(
+        bigramCounts(operators.TextAnalysis.bigramEvents(docs)))
+      measure(s, listener, "textscale", "bigrams_window", m, passes)(
+        bigramCounts(bigramEventsWindow(docs)))
+      measure(s, listener, "textscale", "simhash_occurrence", m, passes)(
+        operators.Dedup.simhashFromHash(docs,
+          operators.Dedup.md5Hash60(col("word")), operators.Dedup.SimHashBits))
+      measure(s, listener, "textscale", "simhash_predistinct", m, passes)(
+        simhashPreDistinct(docs, operators.Dedup.SimHashBits))
+    }
+  }
+
   /** Stage `mult` VERBATIM document replicas (doc_id offset only,
     * text untouched) — the governance rehearsal's corpus. Two
     * properties the tag-suffixing stageDocs cannot give:
@@ -1613,7 +1676,7 @@ object ScaleRehearsal {
       "spjskew", "joinpush", "retrieval", "wand", "wandmix", "workload",
       "ivfmaint", "wandzipf", "workloadzipf", "buckets", "delete", "media",
       "mediadiverse", "governance", "sketch", "phrase", "ensemble",
-      "qualitytrain")
+      "qualitytrain", "textscale")
     val unknown = families -- known
     require(unknown.isEmpty,
       s"unknown rehearsal families: ${unknown.toSeq.sorted.mkString(", ")} " +
@@ -1685,6 +1748,8 @@ object ScaleRehearsal {
       runGovernance(spark, sfDir, mults)
     if (family("qualitytrain"))
       runQualityTrain(spark, sfDir, mults)
+    if (family("textscale"))
+      runTextScale(spark, sfDir, mults)
     if (family("ivfmaint"))
       runIvfMaint(spark, sfDir, mults)
     spark.stop()

@@ -26,9 +26,15 @@ object Dedup {
 
   /** Word 3-gram shingles of the lowercased letter-token stream, one
     * row per occurrence (NOT yet deduplicated). */
-  def shinglesRaw(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+  def shinglesRaw(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    shinglesRawFrom(Tables.documents(s, d), n)
+
+  /** Core over any (doc_id, text) frame — lets a caller spread the
+    * corpus first when its downstream partial aggregate would
+    * otherwise run inside a single scan task. */
+  def shinglesRawFrom(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(lower(col("text")), "[^\\p{L}]+")
-    Tables.documents(s, d)
+    docs
       .withColumn("toks", filter(toks, t => length(t) > 0))
       .withColumn("idx",
         // sequence(1, 0) would be DESCENDING in Spark — guard short docs

@@ -120,7 +120,12 @@ object TextAnalysis {
       when(size(lines) > 0,
         round(lit(1) - size(array_distinct(lines)).cast("double") / size(lines), 6))
         .otherwise(0.0).as("dup_line_ratio"))
-    val bgStats = Dedup.shinglesRaw(s, d, 2)
+    // spread before the bigram pass (single scan split otherwise
+    // serializes explode + partial agg in one task — probed 533 ms of
+    // 1.65 s); the two-aggregate SHAPE above is untouched
+    val bgStats = Dedup.shinglesRawFrom(
+        Tables.documents(s, d).repartition(
+          s.sparkContext.defaultParallelism, col("doc_id")), 2)
       .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_c"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -837,6 +842,11 @@ object TextAnalysis {
     val nq = lmNllqStore(s, d)
     nllqStash.set(() =>
       nq.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // NO pre-scoring spread here (unlike perplexity_bigram): the
+    // unigram pass's single-task tokenize is only ~270 ms, and the
+    // r20 A/B measured the extra text exchange costing more than it
+    // parallelizes (1.19 → 1.81 s) — the spread pays only where the
+    // map work dominates (bigram: 840 ms, repetition_stats: 530 ms)
     val dt = docs
       .select(col("doc_id"), explode(cleanTokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -907,7 +917,14 @@ object TextAnalysis {
         .toSeq)
     boStash.set(() =>
       bo.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    val ev = bigramEvents(docs)
+    // spread the corpus before the per-doc scoring pass: the docs
+    // table is one parquet split at bench scale, so tokenize +
+    // zip_with + the (doc, w1, w2) partial aggregate otherwise run in
+    // ONE scan task (probed: 841 ms of task CPU serialized, the
+    // query's dominant stage) — the same decoupling winnow and
+    // substring_dedup apply
+    val ev = bigramEvents(docs.repartition(
+        s.sparkContext.defaultParallelism, col("doc_id")))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     val scored = ev
       .join(bg, Seq("w1", "w2"), "left")
